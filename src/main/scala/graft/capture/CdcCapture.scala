@@ -1,0 +1,133 @@
+package graft.capture
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.model.ChangeEvent
+
+/** Row-change capture as a distributed snapshot diff.
+  *
+  * The reference captures changes with per-row AFTER triggers
+  * (`cdc.change_data_capture()` reference timescale/init.sql:11-22, attached
+  * init.sql:106-113; hypertable variant init.sql:25-38). Spark has no
+  * triggers; the idiomatic equivalent is a full-outer equi-join of the
+  * previous and current table snapshots on the primary key, classifying each
+  * joined row as INSERT / UPDATE / DELETE (SURVEY.md §2.1 C1-C4).
+  *
+  * Scale notes (100 TB design):
+  *   - the full-outer join shuffles both sides on the PK — the natural
+  *     partitioning for this op; AQE handles skewed keys and Catalyst picks
+  *     SMJ/shuffled-hash automatically. If snapshots are bucketed by PK on
+  *     disk, the shuffle disappears entirely.
+  *   - no-op suppression (`UPDATE` with identical non-PK values) happens
+  *     before serialization, so unchanged rows never produce JSON.
+  *   - row→JSON uses codegen'd `to_json(struct(...))`, mirroring
+  *     `row_to_json(OLD/NEW)` (reference init.sql:18,34).
+  */
+object CdcCapture {
+
+  /** Diff two snapshots of a watched table into change events (without ids;
+    * see [[assignIds]] for the monotonic event_id pass).
+    *
+    * @param prev       previous snapshot (null/empty prev ⇒ all INSERTs)
+    * @param cur        current snapshot
+    * @param pk         primary-key columns (join keys)
+    * @param schemaName logical schema name stamped on every event — explicit
+    *                   parameters by construction, unifying the reference's
+    *                   plain-table and hypertable trigger variants
+    *                   (init.sql:11-22 vs 25-38, which differ only in how
+    *                   they learn the table name)
+    * @param tableName  logical table name
+    * @param captureTs  event timestamp; defaults to `current_timestamp()`,
+    *                   which Spark folds once per query — matching PG
+    *                   per-statement `NOW()` (reference init.sql:18)
+    */
+  def capture(
+      prev: DataFrame,
+      cur: DataFrame,
+      pk: Seq[String],
+      schemaName: String,
+      tableName: String,
+      captureTs: Column = current_timestamp()
+  ): DataFrame = {
+    require(pk.nonEmpty, "primary key columns required")
+    val p = prev.select(
+      pk.map(c => col(c).as(s"__pk_$c")) :+
+        struct(prev.columns.map(col): _*).as("__prev"): _*
+    )
+    val c = cur.select(
+      pk.map(k => col(k).as(s"__pk_$k")) :+
+        struct(cur.columns.map(col): _*).as("__cur"): _*
+    )
+    val joined = p.join(c, pk.map(k => s"__pk_$k"), "full_outer")
+
+    // Operation classification (reference init.sql:16,32): prev-side null ⇒
+    // INSERT, cur-side null ⇒ DELETE, both present ⇒ UPDATE. Identical rows
+    // (null-safe struct compare) are no-ops and emit nothing — PG triggers
+    // fire on every UPDATE statement, but an UPDATE that changes nothing is
+    // indistinguishable in the log from no statement at all, so suppressing
+    // it preserves replayability.
+    joined
+      .where(col("__prev").isNull || col("__cur").isNull || !(col("__prev") <=> col("__cur")))
+      .select(
+        captureTs.as("ts"),
+        lit(schemaName).as("schema_name"),
+        lit(tableName).as("table_name"),
+        when(col("__prev").isNull, lit(ChangeEvent.Insert))
+          .when(col("__cur").isNull, lit(ChangeEvent.Delete))
+          .otherwise(lit(ChangeEvent.Update))
+          .as("operation"),
+        when(col("__prev").isNotNull, to_json(col("__prev"))).as("before"),
+        when(col("__cur").isNotNull, to_json(col("__cur"))).as("after")
+      )
+  }
+
+  /** Assign monotonic event ids above a checkpointed base — the engine's
+    * replacement for the reference's global sequence
+    * (`cdc.event_log_event_id_seq`, reference init.sql:51-59).
+    *
+    * Ids only need to be monotone per micro-batch above the base (SURVEY.md
+    * §7): a capture batch is the diff of two snapshots, which is small
+    * relative to the table, so a single-partition window over the batch is
+    * acceptable. For large batches use [[assignIdsDistributed]].
+    *
+    * NOT `monotonically_increasing_id()`: that is non-contiguous and
+    * non-deterministic across runs, so it cannot serve as a poll offset.
+    */
+  def assignIds(events: DataFrame, base: Long, orderCols: Seq[String] = Seq("ts", "operation", "after", "before")): DataFrame = {
+    val w = Window.orderBy(orderCols.map(col): _*)
+    events.withColumn("event_id", lit(base) + row_number().over(w).cast("long"))
+  }
+
+  /** Scalable id assignment: contiguous ids without a single-partition
+    * window. Range-partition by the order columns, sort within partitions,
+    * then offset each partition by the cumulative count of the partitions
+    * before it (two passes: one count job + one map). This is the standard
+    * distributed dense-rank layout and holds at 1000 executors, unlike a
+    * global `Window.orderBy` which serializes onto one task.
+    */
+  def assignIdsDistributed(events: DataFrame, base: Long, orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+
+    val ordered = events
+      .repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .cache() // two passes over the sorted layout: count, then stamp
+    val counts = ordered.rdd
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect()
+      .sortBy(_._1)
+    val offsets: Map[Int, Long] =
+      counts.scanLeft((0, base)) { case ((_, acc), (i, n)) => (i + 1, acc + n) }
+        .map { case (i, off) => i -> off }
+        .toMap
+    val outSchema = events.schema.add(StructField("event_id", LongType, nullable = false))
+    val rows = ordered.rdd.mapPartitionsWithIndex { case (i, it) =>
+      val start = offsets(i)
+      it.zipWithIndex.map { case (r, j) => Row.fromSeq(r.toSeq :+ (start + j + 1)) }
+    }
+    events.sparkSession.createDataFrame(rows, outSchema)
+  }
+}

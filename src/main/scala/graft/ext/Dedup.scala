@@ -1,0 +1,258 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale posture (100 TB): every variant is a shuffle-on-key or
+  * candidate-join plan — no driver-side state, no global sorts, no
+  * quadratic all-pairs stage except behind an explicit candidate filter
+  * (shared-band / shared-shingle / LSH bucket), which is the published
+  * technique for bounding pair generation (MinHash banding; prefix-filter
+  * family — see PAPERS.md set-similarity-join entries).
+  */
+object Dedup {
+
+  // ---- exact ---------------------------------------------------------------
+
+  /** Exact dedup on key columns (hash-shuffle on the keys; map-side partial
+    * aggregation keeps the shuffle small when dup rate is high).
+    */
+  def exact(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** Exact dedup keeping the row with the smallest `orderCol` per key group
+    * ("keep first") — deterministic, unlike `dropDuplicates`' arbitrary
+    * survivor.
+    */
+  def exactKeepFirst(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Content-hash dedup: exact dedup on a 64-bit hash of normalized text —
+    * the cheap first pass before any near-dup stage (hashing shrinks the
+    * shuffle payload from full documents to 8 bytes + key).
+    */
+  def contentHash(text: Column): Column = xxhash64(lower(trim(text)))
+
+  // ---- shingling (shared by MinHash / SimHash / Jaccard) -------------------
+
+  /** Word n-gram shingles of a text column as `array<string>` (distinct).
+    * Pure built-ins (split → sequence → transform → slice), so the whole
+    * shingle stage stays in codegen.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))
+      )
+    )
+  }
+
+  // ---- n-gram Jaccard ------------------------------------------------------
+
+  /** All-pairs n-gram Jaccard similarity ≥ `threshold`.
+    *
+    * Plan: explode distinct shingles → drop shingles with document frequency
+    * > `maxShingleDf` (a stop-shingle filter: frequent shingles generate
+    * quadratic candidate pairs but carry no discriminative signal — the
+    * standard frequency-filter from the set-similarity-join literature) →
+    * self-join on shingle to generate candidates → count shared shingles per
+    * pair → Jaccard = inter / (|a| + |b| − inter).
+    *
+    * Output: (id_a, id_b, inter, size_a, size_b, jaccard) with id_a < id_b.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Long = 1000L
+  ): DataFrame = {
+    val shingled = df.select(
+      col(idCol).cast("long").as("id"),
+      wordShingles(col(textCol), n).as("shingles")
+    )
+    val sized = shingled.select(col("id"), col("shingles"), size(col("shingles")).as("sz"))
+    val exploded = sized.select(col("id"), col("sz"), explode(col("shingles")).as("sh"))
+    val rare = exploded
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .where(col("df") <= maxShingleDf)
+      .drop("df")
+    val a = rare.select(col("id").as("id_a"), col("sz").as("size_a"), col("sh"))
+    val b = rare.select(col("id").as("id_b"), col("sz").as("size_b"), col("sh"))
+    a.join(b, Seq("sh"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter"))
+      )
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  // ---- MinHash + LSH banding ----------------------------------------------
+
+  /** MinHash signature of a shingle array: `numHashes` independent hash
+    * slots, slot i = min over shingles of xxhash64(shingle, seed=i). Pure
+    * built-ins (transform + array_min), no ml pipeline needed, fully
+    * distributed and codegen'd.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** LSH banding candidates: split the signature into `bands` bands of
+    * `rowsPerBand` hashes, hash each band, and emit (band_idx, band_hash)
+    * bucket keys. Pairs sharing ≥1 bucket are candidates — the classic
+    * banding scheme (Broder MinHash / MMDS ch.3), which bounds the join to
+    * colliding buckets instead of all pairs.
+    */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      jaccardThreshold: Double = 0.5
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(
+      col(idCol).cast("long").as("id"),
+      wordShingles(col(textCol), shingleN).as("shingles")
+    ).withColumn("sig", minhashSignature(col("shingles"), numHashes))
+
+    val banded = sig.select(
+      col("id"),
+      col("shingles"),
+      col("sig"),
+      explode(
+        array((0 until bands).map { b =>
+          struct(
+            lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket")
+          )
+        }: _*)
+      ).as("bb")
+    ).select(col("id"), col("shingles"), col("sig"), col("bb.band"), col("bb.bucket"))
+
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"), col("shingles").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"), col("shingles").as("sh_b"))
+    val cand = l
+      .join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    // verify candidates with the exact Jaccard on the shingle sets (the
+    // banding estimate from signature agreement is kept as est_jaccard)
+    cand
+      .withColumn(
+        "est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v
+        ).cast("double") / lit(numHashes)
+      )
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      )
+      .where(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b", "jaccard", "est_jaccard")
+  }
+
+  // ---- SimHash -------------------------------------------------------------
+
+  /** 64-bit SimHash of a shingle array: weight +1/−1 per bit across shingle
+    * hashes, sign-aggregated per bit position (Charikar 2002). Built from
+    * array ops only — the per-bit loop is a `transform` over a 64-element
+    * sequence, evaluated once per row.
+    */
+  def simhash64(shingles: Column): Column = {
+    val hashes = transform(shingles, s => xxhash64(s))
+    // bit b of the simhash = 1 iff sum over hashes of (bit b ? +1 : -1) > 0;
+    // the 64 per-bit aggregates are unrolled at plan time (literal shifts),
+    // keeping everything inside codegen
+    val terms = (0 until 64).map { b =>
+      val balance = aggregate(
+        hashes,
+        lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)
+      )
+      when(balance > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    terms.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, candidate
+    * generation by banding the 64-bit hash into four 16-bit blocks (two
+    * near-dups within Hamming ≤3 must agree on ≥1 block — pigeonhole).
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val h = df.select(
+      col(idCol).cast("long").as("id"),
+      simhash64(wordShingles(col(textCol), shingleN)).as("sh")
+    )
+    val blocks = h.select(
+      col("id"),
+      col("sh"),
+      explode(
+        array((0 until 4).map { b =>
+          struct(lit(b).as("blk"), shiftrightunsigned(col("sh"), b * 16).bitwiseAND(0xffffL).as("key"))
+        }: _*)
+      ).as("bb")
+    ).select(col("id"), col("sh"), col("bb.blk"), col("bb.key"))
+    val l = blocks.select(col("blk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = blocks.select(col("blk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("blk", "key"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---- embedding cosine near-dup ------------------------------------------
+
+  /** Near-duplicate pairs by embedding cosine ≥ `threshold`. Brute-force
+    * all-pairs — correct baseline; use Similarity.lshJoin for the
+    * at-scale path (bucketed candidates instead of the cross join).
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val a = df.select(col(idCol).cast("long").as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).cast("long").as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", GraftFunctions.cosine_similarity(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

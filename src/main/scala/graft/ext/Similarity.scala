@@ -1,0 +1,173 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.GraftFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline, a
+  * random-hyperplane LSH bucketed variant and an IVF (inverted-file,
+  * centroid-probed) variant as the scale paths.
+  *
+  * Scale posture: the brute-force path broadcasts the (small) query set and
+  * streams the corpus once — a map-only plan plus a per-query top-k
+  * aggregation; no shuffle of the corpus. The LSH/IVF paths cut the scanned
+  * fraction from 100% to (buckets probed / total buckets), which is the
+  * published IVF trade-off (see PAPERS.md ANN entries); candidates are
+  * re-scored exactly, so recall loss comes only from bucket misses.
+  */
+object Similarity {
+
+  /** Exact cosine top-k neighbors for each query vector.
+    *
+    * @param corpus  (id, vec) corpus — any size; scanned once
+    * @param queries (id, vec) query set — must be broadcast-small
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+    val scored = c
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", GraftFunctions.cosine_similarity(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
+  // ---- random-hyperplane LSH ----------------------------------------------
+
+  /** Deterministic pseudo-random hyperplane component: a unit-free ±weight
+    * derived from xxhash64(seed, plane, dim) — reproducible across runs and
+    * engines without storing plane matrices.
+    */
+  private def planeComponent(plane: Int, dim: Column, seed: Int): Column =
+    (xxhash64(lit(seed), lit(plane), dim) % 1000).cast("double") / 1000.0
+
+  /** Sign-random-projection bucket id over `numPlanes` hyperplanes
+    * (Charikar SRP-LSH): bit p = sign(v · r_p). Buckets collide for
+    * angularly-close vectors.
+    */
+  def srpBucket(vec: Column, numPlanes: Int, seed: Int = 42): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val bits = (0 until numPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, dims, (x, i) => x.cast("double") * planeComponent(p, i, seed)),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+      when(dot > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: probe only the query's bucket (and optionally
+    * single-bit-flip neighbor buckets for recall), re-score candidates
+    * exactly with cosine, emit top-k per query.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numPlanes: Int = 8,
+      multiProbeBits: Int = 1,
+      seed: Int = 42
+  ): DataFrame = {
+    val c = corpus
+      .select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("bucket", srpBucket(col("n_vec"), numPlanes, seed))
+    // multi-probe: query probes its own bucket plus all buckets within
+    // `multiProbeBits` bit flips (recall knob; 1 flip → numPlanes+1 probes)
+    val flips: Seq[Column] = lit(0L) +: (if (multiProbeBits >= 1) (0 until numPlanes).map(p => shiftleft(lit(1L), p)) else Seq.empty)
+    val q = queries
+      .select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("qb", srpBucket(col("q_vec"), numPlanes, seed))
+      .withColumn("bucket", explode(array(flips.map(f => col("qb").bitwiseXOR(f)): _*)))
+      .drop("qb")
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .where(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("cos", GraftFunctions.cosine_similarity(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
+  // ---- IVF (inverted file) ------------------------------------------------
+
+  /** Build an IVF index: assign every corpus vector to its nearest centroid
+    * (centroids via ml KMeans with a fixed seed). Returns (corpus +
+    * centroid_id, centroids DF). At scale the assignment is a broadcast map
+    * join (centroid count ≪ corpus) and the index is just a partitioning
+    * column — write `partitionBy("centroid_id")` for pruned probes.
+    */
+  def ivfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      seed: Long = 42L
+  ): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val withVec = corpus.select(
+      col(idCol).cast("long").as("n_id"),
+      col(vecCol).as("n_vec"),
+      array_to_vector(col(vecCol)).as("features")
+    )
+    val km = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
+    val model = km.fit(withVec)
+    val assigned = model.transform(withVec).withColumnRenamed("prediction", "centroid_id").drop("features")
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+      .toSeq
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cdf = centroids.toDF("centroid_id", "c_vec").withColumn("c_vec", col("c_vec").cast("array<float>"))
+    (assigned, cdf)
+  }
+
+  /** IVF probe: for each query, rank centroids by cosine, keep the nearest
+    * `nProbe`, and scan only those centroid partitions; re-score exactly.
+    */
+  def ivfTopK(
+      indexed: DataFrame, // (n_id, n_vec, centroid_id)
+      centroids: DataFrame, // (centroid_id, c_vec)
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("centroid_id").asc)
+    val probes = q
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_cos", GraftFunctions.cosine_similarity(col("q_vec"), col("c_vec")))
+      .withColumn("c_rank", row_number().over(wq))
+      .where(col("c_rank") <= nProbe)
+      .select("q_id", "q_vec", "centroid_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    indexed
+      .join(broadcast(probes), Seq("centroid_id"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cos", GraftFunctions.cosine_similarity(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+}

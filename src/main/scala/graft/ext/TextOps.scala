@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (stopword n-gram heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and document fingerprinting.
+  *
+  * All column-level and codegen-friendly: pure `functions._` expressions,
+  * no UDFs, so every op rides inside WholeStageCodegen and scales as a
+  * map-only pass over the corpus.
+  */
+object TextOps {
+
+  // ---- token counting ------------------------------------------------------
+
+  /** Whitespace token count. Empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: words, numbers, and single punctuation marks as
+    * separate tokens (a GPT-2-style pre-tokenizer regex, counted not
+    * materialized).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  // ---- quality scoring -----------------------------------------------------
+
+  private val EnglishStopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    size(filter(words, w => w.isInCollection(stopwords)))
+  }
+
+  /** Composite quality score in [0,1]: length band + punctuation ratio +
+    * stopword ratio + mean word length band (the C4/Gopher-style cheap
+    * heuristics family).
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val nTokens = tokenCount(text)
+    val meanWordLen = when(nTokens > 0, nChars.cast("double") / nTokens).otherwise(0.0)
+    val punct = nChars - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val punctRatio = when(nChars > 0, punct.cast("double") / nChars).otherwise(1.0)
+    val stopRatio = when(nTokens > 0, stopwordCount(text).cast("double") / nTokens).otherwise(0.0)
+    val lengthScore = when(nTokens.between(10, 5000), 1.0)
+      .when(nTokens.between(3, 9), 0.5)
+      .otherwise(0.0)
+    val wordLenScore = when(meanWordLen.between(2.0, 12.0), 1.0).otherwise(0.0)
+    val punctScore = when(punctRatio <= 0.2, 1.0).when(punctRatio <= 0.4, 0.5).otherwise(0.0)
+    val stopScore = when(stopRatio >= 0.01, 1.0).otherwise(0.5)
+    round((lengthScore + wordLenScore + punctScore + stopScore) / 4.0, 4)
+  }
+
+  // ---- language identification --------------------------------------------
+
+  /** Tiny per-language marker lexicons. Real systems use char n-gram models
+    * (TextCat family); the engine keeps the same shape — score per language,
+    * argmax — with word-marker scoring that is exactly expressible in both
+    * Spark and an SQL oracle.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "for"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une", "est"),
+    "es" -> Seq("el", "los", "las", "una", "es", "para", "con"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein"),
+    "zh" -> Seq("的", "是", "和", "在", "了", "有", "不")
+  )
+
+  /** Heuristic language ID: argmax over marker-hit counts; ties and
+    * zero-evidence fall back to "und". Deterministic tie-break by language
+    * code order of LangMarkers.
+    */
+  def langId(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(words, w => w.isInCollection(markers)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (lang, s)) =>
+      acc.when(s === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  // ---- fingerprinting ------------------------------------------------------
+
+  /** Rolling-hash document fingerprint: xxhash64 over each word w-shingle,
+    * keep the minimum (a 1-hash MinHash — stable under small edits at
+    * document tails, the winnowing-style selection).
+    */
+  def fingerprint(text: Column, w: Int = 5): Column =
+    array_min(transform(Dedup.wordShingles(text, w), s => xxhash64(s)))
+
+  /** Winnowing fingerprint set: per window of `windowSize` consecutive
+    * shingle hashes keep the min, collect distinct — the Schleimer et al.
+    * winnowing scheme, as an array column.
+    */
+  def winnowingFingerprints(text: Column, w: Int = 5, windowSize: Int = 4): Column = {
+    val words = split(trim(text), "\\s+")
+    val shingles = transform(
+      sequence(lit(0), greatest(size(words) - w, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(w))))
+    )
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(shingles) - windowSize, lit(0))),
+        i => array_min(slice(shingles, i + 1, lit(windowSize)))
+      )
+    )
+  }
+
+  /** Full text-feature projection used by the pipeline queries. */
+  def features(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("lang_pred", langId(col(textCol)))
+      .withColumn("fp", fingerprint(col(textCol)))
+}

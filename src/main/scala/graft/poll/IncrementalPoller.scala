@@ -1,0 +1,97 @@
+package graft.poll
+
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+
+/** Lexicographic (ts, event_id) incremental polling — the engine's owned
+  * implementation of the Aiven JDBC connector's `timestamp+incrementing`
+  * mode (reference connectors/cdc-timescale-connector.json:9-15; behavior
+  * described reference readme.md:42,54).
+  *
+  * The poll predicate is strictly-after in lexicographic order:
+  * `ts > :t OR (ts = :t AND event_id > :i)`. Combined with the log's
+  * event_date partitioning, the `ts > :t` disjunct prunes all partitions
+  * before the offset date — the Spark analogue of the connector's btree
+  * index scan + Timescale chunk exclusion.
+  *
+  * Delivery is at-least-once (SURVEY.md §2.4 D4): a crash between emitting
+  * a batch and committing its offset re-emits the batch; consumers dedup on
+  * `event_id` (CdcLog.dedup).
+  */
+object IncrementalPoller {
+
+  /** A committed poll position. Initial value mirrors the connector's
+    * `start.timestamp = 2025-01-01T00:00:00Z` semantic: everything strictly
+    * after (initialTs, 0) is fetched on the first poll (reference
+    * connector.json:13).
+    */
+  final case class Offset(ts: Timestamp, eventId: Long) {
+    def lexLessThan(o: Offset): Boolean =
+      ts.before(o.ts) || (ts.equals(o.ts) && eventId < o.eventId)
+  }
+
+  object Offset {
+    def initial(isoTs: String): Offset =
+      Offset(Timestamp.from(java.time.Instant.parse(isoTs)), 0L)
+  }
+
+  /** The incremental-scan predicate (SURVEY.md §2.3 R3). */
+  def afterOffset(off: Offset): Column =
+    col("ts") > lit(off.ts) ||
+      (col("ts") === lit(off.ts) && col("event_id") > lit(off.eventId))
+
+  /** One poll: rows strictly after `off`, in delivery order (ts, event_id)
+    * ASC — ordering only within the batch, matching the connector, which
+    * also only orders within one poll query (SURVEY.md §2.3 R4).
+    */
+  def poll(relation: DataFrame, off: Offset): DataFrame =
+    relation.where(afterOffset(off)).orderBy(col("ts").asc, col("event_id").asc)
+
+  /** The offset a batch advances to: lexicographic max of (ts, event_id).
+    * One small aggregate — never a driver-side scan of the batch.
+    */
+  def nextOffset(batch: DataFrame, current: Offset): Offset = {
+    val top = batch
+      .select(col("ts"), col("event_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(1)
+      .collect()
+    top.headOption.fold(current) { r: Row =>
+      Offset(r.getTimestamp(0), r.getLong(1))
+    }
+  }
+
+  // ---- offset persistence (SURVEY.md §2.4 D3) ------------------------------
+  // The reference stores offsets in the compacted `connect-offsets` topic
+  // (docker-compose.yml:74). For the batch poller the engine persists a tiny
+  // per-relation offset file; the streaming path uses Structured Streaming
+  // checkpoints instead (see graft.streaming).
+
+  private def offsetPath(dir: String, relation: String) =
+    new Path(s"$dir/offset-$relation.txt")
+
+  def commitOffset(spark: SparkSession, dir: String, relation: String, off: Offset): Unit = {
+    val p = offsetPath(dir, relation)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(s"${off.ts.toInstant.toString}\n${off.eventId}".getBytes(StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  def loadOffset(spark: SparkSession, dir: String, relation: String, fallback: Offset): Offset = {
+    val p = offsetPath(dir, relation)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) fallback
+    else {
+      val in = fs.open(p)
+      val text = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      in.close()
+      val Array(t, i) = text.trim.split("\n")
+      Offset(Timestamp.from(java.time.Instant.parse(t)), i.toLong)
+    }
+  }
+}

@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.capture.CdcCapture
+import graft.sink.JsonEnvelope
+
+/** Oracle-checked queries for the CDC core (SURVEY.md §2.1-§2.4), driven by
+  * the `events` table (shape-compatible with the envelope role: monotone
+  * event_id, ts, JSON props — FIXTURES.md §B).
+  *
+  * Every query is deterministic (explicit ORDER BY, integral or
+  * rounded outputs, no wall-clock) so the driver's DuckDB hash compare is
+  * stable. Column names match the oracle SQL exactly.
+  */
+object CdcQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** Snapshot pair used by the capture queries: prev/cur derived
+    * deterministically from `events`, with value held as integer cents so
+    * the JSON payloads contain no floating-point text.
+    */
+  private def snapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = events(s, dir).select(
+      col("event_id"),
+      col("user_id"),
+      col("event_type"),
+      round(col("value") * 100).cast("long").as("value_cents")
+    )
+    val prev = base.where(col("event_id") % 3 =!= 0)
+    val cur = base
+      .where(col("event_id") % 5 =!= 0)
+      .withColumn(
+        "event_type",
+        when(col("event_id") % 7 === 0, lit("edited")).otherwise(col("event_type"))
+      )
+    (prev, cur)
+  }
+
+  private val snapshotSql =
+    """WITH prev AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS value_cents
+      |  FROM events WHERE event_id % 3 <> 0
+      |), cur AS (
+      |  SELECT event_id, user_id,
+      |         CASE WHEN event_id % 7 = 0 THEN 'edited' ELSE event_type END AS event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS value_cents
+      |  FROM events WHERE event_id % 5 <> 0
+      |), diff AS (
+      |  SELECT coalesce(p.event_id, c.event_id) AS pk,
+      |         CASE WHEN p.event_id IS NULL THEN 'INSERT'
+      |              WHEN c.event_id IS NULL THEN 'DELETE'
+      |              ELSE 'UPDATE' END AS operation,
+      |         CASE WHEN p.event_id IS NOT NULL THEN to_json(struct_pack(
+      |              event_id := p.event_id, user_id := p.user_id,
+      |              event_type := p.event_type, value_cents := p.value_cents)) END AS before,
+      |         CASE WHEN c.event_id IS NOT NULL THEN to_json(struct_pack(
+      |              event_id := c.event_id, user_id := c.user_id,
+      |              event_type := c.event_type, value_cents := c.value_cents)) END AS after
+      |  FROM prev p FULL OUTER JOIN cur c ON p.event_id = c.event_id
+      |  WHERE p.event_id IS NULL OR c.event_id IS NULL
+      |     OR p.user_id IS DISTINCT FROM c.user_id
+      |     OR p.event_type IS DISTINCT FROM c.event_type
+      |     OR p.value_cents IS DISTINCT FROM c.value_cents
+      |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C1-C4: snapshot-diff capture → classify → row-to-JSON envelope
+    "c1_capture_diff" -> { (s, dir) =>
+      val (prev, cur) = snapshots(s, dir)
+      CdcCapture
+        .capture(prev, cur, Seq("event_id"), "dataschema", "events",
+          to_timestamp(lit("2025-06-14 00:00:00")))
+        .select(
+          get_json_object(coalesce(col("after"), col("before")), "$.event_id")
+            .cast("long").as("pk"),
+          col("operation"),
+          col("before"),
+          col("after")
+        )
+        .orderBy("pk")
+    },
+
+    // C3: operation classification histogram over the same diff
+    "c3_classify_counts" -> { (s, dir) =>
+      val (prev, cur) = snapshots(s, dir)
+      CdcCapture
+        .capture(prev, cur, Seq("event_id"), "dataschema", "events",
+          to_timestamp(lit("2025-06-14 00:00:00")))
+        .groupBy("operation")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("operation")
+    },
+
+    // C4: row → JSON snapshot (to_json(struct(...)), reference init.sql:18)
+    "c4_row_json" -> { (s, dir) =>
+      events(s, dir)
+        .where(col("event_id") < 1000)
+        .select(
+          col("event_id"),
+          to_json(struct(col("event_id"), col("user_id"), col("event_type"))).as("row_json")
+        )
+        .orderBy("event_id")
+    },
+
+    // C6: monotonic id assignment above a checkpointed base
+    "c6_event_id_assign" -> { (s, dir) =>
+      val ev = events(s, dir).where(col("event_id") < 2000)
+      CdcCapture
+        .assignIds(ev.withColumn("event_id0", col("event_id")).drop("event_id")
+          .withColumnRenamed("event_id0", "orig_id"), 1000000L, Seq("ts", "orig_id"))
+        .select(col("orig_id").as("event_id"), col("event_id").as("new_id"))
+        .orderBy("event_id")
+    },
+
+    // S1: time-range partitioning — per-event_date layout stats
+    "s1_partition_counts" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy("event_date")
+    },
+
+    // S2: retention window — rows within 7 days of the log's max date
+    "s2_retention_window" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val mx = ev.agg(max(to_date(col("ts"))).as("max_d"))
+      ev.crossJoin(broadcast(mx))
+        .where(to_date(col("ts")) >= date_sub(col("max_d"), 7))
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_date")
+    },
+
+    // S4: uniqueness-constraint check (groupBy key → violations)
+    "s4_unique_violations" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") > 1)
+        .orderBy("user_id", "event_type")
+    },
+
+    // S5: ingest-time defaults (coalesce missing JSON field with default)
+    "s5_column_defaults" -> { (s, dir) =>
+      events(s, dir)
+        .where(col("event_id") < 1000)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          coalesce(get_json_object(col("props"), "$.missing"), lit("default_v")).as("with_default")
+        )
+        .orderBy("event_id")
+    },
+
+    // R1+R2: the view — explicit projection under conjunctive equality filter
+    "r1_r2_view_filter" -> { (s, dir) =>
+      events(s, dir)
+        .where(col("event_type") === "click" && col("user_id") % 2 === 0)
+        .select(
+          col("event_id"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          col("event_type"),
+          col("user_id")
+        )
+        .orderBy("event_id")
+    },
+
+    // R3: lexicographic (ts, event_id) incremental-scan predicate
+    "r3_incremental_scan" -> { (s, dir) =>
+      val t = to_timestamp(lit("2024-01-15 00:00:00"))
+      events(s, dir)
+        .where(col("ts") > t || (col("ts") === t && col("event_id") > 5000))
+        .select(col("event_id"), unix_timestamp(col("ts")).as("epoch_s"), col("event_type"))
+        .orderBy("event_id")
+    },
+
+    // R4: delivery ordering — position in (ts, event_id) commit order
+    "r4_ordered_delivery" -> { (s, dir) =>
+      events(s, dir)
+        .withColumn("rn", row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+        .where(col("rn") <= 500)
+        .select(col("rn"), col("event_id"))
+        .orderBy("rn")
+    },
+
+    // R5+D2: source multiplexing + topic routing (one topic per relation)
+    "r5_d2_topic_routing" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val clicks = JsonEnvelope
+        .withTopic(ev.where(col("event_type") === "click"), "event_log_clicks")
+        .select(col("topic"), col("event_id"))
+      val errors = JsonEnvelope
+        .withTopic(ev.where(col("event_type") === "error"), "event_log_errors")
+        .select(col("topic"), col("event_id"))
+      clicks.unionByName(errors).orderBy("topic", "event_id")
+    },
+
+    // D1: Kafka-Connect JsonConverter envelope {"schema":...,"payload":...}
+    "d1_json_envelope" -> { (s, dir) =>
+      val rows = events(s, dir)
+        .where(col("event_id") < 100)
+        .select(col("event_id"), col("event_type"))
+      JsonEnvelope
+        .encode(rows, "event_log")
+        .select(col("event_id"), col("value"))
+        .orderBy("event_id")
+    }
+  )
+
+  private val envelopeSchemaBlock: String = {
+    import org.apache.spark.sql.types._
+    JsonEnvelope.schemaBlock(
+      StructType(Seq(
+        StructField("event_id", LongType, nullable = true),
+        StructField("event_type", StringType, nullable = true)
+      )),
+      "event_log"
+    )
+  }
+
+  val oracles: Map[String, String] = Map(
+    "c1_capture_diff" ->
+      s"""$snapshotSql
+         |SELECT pk, operation, before, after FROM diff ORDER BY pk""".stripMargin,
+    "c3_classify_counts" ->
+      s"""$snapshotSql
+         |SELECT operation, count(*) AS n FROM diff GROUP BY operation ORDER BY operation""".stripMargin,
+    "c4_row_json" ->
+      """SELECT event_id,
+        |       to_json(struct_pack(event_id := event_id, user_id := user_id,
+        |                           event_type := event_type)) AS row_json
+        |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
+    "c6_event_id_assign" ->
+      """SELECT event_id,
+        |       1000000 + row_number() OVER (ORDER BY ts, event_id) AS new_id
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+    "s1_partition_counts" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n,
+        |       min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
+    "s2_retention_window" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS max_d FROM events)
+        |SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n
+        |FROM events, mx
+        |WHERE CAST(ts AS DATE) >= max_d - 7
+        |GROUP BY 1 ORDER BY event_date""".stripMargin,
+    "s4_unique_violations" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY user_id, event_type HAVING count(*) > 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "s5_column_defaults" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       coalesce(json_extract_string(props, '$.missing'), 'default_v') AS with_default
+        |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
+    "r1_r2_view_filter" ->
+      """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, event_type, user_id
+        |FROM events
+        |WHERE event_type = 'click' AND user_id % 2 = 0
+        |ORDER BY event_id""".stripMargin,
+    "r3_incremental_scan" ->
+      """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, event_type
+        |FROM events
+        |WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+        |   OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND event_id > 5000)
+        |ORDER BY event_id""".stripMargin,
+    "r4_ordered_delivery" ->
+      """SELECT CAST(rn AS INT) AS rn, event_id FROM (
+        |  SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn FROM events
+        |) WHERE rn <= 500 ORDER BY rn""".stripMargin,
+    "r5_d2_topic_routing" ->
+      """SELECT 'cdc-event_log_clicks' AS topic, event_id FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT 'cdc-event_log_errors' AS topic, event_id FROM events WHERE event_type = 'error'
+        |ORDER BY topic, event_id""".stripMargin,
+    "d1_json_envelope" ->
+      s"""SELECT event_id,
+         |       '{"schema":' || '$envelopeSchemaBlock' || ',"payload":' ||
+         |       to_json(struct_pack(event_id := event_id, event_type := event_type)) || '}' AS value
+         |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.functions.GraftFunctions
+
+/** North-star extension operators (SURVEY.md §2.6) over the `documents` and
+  * `embeddings` tables: dedup family, similarity search, text analysis,
+  * multimodal plumbing. SQL-expressible ops carry a DuckDB oracle; the
+  * hash-function-dependent ops (MinHash/SimHash/LSH — xxhash64 has no
+  * DuckDB twin) are declared without oracles and verified in unit tests
+  * instead (brute-force recall checks).
+  */
+object ExtensionQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: content-keyed keep-min summary
+    "x_dedup_exact" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val kept = d.groupBy("text").agg(min(col("doc_id")).as("kept_id"))
+      val summary = kept.agg(count(lit(1)).as("n_unique"), sum(col("kept_id")).as("sum_kept_ids"))
+      val total = d.agg(count(lit(1)).as("n_docs"))
+      total.crossJoin(summary).select("n_docs", "n_unique", "sum_kept_ids")
+    },
+
+    // n-gram Jaccard near-dup pairs (exact set similarity, candidate join
+    // bounded by the shingle-frequency filter)
+    "x_dedup_ngram_jaccard" -> { (s, dir) =>
+      Dedup
+        .ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 5, threshold = 0.4, maxShingleDf = 100L)
+        .select(
+          col("id_a"),
+          col("id_b"),
+          col("inter"),
+          col("size_a"),
+          col("size_b"),
+          round(col("jaccard"), 4).as("jaccard")
+        )
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash + LSH banding near-dup pairs — verified (exact jaccard ≥ 0.4
+    // on banding candidates); no oracle (xxhash64 signatures)
+    "x_dedup_minhash" -> { (s, dir) =>
+      Dedup
+        .minhashNearDupPairs(docs(s, dir), "doc_id", "text",
+          shingleN = 5, numHashes = 64, bands = 16, jaccardThreshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-dup pairs (Hamming ≤ 12 over 64-bit sketches) — no oracle
+    "x_dedup_simhash" -> { (s, dir) =>
+      Dedup
+        .simhashNearDupPairs(docs(s, dir), "doc_id", "text", shingleN = 5, maxHamming = 12)
+        .orderBy("id_a", "id_b")
+    },
+
+    // embedding-cosine near-dup pairs (brute-force verify path)
+    "x_dedup_embedding" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      Dedup
+        .embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding", threshold = 0.45)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // exact brute-force cosine top-k (the ANN baseline)
+    "x_sim_bruteforce_topk" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val e = embs(s, dir)
+      Similarity
+        .bruteForceTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("n_id"), col("rank"))
+        .orderBy("q_id", "rank")
+    },
+
+    // SRP-LSH bucketed ANN (scale path) — no oracle; recall vs brute force
+    // asserted in unit tests
+    "x_sim_lsh_topk" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val e = embs(s, dir)
+      Similarity
+        .lshTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+          numPlanes = 8, multiProbeBits = 1)
+        .select(col("q_id"), col("n_id"), col("rank"))
+        .orderBy("q_id", "rank")
+    },
+
+    // IVF centroid-probed ANN (scale path) — no oracle (KMeans centroids)
+    "x_sim_ivf_topk" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val e = embs(s, dir)
+      val (indexed, centroids) = Similarity.ivfIndex(e, "vec_id", "embedding", nCentroids = 16)
+      Similarity
+        .ivfTopK(indexed, centroids, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, nProbe = 4)
+        .select(col("q_id"), col("n_id"), col("rank"))
+        .orderBy("q_id", "rank")
+    },
+
+    // token counting: whitespace + BPE-ish regex pre-tokenizer
+    "x_text_tokens" -> { (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+          TextOps.bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
+          length(col("text")).as("n_chars_calc")
+        )
+        .orderBy("doc_id")
+    },
+
+    // quality scoring components + composite
+    "x_text_quality" -> { (s, dir) =>
+      val d = docs(s, dir)
+      d.select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.stopwordCount(col("text")).as("n_stop"),
+        TextOps.qualityScore(col("text")).as("quality")
+      ).orderBy("doc_id")
+    },
+
+    // language identification vs the labeled lang column
+    "x_text_langid" -> { (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          TextOps.langId(col("text")).as("lang_pred")
+        )
+        .orderBy("doc_id")
+    },
+
+    // document fingerprinting (min-shingle-hash) — no oracle (xxhash64);
+    // stability asserted in unit tests
+    "x_text_fingerprint" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text"), 5).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // multimodal plumbing: opaque binary payloads + typed meta through the
+    // batched mapPartitions decode stage (stub codec) — no oracle
+    "x_multimodal_features" -> { (s, dir) =>
+      val media = Multimodal.syntheticMedia(s, docs(s, dir))
+      Multimodal
+        .extractFeatures(media)
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
+        .orderBy("media_id")
+    }
+  )
+
+  /** DuckDB mirror of Dedup.wordShingles(text, 5) — see that method for the
+    * L ≤ n edge (whole text as one shingle).
+    */
+  private val shingleSql =
+    """WITH words AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+      |         ELSE list_transform(range(0, len(w) - 4), i -> array_to_string(w[i+1:i+5], ' '))
+      |    END) AS shingles
+      |  FROM words
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |       count(*) AS n_unique,
+        |       CAST(sum(kept_id) AS BIGINT) AS sum_kept_ids
+        |FROM (SELECT min(doc_id) AS kept_id FROM documents GROUP BY text)""".stripMargin,
+    "x_dedup_ngram_jaccard" ->
+      s"""$shingleSql, ex AS (
+         |  SELECT doc_id, CAST(len(shingles) AS INT) AS sz, unnest(shingles) AS sh FROM sh
+         |), rare AS (
+         |  SELECT doc_id, sz, sh FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY sh) AS df FROM ex
+         |  ) WHERE df <= 100
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.sz AS size_a, b.sz AS size_b, count(*) AS inter
+         |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT id_a, id_b, inter, size_a, size_b,
+         |       round(CAST(inter AS DOUBLE) / (size_a + size_b - inter), 4) AS jaccard
+         |FROM pairs
+         |WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    // cosine in explicit double math (list_sum is a sequential double
+    // accumulation — bit-identical to the engine's CosineSimilarity loop;
+    // DuckDB's list_cosine_similarity computes in float and is NOT exact)
+    "x_sim_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+        |     scored AS (
+        |       SELECT q_id, n_id,
+        |              list_sum(list_transform(list_zip(q_vec, n_vec),
+        |                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |              / sqrt(list_sum(list_transform(q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |                   * list_sum(list_transform(n_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos
+        |       FROM q, c WHERE q_id <> n_id
+        |     ), ranked AS (
+        |       SELECT q_id, n_id,
+        |              CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rank
+        |       FROM scored
+        |     )
+        |SELECT q_id, n_id, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "x_dedup_embedding" ->
+      """SELECT id_a, id_b FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |         / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |              * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < b.vec_id
+        |) WHERE cos >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x_text_tokens" ->
+      """SELECT doc_id,
+        |       CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT) END AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpeish_tokens,
+        |       CAST(length(text) AS INT) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_text_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |             x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], x))) AS n_stop,
+        |         length(text) AS n_chars,
+        |         length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, CAST(n_stop AS INT) AS n_stop,
+        |    (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0
+        |          WHEN n_tokens BETWEEN 3 AND 9 THEN 0.5 ELSE 0.0 END
+        |     + CASE WHEN n_tokens > 0 AND (CAST(n_chars AS DOUBLE)/n_tokens) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+        |     + CASE WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 1.0 END) <= 0.2 THEN 1.0
+        |            WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 1.0 END) <= 0.4 THEN 0.5 ELSE 0.0 END
+        |     + CASE WHEN n_tokens > 0 AND (CAST(n_stop AS DOUBLE)/n_tokens) >= 0.01 THEN 1.0 ELSE 0.5 END
+        |    ) / 4.0 AS quality
+        |  FROM f
+        |)
+        |SELECT doc_id, n_tokens, n_stop, round(quality, 4) AS quality FROM sc ORDER BY doc_id""".stripMargin,
+    "x_text_langid" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents
+        |), sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(words, x -> list_contains(['the','and','of','to','is','with','for'], x))) AS s_en,
+        |    len(list_filter(words, x -> list_contains(['le','la','les','et','des','une','est'], x))) AS s_fr,
+        |    len(list_filter(words, x -> list_contains(['el','los','las','una','es','para','con'], x))) AS s_es,
+        |    len(list_filter(words, x -> list_contains(['der','die','das','und','ist','mit','ein'], x))) AS s_de,
+        |    len(list_filter(words, x -> list_contains(['的','是','和','在','了','有','不'], x))) AS s_zh
+        |  FROM w
+        |)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_en, s_fr, s_es, s_de, s_zh) <= 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+        |       WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+        |       WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+        |       WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin
+  )
+}

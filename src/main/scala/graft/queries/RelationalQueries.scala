@@ -1,0 +1,435 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** The built-in relational surface (SURVEY.md §2.5): joins of every flavor,
+  * aggregations (hash/distinct/rollup/cube/grouping sets), window functions,
+  * sorts/limits/top-k, set ops, scalar + JSON functions, time windows
+  * (tumbling/sliding/session) expressed as batch equivalents, and an as-of
+  * join. All oracle-checked against DuckDB on the same parquet.
+  *
+  * Scale notes are per-query; the common rules: small dims (region, nation,
+  * supplier) are broadcast; fact-fact joins shuffle on their keys; window
+  * top-k partitions by the group key (never a global sort); rounding is
+  * applied only to final outputs, not mid-plan.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // hash aggregation with partial (map-side) combine — TPC-H Q1 shape
+    "q1_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("n")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // 3-way join + agg + top-k by measure — TPC-H Q3 shape; the two fact
+    // tables shuffle on the join key, the dim filter prunes first
+    "q3_shipping_priority" -> { (s, dir) =>
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").where(col("o_orderdate") < to_timestamp(lit("1996-07-01 00:00:00")))
+      val l = t(s, dir, "lineitem").where(col("l_shipdate") > to_timestamp(lit("1996-07-01 00:00:00")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+
+    // 6-way join through two broadcast dims — TPC-H Q5 shape
+    "q5_nation_revenue" -> { (s, dir) =>
+      val region = t(s, dir, "region")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"), count(lit(1)).as("n"))
+        .orderBy("n_name")
+    },
+
+    // broadcast hash join explicitly (small dim to fact)
+    "q_broadcast_join" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    },
+
+    // left-semi join (EXISTS)
+    "q_semi_join" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 100000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    },
+
+    // left-anti join (NOT EXISTS)
+    "q_anti_join" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 350000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // window: top-k per group (partitioned window, never a global sort)
+    "q_window_topk" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+        .orderBy("o_custkey", "rnk")
+    },
+
+    // window: running aggregate per key in a deterministic total order
+    "q_window_running" -> { (s, dir) =>
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .where(col("o_custkey") < 500)
+        .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // distinct aggregation (exact)
+    "q_distinct_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n")
+        )
+        .orderBy("l_returnflag")
+    },
+
+    // approximate distinct (HLL sketch) — no DuckDB oracle (different
+    // sketch); checked rows-only by the driver and exactly in unit tests
+    "q_approx_distinct" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    // rollup (via the SQL surface; the DataFrame cube query below covers
+    // the typed API — rollup-after-join trips Spark's ambiguous-self-join
+    // detection on DataFrames, a known sharp edge)
+    "q_rollup" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+          |       count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |              JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY region, nation""".stripMargin
+      )
+    },
+
+    // cube
+    "q_cube" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"),
+          col("total")
+        )
+        .orderBy("status", "priority")
+    },
+
+    // grouping sets via the SQL surface (temp views — SURVEY.md §7 v4)
+    "q_grouping_sets" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+          |       count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin
+      )
+    },
+
+    // set ops: union / intersect / except with distinct semantics
+    "q_setops" -> { (s, dir) =>
+      val custNations = t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+      val suppNations = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+      val u = custNations.union(suppNations).distinct().withColumn("op", lit("union"))
+      val i = custNations.intersect(suppNations).withColumn("op", lit("intersect"))
+      val e = custNations.except(suppNations).withColumn("op", lit("except"))
+      u.unionByName(i).unionByName(e).select("op", "nationkey").orderBy("op", "nationkey")
+    },
+
+    // global sort + limit (top-k by measure with deterministic tie-break)
+    "q_topk_limit" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+    },
+
+    // scalar functions: interval arithmetic, casts, case, string fns
+    "q_scalar_fns" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .where(col("o_orderkey") < 1000)
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate") + expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").as("due_date"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          upper(col("o_orderpriority")).as("prio_uc"),
+          col("o_totalprice").cast("long").as("price_floor"),
+          when(col("o_totalprice") > 200000, "big")
+            .when(col("o_totalprice") > 50000, "mid")
+            .otherwise("small")
+            .as("bucket")
+        )
+        .orderBy("o_orderkey")
+    },
+
+    // JSON functions over the props payload
+    "q_json_fns" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"), round(avg(col("k")), 4).as("avg_k"))
+        .orderBy("event_type")
+    },
+
+    // tumbling time window (batch equivalent of the streaming agg)
+    "q_tumbling_window" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"), col("n"))
+        .orderBy("win_start", "event_type")
+    },
+
+    // sliding time window (1h width, 30m slide → 2 windows per event)
+    "q_sliding_window" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"), col("n"))
+        .orderBy("win_start", "event_type")
+    },
+
+    // session window per user (30-minute gap), batch equivalent
+    "q_session_window" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start"), col("n"))
+        .orderBy("user_id", "sess_start")
+    },
+
+    // as-of join: for each click, the latest error by the same user at or
+    // before it. Implemented as the scalable merge layout: union both
+    // streams, one partitioned window pass, no point-in-time self-join.
+    "q_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_click"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_click"))
+      // at equal ts the error sorts first (is_click asc) ⇒ `<=` semantics
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("is_click").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(errors)
+        .withColumn("last_error_id",
+          last(when(col("is_click") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .where(col("is_click") === 1)
+        .select(col("event_id").as("click_id"), col("user_id"), col("last_error_id"))
+        .orderBy("click_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q_broadcast_join" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders
+        |) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders WHERE o_custkey < 500
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |       count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer, nation, region
+        |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+    "q_setops" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM cn UNION SELECT nationkey FROM sn)
+        |UNION ALL
+        |SELECT 'intersect' AS op, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+        |UNION ALL
+        |SELECT 'except' AS op, nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+        |ORDER BY op, nationkey""".stripMargin,
+    "q_topk_limit" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_scalar_fns" ->
+      """SELECT o_orderkey,
+        |       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+        |       CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(month(o_orderdate) AS INT) AS mo,
+        |       upper(o_orderpriority) AS prio_uc,
+        |       CAST(trunc(o_totalprice) AS BIGINT) AS price_floor,
+        |       CASE WHEN o_totalprice > 200000 THEN 'big'
+        |            WHEN o_totalprice > 50000 THEN 'mid'
+        |            ELSE 'small' END AS bucket
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
+    "q_json_fns" ->
+      """SELECT event_type,
+        |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_tumbling_window" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_sliding_window" ->
+      """WITH starts AS (
+        |  SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS win_start, event_type FROM events
+        |  UNION ALL
+        |  SELECT CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT) AS win_start, event_type FROM events
+        |)
+        |SELECT win_start, event_type, count(*) AS n
+        |FROM starts GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_session_window" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM ordered
+        |)
+        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start, count(*) AS n
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start""".stripMargin,
+    "q_asof_join" ->
+      """SELECT c.event_id AS click_id, c.user_id, e.event_id AS last_error_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND e.ts <= c.ts
+        |ORDER BY click_id""".stripMargin
+  )
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import graft.sink.JsonEnvelope
+import graft.views.EventViews
+
+/** The delivery path as Structured Streaming — the engine's form of the
+  * Kafka Connect poll loop (SURVEY.md §3 EP2).
+  *
+  * Reference behavior owned here:
+  *   - ~5 s poll cadence (reference readme.md:54) →
+  *     `Trigger.ProcessingTime("5 seconds")`
+  *   - offset persistence in `connect-offsets` (reference
+  *     docker-compose.yml:74) → Structured Streaming checkpointing (WAL +
+  *     commits), giving the same resume-after-restart, at-least-once
+  *     semantics
+  *   - topic routing `cdc-<relation>` (reference connector.json:16) → a
+  *     `topic` column + partitioned sink (or `format("kafka")` in a real
+  *     deployment — the transform chain is sink-agnostic)
+  *
+  * Late data: the reference's timestamp+incrementing polling silently skips
+  * rows committed with an older ts after the offset passed them (SURVEY.md
+  * §2.5). The engine's file-source stream has no such loss — new files are
+  * discovered regardless of their ts — and the windowed aggregations below
+  * bound state with watermarks instead, a strictly better and documented
+  * divergence.
+  */
+object CdcStream {
+
+  val DefaultTrigger: Trigger = Trigger.ProcessingTime("5 seconds")
+
+  /** Open the log directory as a micro-batch stream. */
+  def readLogStream(spark: SparkSession, logPath: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(logPath)
+
+  /** Transform one relation's sub-stream into envelope-encoded, topic-tagged
+    * delivery rows: filter (R2) → project (R1) → envelope (D1) → route (D2).
+    */
+  def deliveryStream(log: DataFrame, schemaName: String, tableName: String): DataFrame = {
+    val relation = s"event_log_$tableName"
+    val view = EventViews.forTable(log, schemaName, tableName)
+    JsonEnvelope.withKey(
+      JsonEnvelope.withTopic(JsonEnvelope.encode(view, relation), relation),
+      col("event_id")
+    ).select("topic", "key", "value")
+  }
+
+  /** Write delivery rows to a topic-partitioned file sink (the test stand-in
+    * for `format("kafka")`; one directory per topic = one topic per
+    * relation, reference readme.md:34-35).
+    */
+  def toTopicFiles(
+      delivery: DataFrame,
+      outPath: String,
+      checkpoint: String,
+      trigger: Trigger = DefaultTrigger
+  ): StreamingQuery =
+    delivery.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("topic")
+      .trigger(trigger)
+      .outputMode("append")
+      .start()
+
+  /** foreachBatch variant for sinks Spark lacks a native format for; the
+    * batch is a plain DataFrame so any writer applies. Checkpointing still
+    * provides exactly-once batch ids.
+    */
+  def toForeachBatch(
+      delivery: DataFrame,
+      checkpoint: String,
+      trigger: Trigger
+  )(f: (DataFrame, Long) => Unit): StreamingQuery =
+    delivery.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) => f(batch.toDF(), id) }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode("append")
+      .start()
+
+  // ---- streaming time windows (SURVEY.md §2.5 streaming rows) --------------
+
+  /** Tumbling-window counts/sums with a watermark bounding state. */
+  def tumblingAgg(events: DataFrame, tsCol: String, width: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+  /** Sliding-window aggregate. */
+  def slidingAgg(events: DataFrame, tsCol: String, width: String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows keyed by user with a gap timeout. */
+  def sessionAgg(events: DataFrame, tsCol: String, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+}
