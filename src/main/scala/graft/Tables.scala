@@ -23,9 +23,10 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     }
 
-  /** Register every table as a temp view for the SQL surface (SURVEY.md §3
-    * EP3 / §7 v4). Idempotent.
+  /** Register tables as temp views for the SQL surface (SURVEY.md §3
+    * EP3 / §7 v4). Idempotent; registers only what's asked for (each
+    * registration costs a parquet footer read).
     */
-  def registerViews(spark: SparkSession, dir: String): Unit =
-    All.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  def registerViews(spark: SparkSession, dir: String, names: Seq[String] = All): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

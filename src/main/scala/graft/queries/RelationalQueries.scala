@@ -146,7 +146,7 @@ object RelationalQueries {
     // the typed API — rollup-after-join trips Spark's ambiguous-self-join
     // detection on DataFrames, a known sharp edge)
     "q_rollup" -> { (s, dir) =>
-      Tables.registerViews(s, dir)
+      Tables.registerViews(s, dir, Seq("customer", "nation", "region"))
       s.sql(
         """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
           |       count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
@@ -173,7 +173,7 @@ object RelationalQueries {
 
     // grouping sets via the SQL surface (temp views — SURVEY.md §7 v4)
     "q_grouping_sets" -> { (s, dir) =>
-      Tables.registerViews(s, dir)
+      Tables.registerViews(s, dir, Seq("lineitem"))
       s.sql(
         """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
           |       count(*) AS n
