@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.poll.IncrementalPoller
+import graft.poll.IncrementalPoller.Offset
+
+/** R3-R4 + D3: lexicographic offsets, resume, persistence (FIXTURES.md §A4). */
+class PollerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
+
+  // ids 1..10; ids 6 and 7 share the same ts (the straddling pair)
+  private def log = Seq(
+    (ts("2025-01-01T00:00:01Z"), 1L), (ts("2025-01-01T00:00:02Z"), 2L),
+    (ts("2025-01-01T00:00:03Z"), 3L), (ts("2025-01-01T00:00:04Z"), 4L),
+    (ts("2025-01-01T00:00:05Z"), 5L), (ts("2025-01-01T00:00:06Z"), 6L),
+    (ts("2025-01-01T00:00:06Z"), 7L), (ts("2025-01-01T00:00:08Z"), 8L),
+    (ts("2025-01-01T00:00:09Z"), 9L), (ts("2025-01-01T00:00:10Z"), 10L)
+  ).toDF("ts", "event_id")
+
+  test("poll after a mid-duplicate-ts checkpoint returns exactly the tail") {
+    // checkpoint after id=6: offset (00:06, 6); id=7 shares the ts
+    val got = IncrementalPoller.poll(log, Offset(ts("2025-01-01T00:00:06Z"), 6L))
+      .select("event_id").as[Long].collect().toSeq
+    assert(got == Seq(7L, 8L, 9L, 10L))
+  }
+
+  test("initial offset (start.timestamp semantics) fetches everything after it") {
+    val got = IncrementalPoller.poll(log, Offset.initial("2025-01-01T00:00:00Z"))
+    assert(got.count() == 10)
+  }
+
+  test("nextOffset advances to the lexicographic max of the batch") {
+    val batch = IncrementalPoller.poll(log, Offset.initial("2025-01-01T00:00:00Z"))
+    val next = IncrementalPoller.nextOffset(batch, Offset.initial("2025-01-01T00:00:00Z"))
+    assert(next == Offset(ts("2025-01-01T00:00:10Z"), 10L))
+  }
+
+  test("nextOffset on an empty batch keeps the current offset") {
+    val cur = Offset(ts("2025-01-01T00:00:10Z"), 10L)
+    val next = IncrementalPoller.nextOffset(log.where($"event_id" > 100), cur)
+    assert(next == cur)
+  }
+
+  test("repeated poll from the committed offset loses nothing and reorders nothing") {
+    var off = Offset.initial("2025-01-01T00:00:00Z")
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    (0 until 4).foreach { _ =>
+      val batch = IncrementalPoller.poll(log, off).limit(3)
+      seen ++= batch.select("event_id").as[Long].collect()
+      off = IncrementalPoller.nextOffset(batch, off)
+    }
+    assert(seen.toSeq == (1L to 10L))
+  }
+
+  test("offset persistence round-trips through the checkpoint file") {
+    val dir = tempDir("offsets")
+    val off = Offset(ts("2025-01-01T00:00:06Z"), 6L)
+    IncrementalPoller.commitOffset(spark, dir, "event_log_assets", off)
+    val loaded = IncrementalPoller.loadOffset(spark, dir, "event_log_assets",
+      Offset.initial("2020-01-01T00:00:00Z"))
+    assert(loaded == off)
+    val fallback = IncrementalPoller.loadOffset(spark, dir, "missing_relation",
+      Offset.initial("2020-01-01T00:00:00Z"))
+    assert(fallback == Offset.initial("2020-01-01T00:00:00Z"))
+  }
+}
