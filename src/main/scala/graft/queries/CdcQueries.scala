@@ -202,6 +202,44 @@ object CdcQueries {
       clicks.unionByName(errors).orderBy("topic", "event_id")
     },
 
+    // End-to-end: envelope mapping → id assignment → partitioned log
+    // append → read-back → per-table view (R1+R2) → incremental poll (R3).
+    // The physical roundtrip through the event_date-partitioned parquet log
+    // is inside the oracle gate: content must survive write+read exactly.
+    "e2e_log_roundtrip" -> { (s, dir) =>
+      import graft.log.CdcLog
+      import graft.poll.IncrementalPoller
+      import graft.views.EventViews
+      val envelope = events(s, dir).select(
+        col("ts"),
+        lit("dataschema").as("schema_name"),
+        when(col("event_id") % 4 === 0, "anomaly").otherwise("events").as("table_name"),
+        when(col("event_type") === "signup", "INSERT")
+          .when(col("event_type") === "error", "DELETE")
+          .otherwise("UPDATE").as("operation"),
+        when(col("event_type") === "signup", lit(null).cast("string"))
+          .otherwise(to_json(struct(col("event_id"), col("user_id")))).as("before"),
+        when(col("event_type") === "error", lit(null).cast("string"))
+          .otherwise(to_json(struct(col("event_id"), col("user_id")))).as("after"),
+        col("event_id")
+      )
+      val logPath = java.nio.file.Files.createTempDirectory("graft_e2e_log").toString
+      CdcLog.append(envelope, logPath)
+      val log = CdcLog.dedup(CdcLog.read(s, logPath))
+      val view = EventViews.forTable(log, "dataschema", "events")
+      IncrementalPoller
+        .poll(view, IncrementalPoller.Offset(
+          java.sql.Timestamp.from(java.time.Instant.parse("2024-01-10T00:00:00Z")), 0L))
+        .select(
+          col("event_id"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          col("operation"),
+          col("before"),
+          col("after")
+        )
+        .orderBy("event_id")
+    },
+
     // D1: Kafka-Connect JsonConverter envelope {"schema":...,"payload":...}
     "d1_json_envelope" -> { (s, dir) =>
       val rows = events(s, dir)
@@ -280,6 +318,20 @@ object CdcQueries {
         |UNION ALL
         |SELECT 'cdc-event_log_errors' AS topic, event_id FROM events WHERE event_type = 'error'
         |ORDER BY topic, event_id""".stripMargin,
+    "e2e_log_roundtrip" ->
+      """SELECT event_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |       CASE WHEN event_type = 'signup' THEN 'INSERT'
+        |            WHEN event_type = 'error' THEN 'DELETE'
+        |            ELSE 'UPDATE' END AS operation,
+        |       CASE WHEN event_type = 'signup' THEN NULL
+        |            ELSE to_json(struct_pack(event_id := event_id, user_id := user_id)) END AS before,
+        |       CASE WHEN event_type = 'error' THEN NULL
+        |            ELSE to_json(struct_pack(event_id := event_id, user_id := user_id)) END AS after
+        |FROM events
+        |WHERE event_id % 4 <> 0
+        |  AND ts > TIMESTAMP '2024-01-10 00:00:00'
+        |ORDER BY event_id""".stripMargin,
     "d1_json_envelope" ->
       s"""SELECT event_id,
          |       '{"schema":' || '$envelopeSchemaBlock' || ',"payload":' ||
