@@ -22,10 +22,46 @@ object Similarity {
 
   /** Exact cosine top-k neighbors for each query vector.
     *
+    * Plan: broadcast the query set, scan the corpus once, and aggregate
+    * per-query top-k with [[graft.functions.TopKAggregator]] — partial
+    * aggregation keeps k rows per (query × partition) in the shuffle
+    * instead of exchanging every scored pair, which is what makes this a
+    * map-only corpus scan at 100 TB. (The window-ranked equivalent,
+    * [[bruteForceTopKWindow]], shuffles |corpus|×|queries| scored rows.)
+    *
     * @param corpus  (id, vec) corpus — any size; scanned once
     * @param queries (id, vec) query set — must be broadcast-small
     */
   def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    import graft.functions.TopKAggregator
+    val c = corpus.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+    val scored = c
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", GraftFunctions.cosine_similarity(col("q_vec"), col("n_vec")))
+    val topk = udaf(new TopKAggregator(k))
+    scored
+      .groupBy("q_id")
+      .agg(topk(col("cos"), col("n_id")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(
+        col("q_id"),
+        col("col.id").as("n_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("cos")
+      )
+  }
+
+  /** Window-ranked variant of [[bruteForceTopK]] — same results, kept as
+    * the cross-check baseline (see ExtSpec parity test).
+    */
+  def bruteForceTopKWindow(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,

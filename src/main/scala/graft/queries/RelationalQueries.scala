@@ -220,6 +220,21 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // typed payload projection: from_json with a declared schema — the
+    // opt-in projection over the schemaless JSONB payload (SURVEY §1.2)
+    "q_from_json" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val payloadSchema = StructType(Seq(StructField("k", LongType, nullable = true)))
+      t(s, dir, "events")
+        .where(col("event_id") < 2000)
+        .select(
+          col("event_id"),
+          from_json(col("props"), payloadSchema).getField("k").as("k_typed"),
+          json_tuple(col("props"), "k").as("k_str")
+        )
+        .orderBy("event_id")
+    },
+
     // JSON functions over the props payload
     "q_json_fns" -> { (s, dir) =>
       t(s, dir, "events")
@@ -390,6 +405,11 @@ object RelationalQueries {
         |            WHEN o_totalprice > 50000 THEN 'mid'
         |            ELSE 'small' END AS bucket
         |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
+    "q_from_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+        |       json_extract_string(props, '$.k') AS k_str
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
     "q_json_fns" ->
       """SELECT event_type,
         |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,

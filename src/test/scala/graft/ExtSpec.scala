@@ -50,6 +50,15 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("aggregator top-k matches the window-ranked baseline exactly") {
+    val queries = embs.where($"vec_id" < 20)
+    val agg = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val win = Similarity.bruteForceTopKWindow(embs, queries, "vec_id", "embedding", 5)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(agg == win)
+  }
+
   test("SRP-LSH top-k recall vs brute force tracks the probed fraction") {
     val queries = embs.where($"vec_id" < 20)
     val bf = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
