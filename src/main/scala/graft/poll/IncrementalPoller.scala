@@ -44,12 +44,35 @@ object IncrementalPoller {
     col("ts") > lit(off.ts) ||
       (col("ts") === lit(off.ts) && col("event_id") > lit(off.eventId))
 
+  /** The connector's `timestamp.delay` guard: exclude rows newer than
+    * `now − delay`, giving in-flight transactions `delay` to commit before
+    * the offset passes them. This is the reference-faithful late-data
+    * mitigation (SURVEY.md §2.5 streaming row; the Aiven connector's
+    * timestamp.delay.interval.ms) — rows that commit with an older ts
+    * AFTER the delayed watermark passes are still skipped, which is the
+    * reference's documented defect. The streaming path (graft.streaming)
+    * has no such loss; this mode exists for connector parity.
+    */
+  def delayGuard(now: Column, delay: String): Column =
+    col("ts") < now - expr(s"INTERVAL $delay")
+
   /** One poll: rows strictly after `off`, in delivery order (ts, event_id)
     * ASC — ordering only within the batch, matching the connector, which
     * also only orders within one poll query (SURVEY.md §2.3 R4).
+    *
+    * @param delay optional `timestamp.delay` window, e.g. Some("5 SECONDS")
+    * @param now   evaluation time for the delay guard (constant in tests)
     */
-  def poll(relation: DataFrame, off: Offset): DataFrame =
-    relation.where(afterOffset(off)).orderBy(col("ts").asc, col("event_id").asc)
+  def poll(
+      relation: DataFrame,
+      off: Offset,
+      delay: Option[String] = None,
+      now: Column = current_timestamp()
+  ): DataFrame = {
+    val base = relation.where(afterOffset(off))
+    val guarded = delay.fold(base)(d => base.where(delayGuard(now, d)))
+    guarded.orderBy(col("ts").asc, col("event_id").asc)
+  }
 
   /** The offset a batch advances to: lexicographic max of (ts, event_id).
     * One small aggregate — never a driver-side scan of the batch.

@@ -183,6 +183,23 @@ object RelationalQueries {
       )
     },
 
+    // correlated scalar subquery (Catalyst decorrelates to an aggregate +
+    // left outer join) + IN-subquery, through the SQL surface
+    "q_subqueries" -> { (s, dir) =>
+      Tables.registerViews(s, dir, Seq("customer", "orders"))
+      s.sql(
+        """SELECT c_custkey,
+          |       (SELECT round(max(o_totalprice), 2) FROM orders
+          |        WHERE o_custkey = c_custkey) AS max_price,
+          |       CASE WHEN c_custkey IN (SELECT o_custkey FROM orders
+          |                               WHERE o_totalprice > 300000)
+          |            THEN 1 ELSE 0 END AS has_big_order
+          |FROM customer
+          |WHERE c_custkey < 500
+          |ORDER BY c_custkey""".stripMargin
+      )
+    },
+
     // set ops: union / intersect / except with distinct semantics
     "q_setops" -> { (s, dir) =>
       val custNations = t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
@@ -382,6 +399,16 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY rf, ls""".stripMargin,
+    "q_subqueries" ->
+      """SELECT c_custkey,
+        |       (SELECT round(max(o_totalprice), 2) FROM orders
+        |        WHERE o_custkey = c_custkey) AS max_price,
+        |       CASE WHEN c_custkey IN (SELECT o_custkey FROM orders
+        |                               WHERE o_totalprice > 300000)
+        |            THEN 1 ELSE 0 END AS has_big_order
+        |FROM customer
+        |WHERE c_custkey < 500
+        |ORDER BY c_custkey""".stripMargin,
     "q_setops" ->
       """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
         |     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)

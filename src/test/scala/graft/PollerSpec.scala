@@ -55,6 +55,41 @@ class PollerSpec extends SparkSpec {
     assert(seen.toSeq == (1L to 10L))
   }
 
+  test("timestamp.delay guard excludes rows inside the delay window") {
+    import org.apache.spark.sql.functions.{lit, to_timestamp}
+    val now = to_timestamp(lit("2025-01-01 00:00:10"))
+    val got = IncrementalPoller.poll(
+      log, Offset.initial("2025-01-01T00:00:00Z"),
+      delay = Some("3 SECONDS"), now = now)
+      .select("event_id").as[Long].collect().toSeq
+    // rows with ts >= 00:00:07 are inside the delay window → excluded
+    assert(got == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("PollRunner delivers per-relation batches and advances offsets across cycles") {
+    val dir = tempDir("pollrunner")
+    val delivered = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val runner = new graft.poll.PollRunner(
+      spark, dir, Offset.initial("2025-01-01T00:00:00Z"))
+
+    val firstSix = log.where($"event_id" <= 6)
+    val r1 = runner.pollOnce(Map("event_log_a" -> firstSix)) {
+      (name, batch) => delivered(name) += batch.count()
+    }
+    assert(r1 == Map("event_log_a" -> 6L))
+
+    // second cycle over the full relation: only the tail is new
+    val r2 = runner.pollOnce(Map("event_log_a" -> log)) {
+      (name, batch) => delivered(name) += batch.count()
+    }
+    assert(r2 == Map("event_log_a" -> 4L))
+    assert(delivered("event_log_a") == 10L)
+
+    // third cycle: nothing new, no delivery, offset unchanged
+    val r3 = runner.pollOnce(Map("event_log_a" -> log))((_, _) => fail("no delivery expected"))
+    assert(r3 == Map("event_log_a" -> 0L))
+  }
+
   test("offset persistence round-trips through the checkpoint file") {
     val dir = tempDir("offsets")
     val off = Offset(ts("2025-01-01T00:00:06Z"), 6L)
