@@ -32,7 +32,11 @@ object CdcLog {
     * column from `ts` (reference init.sql:17-18 — trigger INSERT into the
     * hypertable routes by ts).
     */
-  def append(events: DataFrame, path: String): Unit =
+  def append(events: DataFrame, path: String): Unit = {
+    // INT64 micros (not INT96): footer min/max stats on ts stay usable for
+    // file skipping by readers — incl. the cdcpoll DSv2 source's offset
+    // pruning — and every modern reader understands TIMESTAMP(MICROS)
+    events.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     events
       .withColumn(PartitionCol, to_date(col("ts")))
       .repartition(col(PartitionCol))
@@ -41,6 +45,7 @@ object CdcLog {
       .mode("append")
       .partitionBy(PartitionCol)
       .parquet(path)
+  }
 
   /** Read the log back; partition pruning applies to `event_date` filters. */
   def read(spark: SparkSession, path: String): DataFrame =
