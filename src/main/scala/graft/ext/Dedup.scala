@@ -203,6 +203,41 @@ object Dedup {
       .select("id_a", "id_b", "jaccard", "est_jaccard")
   }
 
+  /** ml.feature variant: HashingTF (binary) over shingles → MinHashLSH →
+    * approxSimilarityJoin at Jaccard distance ≤ 1 − threshold. Same
+    * operator through the stock ml pipeline (seeded, deterministic);
+    * [[minhashNearDupPairs]] is the engine's plain-DataFrame form with the
+    * explicit banding layout.
+    */
+  def minhashNearDupPairsMl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      numHashTables: Int = 8,
+      jaccardThreshold: Double = 0.5,
+      seed: Long = 42L
+  ): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val sh = shingled(df, idCol, textCol, shingleN)
+    val tf = new HashingTF()
+      .setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feats = tf.transform(sh).where(size(col("shingles")) > 0)
+    val lsh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(seed)
+    val model = lsh.fit(feats)
+    model
+      .approxSimilarityJoin(feats, feats, 1.0 - jaccardThreshold, "jaccard_dist")
+      .select(
+        col("datasetA.id").as("id_a"),
+        col("datasetB.id").as("id_b"),
+        (lit(1.0) - col("jaccard_dist")).as("jaccard")
+      )
+      .where(col("id_a") < col("id_b"))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash of a shingle array: weight +1/−1 per bit across shingle

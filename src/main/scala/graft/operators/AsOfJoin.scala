@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** As-of join: for each left row, the latest right row with the same key
+  * and `rightTs <= leftTs` (backward-looking point-in-time join — the
+  * operator relational engines ship natively and Spark lacks).
+  *
+  * Implementation is the merge layout, not a point-in-time self-join:
+  * union both sides tagged, one window pass partitioned by key and ordered
+  * by (ts, side, tiebreak), carry the last right value forward with
+  * `last(..., ignoreNulls)`. One shuffle on the key, linear in rows —
+  * versus the range-join form whose candidate pairs are quadratic per key.
+  * At equal timestamps the right side sorts first, giving `<=` semantics
+  * (DuckDB's ASOF JOIN agrees — see the q_asof_join oracle).
+  *
+  * Composes from built-ins (preference (a) of the custom-operator order):
+  * Catalyst already plans the window as a single sort within key
+  * partitions, so a custom SparkPlan would buy nothing.
+  */
+object AsOfJoin {
+
+  /** @param left      rows to enrich
+    * @param right     rows to look up (point-in-time)
+    * @param keys      equi-join key columns (same names both sides)
+    * @param tsCol     event-time column name (same both sides)
+    * @param tieCol    deterministic tie-break column (same both sides)
+    * @param rightVals right columns to carry onto left rows, renamed
+    *                  `asof_<name>`
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      rightVals: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val common = keys :+ tsCol :+ tieCol
+    val l = left.withColumn("__side", lit(1))
+    val r = right
+      .select(common.map(col) ++ rightVals.map(c => col(c).as(s"__rv_$c")): _*)
+      .withColumn("__side", lit(0))
+    // union with null-fill: left rows carry null __rv_*, right rows carry
+    // null for left-only columns
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(unioned) { case (df, c) =>
+      df.withColumn(
+        s"asof_$c",
+        last(when(col("__side") === 0, col(s"__rv_$c")), ignoreNulls = true).over(w)
+      )
+    }
+    carried
+      .where(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightVals.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** Backward as-of with a tolerance: matches older than `tolerance`
+    * before the left ts are nulled out (the "staleness bound" variant).
+    */
+  def backwardWithTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      rightVals: Seq[String],
+      tolerance: String
+  ): DataFrame = {
+    val withTs = backward(
+      left, right.withColumn("__rts", col(tsCol)), keys, tsCol, tieCol, rightVals :+ "__rts")
+    val bound: Column = col(tsCol) - expr(s"INTERVAL $tolerance")
+    rightVals
+      .foldLeft(withTs) { case (df, c) =>
+        df.withColumn(s"asof_$c", when(col("asof___rts") >= bound, col(s"asof_$c")))
+      }
+      .drop("asof___rts")
+  }
+}

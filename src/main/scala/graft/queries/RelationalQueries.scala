@@ -289,24 +289,21 @@ object RelationalQueries {
     },
 
     // as-of join: for each click, the latest error by the same user at or
-    // before it. Implemented as the scalable merge layout: union both
-    // streams, one partitioned window pass, no point-in-time self-join.
+    // before it — graft.operators.AsOfJoin's merge layout (union + one
+    // partitioned window pass, no point-in-time self-join).
     "q_asof_join" -> { (s, dir) =>
       val ev = t(s, dir, "events")
       val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_click"))
+        .select(col("user_id"), col("ts"), col("event_id"))
       val errors = ev.where(col("event_type") === "error")
-        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_click"))
-      // at equal ts the error sorts first (is_click asc) ⇒ `<=` semantics
-      val w = Window
-        .partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("is_click").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.unionByName(errors)
-        .withColumn("last_error_id",
-          last(when(col("is_click") === 0, col("event_id")), ignoreNulls = true).over(w))
-        .where(col("is_click") === 1)
-        .select(col("event_id").as("click_id"), col("user_id"), col("last_error_id"))
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOfJoin
+        .backward(clicks, errors, Seq("user_id"), "ts", "event_id", Seq("event_id"))
+        .select(
+          col("event_id").as("click_id"),
+          col("user_id"),
+          col("asof_event_id").as("last_error_id")
+        )
         .orderBy("click_id")
     }
   )

@@ -39,6 +39,35 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("ml MinHashLSH pipeline recovers the exact-Jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5, 100L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ml = Dedup.minhashNearDupPairsMl(docs, "doc_id", "text", 5, 8, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    if (exact.nonEmpty) {
+      val recall = ml.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.7, s"recall=$recall exact=${exact.size} ml=${ml.size}")
+    }
+  }
+
+  test("AsOfJoin tolerance variant nulls out stale matches") {
+    import graft.operators.AsOfJoin
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val left = Seq((1L, ts("2025-06-14T01:00:00Z"), 10L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2025-06-14T00:59:00Z"), 5L), // 1 min before → in tolerance
+      (1L, ts("2025-06-14T00:00:00Z"), 1L)  // 1 hour before → stale
+    ).toDF("user_id", "ts", "event_id")
+    val in = AsOfJoin.backwardWithTolerance(
+      left, right, Seq("user_id"), "ts", "event_id", Seq("event_id"), "5 MINUTES")
+    assert(in.select("asof_event_id").head().getLong(0) == 5L)
+    val out = AsOfJoin.backwardWithTolerance(
+      left, right.where($"event_id" === 1L), Seq("user_id"), "ts", "event_id",
+      Seq("event_id"), "5 MINUTES")
+    assert(out.select("asof_event_id").head().isNullAt(0))
+  }
+
   test("simhash near-dup pairs overlap the high-Jaccard ground truth") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.7, 100L)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
