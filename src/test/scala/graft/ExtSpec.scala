@@ -156,6 +156,31 @@ class ExtSpec extends SparkSpec {
     assert(perVideo == expected)
   }
 
+  test("text operators are null- and empty-safe") {
+    val weird = Seq(
+      (1L, "normal text with several words here"),
+      (2L, ""),
+      (3L, "   "),
+      (4L, null.asInstanceOf[String]),
+      (5L, "one")
+    ).toDF("doc_id", "text")
+    // shingles: null text → null array; empty/blank → one empty shingle
+    val sh = Dedup.shingled(weird, "doc_id", "text", 5).collect()
+    assert(sh.length == 5)
+    val counts = weird.select(
+      $"doc_id",
+      TextOps.tokenCount($"text").as("n"),
+      TextOps.qualityScore($"text").as("q"),
+      TextOps.langId($"text").as("l")
+    ).orderBy("doc_id").collect()
+    assert(counts(1).getInt(1) == 0) // empty → 0 tokens
+    assert(counts(2).getInt(1) == 0) // blank → 0 tokens
+    assert(counts(3).isNullAt(1))    // null propagates
+    assert(counts(4).getInt(1) == 1)
+    // jaccard pipeline doesn't throw on the weird rows
+    assert(Dedup.ngramJaccardPairs(weird, "doc_id", "text", 5, 0.1, 100L).count() >= 0)
+  }
+
   test("exactKeepFirst keeps the min-order row per key") {
     val df = Seq((1, 10, "a"), (1, 5, "b"), (2, 7, "c")).toDF("k", "ord", "v")
     val kept = Dedup.exactKeepFirst(df, Seq("k"), "ord")

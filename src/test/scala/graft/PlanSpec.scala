@@ -1,0 +1,54 @@
+package graft
+
+import graft.queries.RelationalQueries
+
+/** Plan-shape regression tests: the properties that make these queries
+  * scale (pushdown, broadcast choice, top-k without global sort, partial
+  * aggregation) are asserted against the optimized physical plan, so a
+  * refactor that silently loses one fails here rather than at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1_agg aggregates partially before the exchange (map-side combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q5 joins its dimensions with broadcast hash joins") {
+    val p = plan("q5_nation_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts\n$p")
+  }
+
+  test("q_topk_limit is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("capture diff is a full-outer sort-merge join on the PK") {
+    val p = plan("c1_capture_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+  }
+
+  test("view filter + projection reach the scan (column pruning)") {
+    val df = RelationalQueries.queries("q_broadcast_join")(spark, sf0001)
+    val scans = df.queryExecution.executedPlan.toString
+    // lineitem scan must read only the join key + aggregated columns
+    assert(scans.contains("ReadSchema: struct<l_partkey:bigint,l_quantity:double>"), scans)
+  }
+
+  test("brute-force top-k aggregates partially (no full pair shuffle)") {
+    val p = plan("x_sim_bruteforce_topk")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("partial_topkaggregator") || p.toLowerCase.contains("partial_"), p)
+  }
+}
