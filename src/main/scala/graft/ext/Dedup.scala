@@ -123,19 +123,19 @@ object Dedup {
       array_min(transform(shingles, s => xxhash64(lit(i), s)))
     }: _*)
 
-  /** Codegen-friendly MinHash: explode shingles to rows, compute the
-    * `numHashes` hash slots as plain columns, and take per-doc mins in one
-    * hash aggregate (map-side partial → final). Returns (id, sig).
-    * This is the shape that scales: one shuffle on id, everything else
-    * inside WholeStageCodegen — versus one interpreted lambda frame per
-    * (shingle × hash) in the HOF form.
+  /** MinHash signatures via one [[graft.functions.MinHashAgg]] imperative
+    * aggregate over exploded shingles: one shuffle on id, a primitive
+    * long[numHashes] buffer, map-side partial merge — and a narrow plan
+    * (the previous 64-separate-`min(xxhash64)`-columns form was
+    * semantically identical but spent 10-15 s per session in Janino/JIT on
+    * the generated wide-aggregate class). Returns (id, sig).
     */
   def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
-    val ex = shingled.select(col("id"), explode(col("shingles")).as("s"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
-    ex.groupBy("id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    GraftFunctions.register(shingled.sparkSession)
+    shingled
+      .select(col("id"), explode(col("shingles")).as("s"))
+      .groupBy("id")
+      .agg(GraftFunctions.minhash_agg(col("s"), numHashes).as("sig"))
   }
 
   /** LSH banding candidates: split the signature into `bands` bands of
@@ -155,14 +155,16 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sh = shingled(df, idCol, textCol, shingleN).cache()
-    val sigs = minhashSignatures(sh, numHashes).cache()
+    val sh = shingled(df, idCol, textCol, shingleN)
+    // one cached (id, shingles, sig) table serves banding and candidate
+    // verification — computed once, joined back twice
+    val indexed = sh.join(minhashSignatures(sh, numHashes), Seq("id")).cache()
 
-    // banding rows carry only (id, bucket) — signatures and shingle arrays
+    // banding rows carry only (id, bucket) — signature and shingle arrays
     // are joined back for the (small) candidate set, never shuffled with
     // the bucket fan-out. Band index is folded into the bucket hash so
     // equal band values from different bands cannot collide.
-    val banded = sigs.select(
+    val banded = indexed.select(
       col("id"),
       explode(
         array((0 until bands).map { b =>
@@ -178,10 +180,12 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .join(
+        indexed.select(col("id").as("id_a"), col("sig").as("sig_a"), col("shingles").as("sh_a")),
+        Seq("id_a"))
+      .join(
+        indexed.select(col("id").as("id_b"), col("sig").as("sig_b"), col("shingles").as("sh_b")),
+        Seq("id_b"))
 
     // verify candidates with the exact Jaccard on the shingle sets (the
     // banding estimate from signature agreement is kept as est_jaccard)
@@ -245,26 +249,18 @@ object Dedup {
     * array ops only — the per-bit loop is a `transform` over a 64-element
     * sequence, evaluated once per row.
     */
-  /** Codegen-friendly SimHash: explode shingles, xxhash64 each, and compute
-    * the 64 per-bit +1/−1 balances as one hash aggregate (64 sum columns,
-    * map-side combined), then assemble the sketch. Returns (id, sh).
-    * Same scale rationale as [[minhashSignatures]] — the column-function
-    * form below evaluates 64 interpreted lambda aggregates per row and is
-    * ~50× slower.
+  /** SimHash sketches via one [[graft.functions.SimHashAgg]] imperative
+    * aggregate over exploded shingles (identical output to the per-bit
+    * column form — same builtin xxhash64 seed — with a 64-int primitive
+    * buffer instead of 64 aggregate columns; same Janino/JIT rationale as
+    * [[minhashSignatures]]). Returns (id, sh).
     */
   def simhashes(shingled: DataFrame): DataFrame = {
-    val ex = shingled
+    GraftFunctions.register(shingled.sparkSession)
+    shingled
       .select(col("id"), explode(col("shingles")).as("s"))
-      .withColumn("h", xxhash64(col("s")))
-    val balances = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val assembled = (0 until 64)
-      .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    ex.groupBy("id")
-      .agg(balances.head, balances.tail: _*)
-      .select(col("id"), assembled.as("sh"))
+      .groupBy("id")
+      .agg(GraftFunctions.simhash_agg(col("s")).as("sh"))
   }
 
   def simhash64(shingles: Column): Column = {

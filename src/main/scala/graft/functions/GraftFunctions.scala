@@ -26,7 +26,9 @@ object GraftFunctions {
     "cosine_similarity" -> { es: Seq[Expression] => CosineSimilarity(es(0), es(1)) },
     "dot_product" -> { es: Seq[Expression] => DotProduct(es(0), es(1)) },
     "word_shingles" -> { es: Seq[Expression] => WordShingles(es(0), intLit(es(1))) },
-    "hashed_array" -> { es: Seq[Expression] => HashedArray(es(0)) }
+    "hashed_array" -> { es: Seq[Expression] => HashedArray(es(0)) },
+    "minhash_agg" -> { es: Seq[Expression] => MinHashAgg(es(0), intLit(es(1))) },
+    "simhash_agg" -> { es: Seq[Expression] => SimHashAgg(es(0)) }
   )
 
   def register(spark: SparkSession): Unit =
@@ -51,6 +53,14 @@ object GraftFunctions {
   /** Per-element xxhash64 (seed 42, matching the builtin) of array<string>. */
   def hashed_array(arr: Column): Column =
     call_function("hashed_array", arr)
+
+  /** MinHash signature aggregate over exploded shingle strings. */
+  def minhash_agg(shingle: Column, numHashes: Int): Column =
+    call_function("minhash_agg", shingle, org.apache.spark.sql.functions.lit(numHashes))
+
+  /** SimHash sketch aggregate over exploded shingle strings. */
+  def simhash_agg(shingle: Column): Column =
+    call_function("simhash_agg", shingle)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
