@@ -51,6 +51,53 @@ object CdcLog {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Typed view of the log (Dataset[ChangeEvent]) for callers that want
+    * compile-time field checks; `event_date` is derivable, so only the
+    * envelope columns are exposed.
+    */
+  def readTyped(spark: SparkSession, path: String): org.apache.spark.sql.Dataset[graft.model.ChangeEvent] = {
+    import spark.implicits._
+    read(spark, path)
+      .select(graft.model.ChangeEvent.columns.map(col): _*)
+      .as[graft.model.ChangeEvent]
+  }
+
+  /** Compact a partition's many small files (the residue of frequent
+    * micro-batch appends — a 5 s trigger writes ~17k files/day/partition
+    * at one file per batch) into ~`targetFiles` sorted files. Same
+    * rewrite Timescale does implicitly at chunk level; here it is an
+    * explicit maintenance job, idempotent per partition. Rewrites ONE
+    * partition directory at a time so a failure never loses more than one
+    * partition's compaction (the data itself is re-read before replace).
+    */
+  def compactPartition(spark: SparkSession, path: String, eventDate: String, targetFiles: Int = 1): Unit = {
+    val partDir = s"$path/$PartitionCol=$eventDate"
+    val fs = new Path(partDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(partDir))) return
+    val tmp = s"$path/.compact-$PartitionCol=$eventDate"
+    spark.read
+      .parquet(partDir)
+      .repartition(targetFiles)
+      .sortWithinPartitions("schema_name", "table_name", "ts", "event_id")
+      .write
+      .mode("overwrite")
+      .parquet(tmp)
+    fs.delete(new Path(partDir), true)
+    fs.rename(new Path(tmp), new Path(partDir))
+  }
+
+  /** List partition values present in the log (directory names). */
+  def partitions(spark: SparkSession, path: String): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$PartitionCol="))
+      .map(_.getPath.getName.stripPrefix(s"$PartitionCol="))
+      .toSeq
+      .sorted
+  }
+
   /** Retention policy: drop whole partitions older than `retainDays`
     * (reference init.sql:71 — 7-day `add_retention_policy`). Metadata-only:
     * deletes partition directories, never rewrites rows.

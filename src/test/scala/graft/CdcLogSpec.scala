@@ -43,6 +43,30 @@ class CdcLogSpec extends SparkSpec {
     assert(CdcLog.read(spark, path).count() == 1)
   }
 
+  test("compaction merges small files without changing content") {
+    val path = tempDir("cdccompact")
+    // five appends → five files in the partition
+    (0 until 5).foreach(_ => CdcLog.append(mkEvents(Seq(1)), path))
+    val partDir = new java.io.File(s"$path/event_date=2025-06-01")
+    def dataFiles = partDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(dataFiles == 5)
+    val before = CdcLog.read(spark, path).orderBy("event_id").collect().toSeq
+    CdcLog.compactPartition(spark, path, "2025-06-01", targetFiles = 1)
+    assert(dataFiles == 1)
+    val after = CdcLog.read(spark, path).orderBy("event_id").collect().toSeq
+    assert(after.map(_.toString).sorted == before.map(_.toString).sorted)
+    assert(CdcLog.partitions(spark, path) == Seq("2025-06-01"))
+  }
+
+  test("typed read exposes Dataset[ChangeEvent] with the contract intact") {
+    val path = tempDir("cdctyped")
+    CdcLog.append(mkEvents(Seq(1, 2)), path)
+    val ds = CdcLog.readTyped(spark, path)
+    val evs = ds.collect().sortBy(_.event_id)
+    assert(evs.length == 2)
+    assert(evs.head.operation == "INSERT" && evs.head.before.isEmpty && evs.head.after.nonEmpty)
+  }
+
   test("dedup enforces the event_id identity under at-least-once redelivery") {
     val ev = mkEvents(Seq(1, 2))
     assert(CdcLog.dedup(ev.union(ev)).count() == 2)
