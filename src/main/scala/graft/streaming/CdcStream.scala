@@ -84,6 +84,16 @@ object CdcStream {
       .outputMode("append")
       .start()
 
+  /** Streaming exact dedup with bounded state: duplicates of a key are
+    * dropped for as long as the key can still arrive (the watermark bound)
+    * — the streaming form of CdcLog.dedup's at-least-once idempotence.
+    * State size = keys within the watermark horizon, not the whole history.
+    */
+  def streamingDedup(events: DataFrame, tsCol: String, keys: Seq[String], watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   // ---- streaming time windows (SURVEY.md §2.5 streaming rows) --------------
 
   /** Tumbling-window counts/sums with a watermark bounding state. */

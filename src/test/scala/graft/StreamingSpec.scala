@@ -78,6 +78,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming dedup within watermark drops redelivered keys") {
+    val dir = tempDir("sdedup") + "/data"
+    val ev = Tables.load(spark, sf0001, "events").limit(200)
+    ev.union(ev).write.parquet(dir) // every event delivered twice
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    val deduped = CdcStream.streamingDedup(stream, "ts", Seq("event_id"), "1 hour")
+    val q = deduped.writeStream.outputMode("append").format("memory").queryName("sdedup").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT count(*), count(DISTINCT event_id) FROM sdedup").head()
+    assert(got.getLong(0) == 200 && got.getLong(1) == 200)
+  }
+
+  test("flatMapGroupsWithState tracks per-user running counts across batches") {
+    import graft.streaming.UserState
+    import graft.streaming.UserState.UserEvent
+    val dir = tempDir("ustate") + "/data"
+    val ckpt = tempDir("ustateckpt")
+    val ev = Tables.load(spark, sf0001, "events").limit(300)
+      .selectExpr("user_id", "event_id", "event_type",
+        "CAST(unix_micros(ts) AS LONG) AS tsMicros")
+    ev.write.parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+      .as[UserEvent]
+    val updates = UserState.runningCounts(spark, stream)
+    val q = updates.writeStream.outputMode("append").format("memory").queryName("ustate")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    // the final update per user matches the batch ground truth
+    val finals = spark.sql(
+      "SELECT user_id, max(n_events) FROM ustate GROUP BY user_id")
+      .as[(Long, Long)].collect().toMap
+    val counts = ev.groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(finals.keySet == counts.keySet)
+    counts.foreach { case (u, n) => assert(finals(u) == n, s"user $u") }
+  }
+
   test("foreachBatch sink sees every batch exactly once per run") {
     val logPath = tempDir("fblog")
     val ckpt = tempDir("fbckpt")
