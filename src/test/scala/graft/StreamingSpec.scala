@@ -114,6 +114,30 @@ class StreamingSpec extends SparkSpec {
     counts.foreach { case (u, n) => assert(finals(u) == n, s"user $u") }
   }
 
+  test("streaming similarity: ANN top-k applied per micro-batch of query vectors") {
+    import graft.ext.Similarity
+    val embs = Tables.load(spark, sf0001, "embeddings")
+    val dir = tempDir("simstream") + "/data"
+    val ckpt = tempDir("simstreamckpt")
+    embs.where($"vec_id" < 10).write.parquet(dir) // the query stream
+    val stream = spark.readStream.schema(embs.schema).parquet(dir)
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val topk = Similarity.lshTopK(embs, batch.toDF(), "vec_id", "embedding", k = 3)
+        results ++= topk.select("q_id", "n_id", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val perQuery = results.groupBy(_._1)
+    assert(perQuery.keySet == (0L until 10L).toSet)
+    perQuery.values.foreach(v => assert(v.map(_._3).sorted == (1 to v.size)))
+  }
+
   test("foreachBatch sink sees every batch exactly once per run") {
     val logPath = tempDir("fblog")
     val ckpt = tempDir("fbckpt")
