@@ -313,8 +313,9 @@ object Dedup {
   // ---- embedding cosine near-dup ------------------------------------------
 
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`. Brute-force
-    * all-pairs — correct baseline; use Similarity.lshJoin for the
-    * at-scale path (bucketed candidates instead of the cross join).
+    * all-pairs — the exact baseline and the oracle-checked form; at corpus
+    * scale use [[embeddingNearDupPairsLsh]], which replaces the cross join
+    * with SRP-bucket candidates.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -326,6 +327,47 @@ object Dedup {
     val b = df.select(col(idCol).cast("long").as("id_b"), col(vecCol).as("v_b"))
     a.crossJoin(b)
       .where(col("id_a") < col("id_b"))
+      .withColumn("cos", GraftFunctions.cosine_similarity(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Scale path for embedding near-dup: sign-random-projection buckets
+    * generate candidates (pairs agreeing on the bucket, plus 1-bit-flip
+    * neighbor buckets for recall), re-scored exactly — the cross join
+    * shrinks to colliding buckets, the published SRP-LSH recipe. High-cos
+    * pairs agree on most hyperplane signs, so recall at near-dup
+    * thresholds is high even with few planes.
+    */
+  def embeddingNearDupPairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numPlanes: Int = 8,
+      seed: Int = 42
+  ): DataFrame = {
+    import graft.ext.Similarity
+    val base = df.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"),
+      Similarity.srpBucket(col(vecCol), numPlanes, seed).as("b0")
+    )
+    // each vector lands in its own bucket and all 1-bit flips: two vectors
+    // within Hamming 2 of each other's signatures share >=1 probe bucket
+    val probes = base.select(
+      col("id"),
+      col("v"),
+      explode(
+        array((lit(0L) +: (0 until numPlanes).map(p => shiftleft(lit(1L), p)))
+          .map(f => col("b0").bitwiseXOR(f)): _*)
+      ).as("bucket")
+    )
+    val l = probes.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = probes.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cos", GraftFunctions.cosine_similarity(col("v_a"), col("v_b")))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

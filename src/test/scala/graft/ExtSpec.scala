@@ -113,6 +113,50 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall") // nProbe=4 of 16 centroids
   }
 
+  test("LSH-bucketed embedding near-dup recovers the brute-force pairs") {
+    val bf = Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 4 planes: a cos≥0.4 pair agrees per plane w.p. ~0.63, so
+    // P(Hamming ≤ 2 of 4) ≈ 0.85 — the recall/probe-count dial; true
+    // near-dup thresholds (≥0.9) reach ~1.0 even with more planes
+    val lsh = Dedup.embeddingNearDupPairsLsh(embs, "vec_id", "embedding", 0.4, numPlanes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(bf)) // exact re-score ⇒ no false positives
+    if (bf.nonEmpty) {
+      val recall = lsh.intersect(bf).size.toDouble / bf.size
+      assert(recall >= 0.6, s"recall=$recall bf=${bf.size} lsh=${lsh.size}")
+    }
+  }
+
+  test("custom functions are callable from SQL text") {
+    embs.limit(50).createOrReplaceTempView("sql_embs")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, cosine_similarity(a.embedding, b.embedding) AS c,
+        |       dot_product(a.embedding, b.embedding) AS d
+        |FROM sql_embs a JOIN sql_embs b ON b.vec_id = a.vec_id + 1
+        |ORDER BY a.vec_id LIMIT 5""".stripMargin).collect()
+    assert(viaSql.length == 5)
+    assert(viaSql.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+    val sh = spark.sql(
+      "SELECT word_shingles('a b c d e f', 5) AS s").head().getSeq[String](0)
+    assert(sh == Seq("a b c d e", "b c d e f"))
+    val agg = spark.sql(
+      """SELECT simhash_agg(s) AS h, minhash_agg(s, 16) AS m
+        |FROM (SELECT explode(word_shingles('a b c d e f g h', 3)) AS s)""".stripMargin).head()
+    assert(!agg.isNullAt(0) && agg.getSeq[Long](1).length == 16)
+  }
+
+  test("winnowing fingerprints are stable and shrink with window size") {
+    val text = lit("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi")
+    val row = spark.range(1).select(
+      TextOps.winnowingFingerprints(text, 5, 4).as("w4"),
+      TextOps.winnowingFingerprints(text, 5, 2).as("w2")
+    ).head()
+    val w4 = row.getSeq[Long](0); val w2 = row.getSeq[Long](1)
+    assert(w4.nonEmpty && w2.nonEmpty && w4.size <= w2.size)
+    assert(w4.toSet.subsetOf(w2.toSet)) // larger window selects a subset of mins
+  }
+
   test("cosine_similarity expression: known values and codegen/eval agreement") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
