@@ -51,4 +51,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
     assert(p.contains("partial_topkaggregator") || p.toLowerCase.contains("partial_"), p)
   }
+
+  test("bucketed snapshots join without a shuffle (co-located capture)") {
+    // the capture-at-scale claim: snapshots bucketed by PK diff with zero
+    // exchange — write both sides bucketed on the key, join, assert the
+    // plan has no Exchange on either side
+    val ev = Tables.load(spark, sf0001, "events")
+      .select("event_id", "user_id", "event_type")
+    try {
+      Seq("snap_prev", "snap_cur").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        ev.write.bucketBy(8, "event_id").sortBy("event_id").saveAsTable(t)
+      }
+      val joined = spark.table("snap_prev")
+        .join(spark.table("snap_cur"), Seq("event_id"), "full_outer")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+    } finally {
+      Seq("snap_prev", "snap_cur").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
