@@ -1,0 +1,59 @@
+package graft.capture
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.DataFrame
+
+import graft.model.ChangeEvent
+
+/** Apply a change-event log to a snapshot — the downstream consumer's
+  * "reconstruct full change histories" operation (reference readme.md:218):
+  * given the previous table state and captured events, produce the current
+  * state. The inverse of CdcCapture.
+  *
+  * Semantics: events are ordered by `event_id` (the monotonic sequence,
+  * reference init.sql:51-59); the latest event per primary key wins.
+  * DELETE removes the key; INSERT/UPDATE replace the row with the
+  * after-image (parsed from the JSON payload with the table's declared
+  * schema — the opt-in typed projection over the schemaless envelope,
+  * SURVEY.md §1.2).
+  *
+  * Scale: one window over (key) ordered by event_id — partitioned by key,
+  * never global — plus one anti-join against the snapshot; both shuffle on
+  * the PK only. Replay of a day's log over a 100 TB snapshot is one
+  * co-partitionable pass.
+  */
+object CdcApply {
+
+  /** @param snapshot      previous state (columns = payloadSchema fields)
+    * @param events        change events (ChangeEvent envelope rows)
+    * @param pk            primary-key field names within the payload
+    * @param payloadSchema declared schema of the watched table's rows
+    */
+  def applyLog(
+      snapshot: DataFrame,
+      events: DataFrame,
+      pk: Seq[String],
+      payloadSchema: StructType
+  ): DataFrame = {
+    val cols = payloadSchema.fieldNames.toSeq
+    // key comes from the after-image when present, else the before-image
+    // (DELETE has only `before` — reference readme.md:262-267)
+    val parsed = events.select(
+      col("event_id"),
+      col("operation"),
+      from_json(coalesce(col("after"), col("before")), payloadSchema).as("__row")
+    )
+    val keyed = pk.foldLeft(parsed) { case (df, k) => df.withColumn(k, col(s"__row.$k")) }
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(col("event_id").desc)
+    val latest = keyed
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+    val survivors = latest
+      .where(col("operation") =!= ChangeEvent.Delete)
+      .select(cols.map(c => col(s"__row.$c").as(c)): _*)
+    val untouched = snapshot.join(latest.select(pk.map(col): _*), pk, "left_anti")
+    untouched.select(cols.map(col): _*).unionByName(survivors)
+  }
+}

@@ -202,6 +202,35 @@ object CdcQueries {
       clicks.unionByName(errors).orderBy("topic", "event_id")
     },
 
+    // C8 (the inverse of capture): apply a change log to a snapshot —
+    // latest event per key wins, DELETE removes, after-images parsed with
+    // the declared payload schema (reference readme.md:218)
+    "c8_apply_log" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val payloadSchema = StructType(Seq(
+        StructField("rid", LongType), StructField("user_id", LongType),
+        StructField("cents", LongType)))
+      val payload = to_json(struct(
+        (col("event_id") % 4999).as("rid"),
+        col("user_id"),
+        round(col("value") * 100).cast("long").as("cents")))
+      val log = events(s, dir).select(
+        col("event_id"),
+        when(col("event_type") === "signup", "INSERT")
+          .when(col("event_type") === "error", "DELETE")
+          .otherwise("UPDATE").as("operation"),
+        when(col("event_type") === "signup", lit(null).cast("string"))
+          .otherwise(payload).as("before"),
+        when(col("event_type") === "error", lit(null).cast("string"))
+          .otherwise(payload).as("after")
+      )
+      val snapshot = s.range(4999).select(
+        col("id").as("rid"), lit(-1L).as("user_id"), lit(0L).as("cents"))
+      graft.capture.CdcApply
+        .applyLog(snapshot, log, Seq("rid"), payloadSchema)
+        .orderBy("rid")
+    },
+
     // End-to-end: envelope mapping → id assignment → partitioned log
     // append → read-back → per-table view (R1+R2) → incremental poll (R3).
     // The physical roundtrip through the event_date-partitioned parquet log
@@ -318,6 +347,27 @@ object CdcQueries {
         |UNION ALL
         |SELECT 'cdc-event_log_errors' AS topic, event_id FROM events WHERE event_type = 'error'
         |ORDER BY topic, event_id""".stripMargin,
+    "c8_apply_log" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_id % 4999 AS rid, user_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CASE WHEN event_type = 'signup' THEN 'INSERT'
+        |              WHEN event_type = 'error' THEN 'DELETE'
+        |              ELSE 'UPDATE' END AS op
+        |  FROM events
+        |), latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY rid ORDER BY event_id DESC) AS rn FROM ev
+        |), survivors AS (
+        |  SELECT rid, user_id, cents FROM latest WHERE rn = 1 AND op <> 'DELETE'
+        |), untouched AS (
+        |  SELECT t.rid, CAST(-1 AS BIGINT) AS user_id, CAST(0 AS BIGINT) AS cents
+        |  FROM range(4999) t(rid)
+        |  WHERE t.rid NOT IN (SELECT rid FROM latest WHERE rn = 1)
+        |)
+        |SELECT rid, user_id, cents FROM untouched
+        |UNION ALL
+        |SELECT rid, user_id, cents FROM survivors
+        |ORDER BY rid""".stripMargin,
     "e2e_log_roundtrip" ->
       """SELECT event_id,
         |       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,

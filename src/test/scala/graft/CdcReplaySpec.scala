@@ -64,6 +64,26 @@ class CdcReplaySpec extends SparkSpec {
     }
   }
 
+  test("distributed CdcApply.applyLog reconstructs the final snapshot (capture ∘ apply = identity)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", IntegerType), StructField("v", StringType)))
+    val rnd = new scala.util.Random(7)
+    def word() = (0 until 4).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    (0 until 5).foreach { _ =>
+      val init = (0 until rnd.nextInt(12)).map(_ => rnd.nextInt(16) -> word()).toMap
+      val script = (0 until 10).map { _ =>
+        (Seq("ins", "upd", "del")(rnd.nextInt(3)), rnd.nextInt(16), word())
+      }
+      val fin = applyScript(init, script)
+      val events = CdcCapture.assignIds(
+        CdcCapture.capture(toDf(init), toDf(fin), Seq("id"), "s", "t", lit(t0)), 0L)
+      val rebuilt = graft.capture.CdcApply
+        .applyLog(toDf(init), events, Seq("id"), schema)
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(rebuilt == fin, s"init=$init script=$script")
+    }
+  }
+
   test("capture of identical snapshots is empty") {
     val m = Map(1 -> "a", 2 -> "b")
     assert(CdcCapture.capture(toDf(m), toDf(m), Seq("id"), "s", "t", lit(t0)).count() == 0)
