@@ -121,6 +121,39 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // window offsets: lag/lead per key in a deterministic order
+    "q_window_offsets" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .where(col("o_custkey") < 300)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+          round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+          row_number().over(w).as("pos")
+        )
+        .orderBy("o_custkey", "pos")
+    },
+
+    // RANGE window frame: 30-day trailing sum per customer (cents kept as
+    // integers so the frame sum is order-independent and exact)
+    "q_window_range_frame" -> { (s, dir) =>
+      Tables.registerViews(s, dir, Seq("orders"))
+      s.sql(
+        """SELECT o_custkey, o_orderkey,
+          |       sum(cents) OVER (PARTITION BY o_custkey ORDER BY epoch_days
+          |                        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS sum_30d_cents
+          |FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+          |         CAST(floor(unix_timestamp(o_orderdate) / 86400) AS BIGINT) AS epoch_days
+          |  FROM orders WHERE o_custkey < 300
+          |)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin
+      )
+    },
+
     // distinct aggregation (exact)
     "q_distinct_agg" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -252,6 +285,39 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // string-function breadth
+    "q_string_fns" -> { (s, dir) =>
+      t(s, dir, "part")
+        .where(col("p_partkey") < 500)
+        .select(
+          col("p_partkey"),
+          substring(col("p_name"), 1, 10).as("name10"),
+          regexp_replace(col("p_type"), " ", "_").as("type_us"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+          reverse(col("p_brand")).as("brand_rev"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          element_at(split(col("p_type"), " "), 1).as("type_head"),
+          length(col("p_name")).as("name_len")
+        )
+        .orderBy("p_partkey")
+    },
+
+    // datetime-function breadth
+    "q_datetime_fns" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .where(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).as("days_since"),
+          date_format(add_months(col("o_orderdate"), 2), "yyyy-MM-dd").as("plus2m"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end")
+        )
+        .orderBy("o_orderkey")
+    },
+
     // JSON functions over the props payload
     "q_json_fns" -> { (s, dir) =>
       t(s, dir, "events")
@@ -370,6 +436,25 @@ object RelationalQueries {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
         |FROM orders WHERE o_custkey < 500
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_offsets" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |       round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        |       CAST(row_number() OVER w AS INT) AS pos
+        |FROM orders WHERE o_custkey < 300
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, pos""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY epoch_days
+        |                        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_30d_cents
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS epoch_days
+        |  FROM orders WHERE o_custkey < 300
+        |)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         |       count(DISTINCT l_partkey) AS n_parts,
@@ -434,6 +519,25 @@ object RelationalQueries {
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
         |       json_extract_string(props, '$.k') AS k_str
         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+    "q_string_fns" ->
+      """SELECT p_partkey,
+        |       substr(p_name, 1, 10) AS name10,
+        |       replace(p_type, ' ', '_') AS type_us,
+        |       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |       reverse(p_brand) AS brand_rev,
+        |       concat_ws('-', p_brand, p_type) AS brand_type,
+        |       string_split(p_type, ' ')[1] AS type_head,
+        |       CAST(length(p_name) AS INT) AS name_len
+        |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin,
+    "q_datetime_fns" ->
+      """SELECT o_orderkey,
+        |       CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |       CAST(day(o_orderdate) AS INT) AS dom,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        |       strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m,
+        |       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
     "q_json_fns" ->
       """SELECT event_type,
         |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,

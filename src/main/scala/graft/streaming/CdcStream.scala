@@ -84,6 +84,45 @@ object CdcStream {
       .outputMode("append")
       .start()
 
+  /** Maintain a materialized current-state table from the change stream:
+    * each micro-batch applies its events to the stored snapshot
+    * (CdcApply.applyLog — latest per key wins) and atomically swaps the
+    * state directory. The CDC-to-materialized-view flow without a
+    * transactional table format: per-batch cost is one key-partitioned
+    * join of batch × state; the tmp-write + rename swap keeps readers
+    * consistent, and checkpointing makes redelivery idempotent (applyLog
+    * is — reapplying the same events yields the same state).
+    */
+  def materialize(
+      logStream: DataFrame,
+      statePath: String,
+      checkpoint: String,
+      pk: Seq[String],
+      payloadSchema: org.apache.spark.sql.types.StructType,
+      trigger: Trigger = DefaultTrigger
+  ): StreamingQuery =
+    logStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], payloadSchema)
+        val current =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath))) spark.read.parquet(statePath)
+          else empty
+        val next = graft.capture.CdcApply.applyLog(current, batch.toDF(), pk, payloadSchema)
+        val tmp = s"$statePath.tmp"
+        next.write.mode("overwrite").parquet(tmp)
+        fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(statePath))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode("append")
+      .start()
+
   /** Streaming exact dedup with bounded state: duplicates of a key are
     * dropped for as long as the key can still arrive (the watermark bound)
     * — the streaming form of CdcLog.dedup's at-least-once idempotence.

@@ -78,6 +78,47 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("materialize maintains the current-state table across micro-batches") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", IntegerType), StructField("v", StringType)))
+    val logPath = tempDir("matlog")
+    val statePath = tempDir("matstate") + "/state"
+    val ckpt = tempDir("matckpt")
+
+    def env(id: Int, op: String, v: String, eid: Long) = {
+      val json = s"""{"id":$id,"v":"$v"}"""
+      (ts("2025-06-14T00:00:00Z"), "dataschema", "t", op,
+        if (op == "INSERT") null else json,
+        if (op == "DELETE") null else json,
+        eid)
+    }
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+    // batch 1: insert 1..3
+    CdcLog.append(Seq(
+      env(1, "INSERT", "a", 1L), env(2, "INSERT", "b", 2L), env(3, "INSERT", "c", 3L)
+    ).toDF("ts", "schema_name", "table_name", "operation", "before", "after", "event_id"), logPath)
+    def runOnce(): Unit = {
+      val stream = CdcStream.readLogStream(spark, logPath, CdcLog.read(spark, logPath).schema)
+      val q = CdcStream.materialize(stream, statePath, ckpt, Seq("id"), schema,
+        Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(statePath).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      == Seq((1, "a"), (2, "b"), (3, "c")))
+
+    // batch 2: update 2, delete 3, insert 4 — only the delta is applied
+    CdcLog.append(Seq(
+      env(2, "UPDATE", "b2", 4L), env(3, "DELETE", "c", 5L), env(4, "INSERT", "d", 6L)
+    ).toDF("ts", "schema_name", "table_name", "operation", "before", "after", "event_id"), logPath)
+    runOnce()
+    assert(spark.read.parquet(statePath).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      == Seq((1, "a"), (2, "b2"), (4, "d")))
+  }
+
   test("streaming dedup within watermark drops redelivered keys") {
     val dir = tempDir("sdedup") + "/data"
     val ev = Tables.load(spark, sf0001, "events").limit(200)
