@@ -240,7 +240,16 @@ object RelationalQueries {
       val u = custNations.union(suppNations).distinct().withColumn("op", lit("union"))
       val i = custNations.intersect(suppNations).withColumn("op", lit("intersect"))
       val e = custNations.except(suppNations).withColumn("op", lit("except"))
-      u.unionByName(i).unionByName(e).select("op", "nationkey").orderBy("op", "nationkey")
+      // ALL variants (bag semantics) over deliberately-duplicated inputs
+      val custDup = t(s, dir, "customer")
+        .where(col("c_custkey") < 50)
+        .select((col("c_nationkey") % 5).as("nationkey"))
+      val suppDup = t(s, dir, "supplier")
+        .select((col("s_nationkey") % 5).as("nationkey"))
+      val ia = custDup.intersectAll(suppDup).withColumn("op", lit("intersect_all"))
+      val ea = custDup.exceptAll(suppDup).withColumn("op", lit("except_all"))
+      u.unionByName(i).unionByName(e).unionByName(ia).unionByName(ea)
+        .select("op", "nationkey").orderBy("op", "nationkey")
     },
 
     // global sort + limit (top-k by measure with deterministic tie-break)
@@ -493,12 +502,18 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q_setops" ->
       """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
-        |     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),
+        |     cd AS (SELECT c_nationkey % 5 AS nationkey FROM customer WHERE c_custkey < 50),
+        |     sd AS (SELECT s_nationkey % 5 AS nationkey FROM supplier)
         |SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM cn UNION SELECT nationkey FROM sn)
         |UNION ALL
         |SELECT 'intersect' AS op, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
         |UNION ALL
         |SELECT 'except' AS op, nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, nationkey FROM (SELECT nationkey FROM cd INTERSECT ALL SELECT nationkey FROM sd)
+        |UNION ALL
+        |SELECT 'except_all' AS op, nationkey FROM (SELECT nationkey FROM cd EXCEPT ALL SELECT nationkey FROM sd)
         |ORDER BY op, nationkey""".stripMargin,
     "q_topk_limit" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice

