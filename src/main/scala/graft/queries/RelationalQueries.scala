@@ -166,6 +166,20 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // statistical aggregates: exact interpolated percentiles, stddev, corr
+    "q_stats_agg" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95_price"),
+          round(stddev_samp(col("o_totalprice")), 2).as("sd_price"),
+          round(corr(col("o_totalprice"), col("o_custkey")), 4).as("corr_pc"),
+          count(lit(1)).as("n")
+        )
+        .orderBy("o_orderstatus")
+    },
+
     // approximate distinct (HLL sketch) — no DuckDB oracle (different
     // sketch); checked rows-only by the driver and exactly in unit tests
     "q_approx_distinct" -> { (s, dir) =>
@@ -470,6 +484,14 @@ object RelationalQueries {
         |       count(DISTINCT l_suppkey) AS n_supps,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT o_orderstatus,
+        |       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+        |       round(quantile_cont(o_totalprice, 0.95), 2) AS p95_price,
+        |       round(stddev_samp(o_totalprice), 2) AS sd_price,
+        |       round(corr(o_totalprice, o_custkey), 4) AS corr_pc,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
         |       count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
