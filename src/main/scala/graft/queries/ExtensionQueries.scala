@@ -150,6 +150,21 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // multimodal metadata through the batched decode stage — byte counts
+    // and typed meta are SQL-derivable, so this entry is oracle-gated even
+    // though the decode runs through the real mapPartitions plumbing
+    "x_multimodal_meta" -> { (s, dir) =>
+      val media = Multimodal.syntheticMedia(s, docs(s, dir))
+      Multimodal
+        .extractFeatures(media)
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"))
+        .join(
+          media.toDF().select(col("media_id"), col("width"), col("height"), col("duration_ms")),
+          Seq("media_id"))
+        .orderBy("media_id")
+    },
+
     // multimodal plumbing: opaque binary payloads + typed meta through the
     // batched mapPartitions decode stage (stub codec) — no oracle
     "x_multimodal_features" -> { (s, dir) =>
@@ -230,6 +245,16 @@ object ExtensionQueries {
         |  WHERE a.vec_id < b.vec_id
         |) WHERE cos >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "x_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(n_chars % 640 AS INT) AS width,
+        |       CAST(n_chars % 480 AS INT) AS height,
+        |       CAST(n_chars * 10 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
     "x_text_tokens" ->
       """SELECT doc_id,
         |       CASE WHEN length(trim(text)) = 0 THEN 0
