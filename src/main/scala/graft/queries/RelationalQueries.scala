@@ -166,6 +166,21 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // pivot (conditional aggregation over a known value set)
+    "q_pivot" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"),
+          coalesce(col("P"), lit(0L)).as("p_cnt")
+        )
+        .orderBy("o_orderpriority")
+    },
+
     // statistical aggregates: exact interpolated percentiles, stddev, corr
     "q_stats_agg" -> { (s, dir) =>
       t(s, dir, "orders")
@@ -484,6 +499,12 @@ object RelationalQueries {
         |       count(DISTINCT l_suppkey) AS n_supps,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |       count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_stats_agg" ->
       """SELECT o_orderstatus,
         |       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
