@@ -70,7 +70,7 @@ final class CdcPollTable(path: String, props: util.Map[String, String])
   override def name(): String = s"cdcpoll($path)"
   override def schema(): StructType = ChangeEvent.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -78,6 +78,16 @@ final class CdcPollTable(path: String, props: util.Map[String, String])
         override def readSchema(): StructType = ChangeEvent.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new CdcPollMicroBatchStream(path, options.asCaseSensitiveMap().asScala.toMap)
+        // batch form: one backfill scan over (startTimestamp, latest] with
+        // the same offset semantics and file pruning as the stream
+        override def toBatch: Batch = new Batch {
+          private val stream =
+            new CdcPollMicroBatchStream(path, options.asCaseSensitiveMap().asScala.toMap)
+          override def planInputPartitions(): Array[InputPartition] =
+            stream.planInputPartitions(stream.initialOffset(), stream.latestOffset())
+          override def createReaderFactory(): PartitionReaderFactory =
+            stream.createReaderFactory()
+        }
       }
     }
 }

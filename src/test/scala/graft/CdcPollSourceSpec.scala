@@ -76,6 +76,24 @@ class CdcPollSourceSpec extends SparkSpec {
     assert(got == (11L to 20L))
   }
 
+  test("batch read: backfill through the same source with start.timestamp") {
+    val logPath = tempDir("cdcpollbatch") + "/log"
+    CdcLog.append(mkEvents(1 to 10, day = 14), logPath)
+    CdcLog.append(mkEvents(11 to 20, day = 16), logPath)
+    val all = spark.read
+      .format(classOf[CdcPollTableProvider].getName)
+      .option("path", logPath)
+      .load()
+    assert(all.count() == 20)
+    assert(all.columns.toSeq == graft.model.ChangeEvent.columns)
+    val tail = spark.read
+      .format(classOf[CdcPollTableProvider].getName)
+      .option("path", logPath)
+      .option("startTimestamp", "2025-06-15T00:00:00Z")
+      .load()
+    assert(tail.select("event_id").as[Long].collect().sorted.toSeq == (11L to 20L))
+  }
+
   test("values survive the source intact (content parity with the parquet read)") {
     val logPath = tempDir("cdcpollparity") + "/log"
     val ckpt = tempDir("cdcpollparityckpt")
