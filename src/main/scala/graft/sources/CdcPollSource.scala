@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -112,7 +112,22 @@ object CdcPollOffset {
 }
 
 final class CdcPollMicroBatchStream(path: String, options: Map[String, String])
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // AvailableNow: the end-of-stream target is frozen when the query starts;
+  // rate limits pace batches up to it and the query stops there
+  @volatile private var availableNowTarget: Option[CdcPollOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestOffset().asInstanceOf[CdcPollOffset])
+
+  private def clamp(o: CdcPollOffset): CdcPollOffset =
+    availableNowTarget match {
+      case Some(t) if t.lexLt(o) => t
+      case _                     => o
+    }
 
   private val hadoopConf = new Configuration()
 
@@ -177,6 +192,47 @@ final class CdcPollMicroBatchStream(path: String, options: Map[String, String])
     if (ranges.isEmpty) startOffset
     else CdcPollOffset(ranges.map(_._2.tsMicros).max, ranges.map(_._2.eventId).max)
   }
+
+  // ---- admission control (rate-limited micro-batches) ----------------------
+
+  override def getDefaultReadLimit: ReadLimit =
+    options.get("maxfilespertrigger").orElse(options.get("maxFilesPerTrigger")) match {
+      case Some(n) => ReadLimit.maxFiles(n.toInt)
+      case None    => ReadLimit.allAvailable()
+    }
+
+  /** Rate-limited batch end: admit ~maxFiles files per trigger. The end
+    * offset must be a clean cut — every row ≤ end has to live in an
+    * admitted file — so after picking the `maxFiles` files with the
+    * smallest max-offsets, the end is placed just below the smallest
+    * min-offset among the files left out (rows past the cut inside
+    * admitted files are simply re-read next trigger; the (start, end]
+    * predicate keeps them out of this batch). If ranges interleave so no
+    * clean cut exists above `start`, fall back to all available — progress
+    * over strict pacing.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CdcPollOffset]
+    val all = clamp(latestOffset().asInstanceOf[CdcPollOffset])
+    limit match {
+      case _: ReadAllAvailable => all
+      case mf: ReadMaxFiles =>
+        val pending = listParquetFiles()
+          .flatMap(fileStatsRange)
+          .filter { case (_, mx) => s.lexLt(mx) } // file has rows after start
+          .sortBy { case (_, mx) => (mx.tsMicros, mx.eventId) }
+        if (pending.size <= mf.maxFiles()) all
+        else {
+          val remaining = pending.drop(mf.maxFiles())
+          val cutBelow = remaining.map(_._1).minBy(mn => (mn.tsMicros, mn.eventId))
+          val end = clamp(CdcPollOffset(cutBelow.tsMicros, cutBelow.eventId - 1))
+          if (s.lexLt(end)) end else all
+        }
+      case _ => all
+    }
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CdcPollOffset]

@@ -76,6 +76,26 @@ class CdcPollSourceSpec extends SparkSpec {
     assert(got == (11L to 20L))
   }
 
+  test("maxFilesPerTrigger paces the stream into multiple complete batches") {
+    val logPath = tempDir("cdcpollrate") + "/log"
+    val ckpt = tempDir("cdcpollrateckpt")
+    // three appends, three distinct days → at least 3 files with disjoint ranges
+    CdcLog.append(mkEvents(1 to 5, day = 10), logPath)
+    CdcLog.append(mkEvents(6 to 10, day = 12), logPath)
+    CdcLog.append(mkEvents(11 to 15, day = 14), logPath)
+    val batches = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = readPoll(logPath, Map("maxFilesPerTrigger" -> "1")).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches += b.count(); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.sum == 15, s"batches=$batches")
+    assert(batches.count(_ > 0) >= 2, s"expected pacing into multiple batches, got $batches")
+  }
+
   test("batch read: backfill through the same source with start.timestamp") {
     val logPath = tempDir("cdcpollbatch") + "/log"
     CdcLog.append(mkEvents(1 to 10, day = 14), logPath)
