@@ -86,6 +86,13 @@ object TextOps {
     }.otherwise(lit("und"))
   }
 
+  /** Canonical text normalization for exact-dedup keys: lowercase, strip
+    * punctuation, collapse whitespace runs, trim — the cheap first pass
+    * before hashing (see Dedup.contentHash).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", " "), "\\s+", " "))
+
   // ---- fingerprinting ------------------------------------------------------
 
   /** Rolling-hash document fingerprint: xxhash64 over each word w-shingle,

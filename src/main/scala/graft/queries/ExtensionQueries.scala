@@ -130,6 +130,17 @@ object ExtensionQueries {
       ).orderBy("doc_id")
     },
 
+    // canonical normalization (the exact-dedup key transform)
+    "x_text_normalize" -> { (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          TextOps.normalize(col("text")).as("norm"),
+          length(TextOps.normalize(col("text"))).as("norm_len")
+        )
+        .orderBy("doc_id")
+    },
+
     // language identification vs the labeled lang column
     "x_text_langid" -> { (s, dir) =>
       docs(s, dir)
@@ -284,6 +295,11 @@ object ExtensionQueries {
         |  FROM f
         |)
         |SELECT doc_id, n_tokens, n_stop, round(quality, 4) AS quality FROM sc ORDER BY doc_id""".stripMargin,
+    "x_text_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS norm,
+        |       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS INT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_text_langid" ->
       """WITH w AS (
         |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents

@@ -183,6 +183,17 @@ class ExtSpec extends SparkSpec {
     assert(fps.toSeq == again.toSeq)
   }
 
+  test("stub codec resize keeps a deterministic prefix proportional to the area ratio") {
+    val payload = (0 until 1000).map(_.toByte).toArray
+    val half = Multimodal.FakeCodec.resize(payload, fromArea = 100L, toArea = 50L)
+    assert(half.length == 500 && half.toSeq == payload.take(500).toSeq)
+    val same = Multimodal.FakeCodec.resize(payload, fromArea = 100L, toArea = 100L)
+    assert(same.length == 1000)
+    val up = Multimodal.FakeCodec.resize(payload, fromArea = 100L, toArea = 200L)
+    assert(up.length == 1000) // never exceeds the source
+    assert(Multimodal.FakeCodec.resize(null, 100L, 50L) == null)
+  }
+
   test("multimodal decode plumbing is deterministic and batch-shaped") {
     val media = Multimodal.syntheticMedia(spark, docs.limit(50))
     val f1 = Multimodal.extractFeatures(media).collect().map(m => (m.media_id, m.checksum, m.feature.toSeq))
