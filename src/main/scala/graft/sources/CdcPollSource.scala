@@ -73,23 +73,61 @@ final class CdcPollTable(path: String, props: util.Map[String, String])
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = ChangeEvent.schema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CdcPollMicroBatchStream(path, options.asCaseSensitiveMap().asScala.toMap)
-        // batch form: one backfill scan over (startTimestamp, latest] with
-        // the same offset semantics and file pruning as the stream
-        override def toBatch: Batch = new Batch {
-          private val stream =
-            new CdcPollMicroBatchStream(path, options.asCaseSensitiveMap().asScala.toMap)
-          override def planInputPartitions(): Array[InputPartition] =
-            stream.planInputPartitions(stream.initialOffset(), stream.latestOffset())
-          override def createReaderFactory(): PartitionReaderFactory =
-            stream.createReaderFactory()
-        }
-      }
+    new CdcPollScanBuilder(path, options.asCaseSensitiveMap().asScala.toMap)
+}
+
+/** ScanBuilder with filter pushdown (equality on the routing columns —
+  * the view's R2 predicate — evaluated inside the row readers, so
+  * non-matching relations never materialize rows) and column pruning
+  * (readers emit only the requested envelope fields). Both apply to the
+  * streaming and the batch form alike.
+  */
+final class CdcPollScanBuilder(path: String, options: Map[String, String])
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  import org.apache.spark.sql.sources.{EqualTo, Filter}
+
+  private var pushed: Array[Filter] = Array.empty
+  private var requiredSchema: StructType = ChangeEvent.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo(attr, _: String) => attr == "schema_name" || attr == "table_name"
+      case _                        => false
     }
+    pushed = accepted
+    rejected // Spark evaluates the rest post-scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit =
+    // preserve envelope field order; tolerate empty projections (count(*))
+    requiredSchema = StructType(
+      ChangeEvent.schema.fields.filter(f => required.fieldNames.contains(f.name)))
+
+  private def eqFilters: Map[String, String] =
+    pushed.collect { case EqualTo(a, v: String) => a -> v }.toMap
+
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = requiredSchema
+    override def description(): String =
+      s"cdcpoll(path=$path, pushed=${pushed.mkString(",")}, columns=${requiredSchema.fieldNames.mkString(",")})"
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new CdcPollMicroBatchStream(path, options, eqFilters, requiredSchema.fieldNames)
+    // batch form: one backfill scan over (startTimestamp, latest] with
+    // the same offset semantics and file pruning as the stream
+    override def toBatch: Batch = new Batch {
+      private val stream =
+        new CdcPollMicroBatchStream(path, options, eqFilters, requiredSchema.fieldNames)
+      override def planInputPartitions(): Array[InputPartition] =
+        stream.planInputPartitions(stream.initialOffset(), stream.latestOffset())
+      override def createReaderFactory(): PartitionReaderFactory =
+        stream.createReaderFactory()
+    }
+  }
 }
 
 /** Offset = the lexicographic (ts, event_id) watermark, serialized as JSON. */
@@ -111,8 +149,12 @@ object CdcPollOffset {
   val Zero: CdcPollOffset = CdcPollOffset(Long.MinValue, Long.MinValue)
 }
 
-final class CdcPollMicroBatchStream(path: String, options: Map[String, String])
-    extends MicroBatchStream
+final class CdcPollMicroBatchStream(
+    path: String,
+    options: Map[String, String],
+    eqFilters: Map[String, String] = Map.empty,
+    columns: Seq[String] = ChangeEvent.columns
+) extends MicroBatchStream
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -244,7 +286,7 @@ final class CdcPollMicroBatchStream(path: String, options: Map[String, String])
           val atOrBeforeStart = !s.lexLt(mx) // mx <= s
           val afterEnd = e.lexLt(mn) // mn > e
           if (atOrBeforeStart || afterEnd) None
-          else Some(CdcPollInputPartition(st.getPath.toString, s, e): InputPartition)
+          else Some(CdcPollInputPartition(st.getPath.toString, s, e, eqFilters, columns): InputPartition)
         case None => None
       }
     }.toArray
@@ -264,7 +306,9 @@ final class CdcPollMicroBatchStream(path: String, options: Map[String, String])
 final case class CdcPollInputPartition(
     file: String,
     start: CdcPollOffset,
-    end: CdcPollOffset
+    end: CdcPollOffset,
+    eqFilters: Map[String, String],
+    columns: Seq[String]
 ) extends InputPartition
 
 /** Row-level reader: parquet-hadoop Group records + the exact lexicographic
@@ -293,19 +337,22 @@ final class CdcPollPartitionReader(p: CdcPollInputPartition)
       val atOrBeforeEnd = ts < p.end.tsMicros ||
         (ts == p.end.tsMicros && id <= p.end.eventId)
       if (afterStart && atOrBeforeEnd) {
-        def str(field: String): UTF8String =
-          if (g.getFieldRepetitionCount(field) == 0) null
-          else UTF8String.fromString(g.getString(field, 0))
-        current = InternalRow(
-          ts,
-          str("schema_name"),
-          str("table_name"),
-          str("operation"),
-          str("before"),
-          str("after"),
-          id
-        )
-        return true
+        def raw(field: String): String =
+          if (g.getFieldRepetitionCount(field) == 0) null else g.getString(field, 0)
+        // pushed R2 equality filters evaluated before row materialization
+        val passes = p.eqFilters.forall { case (f, v) => raw(f) == v }
+        if (passes) {
+          def str(field: String): UTF8String = {
+            val s = raw(field)
+            if (s == null) null else UTF8String.fromString(s)
+          }
+          current = InternalRow(p.columns.map {
+            case "ts"       => ts
+            case "event_id" => id
+            case other      => str(other)
+          }: _*)
+          return true
+        }
       }
       g = reader.read()
     }

@@ -114,6 +114,29 @@ class CdcPollSourceSpec extends SparkSpec {
     assert(tail.select("event_id").as[Long].collect().sorted.toSeq == (11L to 20L))
   }
 
+  test("filter pushdown and column pruning reach the cdcpoll scan") {
+    val logPath = tempDir("cdcpollpush") + "/log"
+    CdcLog.append(mkEvents(1 to 10, day = 14), logPath)
+    CdcLog.append(
+      (11 to 20).map { i =>
+        (ts(f"2025-06-14T01:${i % 60}%02d:00Z"), "dataschema", "anomaly", "INSERT",
+          null: String, s"""{"id":$i}""", i.toLong)
+      }.toDF("ts", "schema_name", "table_name", "operation", "before", "after", "event_id"),
+      logPath)
+    val df = spark.read
+      .format(classOf[CdcPollTableProvider].getName)
+      .option("path", logPath)
+      .load()
+      .where($"table_name" === "assets")
+      .select("event_id", "operation")
+    // pushed filter shows in the scan description and rows are filtered
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=EqualTo(table_name,assets)"), plan)
+    assert(plan.contains("columns=") && !plan.contains("columns=ts,schema_name,table_name,operation,before,after,event_id"), plan)
+    assert(df.count() == 10)
+    assert(df.select("event_id").as[Long].collect().sorted.toSeq == (1L to 10L))
+  }
+
   test("values survive the source intact (content parity with the parquet read)") {
     val logPath = tempDir("cdcpollparity") + "/log"
     val ckpt = tempDir("cdcpollparityckpt")
