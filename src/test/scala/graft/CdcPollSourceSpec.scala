@@ -137,6 +137,24 @@ class CdcPollSourceSpec extends SparkSpec {
     assert(df.select("event_id").as[Long].collect().sorted.toSeq == (1L to 10L))
   }
 
+  test("full EP2 through cdcpoll: source → view filter → envelope → topic files") {
+    import graft.streaming.CdcStream
+    val logPath = tempDir("cdcpollep2") + "/log"
+    val outPath = tempDir("cdcpollep2out") + "/topics"
+    val ckpt = tempDir("cdcpollep2ckpt")
+    CdcLog.append(mkEvents(1 to 12, day = 14), logPath)
+    val stream = readPoll(logPath)
+    val delivery = CdcStream.deliveryStream(stream, "dataschema", "assets")
+    val q = CdcStream.toTopicFiles(delivery, outPath, ckpt, Trigger.AvailableNow())
+    q.awaitTermination()
+    val out = spark.read.parquet(outPath)
+    assert(out.count() == 12)
+    assert(out.select("topic").distinct().as[String].collect().toSeq
+      == Seq("cdc-event_log_assets"))
+    val v = out.orderBy("key").select("value").as[String].head()
+    assert(v.startsWith("""{"schema":{"type":"struct"""") && v.contains(""""payload":{"""))
+  }
+
   test("values survive the source intact (content parity with the parquet read)") {
     val logPath = tempDir("cdcpollparity") + "/log"
     val ckpt = tempDir("cdcpollparityckpt")
