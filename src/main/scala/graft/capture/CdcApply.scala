@@ -56,4 +56,19 @@ object CdcApply {
     val untouched = snapshot.join(latest.select(pk.map(col): _*), pk, "left_anti")
     untouched.select(cols.map(col): _*).unionByName(survivors)
   }
+
+  /** Point-in-time reconstruction: the table state as of `maxEventId`
+    * (inclusive) — replay only the log prefix. With the retention window
+    * (CdcLog) this gives time travel across the retained history, the
+    * readme.md:218 "reconstruct full change histories" capability as a
+    * queryable operator.
+    */
+  def stateAsOf(
+      snapshot: DataFrame,
+      events: DataFrame,
+      pk: Seq[String],
+      payloadSchema: StructType,
+      maxEventId: Long
+  ): DataFrame =
+    applyLog(snapshot, events.where(col("event_id") <= maxEventId), pk, payloadSchema)
 }

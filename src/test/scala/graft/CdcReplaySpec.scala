@@ -84,6 +84,26 @@ class CdcReplaySpec extends SparkSpec {
     }
   }
 
+  test("stateAsOf reconstructs intermediate states (time travel over the log)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", IntegerType), StructField("v", StringType)))
+    val s0 = Map(1 -> "a", 2 -> "b")
+    val s1 = Map(1 -> "a2", 2 -> "b", 3 -> "c") // upd 1, ins 3
+    val s2 = Map(1 -> "a2", 3 -> "c2")          // del 2, upd 3
+    val log01 = CdcCapture.assignIds(
+      CdcCapture.capture(toDf(s0), toDf(s1), Seq("id"), "s", "t", lit(t0)), 0L)
+    val maxId1 = log01.agg(org.apache.spark.sql.functions.max("event_id")).head().getLong(0)
+    val log12 = CdcCapture.assignIds(
+      CdcCapture.capture(toDf(s1), toDf(s2), Seq("id"), "s", "t", lit(t0)), maxId1)
+    val log = log01.unionByName(log12)
+    def state(asOf: Long) = graft.capture.CdcApply
+      .stateAsOf(toDf(s0), log, Seq("id"), schema, asOf)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(state(0L) == s0)
+    assert(state(maxId1) == s1)
+    assert(state(Long.MaxValue) == s2)
+  }
+
   test("capture of identical snapshots is empty") {
     val m = Map(1 -> "a", 2 -> "b")
     assert(CdcCapture.capture(toDf(m), toDf(m), Seq("id"), "s", "t", lit(t0)).count() == 0)
