@@ -36,6 +36,18 @@ class EnvelopeSpec extends SparkSpec {
     assert(parsed.getString(2) == "struct")
   }
 
+  test("schema_of_json infers the payload shape (schemaless envelope, typed on demand)") {
+    val inferred = spark.range(1)
+      .select(schema_of_json(lit("""{"k": 69}""")).as("s"))
+      .as[String].head()
+    assert(inferred == "STRUCT<k: BIGINT>")
+    // inferred schema drives a typed projection over real props payloads
+    val ev = Tables.load(spark, sf0001, "events").limit(10)
+    val k = ev.select(from_json($"props", lit(inferred), new java.util.HashMap[String, String]())
+      .getField("k").as("k")).where($"k".isNotNull).count()
+    assert(k == 10)
+  }
+
   test("topic naming matches the reference prefix scheme") {
     assert(JsonEnvelope.topicFor("event_log") == "cdc-event_log")
     assert(JsonEnvelope.topicFor("event_log_assets") == "cdc-event_log_assets")
