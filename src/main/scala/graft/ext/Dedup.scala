@@ -92,10 +92,18 @@ object Dedup {
     val sized = shingled(df, idCol, textCol, n)
       .select(col("id"), col("shingles"), size(col("shingles")).as("sz"))
     val exploded = sized.select(col("id"), col("sz"), explode(col("shingles")).as("sh"))
-    val rare = exploded
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+    // document-frequency filter via hash aggregation + join — NOT a window
+    // over shingle: the window form sorts every (doc, shingle) row within
+    // each shingle partition, and at corpus scale a hot shingle becomes one
+    // giant sorted partition; groupBy is map-side-combined and skew-free,
+    // and the post-filter df table (rare shingles only) joins back on the
+    // same shuffle key
+    val rareShingles = exploded
+      .groupBy("sh")
+      .agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleDf)
-      .drop("df")
+      .select("sh")
+    val rare = exploded.join(rareShingles, Seq("sh"))
     val a = rare.select(col("id").as("id_a"), col("sz").as("size_a"), col("sh"))
     val b = rare.select(col("id").as("id_b"), col("sz").as("size_b"), col("sh"))
     a.join(b, Seq("sh"))

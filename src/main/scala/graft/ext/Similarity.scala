@@ -82,22 +82,28 @@ object Similarity {
 
   // ---- random-hyperplane LSH ----------------------------------------------
 
-  /** Deterministic pseudo-random hyperplane component: a unit-free ±weight
-    * derived from xxhash64(seed, plane, dim) — reproducible across runs and
-    * engines without storing plane matrices.
-    */
-  private def planeComponent(plane: Int, dim: Column, seed: Int): Column =
-    (xxhash64(lit(seed), lit(plane), dim) % 1000).cast("double") / 1000.0
-
   /** Sign-random-projection bucket id over `numPlanes` hyperplanes
-    * (Charikar SRP-LSH): bit p = sign(v · r_p). Buckets collide for
-    * angularly-close vectors.
+    * (Charikar SRP-LSH): bit p = sign(v · r_p), plane components derived
+    * from xxhash64(seed, plane, dim) — reproducible across runs without
+    * storing plane matrices. Buckets collide for angularly-close vectors.
+    *
+    * Computed by the native [[graft.functions.SrpBucket]] expression (tight
+    * primitive loop in whole-stage codegen); [[srpBucketReference]] is the
+    * bit-identical built-in composition kept for the parity test.
     */
-  def srpBucket(vec: Column, numPlanes: Int, seed: Int = 42): Column = {
+  def srpBucket(vec: Column, numPlanes: Int, seed: Int = 42): Column =
+    GraftFunctions.srp_bucket(vec, numPlanes, seed)
+
+  /** Built-in-composition form of [[srpBucket]] (interpreted HOFs —
+    * reference semantics only, not for hot paths).
+    */
+  def srpBucketReference(vec: Column, numPlanes: Int, seed: Int = 42): Column = {
+    def planeComponent(plane: Int, dim: Column): Column =
+      (xxhash64(lit(seed), lit(plane), dim) % 1000).cast("double") / 1000.0
     val dims = sequence(lit(0), size(vec) - 1)
     val bits = (0 until numPlanes).map { p =>
       val dot = aggregate(
-        zip_with(vec, dims, (x, i) => x.cast("double") * planeComponent(p, i, seed)),
+        zip_with(vec, dims, (x, i) => x.cast("double") * planeComponent(p, i)),
         lit(0.0),
         (acc, v) => acc + v
       )

@@ -31,9 +31,15 @@ object TextOps {
   private val EnglishStopwords =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
 
+  /** Occurrence count of stopwords — native [[graft.functions.CountInSet]]
+    * (codegen'd hash-set probe per word; identical semantics to the
+    * interpreted `size(filter(words, isInCollection))` form it replaces).
+    * The session must have called GraftFunctions.register (all graft query
+    * entry points do).
+    */
   def stopwordCount(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
     val words = split(lower(trim(text)), "\\s+")
-    size(filter(words, w => w.isInCollection(stopwords)))
+    graft.functions.GraftFunctions.count_in_set(words, stopwords)
   }
 
   /** Composite quality score in [0,1]: length band + punctuation ratio +
@@ -78,7 +84,7 @@ object TextOps {
   def langId(text: Column): Column = {
     val words = split(lower(trim(text)), "\\s+")
     val scores = LangMarkers.map { case (lang, markers) =>
-      lang -> size(filter(words, w => w.isInCollection(markers)))
+      lang -> graft.functions.GraftFunctions.count_in_set(words, markers)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (lang, s)) =>

@@ -22,13 +22,24 @@ object GraftFunctions {
       case other   => throw new IllegalArgumentException(s"expected int literal, got $other")
     }
 
+  private def stringSeqLit(e: Expression): Seq[String] =
+    e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+          .toSeq
+      case other => throw new IllegalArgumentException(s"expected array<string> literal, got $other")
+    }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> { es: Seq[Expression] => CosineSimilarity(es(0), es(1)) },
     "dot_product" -> { es: Seq[Expression] => DotProduct(es(0), es(1)) },
     "word_shingles" -> { es: Seq[Expression] => WordShingles(es(0), intLit(es(1))) },
     "hashed_array" -> { es: Seq[Expression] => HashedArray(es(0)) },
     "minhash_agg" -> { es: Seq[Expression] => MinHashAgg(es(0), intLit(es(1))) },
-    "simhash_agg" -> { es: Seq[Expression] => SimHashAgg(es(0)) }
+    "simhash_agg" -> { es: Seq[Expression] => SimHashAgg(es(0)) },
+    "srp_bucket" -> { es: Seq[Expression] => SrpBucket(es(0), intLit(es(1)), intLit(es(2))) },
+    "count_in_set" -> { es: Seq[Expression] => CountInSet(es(0), stringSeqLit(es(1))) }
   )
 
   def register(spark: SparkSession): Unit =
@@ -61,6 +72,23 @@ object GraftFunctions {
   /** SimHash sketch aggregate over exploded shingle strings. */
   def simhash_agg(shingle: Column): Column =
     call_function("simhash_agg", shingle)
+
+  /** SRP-LSH bucket id over `numPlanes` pseudo-random hyperplanes
+    * (codegen'd; see [[SrpBucket]]).
+    */
+  def srp_bucket(vec: Column, numPlanes: Int, seed: Int): Column =
+    call_function(
+      "srp_bucket",
+      vec,
+      org.apache.spark.sql.functions.lit(numPlanes),
+      org.apache.spark.sql.functions.lit(seed)
+    )
+
+  /** Occurrence count of array<string> elements within a fixed set
+    * (codegen'd; see [[CountInSet]]).
+    */
+  def count_in_set(arr: Column, set: Seq[String]): Column =
+    call_function("count_in_set", arr, org.apache.spark.sql.functions.lit(set.toArray))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -77,6 +77,66 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Count of array elements contained in a small fixed string set — the
+  * codegen'd form of `size(filter(words, w => w.isInCollection(set)))`
+  * (identical semantics: occurrences counted, null elements skipped, null
+  * array → null). The interpreted `filter` HOF allocates a lambda frame per
+  * word; the marker scorers (stopword ratio, per-language marker counts)
+  * run it once per language per row, so at corpus scale the interpreted
+  * cost dominates the text-quality scan. Here: one hash-set probe per word
+  * inside whole-stage codegen.
+  */
+case class CountInSet(child: Expression, set: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"count_in_set requires array<string>, got $dt")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_in_set"
+
+  @transient private lazy val lookup: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](set.size * 2)
+    set.foreach(x => s.add(UTF8String.fromString(x)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && lookup.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val setRef = ctx.addReferenceObj("lookup", lookup, "java.util.HashSet")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      arr => s"""
+        |int n = $arr.numElements();
+        |int c = 0;
+        |for (int i = 0; i < n; i++) {
+        |  if (!$arr.isNullAt(i) && $setRef.contains($arr.getUTF8String(i))) c++;
+        |}
+        |${ev.value} = c;
+      """.stripMargin
+    )
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** xxhash64 over each element of a string array in one pass — fused
   * shingle-hash for the fingerprint stage (avoids an interpreted
   * `transform`). Seed 42 matches the built-in `xxhash64(col)` exactly, so

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -59,6 +59,81 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Sign-random-projection LSH bucket id over `numPlanes` pseudo-random
+  * hyperplanes (Charikar SRP-LSH): bit p = sign(v · r_p), where component i
+  * of plane p is a deterministic ±weight derived from
+  * `xxhash64(seed, p, i) % 1000 / 1000.0` — bit-identical to the column
+  * composition `aggregate(zip_with(vec, sequence(...), ...))` this replaces
+  * (same xxhash64 chain: 42L → hashInt(seed) → hashInt(p) → hashInt(i);
+  * same sequential double accumulation), but a tight primitive loop inside
+  * whole-stage codegen instead of a lambda frame + boxed float per element
+  * per plane. The bucketing stage runs over the whole corpus, so this is
+  * the ANN scan cost at 100 TB.
+  */
+case class SrpBucket(child: Expression, numPlanes: Int, seed: Int)
+    extends UnaryExpression {
+
+  require(numPlanes >= 1 && numPlanes <= 63, "numPlanes must be in [1, 63]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $dt")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_bucket"
+
+  // per-plane hash seed: xxhash64's fold of (seed, plane) with the builtin
+  // initial seed 42L; the per-dim component then folds the dim index in
+  @transient private lazy val planeSeeds: Array[Long] = {
+    val h0 = XXH64.hashInt(seed, 42L)
+    Array.tabulate(numPlanes)(p => XXH64.hashInt(p, h0))
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      val ps = planeSeeds(p)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashInt(i, ps)
+        dot += v.getFloat(i).toDouble * ((h % 1000L).toDouble / 1000.0)
+        i += 1
+      }
+      if (dot > 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seeds = ctx.addReferenceObj("planeSeeds", planeSeeds, "long[]")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      v => s"""
+        |int n = $v.numElements();
+        |long bucket = 0L;
+        |for (int p = 0; p < $numPlanes; p++) {
+        |  long ps = $seeds[p];
+        |  double dot = 0.0;
+        |  for (int i = 0; i < n; i++) {
+        |    long h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, ps);
+        |    dot += (double) $v.getFloat(i) * (((double) (h % 1000L)) / 1000.0);
+        |  }
+        |  if (dot > 0.0) bucket |= (1L << p);
+        |}
+        |${ev.value} = bucket;
+      """.stripMargin
+    )
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Dot product over `array<float>` — same codegen rationale as

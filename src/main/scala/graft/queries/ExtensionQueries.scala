@@ -121,6 +121,7 @@ object ExtensionQueries {
 
     // quality scoring components + composite
     "x_text_quality" -> { (s, dir) =>
+      GraftFunctions.register(s)
       val d = docs(s, dir)
       d.select(
         col("doc_id"),
@@ -143,6 +144,7 @@ object ExtensionQueries {
 
     // language identification vs the labeled lang column
     "x_text_langid" -> { (s, dir) =>
+      GraftFunctions.register(s)
       docs(s, dir)
         .select(
           col("doc_id"),

@@ -173,6 +173,33 @@ final class CdcPollMicroBatchStream(
 
   private val hadoopConf = new Configuration()
 
+  /** Injectable clock (µs) for the `timestamp.delay` guard — overridden in
+    * tests; production uses wall clock.
+    */
+  private[graft] var clockMicros: () => Long = () => System.currentTimeMillis() * 1000L
+
+  /** The connector's `timestamp.delay.interval.ms` guard (reference
+    * connector.json mode semantics; batch twin in
+    * IncrementalPoller.delayGuard): rows newer than `now − delay` stay
+    * invisible to the offset, giving in-flight commits `delay` to land
+    * before the watermark passes them.
+    */
+  private def delayMicros: Option[Long] =
+    options.get("timestamp.delay.ms").orElse(options.get("timestampDelayMs")).map(_.toLong * 1000L)
+
+  /** Count of parquet footers actually opened — observability for the
+    * stats cache (asserted in CdcPollSourceSpec).
+    */
+  private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // path → (fileLen, mtime, stats range). CDC log files are immutable once
+  // written (append-only log; compaction replaces paths), so (len, mtime)
+  // is a sufficient validity key. Without this, every trigger re-opened
+  // every footer on the driver — O(all files) per micro-batch, the driver
+  // bottleneck at the log's own 17k-files/day compaction math.
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Option[(CdcPollOffset, CdcPollOffset)])]()
+
   private def startOffset: CdcPollOffset =
     options.get("starttimestamp").orElse(options.get("startTimestamp")) match {
       case Some(iso) =>
@@ -195,8 +222,22 @@ final class CdcPollMicroBatchStream(
     out.result()
   }
 
-  /** (min, max) of (ts, event_id) from footer column statistics only. */
+  /** (min, max) of (ts, event_id) from footer column statistics, memoized
+    * per (path, len, mtime) — a footer is read once per file lifetime, not
+    * once per trigger.
+    */
   private def fileStatsRange(st: FileStatus): Option[(CdcPollOffset, CdcPollOffset)] = {
+    val key = st.getPath.toString
+    val cached = statsCache.get(key)
+    if (cached != null && cached._1 == st.getLen && cached._2 == st.getModificationTime)
+      return cached._3
+    val range = readFooterStats(st)
+    statsCache.put(key, (st.getLen, st.getModificationTime, range))
+    range
+  }
+
+  private def readFooterStats(st: FileStatus): Option[(CdcPollOffset, CdcPollOffset)] = {
+    footerReads.incrementAndGet()
     val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, hadoopConf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala
@@ -232,7 +273,18 @@ final class CdcPollMicroBatchStream(
     // the global max event_id row is itself <= (maxTs, maxId)
     val ranges = listParquetFiles().flatMap(fileStatsRange)
     if (ranges.isEmpty) startOffset
-    else CdcPollOffset(ranges.map(_._2.tsMicros).max, ranges.map(_._2.eventId).max)
+    else {
+      val all = CdcPollOffset(ranges.map(_._2.tsMicros).max, ranges.map(_._2.eventId).max)
+      delayMicros match {
+        case Some(d) =>
+          // visibility watermark: rows with ts > now − delay wait for a
+          // later trigger; never retreat below the start offset
+          val cap = CdcPollOffset(clockMicros() - d, Long.MaxValue)
+          val delayed = if (cap.lexLt(all)) cap else all
+          if (delayed.lexLt(startOffset)) startOffset else delayed
+        case None => all
+      }
+    }
   }
 
   // ---- admission control (rate-limited micro-batches) ----------------------
@@ -255,7 +307,10 @@ final class CdcPollMicroBatchStream(
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CdcPollOffset]
-    val all = clamp(latestOffset().asInstanceOf[CdcPollOffset])
+    // the delay watermark (inside latestOffset()) can sit below an already
+    // committed position — never let the stream's offset regress past it
+    val latest = latestOffset().asInstanceOf[CdcPollOffset]
+    val all = clamp(if (latest.lexLt(s)) s else latest)
     limit match {
       case _: ReadAllAvailable => all
       case mf: ReadMaxFiles =>
@@ -267,7 +322,9 @@ final class CdcPollMicroBatchStream(
         else {
           val remaining = pending.drop(mf.maxFiles())
           val cutBelow = remaining.map(_._1).minBy(mn => (mn.tsMicros, mn.eventId))
-          val end = clamp(CdcPollOffset(cutBelow.tsMicros, cutBelow.eventId - 1))
+          val cut = clamp(CdcPollOffset(cutBelow.tsMicros, cutBelow.eventId - 1))
+          // the rate-limited cut must also respect the delay watermark
+          val end = if (all.lexLt(cut)) all else cut
           if (s.lexLt(end)) end else all
         }
       case _ => all

@@ -155,6 +155,52 @@ class CdcPollSourceSpec extends SparkSpec {
     assert(v.startsWith("""{"schema":{"type":"struct"""") && v.contains(""""payload":{"""))
   }
 
+  test("footer stats are read once per file, not once per trigger") {
+    import graft.sources.CdcPollMicroBatchStream
+    val logPath = tempDir("cdcpollcache") + "/log"
+    CdcLog.append(mkEvents(1 to 10, day = 10), logPath)
+    CdcLog.append(mkEvents(11 to 20, day = 12), logPath)
+    val stream = new CdcPollMicroBatchStream(logPath, Map.empty)
+    val first = stream.latestOffset()
+    val afterFirst = stream.footerReads.get()
+    assert(afterFirst > 0)
+    // repeated polls + partition planning reuse the memoized stats
+    stream.latestOffset()
+    stream.planInputPartitions(stream.initialOffset(), first)
+    stream.latestOffset(stream.initialOffset(), org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles(1))
+    assert(stream.footerReads.get() == afterFirst, "cached footers were re-read")
+    // new files pay exactly their own footer reads
+    CdcLog.append(mkEvents(21 to 25, day = 14), logPath)
+    stream.latestOffset()
+    val afterAppend = stream.footerReads.get()
+    assert(afterAppend > afterFirst)
+    stream.latestOffset()
+    assert(stream.footerReads.get() == afterAppend)
+  }
+
+  test("timestamp.delay holds back rows newer than now - delay, then releases them") {
+    import graft.sources.{CdcPollMicroBatchStream, CdcPollOffset}
+    val logPath = tempDir("cdcpolldelay") + "/log"
+    CdcLog.append(mkEvents(1 to 10, day = 14), logPath) // ts within 2025-06-14T00:0x
+    val stream = new CdcPollMicroBatchStream(logPath, Map("timestamp.delay.ms" -> "5000"))
+    val t14 = java.time.Instant.parse("2025-06-14T00:05:00Z").toEpochMilli * 1000L
+    // clock barely past the data: watermark = now-5s hides newer rows
+    stream.clockMicros = () => t14
+    val held = stream.latestOffset().asInstanceOf[CdcPollOffset]
+    assert(held.tsMicros == t14 - 5000000L, s"expected capped watermark, got $held")
+    // clock far past the data: everything visible, offset = real stats max
+    stream.clockMicros = () => java.time.Instant.parse("2025-06-20T00:00:00Z").toEpochMilli * 1000L
+    val released = stream.latestOffset().asInstanceOf[CdcPollOffset]
+    val noDelay = new CdcPollMicroBatchStream(logPath, Map.empty)
+    assert(released == noDelay.latestOffset().asInstanceOf[CdcPollOffset])
+    // admission-control path never regresses below a committed start
+    val start = CdcPollOffset(t14 + 60000000L, 99L)
+    stream.clockMicros = () => t14
+    val end = stream.latestOffset(start, org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      .asInstanceOf[CdcPollOffset]
+    assert(!end.lexLt(start), s"offset regressed: start=$start end=$end")
+  }
+
   test("values survive the source intact (content parity with the parquet read)") {
     val logPath = tempDir("cdcpollparity") + "/log"
     val ckpt = tempDir("cdcpollparityckpt")

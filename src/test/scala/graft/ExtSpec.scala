@@ -24,6 +24,35 @@ class ExtSpec extends SparkSpec {
     assert(viaExpr == viaBuiltins)
   }
 
+  test("SrpBucket expression matches the built-in composition exactly") {
+    val viaExpr = embs.select(
+      $"vec_id".cast("long").as("id"),
+      Similarity.srpBucket($"embedding", 8, 42).as("b")
+    ).as[(Long, Long)].collect().toMap
+    val viaBuiltins = embs.select(
+      $"vec_id".cast("long").as("id"),
+      Similarity.srpBucketReference($"embedding", 8, 42).as("b")
+    ).as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaBuiltins)
+    assert(viaExpr.values.toSet.size > 1, "buckets should spread across values")
+  }
+
+  test("CountInSet expression matches the interpreted filter form exactly") {
+    val markers = Seq("the", "and", "of", "to", "is", "with", "for")
+    val viaExpr = docs.select(
+      $"doc_id".cast("long").as("id"),
+      TextOps.stopwordCount($"text", markers).as("c")
+    ).as[(Long, Int)].collect().toMap
+    val viaBuiltins = docs.select(
+      $"doc_id".cast("long").as("id"),
+      size(filter(split(lower(trim($"text")), "\\s+"), w => w.isInCollection(markers))).as("c")
+    ).as[(Long, Int)].collect().toMap
+    assert(viaExpr == viaBuiltins)
+    // occurrence semantics, not set-intersection: repeats count each time
+    val rep = Seq((1L, "the the the end")).toDF("doc_id", "text")
+    assert(rep.select(TextOps.stopwordCount($"text", markers)).as[Int].head() == 3)
+  }
+
   test("minhash banding finds every exact-Jaccard pair at its design threshold") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5, 100L)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
