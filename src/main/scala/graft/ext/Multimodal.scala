@@ -11,10 +11,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * The Spark-side plumbing is real — schema, partition-preserving batched
   * `mapPartitions` (the Scala analogue of `mapInPandas`: one iterator per
   * partition, codecs amortized across the partition's rows), typed output
-  * schema. The codec itself is a STUB — media libraries are not in this
-  * container — implemented as a clearly-marked deterministic fake
-  * ([[FakeCodec]]) so the pipeline is testable end-to-end; swapping in a
-  * real decoder changes only that object.
+  * schema. The IMAGE codec is real too ([[ImageCodec]]: `javax.imageio`
+  * PNG encode/decode/resize on actual pixels — JDK-builtin, no new
+  * dependencies). Audio/video decode remains a clearly-marked
+  * deterministic stub ([[FakeCodec]]) — those libraries are not in this
+  * container; swapping in a real decoder changes only that object.
   */
 object Multimodal {
 
@@ -85,6 +86,121 @@ object Multimodal {
       val keep = math.max(1L, payload.length.toLong * toArea / math.max(fromArea, 1L)).min(payload.length.toLong)
       java.util.Arrays.copyOf(payload, keep.toInt)
     }
+  }
+
+  /** REAL image codec via `javax.imageio` (JDK-builtin, zero new
+    * dependencies): PNG encode / decode / resize on actual pixels. The
+    * audio/video paths stay on [[FakeCodec]] (no audio/video libraries in
+    * this container); swapping them follows the same shape.
+    */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** Deterministic synthetic PNG: pixels from a per-image LCG stream
+      * seeded by `seed` — reproducible across runs, lossless under PNG.
+      */
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dims ${width}x$height")
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var s = seed * 6364136223846793005L + 1442695040888963407L
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          img.setRGB(x, y, ((s >>> 40) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    final case class Decoded(width: Int, height: Int, pixelSum: Long)
+
+    /** Real decode: dimensions + a pixel-content checksum (sum of RGB ints).
+      * PNG is lossless, so encode→decode round-trips pixels exactly.
+      */
+    def decode(payload: Array[Byte]): Option[Decoded] = {
+      if (payload == null) return None
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) return None
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          sum += (img.getRGB(x, y) & 0xffffff).toLong
+          x += 1
+        }
+        y += 1
+      }
+      Some(Decoded(img.getWidth, img.getHeight, sum))
+    }
+
+    /** Real resize: repaint into the target raster and re-encode PNG. */
+    def resizePng(payload: Array[Byte], newWidth: Int, newHeight: Int): Array[Byte] = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "resizePng: undecodable payload")
+      val scaled = new BufferedImage(newWidth, newHeight, BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try g.drawImage(img, 0, 0, newWidth, newHeight, null)
+      finally g.dispose()
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(scaled, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** Decoded-image projection (real codec output + the metadata the row
+    * carried, for meta-vs-decoded reconciliation).
+    */
+  final case class ImageInfo(
+      media_id: Long,
+      width_decoded: Int,
+      height_decoded: Int,
+      n_px: Long,
+      pixel_sum: Long
+  )
+
+  /** Batched REAL image decode over partitions — same mapInPandas-analogue
+    * shape as [[extractFeatures]], with an actual `javax.imageio` decoder
+    * in the partition loop. Partition-preserving: no shuffle.
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageInfo] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      // ImageIO scans plugin registries lazily; first use per executor/JVM
+      // pays it once here, amortized across the partition's rows
+      rows.flatMap { r =>
+        ImageCodec.decode(r.payload).map { d =>
+          ImageInfo(r.media_id, d.width, d.height, d.width.toLong * d.height, d.pixelSum)
+        }
+      }
+    }
+  }
+
+  /** Synthetic image table with REAL PNG payloads: deterministic dims from
+    * n_chars, pixels from a doc_id-seeded stream. Dims are re-derivable in
+    * SQL (`1 + n_chars % 64` × `1 + n_chars % 48`), which is what makes the
+    * decode stage oracle-checkable on real decoded dimensions.
+    */
+  def syntheticImages(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nChars) =>
+          val w = (1L + nChars % 64).toInt
+          val h = (1L + nChars % 48).toInt
+          MediaRow(id, "image", ImageCodec.encodePng(w, h, seed = id), "png", w, h, 0L)
+        }
+      }
   }
 
   /** Batched decode/feature-extract over partitions — the `mapInPandas`
