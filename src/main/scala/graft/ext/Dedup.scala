@@ -318,6 +318,73 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** SimHash candidates verified with the exact Jaccard over the shingle
+    * sets: the block stage only GENERATES candidates (cheap, hash-based,
+    * bounded pair fan-out); the survivors are re-scored with the exact set
+    * similarity. Output (id_a, id_b, jaccard) is therefore hash-independent
+    * — the same rows an exact all-pairs Jaccard produces, given candidate
+    * recall — which makes the query oracle-checkable end to end.
+    *
+    * Candidate recall is a PIGEONHOLE GUARANTEE, not a hope: the 64-bit
+    * sketch splits into `blocks` equal blocks, and one side probes each
+    * block's key plus all single-bit flips. If two sketches differ in at
+    * most `2*blocks - 1` bits total, some block differs in ≤1 bit
+    * (otherwise ≥ 2*blocks bits differ), so a 1-bit-flip probe meets the
+    * other side's base key. Default 8 blocks ⇒ guaranteed recall through
+    * hamming 15 — past any hamming observed for jaccard ≥ 0.4 pairs.
+    *
+    * Scale note: block width (64/blocks bits) trades bucket selectivity
+    * against the guarantee radius; giant corpora with tighter hamming
+    * targets use fewer, wider blocks (e.g. 4×16-bit, radius 7) for smaller
+    * buckets — the Manku-et-al. table layout.
+    */
+  def simhashNearDupPairsVerified(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      jaccardThreshold: Double,
+      blocks: Int = 8
+  ): DataFrame = {
+    require(64 % blocks == 0, "blocks must divide 64")
+    val width = 64 / blocks
+    val mask = (1L << width) - 1L
+    val maxHamming = 2 * blocks - 1
+    val sh = shingled(df, idCol, textCol, shingleN)
+    val indexed = sh.join(simhashes(sh), Seq("id")).cache()
+    val base = indexed.select(
+      col("id"),
+      explode(
+        array((0 until blocks).map { b =>
+          struct(lit(b).as("blk"), shiftrightunsigned(col("sh"), b * width).bitwiseAND(mask).as("key"))
+        }: _*)
+      ).as("bb")
+    ).select(col("id"), col("bb.blk"), col("bb.key"))
+    // multiprobe side: the key itself plus every 1-bit flip of it
+    val probes = base.select(
+      col("id"),
+      col("blk"),
+      explode(
+        array((col("key") +: (0 until width).map(i => col("key").bitwiseXOR(lit(1L << i)))): _*)
+      ).as("key")
+    )
+    probes
+      .join(base.select(col("blk"), col("key"), col("id").as("id2")), Seq("blk", "key"))
+      .where(col("id") =!= col("id2"))
+      .select(least(col("id"), col("id2")).as("id_a"), greatest(col("id"), col("id2")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(indexed.select(col("id").as("id_a"), col("sh").as("sim_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(indexed.select(col("id").as("id_b"), col("sh").as("sim_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .where(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      )
+      .where(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ---- embedding cosine near-dup ------------------------------------------
 
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`. Brute-force

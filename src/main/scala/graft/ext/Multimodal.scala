@@ -203,6 +203,46 @@ object Multimodal {
       }
   }
 
+  /** Mixed media table: image rows carry REAL PNG payloads (from
+    * [[syntheticImages]], so the image branch exercises the real codec),
+    * audio/video rows keep the deterministic text-byte payloads (no
+    * audio/video library in this container).
+    */
+  def syntheticMediaMixed(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    val av = syntheticMedia(spark, documents).filter(_.kind != "image")
+    val img = syntheticImages(spark, documents.where(col("doc_id") % 3 === 0))
+    img.union(av)
+  }
+
+  /** Feature extraction with the REAL image codec on image rows: checksum =
+    * decoded pixel sum, feature = (width, height, n_px, mean-pixel) from
+    * actual decoded pixels. Audio/video rows stay on [[FakeCodec]]. Same
+    * batched mapPartitions shape as [[extractFeatures]].
+    */
+  def extractFeaturesReal(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val nBytes = if (r.payload == null) 0L else r.payload.length.toLong
+        if (r.kind == "image") {
+          ImageCodec.decode(r.payload) match {
+            case Some(d) =>
+              val nPx = d.width.toLong * d.height
+              MediaFeatures(
+                r.media_id, r.kind, nBytes, d.pixelSum,
+                Array(d.width.toFloat, d.height.toFloat, nPx.toFloat,
+                  (d.pixelSum.toDouble / nPx).toFloat))
+            case None =>
+              MediaFeatures(r.media_id, r.kind, nBytes, 0L, new Array[Float](4))
+          }
+        } else {
+          MediaFeatures(r.media_id, r.kind, nBytes,
+            FakeCodec.checksum(r.payload), FakeCodec.decodeFeatures(r.payload))
+        }
+      }
+    }
+  }
+
   /** Batched decode/feature-extract over partitions — the `mapInPandas`
     * analogue. Partition-preserving: no shuffle; per-partition setup cost
     * (real codecs load models/contexts here) amortizes across rows.

@@ -119,6 +119,19 @@ object CdcQueries {
         .orderBy("event_id")
     },
 
+    // C6b: the same id assignment through the DISTRIBUTED form (range
+    // partition + per-partition offset, no single-partition window) — the
+    // path a 1000-executor capture batch actually takes, oracle-checked
+    // for exact parity with the sequence semantics
+    "c6b_event_id_distributed" -> { (s, dir) =>
+      val ev = events(s, dir).where(col("event_id") < 2000)
+      CdcCapture
+        .assignIdsDistributed(ev.withColumn("event_id0", col("event_id")).drop("event_id")
+          .withColumnRenamed("event_id0", "orig_id"), 1000000L, Seq("ts", "orig_id"))
+        .select(col("orig_id").as("event_id"), col("event_id").as("new_id"))
+        .orderBy("event_id")
+    },
+
     // S1: time-range partitioning — per-event_date layout stats
     "s1_partition_counts" -> { (s, dir) =>
       events(s, dir)
@@ -305,6 +318,10 @@ object CdcQueries {
         |                           event_type := event_type)) AS row_json
         |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
     "c6_event_id_assign" ->
+      """SELECT event_id,
+        |       1000000 + row_number() OVER (ORDER BY ts, event_id) AS new_id
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+    "c6b_event_id_distributed" ->
       """SELECT event_id,
         |       1000000 + row_number() OVER (ORDER BY ts, event_id) AS new_id
         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,

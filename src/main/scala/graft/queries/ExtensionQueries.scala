@@ -48,8 +48,11 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // MinHash + LSH banding near-dup pairs — verified (exact jaccard ≥ 0.4
-    // on banding candidates); no oracle (xxhash64 signatures)
+    // MinHash + LSH banding near-dup pairs. The banding stage only
+    // GENERATES candidates; survivors are gated on the exact shingle
+    // Jaccard, so the (id_a, id_b, jaccard) output is hash-independent and
+    // carries a full DuckDB oracle (the all-pairs shingle CTE). Banding
+    // recall at the 0.4 gate is additionally pinned by an ExtSpec test.
     "x_dedup_minhash" -> { (s, dir) =>
       Dedup
         .minhashNearDupPairs(docs(s, dir), "doc_id", "text",
@@ -58,10 +61,15 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // SimHash near-dup pairs (Hamming ≤ 12 over 64-bit sketches) — no oracle
+    // SimHash near-dup pairs: pigeonhole multiprobe block candidates
+    // (guaranteed recall through hamming 15) verified with the exact
+    // shingle Jaccard — same oracle-checkable output contract as
+    // x_dedup_minhash through a different sketch
     "x_dedup_simhash" -> { (s, dir) =>
       Dedup
-        .simhashNearDupPairs(docs(s, dir), "doc_id", "text", shingleN = 5, maxHamming = 12)
+        .simhashNearDupPairsVerified(docs(s, dir), "doc_id", "text",
+          shingleN = 5, jaccardThreshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
     },
 
@@ -178,12 +186,26 @@ object ExtensionQueries {
         .orderBy("media_id")
     },
 
-    // multimodal plumbing: opaque binary payloads + typed meta through the
-    // batched mapPartitions decode stage (stub codec) — no oracle
-    "x_multimodal_features" -> { (s, dir) =>
-      val media = Multimodal.syntheticMedia(s, docs(s, dir))
+    // REAL image decode through the batched codec stage: synthetic PNG
+    // payloads (dims derived from n_chars, so the decoded dimensions are
+    // SQL-derivable) → javax.imageio decode → decoded dims + pixel counts.
+    // Oracle-gated on the real decoder's output.
+    "x_multimodal_decode" -> { (s, dir) =>
       Multimodal
-        .extractFeatures(media)
+        .decodeImages(Multimodal.syntheticImages(s, docs(s, dir)))
+        .toDF()
+        .select(col("media_id"), col("width_decoded"), col("height_decoded"), col("n_px"))
+        .orderBy("media_id")
+    },
+
+    // multimodal feature extraction: image rows run the REAL ImageCodec
+    // (checksum = decoded pixel sum), audio/video run the labeled stub —
+    // no oracle (pixel sums of LCG-generated PNGs aren't SQL-derivable);
+    // the decode itself is oracle-gated via x_multimodal_decode
+    "x_multimodal_features" -> { (s, dir) =>
+      val media = Multimodal.syntheticMediaMixed(s, docs(s, dir))
+      Multimodal
+        .extractFeaturesReal(media)
         .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
         .orderBy("media_id")
@@ -204,7 +226,28 @@ object ExtensionQueries {
       |  FROM words
       |)""".stripMargin
 
+  /** Exact all-pairs Jaccard ≥ 0.4 — the ground truth both sketch queries
+    * (minhash banding, simhash blocks) must reproduce after their exact
+    * verify stage. No df filter: the sketches see every shingle.
+    */
+  private val allPairsJaccardSql =
+    s"""$shingleSql, ex AS (
+       |  SELECT doc_id, CAST(len(shingles) AS INT) AS sz, unnest(shingles) AS sh FROM sh
+       |), pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         a.sz AS size_a, b.sz AS size_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT id_a, id_b,
+       |       round(CAST(inter AS DOUBLE) / (size_a + size_b - inter), 4) AS jaccard
+       |FROM pairs
+       |WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x_dedup_minhash" -> allPairsJaccardSql,
+    "x_dedup_simhash" -> allPairsJaccardSql,
     "x_dedup_exact" ->
       """SELECT (SELECT count(*) FROM documents) AS n_docs,
         |       count(*) AS n_unique,
@@ -258,6 +301,12 @@ object ExtensionQueries {
         |  WHERE a.vec_id < b.vec_id
         |) WHERE cos >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "x_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(1 + n_chars % 64 AS INT) AS width_decoded,
+        |       CAST(1 + n_chars % 48 AS INT) AS height_decoded,
+        |       (1 + n_chars % 64) * (1 + n_chars % 48) AS n_px
+        |FROM documents ORDER BY media_id""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'

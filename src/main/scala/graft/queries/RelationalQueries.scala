@@ -197,10 +197,22 @@ object RelationalQueries {
 
     // approximate distinct (HLL sketch) — no DuckDB oracle (different
     // sketch); checked rows-only by the driver and exactly in unit tests
+    // HLL sketch beside its exact twin: the sketch value itself has no
+    // DuckDB twin, so the oracle-checked output carries the exact count and
+    // a bounded-relative-error flag (TRUE in the oracle — the rsd=0.01
+    // sketch must land within 5%); the raw estimate is asserted in a unit
+    // test with an explicit relative-error bound
     "q_approx_distinct" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(
+          col("l_returnflag"),
+          col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") / col("exact_parts") <= 0.05)
+            .as("within_5pct"))
         .orderBy("l_returnflag")
     },
 
@@ -493,6 +505,11 @@ object RelationalQueries {
         |  FROM orders WHERE o_custkey < 300
         |)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS exact_parts,
+        |       TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         |       count(DISTINCT l_partkey) AS n_parts,

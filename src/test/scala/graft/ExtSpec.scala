@@ -108,6 +108,14 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("verified simhash pair list equals the exact all-pairs Jaccard ground truth") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.4, Long.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sim = Dedup.simhashNearDupPairsVerified(docs, "doc_id", "text", 5, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sim == exact, s"missing=${exact -- sim} extra=${sim -- exact}")
+  }
+
   test("aggregator top-k matches the window-ranked baseline exactly") {
     val queries = embs.where($"vec_id" < 20)
     val agg = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
@@ -229,6 +237,73 @@ class ExtSpec extends SparkSpec {
     val f2 = Multimodal.extractFeatures(media).collect().map(m => (m.media_id, m.checksum, m.feature.toSeq))
     assert(f1.sortBy(_._1).toSeq == f2.sortBy(_._1).toSeq)
     assert(f1.forall(_._3.length == 8))
+  }
+
+  test("HLL approx_count_distinct stays within its rsd bound of the exact count") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val rows = li.groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.01).as("approx"),
+        countDistinct($"l_partkey").as("exact"))
+      .select($"approx", $"exact").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, exact) =>
+      val relErr = math.abs(approx - exact).toDouble / exact
+      // rsd 0.01 ⇒ one-sigma 1%; 5% is the five-sigma bound the gate query
+      // publishes as within_5pct
+      assert(relErr <= 0.05, s"HLL rel err $relErr (approx=$approx exact=$exact)")
+    }
+  }
+
+  test("ImageCodec PNG encode→decode round-trips dims and pixels exactly; resize repaints to target dims") {
+    import Multimodal.ImageCodec
+    val png = ImageCodec.encodePng(32, 24, seed = 7L)
+    val d = ImageCodec.decode(png).get
+    assert(d.width == 32 && d.height == 24)
+    assert(d.pixelSum > 0L)
+    // PNG is lossless and the pixel stream is seed-deterministic: a second
+    // encode of the same (dims, seed) decodes to the identical pixel sum
+    assert(ImageCodec.decode(ImageCodec.encodePng(32, 24, seed = 7L)).get == d)
+    // a different seed changes content but not dims
+    val d2 = ImageCodec.decode(ImageCodec.encodePng(32, 24, seed = 8L)).get
+    assert(d2.width == 32 && d2.height == 24 && d2.pixelSum != d.pixelSum)
+    // real resize: decoded dims are the requested dims; deterministic repaint
+    val resized = ImageCodec.resizePng(png, 16, 12)
+    val dr = ImageCodec.decode(resized).get
+    assert(dr.width == 16 && dr.height == 12)
+    assert(ImageCodec.decode(ImageCodec.resizePng(png, 16, 12)).get == dr)
+    // undecodable payloads are None, not a crash
+    assert(ImageCodec.decode("not a png".getBytes).isEmpty)
+    assert(ImageCodec.decode(null).isEmpty)
+  }
+
+  test("decodeImages recovers the synthetic dims through the real decoder") {
+    val imgs = Multimodal.syntheticImages(spark, docs.limit(40))
+    val decoded = Multimodal.decodeImages(imgs).collect().map(i => i.media_id -> i).toMap
+    val meta = imgs.collect().map(m => m.media_id -> m).toMap
+    assert(decoded.keySet == meta.keySet && decoded.nonEmpty)
+    decoded.values.foreach { i =>
+      val m = meta(i.media_id)
+      assert(i.width_decoded == m.width && i.height_decoded == m.height)
+      assert(i.n_px == m.width.toLong * m.height)
+      assert(i.pixel_sum > 0L)
+    }
+  }
+
+  test("extractFeaturesReal runs the real codec on images and the stub elsewhere") {
+    val media = Multimodal.syntheticMediaMixed(spark, docs.limit(60))
+    val feats = Multimodal.extractFeaturesReal(media).collect().map(f => f.media_id -> f).toMap
+    val decoded = Multimodal.decodeImages(media).collect().map(i => i.media_id -> i).toMap
+    assert(decoded.nonEmpty)
+    // image checksums are the REAL decoded pixel sums, not the byte stub
+    decoded.foreach { case (id, i) =>
+      assert(feats(id).checksum == i.pixel_sum)
+      assert(feats(id).feature.take(3).toSeq == Seq(i.width_decoded.toFloat, i.height_decoded.toFloat, i.n_px.toFloat))
+    }
+    // audio/video rows keep the deterministic stub checksum
+    val av = media.filter(_.kind != "image").collect()
+    assert(av.nonEmpty)
+    av.foreach { m => assert(feats(m.media_id).checksum == Multimodal.FakeCodec.checksum(m.payload)) }
   }
 
   test("frame sampling emits duration/interval frames per video") {
