@@ -51,6 +51,54 @@ class StreamingSpec extends SparkSpec {
     assert(out2.count() == 30) // 20 + 10, no duplicates from re-delivery
   }
 
+  test("TopicSink facade: two relations through one entry point, envelope-identical file delivery; kafka mode routes to the kafka source") {
+    import graft.sink.TopicSink
+    val logPath = tempDir("tslog")
+    val outPath = tempDir("tstopics")
+    CdcLog.append(mkEvents(1 to 15), logPath)
+    CdcLog.append(mkEvents(16 to 25, table = "anomaly"), logPath)
+
+    def logStream() = CdcStream.readLogStream(
+      spark, logPath, CdcLog.read(spark, logPath).schema)
+
+    // both relations union into ONE delivery stream through ONE facade call
+    val delivery = CdcStream.deliveryStream(logStream(), "dataschema", "assets")
+      .unionByName(CdcStream.deliveryStream(logStream(), "dataschema", "anomaly"))
+    val q = TopicSink.start(delivery, TopicSink.Config(
+      brokers = None, path = outPath, checkpoint = tempDir("tsckpt"),
+      trigger = Trigger.AvailableNow()))
+    q.awaitTermination()
+
+    val out = spark.read.parquet(outPath)
+    assert(out.select("topic").distinct().as[String].collect().sorted.toSeq
+      == Seq("cdc-event_log_anomaly", "cdc-event_log_assets"))
+    assert(out.count() == 25)
+    // envelope content identical to the direct JsonEnvelope encode path
+    val direct = CdcStream.deliveryStream(
+      CdcLog.read(spark, logPath), "dataschema", "assets")
+      .select("key", "value").as[(String, String)].collect().toMap
+    val sunk = out.where($"topic" === "cdc-event_log_assets")
+      .select("key", "value").as[(String, String)].collect().toMap
+    assert(sunk == direct)
+
+    // kafka mode: the facade selects format("kafka") — with no broker jar in
+    // this container, start() must fail at the kafka DataSource lookup (not
+    // in our code), proving the switch routed there
+    val err = intercept[Exception] {
+      TopicSink.start(delivery, TopicSink.Config(
+        brokers = Some("broker:9092"), path = null, checkpoint = tempDir("tsckpt2"),
+        trigger = Trigger.AvailableNow()))
+    }
+    assert(err.getMessage.toLowerCase.contains("kafka"))
+
+    // missing envelope columns rejected up front
+    val bad = intercept[IllegalArgumentException] {
+      TopicSink.writer(delivery.drop("key"), TopicSink.Config(
+        brokers = None, path = outPath, checkpoint = tempDir("tsckpt3")))
+    }
+    assert(bad.getMessage.contains("key"))
+  }
+
   test("tumbling window aggregation over the event stream with watermark") {
     val ev = Tables.load(spark, sf0001, "events")
     val streamDir = tempDir("evstream") + "/data"
