@@ -163,16 +163,23 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sh = shingled(df, idCol, textCol, shingleN)
-    // one cached (id, shingles, sig) table serves banding and candidate
-    // verification — computed once, joined back twice
-    val indexed = sh.join(minhashSignatures(sh, numHashes), Seq("id")).cache()
+    // shingles and signatures cached SEPARATELY, and the signature table
+    // eagerly materialized before the bucket fan-out: the downstream plan
+    // consumes each of them several times in one job, and concurrent scans
+    // of a not-yet-materialized cache all recompute its lineage (Spark
+    // caches fill lazily per partition, first writer wins, racers redo the
+    // work). One tiny blocking count turns 4 concurrent rebuilds of the
+    // sketch aggregation into 1 — at warehouse scale this intermediate
+    // would be a persisted sketch table for exactly the same reason.
+    val sh = shingled(df, idCol, textCol, shingleN).cache()
+    val sigs = minhashSignatures(sh, numHashes).cache()
+    sigs.count()
 
     // banding rows carry only (id, bucket) — signature and shingle arrays
     // are joined back for the (small) candidate set, never shuffled with
     // the bucket fan-out. Band index is folded into the bucket hash so
     // equal band values from different bands cannot collide.
-    val banded = indexed.select(
+    val banded = sigs.select(
       col("id"),
       explode(
         array((0 until bands).map { b =>
@@ -188,12 +195,10 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-      .join(
-        indexed.select(col("id").as("id_a"), col("sig").as("sig_a"), col("shingles").as("sh_a")),
-        Seq("id_a"))
-      .join(
-        indexed.select(col("id").as("id_b"), col("sig").as("sig_b"), col("shingles").as("sh_b")),
-        Seq("id_b"))
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
 
     // verify candidates with the exact Jaccard on the shingle sets (the
     // banding estimate from signature agreement is kept as est_jaccard)
@@ -325,18 +330,46 @@ object Dedup {
     * — the same rows an exact all-pairs Jaccard produces, given candidate
     * recall — which makes the query oracle-checkable end to end.
     *
-    * Candidate recall is a PIGEONHOLE GUARANTEE, not a hope: the 64-bit
-    * sketch splits into `blocks` equal blocks, and one side probes each
-    * block's key plus all single-bit flips. If two sketches differ in at
-    * most `2*blocks - 1` bits total, some block differs in ≤1 bit
-    * (otherwise ≥ 2*blocks bits differ), so a 1-bit-flip probe meets the
-    * other side's base key. Default 8 blocks ⇒ guaranteed recall through
-    * hamming 15 — past any hamming observed for jaccard ≥ 0.4 pairs.
+    * Candidate recall is a PIGEONHOLE GUARANTEE up to a hamming radius:
+    * the 64-bit sketch splits into `blocks` equal blocks, and one side
+    * probes each block's key plus every XOR-flip of up to `probeBits` of
+    * its bits. If two sketches differ in at most
+    * `(probeBits+1)*blocks - 1` bits total, some block differs in ≤
+    * probeBits bits (otherwise ≥ (probeBits+1)*blocks bits differ), so one
+    * of the probes meets the other side's base key.
     *
-    * Scale note: block width (64/blocks bits) trades bucket selectivity
-    * against the guarantee radius; giant corpora with tighter hamming
-    * targets use fewer, wider blocks (e.g. 4×16-bit, radius 7) for smaller
-    * buckets — the Manku-et-al. table layout.
+    * Before the exact verify, candidates pass a hamming COST filter at
+    * `2*radius + 1` (defaults: 23 of 64) — a single-block collision says
+    * nothing about the other blocks, so the raw candidate mass sits at
+    * near-random hamming (~32) where jaccard ≥ 0.4 is impossible, and
+    * filtering on the two sketch longs is O(1) versus the O(|shingles|)
+    * set intersection. Chance-found pairs BETWEEN the radius and the cost
+    * cap are kept: extra recall only moves the result toward the exact
+    * ground truth. The cap sits at ~2× the guaranteed radius precisely so
+    * the corpus pin (ExtSpec asserts true-pair hamming ≤ radius) holds
+    * with margin, not at the edge.
+    *
+    * Default `blocks = 4, probeBits = 2` is a Manku-style table layout
+    * with stronger probes: 16-bit block keys (65536 buckets per block)
+    * and guaranteed recall through hamming 11. Versus 8×8-bit blocks
+    * (radius 15), random-collision candidate volume drops from
+    * n²·(8·9)/2⁸ to n²·(4·137)/2¹⁶ — ~33× fewer false candidates — at
+    * the price of 4 radius. 8-bit keys (256 buckets) go quadratic on
+    * large corpora, so they never belong on a scale path; for corpora
+    * past ~10⁶ docs, tighten the target radius instead (blocks=2,
+    * 32-bit keys) — the published simhash deployments (Manku et al.,
+    * WWW'07) all run small radii (k≈3) at web scale for exactly this
+    * reason.
+    *
+    * ORACLE NOTE (corpus-pinned): equality with the exact all-pairs
+    * Jaccard ground truth additionally requires every jaccard ≥ threshold
+    * pair in the corpus to sit within the recall radius (or be
+    * chance-found). That is a property of the DATA, not the algorithm: a
+    * jaccard-0.4 pair has expected simhash hamming well past any practical
+    * radius. The driver corpora hold it: every true pair has jaccard
+    * ≥ 0.75, and true-pair hamming stays ≤ the radius-11 guarantee on the
+    * gate corpora — asserted loudly in ExtSpec so a data change fails in
+    * tests, not in the gate.
     */
   def simhashNearDupPairsVerified(
       df: DataFrame,
@@ -344,15 +377,20 @@ object Dedup {
       textCol: String,
       shingleN: Int,
       jaccardThreshold: Double,
-      blocks: Int = 8
+      blocks: Int = 4,
+      probeBits: Int = 2
   ): DataFrame = {
     require(64 % blocks == 0, "blocks must divide 64")
+    require(probeBits >= 0 && probeBits <= 3, "probeBits in [0,3] (fan-out grows as C(width,probeBits))")
     val width = 64 / blocks
     val mask = (1L << width) - 1L
-    val maxHamming = 2 * blocks - 1
-    val sh = shingled(df, idCol, textCol, shingleN)
-    val indexed = sh.join(simhashes(sh), Seq("id")).cache()
-    val base = indexed.select(
+    // same separate-cache + eager-sketch-materialization layout as
+    // [[minhashNearDupPairs]] (see the rationale there): the plan below
+    // scans `hashes` 3× and `sh` 2× inside one job
+    val sh = shingled(df, idCol, textCol, shingleN).cache()
+    val hashes = simhashes(sh).cache()
+    hashes.count()
+    val base = hashes.select(
       col("id"),
       explode(
         array((0 until blocks).map { b =>
@@ -360,22 +398,34 @@ object Dedup {
         }: _*)
       ).as("bb")
     ).select(col("id"), col("bb.blk"), col("bb.key"))
-    // multiprobe side: the key itself plus every 1-bit flip of it
+    // multiprobe side: the key XOR every mask of popcount ≤ probeBits —
+    // plan-time literal masks, so the fan-out is one explode of a constant-
+    // shape array (1 + width + C(width,2) + ... elements)
+    def flips(start: Int, remaining: Int): Seq[Long] =
+      if (remaining == 0) Seq(0L)
+      else (start until width).flatMap(i => flips(i + 1, remaining - 1).map(m => m | (1L << i)))
+    val probeMasks = (0 to probeBits).flatMap(p => flips(0, p))
     val probes = base.select(
       col("id"),
       col("blk"),
       explode(
-        array((col("key") +: (0 until width).map(i => col("key").bitwiseXOR(lit(1L << i)))): _*)
+        array(probeMasks.map(m => col("key").bitwiseXOR(lit(m))): _*)
       ).as("key")
     )
+    val radius = (probeBits + 1) * blocks - 1
     probes
       .join(base.select(col("blk"), col("key"), col("id").as("id2")), Seq("blk", "key"))
       .where(col("id") =!= col("id2"))
       .select(least(col("id"), col("id2")).as("id_a"), greatest(col("id"), col("id2")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .join(indexed.select(col("id").as("id_a"), col("sh").as("sim_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(indexed.select(col("id").as("id_b"), col("sh").as("sim_b"), col("shingles").as("sh_b")), Seq("id_b"))
-      .where(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
+      // cost filter on the 8-byte sketches BEFORE the shingle join-back:
+      // drops the near-random-hamming candidate mass so the exact verify
+      // (and the wide shingle-array shuffle) only sees plausible pairs
+      .join(hashes.select(col("id").as("id_a"), col("sh").as("sim_a")), Seq("id_a"))
+      .join(hashes.select(col("id").as("id_b"), col("sh").as("sim_b")), Seq("id_b"))
+      .where(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 2 * radius + 1)
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn(
         "jaccard",

@@ -51,8 +51,13 @@ object ExtensionQueries {
     // MinHash + LSH banding near-dup pairs. The banding stage only
     // GENERATES candidates; survivors are gated on the exact shingle
     // Jaccard, so the (id_a, id_b, jaccard) output is hash-independent and
-    // carries a full DuckDB oracle (the all-pairs shingle CTE). Banding
-    // recall at the 0.4 gate is additionally pinned by an ExtSpec test.
+    // carries a full DuckDB oracle (the all-pairs shingle CTE).
+    // Oracle equality is CORPUS-PINNED: 16 bands × 4 rows collides with
+    // prob 1-(1-j⁴)¹⁶ ≈ 0.34 at j = 0.4, so equality with the exact
+    // ground truth holds because this corpus has no pairs in the
+    // low-recall band — every true pair sits at j ≥ 0.75 (collision prob
+    // ≥ 0.996). ExtSpec asserts the empty [0.4, 0.7) band on the gate
+    // corpora so a data change fails loudly in tests, not in the gate.
     "x_dedup_minhash" -> { (s, dir) =>
       Dedup
         .minhashNearDupPairs(docs(s, dir), "doc_id", "text",
@@ -61,10 +66,15 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // SimHash near-dup pairs: pigeonhole multiprobe block candidates
-    // (guaranteed recall through hamming 15) verified with the exact
-    // shingle Jaccard — same oracle-checkable output contract as
-    // x_dedup_minhash through a different sketch
+    // SimHash near-dup pairs: pigeonhole multiprobe block candidates on the
+    // scale-safe 4×16-bit Manku layout (65536 buckets per block; 2-bit
+    // probes ⇒ guaranteed recall through hamming 11, chance-found pairs
+    // beyond kept) verified with the exact shingle Jaccard — same
+    // oracle-checkable output contract as x_dedup_minhash through a
+    // different sketch. Oracle equality is corpus-pinned (see
+    // Dedup.simhashNearDupPairsVerified ORACLE NOTE); ExtSpec asserts the
+    // pin (true-pair hamming ≤ 11 on the gate corpora) so a data change
+    // fails loudly in tests.
     "x_dedup_simhash" -> { (s, dir) =>
       Dedup
         .simhashNearDupPairsVerified(docs(s, dir), "doc_id", "text",

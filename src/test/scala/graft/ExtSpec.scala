@@ -109,11 +109,46 @@ class ExtSpec extends SparkSpec {
   }
 
   test("verified simhash pair list equals the exact all-pairs Jaccard ground truth") {
-    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.4, Long.MaxValue)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val sim = Dedup.simhashNearDupPairsVerified(docs, "doc_id", "text", 5, 0.4)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(sim == exact, s"missing=${exact -- sim} extra=${sim -- exact}")
+    // both the unit-test corpus and the CORRECTNESS-gate corpus (sf0.01):
+    // this is the loud stand-in for the gate's own oracle comparison
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val d = Tables.load(spark, dir, "documents")
+      val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.4, Long.MaxValue)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val sim = Dedup.simhashNearDupPairsVerified(d, "doc_id", "text", 5, 0.4)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(sim == exact, s"$dir: missing=${exact -- sim} extra=${sim -- exact}")
+    }
+  }
+
+  test("CORPUS PIN: every true near-dup pair sits inside the sketch gates' deterministic recall") {
+    // The x_dedup_minhash / x_dedup_simhash oracles equal the exact
+    // all-pairs Jaccard only because the corpus is friendly; this test
+    // makes that data dependence fail HERE (loudly, with a diagnosis)
+    // instead of in the correctness gate if the driver regenerates data.
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val d = Tables.load(spark, dir, "documents")
+      val truePairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.4, Long.MaxValue)
+        .select($"id_a", $"id_b", $"jaccard")
+      // (1) minhash pin: 16 bands × 4 rows has ≥ 0.996 collision prob at
+      // j ≥ 0.7 but only ~0.34 at j = 0.4 — the gate corpus must have no
+      // pairs in the low-recall band
+      val lowBand = truePairs.where($"jaccard" < 0.7).collect()
+      assert(lowBand.isEmpty,
+        s"$dir: pairs in minhash low-recall band [0.4, 0.7): ${lowBand.mkString(", ")} — " +
+          "the x_dedup_minhash oracle equality no longer holds by design; regenerate or re-band")
+      // (2) simhash pin: the gate config (blocks=4, probeBits=2) guarantees
+      // recall only through hamming 11 — every true pair must sit within it
+      val hashes = Dedup.simhashes(Dedup.shingled(d, "doc_id", "text", 5))
+      val maxHam = truePairs
+        .join(hashes.select($"id".as("id_a"), $"sh".as("h_a")), Seq("id_a"))
+        .join(hashes.select($"id".as("id_b"), $"sh".as("h_b")), Seq("id_b"))
+        .select(max(bit_count($"h_a".bitwiseXOR($"h_b"))))
+        .as[Int].head()
+      assert(maxHam <= 11,
+        s"$dir: true pair at simhash hamming $maxHam > guaranteed radius 11 — " +
+          "the x_dedup_simhash oracle equality now rests on chance-found candidates; widen probes")
+    }
   }
 
   test("aggregator top-k matches the window-ranked baseline exactly") {
