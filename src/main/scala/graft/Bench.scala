@@ -25,6 +25,13 @@ object Bench {
     Tables.All.foreach { t =>
       Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
     }
+    // pre-materialize the synthetic-PNG fixture (untimed): the multimodal
+    // queries should measure the DECODE stage, not fixture PNG encoding —
+    // round-3 x_multimodal_decode spent ~4s of its 4.4s encoding inputs
+    graft.ext.Multimodal.materializeImageCache(
+      spark,
+      Tables.load(spark, sfDir, "documents"),
+      java.nio.file.Files.createTempDirectory("graft_bench_images").toString)
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -58,27 +65,44 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val cadence = cadenceMetric(spark, sfDir)
+    // cadence at the scale factor's natural rate, then under 10x row
+    // pressure (same file layout, 10x the rows per micro-batch) so the 5s
+    // trigger budget is measured at the edge, not just met comfortably
+    val cadence = cadenceMetric(spark, sfDir, "cadence", multiplier = 1) +
+      cadenceMetric(spark, sfDir, "cadence10x", multiplier = 10)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$cadence"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,$cadence"sf":"$sfDir"}""")
     spark.stop()
   }
 
   /** Sustained poll cadence — the reference's one stated number is its ~5 s
-    * poll loop (reference readme.md:54). Replays the events table as a
+    * poll loop (reference readme.md:54). Replays the events table (rows
+    * replicated `multiplier`×, same event_date file layout) as a
     * partitioned change log, streams it back through the cdcpoll DSv2
     * source at a 5 s ProcessingTime trigger with file-count admission, and
-    * reports the delivered rows/s plus whether any micro-batch overran the
-    * 5 s budget (fell_behind) — i.e. whether the engine keeps the
-    * connector's cadence at this scale factor.
+    * reports, separately:
+    *   - `<prefix>_fell_behind`: a micro-batch OVERRAN the 5 s budget
+    *     (triggerExecution > 5000 ms) — the engine can't hold the
+    *     connector's cadence at this rate;
+    *   - `<prefix>_deadline_hit`: the run ended before full delivery —
+    *     with file-count admission this measures the deadline/file-count
+    *     ratio, NOT engine speed, so the deadline scales with the log's
+    *     file count instead of being fixed;
+    *   - `<prefix>_headroom`: 5000 ms / max batch triggerExecution — how
+    *     many times faster than the budget the slowest batch ran (< 1
+    *     means overrun).
     */
-  private def cadenceMetric(spark: SparkSession, sfDir: String): String = {
+  private def cadenceMetric(
+      spark: SparkSession, sfDir: String, prefix: String, multiplier: Int): String = {
     if (sys.env.get("SPARK_GRAFT_SKIP_CADENCE").exists(_.nonEmpty)) return ""
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
     try {
       val ev = Tables.load(spark, sfDir, "events")
-      val envelope = ev.select(
+      val evM =
+        if (multiplier <= 1) ev
+        else ev.withColumn("__r", explode(array_repeat(lit(1), multiplier))).drop("__r")
+      val envelope = evM.select(
         col("ts"),
         lit("dataschema").as("schema_name"),
         lit("events").as("table_name"),
@@ -88,12 +112,22 @@ object Bench {
         col("event_id"))
       val logPath = java.nio.file.Files.createTempDirectory("graft_bench_cadence").toString
       graft.log.CdcLog.append(envelope, logPath)
-      val expected = ev.count()
+      val expected = ev.count() * math.max(multiplier, 1)
+      val maxFilesPerTrigger = 8
+      val nFiles = {
+        val it = java.nio.file.Files.walk(java.nio.file.Paths.get(logPath))
+        try it.filter(p => p.toString.endsWith(".parquet")).count().toInt finally it.close()
+      }
+      val minBatches = math.max(1, (nFiles + maxFilesPerTrigger - 1) / maxFilesPerTrigger)
+      // admission (maxFilesPerTrigger) caps delivery at one batch per 5 s
+      // tick regardless of engine speed, so the deadline must scale with
+      // the file count or a long date span reads as "slow"
+      val deadlineNs = (minBatches * 5L + 60L) * 1000 * 1000 * 1000
       val delivered = new java.util.concurrent.atomic.AtomicLong(0L)
       val q = spark.readStream
         .format("graft.sources.CdcPollTableProvider")
         .option("path", logPath)
-        .option("maxFilesPerTrigger", "8")
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
         .load()
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -104,16 +138,20 @@ object Bench {
         .trigger(Trigger.ProcessingTime("5 seconds"))
         .start()
       val t0 = System.nanoTime()
-      val deadline = t0 + 120L * 1000 * 1000 * 1000
-      while (delivered.get() < expected && System.nanoTime() < deadline) Thread.sleep(200)
+      while (delivered.get() < expected && System.nanoTime() - t0 < deadlineNs) Thread.sleep(200)
       val elapsed = (System.nanoTime() - t0) / 1e9
       val progresses = q.recentProgress.filter(_.numInputRows > 0)
       q.stop(); q.awaitTermination()
-      val fellBehind = delivered.get() < expected ||
-        progresses.exists(p =>
-          p.durationMs.getOrDefault("triggerExecution", java.lang.Long.valueOf(0L)).longValue > 5000L)
+      val maxBatchMs = progresses.map(
+        _.durationMs.getOrDefault("triggerExecution", java.lang.Long.valueOf(0L)).longValue).
+        foldLeft(0L)(math.max)
+      val fellBehind = maxBatchMs > 5000L
+      val deadlineHit = delivered.get() < expected
+      val headroom = if (maxBatchMs > 0) 5000.0 / maxBatchMs else Double.PositiveInfinity
       val rate = delivered.get() / math.max(elapsed, 1e-9)
-      s""""cadence_rows_per_s":$rate,"fell_behind":$fellBehind,"cadence_batches":${progresses.length},"""
+      s""""${prefix}_rows_per_s":$rate,"${prefix}_fell_behind":$fellBehind,""" +
+        s""""${prefix}_deadline_hit":$deadlineHit,"${prefix}_headroom":${f"$headroom%.2f"},""" +
+        s""""${prefix}_batches":${progresses.length},"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] cadence metric failed: ${e.getMessage}")

@@ -202,7 +202,7 @@ object ExtensionQueries {
     // Oracle-gated on the real decoder's output.
     "x_multimodal_decode" -> { (s, dir) =>
       Multimodal
-        .decodeImages(Multimodal.syntheticImages(s, docs(s, dir)))
+        .decodeImages(Multimodal.cachedSyntheticImages(s, docs(s, dir)))
         .toDF()
         .select(col("media_id"), col("width_decoded"), col("height_decoded"), col("n_px"))
         .orderBy("media_id")

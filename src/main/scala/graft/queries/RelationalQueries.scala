@@ -216,6 +216,19 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // the HLL sketch ALONE — the bench-honest twin of q_approx_distinct:
+    // that gate query pays an exact countDistinct (Expand + extra shuffle)
+    // to earn its oracle, so its bench time no longer reflects the sketch
+    // path; this entry is the sketch's own number. No oracle (DuckDB's
+    // approx_count_distinct is a different sketch); the ≤5% bound vs exact
+    // is gated in q_approx_distinct and unit-tested with an explicit rsd.
+    "q_approx_distinct_sketch" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+
     // rollup (via the SQL surface; the DataFrame cube query below covers
     // the typed API — rollup-after-join trips Spark's ambiguous-self-join
     // detection on DataFrames, a known sharp edge)
