@@ -45,8 +45,47 @@ object TopicSink {
 
   private val Required = Seq("topic", "key", "value")
 
+  /** The DataSource class spark-sql-kafka registers; its presence is the
+    * honest "can this session reach a broker" signal — the artifact is NOT
+    * part of a stock Spark jars dir, it ships separately.
+    */
+  private val KafkaProviderClass = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+
+  def kafkaConnectorOnClasspath: Boolean =
+    try { Class.forName(KafkaProviderClass); true }
+    catch { case _: ClassNotFoundException => false }
+
+  /** The sink plan a Config resolves to, as inspectable data: physical
+    * format, the full option set, and the file-sink partition columns.
+    * [[writer]] builds exactly this; tests assert on it instead of
+    * starting streams against brokers that don't exist.
+    */
+  final case class Resolved(
+      format: String,
+      options: Map[String, String],
+      partitionCols: Seq[String]
+  )
+
+  def resolve(config: Config): Resolved = config.brokers match {
+    case Some(bootstrap) =>
+      Resolved(
+        "kafka",
+        Map("kafka.bootstrap.servers" -> bootstrap) ++ config.kafkaOptions +
+          ("checkpointLocation" -> config.checkpoint),
+        Seq.empty)
+    case None =>
+      Resolved(
+        "parquet",
+        Map("path" -> config.path, "checkpointLocation" -> config.checkpoint),
+        Seq("topic"))
+  }
+
   /** Build the configured writer without starting it (inspectable /
     * composable); [[start]] is the one-call entry point.
+    *
+    * Kafka mode fails FAST here when the spark-sql-kafka artifact is
+    * missing — otherwise the misconfiguration would surface as an opaque
+    * DataSource-lookup error at `start()`.
     */
   def writer(delivery: DataFrame, config: Config): DataStreamWriter[Row] = {
     val cols = delivery.columns.toSet
@@ -54,28 +93,24 @@ object TopicSink {
       Required.forall(cols.contains),
       s"delivery frame must carry ${Required.mkString("/")} columns (has ${cols.mkString(",")})"
     )
-    val base = config.brokers match {
-      case Some(bootstrap) =>
+    if (config.brokers.isDefined && !kafkaConnectorOnClasspath)
+      throw new IllegalStateException(
+        s"TopicSink kafka mode needs the spark-sql-kafka connector ($KafkaProviderClass) on the " +
+          "classpath; it is not bundled with Spark's jars dir — add the " +
+          "spark-sql-kafka-0-10 artifact matching your Spark version, or use file mode (brokers=None)")
+    val resolved = resolve(config)
+    val projected = config.brokers match {
+      case Some(_) =>
         // kafka sink contract: key/value as string or binary, topic as string
-        delivery
-          .select(
-            col("topic").cast("string").as("topic"),
-            col("key").cast("string").as("key"),
-            col("value").cast("string").as("value"))
-          .writeStream
-          .format("kafka")
-          .option("kafka.bootstrap.servers", bootstrap)
-          .options(config.kafkaOptions)
+        delivery.select(
+          col("topic").cast("string").as("topic"),
+          col("key").cast("string").as("key"),
+          col("value").cast("string").as("value"))
       case None =>
-        delivery
-          .select(Required.head, Required.tail: _*)
-          .writeStream
-          .format("parquet")
-          .option("path", config.path)
-          .partitionBy("topic")
+        delivery.select(Required.head, Required.tail: _*)
     }
-    base
-      .option("checkpointLocation", config.checkpoint)
+    val base = projected.writeStream.format(resolved.format).options(resolved.options)
+    (if (resolved.partitionCols.nonEmpty) base.partitionBy(resolved.partitionCols: _*) else base)
       .trigger(config.trigger)
       .outputMode("append")
   }

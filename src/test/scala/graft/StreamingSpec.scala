@@ -81,15 +81,32 @@ class StreamingSpec extends SparkSpec {
       .select("key", "value").as[(String, String)].collect().toMap
     assert(sunk == direct)
 
-    // kafka mode: the facade selects format("kafka") — with no broker jar in
-    // this container, start() must fail at the kafka DataSource lookup (not
-    // in our code), proving the switch routed there
-    val err = intercept[Exception] {
-      TopicSink.start(delivery, TopicSink.Config(
-        brokers = Some("broker:9092"), path = null, checkpoint = tempDir("tsckpt2"),
-        trigger = Trigger.AvailableNow()))
+    // kafka mode: assert on the RESOLVED writer plan (format + exact
+    // option set incl. kafka.* passthrough) rather than on a DataSource
+    // lookup failure, so the assertion is independent of whether the
+    // spark-sql-kafka jar happens to be on the classpath
+    val kafkaCfg = TopicSink.Config(
+      brokers = Some("broker:9092"), path = null, checkpoint = "/ckpt/kafka",
+      trigger = Trigger.AvailableNow(),
+      kafkaOptions = Map("kafka.compression.type" -> "lz4"))
+    val plan = TopicSink.resolve(kafkaCfg)
+    assert(plan.format == "kafka")
+    assert(plan.options("kafka.bootstrap.servers") == "broker:9092")
+    assert(plan.options("kafka.compression.type") == "lz4")
+    assert(plan.options("checkpointLocation") == "/ckpt/kafka")
+    assert(plan.partitionCols.isEmpty) // topics route rows; no dir partitioning
+    if (TopicSink.kafkaConnectorOnClasspath) {
+      // connector present: the writer must at least construct
+      TopicSink.writer(delivery, kafkaCfg)
+    } else {
+      // connector absent (this container): fail FAST at writer(), in our
+      // code, with an actionable message — not at start() in DataSource
+      // lookup
+      val err = intercept[IllegalStateException] {
+        TopicSink.writer(delivery, kafkaCfg)
+      }
+      assert(err.getMessage.contains("spark-sql-kafka"))
     }
-    assert(err.getMessage.toLowerCase.contains("kafka"))
 
     // missing envelope columns rejected up front
     val bad = intercept[IllegalArgumentException] {
