@@ -108,26 +108,34 @@ object CdcCapture {
     * global `Window.orderBy` which serializes onto one task.
     */
   def assignIdsDistributed(events: DataFrame, base: Long, orderCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.Row
+    import org.apache.spark.TaskContext
+    import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{LongType, StructField}
 
     val ordered = events
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
       .cache() // two passes over the sorted layout: count, then stamp
-    val counts = ordered.rdd
-      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+    // pass 1: per-partition row counts — a Tungsten hash aggregate on
+    // spark_partition_id(); the driver sees one (pid, n) pair per
+    // non-empty partition, nothing else
+    val counts = ordered
+      .groupBy(spark_partition_id().as("pid"))
+      .count()
       .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
-    val offsets: Map[Int, Long] =
-      counts.scanLeft((0, base)) { case ((_, acc), (i, n)) => (i + 1, acc + n) }
-        .map { case (i, off) => i -> off }
-        .toMap
-    val outSchema = events.schema.add(StructField("event_id", LongType, nullable = false))
-    val rows = ordered.rdd.mapPartitionsWithIndex { case (i, it) =>
-      val start = offsets(i)
-      it.zipWithIndex.map { case (r, j) => Row.fromSeq(r.toSeq :+ (start + j + 1)) }
+    val offsets: Map[Int, Long] = {
+      var acc = base
+      counts.map { case (pid, n) => val o = pid -> acc; acc += n; o }.toMap
     }
-    events.sparkSession.createDataFrame(rows, outSchema)
+    // pass 2: stamp ids partition-locally on the Dataset API (narrow — no
+    // shuffle, no RDD round-trip; TaskContext supplies the partition id,
+    // which matches pass 1's spark_partition_id over the same cached plan)
+    val outSchema = events.schema.add(StructField("event_id", LongType, nullable = false))
+    ordered.mapPartitions { it =>
+      val start = offsets.getOrElse(TaskContext.getPartitionId(), base)
+      it.zipWithIndex.map { case (r, j) => Row.fromSeq(r.toSeq :+ (start + j + 1)) }
+    }(Encoders.row(outSchema))
   }
 }

@@ -121,6 +121,17 @@ object TextOps {
     )
   }
 
+  /** Portable min-fingerprint: the same shingle→hash→min selection as
+    * [[fingerprints]], through md5 — a hash with an exact SQL twin
+    * (identical lowercase hex in Spark and DuckDB, min = lexicographic on
+    * ASCII hex in both), which is what lets the fingerprint gate query
+    * carry a full value oracle. xxhash64 stays the production fingerprint
+    * (8-byte payload, codegen'd, no hex materialization); this portable
+    * form proves the pipeline end to end against an independent engine.
+    */
+  def fingerprintPortable(text: Column, w: Int = 5): Column =
+    array_min(transform(Dedup.wordShingles(text, w), s => md5(s)))
+
   /** Winnowing fingerprint set: per window of `windowSize` consecutive
     * shingle hashes keep the min, collect distinct — the Schleimer et al.
     * winnowing scheme, as an array column.

@@ -172,12 +172,19 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
-    // document fingerprinting (min-shingle-hash) — no oracle (xxhash64);
-    // stability asserted in unit tests
+    // document fingerprinting (min-shingle-hash). The gate emits the
+    // md5-portable twin of the production xxhash64 fingerprint — same
+    // shingle→hash→min pipeline, hash chosen for its exact DuckDB mirror —
+    // plus the shingle count, so the whole output carries a value oracle.
+    // The xxhash64 production path (TextOps.fingerprints) keeps its
+    // ExtSpec stability tests; the portable form is additionally checked
+    // against a driver-side MessageDigest recomputation in ExtSpec.
     "x_text_fingerprint" -> { (s, dir) =>
-      TextOps
-        .fingerprints(docs(s, dir), "doc_id", "text", 5)
-        .select(col("id").as("doc_id"), col("fp"))
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          TextOps.fingerprintPortable(col("text"), 5).as("fp"),
+          size(Dedup.wordShingles(col("text"), 5)).as("n_shingles"))
         .orderBy("doc_id")
     },
 
@@ -256,6 +263,12 @@ object ExtensionQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_text_fingerprint" ->
+      s"""$shingleSql
+         |SELECT doc_id,
+         |       list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS fp,
+         |       CAST(len(shingles) AS INT) AS n_shingles
+         |FROM sh ORDER BY doc_id""".stripMargin,
     "x_dedup_minhash" -> allPairsJaccardSql,
     "x_dedup_simhash" -> allPairsJaccardSql,
     "x_dedup_exact" ->

@@ -243,6 +243,21 @@ class ExtSpec extends SparkSpec {
     assert(got(3) == 0.0) // zero-norm convention
   }
 
+  test("portable md5 fingerprint matches a driver-side MessageDigest recomputation") {
+    val rows = docs.limit(20)
+      .select($"doc_id", TextOps.fingerprintPortable($"text", 5).as("fp"),
+        Dedup.wordShingles($"text", 5).as("shingles"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expect = r.getSeq[String](2)
+        .map(s => md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+        .min
+      assert(r.getString(1) == expect, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("fingerprint is stable under a tail edit (min-shingle-hash property)") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
     val edited = base + " omega"
