@@ -34,6 +34,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_approx_distinct never takes the Expand-based distinct rewrite") {
+    // the exact twin is a two-phase pre-aggregate precisely to avoid
+    // Expand (which doubles every input row); a refactor that folds
+    // countDistinct back into the sketch aggregate regresses 2x+ here
+    val p = plan("q_approx_distinct")
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("capture diff is a full-outer sort-merge join on the PK") {
     val p = plan("c1_capture_diff")
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
