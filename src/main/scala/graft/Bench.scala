@@ -45,7 +45,14 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // the sketch-dedup operators cache intermediates (by design — their
+      // plans fan out over them); dropping them BETWEEN queries, outside
+      // the timed window, keeps one query's leftover cache from
+      // GC-pressuring another's run — each timed run still pays for every
+      // cache it builds itself
+      spark.catalog.clearCache()
+      t
     }
     val firstPass = selected.map { case (name, fn) =>
       (name, fn, (1 to runs).map(_ => timeOnce(name, fn)).min)
