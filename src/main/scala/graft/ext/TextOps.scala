@@ -132,6 +132,21 @@ object TextOps {
   def fingerprintPortable(text: Column, w: Int = 5): Column =
     array_min(transform(Dedup.wordShingles(text, w), s => md5(s)))
 
+  /** (id, fp, n_shingles) portable-fingerprint projection via the native
+    * one-pass shingler (the built-in composition in [[fingerprintPortable]]
+    * is interpreted per position — 10× slower at sf0.1; WordShingles parity
+    * has its own ExtSpec test). This is the gate-query entry point.
+    */
+  def fingerprintsPortable(df: DataFrame, idCol: String, textCol: String, w: Int = 5): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).cast("long").as("id"), GraftFunctions.word_shingles(col(textCol), w).as("shingles"))
+      .select(
+        col("id"),
+        array_min(transform(col("shingles"), m => md5(m))).as("fp"),
+        size(col("shingles")).as("n_shingles"))
+  }
+
   /** Winnowing fingerprint set: per window of `windowSize` consecutive
     * shingle hashes keep the min, collect distinct — the Schleimer et al.
     * winnowing scheme, as an array column.

@@ -184,16 +184,9 @@ object ExtensionQueries {
     // ExtSpec stability tests; the portable form is additionally checked
     // against a driver-side MessageDigest recomputation in ExtSpec.
     "x_text_fingerprint" -> { (s, dir) =>
-      GraftFunctions.register(s)
-      // native one-pass shingler (the built-in composition in
-      // TextOps.fingerprintPortable is interpreted per position and was
-      // 10x slower here; WordShingles parity has its own ExtSpec test)
-      docs(s, dir)
-        .select(col("doc_id"), GraftFunctions.word_shingles(col("text"), 5).as("shingles"))
-        .select(
-          col("doc_id"),
-          array_min(transform(col("shingles"), m => md5(m))).as("fp"),
-          size(col("shingles")).as("n_shingles"))
+      TextOps
+        .fingerprintsPortable(docs(s, dir), "doc_id", "text", 5)
+        .select(col("id").as("doc_id"), col("fp"), col("n_shingles"))
         .orderBy("doc_id")
     },
 
