@@ -435,6 +435,63 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---- duplicate clustering (connected components) -------------------------
+
+  /** Connected components over a near-dup pair list — the dedup ENDGAME:
+    * pair lists only say who matches whom; retention policy needs the
+    * transitive closure (A~B, B~C ⇒ one cluster) and one canonical
+    * survivor per cluster.
+    *
+    * Iterative min-label propagation: every node starts as its own
+    * representative; each round every node takes the minimum
+    * representative seen across its neighborhood; fixpoint when no label
+    * changes. Rounds required = component diameter — near-dup clusters
+    * are small dense cliques, so 2-3 rounds in practice — and each round
+    * is one shuffle join + hash aggregate on the edge relation, the
+    * standard Spark CC layout. (Web-scale general graphs with long
+    * chains/skewed hubs use the alternating small-star/large-star
+    * formulation — Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" — which plugs into the same edge relation; for dedup graphs
+    * plain propagation converges faster than the star rewrites pay off.)
+    *
+    * Output: (id, rep) for every id appearing in `pairs`, where rep is
+    * the minimum id of its component — (id, rep != id) rows are exactly
+    * the rows a keep-canonical dedup drops.
+    */
+  def duplicateComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")).cache()
+    // a node's rep only ever DECREASES (least of itself and neighbor
+    // minima), so sum(rep) is strictly monotone while anything changes —
+    // an unchanged sum is a fixpoint proof, one scan-aggregate per round
+    // instead of a labels⋈labels diff join
+    def repSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
+    var lastSum = repSum(labels) // also materializes the caches before the loop
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("rep")).as("nbr_rep"))
+      val next = labels
+        .join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .cache()
+      val nextSum = repSum(next) // materializes `next` for the coming round
+      labels.unpersist()
+      labels = next
+      converged = nextSum == lastSum
+      lastSum = nextSum
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // ---- embedding cosine near-dup ------------------------------------------
 
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`. Brute-force

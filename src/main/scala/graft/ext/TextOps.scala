@@ -165,6 +165,28 @@ object TextOps {
     )
   }
 
+  // ---- deterministic corpus split -----------------------------------------
+
+  /** Deterministic train/val/test assignment: md5 of (salt, key) → first
+    * 16 bits as a hex prefix compared against the cumulative fraction
+    * thresholds. Hash-based rather than modulo-id so the split is stable
+    * under re-ingestion order, uncorrelated with id assignment, and
+    * re-derivable anywhere (md5 hex is portable to the SQL oracle; fixed-
+    * width lowercase hex compares identically — lexicographic = numeric).
+    * Changing `salt` draws an independent split; leakage granularity is
+    * whatever `key` identifies (use a dedup-cluster representative as the
+    * key to keep near-duplicates on one side of the split).
+    */
+  def hashSplit(key: Column, salt: String, trainFrac: Double, valFrac: Double): Column = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      "need 0 < trainFrac, 0 <= valFrac, trainFrac + valFrac < 1")
+    def hexThreshold(f: Double): String = f"${(f * 65536).toInt}%04x"
+    val h = substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 4)
+    when(h < lit(hexThreshold(trainFrac)), lit("train"))
+      .when(h < lit(hexThreshold(trainFrac + valFrac)), lit("val"))
+      .otherwise(lit("test"))
+  }
+
   /** Full text-feature projection used by the pipeline queries. */
   def features(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

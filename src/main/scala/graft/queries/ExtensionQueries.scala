@@ -83,6 +83,37 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // duplicate clustering: transitive closure of the (oracle-green)
+    // ngram-Jaccard pair list via min-label propagation — emits each
+    // paired doc's canonical representative (min id of its component),
+    // i.e. exactly what a keep-canonical retention pass consumes. The
+    // DuckDB oracle recomputes the closure with a recursive CTE over the
+    // same pair list, so the iterative Spark algorithm is value-checked
+    // against an independent declarative evaluation. Bench note: at small
+    // SF this query is round-trip-bound (pair pipeline + ~3 propagation
+    // rounds of 2 shuffle stages each over a few hundred edges); the
+    // per-round overhead amortizes at scale, where rounds stay O(cluster
+    // diameter) regardless of corpus size.
+    "x_dedup_components" -> { (s, dir) =>
+      val pairs = Dedup
+        .ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 5, threshold = 0.4, maxShingleDf = 100L)
+        .select("id_a", "id_b")
+      Dedup.duplicateComponents(pairs)
+        .select(col("id").as("doc_id"), col("rep").as("canonical_id"))
+        .orderBy("doc_id")
+    },
+
+    // deterministic hash split: md5(salt:doc_id) hex prefix vs cumulative
+    // fraction thresholds — stable under re-ingestion, salt-rotatable,
+    // exactly re-derivable in the oracle (same md5 hex in DuckDB)
+    "x_split_hash" -> { (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          TextOps.hashSplit(col("doc_id"), "graft", trainFrac = 0.9, valFrac = 0.05).as("split"))
+        .orderBy("doc_id")
+    },
+
     // embedding-cosine near-dup pairs (brute-force verify path)
     "x_dedup_embedding" -> { (s, dir) =>
       GraftFunctions.register(s)
@@ -265,6 +296,41 @@ object ExtensionQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // transitive closure via recursive CTE over the same rare-shingle
+    // pair list the Spark side clusters (reach(id, rep): id can reach rep
+    // through near-dup edges; canonical = min reachable id)
+    "x_dedup_components" ->
+      s"""${shingleSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, ex AS (
+         |  SELECT doc_id, CAST(len(shingles) AS INT) AS sz, unnest(shingles) AS sh FROM sh
+         |), rare AS (
+         |  SELECT doc_id, sz, sh FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY sh) AS df FROM ex
+         |  ) WHERE df <= 100
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.sz AS size_a, b.sz AS size_b, count(*) AS inter
+         |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |), jp AS (
+         |  SELECT id_a, id_b FROM pairs
+         |  WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.4
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM jp
+         |), reach(id, rep) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.rep FROM edges e JOIN reach r ON r.id = e.dst
+         |)
+         |SELECT id AS doc_id, min(rep) AS canonical_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "x_split_hash" ->
+      """SELECT doc_id,
+        |       CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+        |            WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_text_fingerprint" ->
       s"""$shingleSql
          |SELECT doc_id,

@@ -243,6 +243,31 @@ class ExtSpec extends SparkSpec {
     assert(got(3) == 0.0) // zero-norm convention
   }
 
+  test("duplicateComponents computes the transitive closure with min-id representatives") {
+    // chain 1-2-3-4 (diameter 3 — forces multiple propagation rounds)
+    // plus a disjoint pair 10-11
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.duplicateComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("hashSplit is deterministic, salt-sensitive, and tracks its fractions") {
+    val split = TextOps.hashSplit($"doc_id", "graft", 0.9, 0.05)
+    val counts = docs.select(split.as("split")).groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"), counts.toString)
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.8 && counts("train") / n < 0.97, counts.toString)
+    // deterministic: two evaluations agree row for row
+    val a = docs.select($"doc_id", split.as("s1"))
+    val b = docs.select($"doc_id", TextOps.hashSplit($"doc_id", "graft", 0.9, 0.05).as("s2"))
+    assert(a.join(b, "doc_id").where($"s1" =!= $"s2").isEmpty)
+    // a different salt draws an independent split
+    val rotated = docs.select($"doc_id", TextOps.hashSplit($"doc_id", "v2", 0.9, 0.05).as("s2"))
+    assert(a.join(rotated, "doc_id").where($"s1" =!= $"s2").count() > 0)
+  }
+
   test("portable md5 fingerprint matches a driver-side MessageDigest recomputation") {
     val rows = docs.limit(20)
       .select($"doc_id", TextOps.fingerprintPortable($"text", 5).as("fp"),
