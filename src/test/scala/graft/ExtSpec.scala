@@ -268,6 +268,22 @@ class ExtSpec extends SparkSpec {
     assert(a.join(rotated, "doc_id").where($"s1" =!= $"s2").count() > 0)
   }
 
+  test("splitting by dedup representative keeps near-duplicates on one side of the split") {
+    // the leakage-free composition the hashSplit doc prescribes: key the
+    // split by the duplicate-cluster representative, not the raw id
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.4, 100L)
+      .select("id_a", "id_b")
+    val comps = Dedup.duplicateComponents(pairs).withColumnRenamed("id", "doc_id")
+    val withSplit = docs.join(comps, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"rep", $"doc_id").as("rep"))
+      .withColumn("split", TextOps.hashSplit($"rep", "graft", 0.9, 0.05))
+    val bySide = pairs
+      .join(withSplit.select($"doc_id".as("id_a"), $"split".as("split_a")), Seq("id_a"))
+      .join(withSplit.select($"doc_id".as("id_b"), $"split".as("split_b")), Seq("id_b"))
+    assert(pairs.count() > 0)
+    assert(bySide.where($"split_a" =!= $"split_b").isEmpty)
+  }
+
   test("portable md5 fingerprint matches a driver-side MessageDigest recomputation") {
     val rows = docs.limit(20)
       .select($"doc_id", TextOps.fingerprintPortable($"text", 5).as("fp"),
