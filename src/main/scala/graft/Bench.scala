@@ -76,16 +76,30 @@ object Bench {
       if (t > 2 * median && t > 1.0) name -> math.min(t, timeOnce(name, fn))
       else name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // cadence at the scale factor's natural rate, then under 10x row
     // pressure (same file layout, 10x the rows per micro-batch) so the 5s
     // trigger budget is measured at the edge, not just met comfortably
     val cadence = cadenceMetric(spark, sfDir, "cadence", multiplier = 1) +
       cadenceMetric(spark, sfDir, "cadence10x", multiplier = 10)
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,$cadence"sf":"$sfDir"}""")
+    // The harness keeps only the LAST ~2000 chars of stdout and parses the
+    // JSON line out of that tail: rounds 1-4 printed full-precision doubles
+    // (~3000 chars), so the line head — `{"metric":...,"value":...}` — was
+    // truncated away every round and the bench never parsed. Emit the line
+    // compact (2-decimal seconds; ~10 ms is far below this host's noise
+    // floor) and degrade to 1 decimal if the query list ever outgrows the
+    // budget. Full precision goes to stderr for human readers.
+    def line(prec: Int): String = {
+      def fmt(v: Double): String = String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,$cadence"sf":"${new java.io.File(sfDir).getName}"}"""
+    }
+    System.err.println(s"[bench] full precision: " +
+      results.map { case (k, v) => s"$k=$v" }.mkString(" "))
+    val out = Seq(line(2), line(1)).find(_.length <= 1880).getOrElse(line(1))
+    if (out.length > 1880)
+      System.err.println(s"[bench] WARNING: json line ${out.length} chars may exceed the harness tail budget")
+    println(out)
     spark.stop()
   }
 
@@ -161,11 +175,16 @@ object Bench {
         foldLeft(0L)(math.max)
       val fellBehind = maxBatchMs > 5000L
       val deadlineHit = delivered.get() < expected
-      val headroom = if (maxBatchMs > 0) 5000.0 / maxBatchMs else Double.PositiveInfinity
-      val rate = delivered.get() / math.max(elapsed, 1e-9)
-      s""""${prefix}_rows_per_s":$rate,"${prefix}_fell_behind":$fellBehind,""" +
-        s""""${prefix}_deadline_hit":$deadlineHit,"${prefix}_headroom":${f"$headroom%.2f"},""" +
-        s""""${prefix}_batches":${progresses.length},"""
+      // headroom is undefined when no progress with rows was recorded (a
+      // single fast batch whose progress event hadn't posted, or an empty
+      // log) — emit the -1 sentinel instead of Infinity, which would make
+      // the JSON line unparseable
+      val headroom =
+        if (maxBatchMs > 0) String.format(java.util.Locale.ROOT, "%.2f", Double.box(5000.0 / maxBatchMs))
+        else "-1"
+      val rate = String.format(java.util.Locale.ROOT, "%.0f", Double.box(delivered.get() / math.max(elapsed, 1e-9)))
+      s""""$prefix":{"rows_per_s":$rate,"fell_behind":$fellBehind,""" +
+        s""""deadline_hit":$deadlineHit,"headroom":$headroom,"batches":${progresses.length}},"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] cadence metric failed: ${e.getMessage}")

@@ -461,8 +461,12 @@ object Dedup {
   def duplicateComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val e = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")).cache()
+    // seed with the FIRST propagation round directly: with identity labels,
+    // round 1's neighborhood minimum is just min(dst) per src — one hash
+    // aggregate over the edge relation, no labels join. Every node appears
+    // as a src (edges are symmetrized), so this covers the node set too.
+    var labels = edges.groupBy("src").agg(min(col("dst")).as("nbr"))
+      .select(col("src").as("id"), least(col("src"), col("nbr")).as("rep")).cache()
     // a node's rep only ever DECREASES (least of itself and neighbor
     // minima), so sum(rep) is strictly monotone while anything changes —
     // an unchanged sum is a fixpoint proof, one scan-aggregate per round
@@ -489,6 +493,15 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // a silent non-fixpoint would return WRONG representatives (labels
+    // still mid-propagation) — for a library entry point that must be an
+    // error, not quietly truncated output. maxIter bounds the component
+    // diameter, and dedup graphs are shallow; a graph deeper than maxIter
+    // needs the caller to raise it (or a star-contraction variant).
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateComponents did not converge within maxIter=$maxIter rounds; " +
+          "component diameter exceeds the iteration budget — raise maxIter")
     labels
   }
 

@@ -216,21 +216,33 @@ object Multimodal {
     */
   val ImageCacheConfKey = "spark.graft.media.imageCacheDir"
 
-  /** [[syntheticImages]] behind the optional pre-materialized cache. */
+  /** [[syntheticImages]] behind the optional pre-materialized cache. The
+    * cache dir records the source files it was generated from (via
+    * `documents.inputFiles`, so a filtered view of the same table still
+    * hits — callers re-filter on read); a dir built from a different
+    * documents table is rejected and the fixture is generated inline.
+    */
   def cachedSyntheticImages(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     spark.conf.getOption(ImageCacheConfKey) match {
-      case Some(dir) if new java.io.File(dir).exists() =>
+      case Some(dir) if FixtureCache.matches(dir, imageFingerprint(documents)) =>
         spark.read.parquet(dir).as[MediaRow]
-      case _ => syntheticImages(spark, documents)
+      case Some(dir) =>
+        System.err.println(s"[graft] image cache at $dir does not match this documents table — generating inline")
+        syntheticImages(spark, documents)
+      case None => syntheticImages(spark, documents)
     }
   }
+
+  private def imageFingerprint(documents: DataFrame): String =
+    FixtureCache.fingerprint(documents, "synthetic-images-png")
 
   /** Write the [[syntheticImages]] fixture for `documents` to `dir` and
     * point [[ImageCacheConfKey]] at it (bench warmup entry point).
     */
   def materializeImageCache(spark: SparkSession, documents: DataFrame, dir: String): Unit = {
     syntheticImages(spark, documents).write.mode("overwrite").parquet(dir)
+    FixtureCache.write(dir, imageFingerprint(documents))
     spark.conf.set(ImageCacheConfKey, dir)
   }
 

@@ -203,11 +203,22 @@ object Similarity {
   ): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     spark.conf.getOption(IvfCacheConfKey) match {
-      case Some(dir) if new java.io.File(s"$dir/centroids").exists() =>
+      // the cache dir records the build parameters + source files it was
+      // built from; a dir built for a different corpus / centroid count is
+      // rejected and the index is rebuilt inline instead of silently served
+      case Some(dir) if FixtureCache.matches(dir, ivfFingerprint(corpus, idCol, vecCol, nCentroids)) =>
         (spark.read.parquet(s"$dir/indexed"), spark.read.parquet(s"$dir/centroids"))
-      case _ => ivfIndex(corpus, idCol, vecCol, nCentroids)
+      case Some(dir) =>
+        System.err.println(
+          s"[graft] IVF cache at $dir does not match (corpus=${corpus.inputFiles.length} files, " +
+            s"idCol=$idCol, vecCol=$vecCol, nCentroids=$nCentroids) — rebuilding inline")
+        ivfIndex(corpus, idCol, vecCol, nCentroids)
+      case None => ivfIndex(corpus, idCol, vecCol, nCentroids)
     }
   }
+
+  private def ivfFingerprint(corpus: DataFrame, idCol: String, vecCol: String, nCentroids: Int): String =
+    FixtureCache.fingerprint(corpus, "ivf", idCol, vecCol, nCentroids.toString)
 
   /** Build and persist the IVF index for `corpus` under `dir` and point
     * [[IvfCacheConfKey]] at it (bench warmup entry point). Same seed as
@@ -224,6 +235,7 @@ object Similarity {
     val (indexed, centroids) = ivfIndex(corpus, idCol, vecCol, nCentroids)
     indexed.write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/indexed")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    FixtureCache.write(dir, ivfFingerprint(corpus, idCol, vecCol, nCentroids))
     spark.conf.set(IvfCacheConfKey, dir)
   }
 

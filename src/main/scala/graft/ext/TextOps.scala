@@ -187,6 +187,26 @@ object TextOps {
       .otherwise(lit("test"))
   }
 
+  /** Deterministic Bernoulli keep-decision at rate `frac`: md5(salt:key)'s
+    * first 16 bits compared against the rate threshold — the sampling twin
+    * of [[hashSplit]]. Hash-based rather than `rand()` so a sample is
+    * reproducible across runs/engines (exactly re-derivable in the SQL
+    * oracle), stable under re-ingestion order, and composable: different
+    * salts draw independent samples, and per-stratum rates are just this
+    * predicate under a CASE on the stratum column (corpus rebalancing —
+    * downsample the dominant language/source without touching the rest).
+    * At scale it is a map-side filter: no shuffle, no state, pushes past
+    * nothing it shouldn't.
+    */
+  def hashKeep(key: Column, salt: String, frac: Double): Column = {
+    require(frac >= 0, "need frac >= 0")
+    if (frac >= 1.0) lit(true)
+    else {
+      val thr = f"${(frac * 65536).toInt}%04x"
+      substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 4) < lit(thr)
+    }
+  }
+
   /** Full text-feature projection used by the pipeline queries. */
   def features(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

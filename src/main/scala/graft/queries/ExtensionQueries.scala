@@ -22,6 +22,9 @@ object ExtensionQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: content-keyed keep-min summary
     "x_dedup_exact" -> { (s, dir) =>
@@ -112,6 +115,49 @@ object ExtensionQueries {
           col("doc_id"),
           TextOps.hashSplit(col("doc_id"), "graft", trainFrac = 0.9, valFrac = 0.05).as("split"))
         .orderBy("doc_id")
+    },
+
+    // deterministic stratified sampling: rebalance the corpus by language —
+    // downsample the dominant strata (en to 25%, fr to 50%) and keep the
+    // rest whole, with md5-hash Bernoulli decisions so the sample is
+    // reproducible, ingestion-order-independent, and exactly re-derivable
+    // in the oracle. A pure map-side filter: no shuffle at any scale.
+    "x_sample_stratified" -> { (s, dir) =>
+      docs(s, dir)
+        .where(
+          when(col("lang") === "en", TextOps.hashKeep(col("doc_id"), "strat", 0.25))
+            .when(col("lang") === "fr", TextOps.hashKeep(col("doc_id"), "strat", 0.5))
+            .otherwise(lit(true)))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // corpus vocabulary: token frequencies, top 50 — explode → partial
+    // (map-side) count → global top-k via TakeOrderedAndProject, so the
+    // shuffle carries one row per distinct token per partition and the
+    // driver sees only k rows. Deterministic tie-break on the token.
+    "x_vocab_topk" -> { (s, dir) =>
+      docs(s, dir)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .where(col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50)
+    },
+
+    // exact distribution quantiles per event_type (the data-quality cut a
+    // pipeline runs before/after a transform): percentile is exact with
+    // linear interpolation — the same definition as the oracle's
+    // quantile_cont — plus count as the supporting mass
+    "x_quantiles" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
     },
 
     // embedding-cosine near-dup pairs (brute-force verify path)
@@ -221,6 +267,18 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // the PRODUCTION fingerprint (xxhash64, 8-byte payload, codegen'd) —
+    // no oracle (xxhash64 has no DuckDB twin; ExtSpec pins its stability
+    // and its parity with the built-in composition), benched so the path
+    // users actually run keeps a number beside its md5-portable gate twin,
+    // same precedent as q_approx_distinct_sketch
+    "x_text_fingerprint_prod" -> { (s, dir) =>
+      TextOps
+        .fingerprints(docs(s, dir), "doc_id", "text", 5)
+        .select(col("id").as("doc_id"), col("fp"))
+        .orderBy("doc_id")
+    },
+
     // multimodal metadata through the batched decode stage — byte counts
     // and typed meta are SQL-derivable, so this entry is oracle-gated even
     // though the decode runs through the real mapPartitions plumbing
@@ -325,6 +383,28 @@ object ExtensionQueries {
          |)
          |SELECT id AS doc_id, min(rep) AS canonical_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // same md5-prefix decisions, re-derived: 0.25 → 16384 = '4000',
+    // 0.5 → 32768 = '8000' (TextOps.hashKeep's 16-bit thresholds)
+    "x_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE
+        |  WHEN lang = 'en' THEN substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |  WHEN lang = 'fr' THEN substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |  ELSE TRUE END
+        |ORDER BY doc_id""".stripMargin,
+    "x_vocab_topk" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY n DESC, token ASC
+        |LIMIT 50""".stripMargin,
+    "x_quantiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.95), 4) AS p95,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x_split_hash" ->
       """SELECT doc_id,
         |       CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'

@@ -111,7 +111,8 @@ class ExtSpec extends SparkSpec {
   test("verified simhash pair list equals the exact all-pairs Jaccard ground truth") {
     // both the unit-test corpus and the CORRECTNESS-gate corpus (sf0.01):
     // this is the loud stand-in for the gate's own oracle comparison
-    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+    for (dir <- Seq(sf0001, sfDir("sf0.01"))) {
+      requireFixture(dir)
       val d = Tables.load(spark, dir, "documents")
       val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.4, Long.MaxValue)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -126,7 +127,8 @@ class ExtSpec extends SparkSpec {
     // all-pairs Jaccard only because the corpus is friendly; this test
     // makes that data dependence fail HERE (loudly, with a diagnosis)
     // instead of in the correctness gate if the driver regenerates data.
-    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+    for (dir <- Seq(sf0001, sfDir("sf0.01"))) {
+      requireFixture(dir)
       val d = Tables.load(spark, dir, "documents")
       val truePairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.4, Long.MaxValue)
         .select($"id_a", $"id_b", $"jaccard")
@@ -266,6 +268,92 @@ class ExtSpec extends SparkSpec {
     // a different salt draws an independent split
     val rotated = docs.select($"doc_id", TextOps.hashSplit($"doc_id", "v2", 0.9, 0.05).as("s2"))
     assert(a.join(rotated, "doc_id").where($"s1" =!= $"s2").count() > 0)
+  }
+
+  test("duplicateComponents throws rather than returning a silent non-fixpoint") {
+    // chain 1-2-3-4-5: diameter 4, so maxIter=1 (one join round after the
+    // seeded neighborhood-min) cannot reach the fixpoint — the library must
+    // refuse to return mid-propagation labels
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.duplicateComponents(pairs, maxIter = 1).collect()
+    }
+    // and the same chain converges with the default budget
+    val comps = Dedup.duplicateComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("hashKeep is deterministic, rate-tracking, and salt-independent") {
+    val keep = TextOps.hashKeep($"doc_id", "strat", 0.25)
+    val n = docs.count().toDouble
+    val kept = docs.where(keep).count().toDouble
+    assert(kept / n > 0.05 && kept / n < 0.5, s"kept=$kept of $n at rate 0.25")
+    // deterministic across evaluations
+    assert(docs.where(keep).select("doc_id").exceptAll(docs.where(keep).select("doc_id")).isEmpty)
+    // frac >= 1 keeps everything; frac = 0 keeps nothing
+    assert(docs.where(TextOps.hashKeep($"doc_id", "s", 1.0)).count() == n.toLong)
+    assert(docs.where(TextOps.hashKeep($"doc_id", "s", 0.0)).count() == 0)
+    // a different salt draws a (near-)independent sample
+    val other = docs.where(TextOps.hashKeep($"doc_id", "other", 0.25)).select("doc_id")
+    assert(other.exceptAll(docs.where(keep).select("doc_id")).count() > 0)
+  }
+
+  test("stratified sample keeps non-downsampled strata whole") {
+    val sampled = docs.where(
+      when($"lang" === "en", TextOps.hashKeep($"doc_id", "strat", 0.25))
+        .when($"lang" === "fr", TextOps.hashKeep($"doc_id", "strat", 0.5))
+        .otherwise(lit(true)))
+    val restBefore = docs.where(!$"lang".isin("en", "fr")).count()
+    val restAfter = sampled.where(!$"lang".isin("en", "fr")).count()
+    assert(restBefore == restAfter)
+    assert(sampled.where($"lang" === "en").count() < docs.where($"lang" === "en").count())
+  }
+
+  test("vocab top-k matches a local recomputation") {
+    val topk = docs
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("token"))
+      .where($"token" =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token".asc).limit(10)
+      .as[(String, Long)].collect().toSeq
+    val local = docs.select($"text").as[String].collect()
+      .flatMap(t => t.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (tok, n) => (-n, tok) }.take(10)
+    assert(topk == local)
+  }
+
+  test("exact percentile matches manual linear interpolation") {
+    val vals = Seq(1.0, 3.0, 4.0, 10.0)
+    val df = vals.toDF("v")
+    val got = df.agg(expr("percentile(v, 0.5)"), expr("percentile(v, 0.75)"))
+      .as[(Double, Double)].head()
+    // p at rank p*(n-1): 0.5*3 = 1.5 -> 3 + 0.5*(4-3) = 3.5; 0.75*3 = 2.25 -> 4 + 0.25*6 = 5.5
+    assert(got == ((3.5, 5.5)), got.toString)
+  }
+
+  test("fixture caches reject a dir built from different inputs") {
+    // image cache: built for the sf0.001 documents, then asked for a
+    // different documents table — must regenerate inline, not serve the
+    // stale fixture
+    val imgDir = tempDir("graft_imgcache")
+    Multimodal.materializeImageCache(spark, docs, imgDir)
+    try {
+      assert(Multimodal.cachedSyntheticImages(spark, docs).count() == docs.count())
+      val otherDir = sfDir("sf0.01")
+      requireFixture(otherDir)
+      val otherDocs = Tables.load(spark, otherDir, "documents")
+      assert(Multimodal.cachedSyntheticImages(spark, otherDocs).count() == otherDocs.count())
+    } finally spark.conf.unset(Multimodal.ImageCacheConfKey)
+    // IVF cache: same corpus but a different centroid count must rebuild
+    val ivfDir = tempDir("graft_ivfcache")
+    Similarity.materializeIvfCache(spark, embs, "vec_id", "embedding", nCentroids = 4, ivfDir)
+    try {
+      val (_, cHit) = Similarity.cachedIvfIndex(embs, "vec_id", "embedding", nCentroids = 4)
+      assert(cHit.count() == 4)
+      val (_, cMiss) = Similarity.cachedIvfIndex(embs, "vec_id", "embedding", nCentroids = 8)
+      assert(cMiss.count() == 8)
+    } finally spark.conf.unset(Similarity.IvfCacheConfKey)
   }
 
   test("splitting by dedup representative keeps near-duplicates on one side of the split") {
