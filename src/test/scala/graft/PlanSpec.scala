@@ -43,6 +43,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("stratified hash sample is a map-side filter — no shuffle, no UDF") {
+    val p = plan("x_sample_stratified")
+    // the sampling decision must stay a pushable scan-side predicate: one
+    // exchange is allowed only for the output orderBy (rangepartitioning),
+    // never a hash repartition, and the md5 decision is codegen'd builtins
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"), p)
+  }
+
+  test("vocab top-k combines map-side and ships only k rows to the driver") {
+    val p = plan("x_vocab_topk")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("quantiles aggregate partially before the exchange") {
+    val p = plan("x_quantiles")
+    assert(p.contains("partial_percentile"), p)
+  }
+
   test("capture diff is a full-outer sort-merge join on the PK") {
     val p = plan("c1_capture_diff")
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
