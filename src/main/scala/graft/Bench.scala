@@ -96,8 +96,8 @@ object Bench {
     }
     System.err.println(s"[bench] full precision: " +
       results.map { case (k, v) => s"$k=$v" }.mkString(" "))
-    val out = Seq(line(2), line(1)).find(_.length <= 1880).getOrElse(line(1))
-    if (out.length > 1880)
+    val out = Seq(line(2), line(1)).find(_.length <= 1900).getOrElse(line(1))
+    if (out.length > 1900)
       System.err.println(s"[bench] WARNING: json line ${out.length} chars may exceed the harness tail budget")
     println(out)
     spark.stop()

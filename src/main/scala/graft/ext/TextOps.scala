@@ -207,6 +207,46 @@ object TextOps {
     }
   }
 
+  /** Train/eval decontamination: for every document NOT in the train split,
+    * how much of it already appears in train — the n-gram-overlap check a
+    * training pipeline runs before trusting an eval set (eval documents
+    * leaked into train inflate benchmark scores). Returns
+    * (id, split, n_shingles, n_contaminated, rate) for non-train docs,
+    * where n_contaminated counts the doc's distinct word w-shingles that
+    * occur in ANY train document.
+    *
+    * Scale shape: shingles come from the native one-pass WordShingles
+    * expression (distinct per doc, matching `list_distinct`); the train
+    * side is reduced to DISTINCT shingles first (partial aggregate, so the
+    * join's build side is the train vocabulary, not train rows × shingles);
+    * the probe is one hash join on the shingle string, then a per-doc
+    * count. No all-pairs document comparison at any point.
+    */
+  def contamination(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitCol: String,
+      w: Int = 5,
+      trainValue: String = "train"
+  ): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(df.sparkSession)
+    val exploded = df.select(
+      col(idCol).cast("long").as("id"),
+      col(splitCol).as("split"),
+      explode(GraftFunctions.word_shingles(col(textCol), w)).as("sh"))
+    val trainShingles = exploded.where(col("split") === trainValue)
+      .select("sh").distinct().withColumn("in_train", lit(1))
+    exploded.where(col("split") =!= trainValue)
+      .join(trainShingles, Seq("sh"), "left")
+      .groupBy("id", "split")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("in_train")), lit(0L)).cast("long").as("n_contaminated"))
+      .withColumn("rate", round(col("n_contaminated").cast("double") / col("n_shingles"), 4))
+  }
+
   /** Full text-feature projection used by the pipeline queries. */
   def features(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

@@ -132,6 +132,18 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // train/eval decontamination: shingle overlap of every val/test doc
+    // against the train split's distinct shingle vocabulary — the leakage
+    // check run before trusting an eval set. Composes the deterministic
+    // hash split with the native shingler; the oracle re-derives both.
+    "x_decontam" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("split", TextOps.hashSplit(col("doc_id"), "graft", trainFrac = 0.9, valFrac = 0.05))
+      TextOps.contamination(d, "doc_id", "text", "split", w = 5)
+        .select(col("id").as("doc_id"), col("split"), col("n_shingles"), col("n_contaminated"), col("rate"))
+        .orderBy("doc_id")
+    },
+
     // corpus vocabulary: token frequencies, top 50 — explode → partial
     // (map-side) count → global top-k via TakeOrderedAndProject, so the
     // shuffle carries one row per distinct token per partition and the
@@ -392,6 +404,28 @@ object ExtensionQueries {
         |  WHEN lang = 'fr' THEN substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
         |  ELSE TRUE END
         |ORDER BY doc_id""".stripMargin,
+    // split CASE = x_split_hash's thresholds; shingle CTE = the shared
+    // shingleSql; counts cast to BIGINT to match Spark's long aggregates
+    "x_decontam" ->
+      s"""$shingleSql, sp AS (
+         |  SELECT doc_id, shingles,
+         |         CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+         |              WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM sh
+         |), ex AS (
+         |  SELECT doc_id, split, unnest(shingles) AS s FROM sp
+         |), train AS (
+         |  SELECT DISTINCT s FROM ex WHERE split = 'train'
+         |)
+         |SELECT e.doc_id, e.split,
+         |       count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |       round(CAST(sum(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rate
+         |FROM ex e LEFT JOIN train t ON e.s = t.s
+         |WHERE e.split <> 'train'
+         |GROUP BY e.doc_id, e.split
+         |ORDER BY e.doc_id""".stripMargin,
     "x_vocab_topk" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)

@@ -356,6 +356,23 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.unset(Similarity.IvfCacheConfKey)
   }
 
+  test("contamination flags an eval doc duplicated from train and clears an unrelated one") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight", "train"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight", "test"), // verbatim leak
+      (3L, "completely unrelated words about distributed query engines here", "test"),
+      (4L, "the quick brown fox jumps over seven silver fences easily", "val") // partial overlap
+    ).toDF("doc_id", "text", "split")
+    val out = TextOps.contamination(d, "doc_id", "text", "split", w = 5)
+      .select($"id", $"n_shingles", $"n_contaminated", $"rate")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(2L)._4 == 1.0, s"verbatim duplicate must be fully contaminated: ${out(2L)}")
+    assert(out(3L)._3 == 0L && out(3L)._4 == 0.0, s"unrelated doc must be clean: ${out(3L)}")
+    assert(out(4L)._3 > 0L && out(4L)._4 < 1.0, s"partial overlap must be in (0,1): ${out(4L)}")
+    // 10 words, w=5 -> 6 distinct shingles per full-length doc
+    assert(out(2L)._2 == 6L, out(2L).toString)
+  }
+
   test("splitting by dedup representative keeps near-duplicates on one side of the split") {
     // the leakage-free composition the hashSplit doc prescribes: key the
     // split by the duplicate-cluster representative, not the raw id
