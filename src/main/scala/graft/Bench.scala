@@ -184,7 +184,7 @@ object Bench {
         else "-1"
       val rate = String.format(java.util.Locale.ROOT, "%.0f", Double.box(delivered.get() / math.max(elapsed, 1e-9)))
       s""""$prefix":{"rows_per_s":$rate,"fell_behind":$fellBehind,""" +
-        s""""deadline_hit":$deadlineHit,"headroom":$headroom,"batches":${progresses.length}},"""
+        s""""deadline_hit":$deadlineHit,"headroom":$headroom},"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] cadence metric failed: ${e.getMessage}")

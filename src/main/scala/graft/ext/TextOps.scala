@@ -247,6 +247,53 @@ object TextOps {
       .withColumn("rate", round(col("n_contaminated").cast("double") / col("n_shingles"), 4))
   }
 
+  /** Token-offset shard planning: assign every document its start offset in
+    * the concatenated token stream and the fixed-size shard(s) it lands in —
+    * the plan a pipeline computes before writing packed training shards
+    * (documents are laid out in id order; a shard holds `shardTokens`
+    * tokens; a document may span shards).
+    *
+    * The global running sum deliberately does NOT use `Window.orderBy`
+    * (which serializes the corpus onto one task): like
+    * `CdcCapture.assignIdsDistributed`, it range-partitions by id, takes
+    * per-partition token sums (one tiny (pid, sum) row per partition on the
+    * driver), and stamps offsets partition-locally — two passes, both fully
+    * parallel, valid at any corpus size.
+    */
+  def shardOffsets(df: DataFrame, idCol: String, textCol: String, shardTokens: Long): DataFrame = {
+    require(shardTokens > 0, "need shardTokens > 0")
+    import org.apache.spark.TaskContext
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val base = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val ordered = base.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id").cache()
+    val partSums = ordered
+      .groupBy(spark_partition_id().as("pid")).agg(sum(col("n_tokens")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      partSums.map { case (pid, s) => val o = pid -> acc; acc += s; o }.toMap
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("start_offset", LongType, nullable = false)))
+    ordered
+      .mapPartitions { it =>
+        var acc = offsets.getOrElse(TaskContext.getPartitionId(), 0L)
+        it.map { r => val n = r.getLong(1); val out = Row(r.getLong(0), n, acc); acc += n; out }
+      }(Encoders.row(schema))
+      // shard math in pure integer division so the SQL oracle reproduces
+      // it bit-for-bit; an empty document occupies no tokens → 0 shards
+      .withColumn("shard_id", expr(s"start_offset DIV $shardTokens"))
+      .withColumn(
+        "n_shards",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr(s"(start_offset + n_tokens - 1) DIV $shardTokens") - col("shard_id") + lit(1L)))
+  }
+
   /** Full text-feature projection used by the pipeline queries. */
   def features(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

@@ -144,6 +144,15 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // token-offset shard planning: global running token offsets in doc-id
+    // order + fixed-4096-token shard assignment, computed with the
+    // distributed two-phase cumsum (range partition → per-partition sums →
+    // partition-local stamp), never a single-task global window
+    "x_pack_offsets" -> { (s, dir) =>
+      TextOps.shardOffsets(docs(s, dir), "doc_id", "text", shardTokens = 4096)
+        .orderBy("doc_id")
+    },
+
     // corpus vocabulary: token frequencies, top 50 — explode → partial
     // (map-side) count → global top-k via TakeOrderedAndProject, so the
     // shuffle carries one row per distinct token per partition and the
@@ -426,6 +435,24 @@ object ExtensionQueries {
          |WHERE e.split <> 'train'
          |GROUP BY e.doc_id, e.split
          |ORDER BY e.doc_id""".stripMargin,
+    // the oracle's declarative window cumsum is the semantic spec; the
+    // engine computes the same offsets with the distributed two-phase plan
+    "x_pack_offsets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                   ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, start_offset,
+        |       start_offset // 4096 AS shard_id,
+        |       CAST(CASE WHEN n_tokens = 0 THEN 0
+        |                 ELSE (start_offset + n_tokens - 1) // 4096 - start_offset // 4096 + 1 END AS BIGINT) AS n_shards
+        |FROM o ORDER BY doc_id""".stripMargin,
     "x_vocab_topk" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)

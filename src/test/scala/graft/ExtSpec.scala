@@ -373,6 +373,28 @@ class ExtSpec extends SparkSpec {
     assert(out(2L)._2 == 6L, out(2L).toString)
   }
 
+  test("shardOffsets equals the single-partition window cumsum and splits shards correctly") {
+    // parity: the distributed two-phase cumsum must equal the declarative
+    // window form (which is only safe at test scale)
+    import org.apache.spark.sql.expressions.Window
+    val got = TextOps.shardOffsets(docs, "doc_id", "text", shardTokens = 64)
+      .select($"doc_id", $"start_offset").as[(Long, Long)].collect().toMap
+    val expect = docs
+      .select($"doc_id".cast("long").as("doc_id"), TextOps.tokenCount($"text").cast("long").as("n"))
+      .withColumn("start_offset",
+        coalesce(sum($"n").over(Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", $"start_offset").as[(Long, Long)].collect().toMap
+    assert(got == expect)
+    // shard spanning: a doc crossing a boundary reports every shard it touches
+    val tiny = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.shardOffsets(tiny, "doc_id", "text", shardTokens = 4)
+      .select($"doc_id", $"n_tokens", $"start_offset", $"shard_id", $"n_shards")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 0L, 0L, 1L)), out(1L).toString)   // tokens 0-2, shard 0
+    assert(out(2L) == ((2L, 4L, 3L, 0L, 2L)), out(2L).toString)   // tokens 3-6, spans shards 0-1
+    assert(out(3L) == ((3L, 0L, 7L, 1L, 0L)), out(3L).toString)   // empty doc: no shards
+  }
+
   test("splitting by dedup representative keeps near-duplicates on one side of the split") {
     // the leakage-free composition the hashSplit doc prescribes: key the
     // split by the duplicate-cluster representative, not the raw id

@@ -63,6 +63,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_percentile"), p)
   }
 
+  test("shard offsets never serialize onto a single-partition window") {
+    val p = plan("x_pack_offsets")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("capture diff is a full-outer sort-merge join on the PK") {
     val p = plan("c1_capture_diff")
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
