@@ -93,10 +93,11 @@ object ExtensionQueries {
     // DuckDB oracle recomputes the closure with a recursive CTE over the
     // same pair list, so the iterative Spark algorithm is value-checked
     // against an independent declarative evaluation. Bench note: at small
-    // SF this query is round-trip-bound (pair pipeline + ~3 propagation
-    // rounds of 2 shuffle stages each over a few hundred edges); the
-    // per-round overhead amortizes at scale, where rounds stay O(cluster
-    // diameter) regardless of corpus size.
+    // SF this query is round-trip-bound (pair pipeline + propagation
+    // rounds of 2 shuffle stages each over a few hundred edges; the first
+    // round is folded into the seed aggregate); the per-round overhead
+    // amortizes at scale, where rounds stay O(cluster diameter) regardless
+    // of corpus size.
     "x_dedup_components" -> { (s, dir) =>
       val pairs = Dedup
         .ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 5, threshold = 0.4, maxShingleDf = 100L)
