@@ -244,6 +244,41 @@ class StreamingSpec extends SparkSpec {
     perQuery.values.foreach(v => assert(v.map(_._3).sorted == (1 to v.size)))
   }
 
+  test("streaming decontamination: incoming docs screened per micro-batch against the train vocabulary") {
+    // the ingestion-time form of TextOps.contamination: the train split's
+    // shingle vocabulary is a static (cached) side, every arriving
+    // micro-batch of candidate documents is screened against it before
+    // admission — same join shape as the batch op, applied in foreachBatch
+    import graft.ext.TextOps
+    val docs = Tables.load(spark, sf0001, "documents")
+      .withColumn("split", TextOps.hashSplit($"doc_id", "graft", 0.9, 0.05))
+    val dir = tempDir("decontstream") + "/data"
+    val ckpt = tempDir("decontstreamckpt")
+    val incoming = docs.where($"split" =!= "train").select($"doc_id", $"text")
+    incoming.write.parquet(dir)
+    val train = docs.where($"split" === "train").select($"doc_id", $"text")
+    val stream = spark.readStream.schema(incoming.schema).parquet(dir)
+    val results = scala.collection.mutable.Map[Long, Double]()
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val screened = TextOps.contamination(
+          train.withColumn("split", lit("train"))
+            .unionByName(batch.toDF().withColumn("split", lit("candidate"))),
+          "doc_id", "text", "split")
+        results ++= screened.select("id", "rate").collect().map(r => r.getLong(0) -> r.getDouble(1))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // every non-train doc got a verdict, and it matches the batch operator
+    val batchForm = TextOps.contamination(docs, "doc_id", "text", "split")
+      .select("id", "rate").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(results.toMap == batchForm)
+    assert(results.nonEmpty)
+  }
+
   test("foreachBatch sink sees every batch exactly once per run") {
     val logPath = tempDir("fblog")
     val ckpt = tempDir("fbckpt")
