@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Text-corpus ingestion beside the parquet tables: JSONL (the lingua
+  * franca of training-data interchange) and CSV, read with an EXPLICIT
+  * schema and corrupt-record capture.
+  *
+  * Two scale rules are baked in rather than left to the caller:
+  *
+  *   - **No schema inference.** Spark's JSON/CSV inference runs a full
+  *     extra pass over the data before the real read — at corpus scale
+  *     that doubles the scan. Callers pass the schema; the reader only
+  *     ever makes one pass.
+  *   - **Malformed lines are data, not crashes.** A multi-TB crawl dump
+  *     always contains some broken lines; FAILFAST would kill the job at
+  *     hour N and DROPMALFORMED silently changes row counts. PERMISSIVE
+  *     with a named corrupt-record column keeps every line, lets the
+  *     pipeline route rejects to a quarantine sink, and makes the reject
+  *     rate observable (`corruptRecords`).
+  */
+object CorpusIO {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Schema of the driver testdata `documents` table, for convenience. */
+  def documentsSchema: StructType = new StructType()
+    .add("doc_id", "long").add("text", "string").add("lang", "string")
+    .add("source", "string").add("n_chars", "long")
+
+  private def withCorrupt(schema: StructType): StructType =
+    if (schema.fieldNames.contains(CorruptCol)) schema
+    else schema.add(CorruptCol, StringType, nullable = true)
+
+  /** One JSON object per line. Rows that fail to parse against `schema`
+    * come back with data columns null and the raw line in [[CorruptCol]].
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** Header-less CSV against an explicit schema, same reject contract as
+    * [[readJsonl]]. `multiLine` stays off: multi-line CSV parsing is not
+    * splittable, so one file becomes one task regardless of size.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("header", "false")
+      .csv(path)
+
+  /** The good rows, corrupt column dropped. Note: Spark disallows plans
+    * over raw JSON/CSV sources that reference ONLY the corrupt-record
+    * column — e.g. `validRecords(read...).count()`, where pruning drops
+    * every data column. `.cache()` the parsed frame before splitting it
+    * into valid/corrupt (the pattern Spark's own error message
+    * prescribes, and the natural one: both splits share the parse).
+    */
+  def validRecords(df: DataFrame): DataFrame =
+    df.where(df(CorruptCol).isNull).drop(CorruptCol)
+
+  /** The quarantine stream: rejected rows, raw line in [[CorruptCol]].
+    * Full rows are returned (not just the corrupt column) because Spark
+    * disallows queries over raw JSON/CSV sources whose referenced columns
+    * are ONLY the internal corrupt-record column — callers that want the
+    * raw lines alone should `.cache()` the parsed frame first, then
+    * project.
+    */
+  def corruptRecords(df: DataFrame): DataFrame =
+    df.where(df(CorruptCol).isNotNull)
+
+  /** JSONL export (one object per line, no extra pass). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.CorpusIO
+
+/** JSONL/CSV corpus ingestion: explicit-schema single-pass reads,
+  * roundtrip fidelity, and the corrupt-record quarantine contract.
+  */
+class CorpusIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf0001, "documents")
+
+  test("documents roundtrip through JSONL with full fidelity") {
+    val dir = tempDir("jsonl") + "/docs"
+    CorpusIO.writeJsonl(docs, dir)
+    // cache before splitting valid/corrupt — the raw-source corrupt-column
+    // restriction the CorpusIO scaladoc documents
+    val parsed = CorpusIO.readJsonl(spark, dir, CorpusIO.documentsSchema).cache()
+    try {
+      val back = CorpusIO.validRecords(parsed)
+      assert(back.count() == docs.count())
+      // value-level: no row differs in either direction
+      val cols = docs.columns.map(col).toSeq
+      assert(back.select(cols: _*).exceptAll(docs.select(cols: _*)).isEmpty)
+      assert(docs.select(cols: _*).exceptAll(back.select(cols: _*)).isEmpty)
+    } finally { parsed.unpersist(); () }
+  }
+
+  test("malformed JSONL lines land in quarantine instead of failing the read") {
+    val dir = tempDir("jsonlbad")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "ok doc", "lang": "en", "source": "s", "n_chars": 6}""",
+      """{"doc_id": 2 "text": "missing comma"""", // malformed
+      """not json at all""",
+      """{"doc_id": 3, "text": "another ok", "lang": "fr", "source": "s", "n_chars": 10}"""
+    )
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val parsed = CorpusIO.readJsonl(spark, dir, CorpusIO.documentsSchema).cache()
+    try {
+      assert(CorpusIO.validRecords(parsed).count() == 2)
+      val bad = CorpusIO.corruptRecords(parsed).select(CorpusIO.CorruptCol).as[String].collect()
+      assert(bad.length == 2)
+      assert(bad.exists(_.contains("missing comma")) && bad.contains("not json at all"))
+      // every input line is either valid or quarantined — none dropped
+      assert(parsed.count() == lines.size)
+    } finally { parsed.unpersist(); () }
+  }
+
+  test("CSV reads against an explicit schema with the same reject contract") {
+    val dir = tempDir("csvdocs")
+    val lines = Seq(
+      "1,hello world,en,s,11",
+      "2,bonjour,fr,s,7",
+      "3,broken,es,s,notanumber" // n_chars fails the long cast
+    )
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part.csv"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val parsed = CorpusIO.readCsv(spark, dir, CorpusIO.documentsSchema).cache()
+    try {
+      assert(CorpusIO.validRecords(parsed).count() == 2)
+      assert(CorpusIO.corruptRecords(parsed).count() == 1)
+      val ok = CorpusIO.validRecords(parsed).orderBy("doc_id")
+        .select($"doc_id", $"text", $"n_chars").as[(Long, String, Long)].collect()
+      assert(ok.toSeq == Seq((1L, "hello world", 11L), (2L, "bonjour", 7L)))
+    } finally { parsed.unpersist(); () }
+  }
+}
