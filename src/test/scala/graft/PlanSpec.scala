@@ -69,6 +69,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("SWEEP: no query in the inventory runs a window over a single-partition exchange") {
+    // the one pattern that silently stops scaling: Window.orderBy with no
+    // partitioning serializes every row onto one task. A SinglePartition
+    // exchange alone is fine when it carries aggregate partials (one row
+    // per partition); combined with a Window it means the DATA went to one
+    // task. Allowlist: c6_event_id_assign is the documented per-micro-batch
+    // id window (bounded input by construction; c6b is the distributed twin).
+    val allowed = Set("c6_event_id_assign")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(allowed).flatMap { name =>
+      val p = try plan(name) catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      if (p.contains("Exchange SinglePartition") && p.contains("Window"))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty, s"single-partition windows in: $offenders")
+  }
+
   test("capture diff is a full-outer sort-merge join on the PK") {
     val p = plan("c1_capture_diff")
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
