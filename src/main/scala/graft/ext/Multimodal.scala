@@ -11,11 +11,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * The Spark-side plumbing is real — schema, partition-preserving batched
   * `mapPartitions` (the Scala analogue of `mapInPandas`: one iterator per
   * partition, codecs amortized across the partition's rows), typed output
-  * schema. The IMAGE codec is real too ([[ImageCodec]]: `javax.imageio`
-  * PNG encode/decode/resize on actual pixels — JDK-builtin, no new
-  * dependencies). Audio/video decode remains a clearly-marked
-  * deterministic stub ([[FakeCodec]]) — those libraries are not in this
-  * container; swapping in a real decoder changes only that object.
+  * schema. The IMAGE codec is real ([[ImageCodec]]: `javax.imageio` PNG
+  * encode/decode/resize on actual pixels) and so is the AUDIO codec
+  * ([[AudioCodec]]: hand-rolled RIFF/WAVE PCM-16 encode/decode on actual
+  * samples) — both JDK-only, no new dependencies. Only VIDEO decode
+  * remains a clearly-marked deterministic stub ([[FakeCodec]]) — no
+  * JDK-builtin video decoder exists; swapping in a real one changes only
+  * that object.
   */
 object Multimodal {
 
@@ -161,6 +163,94 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec: RIFF/WAVE PCM 16-bit mono, hand-rolled byte layout —
+    * zero dependencies (the container has no audio libraries, but WAV needs
+    * none: it is a 44-byte header plus little-endian samples). Mirrors
+    * [[ImageCodec]]: deterministic synthetic encode, full decode with a
+    * content checksum, lossless round-trip. Video remains the one
+    * [[FakeCodec]] stub (no JDK-builtin video decoder exists).
+    */
+  object AudioCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** Deterministic synthetic WAV: PCM samples from a per-clip LCG stream
+      * seeded by `seed` — reproducible across runs, lossless in PCM.
+      */
+    def encodeWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+      require(nSamples > 0 && sampleRate > 0, s"bad wav params n=$nSamples rate=$sampleRate")
+      val dataLen = nSamples * 2
+      val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits per sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var s = seed * 6364136223846793005L + 1442695040888963407L
+      var i = 0
+      while (i < nSamples) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        buf.putShort(((s >>> 40) & 0xffff).toShort)
+        i += 1
+      }
+      buf.array()
+    }
+
+    final case class Decoded(nSamples: Int, sampleRate: Int, channels: Int, sampleSum: Long) {
+      /** Integer duration — same arithmetic as the SQL oracle's `// `. */
+      def durationMs: Long = nSamples.toLong * 1000L / sampleRate
+    }
+
+    /** Real decode: walks the RIFF chunk list (not a fixed 44-byte offset —
+      * a conformant reader must tolerate extra chunks), reads fmt, then
+      * sums the 16-bit samples as the content checksum.
+      */
+    def decode(payload: Array[Byte]): Option[Decoded] = {
+      if (payload == null || payload.length < 44) return None
+      val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = { val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII") }
+      if (tag() != "RIFF") return None
+      buf.getInt // riff size
+      if (tag() != "WAVE") return None
+      var sampleRate = 0
+      var channels = 0
+      var bits = 0
+      var nSamples = 0
+      var sum = 0L
+      var sawData = false
+      while (buf.remaining() >= 8) {
+        val id = tag()
+        val len = buf.getInt
+        if (len < 0 || len > buf.remaining()) return None
+        id match {
+          case "fmt " =>
+            val start = buf.position()
+            val fmt = buf.getShort
+            channels = buf.getShort
+            sampleRate = buf.getInt
+            buf.getInt // byte rate
+            buf.getShort // block align
+            bits = buf.getShort
+            if (fmt != 1 || bits != 16 || channels != 1) return None // PCM16 mono only
+            buf.position(start + len)
+          case "data" =>
+            sawData = true
+            nSamples = len / 2
+            var i = 0
+            while (i < nSamples) { sum += buf.getShort; i += 1 }
+            buf.position(buf.position() + (len - nSamples * 2)) // odd trailing byte, if any
+          case _ =>
+            buf.position(buf.position() + len)
+        }
+      }
+      if (!sawData || sampleRate <= 0) None
+      else Some(Decoded(nSamples, sampleRate, channels, sum))
+    }
+  }
+
   /** Decoded-image projection (real codec output + the metadata the row
     * carried, for meta-vs-decoded reconciliation).
     */
@@ -187,6 +277,53 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Decoded-audio projection: real WAV decode output. `sample_sum` is the
+    * content checksum (not SQL-derivable — LCG samples — so the gate query
+    * projects it away, same contract as [[ImageInfo.pixel_sum]]).
+    */
+  final case class AudioInfo(
+      media_id: Long,
+      n_samples: Int,
+      sample_rate: Int,
+      duration_ms_decoded: Long,
+      sample_sum: Long
+  )
+
+  /** Batched REAL audio decode over partitions — the audio twin of
+    * [[decodeImages]], running the RIFF/PCM parser in the partition loop.
+    * Partition-preserving: no shuffle.
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioInfo] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.flatMap { r =>
+        AudioCodec.decode(r.payload).map { d =>
+          AudioInfo(r.media_id, d.nSamples, d.sampleRate, d.durationMs, d.sampleSum)
+        }
+      }
+    }
+  }
+
+  /** Synthetic audio table with REAL WAV payloads: sample count derived
+    * from n_chars (`1 + n_chars % 4001` at 8 kHz), which is what makes the
+    * decode stage oracle-checkable on real decoded sample counts — the
+    * audio twin of [[syntheticImages]].
+    */
+  def syntheticAudio(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nChars) =>
+          val n = (1L + nChars % 4001).toInt
+          val rate = 8000
+          MediaRow(id, "audio", AudioCodec.encodeWav(n, rate, seed = id), "wav",
+            0, 0, n.toLong * 1000L / rate)
+        }
+      }
   }
 
   /** Synthetic image table with REAL PNG payloads: deterministic dims from
@@ -252,18 +389,21 @@ object Multimodal {
     * audio/video library in this container).
     */
   def syntheticMediaMixed(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
-    val av = syntheticMedia(spark, documents).filter(_.kind != "image")
-    // pre-filter both paths: inline generation only encodes the image
-    // third, and the cached read prunes on the pushed-down predicate
+    val video = syntheticMedia(spark, documents).filter(_.kind == "video")
+    // pre-filter all paths: each generator only encodes its third, and the
+    // cached image read prunes on the pushed-down predicate
+    val audio = syntheticAudio(spark, documents.where(col("doc_id") % 3 === 1))
     val img = cachedSyntheticImages(spark, documents.where(col("doc_id") % 3 === 0))
       .where(col("media_id") % 3 === 0)
-    img.union(av)
+    img.union(audio).union(video)
   }
 
-  /** Feature extraction with the REAL image codec on image rows: checksum =
-    * decoded pixel sum, feature = (width, height, n_px, mean-pixel) from
-    * actual decoded pixels. Audio/video rows stay on [[FakeCodec]]. Same
-    * batched mapPartitions shape as [[extractFeatures]].
+  /** Feature extraction with the REAL codecs on image and audio rows:
+    * image checksum = decoded pixel sum with (w, h, n_px, mean-pixel)
+    * features; audio checksum = decoded PCM sample sum with (n_samples,
+    * rate, duration, mean-sample) features. Video rows stay on
+    * [[FakeCodec]] (no JDK-builtin video decoder). Same batched
+    * mapPartitions shape as [[extractFeatures]].
     */
   def extractFeaturesReal(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -278,6 +418,16 @@ object Multimodal {
                 r.media_id, r.kind, nBytes, d.pixelSum,
                 Array(d.width.toFloat, d.height.toFloat, nPx.toFloat,
                   (d.pixelSum.toDouble / nPx).toFloat))
+            case None =>
+              MediaFeatures(r.media_id, r.kind, nBytes, 0L, new Array[Float](4))
+          }
+        } else if (r.kind == "audio" && r.format == "wav") {
+          AudioCodec.decode(r.payload) match {
+            case Some(d) =>
+              MediaFeatures(
+                r.media_id, r.kind, nBytes, d.sampleSum,
+                Array(d.nSamples.toFloat, d.sampleRate.toFloat, d.durationMs.toFloat,
+                  (d.sampleSum.toDouble / math.max(d.nSamples, 1)).toFloat))
             case None =>
               MediaFeatures(r.media_id, r.kind, nBytes, 0L, new Array[Float](4))
           }

@@ -328,6 +328,19 @@ object ExtensionQueries {
         .orderBy("media_id")
     },
 
+    // REAL audio decode through the batched codec stage: synthetic RIFF/
+    // PCM WAV payloads (sample counts derived from n_chars, so decoded
+    // sample counts and durations are SQL-derivable) → hand-rolled RIFF
+    // parser → decoded stream parameters. Oracle-gated on the real
+    // decoder's output — the audio twin of x_multimodal_decode.
+    "x_audio_decode" -> { (s, dir) =>
+      Multimodal
+        .decodeAudio(Multimodal.syntheticAudio(s, docs(s, dir)))
+        .toDF()
+        .select(col("media_id"), col("n_samples"), col("sample_rate"), col("duration_ms_decoded"))
+        .orderBy("media_id")
+    },
+
     // multimodal feature extraction: image rows run the REAL ImageCodec
     // (checksum = decoded pixel sum), audio/video run the labeled stub —
     // no oracle (pixel sums of LCG-generated PNGs aren't SQL-derivable);
@@ -534,6 +547,12 @@ object ExtensionQueries {
         |  WHERE a.vec_id < b.vec_id
         |) WHERE cos >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "x_audio_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(1 + n_chars % 4001 AS INT) AS n_samples,
+        |       CAST(8000 AS INT) AS sample_rate,
+        |       CAST(((1 + n_chars % 4001) * 1000) // 8000 AS BIGINT) AS duration_ms_decoded
+        |FROM documents ORDER BY media_id""".stripMargin,
     "x_multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |       CAST(1 + n_chars % 64 AS INT) AS width_decoded,

@@ -495,6 +495,48 @@ class ExtSpec extends SparkSpec {
     assert(ImageCodec.decode(null).isEmpty)
   }
 
+  test("AudioCodec WAV encode→decode round-trips stream parameters and samples exactly") {
+    import Multimodal.AudioCodec
+    val wav = AudioCodec.encodeWav(nSamples = 800, sampleRate = 8000, seed = 7L)
+    assert(wav.length == 44 + 800 * 2)
+    val d = AudioCodec.decode(wav).get
+    assert(d.nSamples == 800 && d.sampleRate == 8000 && d.channels == 1)
+    assert(d.durationMs == 100L)
+    // PCM is lossless and the sample stream is seed-deterministic
+    assert(AudioCodec.decode(AudioCodec.encodeWav(800, 8000, seed = 7L)).get == d)
+    // a different seed changes content but not the stream parameters
+    val d2 = AudioCodec.decode(AudioCodec.encodeWav(800, 8000, seed = 8L)).get
+    assert(d2.nSamples == 800 && d2.sampleSum != d.sampleSum)
+    // a javasound-independent check that the header is conformant RIFF:
+    // the chunk walker must also tolerate an extra chunk before data
+    val extra = {
+      val base = AudioCodec.encodeWav(10, 8000, seed = 1L)
+      val buf = java.nio.ByteBuffer.allocate(base.length + 12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(base, 0, 12) // RIFF size WAVE
+      buf.put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0) // foreign chunk
+      buf.put(base, 12, base.length - 12)
+      buf.array()
+    }
+    assert(AudioCodec.decode(extra).get.nSamples == 10)
+    // undecodable payloads are None, not a crash
+    assert(AudioCodec.decode("not a wav".getBytes).isEmpty)
+    assert(AudioCodec.decode(null).isEmpty)
+  }
+
+  test("decodeAudio recovers the synthetic stream parameters through the real decoder") {
+    val clips = Multimodal.syntheticAudio(spark, docs.limit(40))
+    val decoded = Multimodal.decodeAudio(clips).collect().map(a => a.media_id -> a).toMap
+    val expected = docs.limit(40).select($"doc_id".cast("long"), $"n_chars".cast("long"))
+      .as[(Long, Long)].collect()
+    assert(decoded.size == expected.length)
+    expected.foreach { case (id, nChars) =>
+      val a = decoded(id)
+      val n = (1L + nChars % 4001).toInt
+      assert(a.n_samples == n && a.sample_rate == 8000 && a.duration_ms_decoded == n.toLong * 1000 / 8000,
+        s"doc $id: $a")
+    }
+  }
+
   test("decodeImages recovers the synthetic dims through the real decoder") {
     val imgs = Multimodal.syntheticImages(spark, docs.limit(40))
     val decoded = Multimodal.decodeImages(imgs).collect().map(i => i.media_id -> i).toMap
@@ -518,10 +560,18 @@ class ExtSpec extends SparkSpec {
       assert(feats(id).checksum == i.pixel_sum)
       assert(feats(id).feature.take(3).toSeq == Seq(i.width_decoded.toFloat, i.height_decoded.toFloat, i.n_px.toFloat))
     }
-    // audio/video rows keep the deterministic stub checksum
-    val av = media.filter(_.kind != "image").collect()
-    assert(av.nonEmpty)
-    av.foreach { m => assert(feats(m.media_id).checksum == Multimodal.FakeCodec.checksum(m.payload)) }
+    // audio checksums are the REAL decoded PCM sample sums
+    val audio = media.filter(_.kind == "audio").collect()
+    assert(audio.nonEmpty)
+    audio.foreach { m =>
+      val d = Multimodal.AudioCodec.decode(m.payload).get
+      assert(feats(m.media_id).checksum == d.sampleSum)
+      assert(feats(m.media_id).feature.take(2).toSeq == Seq(d.nSamples.toFloat, d.sampleRate.toFloat))
+    }
+    // only video rows remain on the deterministic stub
+    val video = media.filter(_.kind == "video").collect()
+    assert(video.nonEmpty)
+    video.foreach { m => assert(feats(m.media_id).checksum == Multimodal.FakeCodec.checksum(m.payload)) }
   }
 
   test("frame sampling emits duration/interval frames per video") {
