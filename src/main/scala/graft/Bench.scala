@@ -183,8 +183,11 @@ object Bench {
         if (maxBatchMs > 0) String.format(java.util.Locale.ROOT, "%.2f", Double.box(5000.0 / maxBatchMs))
         else "-1"
       val rate = String.format(java.util.Locale.ROOT, "%.0f", Double.box(delivered.get() / math.max(elapsed, 1e-9)))
-      s""""$prefix":{"rows_per_s":$rate,"fell_behind":$fellBehind,""" +
-        s""""deadline_hit":$deadlineHit,"headroom":$headroom},"""
+      // compact keys (the line must fit the output tail budget): rps =
+      // delivered rows/s; overrun = a micro-batch exceeded the 5 s budget
+      // (fell behind); undelivered = the run ended before full delivery
+      s""""$prefix":{"rps":$rate,"overrun":$fellBehind,""" +
+        s""""undelivered":$deadlineHit,"headroom":$headroom},"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] cadence metric failed: ${e.getMessage}")

@@ -11,13 +11,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * The Spark-side plumbing is real — schema, partition-preserving batched
   * `mapPartitions` (the Scala analogue of `mapInPandas`: one iterator per
   * partition, codecs amortized across the partition's rows), typed output
-  * schema. The IMAGE codec is real ([[ImageCodec]]: `javax.imageio` PNG
-  * encode/decode/resize on actual pixels) and so is the AUDIO codec
-  * ([[AudioCodec]]: hand-rolled RIFF/WAVE PCM-16 encode/decode on actual
-  * samples) — both JDK-only, no new dependencies. Only VIDEO decode
-  * remains a clearly-marked deterministic stub ([[FakeCodec]]) — no
-  * JDK-builtin video decoder exists; swapping in a real one changes only
-  * that object.
+  * schema. All three codecs are real and JDK-only: IMAGE ([[ImageCodec]]:
+  * `javax.imageio` PNG encode/decode/resize on actual pixels), AUDIO
+  * ([[AudioCodec]]: hand-rolled RIFF/WAVE PCM-16 on actual samples), and
+  * VIDEO ([[VideoCodec]]: a real multi-frame container parser over
+  * genuine PNG frames — the container format is this library's own, since
+  * the JDK ships no standard video decoder, but the structural parsing
+  * and per-frame pixel decode are not faked). [[FakeCodec]] remains only
+  * as the explicit fallback for foreign/unknown formats.
   */
 object Multimodal {
 
@@ -279,6 +280,65 @@ object Multimodal {
     }
   }
 
+  /** REAL video container codec: a minimal multi-frame format ("GRVI" —
+    * fixed header + per-frame PNG payloads) with a real parser and real
+    * per-frame pixel decode through [[ImageCodec]]. The JDK ships no
+    * decoder for any standard video codec, so the format is this
+    * library's own — but nothing about the handling is faked: the
+    * container is parsed structurally (validated lengths, per-frame
+    * offsets), frames are genuine PNGs, and frame sampling decodes actual
+    * pixels. Swapping in a standard codec changes only this object.
+    *
+    * Layout (big-endian ints via ByteBuffer default):
+    * `"GRVI" | version | nFrames | width | height | nFrames×frameLen | frames…`
+    */
+  object VideoCodec {
+    import java.nio.ByteBuffer
+
+    final case class VideoMeta(nFrames: Int, width: Int, height: Int, frameOffsets: Array[Int], frameLengths: Array[Int])
+
+    /** Deterministic synthetic clip: `nFrames` PNG frames, pixel streams
+      * seeded per (seed, frame index).
+      */
+    def encode(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+      require(nFrames > 0, s"bad frame count $nFrames")
+      val frames = Array.tabulate(nFrames)(i => ImageCodec.encodePng(width, height, seed * 131L + i))
+      val buf = ByteBuffer.allocate(4 + 4 * 4 + 4 * nFrames + frames.map(_.length).sum)
+      buf.put("GRVI".getBytes("US-ASCII")).putInt(1).putInt(nFrames).putInt(width).putInt(height)
+      frames.foreach(f => buf.putInt(f.length))
+      frames.foreach(buf.put)
+      buf.array()
+    }
+
+    /** Structural parse: header + frame index, with length validation. */
+    def decodeMeta(payload: Array[Byte]): Option[VideoMeta] = {
+      if (payload == null || payload.length < 20) return None
+      val buf = ByteBuffer.wrap(payload)
+      val magic = new Array[Byte](4)
+      buf.get(magic)
+      if (new String(magic, "US-ASCII") != "GRVI") return None
+      if (buf.getInt != 1) return None
+      val n = buf.getInt
+      val w = buf.getInt
+      val h = buf.getInt
+      if (n <= 0 || w <= 0 || h <= 0 || buf.remaining() < 4 * n) return None
+      val lengths = Array.fill(n)(buf.getInt)
+      if (lengths.exists(_ < 0) || lengths.map(_.toLong).sum != buf.remaining()) return None
+      val offsets = lengths.scanLeft(buf.position())(_ + _).init
+      Some(VideoMeta(n, w, h, offsets, lengths))
+    }
+
+    /** Real frame decode: slice frame `idx` out of the container and run
+      * the real image decoder on it.
+      */
+    def decodeFrame(payload: Array[Byte], meta: VideoMeta, idx: Int): Option[ImageCodec.Decoded] = {
+      if (idx < 0 || idx >= meta.nFrames) return None
+      val slice = java.util.Arrays.copyOfRange(
+        payload, meta.frameOffsets(idx), meta.frameOffsets(idx) + meta.frameLengths(idx))
+      ImageCodec.decode(slice)
+    }
+  }
+
   /** Decoded-audio projection: real WAV decode output. `sample_sum` is the
     * content checksum (not SQL-derivable — LCG samples — so the gate query
     * projects it away, same contract as [[ImageInfo.pixel_sum]]).
@@ -322,6 +382,63 @@ object Multimodal {
           val rate = 8000
           MediaRow(id, "audio", AudioCodec.encodeWav(n, rate, seed = id), "wav",
             0, 0, n.toLong * 1000L / rate)
+        }
+      }
+  }
+
+  /** Decoded-video projection: real container parse + per-frame pixel
+    * decode. `pixel_sum_total` is the content checksum (not SQL-derivable,
+    * projected away by the gate — same contract as [[ImageInfo.pixel_sum]]).
+    */
+  final case class VideoInfo(
+      media_id: Long,
+      n_frames: Int,
+      width_decoded: Int,
+      height_decoded: Int,
+      n_px_total: Long,
+      pixel_sum_total: Long
+  )
+
+  /** Batched REAL video decode over partitions: structural container parse
+    * plus a full decode of every frame's pixels. Partition-preserving.
+    */
+  def decodeVideo(media: Dataset[MediaRow]): Dataset[VideoInfo] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        VideoCodec.decodeMeta(r.payload).map { m =>
+          var px = 0L
+          var sum = 0L
+          var i = 0
+          while (i < m.nFrames) {
+            VideoCodec.decodeFrame(r.payload, m, i).foreach { d =>
+              px += d.width.toLong * d.height; sum += d.pixelSum
+            }
+            i += 1
+          }
+          VideoInfo(r.media_id, m.nFrames, m.width, m.height, px, sum)
+        }
+      }
+    }
+  }
+
+  /** Synthetic video table with REAL GRVI payloads: frame count and dims
+    * derived from n_chars (`1 + n_chars % 8` frames of
+    * `(1 + n_chars % 32) × (1 + n_chars % 24)` at 25 fps), which is what
+    * makes the decode stage oracle-checkable on real decoded frame
+    * geometry — the video twin of [[syntheticImages]].
+    */
+  def syntheticVideo(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nChars) =>
+          val w = (1L + nChars % 32).toInt
+          val h = (1L + nChars % 24).toInt
+          val n = (1L + nChars % 8).toInt
+          MediaRow(id, "video", VideoCodec.encode(w, h, n, seed = id), "grvi", w, h, n * 40L)
         }
       }
   }
@@ -389,10 +506,10 @@ object Multimodal {
     * audio/video library in this container).
     */
   def syntheticMediaMixed(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
-    val video = syntheticMedia(spark, documents).filter(_.kind == "video")
     // pre-filter all paths: each generator only encodes its third, and the
     // cached image read prunes on the pushed-down predicate
     val audio = syntheticAudio(spark, documents.where(col("doc_id") % 3 === 1))
+    val video = syntheticVideo(spark, documents.where(col("doc_id") % 3 === 2))
     val img = cachedSyntheticImages(spark, documents.where(col("doc_id") % 3 === 0))
       .where(col("media_id") % 3 === 0)
     img.union(audio).union(video)
@@ -431,6 +548,22 @@ object Multimodal {
             case None =>
               MediaFeatures(r.media_id, r.kind, nBytes, 0L, new Array[Float](4))
           }
+        } else if (r.kind == "video" && r.format == "grvi") {
+          VideoCodec.decodeMeta(r.payload) match {
+            case Some(m) =>
+              var sum = 0L
+              var i = 0
+              while (i < m.nFrames) {
+                VideoCodec.decodeFrame(r.payload, m, i).foreach(d => sum += d.pixelSum)
+                i += 1
+              }
+              MediaFeatures(
+                r.media_id, r.kind, nBytes, sum,
+                Array(m.nFrames.toFloat, m.width.toFloat, m.height.toFloat,
+                  (sum.toDouble / math.max(m.nFrames.toLong * m.width * m.height, 1L)).toFloat))
+            case None =>
+              MediaFeatures(r.media_id, r.kind, nBytes, 0L, new Array[Float](4))
+          }
         } else {
           MediaFeatures(r.media_id, r.kind, nBytes,
             FakeCodec.checksum(r.payload), FakeCodec.decodeFeatures(r.payload))
@@ -460,19 +593,39 @@ object Multimodal {
   }
 
   /** Frame sampling for video rows: emit one row per sampled frame index
-    * (flatMap — rows-out ≥ rows-in, still partition-local).
+    * (flatMap — rows-out ≥ rows-in, still partition-local). GRVI payloads
+    * decode REAL frames ([[VideoCodec]] slice + [[ImageCodec]] pixels:
+    * feature = (w, h, n_px, mean-pixel)); other formats keep the labeled
+    * byte-stub features.
     */
   final case class FrameRow(media_id: Long, frame_idx: Int, frame_ts_ms: Long, feature: Array[Float])
 
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      val n = math.max(1L, r.duration_ms / math.max(everyMs, 1L)).toInt
-      (0 until n).map { i =>
-        FrameRow(r.media_id, i, i * everyMs, FakeCodec.decodeFeatures(
-          if (r.payload == null) null
-          else java.util.Arrays.copyOfRange(r.payload, (i * 7) % math.max(r.payload.length, 1), r.payload.length)
-        ))
+      VideoCodec.decodeMeta(r.payload) match {
+        case Some(m) if r.format == "grvi" =>
+          // real path: sample every `everyMs` along the clock, clamped to
+          // the decoded frame index range (25 fps → 40 ms per frame)
+          val n = math.max(1L, r.duration_ms / math.max(everyMs, 1L)).toInt
+          (0 until n).map { i =>
+            val frameIdx = math.min((i * everyMs / 40L).toInt, m.nFrames - 1)
+            val feature = VideoCodec.decodeFrame(r.payload, m, frameIdx) match {
+              case Some(d) =>
+                val nPx = d.width.toLong * d.height
+                Array(d.width.toFloat, d.height.toFloat, nPx.toFloat, (d.pixelSum.toDouble / nPx).toFloat)
+              case None => new Array[Float](4)
+            }
+            FrameRow(r.media_id, i, i * everyMs, feature)
+          }
+        case _ =>
+          val n = math.max(1L, r.duration_ms / math.max(everyMs, 1L)).toInt
+          (0 until n).map { i =>
+            FrameRow(r.media_id, i, i * everyMs, FakeCodec.decodeFeatures(
+              if (r.payload == null) null
+              else java.util.Arrays.copyOfRange(r.payload, (i * 7) % math.max(r.payload.length, 1), r.payload.length)
+            ))
+          }
       }
     }
   }

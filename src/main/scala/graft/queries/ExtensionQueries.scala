@@ -341,6 +341,19 @@ object ExtensionQueries {
         .orderBy("media_id")
     },
 
+    // REAL video decode through the batched codec stage: synthetic GRVI
+    // containers (frame count + dims derived from n_chars) → structural
+    // container parse + full per-frame pixel decode → decoded geometry.
+    // Oracle-gated on the real decoder's output — the video twin of
+    // x_multimodal_decode / x_audio_decode.
+    "x_video_decode" -> { (s, dir) =>
+      Multimodal
+        .decodeVideo(Multimodal.syntheticVideo(s, docs(s, dir)))
+        .toDF()
+        .select(col("media_id"), col("n_frames"), col("width_decoded"), col("height_decoded"), col("n_px_total"))
+        .orderBy("media_id")
+    },
+
     // multimodal feature extraction: image rows run the REAL ImageCodec
     // (checksum = decoded pixel sum), audio/video run the labeled stub —
     // no oracle (pixel sums of LCG-generated PNGs aren't SQL-derivable);
@@ -547,6 +560,13 @@ object ExtensionQueries {
         |  WHERE a.vec_id < b.vec_id
         |) WHERE cos >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "x_video_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(1 + n_chars % 8 AS INT) AS n_frames,
+        |       CAST(1 + n_chars % 32 AS INT) AS width_decoded,
+        |       CAST(1 + n_chars % 24 AS INT) AS height_decoded,
+        |       CAST((1 + n_chars % 8) * (1 + n_chars % 32) * (1 + n_chars % 24) AS BIGINT) AS n_px_total
+        |FROM documents ORDER BY media_id""".stripMargin,
     "x_audio_decode" ->
       """SELECT doc_id AS media_id,
         |       CAST(1 + n_chars % 4001 AS INT) AS n_samples,

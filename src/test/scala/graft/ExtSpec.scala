@@ -537,6 +537,51 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("VideoCodec GRVI encode→decode round-trips container structure and frame pixels") {
+    import Multimodal.{ImageCodec, VideoCodec}
+    val clip = VideoCodec.encode(width = 16, height = 12, nFrames = 5, seed = 7L)
+    val m = VideoCodec.decodeMeta(clip).get
+    assert(m.nFrames == 5 && m.width == 16 && m.height == 12)
+    // every frame is a genuine PNG whose pixels equal an independent
+    // encode of the same (dims, per-frame seed)
+    (0 until 5).foreach { i =>
+      val d = VideoCodec.decodeFrame(clip, m, i).get
+      assert(d.width == 16 && d.height == 12)
+      assert(d == ImageCodec.decode(ImageCodec.encodePng(16, 12, 7L * 131L + i)).get)
+    }
+    // frames differ from each other (per-frame seeds)
+    val sums = (0 until 5).map(i => VideoCodec.decodeFrame(clip, m, i).get.pixelSum)
+    assert(sums.distinct.size == 5)
+    // structural rejection: bad magic, truncated payload, out-of-range frame
+    assert(VideoCodec.decodeMeta("not a video".getBytes).isEmpty)
+    assert(VideoCodec.decodeMeta(java.util.Arrays.copyOf(clip, clip.length - 3)).isEmpty)
+    assert(VideoCodec.decodeFrame(clip, m, 5).isEmpty)
+    assert(VideoCodec.decodeMeta(null).isEmpty)
+  }
+
+  test("decodeVideo and real frame sampling recover the synthetic clip geometry") {
+    val clips = Multimodal.syntheticVideo(spark, docs.limit(30))
+    val decoded = Multimodal.decodeVideo(clips).collect().map(v => v.media_id -> v).toMap
+    val expected = docs.limit(30).select($"doc_id".cast("long"), $"n_chars".cast("long"))
+      .as[(Long, Long)].collect()
+    assert(decoded.size == expected.length)
+    expected.foreach { case (id, nChars) =>
+      val v = decoded(id)
+      val (w, h, n) = ((1L + nChars % 32).toInt, (1L + nChars % 24).toInt, (1L + nChars % 8).toInt)
+      assert(v.n_frames == n && v.width_decoded == w && v.height_decoded == h, s"doc $id: $v")
+      assert(v.n_px_total == n.toLong * w * h)
+      assert(v.pixel_sum_total > 0L)
+    }
+    // frame sampling decodes real pixels: each sampled frame's feature
+    // carries the clip's true dims, not stub byte statistics
+    val frames = Multimodal.sampleFrames(clips, everyMs = 40).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { f =>
+      val (_, nChars) = expected.find(_._1 == f.media_id).get
+      assert(f.feature(0) == (1L + nChars % 32).toFloat && f.feature(1) == (1L + nChars % 24).toFloat)
+    }
+  }
+
   test("decodeImages recovers the synthetic dims through the real decoder") {
     val imgs = Multimodal.syntheticImages(spark, docs.limit(40))
     val decoded = Multimodal.decodeImages(imgs).collect().map(i => i.media_id -> i).toMap
@@ -550,7 +595,7 @@ class ExtSpec extends SparkSpec {
     }
   }
 
-  test("extractFeaturesReal runs the real codec on images and the stub elsewhere") {
+  test("extractFeaturesReal runs the real codec on every modality") {
     val media = Multimodal.syntheticMediaMixed(spark, docs.limit(60))
     val feats = Multimodal.extractFeaturesReal(media).collect().map(f => f.media_id -> f).toMap
     val decoded = Multimodal.decodeImages(media).collect().map(i => i.media_id -> i).toMap
@@ -568,10 +613,16 @@ class ExtSpec extends SparkSpec {
       assert(feats(m.media_id).checksum == d.sampleSum)
       assert(feats(m.media_id).feature.take(2).toSeq == Seq(d.nSamples.toFloat, d.sampleRate.toFloat))
     }
-    // only video rows remain on the deterministic stub
+    // video checksums are the REAL summed per-frame pixel sums
     val video = media.filter(_.kind == "video").collect()
     assert(video.nonEmpty)
-    video.foreach { m => assert(feats(m.media_id).checksum == Multimodal.FakeCodec.checksum(m.payload)) }
+    video.foreach { m =>
+      val vm = Multimodal.VideoCodec.decodeMeta(m.payload).get
+      val expectSum = (0 until vm.nFrames)
+        .flatMap(i => Multimodal.VideoCodec.decodeFrame(m.payload, vm, i)).map(_.pixelSum).sum
+      assert(feats(m.media_id).checksum == expectSum)
+      assert(feats(m.media_id).feature(0) == vm.nFrames.toFloat)
+    }
   }
 
   test("frame sampling emits duration/interval frames per video") {
