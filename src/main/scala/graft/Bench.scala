@@ -32,6 +32,10 @@ object Bench {
       spark,
       Tables.load(spark, sfDir, "documents"),
       java.nio.file.Files.createTempDirectory("graft_bench_images").toString)
+    graft.ext.Multimodal.materializeVideoCache(
+      spark,
+      Tables.load(spark, sfDir, "documents"),
+      java.nio.file.Files.createTempDirectory("graft_bench_video").toString)
     // pre-build the IVF index (untimed): an index is built once per corpus
     // and amortized over every probe — the timed query measures the probe
     // path against the centroid-partitioned index, as a deployment would

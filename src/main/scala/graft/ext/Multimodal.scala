@@ -443,6 +443,41 @@ object Multimodal {
       }
   }
 
+  /** Conf key: directory holding a pre-materialized [[syntheticVideo]]
+    * parquet — same untimed-warmup contract as [[ImageCacheConfKey]]: the
+    * bench measures the container-parse + frame-decode stage, not fixture
+    * *encoding*; the Verify/gate path generates inline. Encoding is
+    * deterministic, so both paths carry byte-identical payloads.
+    */
+  val VideoCacheConfKey = "spark.graft.media.videoCacheDir"
+
+  /** [[syntheticVideo]] behind the optional pre-materialized cache, with
+    * the same build-input validation as [[cachedSyntheticImages]].
+    */
+  def cachedSyntheticVideo(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.conf.getOption(VideoCacheConfKey) match {
+      case Some(dir) if FixtureCache.matches(dir, videoFingerprint(documents)) =>
+        spark.read.parquet(dir).as[MediaRow]
+      case Some(dir) =>
+        System.err.println(s"[graft] video cache at $dir does not match this documents table — generating inline")
+        syntheticVideo(spark, documents)
+      case None => syntheticVideo(spark, documents)
+    }
+  }
+
+  private def videoFingerprint(documents: DataFrame): String =
+    FixtureCache.fingerprint(documents, "synthetic-video-grvi")
+
+  /** Write the [[syntheticVideo]] fixture for `documents` to `dir` and
+    * point [[VideoCacheConfKey]] at it (bench warmup entry point).
+    */
+  def materializeVideoCache(spark: SparkSession, documents: DataFrame, dir: String): Unit = {
+    syntheticVideo(spark, documents).write.mode("overwrite").parquet(dir)
+    FixtureCache.write(dir, videoFingerprint(documents))
+    spark.conf.set(VideoCacheConfKey, dir)
+  }
+
   /** Synthetic image table with REAL PNG payloads: deterministic dims from
     * n_chars, pixels from a doc_id-seeded stream. Dims are re-derivable in
     * SQL (`1 + n_chars % 64` × `1 + n_chars % 48`), which is what makes the
@@ -509,7 +544,8 @@ object Multimodal {
     // pre-filter all paths: each generator only encodes its third, and the
     // cached image read prunes on the pushed-down predicate
     val audio = syntheticAudio(spark, documents.where(col("doc_id") % 3 === 1))
-    val video = syntheticVideo(spark, documents.where(col("doc_id") % 3 === 2))
+    val video = cachedSyntheticVideo(spark, documents.where(col("doc_id") % 3 === 2))
+      .where(col("media_id") % 3 === 2)
     val img = cachedSyntheticImages(spark, documents.where(col("doc_id") % 3 === 0))
       .where(col("media_id") % 3 === 0)
     img.union(audio).union(video)

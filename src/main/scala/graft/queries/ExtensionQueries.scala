@@ -348,7 +348,7 @@ object ExtensionQueries {
     // x_multimodal_decode / x_audio_decode.
     "x_video_decode" -> { (s, dir) =>
       Multimodal
-        .decodeVideo(Multimodal.syntheticVideo(s, docs(s, dir)))
+        .decodeVideo(Multimodal.cachedSyntheticVideo(s, docs(s, dir)))
         .toDF()
         .select(col("media_id"), col("n_frames"), col("width_decoded"), col("height_decoded"), col("n_px_total"))
         .orderBy("media_id")

@@ -345,6 +345,16 @@ class ExtSpec extends SparkSpec {
       val otherDocs = Tables.load(spark, otherDir, "documents")
       assert(Multimodal.cachedSyntheticImages(spark, otherDocs).count() == otherDocs.count())
     } finally spark.conf.unset(Multimodal.ImageCacheConfKey)
+    // video cache: same rejection contract as the image cache
+    val vidDir = tempDir("graft_vidcache")
+    Multimodal.materializeVideoCache(spark, docs, vidDir)
+    try {
+      assert(Multimodal.cachedSyntheticVideo(spark, docs).count() == docs.count())
+      val otherDir = sfDir("sf0.01")
+      requireFixture(otherDir)
+      val otherDocs = Tables.load(spark, otherDir, "documents")
+      assert(Multimodal.cachedSyntheticVideo(spark, otherDocs).count() == otherDocs.count())
+    } finally spark.conf.unset(Multimodal.VideoCacheConfKey)
     // IVF cache: same corpus but a different centroid count must rebuild
     val ivfDir = tempDir("graft_ivfcache")
     Similarity.materializeIvfCache(spark, embs, "vec_id", "embedding", nCentroids = 4, ivfDir)
