@@ -50,6 +50,43 @@ class CorpusIOSpec extends SparkSpec {
     } finally { parsed.unpersist(); () }
   }
 
+  test("JSONL streams through Structured Streaming with the same quarantine contract") {
+    // ingestion-time form: a JSONL drop-directory consumed as a stream,
+    // split per micro-batch into admitted rows and quarantined raw lines —
+    // the same explicit-schema single-pass contract as the batch reader
+    val dir = tempDir("jsonlstream") + "/in"
+    val ckpt = tempDir("jsonlstreamckpt")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "good row", "lang": "en", "source": "s", "n_chars": 8}""",
+      """garbage line""",
+      """{"doc_id": 2, "text": "also good", "lang": "fr", "source": "s", "n_chars": 9}"""
+    )
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "drop1.jsonl"), lines.mkString("\n").getBytes("UTF-8"))
+    val stream = spark.readStream
+      .schema(CorpusIO.documentsSchema.add(CorpusIO.CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorpusIO.CorruptCol)
+      .json(dir)
+    var admitted = 0L
+    var quarantined = 0L
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.cache()
+        try {
+          admitted += CorpusIO.validRecords(b).count()
+          quarantined += CorpusIO.corruptRecords(b).count()
+        } finally { b.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(admitted == 2 && quarantined == 1)
+  }
+
   test("CSV reads against an explicit schema with the same reject contract") {
     val dir = tempDir("csvdocs")
     val lines = Seq(
