@@ -93,8 +93,8 @@ object Multimodal {
 
   /** REAL image codec via `javax.imageio` (JDK-builtin, zero new
     * dependencies): PNG encode / decode / resize on actual pixels. The
-    * audio/video paths stay on [[FakeCodec]] (no audio/video libraries in
-    * this container); swapping them follows the same shape.
+    * audio and video paths have their own real codecs ([[AudioCodec]],
+    * [[VideoCodec]]) following the same shape.
     */
   object ImageCodec {
     import java.awt.image.BufferedImage
@@ -168,8 +168,9 @@ object Multimodal {
     * zero dependencies (the container has no audio libraries, but WAV needs
     * none: it is a 44-byte header plus little-endian samples). Mirrors
     * [[ImageCodec]]: deterministic synthetic encode, full decode with a
-    * content checksum, lossless round-trip. Video remains the one
-    * [[FakeCodec]] stub (no JDK-builtin video decoder exists).
+    * content checksum, lossless round-trip. Video has its own real
+    * container codec ([[VideoCodec]]); [[FakeCodec]] handles only
+    * foreign/unknown formats.
     */
   object AudioCodec {
     import java.nio.{ByteBuffer, ByteOrder}
@@ -226,9 +227,12 @@ object Multimodal {
         val id = tag()
         val len = buf.getInt
         if (len < 0 || len > buf.remaining()) return None
+        val start = buf.position()
         id match {
           case "fmt " =>
-            val start = buf.position()
+            // a PCM fmt body is 16 bytes; a shorter chunk is malformed —
+            // reject rather than read past the declared length
+            if (len < 16) return None
             val fmt = buf.getShort
             channels = buf.getShort
             sampleRate = buf.getInt
@@ -236,16 +240,16 @@ object Multimodal {
             buf.getShort // block align
             bits = buf.getShort
             if (fmt != 1 || bits != 16 || channels != 1) return None // PCM16 mono only
-            buf.position(start + len)
           case "data" =>
             sawData = true
             nSamples = len / 2
             var i = 0
             while (i < nSamples) { sum += buf.getShort; i += 1 }
-            buf.position(buf.position() + (len - nSamples * 2)) // odd trailing byte, if any
-          case _ =>
-            buf.position(buf.position() + len)
+          case _ => ()
         }
+        // RIFF chunks are word-aligned: an odd-length chunk carries a pad
+        // byte that is not counted in `len` (clamped for truncated writers)
+        buf.position(math.min(start + len + (len & 1), buf.limit()))
       }
       if (!sawData || sampleRate <= 0) None
       else Some(Decoded(nSamples, sampleRate, channels, sum))
@@ -321,7 +325,8 @@ object Multimodal {
       val n = buf.getInt
       val w = buf.getInt
       val h = buf.getInt
-      if (n <= 0 || w <= 0 || h <= 0 || buf.remaining() < 4 * n) return None
+      // 4L: a huge malformed nFrames must not wrap Int and pass the check
+      if (n <= 0 || w <= 0 || h <= 0 || buf.remaining() < 4L * n) return None
       val lengths = Array.fill(n)(buf.getInt)
       if (lengths.exists(_ < 0) || lengths.map(_.toLong).sum != buf.remaining()) return None
       val offsets = lengths.scanLeft(buf.position())(_ + _).init
@@ -466,7 +471,7 @@ object Multimodal {
     }
   }
 
-  private def videoFingerprint(documents: DataFrame): String =
+  private def videoFingerprint(documents: DataFrame): Option[String] =
     FixtureCache.fingerprint(documents, "synthetic-video-grvi")
 
   /** Write the [[syntheticVideo]] fixture for `documents` to `dir` and
@@ -523,7 +528,7 @@ object Multimodal {
     }
   }
 
-  private def imageFingerprint(documents: DataFrame): String =
+  private def imageFingerprint(documents: DataFrame): Option[String] =
     FixtureCache.fingerprint(documents, "synthetic-images-png")
 
   /** Write the [[syntheticImages]] fixture for `documents` to `dir` and
@@ -551,11 +556,12 @@ object Multimodal {
     img.union(audio).union(video)
   }
 
-  /** Feature extraction with the REAL codecs on image and audio rows:
+  /** Feature extraction with the REAL codecs on all three modalities:
     * image checksum = decoded pixel sum with (w, h, n_px, mean-pixel)
     * features; audio checksum = decoded PCM sample sum with (n_samples,
-    * rate, duration, mean-sample) features. Video rows stay on
-    * [[FakeCodec]] (no JDK-builtin video decoder). Same batched
+    * rate, duration, mean-sample) features; video checksum = decoded
+    * per-frame pixel sum with (n_frames, w, h, mean-pixel) features.
+    * [[FakeCodec]] handles only foreign/unknown formats. Same batched
     * mapPartitions shape as [[extractFeatures]].
     */
   def extractFeaturesReal(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {

@@ -217,7 +217,7 @@ object Similarity {
     }
   }
 
-  private def ivfFingerprint(corpus: DataFrame, idCol: String, vecCol: String, nCentroids: Int): String =
+  private def ivfFingerprint(corpus: DataFrame, idCol: String, vecCol: String, nCentroids: Int): Option[String] =
     FixtureCache.fingerprint(corpus, "ivf", idCol, vecCol, nCentroids.toString)
 
   /** Build and persist the IVF index for `corpus` under `dir` and point

@@ -260,6 +260,14 @@ object TextOps {
     * driver), and stamps offsets partition-locally — two passes, both fully
     * parallel, valid at any corpus size.
     */
+  // The cache below must OUTLIVE the returned (lazy) DataFrame: the stamp
+  // pass replays `ordered` and its range boundaries (sampled in the sum
+  // pass) must not be re-derived, so it cannot be unpersisted eagerly.
+  // Instead each call evicts the previous call's cache, capping pinned
+  // storage at one (doc_id, n_tokens) projection per session instead of
+  // one per invocation.
+  private var lastShardCache: Option[DataFrame] = None
+
   def shardOffsets(df: DataFrame, idCol: String, textCol: String, shardTokens: Long): DataFrame = {
     require(shardTokens > 0, "need shardTokens > 0")
     import org.apache.spark.TaskContext
@@ -269,6 +277,10 @@ object TextOps {
       col(idCol).cast("long").as("doc_id"),
       tokenCount(col(textCol)).cast("long").as("n_tokens"))
     val ordered = base.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id").cache()
+    synchronized {
+      lastShardCache.foreach(_.unpersist(blocking = false))
+      lastShardCache = Some(ordered)
+    }
     val partSums = ordered
       .groupBy(spark_partition_id().as("pid")).agg(sum(col("n_tokens")).as("s"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

@@ -354,10 +354,11 @@ object ExtensionQueries {
         .orderBy("media_id")
     },
 
-    // multimodal feature extraction: image rows run the REAL ImageCodec
-    // (checksum = decoded pixel sum), audio/video run the labeled stub —
-    // no oracle (pixel sums of LCG-generated PNGs aren't SQL-derivable);
-    // the decode itself is oracle-gated via x_multimodal_decode
+    // multimodal feature extraction: all three modalities run their REAL
+    // codecs (image/video checksum = decoded pixel sums, audio = PCM
+    // sample sum) — no oracle (content sums of LCG-generated payloads
+    // aren't SQL-derivable); decode itself is oracle-gated via
+    // x_multimodal_decode / x_audio_decode / x_video_decode
     "x_multimodal_features" -> { (s, dir) =>
       val media = Multimodal.syntheticMediaMixed(s, docs(s, dir))
       Multimodal

@@ -366,6 +366,23 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.unset(Similarity.IvfCacheConfKey)
   }
 
+  test("fixture caches never trust a dir for a non-file-backed corpus") {
+    // two different in-memory corpora have the same (empty) inputFiles —
+    // the cache must refuse to serve one's fixture for the other, so an
+    // unfingerprintable build always regenerates inline
+    val memA = Seq((1L, "alpha beta", 10L), (2L, "gamma delta", 11L))
+      .toDF("doc_id", "text", "n_chars")
+    val memB = Seq((1L, "alpha beta", 10L), (2L, "gamma delta", 11L), (3L, "epsilon", 7L))
+      .toDF("doc_id", "text", "n_chars")
+    val dir = tempDir("graft_memcache")
+    Multimodal.materializeImageCache(spark, memA, dir)
+    try {
+      assert(Multimodal.cachedSyntheticImages(spark, memB).count() == 3,
+        "stale 2-row fixture served for a different in-memory corpus")
+      assert(Multimodal.cachedSyntheticImages(spark, memA).count() == 2)
+    } finally spark.conf.unset(Multimodal.ImageCacheConfKey)
+  }
+
   test("contamination flags an eval doc duplicated from train and clears an unrelated one") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight", "train"),
@@ -533,6 +550,32 @@ class ExtSpec extends SparkSpec {
     assert(AudioCodec.decode(null).isEmpty)
   }
 
+  test("AudioCodec rejects malformed fmt chunks and honors RIFF word alignment") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import Multimodal.AudioCodec
+    // fmt chunk declaring len=8 (< the 16-byte PCM body): must be None,
+    // not a BufferUnderflowException killing the task
+    val shortFmt = {
+      val buf = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36).put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(8).putLong(0L)
+      buf.put("fill".getBytes("US-ASCII")).putInt(8).putLong(0L)
+      buf.array()
+    }
+    assert(AudioCodec.decode(shortFmt).isEmpty)
+    // a conformant writer pads odd-length chunks to word boundaries; the
+    // walker must skip len + pad, or every later chunk tag misparses
+    val oddChunk = {
+      val base = AudioCodec.encodeWav(10, 8000, seed = 1L)
+      val buf = ByteBuffer.allocate(base.length + 12).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put(base, 0, 12) // RIFF size WAVE
+      buf.put("odd ".getBytes("US-ASCII")).putInt(3).put(Array[Byte](1, 2, 3, 0)) // 3 bytes + pad
+      buf.put(base, 12, base.length - 12)
+      buf.array()
+    }
+    assert(AudioCodec.decode(oddChunk).get.nSamples == 10)
+  }
+
   test("decodeAudio recovers the synthetic stream parameters through the real decoder") {
     val clips = Multimodal.syntheticAudio(spark, docs.limit(40))
     val decoded = Multimodal.decodeAudio(clips).collect().map(a => a.media_id -> a).toMap
@@ -567,6 +610,14 @@ class ExtSpec extends SparkSpec {
     assert(VideoCodec.decodeMeta(java.util.Arrays.copyOf(clip, clip.length - 3)).isEmpty)
     assert(VideoCodec.decodeFrame(clip, m, 5).isEmpty)
     assert(VideoCodec.decodeMeta(null).isEmpty)
+    // malformed header with a huge nFrames: 4*n wraps Int negative, which
+    // must not sneak past the frame-index bound check — None, not a throw
+    val hugeFrames = {
+      val buf = java.nio.ByteBuffer.allocate(24)
+      buf.put("GRVI".getBytes("US-ASCII")).putInt(1).putInt(Int.MaxValue).putInt(2).putInt(2).putInt(0)
+      buf.array()
+    }
+    assert(VideoCodec.decodeMeta(hugeFrames).isEmpty)
   }
 
   test("decodeVideo and real frame sampling recover the synthetic clip geometry") {
