@@ -120,16 +120,20 @@ case class CountInSet(child: Expression, set: Seq[String])
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
   ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
     val setRef = ctx.addReferenceObj("lookup", lookup, "java.util.HashSet")
+    // fresh locals: langId evaluates FIVE of these in one projection —
+    // fixed names would collide ("Redefinition of local variable") and
+    // silently push the whole projection to interpreter mode
+    val n = ctx.freshName("n"); val c = ctx.freshName("c"); val i = ctx.freshName("i")
     nullSafeCodeGen(
       ctx,
       ev,
       arr => s"""
-        |int n = $arr.numElements();
-        |int c = 0;
-        |for (int i = 0; i < n; i++) {
-        |  if (!$arr.isNullAt(i) && $setRef.contains($arr.getUTF8String(i))) c++;
+        |int $n = $arr.numElements();
+        |int $c = 0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if (!$arr.isNullAt($i) && $setRef.contains($arr.getUTF8String($i))) $c++;
         |}
-        |${ev.value} = c;
+        |${ev.value} = $c;
       """.stripMargin
     )
   }

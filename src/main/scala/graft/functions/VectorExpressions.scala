@@ -41,21 +41,30 @@ case class CosineSimilarity(left: Expression, right: Expression)
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh locals: two instances of this expression can share one
+    // generated function (e.g. an aggregate result projection computing
+    // several similarities) — fixed names would collide and Janino's
+    // "Redefinition of local variable" pushes the WHOLE projection to
+    // interpreter mode
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
     nullSafeCodeGen(
       ctx,
       ev,
       (a, b) => s"""
-        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double dot = 0.0, na = 0.0, nb = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  double x = (double) $a.getFloat(i);
-        |  double y = (double) $b.getFloat(i);
-        |  dot += x * y; na += x * x; nb += y * y;
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $x = (double) $a.getFloat($i);
+        |  double $y = (double) $b.getFloat($i);
+        |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
         |}
-        |${ev.value} = (na == 0.0 || nb == 0.0) ? 0.0 : dot / java.lang.Math.sqrt(na * nb);
+        |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
       """.stripMargin
     )
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -113,22 +122,26 @@ case class SrpBucket(child: Expression, numPlanes: Int, seed: Int)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val seeds = ctx.addReferenceObj("planeSeeds", planeSeeds, "long[]")
+    // fresh locals — see CosineSimilarity.doGenCode
+    val n = ctx.freshName("n"); val bucket = ctx.freshName("bucket")
+    val p = ctx.freshName("p"); val ps = ctx.freshName("ps")
+    val dot = ctx.freshName("dot"); val i = ctx.freshName("i"); val h = ctx.freshName("h")
     nullSafeCodeGen(
       ctx,
       ev,
       v => s"""
-        |int n = $v.numElements();
-        |long bucket = 0L;
-        |for (int p = 0; p < $numPlanes; p++) {
-        |  long ps = $seeds[p];
-        |  double dot = 0.0;
-        |  for (int i = 0; i < n; i++) {
-        |    long h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, ps);
-        |    dot += (double) $v.getFloat(i) * (((double) (h % 1000L)) / 1000.0);
+        |int $n = $v.numElements();
+        |long $bucket = 0L;
+        |for (int $p = 0; $p < $numPlanes; $p++) {
+        |  long $ps = $seeds[$p];
+        |  double $dot = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt($i, $ps);
+        |    $dot += (double) $v.getFloat($i) * (((double) ($h % 1000L)) / 1000.0);
         |  }
-        |  if (dot > 0.0) bucket |= (1L << p);
+        |  if ($dot > 0.0) $bucket |= (1L << $p);
         |}
-        |${ev.value} = bucket;
+        |${ev.value} = $bucket;
       """.stripMargin
     )
   }
@@ -159,19 +172,22 @@ case class DotProduct(left: Expression, right: Expression)
     dot
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh locals — see CosineSimilarity.doGenCode
+    val n = ctx.freshName("n"); val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
     nullSafeCodeGen(
       ctx,
       ev,
       (a, b) => s"""
-        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double dot = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
         |}
-        |${ev.value} = dot;
+        |${ev.value} = $dot;
       """.stripMargin
     )
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
