@@ -188,10 +188,14 @@ object Bench {
         else "-1"
       val rate = String.format(java.util.Locale.ROOT, "%.0f", Double.box(delivered.get() / math.max(elapsed, 1e-9)))
       // compact keys (the line must fit the output tail budget): rps =
-      // delivered rows/s; overrun = a micro-batch exceeded the 5 s budget
-      // (fell behind); undelivered = the run ended before full delivery
-      s""""$prefix":{"rps":$rate,"overrun":$fellBehind,""" +
-        s""""undelivered":$deadlineHit,"headroom":$headroom},"""
+      // delivered rows/s; ok = no micro-batch overran the 5 s budget AND
+      // everything was delivered before the deadline. The split flags
+      // (overrun = fell behind the trigger; undelivered = deadline hit)
+      // only appear when ok is false, so the healthy line stays short.
+      val detail =
+        if (fellBehind || deadlineHit) s""","overrun":$fellBehind,"undelivered":$deadlineHit"""
+        else ""
+      s""""$prefix":{"rps":$rate,"ok":${!(fellBehind || deadlineHit)},"headroom":$headroom$detail},"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] cadence metric failed: ${e.getMessage}")

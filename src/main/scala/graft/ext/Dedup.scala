@@ -567,4 +567,105 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  // ---- sub-document (chunk) dedup -----------------------------------------
+
+  /** Chunk-level (passage) dedup: split every document into consecutive
+    * `chunkWords`-word chunks, keep a chunk instance only at its FIRST
+    * corpus occurrence (minimum (doc_id, chunk_idx)), and report per-doc
+    * retention — the boilerplate-removal granularity between exact
+    * document dedup and shingle near-dup (the CCNet/RefinedWeb
+    * paragraph-dedup shape; this corpus has no paragraph breaks, so the
+    * chunker is positional rather than `\n\n`-based — swap the splitter
+    * for paragraph boundaries when the corpus carries them).
+    *
+    * Scale shape: chunks explode map-side (array slice of the word split,
+    * no shuffle), first-occurrence is one hash aggregate on the chunk key
+    * (partial map-side combine), ownership is one equi-join back on the
+    * same key (same partitioning — AQE reuses the exchange), and the
+    * per-doc rollup is a hash aggregate on doc_id. No windows, no
+    * all-pairs stage; every shuffle key is either the chunk hash or the
+    * doc id.
+    *
+    * Returns (doc_id, n_chunks, n_kept, dup_rate) — dup_rate = share of
+    * the doc's chunks already seen earlier in the corpus.
+    */
+  def chunkDedupStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkWords: Int = 10
+  ): DataFrame = {
+    require(chunkWords > 0, "need chunkWords > 0")
+    val words = split(trim(col(textCol)), "\\s+")
+    val nChunks = ((size(words) + chunkWords - 1) / chunkWords).cast("int")
+    val exploded = df
+      .select(col(idCol).cast("long").as("doc_id"), words.as("ws"), nChunks.as("nc"))
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0), col("nc") - 1)).as("idx"),
+        col("ws"))
+      .select(
+        col("doc_id"),
+        col("idx"),
+        array_join(slice(col("ws"), col("idx") * chunkWords + 1, lit(chunkWords)), " ").as("chunk"))
+    val firsts = exploded
+      .groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    exploded
+      .join(firsts, Seq("chunk"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum((col("first.doc_id") === col("doc_id") && col("first.idx") === col("idx")).cast("long"))
+          .as("n_kept"))
+      .withColumn(
+        "dup_rate",
+        round(lit(1.0) - col("n_kept").cast("double") / col("n_chunks"), 4))
+  }
+
+  // ---- incremental (snapshot) dedup ---------------------------------------
+
+  /** Incremental near-dup dedup: screen a NEW batch against the corpus
+    * snapshot already ingested, using the portable min-shingle fingerprint
+    * ([[TextOps.fingerprintsPortable]]) as the dedup key — the O(batch)
+    * admission check a pipeline runs per ingest instead of re-deduping the
+    * whole corpus. Statuses per batch doc:
+    *   - `dup_snapshot`: fingerprint already present in the snapshot;
+    *   - `dup_batch`: first seen inside this batch by a lower doc_id;
+    *   - `new`: admitted.
+    *
+    * Scale shape: the snapshot side reduces to DISTINCT fingerprints (one
+    * short string per snapshot doc — in production this is the stored,
+    * bucket-partitioned dedup index, so the probe join co-partitions
+    * without a snapshot-side shuffle); the batch side is one fingerprint
+    * projection, one groupBy(fp) for the within-batch keep-first, and one
+    * left join against the index. Work per ingest is O(|batch|) plus the
+    * index probe; nothing rescans snapshot text.
+    */
+  def incrementalDedup(
+      snapshot: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5
+  ): DataFrame = {
+    val snapFps = TextOps
+      .fingerprintsPortable(snapshot, idCol, textCol, shingleN)
+      .select(col("fp")).distinct()
+      .withColumn("in_snap", lit(1))
+    val batchFps = TextOps
+      .fingerprintsPortable(batch, idCol, textCol, shingleN)
+      .select(col("id"), col("fp"))
+    val firsts = batchFps.groupBy("fp").agg(min(col("id")).as("first_id"))
+    batchFps
+      .join(snapFps, Seq("fp"), "left")
+      .join(firsts, Seq("fp"))
+      .select(
+        col("id"),
+        when(col("in_snap") === 1, lit("dup_snapshot"))
+          .when(col("id") =!= col("first_id"), lit("dup_batch"))
+          .otherwise(lit("new"))
+          .as("status"))
+  }
 }

@@ -99,6 +99,94 @@ object TextOps {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", " "), "\\s+", " "))
 
+  // ---- repetition metrics --------------------------------------------------
+
+  /** Gopher-style repetition signals, computed per document with pure
+    * array expressions — zero shuffles, the whole projection rides one
+    * WholeStageCodegen map pass (the per-row cost is O(distinct-bigrams ×
+    * bigrams), fine for documents; a corpus-wide bigram table is what
+    * [[graft.queries.ExtensionQueries]]'s vocab query builds instead):
+    *   - `n_words`, `n_distinct_words` and `dup_word_frac`
+    *     (1 − distinct/total — high values mean heavy word repetition);
+    *   - `top_bigram_n` / `top_bigram_frac`: occurrences of the most
+    *     frequent word 2-gram over total 2-grams (the "fraction of
+    *     characters in the most common n-gram" family of repetition
+    *     filters, on word bigrams).
+    * Empty text scores 0 everywhere; a 1-word doc has no bigrams.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    val nWords = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(ws))
+    val bigrams = zip_with(
+      slice(ws, lit(1), size(ws) - 1),
+      slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    df.select(
+        col(idCol).cast("long").as("doc_id"),
+        nWords.as("n_words"),
+        size(array_distinct(ws)).as("n_distinct_raw"),
+        bigrams.as("bg"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        when(col("n_words") === 0, lit(0)).otherwise(col("n_distinct_raw")).as("n_distinct_words"),
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - col("n_distinct_raw").cast("double") / col("n_words"), 4))
+          .as("dup_word_frac"),
+        when(col("n_words") < 2, lit(0))
+          .otherwise(coalesce(array_max(transform(array_distinct(col("bg")),
+            x => size(filter(col("bg"), y => y === x)))), lit(0)))
+          .as("top_bigram_n"))
+      .withColumn(
+        "top_bigram_frac",
+        when(col("n_words") < 2, lit(0.0))
+          .otherwise(round(col("top_bigram_n").cast("double") / (col("n_words") - 1), 4)))
+  }
+
+  // ---- source mixing -------------------------------------------------------
+
+  /** Deterministic source mixing: downsample strata so the kept corpus
+    * approaches the target weight proportions at maximum volume — the
+    * data-mixing pass that turns "20 crawl sources" into "the mix the
+    * training run wants". For target weight w_s and stratum size n_s, the
+    * densest achievable total is T = min_s(n_s / w_s) draws per unit
+    * weight; each stratum keeps `frac_s = min(1, w_s · T / n_s)` of its
+    * rows via the same md5 Bernoulli decision as [[hashKeep]] (reproducible
+    * across runs and engines, independent per salt). Strata absent from
+    * `weights` are dropped.
+    *
+    * The stratum sizes come from one tiny count aggregate (|strata| rows
+    * on the driver — 20 sources, not 20 billion rows); the filter itself
+    * is a broadcast-joined map-side predicate: no corpus shuffle at any
+    * scale. Threshold arithmetic is pinned to `trunc(frac × 65536)` on the
+    * raw double so the SQL oracle reproduces the exact same hex cutoffs.
+    */
+  def mixToWeights(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weights: Map[String, Double],
+      salt: String
+  ): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0), "need positive weights")
+    val counts = df.groupBy(col(strataCol).as("stratum")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.contains(s) }
+    require(present.nonEmpty, "no weighted stratum present in the data")
+    val t = present.map { case (s, w) => counts(s) / w }.min
+    val thresholds = present.toSeq.map { case (s, w) =>
+      val frac = math.min(1.0, w * t / counts(s))
+      (s, (frac * 65536).toInt)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thrDf = broadcast(thresholds.toDF("stratum", "thr_int"))
+    val h = substring(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 4)
+    df.join(thrDf, col(strataCol) === col("stratum"))
+      .where(col("thr_int") >= 65536 || h < format_string("%04x", col("thr_int")))
+      .drop("stratum", "thr_int")
+  }
+
   // ---- fingerprinting ------------------------------------------------------
 
   /** Rolling-hash document fingerprint: xxhash64 over each word w-shingle,

@@ -107,6 +107,43 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // chunk-level (passage) dedup: consecutive 10-word chunks, keep-first
+    // across the corpus, per-doc retention stats — the sub-document dedup
+    // granularity between exact-doc and shingle near-dup
+    "x_chunk_dedup" -> { (s, dir) =>
+      Dedup.chunkDedupStats(docs(s, dir), "doc_id", "text", chunkWords = 10)
+        .orderBy("doc_id")
+    },
+
+    // incremental near-dup dedup: admit a new ingest batch (doc_id % 5 = 4)
+    // against the already-ingested snapshot's fingerprint index — the
+    // O(batch) admission check that replaces re-deduping the corpus
+    "x_dedup_incr" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.incrementalDedup(
+          d.where(col("doc_id") % 5 =!= 4), d.where(col("doc_id") % 5 === 4),
+          "doc_id", "text", shingleN = 5)
+        .select(col("id").as("doc_id"), col("status"))
+        .orderBy("doc_id")
+    },
+
+    // repetition quality metrics (Gopher family): duplicate-word fraction
+    // and most-common-bigram share, pure map-side array expressions
+    "x_rep_quality" -> { (s, dir) =>
+      TextOps.repetitionStats(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // source mixing: rebalance the 20 crawl sources toward target weights
+    // (src0-src3 worth 3×, the rest 1×) at maximum volume, with md5
+    // Bernoulli decisions re-derivable in the oracle
+    "x_mix_sources" -> { (s, dir) =>
+      val w = (0 until 20).map(i => s"src$i" -> (if (i < 4) 3.0 else 1.0)).toMap
+      TextOps.mixToWeights(docs(s, dir), "doc_id", "source", w, salt = "mix")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+
     // deterministic hash split: md5(salt:doc_id) hex prefix vs cumulative
     // fraction thresholds — stable under re-ingestion, salt-rotatable,
     // exactly re-derivable in the oracle (same md5 hex in DuckDB)
@@ -403,6 +440,86 @@ object ExtensionQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // chunk keep-first re-derived with a window rank over (doc_id, idx) —
+    // the declarative spec of the engine's groupBy-min + join-back plan
+    "x_chunk_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), ch AS (
+        |  SELECT doc_id, unnest(range(0, (len(w) + 9) // 10)) AS idx, w FROM words
+        |), c2 AS (
+        |  SELECT doc_id, idx, array_to_string(w[idx*10+1 : idx*10+10], ' ') AS chunk FROM ch
+        |), fk AS (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn FROM c2
+        |)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       round(1.0 - CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_rate
+        |FROM fk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // fingerprint index probe re-derived: same md5 min-shingle key as
+    // x_text_fingerprint, snapshot = doc_id % 5 <> 4, batch = the rest
+    "x_dedup_incr" ->
+      s"""$shingleSql, fp AS (
+         |  SELECT doc_id, list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS f FROM sh
+         |), snap AS (
+         |  SELECT DISTINCT f FROM fp WHERE doc_id % 5 <> 4
+         |), b AS (
+         |  SELECT doc_id, f FROM fp WHERE doc_id % 5 = 4
+         |), firsts AS (
+         |  SELECT f, min(doc_id) AS first_id FROM b GROUP BY f
+         |)
+         |SELECT b.doc_id,
+         |       CASE WHEN s.f IS NOT NULL THEN 'dup_snapshot'
+         |            WHEN b.doc_id <> fi.first_id THEN 'dup_batch'
+         |            ELSE 'new' END AS status
+         |FROM b LEFT JOIN snap s ON b.f = s.f JOIN firsts fi ON b.f = fi.f
+         |ORDER BY b.doc_id""".stripMargin,
+    "x_rep_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, n_words, ws,
+        |         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bgs
+        |  FROM w
+        |), tb AS (
+        |  SELECT doc_id, n_words, ws,
+        |         CASE WHEN n_words < 2 THEN 0
+        |              ELSE coalesce(list_max(list_transform(list_distinct(bgs),
+        |                     x -> len(list_filter(bgs, y -> y = x)))), 0) END AS top_n
+        |  FROM bg
+        |)
+        |SELECT doc_id,
+        |       CAST(n_words AS INT) AS n_words,
+        |       CAST(CASE WHEN n_words = 0 THEN 0 ELSE len(list_distinct(ws)) END AS INT) AS n_distinct_words,
+        |       CASE WHEN n_words = 0 THEN 0.0
+        |            ELSE round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / n_words, 4) END AS dup_word_frac,
+        |       CAST(top_n AS INT) AS top_bigram_n,
+        |       CASE WHEN n_words < 2 THEN 0.0
+        |            ELSE round(CAST(top_n AS DOUBLE) / (n_words - 1), 4) END AS top_bigram_frac
+        |FROM tb ORDER BY doc_id""".stripMargin,
+    // same count → min(n/w) → trunc(frac·65536) threshold arithmetic as
+    // TextOps.mixToWeights, so the hex cutoffs match bit-for-bit
+    "x_mix_sources" ->
+      """WITH cnt AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY source
+        |), wt AS (
+        |  SELECT source, n,
+        |         CASE WHEN source IN ('src0','src1','src2','src3') THEN 3.0 ELSE 1.0 END AS w
+        |  FROM cnt
+        |), tt AS (
+        |  SELECT min(CAST(n AS DOUBLE) / w) AS t FROM wt
+        |), thr AS (
+        |  SELECT source, CAST(trunc(least(1.0, w * (SELECT t FROM tt) / n) * 65536) AS INT) AS thr_int
+        |  FROM wt
+        |)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN thr ON d.source = thr.source
+        |WHERE thr.thr_int >= 65536
+        |   OR substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', thr.thr_int)
+        |ORDER BY d.doc_id""".stripMargin,
     // transitive closure via recursive CTE over the same rare-shingle
     // pair list the Spark side clusters (reach(id, rep): id can reach rep
     // through near-dup edges; canonical = min reachable id)

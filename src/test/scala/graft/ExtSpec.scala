@@ -37,6 +37,26 @@ class ExtSpec extends SparkSpec {
     assert(viaExpr.values.toSet.size > 1, "buckets should spread across values")
   }
 
+  test("custom expressions codegen cleanly with multiple instances in one projection") {
+    // two instances of each expression in a single generated function:
+    // fixed local names would make Janino reject the class ("Redefinition
+    // of local variable") and the projection silently fall back to
+    // interpreter mode — GenerateUnsafeProjection.generate throws instead
+    // of falling back, so this asserts the compile succeeds
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+    import graft.functions.{CosineSimilarity, CountInSet, DotProduct, SrpBucket}
+    val vec = BoundReference(0, ArrayType(FloatType), nullable = true)
+    val words = BoundReference(1, ArrayType(StringType), nullable = true)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      CosineSimilarity(vec, vec), CosineSimilarity(vec, vec),
+      DotProduct(vec, vec), DotProduct(vec, vec),
+      SrpBucket(vec, 8, 42), SrpBucket(vec, 8, 43),
+      CountInSet(words, Seq("a", "b")), CountInSet(words, Seq("c"))))
+    assert(proj != null)
+  }
+
   test("CountInSet expression matches the interpreted filter form exactly") {
     val markers = Seq("the", "and", "of", "to", "is", "with", "for")
     val viaExpr = docs.select(
@@ -381,6 +401,80 @@ class ExtSpec extends SparkSpec {
         "stale 2-row fixture served for a different in-memory corpus")
       assert(Multimodal.cachedSyntheticImages(spark, memA).count() == 2)
     } finally spark.conf.unset(Multimodal.ImageCacheConfKey)
+  }
+
+  test("chunkDedupStats keeps first occurrences and scores later repeats as duplicates") {
+    // 12 words = chunks of (10, 2). doc 2 repeats doc 1's first chunk as
+    // its own first chunk; doc 3 is doc 1 verbatim (every chunk a repeat).
+    val w10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$w10 tail one"),
+      (2L, s"$w10 other words"),
+      (3L, s"$w10 tail one"),
+      (4L, "fully distinct words that never repeat any earlier chunk")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedupStats(d, "doc_id", "text", chunkWords = 10)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 2L, 0.0)), out(1L).toString) // both chunks first
+    assert(out(2L) == ((2L, 2L, 1L, 0.5)), out(2L).toString) // first chunk repeats doc 1
+    assert(out(3L) == ((3L, 2L, 0L, 1.0)), out(3L).toString) // verbatim copy: all repeats
+    assert(out(4L)._3 == 1L && out(4L)._4 == 0.0, out(4L).toString)
+  }
+
+  test("incrementalDedup classifies batch docs against the snapshot fingerprint index") {
+    val snapshot = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different snapshot content about query engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // fp in snapshot
+      (11L, "fresh unseen batch document with novel wording here"),
+      (12L, "fresh unseen batch document with novel wording here"), // dup of 11 within batch
+      (13L, "another genuinely new document nothing resembles at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(snapshot, batch, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      10L -> "dup_snapshot", 11L -> "new", 12L -> "dup_batch", 13L -> "new"), out.toString)
+  }
+
+  test("repetitionStats matches hand-computed word and bigram repetition") {
+    val d = Seq(
+      (1L, "a a a b"), // bigrams: "a a","a a","a b" -> top 2/3
+      (2L, "only"),    // one word: no bigrams
+      (3L, ""),        // empty: all zeros
+      (4L, "x y x y x") // bigrams: "x y","y x","x y","y x" -> top 2/4
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(d, "doc_id", "text")
+      .as[(Long, Int, Int, Double, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4, 2, 0.5, 2, 0.6667)), out(1L).toString)
+    assert(out(2L) == ((2L, 1, 1, 0.0, 0, 0.0)), out(2L).toString)
+    assert(out(3L) == ((3L, 0, 0, 0.0, 0, 0.0)), out(3L).toString)
+    assert(out(4L) == ((4L, 5, 2, 0.6, 2, 0.5)), out(4L).toString)
+  }
+
+  test("mixToWeights hits the target mix at max volume, deterministically") {
+    val rows = (0 until 300).map { i =>
+      (i.toLong, if (i < 100) "A" else if (i < 200) "B" else "C")
+    }
+    val d = rows.toDF("doc_id", "source")
+    // A worth 2x B; C unweighted -> dropped. T = min(100/2, 100/1) = 50:
+    // A keeps 2*50/100 = 100% (the thr>=65536 keep-all branch), B keeps 50%.
+    val out = TextOps.mixToWeights(d, "doc_id", "source", Map("A" -> 2.0, "B" -> 1.0), "t")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("A", 0) == 100, s"A must be kept whole: $bySrc")
+    assert(!bySrc.contains("C"), s"unweighted stratum must be dropped: $bySrc")
+    val b = bySrc.getOrElse("B", 0)
+    assert(b > 25 && b < 75, s"B should be thinned to ~50%: $bySrc")
+    // deterministic: the same call yields the same rows; a different salt
+    // draws an independent sample
+    val again = TextOps.mixToWeights(d, "doc_id", "source", Map("A" -> 2.0, "B" -> 1.0), "t")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val other = TextOps.mixToWeights(d, "doc_id", "source", Map("A" -> 2.0, "B" -> 1.0), "u")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(other != out.map(_._1).toSet)
   }
 
   test("contamination flags an eval doc duplicated from train and clears an unrelated one") {
