@@ -101,31 +101,30 @@ object TextOps {
 
   // ---- repetition metrics --------------------------------------------------
 
-  /** Gopher-style repetition signals, computed per document with pure
-    * array expressions — zero shuffles, the whole projection rides one
-    * WholeStageCodegen map pass (the per-row cost is O(distinct-bigrams ×
-    * bigrams), fine for documents; a corpus-wide bigram table is what
-    * [[graft.queries.ExtensionQueries]]'s vocab query builds instead):
+  /** Gopher-style repetition signals, computed per document in one
+    * zero-shuffle map pass:
     *   - `n_words`, `n_distinct_words` and `dup_word_frac`
     *     (1 − distinct/total — high values mean heavy word repetition);
     *   - `top_bigram_n` / `top_bigram_frac`: occurrences of the most
     *     frequent word 2-gram over total 2-grams (the "fraction of
     *     characters in the most common n-gram" family of repetition
     *     filters, on word bigrams).
-    * Empty text scores 0 everywhere; a 1-word doc has no bigrams.
+    * The bigram mode count runs through the native
+    * [[graft.functions.TopShingleCount]] (one tokenize + hash-count pass
+    * per row) rather than the `transform(distinct, x → size(filter(…)))`
+    * composition, whose O(bigrams²) interpreted lambda frames dominated
+    * the scan. Empty text scores 0 everywhere; a 1-word doc has no
+    * bigrams.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val ws = split(trim(col(textCol)), "\\s+")
     val nWords = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(ws))
-    val bigrams = zip_with(
-      slice(ws, lit(1), size(ws) - 1),
-      slice(ws, lit(2), size(ws) - 1),
-      (a, b) => concat_ws(" ", a, b))
     df.select(
         col(idCol).cast("long").as("doc_id"),
         nWords.as("n_words"),
         size(array_distinct(ws)).as("n_distinct_raw"),
-        bigrams.as("bg"))
+        graft.functions.GraftFunctions.top_shingle_count(col(textCol), 2).as("top_raw"))
       .select(
         col("doc_id"),
         col("n_words"),
@@ -133,14 +132,42 @@ object TextOps {
         when(col("n_words") === 0, lit(0.0))
           .otherwise(round(lit(1.0) - col("n_distinct_raw").cast("double") / col("n_words"), 4))
           .as("dup_word_frac"),
-        when(col("n_words") < 2, lit(0))
-          .otherwise(coalesce(array_max(transform(array_distinct(col("bg")),
-            x => size(filter(col("bg"), y => y === x)))), lit(0)))
-          .as("top_bigram_n"))
+        when(col("n_words") < 2, lit(0)).otherwise(col("top_raw")).as("top_bigram_n"))
       .withColumn(
         "top_bigram_frac",
         when(col("n_words") < 2, lit(0.0))
           .otherwise(round(col("top_bigram_n").cast("double") / (col("n_words") - 1), 4)))
+  }
+
+  // ---- corpus-statistics scoring -------------------------------------------
+
+  /** Unigram-frequency document scoring: each token is weighted by its
+    * corpus-wide occurrence count and every doc gets (sum, mean) of those
+    * weights — the integer-exact core of unigram-LM scoring (CCNet-style
+    * perplexity filtering ranks docs by mean token log-probability; the
+    * mean corpus frequency is the same ordering signal computed without
+    * transcendentals, so the SQL oracle reproduces it bit-for-bit:
+    * long sums are order-insensitive where double log-sums are not).
+    *
+    * Scale shape: the vocabulary is a hash aggregate over exploded tokens
+    * (map-side combine); the weight lookup is an equi-join on the token —
+    * at corpus scale the vocabulary is Zipf-bounded and a min-df cut keeps
+    * the build side broadcastable; the per-doc rollup is a hash aggregate
+    * on doc_id. No windows, no driver loops.
+    */
+  def unigramScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    toks
+      .join(vocab, Seq("token"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("tf")).as("sum_tf"))
+      .withColumn("mean_tf", round(col("sum_tf").cast("double") / col("n_tokens"), 4))
   }
 
   // ---- source mixing -------------------------------------------------------

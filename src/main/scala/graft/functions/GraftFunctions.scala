@@ -39,7 +39,8 @@ object GraftFunctions {
     "minhash_agg" -> { es: Seq[Expression] => MinHashAgg(es(0), intLit(es(1))) },
     "simhash_agg" -> { es: Seq[Expression] => SimHashAgg(es(0)) },
     "srp_bucket" -> { es: Seq[Expression] => SrpBucket(es(0), intLit(es(1)), intLit(es(2))) },
-    "count_in_set" -> { es: Seq[Expression] => CountInSet(es(0), stringSeqLit(es(1))) }
+    "count_in_set" -> { es: Seq[Expression] => CountInSet(es(0), stringSeqLit(es(1))) },
+    "top_shingle_count" -> { es: Seq[Expression] => TopShingleCount(es(0), intLit(es(1))) }
   )
 
   def register(spark: SparkSession): Unit =
@@ -60,6 +61,10 @@ object GraftFunctions {
   /** One-pass distinct word n-gram shingles (see [[WordShingles]]). */
   def word_shingles(text: Column, n: Int): Column =
     call_function("word_shingles", text, org.apache.spark.sql.functions.lit(n))
+
+  /** Mode count of the word n-shingle sequence (see [[TopShingleCount]]). */
+  def top_shingle_count(text: Column, n: Int): Column =
+    call_function("top_shingle_count", text, org.apache.spark.sql.functions.lit(n))
 
   /** Per-element xxhash64 (seed 42, matching the builtin) of array<string>. */
   def hashed_array(arr: Column): Column =

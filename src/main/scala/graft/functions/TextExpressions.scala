@@ -77,6 +77,69 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Max multiplicity among word n-shingles of a text column — the mode
+  * count of the sliding n-gram sequence (NOT deduplicated, unlike
+  * [[WordShingles]]): the "most common n-gram share" repetition signal
+  * counts occurrences, so `n_words - n + 1` shingles exist for
+  * `n_words ≥ n` and none below that (0 returned). One tokenize + one
+  * hash-count pass per row, replacing the O(shingles²) interpreted
+  * `transform(distinct, x → size(filter(…)))` composition whose lambda
+  * frames dominate the quality scan at corpus scale. CodegenFallback:
+  * one virtual call per row; the inner loop is plain Java.
+  */
+case class TopShingleCount(child: Expression, n: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"top_shingle_count requires string input, got $dt")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "top_shingle_count"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    // split on whitespace runs, matching split(trim(text), "\s+") — the
+    // same tokenization as WordShingles
+    val words = new java.util.ArrayList[String]()
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !Character.isWhitespace(text.charAt(i))) i += 1
+        words.add(text.substring(start, i))
+      }
+    }
+    val w = words.size()
+    if (w < n) return 0
+    val counts = new java.util.HashMap[String, Integer]((w - n + 1) * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var best = 0
+    var s = 0
+    while (s <= w - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.get(s + j))
+        j += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > best) best = c
+      s += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Count of array elements contained in a small fixed string set — the
   * codegen'd form of `size(filter(words, w => w.isInCollection(set)))`
   * (identical semantics: occurrences counted, null elements skipped, null

@@ -144,6 +144,14 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // unigram-frequency scoring: corpus-statistics quality signal (mean
+    // corpus token frequency per doc — the integer-exact core of
+    // unigram-LM/perplexity filtering)
+    "x_unigram_score" -> { (s, dir) =>
+      TextOps.unigramScores(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // deterministic hash split: md5(salt:doc_id) hex prefix vs cumulative
     // fraction thresholds — stable under re-ingestion, salt-rotatable,
     // exactly re-derivable in the oracle (same md5 hex in DuckDB)
@@ -500,6 +508,21 @@ object ExtensionQueries {
         |       CASE WHEN n_words < 2 THEN 0.0
         |            ELSE round(CAST(top_n AS DOUBLE) / (n_words - 1), 4) END AS top_bigram_frac
         |FROM tb ORDER BY doc_id""".stripMargin,
+    "x_unigram_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents
+        |), t2 AS (
+        |  SELECT doc_id, token FROM toks WHERE token <> ''
+        |), vocab AS (
+        |  SELECT token, count(*) AS tf FROM t2 GROUP BY token
+        |)
+        |SELECT t2.doc_id,
+        |       count(*) AS n_tokens,
+        |       CAST(sum(v.tf) AS BIGINT) AS sum_tf,
+        |       round(CAST(sum(v.tf) AS DOUBLE) / count(*), 4) AS mean_tf
+        |FROM t2 JOIN vocab v ON t2.token = v.token
+        |GROUP BY t2.doc_id ORDER BY t2.doc_id""".stripMargin,
     // same count → min(n/w) → trunc(frac·65536) threshold arithmetic as
     // TextOps.mixToWeights, so the hex cutoffs match bit-for-bit
     "x_mix_sources" ->

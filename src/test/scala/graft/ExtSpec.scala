@@ -37,6 +37,26 @@ class ExtSpec extends SparkSpec {
     assert(viaExpr.values.toSet.size > 1, "buckets should spread across values")
   }
 
+  test("TopShingleCount matches the interpreted bigram mode-count composition exactly") {
+    graft.functions.GraftFunctions.register(spark)
+    val viaExpr = docs.select(
+      $"doc_id".cast("long").as("id"),
+      graft.functions.GraftFunctions.top_shingle_count($"text", 2).as("c")
+    ).as[(Long, Int)].collect().toMap
+    val ws = split(trim($"text"), "\\s+")
+    val bg = zip_with(
+      slice(ws, lit(1), size(ws) - 1),
+      slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val viaBuiltins = docs.select(
+      $"doc_id".cast("long").as("id"),
+      coalesce(array_max(transform(array_distinct(bg),
+        x => size(filter(bg, y => y === x)))), lit(0)).as("c")
+    ).as[(Long, Int)].collect().toMap
+    assert(viaExpr == viaBuiltins)
+    assert(viaExpr.values.exists(_ > 1), "corpus should contain repeated bigrams")
+  }
+
   test("custom expressions codegen cleanly with multiple instances in one projection") {
     // two instances of each expression in a single generated function:
     // fixed local names would make Janino reject the class ("Redefinition
@@ -451,6 +471,15 @@ class ExtSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1, 1, 0.0, 0, 0.0)), out(2L).toString)
     assert(out(3L) == ((3L, 0, 0, 0.0, 0, 0.0)), out(3L).toString)
     assert(out(4L) == ((4L, 5, 2, 0.6, 2, 0.5)), out(4L).toString)
+  }
+
+  test("unigramScores weights each doc by corpus token frequencies") {
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // vocab: a=2, b=2, c=1. doc1 = (2+2+2)/3, doc2 = (2+1)/2
+    val out = TextOps.unigramScores(d, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 6L, 2.0)), out(1L).toString)
+    assert(out(2L) == ((2L, 2L, 3L, 1.5)), out(2L).toString)
   }
 
   test("mixToWeights hits the target mix at max volume, deterministically") {

@@ -86,6 +86,27 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"single-partition windows in: $offenders")
   }
 
+  test("source mixing is a broadcast-joined map-side filter — no corpus shuffle") {
+    val p = plan("x_mix_sources")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus side must not hash-exchange before the filter (the only
+    // exchanges are the broadcast itself and the final presentation sort)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("chunk dedup and unigram scoring never serialize onto a single partition") {
+    Seq("x_chunk_dedup", "x_unigram_score", "x_dedup_incr", "x_rep_quality").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+    }
+  }
+
+  test("repetition metrics run as one map pass — no aggregate, no join") {
+    val p = plan("x_rep_quality")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("capture diff is a full-outer sort-merge join on the PK") {
     val p = plan("c1_capture_diff")
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
