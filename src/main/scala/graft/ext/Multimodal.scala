@@ -391,6 +391,40 @@ object Multimodal {
       }
   }
 
+  /** Conf key: directory holding a pre-materialized [[syntheticAudio]]
+    * parquet — the audio member of the untimed-warmup fixture-cache
+    * family ([[ImageCacheConfKey]], [[VideoCacheConfKey]]): benches must
+    * time the DECODE stage, not fixture WAV encoding.
+    */
+  val AudioCacheConfKey = "spark.graft.media.audioCacheDir"
+
+  /** [[syntheticAudio]] behind the optional pre-materialized cache, with
+    * the same build-input validation as [[cachedSyntheticImages]].
+    */
+  def cachedSyntheticAudio(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.conf.getOption(AudioCacheConfKey) match {
+      case Some(dir) if FixtureCache.matches(dir, audioFingerprint(documents)) =>
+        spark.read.parquet(dir).as[MediaRow]
+      case Some(dir) =>
+        System.err.println(s"[graft] audio cache at $dir does not match this documents table — generating inline")
+        syntheticAudio(spark, documents)
+      case None => syntheticAudio(spark, documents)
+    }
+  }
+
+  private def audioFingerprint(documents: DataFrame): Option[String] =
+    FixtureCache.fingerprint(documents, "synthetic-audio-wav")
+
+  /** Write the [[syntheticAudio]] fixture for `documents` to `dir` and
+    * point [[AudioCacheConfKey]] at it (bench warmup entry point).
+    */
+  def materializeAudioCache(spark: SparkSession, documents: DataFrame, dir: String): Unit = {
+    syntheticAudio(spark, documents).write.mode("overwrite").parquet(dir)
+    FixtureCache.write(dir, audioFingerprint(documents))
+    spark.conf.set(AudioCacheConfKey, dir)
+  }
+
   /** Decoded-video projection: real container parse + per-frame pixel
     * decode. `pixel_sum_total` is the content checksum (not SQL-derivable,
     * projected away by the gate — same contract as [[ImageInfo.pixel_sum]]).
@@ -540,15 +574,15 @@ object Multimodal {
     spark.conf.set(ImageCacheConfKey, dir)
   }
 
-  /** Mixed media table: image rows carry REAL PNG payloads (from
-    * [[syntheticImages]], so the image branch exercises the real codec),
-    * audio/video rows keep the deterministic text-byte payloads (no
-    * audio/video library in this container).
+  /** Mixed media table: every third carries REAL payloads for its
+    * modality (PNG / WAV / GRVI), so all three branches exercise their
+    * real codecs.
     */
   def syntheticMediaMixed(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     // pre-filter all paths: each generator only encodes its third, and the
-    // cached image read prunes on the pushed-down predicate
-    val audio = syntheticAudio(spark, documents.where(col("doc_id") % 3 === 1))
+    // cached reads prune on the pushed-down predicate
+    val audio = cachedSyntheticAudio(spark, documents.where(col("doc_id") % 3 === 1))
+      .where(col("media_id") % 3 === 1)
     val video = cachedSyntheticVideo(spark, documents.where(col("doc_id") % 3 === 2))
       .where(col("media_id") % 3 === 2)
     val img = cachedSyntheticImages(spark, documents.where(col("doc_id") % 3 === 0))

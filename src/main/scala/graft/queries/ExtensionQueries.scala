@@ -380,7 +380,7 @@ object ExtensionQueries {
     // decoder's output — the audio twin of x_multimodal_decode.
     "x_audio_decode" -> { (s, dir) =>
       Multimodal
-        .decodeAudio(Multimodal.syntheticAudio(s, docs(s, dir)))
+        .decodeAudio(Multimodal.cachedSyntheticAudio(s, docs(s, dir)))
         .toDF()
         .select(col("media_id"), col("n_samples"), col("sample_rate"), col("duration_ms_decoded"))
         .orderBy("media_id")
