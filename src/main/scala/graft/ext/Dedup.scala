@@ -589,16 +589,26 @@ object Dedup {
     *
     * Returns (doc_id, n_chunks, n_kept, dup_rate) — dup_rate = share of
     * the doc's chunks already seen earlier in the corpus.
+    *
+    * `hashKey = true` is the corpus-scale form: the aggregate/join key
+    * becomes `xxhash64(chunk)` — an 8-byte shuffle key instead of the
+    * full chunk string (≈2 shuffles × chunk bytes saved; a 2⁻⁶⁴
+    * collision merging two distinct chunks is far below dedup's noise
+    * floor). The oracle-gated query keeps exact string keys; ExtSpec
+    * pins parity between the two forms.
     */
   def chunkDedupStats(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      chunkWords: Int = 10
+      chunkWords: Int = 10,
+      hashKey: Boolean = false
   ): DataFrame = {
     require(chunkWords > 0, "need chunkWords > 0")
     val words = split(trim(col(textCol)), "\\s+")
     val nChunks = ((size(words) + chunkWords - 1) / chunkWords).cast("int")
+    val chunk =
+      array_join(slice(col("ws"), col("idx") * chunkWords + 1, lit(chunkWords)), " ")
     val exploded = df
       .select(col(idCol).cast("long").as("doc_id"), words.as("ws"), nChunks.as("nc"))
       .select(
@@ -608,12 +618,12 @@ object Dedup {
       .select(
         col("doc_id"),
         col("idx"),
-        array_join(slice(col("ws"), col("idx") * chunkWords + 1, lit(chunkWords)), " ").as("chunk"))
+        (if (hashKey) xxhash64(chunk) else chunk).as("k"))
     val firsts = exploded
-      .groupBy("chunk")
+      .groupBy("k")
       .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
     exploded
-      .join(firsts, Seq("chunk"))
+      .join(firsts, Seq("k"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_chunks"),

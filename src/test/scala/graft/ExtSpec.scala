@@ -441,6 +441,13 @@ class ExtSpec extends SparkSpec {
     assert(out(4L)._3 == 1L && out(4L)._4 == 0.0, out(4L).toString)
   }
 
+  test("chunkDedupStats hashed-key scale form matches the exact-string form") {
+    def collect(hashKey: Boolean) =
+      Dedup.chunkDedupStats(docs, "doc_id", "text", chunkWords = 10, hashKey = hashKey)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(collect(hashKey = true) == collect(hashKey = false))
+  }
+
   test("incrementalDedup classifies batch docs against the snapshot fingerprint index") {
     val snapshot = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
