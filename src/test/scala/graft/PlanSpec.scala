@@ -86,6 +86,30 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"single-partition windows in: $offenders")
   }
 
+  test("SWEEP: no accidental cartesian or nested-loop join in the inventory") {
+    // BroadcastNestedLoopJoin / CartesianProduct are O(n·m) row-compare
+    // plans — correct only when one side is provably tiny. Allowlist, each
+    // documented at its site:
+    //   s2_retention_window    — 1-row broadcast max-date threshold
+    //   x_dedup_exact          — two 1-row summary frames joined
+    //   x_dedup_embedding      — the documented all-pairs oracle baseline
+    //                            (LSH twin is the scale path)
+    //   x_sim_bruteforce_topk  — broadcast of the 10-query side over the
+    //                            corpus scan (the intended map-only plan)
+    //   x_sim_ivf_topk         — queries × 16 broadcast centroids probe
+    // Anything new showing these operators is a join that lost its keys.
+    val allowed = Set(
+      "s2_retention_window", "x_dedup_exact", "x_dedup_embedding",
+      "x_sim_bruteforce_topk", "x_sim_ivf_topk")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(allowed).flatMap { name =>
+      val p = try plan(name) catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty, s"cartesian/nested-loop joins in: $offenders")
+  }
+
   test("source mixing is a broadcast-joined map-side filter — no corpus shuffle") {
     val p = plan("x_mix_sources")
     assert(p.contains("BroadcastHashJoin"), p)
