@@ -144,6 +144,27 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // end-to-end corpus pipeline: quality filter → exact dedup keep-first
+    // → deterministic hash split → per-split doc/token accounting — the
+    // composition a training-data run executes, as ONE oracle-gated plan
+    // (every stage individually gated elsewhere; this entry gates their
+    // composition). Filter and split are map-side; dedup is one hash
+    // aggregate + join-back on the text key.
+    "x_pipeline_e2e" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+        .where(col("n_tokens").between(10, 5000))
+      val firsts = d.groupBy("text").agg(min(col("doc_id")).as("kept_id"))
+      d.join(firsts, Seq("text"))
+        .where(col("doc_id") === col("kept_id"))
+        .withColumn("split", TextOps.hashSplit(col("doc_id"), "graft", trainFrac = 0.9, valFrac = 0.05))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("split")
+    },
+
     // unigram-frequency scoring: corpus-statistics quality signal (mean
     // corpus token frequency per doc — the integer-exact core of
     // unigram-LM/perplexity filtering)
@@ -508,6 +529,30 @@ object ExtensionQueries {
         |       CASE WHEN n_words < 2 THEN 0.0
         |            ELSE round(CAST(top_n AS DOUBLE) / (n_words - 1), 4) END AS top_bigram_frac
         |FROM tb ORDER BY doc_id""".stripMargin,
+    // the composed pipeline re-derived declaratively: same token CASE,
+    // same min-id keep-first, same md5 split thresholds as the per-stage
+    // oracles
+    "x_pipeline_e2e" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), q AS (
+        |  SELECT * FROM t WHERE n_tokens BETWEEN 10 AND 5000
+        |), k AS (
+        |  SELECT q.doc_id, q.n_tokens
+        |  FROM q JOIN (SELECT text, min(doc_id) AS kept_id FROM q GROUP BY text) f
+        |    ON q.text = f.text AND q.doc_id = f.kept_id
+        |), s AS (
+        |  SELECT n_tokens,
+        |         CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+        |              WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM k
+        |)
+        |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
     "x_unigram_score" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
