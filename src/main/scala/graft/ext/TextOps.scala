@@ -196,7 +196,10 @@ object TextOps {
       salt: String
   ): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0), "need positive weights")
-    val counts = df.groupBy(col(strataCol).as("stratum")).count()
+    // null strata can never match a weight key (and would NPE the count
+    // collect) — they are dropped, like any stratum absent from `weights`
+    val counts = df.where(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).as("stratum")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = weights.filter { case (s, _) => counts.contains(s) }
     require(present.nonEmpty, "no weighted stratum present in the data")
