@@ -111,13 +111,8 @@ object Bench {
     // the stdout line is budgeted to the harness tail; the full-precision
     // per-query numbers additionally land in a file reviewers can read
     try {
-      val full = {
-        def f(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-        val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$runs,"queries":$qs,$cadence"sf":"${new java.io.File(sfDir).getName}"}"""
-      }
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-        (full + "\n").getBytes("UTF-8"))
+        (line(4) + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     spark.stop()
   }

@@ -399,7 +399,11 @@ object Multimodal {
   val AudioCacheConfKey = "spark.graft.media.audioCacheDir"
 
   /** [[syntheticAudio]] behind the optional pre-materialized cache, with
-    * the same build-input validation as [[cachedSyntheticImages]].
+    * the same build-input validation as [[cachedSyntheticImages]] — and
+    * the same caveat: the fingerprint is the FILE LIST, so a filtered
+    * view of the cached table still hits and returns the FULL fixture;
+    * callers must re-apply their row filter on the returned frame (see
+    * [[syntheticMediaMixed]]).
     */
   def cachedSyntheticAudio(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
@@ -491,7 +495,8 @@ object Multimodal {
   val VideoCacheConfKey = "spark.graft.media.videoCacheDir"
 
   /** [[syntheticVideo]] behind the optional pre-materialized cache, with
-    * the same build-input validation as [[cachedSyntheticImages]].
+    * the same build-input validation — and the same callers-must-re-filter
+    * caveat — as [[cachedSyntheticAudio]].
     */
   def cachedSyntheticVideo(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._

@@ -212,7 +212,12 @@ object TextOps {
     import spark.implicits._
     val thrDf = broadcast(thresholds.toDF("stratum", "thr_int"))
     val h = substring(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 4)
-    df.join(thrDf, col(strataCol) === col("stratum"))
+    // null ids are dropped (not hashed): concat_ws would silently skip the
+    // null and hash the salt alone, where the SQL oracle's `salt || NULL`
+    // predicate is NULL-excluded — requiring a non-null id keeps the two
+    // engines' keep-decisions identical
+    df.where(col(idCol).isNotNull)
+      .join(thrDf, col(strataCol) === col("stratum"))
       .where(col("thr_int") >= 65536 || h < format_string("%04x", col("thr_int")))
       .drop("stratum", "thr_int")
   }
@@ -378,14 +383,6 @@ object TextOps {
     * driver), and stamps offsets partition-locally — two passes, both fully
     * parallel, valid at any corpus size.
     */
-  // The cache below must OUTLIVE the returned (lazy) DataFrame: the stamp
-  // pass replays `ordered` and its range boundaries (sampled in the sum
-  // pass) must not be re-derived, so it cannot be unpersisted eagerly.
-  // Instead each call evicts the previous call's cache, capping pinned
-  // storage at one (doc_id, n_tokens) projection per session instead of
-  // one per invocation.
-  private var lastShardCache: Option[DataFrame] = None
-
   def shardOffsets(df: DataFrame, idCol: String, textCol: String, shardTokens: Long): DataFrame = {
     require(shardTokens > 0, "need shardTokens > 0")
     import org.apache.spark.TaskContext
@@ -394,11 +391,13 @@ object TextOps {
     val base = df.select(
       col(idCol).cast("long").as("doc_id"),
       tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // The cache must hold the EXACT partitioning both passes see: range
+    // boundaries are sampled with the RDD id in the seed, so a replay
+    // after unpersist could land rows in different partitions than the
+    // ones `offsets` was keyed on — silently wrong offsets. It is
+    // released below only after the stamped result is materialized and
+    // its lineage truncated.
     val ordered = base.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id").cache()
-    synchronized {
-      lastShardCache.foreach(_.unpersist(blocking = false))
-      lastShardCache = Some(ordered)
-    }
     val partSums = ordered
       .groupBy(spark_partition_id().as("pid")).agg(sum(col("n_tokens")).as("s"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
@@ -410,11 +409,20 @@ object TextOps {
       StructField("doc_id", LongType, nullable = false),
       StructField("n_tokens", LongType, nullable = false),
       StructField("start_offset", LongType, nullable = false)))
-    ordered
+    // Eager localCheckpoint: materializes the stamped offsets against the
+    // cached partitioning and truncates lineage, so `ordered` can be
+    // released IMMEDIATELY (no per-call cache leak — the round-5 ADVICE
+    // item) without the re-sample hazard of unpersisting a cache a lazy
+    // result still depends on. The checkpointed result's storage is
+    // GC-managed with the returned DataFrame.
+    val stamped = ordered
       .mapPartitions { it =>
         var acc = offsets.getOrElse(TaskContext.getPartitionId(), 0L)
         it.map { r => val n = r.getLong(1); val out = Row(r.getLong(0), n, acc); acc += n; out }
       }(Encoders.row(schema))
+      .localCheckpoint(true)
+    ordered.unpersist(blocking = false)
+    stamped
       // shard math in pure integer division so the SQL oracle reproduces
       // it bit-for-bit; an empty document occupies no tokens → 0 shards
       .withColumn("shard_id", expr(s"start_offset DIV $shardTokens"))

@@ -7,6 +7,34 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Shared whitespace tokenizer for the word-level expressions: splits on
+  * runs of Java-regex `\s` characters — the EXACT class `split(trim(text),
+  * "\\s+")` and the DuckDB oracle's RE2 `\s` use (ASCII space, \t, \n,
+  * \x0B, \f, \r). Deliberately NOT `Character.isWhitespace`, which also
+  * splits on Unicode spaces (U+2000-200A, U+3000, …) and would silently
+  * diverge from the regex-split metrics and the SQL oracles on non-ASCII
+  * whitespace.
+  */
+private[functions] object WordSplit {
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def split(text: String): java.util.ArrayList[String] = {
+    val words = new java.util.ArrayList[String]()
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isWs(text.charAt(i))) i += 1
+        words.add(text.substring(start, i))
+      }
+    }
+    words
+  }
+}
+
 /** One-pass distinct word n-gram shingling over a text column.
   *
   * Semantically identical to the built-in composition
@@ -35,17 +63,7 @@ case class WordShingles(child: Expression, n: Int)
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
     // split on whitespace runs, matching split(trim(text), "\s+")
-    val words = new java.util.ArrayList[String]()
-    var i = 0
-    val len = text.length
-    while (i < len) {
-      while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
-      if (i < len) {
-        val start = i
-        while (i < len && !Character.isWhitespace(text.charAt(i))) i += 1
-        words.add(text.substring(start, i))
-      }
-    }
+    val words = WordSplit.split(text)
     val w = words.size()
     val out = new java.util.LinkedHashSet[String]()
     if (w == 0) {
@@ -103,19 +121,8 @@ case class TopShingleCount(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    // split on whitespace runs, matching split(trim(text), "\s+") — the
-    // same tokenization as WordShingles
-    val words = new java.util.ArrayList[String]()
-    var i = 0
-    val len = text.length
-    while (i < len) {
-      while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
-      if (i < len) {
-        val start = i
-        while (i < len && !Character.isWhitespace(text.charAt(i))) i += 1
-        words.add(text.substring(start, i))
-      }
-    }
+    // same tokenization as WordShingles and the regex-split metrics
+    val words = WordSplit.split(text)
     val w = words.size()
     if (w < n) return 0
     val counts = new java.util.HashMap[String, Integer]((w - n + 1) * 2)

@@ -552,6 +552,41 @@ class ExtSpec extends SparkSpec {
     assert(out(3L) == ((3L, 0L, 7L, 1L, 0L)), out(3L).toString)   // empty doc: no shards
   }
 
+  test("shardOffsets results stay correct when re-read after a later invocation") {
+    // regression: the stamp pass must not depend on live caches a later
+    // call could evict — results are materialized with lineage truncated
+    // at call time, so re-evaluating the FIRST result after a SECOND call
+    // (and after the first evaluation) cannot re-sample range boundaries
+    val a = TextOps.shardOffsets(docs, "doc_id", "text", shardTokens = 64)
+    val first = a.select($"doc_id", $"start_offset").as[(Long, Long)].collect().toMap
+    TextOps.shardOffsets(docs.limit(100), "doc_id", "text", shardTokens = 32).count()
+    val again = a.select($"doc_id", $"start_offset").as[(Long, Long)].collect().toMap
+    assert(first == again)
+    // and the values are the true cumsum (not just stable garbage)
+    import org.apache.spark.sql.expressions.Window
+    val expect = docs
+      .select($"doc_id".cast("long").as("doc_id"), TextOps.tokenCount($"text").cast("long").as("n"))
+      .withColumn("start_offset",
+        coalesce(sum($"n").over(Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", $"start_offset").as[(Long, Long)].collect().toMap
+    assert(again == expect)
+  }
+
+  test("word expressions split on regex-\\s whitespace only, like the oracles") {
+    // an em-space (U+2003) is NOT \s: regex split keeps "a a" as one
+    // word, and the native tokenizers must agree — Character.isWhitespace
+    // would split it and silently diverge from the SQL oracle
+    graft.functions.GraftFunctions.register(spark)
+    val t = "a\u2003a a\u2003a a\u2003a"
+    val d = Seq((1L, t)).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(d, "doc_id", "text")
+      .as[(Long, Int, Int, Double, Int, Double)].head()
+    assert(out == ((1L, 3, 1, 0.6667, 2, 1.0)), out.toString)
+    val sh = d.select(graft.functions.GraftFunctions.word_shingles($"text", 2).as("s"))
+      .as[Seq[String]].head()
+    assert(sh == Seq("a\u2003a a\u2003a"), sh.toString)
+  }
+
   test("splitting by dedup representative keeps near-duplicates on one side of the split") {
     // the leakage-free composition the hashSplit doc prescribes: key the
     // split by the duplicate-cluster representative, not the raw id
