@@ -181,6 +181,25 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
+    // unpivot (melt): wide per-priority counts back to (priority, status,
+    // n) rows — Spark's Expand operator, map-side, the inverse of q_pivot
+    "q_unpivot" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")),
+          "status", "n")
+        .orderBy("o_orderpriority", "status")
+    },
+
     // statistical aggregates: exact interpolated percentiles, stddev, corr
     "q_stats_agg" -> { (s, dir) =>
       t(s, dir, "orders")
@@ -542,6 +561,22 @@ object RelationalQueries {
         |       count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
         |       count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the melt re-derived as a UNION ALL over the pivoted counts — the
+    // portable declarative form of Spark's Expand
+    "q_unpivot" ->
+      """WITH p AS (
+        |  SELECT o_orderpriority,
+        |         count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |         count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |         count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |  FROM orders GROUP BY o_orderpriority
+        |)
+        |SELECT o_orderpriority, status, n FROM (
+        |  SELECT o_orderpriority, 'F' AS status, f_cnt AS n FROM p
+        |  UNION ALL SELECT o_orderpriority, 'O', o_cnt FROM p
+        |  UNION ALL SELECT o_orderpriority, 'P', p_cnt FROM p
+        |)
+        |ORDER BY o_orderpriority, status""".stripMargin,
     "q_stats_agg" ->
       """SELECT o_orderstatus,
         |       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
