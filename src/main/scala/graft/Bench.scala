@@ -90,29 +90,43 @@ object Bench {
     // trigger budget is measured at the edge, not just met comfortably
     val cadence = cadenceMetric(spark, sfDir, "cadence", multiplier = 1) +
       cadenceMetric(spark, sfDir, "cadence10x", multiplier = 10)
-    // The harness keeps only the LAST ~2000 chars of stdout and parses the
-    // JSON line out of that tail: rounds 1-4 printed full-precision doubles
-    // (~3000 chars), so the line head — `{"metric":...,"value":...}` — was
-    // truncated away every round and the bench never parsed. Emit the line
-    // compact (2-decimal seconds; ~10 ms is far below this host's noise
-    // floor) and degrade to 1 decimal if the query list ever outgrows the
-    // budget. Full precision goes to stderr for human readers.
-    def line(prec: Int): String = {
+    // The harness keeps only the LAST ~2000 chars of stdout+stderr and
+    // parses the JSON line out of that tail: rounds 1-4 printed
+    // full-precision doubles (~3000 chars), so the line head —
+    // `{"metric":...,"value":...}` — was truncated away every round and the
+    // bench never parsed. The r5 capture pins the real budget: the tail must
+    // hold this line PLUS sbt's trailing `[success] Total time: ...` line
+    // (~75 chars), so the line itself gets ≤1920. Degrade in order: 2-decimal
+    // seconds (~10 ms is far below this host's noise floor) → 1 decimal →
+    // drop the FASTEST queries one at a time (the slow ones carry the
+    // performance signal) with an explicit "q_omitted" count, so the line is
+    // guaranteed to fit at any future query count. Full precision always
+    // goes to stderr and BENCH_FULL.json.
+    val budget = 1920
+    def line(prec: Int, keep: Seq[(String, Double)], omitted: Int): String = {
       def fmt(v: Double): String = String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,$cadence"sf":"${new java.io.File(sfDir).getName}"}"""
+      val qs = keep.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val om = if (omitted > 0) s""""q_omitted":$omitted,""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,$om"queries":$qs,$cadence"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     System.err.println(s"[bench] full precision: " +
       results.map { case (k, v) => s"$k=$v" }.mkString(" "))
-    val out = Seq(line(2), line(1)).find(_.length <= 1900).getOrElse(line(1))
-    if (out.length > 1900)
+    val out = Seq(line(2, results, 0), line(1, results, 0)).find(_.length <= budget).getOrElse {
+      // still over: keep the slowest k queries (name-sorted for stable output)
+      val byTimeDesc = results.sortBy(-_._2)
+      Iterator.range(results.size - 1, 0, -1).map { k =>
+        val keepNames = byTimeDesc.take(k).map(_._1).toSet
+        line(1, results.filter(p => keepNames(p._1)), results.size - k)
+      }.find(_.length <= budget).getOrElse(line(1, Seq.empty, results.size))
+    }
+    if (out.length > budget)
       System.err.println(s"[bench] WARNING: json line ${out.length} chars may exceed the harness tail budget")
     println(out)
     // the stdout line is budgeted to the harness tail; the full-precision
     // per-query numbers additionally land in a file reviewers can read
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-        (line(4) + "\n").getBytes("UTF-8"))
+        (line(4, results, 0) + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     spark.stop()
   }
