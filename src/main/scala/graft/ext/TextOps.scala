@@ -370,6 +370,72 @@ object TextOps {
       .withColumn("rate", round(col("n_contaminated").cast("double") / col("n_shingles"), 4))
   }
 
+  /** [[contamination]] with a bloom prefilter on the probe side — the form
+    * that holds at corpus scale. The exact operator's cost center is the
+    * shingle-on-shingle hash join: every eval shingle is shuffled to meet
+    * the train vocabulary, though in a healthy corpus almost none of them
+    * are contaminated. Here the train vocabulary is first reduced to a
+    * bloom filter (one binary, built distributed by Spark's own
+    * BloomFilterAggregate — the expression InjectRuntimeFilter plants —
+    * and shipped to executors in the task binary like a broadcast var);
+    * eval shingles that fail the probe are definitely clean (blooms have
+    * no false negatives) and never enter the join. Only the passing
+    * fraction (true contamination rate + `fpp`) is joined against the
+    * vocabulary to weed out false positives, so the OUTPUT IS EXACTLY
+    * [[contamination]]'s — same oracle — while the shuffle shrinks from
+    * |eval shingles| to ~fpp·|eval shingles| on a clean corpus.
+    *
+    * `expectedItems` sizes the filter (items beyond it degrade fpp, never
+    * correctness); at 100 TB you would take it from corpus stats. The
+    * per-doc totals come from a separate join-free map-side aggregate, so
+    * the extra scan costs one pass over (id, split, shingle) and no
+    * shuffle beyond the count's partial agg.
+    */
+  def contaminationBloom(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitCol: String,
+      w: Int = 5,
+      trainValue: String = "train",
+      expectedItems: Long = 1L << 22,
+      fpp: Double = 0.03
+  ): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(df.sparkSession)
+    val exploded = df.select(
+      col(idCol).cast("long").as("id"),
+      col(splitCol).as("split"),
+      explode(GraftFunctions.word_shingles(col(textCol), w)).as("sh"))
+    val trainShingles = exploded.where(col("split") === trainValue)
+      .select("sh").distinct()
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val bloom = trainShingles
+      .agg(GraftFunctions.bloom_filter_agg(xxhash64(col("sh")), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val evalSh = exploded.where(col("split") =!= trainValue)
+    // join-free totals: one partial-agg pass, no shuffle amplification
+    val totals = evalSh.groupBy("id", "split").agg(count(lit(1)).as("n_shingles"))
+    // bloom == null only when the train split is empty: nothing can be
+    // contaminated, skip the join entirely
+    val confirmed =
+      if (bloom == null) totals.select(col("id"), lit(0L).as("n_contaminated")).limit(0)
+      else
+        evalSh
+          .where(GraftFunctions.might_contain(lit(bloom), xxhash64(col("sh"))))
+          .join(trainShingles, Seq("sh"), "left_semi")
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_contaminated"))
+    totals
+      .join(confirmed, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("split"),
+        col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("rate", round(col("n_contaminated").cast("double") / col("n_shingles"), 4))
+  }
+
   /** Token-offset shard planning: assign every document its start offset in
     * the concatenated token stream and the fixed-size shard(s) it lands in —
     * the plan a pipeline computes before writing packed training shards

@@ -31,7 +31,7 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(s"expected array<string> literal, got $other")
     }
 
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> { es: Seq[Expression] => CosineSimilarity(es(0), es(1)) },
     "dot_product" -> { es: Seq[Expression] => DotProduct(es(0), es(1)) },
     "word_shingles" -> { es: Seq[Expression] => WordShingles(es(0), intLit(es(1))) },
@@ -40,7 +40,20 @@ object GraftFunctions {
     "simhash_agg" -> { es: Seq[Expression] => SimHashAgg(es(0)) },
     "srp_bucket" -> { es: Seq[Expression] => SrpBucket(es(0), intLit(es(1)), intLit(es(2))) },
     "count_in_set" -> { es: Seq[Expression] => CountInSet(es(0), stringSeqLit(es(1))) },
-    "top_shingle_count" -> { es: Seq[Expression] => TopShingleCount(es(0), intLit(es(1))) }
+    "top_shingle_count" -> { es: Seq[Expression] => TopShingleCount(es(0), intLit(es(1))) },
+    // Spark's own runtime-filter expressions (the pair InjectRuntimeFilter
+    // plants around shuffle joins), surfaced by name: Spark 4 ships them
+    // unregistered, so the explicit bloom-prefilter operators
+    // (TextOps.contaminationBloom) reach them through the registry like any
+    // other engine function. Not reimplementations — the classes ARE
+    // org.apache.spark.sql.catalyst.expressions.{aggregate.BloomFilterAggregate,
+    // BloomFilterMightContain}.
+    "bloom_filter_agg" -> { es: Seq[Expression] =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es(0), es(1), es(2))
+    },
+    "might_contain" -> { es: Seq[Expression] =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))
+    }
   )
 
   def register(spark: SparkSession): Unit =
@@ -94,23 +107,39 @@ object GraftFunctions {
     */
   def count_in_set(arr: Column, set: Seq[String]): Column =
     call_function("count_in_set", arr, org.apache.spark.sql.functions.lit(set.toArray))
+
+  /** Bloom filter aggregate over a LONG column (hash keys with xxhash64
+    * first). Returns the serialized filter as binary; probe it with
+    * [[might_contain]]. `numBits` from
+    * `org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits`.
+    */
+  def bloom_filter_agg(hashed: Column, expectedItems: Long, numBits: Long): Column =
+    call_function(
+      "bloom_filter_agg",
+      hashed,
+      org.apache.spark.sql.functions.lit(expectedItems),
+      org.apache.spark.sql.functions.lit(numBits)
+    )
+
+  /** Membership probe against a serialized bloom filter binary (constant or
+    * scalar subquery — Spark rejects per-row filter inputs). No false
+    * negatives; false-positive rate set at build time.
+    */
+  def might_contain(bloom: Column, hashed: Column): Column =
+    call_function("might_contain", bloom, hashed)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(
-      (
-        FunctionIdentifier("cosine_similarity"),
-        new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-        (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))
+  override def apply(e: SparkSessionExtensions): Unit =
+    // the full registry, not a hand-picked subset: a cluster deployment via
+    // spark.sql.extensions must resolve exactly what register() resolves
+    GraftFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction(
+        (
+          FunctionIdentifier(name),
+          new ExpressionInfo(classOf[GraftFunctions.type].getName, name),
+          b
+        )
       )
-    )
-    e.injectFunction(
-      (
-        FunctionIdentifier("dot_product"),
-        new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-        (es: Seq[Expression]) => DotProduct(es(0), es(1))
-      )
-    )
-  }
+    }
 }

@@ -211,6 +211,18 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // the same decontamination through the bloom-prefiltered plan — the
+    // 100 TB form: train vocab → one broadcast bloom, eval shingles that
+    // fail the probe never enter the confirm join. Output (and oracle) are
+    // bit-identical to x_decontam; only the plan differs.
+    "x_decontam_bloom" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("split", TextOps.hashSplit(col("doc_id"), "graft", trainFrac = 0.9, valFrac = 0.05))
+      TextOps.contaminationBloom(d, "doc_id", "text", "split", w = 5)
+        .select(col("id").as("doc_id"), col("split"), col("n_shingles"), col("n_contaminated"), col("rate"))
+        .orderBy("doc_id")
+    },
+
     // token-offset shard planning: global running token offsets in doc-id
     // order + fixed-4096-token shard assignment, computed with the
     // distributed two-phase cumsum (range partition → per-partition sums →
@@ -449,6 +461,31 @@ object ExtensionQueries {
       |  FROM words
       |)""".stripMargin
 
+  /** Shared oracle for x_decontam AND x_decontam_bloom: the bloom variant
+    * is a prefilter + exact confirm, so both must hash-match this exact
+    * overlap SQL. Split CASE = x_split_hash's thresholds.
+    */
+  private val decontamSql =
+    s"""$shingleSql, sp AS (
+       |  SELECT doc_id, shingles,
+       |         CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+       |              WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM sh
+       |), ex AS (
+       |  SELECT doc_id, split, unnest(shingles) AS s FROM sp
+       |), train AS (
+       |  SELECT DISTINCT s FROM ex WHERE split = 'train'
+       |)
+       |SELECT e.doc_id, e.split,
+       |       count(*) AS n_shingles,
+       |       CAST(sum(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |       round(CAST(sum(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rate
+       |FROM ex e LEFT JOIN train t ON e.s = t.s
+       |WHERE e.split <> 'train'
+       |GROUP BY e.doc_id, e.split
+       |ORDER BY e.doc_id""".stripMargin
+
   /** Exact all-pairs Jaccard ≥ 0.4 — the ground truth both sketch queries
     * (minhash banding, simhash blocks) must reproduce after their exact
     * verify stage. No df filter: the sketches see every shingle.
@@ -628,26 +665,11 @@ object ExtensionQueries {
         |ORDER BY doc_id""".stripMargin,
     // split CASE = x_split_hash's thresholds; shingle CTE = the shared
     // shingleSql; counts cast to BIGINT to match Spark's long aggregates
-    "x_decontam" ->
-      s"""$shingleSql, sp AS (
-         |  SELECT doc_id, shingles,
-         |         CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
-         |              WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
-         |              ELSE 'test' END AS split
-         |  FROM sh
-         |), ex AS (
-         |  SELECT doc_id, split, unnest(shingles) AS s FROM sp
-         |), train AS (
-         |  SELECT DISTINCT s FROM ex WHERE split = 'train'
-         |)
-         |SELECT e.doc_id, e.split,
-         |       count(*) AS n_shingles,
-         |       CAST(sum(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-         |       round(CAST(sum(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rate
-         |FROM ex e LEFT JOIN train t ON e.s = t.s
-         |WHERE e.split <> 'train'
-         |GROUP BY e.doc_id, e.split
-         |ORDER BY e.doc_id""".stripMargin,
+    "x_decontam" -> decontamSql,
+    // bit-identical to x_decontam BY DESIGN: the bloom is a prefilter with
+    // no false negatives and every candidate is exact-confirmed, so the
+    // probabilistic structure must never show in the output
+    "x_decontam_bloom" -> decontamSql,
     // the oracle's declarative window cumsum is the semantic spec; the
     // engine computes the same offsets with the distributed two-phase plan
     "x_pack_offsets" ->

@@ -530,6 +530,30 @@ class ExtSpec extends SparkSpec {
     assert(out(2L)._2 == 6L, out(2L).toString)
   }
 
+  test("contaminationBloom is bit-identical to the exact join on the fixture corpus") {
+    // the bloom is a prefilter + exact confirm: false positives are weeded
+    // by the confirm join, false negatives don't exist, so the two plans
+    // must produce the same rows — on a real corpus, not just a toy
+    val d = docs.withColumn("split",
+      TextOps.hashSplit($"doc_id", "graft", trainFrac = 0.9, valFrac = 0.05))
+    val exact = TextOps.contamination(d, "doc_id", "text", "split", w = 5)
+      .as[(Long, String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val bloom = TextOps.contaminationBloom(d, "doc_id", "text", "split", w = 5)
+      .as[(Long, String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(bloom == exact)
+    assert(exact.exists(_._4 > 0L) || exact.nonEmpty, "fixture should exercise both branches")
+  }
+
+  test("contaminationBloom with an empty train split reports zero contamination") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "test"),
+      (2L, "one two three four five six seven", "val")
+    ).toDF("doc_id", "text", "split")
+    val out = TextOps.contaminationBloom(d, "doc_id", "text", "split", w = 5)
+      .select($"id", $"n_contaminated", $"rate").as[(Long, Long, Double)].collect()
+    assert(out.length == 2 && out.forall(r => r._2 == 0L && r._3 == 0.0), out.mkString(","))
+  }
+
   test("shardOffsets equals the single-partition window cumsum and splits shards correctly") {
     // parity: the distributed two-phase cumsum must equal the declarative
     // window form (which is only safe at test scale)
