@@ -62,6 +62,32 @@ object TextOps {
     round((lengthScore + wordLenScore + punctScore + stopScore) / 4.0, 4)
   }
 
+  /** Percentile-threshold quality binning — the curriculum/filter cut a
+    * pipeline applies after scoring. The naive form is `ntile(n) OVER
+    * (ORDER BY quality)`, which funnels the whole corpus through ONE task;
+    * here the bin edges come from one tiny exact-percentile aggregate
+    * (partial agg, n-1 doubles to the driver) and the binning itself is a
+    * pure map-side literal fold — no window, no extra shuffle, valid at any
+    * corpus size. `bin` = number of thresholds ≤ the doc's quality
+    * (0..n-1), so equal scores always share a bin in any engine — unlike
+    * ntile, which splits ties by arbitrary row order. Thresholds are
+    * rounded to 4 decimals (the score's own grain) so the >= comparisons
+    * are ulp-robust across engines.
+    */
+  def qualityBins(df: DataFrame, idCol: String, textCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need nBins >= 2")
+    val scored = df.select(
+      col(idCol).cast("long").as("id"),
+      qualityScore(col(textCol)).as("quality"))
+    val ps = (1 until nBins).map(p => s"${p.toDouble / nBins}d").mkString("array(", ", ", ")")
+    val raw = scored.agg(expr(s"percentile(quality, $ps)").as("t")).head().getSeq[Double](0)
+    val thresholds = raw.map(t => BigDecimal(t).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val bin = thresholds.foldLeft(lit(0)) { (acc, t) =>
+      acc + when(col("quality") >= lit(t), 1).otherwise(0)
+    }
+    scored.select(col("id"), col("quality"), bin.cast("int").as("bin"))
+  }
+
   // ---- language identification --------------------------------------------
 
   /** Tiny per-language marker lexicons. Real systems use char n-gram models

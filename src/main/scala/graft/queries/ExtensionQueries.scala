@@ -330,6 +330,16 @@ object ExtensionQueries {
       ).orderBy("doc_id")
     },
 
+    // percentile-threshold quality binning: bin edges from one tiny exact
+    // percentile aggregate, binning as a map-side literal fold — never a
+    // global ntile window (single-task corpus sort)
+    "x_quality_bins" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      TextOps.qualityBins(docs(s, dir), "doc_id", "text", nBins = 10)
+        .select(col("id").as("doc_id"), col("quality"), col("bin"))
+        .orderBy("doc_id")
+    },
+
     // canonical normalization (the exact-dedup key transform)
     "x_text_normalize" -> { (s, dir) =>
       docs(s, dir)
@@ -826,6 +836,38 @@ object ExtensionQueries {
         |  FROM f
         |)
         |SELECT doc_id, n_tokens, n_stop, round(quality, 4) AS quality FROM sc ORDER BY doc_id""".stripMargin,
+    // same score CTE as x_text_quality; thresholds = quantile_cont rounded
+    // to the score's 4-decimal grain (both engines' percentile interpolation
+    // verified bit-equal by x_quantiles); bin = count of thresholds <= score
+    "x_quality_bins" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |             x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], x))) AS n_stop,
+        |         length(text) AS n_chars,
+        |         length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id, round(
+        |    (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0
+        |          WHEN n_tokens BETWEEN 3 AND 9 THEN 0.5 ELSE 0.0 END
+        |     + CASE WHEN n_tokens > 0 AND (CAST(n_chars AS DOUBLE)/n_tokens) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+        |     + CASE WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 1.0 END) <= 0.2 THEN 1.0
+        |            WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 1.0 END) <= 0.4 THEN 0.5 ELSE 0.0 END
+        |     + CASE WHEN n_tokens > 0 AND (CAST(n_stop AS DOUBLE)/n_tokens) >= 0.01 THEN 1.0 ELSE 0.5 END
+        |    ) / 4.0, 4) AS quality
+        |  FROM f
+        |), t AS (
+        |  SELECT list_transform(
+        |           quantile_cont(CAST(quality AS DOUBLE), [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |           x -> round(x, 4)) AS ts
+        |  FROM sc
+        |)
+        |SELECT sc.doc_id, sc.quality,
+        |       CAST(len(list_filter((SELECT ts FROM t), x -> sc.quality >= x)) AS INT) AS bin
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "x_text_normalize" ->
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS norm,

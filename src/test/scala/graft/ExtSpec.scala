@@ -544,6 +544,28 @@ class ExtSpec extends SparkSpec {
     assert(exact.exists(_._4 > 0L) || exact.nonEmpty, "fixture should exercise both branches")
   }
 
+  test("qualityBins matches a local percentile-threshold recomputation") {
+    val got = TextOps.qualityBins(docs, "doc_id", "text", nBins = 10)
+      .as[(Long, Double, Int)].collect().sortBy(_._1)
+    val scores = got.map(_._2)
+    // Spark `percentile`'s definition: linear interpolation at p*(n-1)
+    val sorted = scores.sorted
+    def pct(p: Double): Double = {
+      val idx = p * (sorted.length - 1)
+      val lo = idx.toInt
+      val hi = math.min(lo + 1, sorted.length - 1)
+      val v = sorted(lo) + (idx - lo) * (sorted(hi) - sorted(lo))
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val thresholds = (1 until 10).map(p => pct(p / 10.0))
+    got.foreach { case (id, q, bin) =>
+      assert(bin == thresholds.count(q >= _), s"doc $id: q=$q bin=$bin vs $thresholds")
+    }
+    // ties always share a bin (the ntile hazard this operator avoids)
+    got.groupBy(_._2).values.foreach(g => assert(g.map(_._3).distinct.length == 1))
+    assert(got.map(_._3).distinct.length > 1, "fixture should spread across bins")
+  }
+
   test("contaminationBloom with an empty train split reports zero contamination") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta", "test"),
