@@ -125,6 +125,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bloom decontam probes before the confirm join and keeps the semi join") {
+    val p = plan("x_decontam_bloom")
+    // the prefilter must survive optimization as a Filter on the probe side
+    // (Catalyst only ever pushes filters DOWN, so presence == prefiltering),
+    // and the exact confirm must still be a keyed semi join, not a scan
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("quality binning is a map-side fold — no window, no join in the final plan") {
+    // the threshold aggregate runs eagerly at build time (n-1 doubles to
+    // the driver); the RETURNED plan must be scan → project → sort only
+    val p = plan("x_quality_bins")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("repetition metrics run as one map pass — no aggregate, no join") {
     val p = plan("x_rep_quality")
     assert(!p.contains("Exchange hashpartitioning"), p)
