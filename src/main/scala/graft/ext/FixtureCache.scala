@@ -17,7 +17,7 @@ import org.apache.spark.sql.DataFrame
   * `None` — `matches` always refuses (inline rebuild) and `write` removes any
   * stale params file so the dir can never be trusted later.
   */
-private[ext] object FixtureCache {
+private[graft] object FixtureCache {
 
   private val ParamsFile = "_graft_cache_params"
 

@@ -524,6 +524,51 @@ object TextOps {
           .otherwise(expr(s"(start_offset + n_tokens - 1) DIV $shardTokens") - col("shard_id") + lit(1L)))
   }
 
+  // ---- PII redaction ---------------------------------------------------------
+
+  /** Email address pattern (ASCII local@domain.tld). Kept RE2-compatible
+    * (no backrefs/lookaround) so the same pattern text runs in DuckDB and
+    * other RE2 engines for cross-engine reproducibility.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 pattern. */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Loose international phone pattern: leading `+?digit`, 6+ inner
+    * digits/separators, trailing digit.
+    */
+  val PhoneRe = "\\+?\\d[\\d() -]{6,}\\d"
+
+  /** Scrub emails, then IPv4 addresses, then phone numbers to typed
+    * placeholder tokens. Order matters — emails and IPs contain digit
+    * runs the looser phone pattern would otherwise swallow — so the
+    * chain is fixed and documented as part of the operator contract.
+    *
+    * Pure `regexp_replace` composition: map-only, codegen'd, no shuffle —
+    * a 100 TB corpus scrub is a single scan.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    regexp_replace(noIp, PhoneRe, "<PHONE>")
+  }
+
+  /** Per-document PII hit counts, measured on the same progressive chain
+    * as [[redactPii]] (phone counted after email/IP removal, so a digit
+    * run is attributed to exactly one category). Returns
+    * (redacted, n_email, n_ip, n_phone) columns appended to `df`.
+    */
+  def redactPiiWithCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val noEmail = regexp_replace(t, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    df.withColumn("n_email", size(regexp_extract_all(t, lit(EmailRe), lit(0))))
+      .withColumn("n_ip", size(regexp_extract_all(noEmail, lit(Ipv4Re), lit(0))))
+      .withColumn("n_phone", size(regexp_extract_all(noIp, lit(PhoneRe), lit(0))))
+      .withColumn("redacted", regexp_replace(noIp, PhoneRe, "<PHONE>"))
+  }
+
   /** Full text-feature projection used by the pipeline queries. */
   def features(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

@@ -130,7 +130,7 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     // the full registry, not a hand-picked subset: a cluster deployment via
     // spark.sql.extensions must resolve exactly what register() resolves
     GraftFunctions.builders.foreach { case (name, b) =>
@@ -142,4 +142,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         )
       )
     }
+    // equi-keyless bounded-interval joins → bucketed equi-joins (the
+    // nested-loop escape hatch; see the rule's scaladoc for the shape)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }

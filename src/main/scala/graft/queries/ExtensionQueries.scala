@@ -454,6 +454,64 @@ object ExtensionQueries {
         .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
         .orderBy("media_id")
+    },
+
+    // PII redaction: email → IPv4 → phone scrubbed to typed placeholders
+    // with per-category hit counts, as one codegen'd map-only projection.
+    // The gate corpus carries no PII, so deterministic synthetic PII is
+    // appended per doc (both engines build the identical string) and the
+    // redaction chain is what's under test.
+    "x_pii_redact" -> { (s, dir) =>
+      val salted = docs(s, dir).withColumn(
+        "text_pii",
+        concat(
+          col("text"),
+          lit(" Contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" at "), (col("doc_id") % 256).cast("string"), lit(".0.0."),
+          (col("doc_id") % 100).cast("string")
+        )
+      )
+      TextOps
+        .redactPiiWithCounts(salted, "text_pii")
+        .select("doc_id", "n_email", "n_ip", "n_phone", "redacted")
+        .orderBy("doc_id")
+    },
+
+    // int8 embedding quantization round-trip: per-vector scale, quantized
+    // checksum/extrema, and dequantization error — one shuffle-free
+    // projection of higher-order array ops (Similarity.quantizeInt8).
+    "x_embed_quantize" -> { (s, dir) =>
+      Similarity
+        .quantizeSummary(embs(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id")
+    },
+
+    // ORC source coverage: documents round-tripped through an ORC
+    // write/read (fixture-cached per corpus) must aggregate identically
+    // to the parquet original the oracle reads.
+    "x_orc_roundtrip" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val orcDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-orc-${new java.io.File(dir).getName}"
+      ).getAbsolutePath
+      val fp = graft.ext.FixtureCache.fingerprint(d, "orc-roundtrip")
+      if (!graft.ext.FixtureCache.matches(orcDir, fp)) {
+        graft.sources.CorpusIO.writeOrc(d, orcDir)
+        graft.ext.FixtureCache.write(orcDir, fp)
+      }
+      graft.sources.CorpusIO
+        .readOrc(s, orcDir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id")
+        )
+        .orderBy("source")
     }
   )
 
@@ -892,6 +950,62 @@ object ExtensionQueries {
         |       WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
         |       WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
         |       ELSE 'zh' END AS lang_pred
-        |FROM sc ORDER BY doc_id""".stripMargin
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // identical synthetic-PII construction, identical RE2-compatible
+    // patterns, identical email → IPv4 → phone chain (counts measured on
+    // the progressively redacted text, like TextOps.redactPiiWithCounts)
+    "x_pii_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+        |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at ' ||
+        |         CAST(doc_id % 256 AS VARCHAR) || '.0.0.' || CAST(doc_id % 100 AS VARCHAR) AS t2
+        |  FROM documents
+        |), r1 AS (
+        |  SELECT doc_id, t2,
+        |         CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |         regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS no_email
+        |  FROM t
+        |), r2 AS (
+        |  SELECT doc_id, n_email,
+        |         CAST(len(regexp_extract_all(no_email, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+        |         regexp_replace(no_email, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS no_ip
+        |  FROM r1
+        |)
+        |SELECT doc_id, n_email, n_ip,
+        |       CAST(len(regexp_extract_all(no_ip, '\+?\d[\d() -]{6,}\d')) AS INT) AS n_phone,
+        |       regexp_replace(no_ip, '\+?\d[\d() -]{6,}\d', '<PHONE>', 'g') AS redacted
+        |FROM r2 ORDER BY doc_id""".stripMargin,
+    // identical double math: float→double is exact, scale division /
+    // floor(x/scale + 0.5) are single IEEE ops, and the error metric is a
+    // MAX (order-independent) — list ops keep everything per-vector
+    "x_embed_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, xs,
+        |         CASE WHEN list_max(list_transform(xs, x -> abs(x))) = 0.0 THEN 1.0
+        |              ELSE list_max(list_transform(xs, x -> abs(x))) / 127.0 END AS scale
+        |  FROM v
+        |), q AS (
+        |  SELECT vec_id, xs, scale, list_transform(xs, x -> floor(x / scale + 0.5)) AS qs FROM s
+        |)
+        |SELECT vec_id,
+        |       CAST(len(xs) AS INT) AS n_dims,
+        |       round(scale, 6) AS scale6,
+        |       CAST(list_sum(qs) AS BIGINT) AS sum_q,
+        |       CAST(list_min(qs) AS INT) AS min_q,
+        |       CAST(list_max(qs) AS INT) AS max_q,
+        |       round(list_max(list_transform(range(1, len(xs) + 1),
+        |             i -> abs(qs[i] * scale - xs[i]))), 9) AS err_max9
+        |FROM q ORDER BY vec_id""".stripMargin,
+    // the oracle reads the parquet original; the engine query reads its
+    // own ORC round-trip of the same rows — equality proves the ORC
+    // source path is lossless
+    "x_orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       count(DISTINCT lang) AS n_langs,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

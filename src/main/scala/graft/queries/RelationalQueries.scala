@@ -460,6 +460,38 @@ object RelationalQueries {
           col("asof_event_id").as("last_error_id")
         )
         .orderBy("click_id")
+    },
+
+    // bounded-interval range join: pairs of same-user events within one
+    // hour of each other — graft.operators.RangeJoin's bucketed layout
+    // (epoch-bucket equi-join + residual filter, fixed 2× probe fan-out),
+    // NEVER the nested-loop plan a raw range predicate degenerates to.
+    "q_range_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select("user_id", "ts", "event_id")
+      graft.operators.RangeJoin
+        .within(ev, ev, Seq("user_id"), "ts", "ts", windowMicros = 3600L * 1000000L)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("sum_gap_us")
+        )
+        .orderBy("user_id")
+    },
+
+    // skew-hardened equi-join: the salted-join operator (deterministic
+    // left-side salt, right side replicated once per salt) must produce
+    // the IDENTICAL result as the plain join — the oracle is that plain
+    // join. Hot fact keys spread across `salts` partitions instead of
+    // landing on one straggler.
+    "q_skew_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("value"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.Skew
+        .saltedJoin(ev, dim, Seq("user_id"), salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("c_mktsegment")
     }
   )
 
@@ -708,6 +740,17 @@ object RelationalQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
         |  ON c.user_id = e.user_id AND e.ts <= c.ts
-        |ORDER BY click_id""".stripMargin
+        |ORDER BY click_id""".stripMargin,
+    "q_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs, CAST(sum(b.us - a.us) AS BIGINT) AS sum_gap_us
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id
+        | AND b.us > a.us AND b.us <= a.us + 3600000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

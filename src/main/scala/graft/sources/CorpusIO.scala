@@ -78,4 +78,16 @@ object CorpusIO {
   /** JSONL export (one object per line, no extra pass). */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC read — the second columnar interchange format beside parquet.
+    * Same engine properties apply (column pruning, predicate pushdown to
+    * stripe/row-group stats, splittable stripes), so a corpus delivered
+    * as ORC costs the same single pruned scan as parquet.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC export (zlib by default; splittable stripes). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

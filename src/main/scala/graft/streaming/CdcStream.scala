@@ -155,4 +155,36 @@ object CdcStream {
       .withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap), col("user_id"))
       .agg(count(lit(1)).as("n"))
+
+  /** Stream-stream inner join on `keys` with a bounded event-time
+    * interval: right rows within `(left.ts - lookback, left.ts]`. Both
+    * sides carry watermarks so Spark can evict join state — without the
+    * time bound + watermarks a stream-stream join buffers both streams
+    * FOREVER; with them, state is bounded by (watermark + lookback) of
+    * data per key, which is what makes this runnable on an unbounded
+    * 100 TB/day feed. Left columns keep their names; right columns are
+    * prefixed to avoid collisions (the same contract as
+    * [[graft.operators.RangeJoin.within]]).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      lookback: String,
+      watermark: String,
+      rightPrefix: String = "r_"
+  ): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    // non-key right columns get the prefix; keys keep their names
+    val r = right.columns
+      .filterNot(keys.contains)
+      .foldLeft(right)((df, c) => df.withColumnRenamed(c, rightPrefix + c))
+      .withWatermark(rightPrefix + tsCol, watermark)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val rangeCond =
+      r(rightPrefix + tsCol) > l(tsCol) - expr(s"INTERVAL $lookback") &&
+        r(rightPrefix + tsCol) <= l(tsCol)
+    keys.foldLeft(l.join(r, keyCond && rangeCond, "inner"))((df, k) => df.drop(r(k)))
+  }
 }

@@ -28,6 +28,21 @@ class CorpusIOSpec extends SparkSpec {
     } finally { parsed.unpersist(); () }
   }
 
+  test("documents roundtrip through ORC losslessly, with pushdown intact") {
+    val dir = tempDir("orc") + "/docs"
+    CorpusIO.writeOrc(docs, dir)
+    val back = CorpusIO.readOrc(spark, dir)
+    val cols = docs.columns.map(col).toSeq
+    assert(back.count() == docs.count())
+    assert(back.select(cols: _*).exceptAll(docs.select(cols: _*)).isEmpty)
+    assert(docs.select(cols: _*).exceptAll(back.select(cols: _*)).isEmpty)
+    // ORC scans must prune columns and push predicates like parquet
+    val p = back.where(col("doc_id") > 10).select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,10)]"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+  }
+
   test("malformed JSONL lines land in quarantine instead of failing the read") {
     val dir = tempDir("jsonlbad")
     val lines = Seq(

@@ -110,6 +110,30 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian/nested-loop joins in: $offenders")
   }
 
+  test("range join plans as an equi-join on (key, bucket) — never a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("PII redaction is one codegen'd map pass — no shuffle before the output sort, no UDF") {
+    val p = plan("x_pii_redact")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
+
+  test("embedding quantization never explodes or shuffles the vector table") {
+    val p = plan("x_embed_quantize")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Generate"), s"explode in the quantize path:\n$p")
+  }
+
+  test("the ORC roundtrip aggregate reads orc with partial aggregation") {
+    val p = plan("x_orc_roundtrip")
+    assert(p.toLowerCase.contains("orc"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("source mixing is a broadcast-joined map-side filter — no corpus shuffle") {
     val p = plan("x_mix_sources")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -143,6 +143,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("stream-stream interval join matches the batch equivalent and bounds its state") {
+    val ev = Tables.load(spark, sf0001, "events").limit(400).cache()
+    try {
+      val clicks = ev.where($"event_type" === "click").select("user_id", "ts", "event_id")
+      val errors = ev.where($"event_type" === "error").select("user_id", "ts", "event_id")
+      val cDir = tempDir("ssj-c") + "/d"; val eDir = tempDir("ssj-e") + "/d"
+      clicks.write.parquet(cDir); errors.write.parquet(eDir)
+      val cs = spark.readStream.schema(clicks.schema).parquet(cDir)
+      val es = spark.readStream.schema(errors.schema).parquet(eDir)
+      val joined = graft.streaming.CdcStream
+        .intervalJoin(cs, es, Seq("user_id"), "ts", lookback = "1 HOUR", watermark = "2 hours")
+      val q = joined.writeStream.outputMode("append").format("memory").queryName("ssj").start()
+      q.processAllAvailable(); q.stop()
+      val got = spark.sql("SELECT count(*) FROM ssj").head().getLong(0)
+      // batch twin: errors in (click.ts - 1h, click.ts]
+      val expected = clicks.as("c").join(errors.as("e"),
+        $"c.user_id" === $"e.user_id" &&
+          $"e.ts" > $"c.ts" - expr("INTERVAL 1 HOUR") && $"e.ts" <= $"c.ts").count()
+      assert(got == expected, s"stream=$got batch=$expected")
+      assert(expected > 0, "fixture must exercise the join")
+    } finally { ev.unpersist(); () }
+  }
+
   test("materialize maintains the current-state table across micro-batches") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", IntegerType), StructField("v", StringType)))
