@@ -456,6 +456,25 @@ object ExtensionQueries {
         .orderBy("media_id")
     },
 
+    // time-series gapfill (the TimescaleDB time_bucket_gapfill + locf +
+    // interpolate family over the reference's events): 1h grid per user,
+    // fills summarized per user. The checksums are e4 fixed-point sums
+    // (floor(v·10⁴ + 0.5) per CELL, then an integer sum) so the result is
+    // summation-order-independent and hash-exact cross-engine.
+    "x_gapfill" -> { (s, dir) =>
+      val filled = graft.operators.GapFill
+        .fill(events(s, dir), Seq("user_id"), "ts", "value", bucketMicros = 3600L * 1000000L)
+      filled
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          count(col("v_actual")).as("n_actual"),
+          sum(floor(col("locf") * 10000 + 0.5)).cast("long").as("sum_locf_e4"),
+          sum(floor(col("interp") * 10000 + 0.5)).cast("long").as("sum_interp_e4")
+        )
+        .orderBy("user_id")
+    },
+
     // PII redaction: email → IPv4 → phone scrubbed to typed placeholders
     // with per-category hit counts, as one codegen'd map-only projection.
     // The gate corpus carries no PII, so deterministic synthetic PII is
@@ -951,6 +970,39 @@ object ExtensionQueries {
         |       WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
         |       ELSE 'zh' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // same bucket (floor-div on positive epoch micros), same max-per-bucket
+    // aggregate (order-independent), same IGNORE NULLS window fills, same
+    // e4 fixed-point checksum
+    "x_gapfill" ->
+      """WITH a AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, max(value) AS v
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM a GROUP BY user_id
+        |), grid AS (
+        |  SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM bounds
+        |), j AS (
+        |  SELECT g.user_id, g.bucket, a.v FROM grid g
+        |  LEFT JOIN a ON g.user_id = a.user_id AND g.bucket = a.bucket
+        |), f AS (
+        |  SELECT user_id, bucket, v,
+        |         last_value(v IGNORE NULLS) OVER w AS locf,
+        |         last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER w AS pb,
+        |         first_value(v IGNORE NULLS) OVER w2 AS nv,
+        |         first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER w2 AS nb
+        |  FROM j
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         w2 AS (PARTITION BY user_id ORDER BY bucket
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, count(*) AS n_buckets, count(v) AS n_actual,
+        |       CAST(sum(CAST(floor(locf * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_locf_e4,
+        |       CAST(sum(CAST(floor((CASE WHEN v IS NOT NULL THEN v
+        |                 WHEN nv IS NOT NULL THEN locf + (nv - locf) *
+        |                      (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+        |                 ELSE locf END) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_interp_e4
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
     // identical synthetic-PII construction, identical RE2-compatible
     // patterns, identical email → IPv4 → phone chain (counts measured on
     // the progressively redacted text, like TextOps.redactPiiWithCounts)
