@@ -47,9 +47,22 @@ object GapFill {
     // integral `div` (not `/`, which is double division); epoch-micros are
     // positive for any post-1970 series, where div == floor division and
     // matches DuckDB's `//`
-    val actual = df
+    val raw = df
       .groupBy(k :+ expr(s"unix_micros($tsCol) div ${bucketMicros}L").as("bucket"): _*)
       .agg(max(col(valueCol)).as("v_actual"), count(lit(1)).as("n_rows"))
+
+    // Pin ONE explicit hash(keys) partitioning and reuse it for the rest
+    // of the plan: bounds agg, grid explode, grid⋈actual, both fill
+    // windows, and the caller's per-key aggregate all cluster by `keys`,
+    // so after this exchange none of them shuffles again. The explicit
+    // partition count also defuses an AQE trap measured at sf0.1: the
+    // bounds aggregate is tiny (one row per key), AQE coalesces its
+    // shuffle to ~1 partition, and the sequence() explode then fans out
+    // 100-1000× INSIDE that single task — the whole densified series,
+    // its windows included, ran single-threaded (23 s; 1.3 s after the
+    // pin). AQE respects a user-specified partition count.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val actual = raw.repartition(n, k: _*)
 
     val grid = actual
       .groupBy(k: _*)

@@ -260,6 +260,25 @@ object ExtensionQueries {
         .orderBy("event_type")
     },
 
+    // t-digest sketch twin of x_quantiles (rows-only — sketch internals
+    // have no DuckDB twin; ExtSpec pins the rank-error bound against the
+    // exact percentile). At 100 TB this IS the quantile plan: the sketch
+    // is a fixed-size partial aggregate regardless of input size, where
+    // exact percentile must shuffle every distinct value.
+    "x_quantiles_sketch" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("ps"),
+          count(lit(1)).as("n"))
+        .select(
+          col("event_type"),
+          round(col("ps").getItem(0), 4).as("p50_approx"),
+          round(col("ps").getItem(1), 4).as("p95_approx"),
+          col("n"))
+        .orderBy("event_type")
+    },
+
     // embedding-cosine near-dup pairs (brute-force verify path)
     "x_dedup_embedding" -> { (s, dir) =>
       GraftFunctions.register(s)

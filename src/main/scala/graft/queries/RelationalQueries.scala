@@ -492,6 +492,23 @@ object RelationalQueries {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("c_mktsegment")
+    },
+
+    // skew-hardened aggregation: the two-phase (key, salt) pre-aggregate
+    // must equal the direct groupBy — its oracle. Counts and sums
+    // decompose exactly across salts; the hot key's rows combine as
+    // `salts` partials instead of one straggler task.
+    "q_skew_agg" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
+      graft.operators.Skew
+        .twoPhaseAgg(
+          ev,
+          Seq("event_type"),
+          salts = 8,
+          partials = Seq(count(lit(1)).as("c"), sum(col("user_id")).as("s")),
+          finals = Seq(sum(col("c")).as("n"), sum(col("s")).as("sum_uid"))
+        )
+        .orderBy("event_type")
     }
   )
 
@@ -751,6 +768,9 @@ object RelationalQueries {
     "q_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

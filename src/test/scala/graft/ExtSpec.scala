@@ -711,6 +711,29 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("t-digest approx_percentile stays within its rank-error bound of the exact percentile") {
+    val ev = Tables.load(spark, sf0001, "events")
+    // rank-error contract: accuracy 10000 bounds the RANK error at
+    // n/10000 (< 1 position on these groups), but the sketch returns an
+    // actual element, not an interpolated value — so the right assertion
+    // is bracketing: the approx p-quantile must lie between the exact
+    // quantiles at p ± 2% rank
+    val rows = ev.groupBy("event_type")
+      .agg(
+        expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("approx"),
+        expr("percentile(value, array(0.48, 0.52, 0.93, 0.97))").as("brackets"),
+        count(lit(1)).as("n"))
+      .select($"approx", $"brackets", $"n")
+      .as[(Seq[Double], Seq[Double], Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, br, n) =>
+      assert(approx(0) >= br(0) && approx(0) <= br(1),
+        s"p50 ${approx(0)} outside exact [${br(0)}, ${br(1)}] (n=$n)")
+      assert(approx(1) >= br(2) && approx(1) <= br(3),
+        s"p95 ${approx(1)} outside exact [${br(2)}, ${br(3)}] (n=$n)")
+    }
+  }
+
   test("ImageCodec PNG encode→decode round-trips dims and pixels exactly; resize repaints to target dims") {
     import Multimodal.ImageCodec
     val png = ImageCodec.encodePng(32, 24, seed = 7L)
