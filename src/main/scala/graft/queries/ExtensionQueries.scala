@@ -494,6 +494,24 @@ object ExtensionQueries {
         .orderBy("user_id")
     },
 
+    // time_bucket + first/last aggregates (the Timescale rollup idiom:
+    // "daily open/close per series"): Spark's min_by/max_by are the
+    // first(value, ts)/last(value, ts) twins. Deterministic because
+    // (user_id, ts) is unique at µs grain on this data — asserted in
+    // ExtSpec so a data change fails in tests, not in the gate.
+    "x_time_bucket_agg" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000L").as("day_bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("min_by(value, unix_micros(ts))"), 4).as("open_value"),
+          round(expr("max_by(value, unix_micros(ts))"), 4).as("close_value"),
+          round(max(col("value")), 4).as("high"),
+          round(min(col("value")), 4).as("low")
+        )
+        .orderBy("user_id", "day_bucket")
+    },
+
     // PII redaction: email → IPv4 → phone scrubbed to typed placeholders
     // with per-category hit counts, as one codegen'd map-only projection.
     // The gate corpus carries no PII, so deterministic synthetic PII is
@@ -989,6 +1007,15 @@ object ExtensionQueries {
         |       WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
         |       ELSE 'zh' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // arg_min/arg_max are DuckDB's min_by/max_by; same µs ordering key
+    "x_time_bucket_agg" ->
+      """SELECT user_id, epoch_us(ts) // 86400000000 AS day_bucket,
+        |       count(*) AS n,
+        |       round(arg_min(value, epoch_us(ts)), 4) AS open_value,
+        |       round(arg_max(value, epoch_us(ts)), 4) AS close_value,
+        |       round(max(value), 4) AS high,
+        |       round(min(value), 4) AS low
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, day_bucket""".stripMargin,
     // same bucket (floor-div on positive epoch micros), same max-per-bucket
     // aggregate (order-independent), same IGNORE NULLS window fills, same
     // e4 fixed-point checksum

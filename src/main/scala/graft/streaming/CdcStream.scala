@@ -156,6 +156,65 @@ object CdcStream {
       .groupBy(session_window(col(tsCol), gap), col("user_id"))
       .agg(count(lit(1)).as("n"))
 
+  /** Timescale-style continuous aggregate: a tumbling time-bucket rollup
+    * over the event stream, maintained INCREMENTALLY in a parquet state
+    * table (the reference database's flagship "continuous aggregate"
+    * feature — precomputed rollups that stay current as data arrives,
+    * readme's hypertables exist to serve exactly this pattern).
+    *
+    * Update output mode + foreachBatch upsert: each micro-batch carries
+    * only the (window, group) rows whose aggregates CHANGED, and the
+    * upsert replaces exactly those keys in the state table — work per
+    * trigger is O(changed windows), never a recompute of history. The
+    * watermark bounds both the streaming state and which windows can
+    * still change. Re-emitted rows (update mode re-sends a window each
+    * time it changes) are idempotent under the replace-by-key upsert.
+    */
+  def continuousAggregate(
+      events: DataFrame,
+      tsCol: String,
+      width: String,
+      watermark: String,
+      groupCol: String,
+      statePath: String,
+      checkpoint: String,
+      trigger: Trigger = DefaultTrigger
+  ): StreamingQuery = {
+    val agg = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width).as("w"), col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(
+        unix_timestamp(col("w.start")).as("win_start"),
+        col(groupCol), col("n"), col("total"))
+    val keys = Seq("win_start", groupCol)
+    agg.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val changed = batch.toDF().cache()
+        try {
+          val next =
+            if (fs.exists(new org.apache.hadoop.fs.Path(statePath))) {
+              val current = spark.read.parquet(statePath)
+              // replace-by-key: survivors are rows whose key is NOT in
+              // this batch (anti join on the rollup key), plus the batch
+              current.join(changed, keys, "left_anti").unionByName(changed)
+            } else changed
+          val tmp = s"$statePath.tmp"
+          next.write.mode("overwrite").parquet(tmp)
+          fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+          fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(statePath))
+        } finally { changed.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode("update")
+      .start()
+  }
+
   /** Stream-stream inner join on `keys` with a bounded event-time
     * interval: right rows within `(left.ts - lookback, left.ts]`. Both
     * sides carry watermarks so Spark can evict join state — without the

@@ -734,6 +734,18 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("gate pin: (user_id, ts) is unique at µs grain on the gate corpora") {
+    // x_time_bucket_agg's min_by/max_by determinism rests on this — a
+    // data change that introduces per-user µs ties must fail HERE, not
+    // as a silent gate hash mismatch
+    for (dir <- Seq(sf0001, sfDir("sf0.01"))) {
+      requireFixture(dir)
+      val ev = Tables.load(spark, dir, "events")
+      val ties = ev.groupBy("user_id", "ts").count().where($"count" > 1).count()
+      assert(ties === 0L, s"$dir has $ties per-user µs timestamp ties")
+    }
+  }
+
   test("ImageCodec PNG encode→decode round-trips dims and pixels exactly; resize repaints to target dims") {
     import Multimodal.ImageCodec
     val png = ImageCodec.encodePng(32, 24, seed = 7L)

@@ -143,6 +143,40 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("continuous aggregate: incremental rollup state equals the batch aggregate across micro-batches") {
+    val ev = Tables.load(spark, sf0001, "events").limit(600).cache()
+    try {
+      val dataDir = tempDir("cagg-data") + "/d"
+      val statePath = tempDir("cagg-state") + "/rollup"
+      val checkpoint = tempDir("cagg-ckpt")
+      // two files + maxFilesPerTrigger=1 => at least two micro-batches,
+      // so the upsert path (anti-join replace) actually executes
+      ev.where($"event_id" % 2 === 0).write.mode("append").parquet(dataDir)
+      ev.where($"event_id" % 2 =!= 0).write.mode("append").parquet(dataDir)
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dataDir)
+      val q = graft.streaming.CdcStream.continuousAggregate(
+        stream, "ts", "1 hour", "2 hours", "event_type", statePath, checkpoint)
+      q.processAllAvailable(); q.stop()
+      val got = spark.read.parquet(statePath)
+      val expected = ev
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+        .select(unix_timestamp($"w.start").as("win_start"), $"event_type", $"n", $"total")
+      assert(got.count() == expected.count())
+      // counts compare exactly; the double `total` compares within fp
+      // tolerance (incremental summation order differs from batch)
+      val joined = got.as("g").join(expected.as("e"), Seq("win_start", "event_type"), "full_outer")
+        .select($"g.n".as("gn"), $"e.n".as("en"), $"g.total".as("gt"), $"e.total".as("et"))
+        .collect()
+      joined.foreach { r =>
+        assert(!r.isNullAt(0) && !r.isNullAt(1), s"key present on only one side: $r")
+        assert(r.getLong(0) == r.getLong(1), s"count mismatch: $r")
+        assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-6, s"total mismatch: $r")
+      }
+    } finally { ev.unpersist(); () }
+  }
+
   test("stream-stream interval join matches the batch equivalent and bounds its state") {
     val ev = Tables.load(spark, sf0001, "events").limit(400).cache()
     try {
