@@ -145,5 +145,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // equi-keyless bounded-interval joins → bucketed equi-joins (the
     // nested-loop escape hatch; see the rule's scaladoc for the shape)
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // plans the AsOfJoinNode custom operator (sorted-merge as-of exec)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

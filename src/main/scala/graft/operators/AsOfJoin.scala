@@ -16,9 +16,15 @@ import org.apache.spark.sql.{Column, DataFrame}
   * At equal timestamps the right side sorts first, giving `<=` semantics
   * (DuckDB's ASOF JOIN agrees — see the q_asof_join oracle).
   *
-  * Composes from built-ins (preference (a) of the custom-operator order):
-  * Catalyst already plans the window as a single sort within key
-  * partitions, so a custom SparkPlan would buy nothing.
+  * Two implementations, both gate-checked against the same DuckDB ASOF
+  * JOIN oracle:
+  *   - [[backward]] composes from built-ins (preference (a) of the
+  *     custom-operator order): union + one window pass.
+  *   - [[backwardExec]] runs the custom physical operator
+  *     ([[graft.plans.AsOfJoinExec]], preference (c)): each side shuffles
+  *     independently (left rows never carry right payload through their
+  *     shuffle), and a single sorted-merge pass holds O(1) state instead
+  *     of window frames — the shape to prefer as the right side widens.
   */
 object AsOfJoin {
 
@@ -60,6 +66,49 @@ object AsOfJoin {
     carried
       .where(col("__side") === 1)
       .select(leftCols.map(col) ++ rightVals.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** [[backward]] through the custom physical operator
+    * ([[graft.plans.AsOfJoinExec]]): identical output contract — left
+    * columns plus `asof_<name>` carried values — via a single
+    * co-partitioned sorted-merge pass instead of the union + window
+    * composition. The right side never rides through the left's shuffle
+    * and the merge holds O(1) state, which is what the exec buys at
+    * 100 TB; see the plan scaladoc for the full rationale.
+    *
+    * Installs [[graft.plans.AsOfJoinStrategy]] on the session
+    * (idempotent) so the node plans in sessions that didn't register
+    * [[graft.functions.GraftExtensions]].
+    */
+  def backwardExec(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      rightVals: Seq[String]
+  ): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val spark = left.sparkSession
+    graft.plans.AsOfJoinStrategy.install(spark)
+    // re-alias every right column: fresh expression ids, so a self-join
+    // (both sides from one table — the common as-of shape) presents
+    // disjoint outputs without relying on analyzer deduplication
+    val rightFresh = right.select(right.columns.map(c => right(c).as(c)).toSeq: _*)
+    val lp = left.queryExecution.analyzed
+    val rp = rightFresh.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+    val valAttrs = rightVals.map(attr(rp, _))
+    val valOut = valAttrs.map(a =>
+      AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
+    val node = graft.plans.AsOfJoinNode(
+      lp, rp,
+      keys.map(attr(lp, _)), keys.map(attr(rp, _)),
+      attr(lp, tsCol), attr(rp, tsCol), attr(rp, tieCol),
+      valAttrs, valOut)
+    org.apache.spark.sql.GraftSql.ofRows(spark, node)
   }
 
   /** Backward as-of with a tolerance: matches older than `tolerance`

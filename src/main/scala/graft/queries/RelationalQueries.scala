@@ -462,6 +462,27 @@ object RelationalQueries {
         .orderBy("click_id")
     },
 
+    // the same as-of semantics through the CUSTOM PHYSICAL OPERATOR
+    // (plans.AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec): one
+    // co-partitioned sorted-merge pass, O(1) merge state, no union, no
+    // window — gated against the same DuckDB ASOF JOIN oracle as
+    // q_asof_join, so exec and composition must agree bit-for-bit
+    "q_asof_join_exec" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOfJoin
+        .backwardExec(clicks, errors, Seq("user_id"), "ts", "event_id", Seq("event_id"))
+        .select(
+          col("event_id").as("click_id"),
+          col("user_id"),
+          col("asof_event_id").as("last_error_id")
+        )
+        .orderBy("click_id")
+    },
+
     // bounded-interval range join: pairs of same-user events within one
     // hour of each other — graft.operators.RangeJoin's bucketed layout
     // (epoch-bucket equi-join + residual filter, fixed 2× probe fan-out),
@@ -753,6 +774,12 @@ object RelationalQueries {
         |FROM sess GROUP BY user_id, sess_id
         |ORDER BY user_id, sess_start""".stripMargin,
     "q_asof_join" ->
+      """SELECT c.event_id AS click_id, c.user_id, e.event_id AS last_error_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND e.ts <= c.ts
+        |ORDER BY click_id""".stripMargin,
+    "q_asof_join_exec" ->
       """SELECT c.event_id AS click_id, c.user_id, e.event_id AS last_error_id
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
