@@ -494,6 +494,23 @@ object ExtensionQueries {
         .orderBy("user_id")
     },
 
+    // Morton (Z-order) key for two-column data skipping — the layout key
+    // operators.ZOrder.cluster range-partitions on. Pure shift/mask
+    // integer math, so the oracle runs the identical formula; the
+    // locality property itself (tight per-file rectangles) is asserted
+    // in ZOrderSpec.
+    "x_zorder" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.select(
+        col("event_id"),
+        graft.operators.ZOrder
+          .zValue(
+            col("user_id").bitwiseAND(lit(0xFFFFL)),
+            expr("unix_micros(ts) div 3600000000L").bitwiseAND(lit(0xFFFFL)))
+          .as("zval")
+      ).orderBy("event_id")
+    },
+
     // time_bucket + first/last aggregates (the Timescale rollup idiom:
     // "daily open/close per series"): Spark's min_by/max_by are the
     // first(value, ts)/last(value, ts) twins. Deterministic because
@@ -1007,6 +1024,27 @@ object ExtensionQueries {
         |       WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
         |       ELSE 'zh' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // identical mask-spread interleave, step by step
+    "x_zorder" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id & 65535 AS ax0,
+        |         (epoch_us(ts) // 3600000000) & 65535 AS bx0
+        |  FROM events
+        |), s1 AS (
+        |  SELECT event_id, ((ax0 | (ax0 << 8)) & 16711935) AS ax1,
+        |                   ((bx0 | (bx0 << 8)) & 16711935) AS bx1 FROM b
+        |), s2 AS (
+        |  SELECT event_id, ((ax1 | (ax1 << 4)) & 252645135) AS ax2,
+        |                   ((bx1 | (bx1 << 4)) & 252645135) AS bx2 FROM s1
+        |), s3 AS (
+        |  SELECT event_id, ((ax2 | (ax2 << 2)) & 858993459) AS ax3,
+        |                   ((bx2 | (bx2 << 2)) & 858993459) AS bx3 FROM s2
+        |), s4 AS (
+        |  SELECT event_id, ((ax3 | (ax3 << 1)) & 1431655765) AS sa,
+        |                   ((bx3 | (bx3 << 1)) & 1431655765) AS sb FROM s3
+        |)
+        |SELECT event_id, CAST(sa | (sb << 1) AS BIGINT) AS zval
+        |FROM s4 ORDER BY event_id""".stripMargin,
     // arg_min/arg_max are DuckDB's min_by/max_by; same µs ordering key
     "x_time_bucket_agg" ->
       """SELECT user_id, epoch_us(ts) // 86400000000 AS day_bucket,
