@@ -47,8 +47,8 @@ object Bench {
       spark,
       Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding", nCentroids = 16,
       java.nio.file.Files.createTempDirectory("graft_bench_ivf").toString)
-    // optional comma-separated subset for local iteration
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // optional comma-separated subset for local iteration (shared knob)
+    val only = SparkEntry.querySubset
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // best-of-2 per query: the first execution of a plan pays Janino

@@ -58,4 +58,14 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ RelationalQueries.oracles ++ ExtensionQueries.oracles
+
+  /** Local-iteration subset knob shared by Bench and Verify: either
+    * SPARK_GRAFT_ONLY or SPARK_GRAFT_QUERIES (aliases, trimmed, empty
+    * names dropped). The driver sets neither, so both mains always cover
+    * the full inventory in gate runs.
+    */
+  private[graft] def querySubset: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_ONLY").orElse(sys.env.get("SPARK_GRAFT_QUERIES"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
 }

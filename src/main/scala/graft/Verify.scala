@@ -17,10 +17,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
-    // optional comma-separated subset for local iteration (same knob as
-    // Bench); the driver never sets it, so the gate always dumps everything
-    val subset = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
-    val selected = subset match {
+    // optional subset for local iteration (SparkEntry.querySubset — the
+    // same knob Bench reads); the driver never sets it, so the gate
+    // always dumps everything
+    val selected = SparkEntry.querySubset match {
       case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
       case None    => SparkEntry.queries
     }

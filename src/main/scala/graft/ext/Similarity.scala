@@ -297,17 +297,21 @@ object Similarity {
     * summation-order-independent and reproduces bit-identically on any
     * engine computing the same IEEE ops.
     */
-  def quantizeSummary(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  def quantizeSummary(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // empty vectors yield NULL aggregates (matching SQL list semantics —
+    // a fold's zero element is not a statistic of zero observations)
+    val nonEmpty = size(col(vecCol)) > 0
     quantizeInt8(df, vecCol).select(
       col(idCol),
       size(col(vecCol)).as("n_dims"),
       round(col("q_scale"), 6).as("scale6"),
-      expr("aggregate(q_vec, CAST(0 AS BIGINT), (s, q) -> s + q)").as("sum_q"),
-      expr("aggregate(q_vec, CAST(127 AS INT), (m, q) -> least(m, CAST(q AS INT)))").as("min_q"),
-      expr("aggregate(q_vec, CAST(-127 AS INT), (m, q) -> greatest(m, CAST(q AS INT)))").as("max_q"),
-      round(
+      when(nonEmpty, expr("aggregate(q_vec, CAST(0 AS BIGINT), (s, q) -> s + q)")).as("sum_q"),
+      when(nonEmpty, expr("aggregate(q_vec, CAST(127 AS INT), (m, q) -> least(m, CAST(q AS INT)))")).as("min_q"),
+      when(nonEmpty, expr("aggregate(q_vec, CAST(-127 AS INT), (m, q) -> greatest(m, CAST(q AS INT)))")).as("max_q"),
+      when(nonEmpty, round(
         expr(s"aggregate(zip_with(q_vec, $vecCol, (q, x) -> abs(q * q_scale - CAST(x AS DOUBLE))), CAST(0.0 AS DOUBLE), (m, e) -> greatest(m, e))"),
         9
-      ).as("err_max9")
+      )).as("err_max9")
     )
+  }
 }

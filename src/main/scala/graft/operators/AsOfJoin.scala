@@ -97,9 +97,20 @@ object AsOfJoin {
     val rightFresh = right.select(right.columns.map(c => right(c).as(c)).toSeq: _*)
     val lp = left.queryExecution.analyzed
     val rp = rightFresh.queryExecution.analyzed
+    // resolve with the session's resolver (case-insensitive by default,
+    // like every other column lookup) and refuse ambiguity — a silent
+    // first-match on duplicate names would join on the wrong attribute
+    val resolver = spark.sessionState.analyzer.resolver
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+      plan.output.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() =>
+          throw new IllegalArgumentException(
+            s"column $name not found in ${plan.output.map(_.name)}")
+        case many =>
+          throw new IllegalArgumentException(
+            s"column $name is ambiguous: ${many.map(_.name)}")
+      }
     val valAttrs = rightVals.map(attr(rp, _))
     val valOut = valAttrs.map(a =>
       AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())

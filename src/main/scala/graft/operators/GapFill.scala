@@ -46,8 +46,12 @@ object GapFill {
 
     // integral `div` (not `/`, which is double division); epoch-micros are
     // positive for any post-1970 series, where div == floor division and
-    // matches DuckDB's `//`
+    // matches DuckDB's `//`. Null values are NOT observations (the LOCF
+    // contract — an all-null bucket must not reset the carried value to
+    // null), so they are dropped before bucketing; n_rows counts actual
+    // observations.
     val raw = df
+      .where(col(valueCol).isNotNull)
       .groupBy(k :+ expr(s"unix_micros($tsCol) div ${bucketMicros}L").as("bucket"): _*)
       .agg(max(col(valueCol)).as("v_actual"), count(lit(1)).as("n_rows"))
 
@@ -97,7 +101,10 @@ object GapFill {
                   (col("__nb") - col("__b")).cast("double"))
             )
             .as("interp"),
-          (col("bucket") * (bucketMicros / 1000000L)).as("bucket_start_s")
+          // multiply BEFORE dividing: bucketMicros/1_000_000 truncates to
+          // zero for sub-second grids; bucket·width ≈ the epoch µs value,
+          // far below Long overflow
+          expr(s"(bucket * ${bucketMicros}L) div 1000000L").as("bucket_start_s")
         ): _*)
   }
 }

@@ -1060,7 +1060,7 @@ object ExtensionQueries {
     "x_gapfill" ->
       """WITH a AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, max(value) AS v
-        |  FROM events GROUP BY 1, 2
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         |), bounds AS (
         |  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM a GROUP BY user_id
         |), grid AS (

@@ -93,6 +93,50 @@ object CdcStream {
     * consistent, and checkpointing makes redelivery idempotent (applyLog
     * is — reapplying the same events yields the same state).
     */
+  /** Crash-safe swap of a parquet-backed state directory: write `next`
+    * to a tmp dir, move the live dir aside as a backup, move tmp live,
+    * drop the backup. Every rename result is CHECKED (HDFS-style
+    * FileSystem APIs signal failure by returning false, not throwing) —
+    * a false would otherwise silently lose the whole state table — and a
+    * crash at any point leaves either the old state or a recoverable
+    * `.bak` beside an intact tmp, never nothing. Recovery: a live dir
+    * always wins; with no live dir, `.bak` holds the pre-swap state.
+    */
+  private def swapState(spark: SparkSession, statePath: String, next: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(statePath)
+    val tmp = new Path(s"$statePath.tmp")
+    val bak = new Path(s"$statePath.bak")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    next.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(bak, true)
+    if (fs.exists(live) && !fs.rename(live, bak))
+      throw new java.io.IOException(s"state swap: could not move $live aside to $bak")
+    if (!fs.rename(tmp, live)) {
+      // restore the previous state before failing — the table must never
+      // be left missing
+      if (fs.exists(bak)) fs.rename(bak, live)
+      throw new java.io.IOException(s"state swap: could not move $tmp into place at $live")
+    }
+    fs.delete(bak, true)
+    ()
+  }
+
+  /** Current state table for [[swapState]]-managed dirs: the live dir if
+    * present, else the `.bak` a mid-swap crash may have left (so a crash
+    * between the two renames degrades to replaying one batch, never to
+    * silently restarting from empty).
+    */
+  private def readState(spark: SparkSession, statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(statePath)
+    val bak = new Path(s"$statePath.bak")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(live)) Some(spark.read.parquet(statePath))
+    else if (fs.exists(bak)) Some(spark.read.parquet(bak.toString))
+    else None
+  }
+
   def materialize(
       logStream: DataFrame,
       statePath: String,
@@ -104,19 +148,10 @@ object CdcStream {
     logStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(statePath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val empty = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], payloadSchema)
-        val current =
-          if (fs.exists(new org.apache.hadoop.fs.Path(statePath))) spark.read.parquet(statePath)
-          else empty
+        val current = readState(spark, statePath).getOrElse(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], payloadSchema))
         val next = graft.capture.CdcApply.applyLog(current, batch.toDF(), pk, payloadSchema)
-        val tmp = s"$statePath.tmp"
-        next.write.mode("overwrite").parquet(tmp)
-        fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(statePath))
-        ()
+        swapState(spark, statePath, next)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -191,21 +226,16 @@ object CdcStream {
     agg.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(statePath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val changed = batch.toDF().cache()
         try {
-          val next =
-            if (fs.exists(new org.apache.hadoop.fs.Path(statePath))) {
-              val current = spark.read.parquet(statePath)
+          val next = readState(spark, statePath) match {
+            case Some(current) =>
               // replace-by-key: survivors are rows whose key is NOT in
               // this batch (anti join on the rollup key), plus the batch
               current.join(changed, keys, "left_anti").unionByName(changed)
-            } else changed
-          val tmp = s"$statePath.tmp"
-          next.write.mode("overwrite").parquet(tmp)
-          fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(statePath))
+            case None => changed
+          }
+          swapState(spark, statePath, next)
         } finally { changed.unpersist(); () }
         ()
       }

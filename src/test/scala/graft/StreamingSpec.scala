@@ -149,10 +149,13 @@ class StreamingSpec extends SparkSpec {
       val dataDir = tempDir("cagg-data") + "/d"
       val statePath = tempDir("cagg-state") + "/rollup"
       val checkpoint = tempDir("cagg-ckpt")
-      // two files + maxFilesPerTrigger=1 => at least two micro-batches,
-      // so the upsert path (anti-join replace) actually executes
-      ev.where($"event_id" % 2 === 0).write.mode("append").parquet(dataDir)
-      ev.where($"event_id" % 2 =!= 0).write.mode("append").parquet(dataDir)
+      // two time-ordered file groups + maxFilesPerTrigger=1 => multiple
+      // micro-batches, so the upsert path (anti-join replace) actually
+      // executes; time order keeps the inter-batch watermark from
+      // dropping the later group as late data
+      val cutoff = ev.agg(expr("percentile(unix_micros(ts), 0.5)")).head().getDouble(0).toLong
+      ev.where(unix_micros($"ts") <= cutoff).write.mode("append").parquet(dataDir)
+      ev.where(unix_micros($"ts") > cutoff).write.mode("append").parquet(dataDir)
       val stream = spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(dataDir)
       val q = graft.streaming.CdcStream.continuousAggregate(
@@ -173,6 +176,47 @@ class StreamingSpec extends SparkSpec {
         assert(!r.isNullAt(0) && !r.isNullAt(1), s"key present on only one side: $r")
         assert(r.getLong(0) == r.getLong(1), s"count mismatch: $r")
         assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-6, s"total mismatch: $r")
+      }
+    } finally { ev.unpersist(); () }
+  }
+
+  test("continuous aggregate recovers prior rollups from a mid-swap crash (.bak fallback)") {
+    val ev = Tables.load(spark, sf0001, "events").limit(400).cache()
+    try {
+      val dataDir = tempDir("caggr-data") + "/d"
+      val statePath = tempDir("caggr-state") + "/rollup"
+      val checkpoint = tempDir("caggr-ckpt")
+      // time-ordered arrival (first half of the timeline, then the rest):
+      // the checkpointed watermark from run 1 must not regard run 2's
+      // data as late
+      val cutoff = ev.agg(expr("percentile(unix_micros(ts), 0.5)")).head().getDouble(0).toLong
+      ev.where(unix_micros($"ts") <= cutoff).write.mode("append").parquet(dataDir)
+      val stream1 = spark.readStream.schema(ev.schema).parquet(dataDir)
+      val q1 = graft.streaming.CdcStream.continuousAggregate(
+        stream1, "ts", "1 hour", "2 hours", "event_type", statePath, checkpoint)
+      q1.processAllAvailable(); q1.stop()
+      // simulate a crash between swap renames: the live dir was moved
+      // aside to .bak and the process died before tmp moved into place
+      assert(new java.io.File(statePath).exists())
+      assert(new java.io.File(statePath).renameTo(new java.io.File(s"$statePath.bak")))
+      // more data arrives; the restarted stream must merge ONTO the
+      // backup, not silently restart the rollup from empty
+      ev.where(unix_micros($"ts") > cutoff).write.mode("append").parquet(dataDir)
+      val stream2 = spark.readStream.schema(ev.schema).parquet(dataDir)
+      val q2 = graft.streaming.CdcStream.continuousAggregate(
+        stream2, "ts", "1 hour", "2 hours", "event_type", statePath, checkpoint)
+      q2.processAllAvailable(); q2.stop()
+      val got = spark.read.parquet(statePath)
+      val expected = ev
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp($"w.start").as("win_start"), $"event_type", $"n")
+      val j = got.join(expected, Seq("win_start", "event_type"), "full_outer")
+        .select(got("n").as("gn"), expected("n").as("en")).collect()
+      assert(j.nonEmpty)
+      j.foreach { r =>
+        assert(!r.isNullAt(0) && !r.isNullAt(1) && r.getLong(0) == r.getLong(1),
+          s"window lost or wrong after recovery: $r")
       }
     } finally { ev.unpersist(); () }
   }
