@@ -133,8 +133,35 @@ object AsOfJoin {
       tieCol: String,
       rightVals: Seq[String],
       tolerance: String
+  ): DataFrame =
+    toleranced(backward)(left, right, keys, tsCol, tieCol, rightVals, tolerance)
+
+  /** [[backwardWithTolerance]] over the custom physical operator path
+    * ([[backwardExec]]) — same staleness-bound contract.
+    */
+  def backwardWithToleranceExec(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      rightVals: Seq[String],
+      tolerance: String
+  ): DataFrame =
+    toleranced(backwardExec)(left, right, keys, tsCol, tieCol, rightVals, tolerance)
+
+  private def toleranced(
+      base: (DataFrame, DataFrame, Seq[String], String, String, Seq[String]) => DataFrame
+  )(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      rightVals: Seq[String],
+      tolerance: String
   ): DataFrame = {
-    val withTs = backward(
+    val withTs = base(
       left, right.withColumn("__rts", col(tsCol)), keys, tsCol, tieCol, rightVals :+ "__rts")
     val bound: Column = col(tsCol) - expr(s"INTERVAL $tolerance")
     rightVals

@@ -71,6 +71,21 @@ class AsOfExecSpec extends SparkSpec {
     assert(exec.count() === 999L)
   }
 
+  test("tolerance variant agrees between the composed and exec paths") {
+    val composed = AsOfJoin.backwardWithTolerance(
+      clicks, errors, Seq("user_id"), "ts", "event_id", Seq("event_id"), "6 HOURS")
+      .select(col("event_id"), col("asof_event_id"))
+    val exec = AsOfJoin.backwardWithToleranceExec(
+      clicks, errors, Seq("user_id"), "ts", "event_id", Seq("event_id"), "6 HOURS")
+      .select(col("event_id"), col("asof_event_id"))
+    assert(exec.exceptAll(composed).isEmpty && composed.exceptAll(exec).isEmpty)
+    // the bound must actually null something relative to the unbounded form
+    val unbounded = AsOfJoin.backwardExec(
+      clicks, errors, Seq("user_id"), "ts", "event_id", Seq("event_id"))
+    assert(exec.where(col("asof_event_id").isNotNull).count() <
+      unbounded.where(col("asof_event_id").isNotNull).count())
+  }
+
   test("GraftExtensions injects the strategy: the node plans in an extensions-built session") {
     import org.apache.spark.sql.SparkSession
     val shared = spark
