@@ -146,4 +146,29 @@ object CdcLog {
     */
   def withDefault(df: DataFrame, colName: String, default: org.apache.spark.sql.Column): DataFrame =
     df.withColumn(colName, coalesce(col(colName), default))
+
+  /** Schema-evolved read: a long-lived log accumulates files written
+    * before columns were added (the ALTER TABLE + DEFAULT pattern the
+    * reference gets from Postgres). Plain `spark.read.parquet` takes ONE
+    * file's footer as the schema — columns missing from that file are
+    * silently dropped for every file. This read merges all footers
+    * (`mergeSchema`) so added columns surface as nulls on pre-evolution
+    * rows, then applies the caller's defaults — the Spark analogue of
+    * ALTER TABLE ... ADD COLUMN ... DEFAULT.
+    *
+    * Scale note: mergeSchema reads every file footer up front; on a huge
+    * log prefer evolving rarely and pruning partitions first — footers,
+    * not data, but still one round per file.
+    */
+  def readEvolved(
+      spark: SparkSession,
+      path: String,
+      defaults: Map[String, org.apache.spark.sql.Column] = Map.empty
+  ): DataFrame = {
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    defaults.foldLeft(merged) { case (df, (name, default)) =>
+      if (df.columns.contains(name)) withDefault(df, name, default)
+      else df.withColumn(name, default)
+    }
+  }
 }

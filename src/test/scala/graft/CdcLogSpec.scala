@@ -84,4 +84,25 @@ class CdcLogSpec extends SparkSpec {
     val out = CdcLog.withDefault(df, "created_at", lit(t0)).where($"created_at".isNull)
     assert(out.count() == 0)
   }
+
+  test("readEvolved surfaces post-evolution columns on pre-evolution files with defaults") {
+    val path = tempDir("evolve") + "/log"
+    // v1 era: no source_region column
+    CdcLog.append(mkEvents(Seq(1, 2)), path)
+    // schema evolves: new files carry source_region
+    CdcLog.append(
+      mkEvents(Seq(3, 4)).withColumn("source_region", lit("eu")), path)
+    // a plain read would resolve to ONE footer's schema; the evolved read
+    // must union both eras and default the old rows
+    val out = CdcLog.readEvolved(spark, path, Map("source_region" -> lit("unknown")))
+    assert(out.count() == 4)
+    assert(out.columns.contains("source_region"))
+    val byRegion = out.groupBy("source_region").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRegion == Map("unknown" -> 2L, "eu" -> 2L), byRegion.toString)
+    // defaults passed for columns no file has yet are materialized too
+    val withNew = CdcLog.readEvolved(spark, path,
+      Map("source_region" -> lit("unknown"), "ingest_tier" -> lit(0)))
+    assert(withNew.where($"ingest_tier" === 0).count() == 4)
+  }
 }
