@@ -494,6 +494,32 @@ object ExtensionQueries {
         .orderBy("user_id")
     },
 
+    // Count-Min sketch beside the exact vocabulary counts (rows-only —
+    // sketch internals have no DuckDB twin; ExtSpec pins the published
+    // ε·N overestimate bound). The 100 TB shape: the sketch is one
+    // fixed-size partial aggregate (a few KB regardless of corpus), the
+    // exact top-k ships k rows; estimates for ANY token then cost O(1)
+    // driver-side with no second scan.
+    "x_vocab_cms" -> { (s, dir) =>
+      import s.implicits._
+      val toks = docs(s, dir)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val skBytes = toks
+        .agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(skBytes))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok").asc)
+        .limit(20)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+      s.createDataset(top.toSeq)
+        .toDF("tok", "n_exact", "n_cms")
+        .orderBy(col("n_exact").desc, col("tok").asc)
+    },
+
     // Morton (Z-order) key for two-column data skipping — the layout key
     // operators.ZOrder.cluster range-partitions on. Pure shift/mask
     // integer math, so the oracle runs the identical formula; the

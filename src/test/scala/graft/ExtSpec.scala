@@ -734,6 +734,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("Count-Min estimates never undercount and respect the ε·N overestimate bound") {
+    val toks = docs
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+      .where(length($"tok") > 0)
+    val total = toks.count()
+    val eps = 0.001
+    val sk = toks.agg(expr(s"count_min_sketch(tok, ${eps}d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sk))
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(exact.length > 10)
+    exact.foreach { case (tok, n) =>
+      val est = cms.estimateCount(tok)
+      assert(est >= n, s"CMS undercounted '$tok': $est < $n")
+      assert(est <= n + math.ceil(eps * total).toLong,
+        s"CMS overcount for '$tok' beyond eps*N: $est > $n + ${eps * total}")
+    }
+  }
+
   test("gate pin: (user_id, ts) is unique at µs grain on the gate corpora") {
     // x_time_bucket_agg's min_by/max_by determinism rests on this — a
     // data change that introduces per-user µs ties must fail HERE, not
