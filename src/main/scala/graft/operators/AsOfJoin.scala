@@ -47,7 +47,12 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val common = keys :+ tsCol :+ tieCol
     val l = left.withColumn("__side", lit(1))
+    // a null-ts right row can never satisfy `rts <= lts` (SQL ASOF
+    // semantics, the DuckDB oracle, and AsOfJoinExec agree) — without
+    // this filter the NULLS FIRST sort would carry it as a match for
+    // every left row of its key
     val r = right
+      .where(col(tsCol).isNotNull)
       .select(common.map(col) ++ rightVals.map(c => col(c).as(s"__rv_$c")): _*)
       .withColumn("__side", lit(0))
     // union with null-fill: left rows carry null __rv_*, right rows carry

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Seeded randomized parity: the hand-written merge/bucket operators
+  * against their declarative twins on adversarial data — null keys, null
+  * timestamps, duplicate timestamps, window-boundary-exact gaps — the
+  * corners the fixture-based tests never reach.
+  */
+class RandomParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomEvents(seed: Int, n: Int, keys: Int, tsRange: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      val k: java.lang.Long = if (rnd.nextInt(20) == 0) null else rnd.nextInt(keys).toLong
+      val sec: java.lang.Long = if (rnd.nextInt(25) == 0) null else rnd.nextLong(tsRange)
+      (k, sec, i.toLong)
+    }.toDF("k", "sec", "id")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("id"), col("id").as("tie"))
+  }
+
+  test("as-of exec == composed form on random data with null keys, null and duplicate timestamps") {
+    for (seed <- Seq(1, 2, 3)) {
+      // tsRange 200 over 300 rows forces plenty of exact-duplicate ts
+      val l = randomEvents(seed, 300, keys = 8, tsRange = 200)
+      val r = randomEvents(seed + 100, 300, keys = 8, tsRange = 200)
+        .withColumnRenamed("id", "rid").withColumn("tie", col("rid"))
+      val composed = AsOfJoin.backward(l, r, Seq("k"), "ts", "tie", Seq("rid"))
+        .select(col("id"), col("asof_rid"))
+      val exec = AsOfJoin.backwardExec(l, r, Seq("k"), "ts", "tie", Seq("rid"))
+        .select(col("id"), col("asof_rid"))
+      assert(exec.count() === 300L, s"seed $seed: every left row survives")
+      assert(exec.exceptAll(composed).isEmpty && composed.exceptAll(exec).isEmpty,
+        s"seed $seed: exec diverged from composed form")
+      // the adversarial corners actually occurred AND both match states exist
+      assert(exec.where(col("asof_rid").isNull).count() > 0, s"seed $seed: no null matches")
+      assert(exec.where(col("asof_rid").isNotNull).count() > 0, s"seed $seed: no matches at all")
+    }
+  }
+
+  test("bucketed range join == naive range predicate on random data with boundary-exact gaps") {
+    for (seed <- Seq(7, 8)) {
+      val rnd = new scala.util.Random(seed)
+      val w = 60L // seconds
+      // gaps engineered to land ON the boundary often: multiples of w/2
+      val ev = (1 to 250).map { i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(40).toLong * (w / 2), i.toLong)
+      }.toDF("k", "sec", "id")
+        .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("id"))
+      val got = RangeJoin
+        .within(ev, ev, Seq("k"), "ts", "ts", windowMicros = w * 1000000L)
+        .select(col("a_id"), col("b_id"))
+      val l = ev.select(col("k"), col("ts").as("lts"), col("id").as("a_id"))
+      val rr = ev.select(col("k"), col("ts").as("rts"), col("id").as("b_id"))
+      val naive = l.join(rr, "k")
+        .where(unix_micros(col("rts")) > unix_micros(col("lts")) &&
+          unix_micros(col("rts")) <= unix_micros(col("lts")) + w * 1000000L)
+        .select("a_id", "b_id")
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+        s"seed $seed: bucketed join diverged from the naive predicate")
+      assert(naive.count() > 0, s"seed $seed: degenerate fixture")
+    }
+  }
+}
