@@ -41,6 +41,56 @@ class RandomParitySpec extends SparkSpec {
     }
   }
 
+  test("gapfill segment layout == naive densify-and-window reference on random sparse series") {
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(21, 22)) {
+      val rnd = new scala.util.Random(seed)
+      // sparse, irregular: some keys get a single observation (degenerate
+      // one-bucket grid), buckets collide, values collide
+      val rows = (1 to 120).map { i =>
+        (rnd.nextInt(7).toLong, rnd.nextInt(400).toLong * 7, (rnd.nextInt(50) + 1).toDouble)
+      }
+      val ev = rows.toDF("k", "sec", "v")
+        .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+      val w = 60L * 1000000L
+      val got = graft.operators.GapFill.fill(ev, Seq("k"), "ts", "v", w)
+        .select("k", "bucket", "v_actual", "n_rows", "locf", "interp", "bucket_start_s")
+
+      // reference: explicit grid + IGNORE NULLS windows (the operator's
+      // original formulation, kept here as the executable spec)
+      val actual = ev.groupBy(col("k"), expr(s"unix_micros(ts) div ${w}L").as("bucket"))
+        .agg(max(col("v")).as("v_actual"), count(lit(1)).as("n_rows"))
+      val grid = actual.groupBy("k")
+        .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+        .select(col("k"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+      val joined = grid.join(actual, Seq("k", "bucket"), "left")
+        .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+      val past = Window.partitionBy("k").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val future = Window.partitionBy("k").orderBy("bucket")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val ab = when(col("v_actual").isNotNull, col("bucket"))
+      val ref = joined
+        .withColumn("locf", last(col("v_actual"), ignoreNulls = true).over(past))
+        .withColumn("pb", last(ab, ignoreNulls = true).over(past))
+        .withColumn("nv", first(col("v_actual"), ignoreNulls = true).over(future))
+        .withColumn("nb", first(ab, ignoreNulls = true).over(future))
+        .withColumn("interp",
+          when(col("v_actual").isNotNull, col("v_actual"))
+            .when(col("nv").isNotNull,
+              col("locf") + (col("nv") - col("locf")) *
+                ((col("bucket") - col("pb")).cast("double") /
+                  (col("nb") - col("pb")).cast("double")))
+            .otherwise(col("locf")))
+        .withColumn("bucket_start_s", expr(s"(bucket * ${w}L) div 1000000L"))
+        .select("k", "bucket", "v_actual", "n_rows", "locf", "interp", "bucket_start_s")
+
+      assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+        s"seed $seed: segment layout diverged from the reference formulation")
+      assert(got.where(col("v_actual").isNull).count() > 0, s"seed $seed: no gaps exercised")
+    }
+  }
+
   test("bucketed range join == naive range predicate on random data with boundary-exact gaps") {
     for (seed <- Seq(7, 8)) {
       val rnd = new scala.util.Random(seed)
