@@ -462,6 +462,48 @@ object RelationalQueries {
         .orderBy("click_id")
     },
 
+    // correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    // orders per customer) — Catalyst decorrelates the lateral into a
+    // ranked window join, never a per-row re-execution
+    "q_lateral" -> { (s, dir) =>
+      Tables.registerViews(s, dir, Seq("customer", "orders"))
+      s.sql(
+        """SELECT c_custkey, l.o_orderkey, round(l.o_totalprice, 2) AS price
+          |FROM customer,
+          |LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+          |) l
+          |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin
+      )
+    },
+
+    // recursive CTE (Spark 4 WITH RECURSIVE): the classic date-spine at
+    // month grain — every month between the first and last order,
+    // including any with zero orders a plain GROUP BY can never emit.
+    // Month grain keeps the recursion depth (~7 years ≈ 84 levels)
+    // inside Spark's default 100-level budget AND inside sanity: each
+    // recursion level is a distributed iteration, so a spine is the
+    // construct's showcase, not its scale path (sequence() is, for deep
+    // spines).
+    "q_recursive_cte" -> { (s, dir) =>
+      Tables.registerViews(s, dir, Seq("orders"))
+      s.sql(
+        """WITH RECURSIVE spine(mon, last) AS (
+          |  SELECT CAST(date_trunc('MONTH', min(o_orderdate)) AS DATE),
+          |         CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE) FROM orders
+          |  UNION ALL
+          |  SELECT add_months(mon, 1), last FROM spine WHERE mon < last
+          |)
+          |SELECT date_format(s.mon, 'yyyy-MM') AS month,
+          |       count(o.o_orderkey) AS n_orders
+          |FROM spine s
+          |LEFT JOIN orders o ON CAST(date_trunc('MONTH', o.o_orderdate) AS DATE) = s.mon
+          |GROUP BY s.mon ORDER BY month""".stripMargin
+      )
+    },
+
     // the same as-of semantics through the CUSTOM PHYSICAL OPERATOR
     // (plans.AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec): one
     // co-partitioned sorted-merge pass, O(1) merge state, no union, no
@@ -779,6 +821,27 @@ object RelationalQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
         |  ON c.user_id = e.user_id AND e.ts <= c.ts
         |ORDER BY click_id""".stripMargin,
+    "q_lateral" ->
+      """SELECT c_custkey, l.o_orderkey, round(l.o_totalprice, 2) AS price
+        |FROM customer,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        |) l
+        |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin,
+    "q_recursive_cte" ->
+      """WITH RECURSIVE spine(mon, last) AS (
+        |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
+        |         CAST(date_trunc('month', max(o_orderdate)) AS DATE) FROM orders
+        |  UNION ALL
+        |  SELECT CAST(mon + INTERVAL 1 MONTH AS DATE), last FROM spine WHERE mon < last
+        |)
+        |SELECT strftime(s.mon, '%Y-%m') AS month,
+        |       count(o.o_orderkey) AS n_orders
+        |FROM spine s
+        |LEFT JOIN orders o ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = s.mon
+        |GROUP BY s.mon ORDER BY month""".stripMargin,
     "q_asof_join_exec" ->
       """SELECT c.event_id AS click_id, c.user_id, e.event_id AS last_error_id
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
