@@ -458,22 +458,64 @@ object Dedup {
     * the minimum id of its component — (id, rep != id) rows are exactly
     * the rows a keep-canonical dedup drops.
     */
-  def duplicateComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateComponents(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      localThreshold: Long = 1L << 20
+  ): DataFrame = {
     val e = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    // Adaptive local path (the broadcast-threshold idea applied to graph
+    // connectivity): a near-dup pair list is already candidate-filtered,
+    // so it is usually TINY relative to the corpus — union-find on the
+    // driver resolves it in microseconds, where the distributed loop
+    // pays a full join + aggregate + fixpoint-probe job PER ROUND. The
+    // iterative path below remains the unbounded-size fallback and the
+    // two must agree exactly (randomized parity in ExtSpec).
+    val edgeCount = edges.count()
+    if (edgeCount <= localThreshold) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.unpersist()
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val out = parent.keys.toSeq.map(id => (id, find(id)))
+      return out.toDF("id", "rep")
+    }
     // seed with the FIRST propagation round directly: with identity labels,
     // round 1's neighborhood minimum is just min(dst) per src — one hash
     // aggregate over the edge relation, no labels join. Every node appears
     // as a src (edges are symmetrized), so this covers the node set too.
+    // localCheckpoint (eager), NOT cache: `next` references `labels`
+    // twice (the neighbor join and the left join), so without lineage
+    // truncation the LOGICAL plan doubles every round — a deep graph
+    // (long chains) drove plan analysis to a 2 GB plan string before any
+    // data moved. Checkpointing pins each round's result and keeps the
+    // per-round plan constant-size; a cache only reuses data at
+    // execution, the analyzer still walks the full lineage.
     var labels = edges.groupBy("src").agg(min(col("dst")).as("nbr"))
-      .select(col("src").as("id"), least(col("src"), col("nbr")).as("rep")).cache()
+      .select(col("src").as("id"), least(col("src"), col("nbr")).as("rep"))
+      .localCheckpoint(true)
     // a node's rep only ever DECREASES (least of itself and neighbor
     // minima), so sum(rep) is strictly monotone while anything changes —
     // an unchanged sum is a fixpoint proof, one scan-aggregate per round
     // instead of a labels⋈labels diff join
     def repSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
-    var lastSum = repSum(labels) // also materializes the caches before the loop
+    var lastSum = repSum(labels)
     var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -484,9 +526,9 @@ object Dedup {
       val next = labels
         .join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
-        .cache()
-      val nextSum = repSum(next) // materializes `next` for the coming round
-      labels.unpersist()
+        .localCheckpoint(true) // materializes + truncates lineage
+      val nextSum = repSum(next)
+      labels.unpersist() // blocks of the PREVIOUS round, no longer referenced
       labels = next
       converged = nextSum == lastSum
       lastSum = nextSum

@@ -315,12 +315,18 @@ class ExtSpec extends SparkSpec {
     // seeded neighborhood-min) cannot reach the fixpoint — the library must
     // refuse to return mid-propagation labels
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    // the budget only governs the DISTRIBUTED loop — the adaptive local
+    // union-find path (which this tiny graph takes by default) has no
+    // iteration budget to exhaust
     intercept[IllegalStateException] {
-      Dedup.duplicateComponents(pairs, maxIter = 1).collect()
+      Dedup.duplicateComponents(pairs, maxIter = 1, localThreshold = 0L).collect()
     }
-    // and the same chain converges with the default budget
+    // and the same chain converges with the default budget on BOTH paths
     val comps = Dedup.duplicateComponents(pairs).as[(Long, Long)].collect().toMap
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    val compsDist = Dedup.duplicateComponents(pairs, localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(compsDist == comps)
   }
 
   test("hashKeep is deterministic, rate-tracking, and salt-independent") {

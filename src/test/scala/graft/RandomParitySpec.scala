@@ -91,6 +91,38 @@ class RandomParitySpec extends SparkSpec {
     }
   }
 
+  test("duplicateComponents: driver union-find == distributed propagation on random graphs") {
+    for (seed <- Seq(31, 32)) {
+      val rnd = new scala.util.Random(seed)
+      // dense random clusters + a ring (diameter 5) + singles
+      val pairs = ((1 to 150).map { _ =>
+        val a = rnd.nextInt(60).toLong; (a, a + rnd.nextInt(3).toLong + 1)
+      } ++ (0 until 10).map(i => (1000L + i, 1000L + (i + 1) % 10)))
+        .toDF("id_a", "id_b")
+      val local = graft.ext.Dedup.duplicateComponents(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val distributed = graft.ext.Dedup
+        .duplicateComponents(pairs, maxIter = 80, localThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(local === distributed, s"seed $seed: paths disagree")
+      // the ring must collapse to one component rooted at its min id
+      assert(local.filter(_._1 >= 1000L).forall(_._2 == 1000L))
+    }
+  }
+
+  test("distributed propagation survives deep chains (constant-size plans per round)") {
+    // a 25-node path needs ~24 rounds; before the per-round
+    // localCheckpoint the logical plan DOUBLED each round (labels is
+    // referenced twice), so this graph drove the analyzer to a 2 GB plan
+    // string — the run hung before moving any data
+    val chain = (0L until 24L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = graft.ext.Dedup
+      .duplicateComponents(chain, maxIter = 40, localThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === 25)
+    assert(out.forall(_._2 == 0L), "every chain node joins the min-rooted component")
+  }
+
   test("bucketed range join == naive range predicate on random data with boundary-exact gaps") {
     for (seed <- Seq(7, 8)) {
       val rnd = new scala.util.Random(seed)
