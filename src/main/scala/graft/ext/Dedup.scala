@@ -569,40 +569,65 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
-  /** Scale path for embedding near-dup: sign-random-projection buckets
-    * generate candidates (pairs agreeing on the bucket, plus 1-bit-flip
-    * neighbor buckets for recall), re-scored exactly — the cross join
-    * shrinks to colliding buckets, the published SRP-LSH recipe. High-cos
-    * pairs agree on most hyperplane signs, so recall at near-dup
-    * thresholds is high even with few planes.
+  /** Scale path for embedding near-dup: sign-random-projection signatures
+    * generate candidates, re-scored exactly — the cross join shrinks to
+    * colliding buckets, the published SRP-LSH recipe.
+    *
+    * Candidate rule is the same block-pigeonhole multiprobe the SimHash
+    * near-dup uses ([[simhashNearDupPairs]]): the `numPlanes`-bit
+    * signature splits into `numBlocks` equal blocks and a pair is a
+    * candidate iff ANY block matches exactly. Pigeonhole: signatures
+    * within Hamming `numBlocks - 1` of each other MUST agree on at least
+    * one block, so recall is structural for low-Hamming pairs — a cos-θ
+    * pair disagrees per plane w.p. θ/π, so true near-dups (cos ≥ 0.9 →
+    * θ/π ≤ 0.14) land within the guaranteed radius with overwhelming
+    * probability, while far pairs share a block rarely (2^-bitsPerBlock
+    * per block for random signs). Survivors are exact-cosine-verified, so
+    * the OUTPUT is hash-independent whenever recall holds — the same
+    * oracle contract as the MinHash path.
+    *
+    * Scale shape: one codegen'd signature pass, a `numBlocks`× map-side
+    * explode, one equi-join on (block, value) — never all-pairs. Hot
+    * blocks (a degenerate value shared corpus-wide) would inflate one
+    * bucket; at near-dup thresholds with ≥8-bit blocks the expected
+    * bucket load is n/2^bits per block value, and AQE skew-join splits an
+    * outlier bucket.
     */
   def embeddingNearDupPairsLsh(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      numPlanes: Int = 8,
+      numPlanes: Int = 64,
+      numBlocks: Int = 8,
       seed: Int = 42
   ): DataFrame = {
     import graft.ext.Similarity
+    require(numPlanes >= 1 && numPlanes <= 64, "need 1 <= numPlanes <= 64")
+    require(
+      numBlocks >= 1 && numPlanes % numBlocks == 0,
+      s"numBlocks ($numBlocks) must divide numPlanes ($numPlanes)")
+    val bits = numPlanes / numBlocks
+    // bits == 64 only when numBlocks == 1 (one block = the whole signature)
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
     val base = df.select(
       col(idCol).cast("long").as("id"),
       col(vecCol).as("v"),
-      Similarity.srpBucket(col(vecCol), numPlanes, seed).as("b0")
+      Similarity.srpBucket(col(vecCol), numPlanes, seed).as("sig")
     )
-    // each vector lands in its own bucket and all 1-bit flips: two vectors
-    // within Hamming 2 of each other's signatures share >=1 probe bucket
+    // posexplode → (block index, block value); the join key is the pair,
+    // so block i of one vector never matches block j≠i of another
     val probes = base.select(
       col("id"),
       col("v"),
-      explode(
-        array((lit(0L) +: (0 until numPlanes).map(p => shiftleft(lit(1L), p)))
-          .map(f => col("b0").bitwiseXOR(f)): _*)
-      ).as("bucket")
+      posexplode(
+        array((0 until numBlocks).map(b =>
+          shiftrightunsigned(col("sig"), b * bits).bitwiseAND(lit(mask))): _*)
+      ).as(Seq("block", "bval"))
     )
-    val l = probes.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = probes.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("bucket"))
+    val l = probes.select(col("block"), col("bval"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = probes.select(col("block"), col("bval"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("block", "bval"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cos", GraftFunctions.cosine_similarity(col("v_a"), col("v_b")))

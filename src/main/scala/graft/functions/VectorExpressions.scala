@@ -84,7 +84,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 case class SrpBucket(child: Expression, numPlanes: Int, seed: Int)
     extends UnaryExpression {
 
-  require(numPlanes >= 1 && numPlanes <= 63, "numPlanes must be in [1, 63]")
+  // 64 fills the whole long; the value is a bit SIGNATURE (joined on
+  // equality, sliced with unsigned shifts), so the sign bit carries no
+  // arithmetic meaning anywhere downstream
+  require(numPlanes >= 1 && numPlanes <= 64, "numPlanes must be in [1, 64]")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess

@@ -288,6 +288,33 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // embedding near-dup, SRP-block-LSH scale path: the synthetic
+    // embeddings carry no true near-dup structure (max original-pair cos
+    // ≈ 0.60), so the gate augments the corpus with deterministic
+    // perturbed copies (every 5th vector, first component ×1.05 → cos vs
+    // its source ≥ 0.9997) that the DuckDB oracle reproduces exactly.
+    // At threshold 0.9 the qualifying set is far from any float boundary
+    // on both sides (copies ≥ 0.9997, everything else ≤ ~0.65), and copy
+    // pairs sit at signature Hamming ~0 — deep inside the pigeonhole
+    // radius — so the LSH candidates provably contain every qualifying
+    // pair and the exact-verified output is hash-independent.
+    "x_dedup_embedding_lsh" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val e = embs(s, dir)
+      val copies = e
+        .where(col("vec_id") % 5 === 0)
+        .select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          concat(
+            array(element_at(col("embedding"), 1) * lit(1.05f)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      val corpus = e.select("vec_id", "embedding").unionByName(copies)
+      Dedup
+        .embeddingNearDupPairsLsh(corpus, "vec_id", "embedding", threshold = 0.9)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    },
+
     // exact brute-force cosine top-k (the ANN baseline)
     "x_sim_bruteforce_topk" -> { (s, dir) =>
       GraftFunctions.register(s)
@@ -934,6 +961,24 @@ object ExtensionQueries {
         |  FROM embeddings a, embeddings b
         |  WHERE a.vec_id < b.vec_id
         |) WHERE cos >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x_dedup_embedding_lsh" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |         list_concat([embedding[1] * CAST(1.05 AS REAL)], embedding[2:])
+        |  FROM embeddings WHERE vec_id % 5 = 0
+        |)
+        |SELECT id_a, id_b FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |         / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |              * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos
+        |  FROM corpus a, corpus b
+        |  WHERE a.vec_id < b.vec_id
+        |) WHERE cos >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
     "x_video_decode" ->
       """SELECT doc_id AS media_id,

@@ -230,16 +230,38 @@ class ExtSpec extends SparkSpec {
   test("LSH-bucketed embedding near-dup recovers the brute-force pairs") {
     val bf = Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // 4 planes: a cos≥0.4 pair agrees per plane w.p. ~0.63, so
-    // P(Hamming ≤ 2 of 4) ≈ 0.85 — the recall/probe-count dial; true
-    // near-dup thresholds (≥0.9) reach ~1.0 even with more planes
-    val lsh = Dedup.embeddingNearDupPairsLsh(embs, "vec_id", "embedding", 0.4, numPlanes = 4)
+    // 16 planes / 8 blocks: pigeonhole guarantees candidates for pairs
+    // within signature Hamming 7 of 16; a cos≥0.4 pair disagrees per
+    // plane w.p. ~0.37, so P(Hamming ≤ 7) ≈ 0.8 — the recall dial at
+    // this deliberately loose threshold; true near-dup thresholds
+    // (≥0.9, Hamming concentrated near 0) sit deep inside the radius
+    val lsh = Dedup.embeddingNearDupPairsLsh(
+      embs, "vec_id", "embedding", 0.4, numPlanes = 16, numBlocks = 8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(bf)) // exact re-score ⇒ no false positives
     if (bf.nonEmpty) {
       val recall = lsh.intersect(bf).size.toDouble / bf.size
       assert(recall >= 0.6, s"recall=$recall bf=${bf.size} lsh=${lsh.size}")
     }
+  }
+
+  test("block-LSH embedding near-dup is exact for injected near-dup copies") {
+    // the x_dedup_embedding_lsh gate contract in miniature: a corpus with
+    // true near-dups (perturbed copies, cos ≈ 0.9997+) at threshold 0.9 —
+    // copy pairs differ in ~0 signature bits, far inside the pigeonhole
+    // radius, so LSH output == brute-force output exactly
+    val copies = embs.where($"vec_id" % 5 === 0).select(
+      ($"vec_id" + 1000000L).as("vec_id"),
+      concat(
+        array(element_at($"embedding", 1) * lit(1.05f)),
+        slice($"embedding", 2, 63)).as("embedding"))
+    val corpus = embs.select("vec_id", "embedding").unionByName(copies)
+    val bf = Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupPairsLsh(corpus, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bf.nonEmpty, "injected copies must qualify at 0.9")
+    assert(lsh == bf, s"lsh=${lsh.size} bf=${bf.size} missed=${(bf -- lsh).take(5)}")
   }
 
   test("custom functions are callable from SQL text") {
