@@ -463,7 +463,12 @@ object Dedup {
       maxIter: Int = 20,
       localThreshold: Long = 1L << 20
   ): DataFrame = {
-    val e = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    // drop null ids up front so the local and distributed paths see the
+    // SAME edge set (the driver union-find would NPE on a null long, the
+    // propagation joins would silently skip it — parity demands neither)
+    val e = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).cache()
     // Adaptive local path (the broadcast-threshold idea applied to graph
     // connectivity): a near-dup pair list is already candidate-filtered,
@@ -473,6 +478,11 @@ object Dedup {
     // iterative path below remains the unbounded-size fallback and the
     // two must agree exactly (randomized parity in ExtSpec).
     val edgeCount = edges.count()
+    // driver-memory bound for the local path: collect() materializes
+    // ~2·edgeCount Row objects plus a boxed-Long map entry per node —
+    // roughly 100 B/edge, so the default 2^20 threshold is ~100 MB of
+    // transient driver heap. Raising localThreshold scales that
+    // LINEARLY; past ~2^24 prefer the distributed fallback.
     if (edgeCount <= localThreshold) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {

@@ -46,6 +46,15 @@ case class AsOfJoinNode(
 ) extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length)
   require(rightVals.length == valOutput.length)
+  // the exec compares timestamps via row.getLong: only long-backed types
+  // are sound, anything else (int-backed DateType, DecimalType…) would
+  // read garbage silently — fail at analysis instead
+  for (ts <- Seq(leftTs, rightTs))
+    require(
+      ts.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+        ts.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType] ||
+        ts.dataType == org.apache.spark.sql.types.LongType,
+      s"as-of ts column ${ts.name} must be timestamp/timestamp_ntz/long, got ${ts.dataType}")
   override def output: Seq[Attribute] = left.output ++ valOutput
   // valOutput is produced HERE, not consumed from the children — without
   // this the analyzer counts the carried-value attrs as missing inputs

@@ -52,9 +52,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
+      // a real equi KEY needs one operand per side — a same-side equality
+      // (a.x = a.y) is just a filter and must not suppress the rewrite
       val hasEqui = conjuncts.exists {
-        case EqualTo(a, b) => isFromOneSide(a, left, right) && isFromOneSide(b, left, right)
-        case _             => false
+        case EqualTo(a, b) =>
+          (a.references.nonEmpty && b.references.nonEmpty) &&
+            ((a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+              (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet)))
+        case _ => false
       }
       if (hasEqui) j
       else {

@@ -213,14 +213,18 @@ object CdcStream {
       groupCol: String,
       statePath: String,
       checkpoint: String,
-      trigger: Trigger = DefaultTrigger
+      trigger: Trigger = DefaultTrigger,
+      valueCol: String = "value"
   ): StreamingQuery = {
     val agg = events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), width).as("w"), col(groupCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
       .select(
-        unix_timestamp(col("w.start")).as("win_start"),
+        // microsecond resolution: the upsert key must distinguish every
+        // window the width can produce — unix_timestamp (seconds) would
+        // collide distinct sub-second buckets under replace-by-key
+        unix_micros(col("w.start")).as("win_start"),
         col(groupCol), col("n"), col("total"))
     val keys = Seq("win_start", groupCol)
     agg.writeStream

@@ -124,4 +124,18 @@ class AsOfExecSpec extends SparkSpec {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("a non-long-backed ts column fails fast instead of comparing garbage") {
+    import spark.implicits._
+    // DateType is int-backed: row.getLong over it would read garbage, so
+    // node construction must reject it at analysis time
+    val l = Seq((1L, "2024-01-02", 10L)).toDF("k", "d", "lid")
+      .select(col("k"), to_date(col("d")).as("ts"), col("lid"), col("lid").as("tie"))
+    val r = Seq((1L, "2024-01-01", 7L)).toDF("k", "d", "rid")
+      .select(col("k"), to_date(col("d")).as("ts"), col("rid"), col("rid").as("tie"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.backwardExec(l, r, Seq("k"), "ts", "tie", Seq("rid"))
+    }
+    assert(ex.getMessage.contains("must be timestamp"), ex.getMessage)
+  }
 }

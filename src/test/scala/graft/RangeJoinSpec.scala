@@ -137,4 +137,22 @@ class RangeJoinSpec extends SparkSpec {
     } yield (a, b)).toSet
     assert(got === want)
   }
+
+  test("a same-side equality does not suppress the rewrite") {
+    graft.plans.RangeJoinRewrite.install(spark)
+    import spark.implicits._
+    // a.x = a.y is a FILTER, not a join key — the join still has no
+    // cross-side equi key, so the interval rewrite must fire
+    val ev = (1L to 30L).map(i => (i, i, i * 700L * 1000000L)).toDF("x", "event_id", "us")
+    val l = ev.select(col("x"), col("event_id").as("ida"), col("us").as("us_a"))
+    val r = ev.select(col("event_id").as("idb"), col("us").as("us_b"))
+    val j = l.join(r, col("x") === col("ida") && col("us_b") > col("us_a") &&
+      col("us_b") <= col("us_a") + 3600L * 1000000L)
+    val p = j.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"same-side equality suppressed the rewrite:\n$p")
+    val got = j.select("ida", "idb").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = (for { a <- 1L to 30L; b <- a + 1 to math.min(a + 5, 30L) } yield (a, b)).toSet
+    assert(got === want)
+  }
 }

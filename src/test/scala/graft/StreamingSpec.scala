@@ -165,7 +165,7 @@ class StreamingSpec extends SparkSpec {
       val expected = ev
         .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
         .agg(count(lit(1)).as("n"), sum($"value").as("total"))
-        .select(unix_timestamp($"w.start").as("win_start"), $"event_type", $"n", $"total")
+        .select(unix_micros($"w.start").as("win_start"), $"event_type", $"n", $"total")
       assert(got.count() == expected.count())
       // counts compare exactly; the double `total` compares within fp
       // tolerance (incremental summation order differs from batch)
@@ -210,7 +210,7 @@ class StreamingSpec extends SparkSpec {
       val expected = ev
         .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
         .agg(count(lit(1)).as("n"))
-        .select(unix_timestamp($"w.start").as("win_start"), $"event_type", $"n")
+        .select(unix_micros($"w.start").as("win_start"), $"event_type", $"n")
       val j = got.join(expected, Seq("win_start", "event_type"), "full_outer")
         .select(got("n").as("gn"), expected("n").as("en")).collect()
       assert(j.nonEmpty)
