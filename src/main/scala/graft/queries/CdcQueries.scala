@@ -291,6 +291,53 @@ object CdcQueries {
         .encode(rows, "event_log")
         .select(col("event_id"), col("value"))
         .orderBy("event_id")
+    },
+
+    // the schemas.enable=false production toggle: payload-only messages
+    "d1b_envelope_schemaless" -> { (s, dir) =>
+      val rows = events(s, dir)
+        .where(col("event_id") < 100)
+        .select(col("event_id"), col("event_type"))
+      JsonEnvelope
+        .encode(rows, "event_log", schemas = false)
+        .select(col("event_id"), col("value"))
+        .orderBy("event_id")
+    },
+
+    // the consumer half of the delivery contract: envelope-encode a typed
+    // frame, write it in TopicSink's file-mode layout (topic-partitioned
+    // parquet), read it back through TopicSource and decode — the gate
+    // hash-matches the DECODED rows against the original table, so it
+    // covers encode → topic layout → consume → from_json end to end.
+    // ts travels as unix micros (int64): the envelope's JSON timestamp
+    // rendering is millisecond-text, so a faithful consumer ships epoch
+    // integers — the same choice the reference's int64 Timestamp logical
+    // type makes (JsonEnvelope.connectType).
+    "d7_topic_consume" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val rows = events(s, dir)
+        .where(col("event_id") < 200)
+        .select(
+          col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+      val delivery = JsonEnvelope
+        .withKey(
+          JsonEnvelope.withTopic(JsonEnvelope.encode(rows, "event_log"), "event_log"),
+          col("event_id"))
+        .select("topic", "key", "value")
+      val out = java.nio.file.Files.createTempDirectory("graft-topic-consume").toString
+      delivery.write.mode("overwrite").partitionBy("topic").parquet(out)
+      val payloadSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts_us", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val consumed = graft.sources.TopicSource.read(
+        s, graft.sources.TopicSource.Config(brokers = None, path = out), Seq("cdc-event_log"))
+      graft.sources.TopicSource
+        .decode(consumed, payloadSchema)
+        .select("event_id", "ts_us", "event_type", "value")
+        .orderBy("event_id")
     }
   )
 
@@ -403,6 +450,13 @@ object CdcQueries {
       s"""SELECT event_id,
          |       '{"schema":' || '$envelopeSchemaBlock' || ',"payload":' ||
          |       to_json(struct_pack(event_id := event_id, event_type := event_type)) || '}' AS value
-         |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin
+         |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
+    "d1b_envelope_schemaless" ->
+      """SELECT event_id,
+        |       to_json(struct_pack(event_id := event_id, event_type := event_type)) AS value
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
+    "d7_topic_consume" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin
   )
 }

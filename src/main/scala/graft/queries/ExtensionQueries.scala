@@ -582,6 +582,44 @@ object ExtensionQueries {
         .orderBy("user_id", "day_bucket")
     },
 
+    // Timescale-flagship continuous aggregate, gated end to end: run the
+    // actual streaming query (update-mode rollup + foreachBatch upsert
+    // into the parquet state table) over the events fed as a file stream,
+    // then hash-match the MATERIALIZED state against a DuckDB batch
+    // time-bucket aggregate — the "precomputed rollup equals the query it
+    // precomputes" contract. Values aggregate as integer cents so the
+    // incremental sum is exact (long addition is associative; a double
+    // total would differ from the batch oracle in the last bits).
+    "x_continuous_agg" -> { (s, dir) =>
+      val ev = events(s, dir).select(
+        col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      val work = java.nio.file.Files.createTempDirectory("graft-cagg").toString
+      ev.write.mode("overwrite").parquet(s"$work/in")
+      val stream = s.readStream.schema(ev.schema).parquet(s"$work/in")
+      // AvailableNow: drain the bounded input immediately instead of
+      // idling on the 5 s poll cadence — the backfill trigger a bounded
+      // rollup build uses in production too. State partitions latch from
+      // the session conf at first start of a fresh checkpoint: pin a
+      // count sized to THIS rollup's key cardinality (the per-partition
+      // state-store commit is the fixed cost here; 32 near-empty stores
+      // would triple the gate's wall time for no parallelism gain).
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.CdcStream.continuousAggregate(
+            stream, "ts", "1 hour", "2 hours", "event_type",
+            s"$work/state", s"$work/ckpt",
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+            valueCol = "value_cents")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination(); q.stop()
+      s.read.parquet(s"$work/state")
+        .select(col("win_start"), col("event_type"), col("n"), col("total"))
+        .orderBy("win_start", "event_type")
+    },
+
     // PII redaction: email → IPv4 → phone scrubbed to typed placeholders
     // with per-category hit counts, as one codegen'd map-only projection.
     // The gate corpus carries no PII, so deterministic synthetic PII is
@@ -1117,6 +1155,12 @@ object ExtensionQueries {
         |SELECT event_id, CAST(sa | (sb << 1) AS BIGINT) AS zval
         |FROM s4 ORDER BY event_id""".stripMargin,
     // arg_min/arg_max are DuckDB's min_by/max_by; same µs ordering key
+    "x_continuous_agg" ->
+      """SELECT epoch_us(ts) // 3600000000 * 3600000000 AS win_start,
+        |       event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "x_time_bucket_agg" ->
       """SELECT user_id, epoch_us(ts) // 86400000000 AS day_bucket,
         |       count(*) AS n,

@@ -44,17 +44,23 @@ object JsonEnvelope {
     s"""{"type":"struct","fields":$fields,"optional":false,"name":"$name"}"""
   }
 
-  /** Encode rows of `df` as full Connect envelopes in column `value`. */
-  def encode(df: DataFrame, relationName: String): DataFrame = {
-    val block = schemaBlock(df.schema, relationName)
-    df.withColumn(
-      "value",
-      concat(
-        lit(s"""{"schema":$block,"payload":"""),
-        to_json(struct(df.columns.map(col): _*)),
-        lit("}")
-      )
-    )
+  /** Encode rows of `df` as Connect envelopes in column `value`.
+    *
+    * `schemas = true` is the reference deployment's JsonConverter setting
+    * (docker-compose.yml:76-79, `schemas.enable=true`): every message
+    * wraps as `{"schema":…,"payload":…}`. `schemas = false` is the
+    * ubiquitous production toggle (`schemas.enable=false`): the payload
+    * JSON alone, no wrapper — identical payload bytes, ~half the message
+    * size, for consumers that carry the schema out of band.
+    */
+  def encode(df: DataFrame, relationName: String, schemas: Boolean = true): DataFrame = {
+    val payload = to_json(struct(df.columns.map(col): _*))
+    val value =
+      if (schemas) {
+        val block = schemaBlock(df.schema, relationName)
+        concat(lit(s"""{"schema":$block,"payload":"""), payload, lit("}"))
+      } else payload
+    df.withColumn("value", value)
   }
 
   /** Topic routing (SURVEY.md §2.4 D2): topic = "cdc-" + relation name

@@ -1,0 +1,142 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The consumer half of the delivery contract — reads topics written by
+  * [[graft.sink.TopicSink]] and decodes [[graft.sink.JsonEnvelope]]
+  * messages back to typed rows (reference readme.md:56,124-126: downstream
+  * consumers subscribe to `cdc-*` topics and parse the envelope; until now
+  * only tests exercised that side).
+  *
+  * Mirrors TopicSink's one-switch design:
+  *   - `brokers = Some("host:9092")` → `format("kafka")` subscribe, with
+  *     the same honest classpath detection as the sink (the connector
+  *     artifact ships separately from Spark).
+  *   - `brokers = None` → the sink's file-mode layout: topic-partitioned
+  *     parquet under `path`, read back with partition discovery so the
+  *     `topic` column reappears; `topics` filters become partition pruning
+  *     (only the asked-for topic directories are scanned).
+  *
+  * Both modes surface the same (topic, key, value) frame, so
+  * [[decode]] — one codegen'd `from_json` — is mode-agnostic, exactly as
+  * the encode chain is sink-agnostic.
+  */
+object TopicSource {
+
+  /** @param brokers      Some(bootstrap servers) → kafka mode; None → file mode
+    * @param path         topic-partitioned parquet root (file mode only)
+    * @param kafkaOptions extra `kafka.`-prefixed consumer options
+    */
+  final case class Config(
+      brokers: Option[String],
+      path: String,
+      kafkaOptions: Map[String, String] = Map.empty
+  )
+
+  private val KafkaProviderClass = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+
+  def kafkaConnectorOnClasspath: Boolean =
+    try { Class.forName(KafkaProviderClass); true }
+    catch { case _: ClassNotFoundException => false }
+
+  /** The source plan a Config resolves to, as inspectable data (the
+    * TopicSink.Resolved pattern — tests assert on this instead of
+    * subscribing to brokers that don't exist).
+    */
+  final case class Resolved(format: String, options: Map[String, String])
+
+  def resolve(config: Config, topics: Seq[String]): Resolved = config.brokers match {
+    case Some(bootstrap) =>
+      require(topics.nonEmpty, "kafka mode needs an explicit topic list")
+      Resolved(
+        "kafka",
+        Map(
+          "kafka.bootstrap.servers" -> bootstrap,
+          "subscribe" -> topics.mkString(",")) ++ config.kafkaOptions)
+    case None =>
+      Resolved("parquet", Map("path" -> config.path))
+  }
+
+  /** Batch-read the configured topics as (topic, key, value) rows; empty
+    * `topics` in file mode means every topic under the path.
+    */
+  def read(spark: SparkSession, config: Config, topics: Seq[String] = Seq.empty): DataFrame = {
+    if (config.brokers.isDefined && !kafkaConnectorOnClasspath)
+      throw new IllegalStateException(
+        s"TopicSource kafka mode needs the spark-sql-kafka connector ($KafkaProviderClass) on " +
+          "the classpath; it is not bundled with Spark's jars dir — add the " +
+          "spark-sql-kafka-0-10 artifact matching your Spark version, or use file mode (brokers=None)")
+    val resolved = resolve(config, topics)
+    config.brokers match {
+      case Some(_) =>
+        spark.read.format(resolved.format).options(resolved.options).load()
+          .select(
+            col("topic"),
+            col("key").cast("string").as("key"),
+            col("value").cast("string").as("value"))
+      case None =>
+        val raw = spark.read.format(resolved.format).options(resolved.options).load()
+        // `topic` comes back as the discovered partition column; an
+        // explicit topic list prunes to those directories at plan time
+        if (topics.isEmpty) raw.select("topic", "key", "value")
+        else raw.where(col("topic").isin(topics: _*)).select("topic", "key", "value")
+    }
+  }
+
+  /** Streaming twin of [[read]] (file mode tails the sink directory the
+    * way the reference's consumers tail the topic).
+    */
+  def readStream(
+      spark: SparkSession,
+      config: Config,
+      topics: Seq[String],
+      messageSchema: StructType
+  ): DataFrame = {
+    if (config.brokers.isDefined && !kafkaConnectorOnClasspath)
+      throw new IllegalStateException(
+        s"TopicSource kafka mode needs $KafkaProviderClass on the classpath")
+    val resolved = resolve(config, topics)
+    config.brokers match {
+      case Some(_) =>
+        spark.readStream.format(resolved.format).options(resolved.options).load()
+          .select(
+            col("topic"),
+            col("key").cast("string").as("key"),
+            col("value").cast("string").as("value"))
+      case None =>
+        val raw = spark.readStream.schema(messageSchema)
+          .format(resolved.format).options(resolved.options).load()
+        if (topics.isEmpty) raw.select("topic", "key", "value")
+        else raw.where(col("topic").isin(topics: _*)).select("topic", "key", "value")
+    }
+  }
+
+  /** Decode envelope messages back to typed rows: input must carry a
+    * string `value` column holding [[graft.sink.JsonEnvelope]] output;
+    * the result replaces it with one column per payload field.
+    *
+    * `schemas` must match the producer's setting: true parses the
+    * `{"schema":…,"payload":…}` wrapper (the inline schema block is
+    * redundant with `payloadSchema` and is not re-validated — the
+    * Connect consumers the reference shows do the same), false parses
+    * the bare payload. One `from_json` either way — the decode stage
+    * stays inside WholeStageCodegen like the encode stage.
+    */
+  def decode(
+      messages: DataFrame,
+      payloadSchema: StructType,
+      schemas: Boolean = true
+  ): DataFrame = {
+    val passthrough = messages.columns.filter(_ != "value").map(col).toSeq
+    val decoded =
+      if (schemas)
+        from_json(col("value"), new StructType().add("payload", payloadSchema))
+          .getField("payload")
+      else from_json(col("value"), payloadSchema)
+    val payloadCols =
+      payloadSchema.fieldNames.map(f => decoded.getField(f).as(f)).toSeq
+    messages.select(passthrough ++ payloadCols: _*)
+  }
+}

