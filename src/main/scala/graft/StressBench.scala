@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ext.Dedup
+
+/** Scale stress for the dedup family: the candidate-bounding knobs
+  * (`maxShingleDf`, MinHash banding, SimHash block multiprobe, SRP-LSH
+  * blocks, the adaptive clustering threshold) have only ever run at
+  * sf0.1 — this main pins that the candidate FILTERS, not small data,
+  * carry the scale story, by running the same operators on a 10×
+  * synthetic expansion of the sf0.1 corpus and checking per-op time
+  * stays within ~2× of linear.
+  *
+  * Corpus: every document replicated `Replicas` times with deterministic
+  * word-level mutations — replica 1 appends one sentinel word (a true
+  * near-dup, Jaccard just under 1), replicas ≥2 replace every
+  * `(k mod 5)+3`-rd word with a replica-salted token (distinct documents,
+  * Jaccard vs source well under the 0.4 gate threshold). That is the
+  * realistic crawl shape: volume mostly-unique, a thin band of true
+  * duplicates, shingle frequency skew preserved. Embeddings replicate
+  * with first-component nudges (replica 1 a near-dup at cos ≥ 0.999,
+  * the rest scaled off-axis below threshold).
+  *
+  * Emits one JSON line with per-op seconds at 1× and 10× plus the
+  * scale factor ratio/linear, and writes it to BENCH_STRESS.json.
+  */
+object StressBench {
+
+  val Replicas = 10
+
+  def expandDocs(docs: DataFrame): DataFrame = {
+    val k = explode(sequence(lit(0), lit(Replicas - 1))).as("k")
+    docs
+      .select(col("doc_id"), col("text"), k)
+      .select(
+        (col("doc_id") * Replicas + col("k")).as("doc_id"),
+        when(col("k") === 0, col("text"))
+          .when(col("k") === 1, concat(col("text"), lit(" zq"), col("doc_id")))
+          .otherwise(
+            array_join(
+              transform(
+                split(col("text"), "\\s+"),
+                (w, i) =>
+                  when(i % (pmod(col("k"), lit(5)) + 3) === 0,
+                    concat(lit("m"), col("k"), lit("x"), i)).otherwise(w)),
+              " "))
+          .as("text"))
+  }
+
+  def expandEmbs(embs: DataFrame): DataFrame = {
+    val k = explode(sequence(lit(0), lit(Replicas - 1))).as("k")
+    embs
+      .select(col("vec_id"), col("embedding"), k)
+      .select(
+        (col("vec_id") * Replicas + col("k")).as("vec_id"),
+        when(col("k") === 0, col("embedding"))
+          .when(col("k") === 1,
+            concat(
+              array(element_at(col("embedding"), 1) * lit(1.05f)),
+              slice(col("embedding"), 2, 63)))
+          .otherwise(
+            // heavily bend replicas >=2 off-axis: flip the sign of every
+            // (k mod 7)+2-nd component — cosine vs source drops far below
+            // any near-dup threshold but vector norms stay realistic
+            transform(
+              col("embedding"),
+              (x, i) => when(i % (pmod(col("k"), lit(7)) + 2) === 0, -x).otherwise(x)))
+          .as("embedding"))
+  }
+
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** count() forces full evaluation of every op's output. */
+  private def ops(docs: DataFrame, embs: DataFrame): Seq[(String, () => Long)] = Seq(
+    "ngram_jaccard" -> (() =>
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.4,
+        maxShingleDf = 100L).count()),
+    "minhash" -> (() =>
+      Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 16, jaccardThreshold = 0.4).count()),
+    "simhash" -> (() =>
+      Dedup.simhashNearDupPairsVerified(docs, "doc_id", "text",
+        shingleN = 5, jaccardThreshold = 0.4).count()),
+    "components" -> (() => {
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5,
+        threshold = 0.4, maxShingleDf = 100L).select("id_a", "id_b")
+      Dedup.duplicateComponents(pairs).count()
+    }),
+    "embedding_lsh" -> (() =>
+      Dedup.embeddingNearDupPairsLsh(embs, "vec_id", "embedding", 0.9).count())
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-stress")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    val work = java.nio.file.Files.createTempDirectory("graft-stress").toString
+    // materialize both corpora to parquet so the timed ops read the same
+    // physical layout the gates read (no recompute of the expansion
+    // inside each op's lineage)
+    val docs1 = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val embs1 = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    expandDocs(docs1).write.mode("overwrite").parquet(s"$work/docs10")
+    expandEmbs(embs1).write.mode("overwrite").parquet(s"$work/embs10")
+    val docs10 = spark.read.parquet(s"$work/docs10")
+    val embs10 = spark.read.parquet(s"$work/embs10")
+
+    def runAll(d: DataFrame, e: DataFrame): Seq[(String, Long, Double)] =
+      ops(d, e).map { case (name, f) =>
+        // the dedup ops cache sketch/shingle frames internally for their
+        // own multi-scan plans; dropping them BETWEEN ops keeps each
+        // measurement cold-cache and stops earlier ops' storage from
+        // forcing this op's working set to spill (measured: simhash at
+        // 10× swung 22 s → 92 s run-to-run before this, stable after)
+        spark.catalog.clearCache()
+        val (n, s) = time(f()); (name, n, s)
+      }
+
+    // warm (JIT, codegen, file index) once with the small corpus, untimed
+    ops(docs1, embs1).foreach { case (_, f) => f(); () }
+
+    val base = runAll(docs1, embs1)
+    val big = runAll(docs10, embs10)
+    val rows1 = docs1.count(); val rows10 = docs10.count()
+
+    val per = base.zip(big).map { case ((n, c1, s1), (_, c10, s10)) =>
+      val ratio = s10 / math.max(s1, 1e-9)
+      f"""\"$n\":{\"rows_1x\":$c1,\"sec_1x\":${s1}%.2f,\"rows_10x\":$c10,\"sec_10x\":${s10}%.2f,\"x_vs_linear\":${ratio / Replicas}%.2f}"""
+    }
+    val line =
+      s"""{"metric":"dedup_stress","replicas":$Replicas,"docs_1x":$rows1,"docs_10x":$rows10,"ops":{${per.mkString(",")}}}"""
+    println(line)
+    val w = new java.io.PrintWriter("BENCH_STRESS.json")
+    try w.println(line) finally w.close()
+    spark.stop()
+  }
+}

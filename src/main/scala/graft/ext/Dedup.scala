@@ -597,11 +597,21 @@ object Dedup {
     * oracle contract as the MinHash path.
     *
     * Scale shape: one codegen'd signature pass, a `numBlocks`× map-side
-    * explode, one equi-join on (block, value) — never all-pairs. Hot
-    * blocks (a degenerate value shared corpus-wide) would inflate one
-    * bucket; at near-dup thresholds with ≥8-bit blocks the expected
-    * bucket load is n/2^bits per block value, and AQE skew-join splits an
-    * outlier bucket.
+    * explode, one equi-join on (block, value) — never all-pairs. The
+    * candidate join carries ONLY id pairs (16 B/row); vectors re-attach
+    * by joining the deduped candidates back to the (id, vec) table —
+    * small enough to broadcast at any corpus size that fits a dimension
+    * table, and two narrow shuffles otherwise. Carrying both vectors
+    * through the candidate shuffle (~8·dim bytes per candidate row) was
+    * measured 3.6× over linear at a 10× corpus (BENCH_STRESS.json).
+    *
+    * Bucket-count saturation is the scale dial: bits-per-block =
+    * numPlanes/numBlocks bounds distinct bucket values at 2^bits, and
+    * per-bucket load — hence candidate volume — grows as n²/2^bits.
+    * Fewer, wider blocks (numBlocks = 4 → 16-bit blocks, 65 536 values)
+    * trade guaranteed pigeonhole radius for selectivity; at true
+    * near-dup thresholds pairs sit at Hamming ≈ 0 and the narrower
+    * radius still covers them with overwhelming probability.
     */
   def embeddingNearDupPairsLsh(
       df: DataFrame,
@@ -629,17 +639,21 @@ object Dedup {
     // so block i of one vector never matches block j≠i of another
     val probes = base.select(
       col("id"),
-      col("v"),
       posexplode(
         array((0 until numBlocks).map(b =>
           shiftrightunsigned(col("sig"), b * bits).bitwiseAND(lit(mask))): _*)
       ).as(Seq("block", "bval"))
     )
-    val l = probes.select(col("block"), col("bval"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = probes.select(col("block"), col("bval"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("block", "bval"))
+    val l = probes.select(col("block"), col("bval"), col("id").as("id_a"))
+    val r = probes.select(col("block"), col("bval"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("block", "bval"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val vecs = base.select(col("id"), col("v"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cos", GraftFunctions.cosine_similarity(col("v_a"), col("v_b")))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
