@@ -219,28 +219,37 @@ object CdcQueries {
     // latest event per key wins, DELETE removes, after-images parsed with
     // the declared payload schema (reference readme.md:218)
     "c8_apply_log" -> { (s, dir) =>
-      import org.apache.spark.sql.types._
-      val payloadSchema = StructType(Seq(
-        StructField("rid", LongType), StructField("user_id", LongType),
-        StructField("cents", LongType)))
-      val payload = to_json(struct(
-        (col("event_id") % 4999).as("rid"),
-        col("user_id"),
-        round(col("value") * 100).cast("long").as("cents")))
-      val log = events(s, dir).select(
-        col("event_id"),
-        when(col("event_type") === "signup", "INSERT")
-          .when(col("event_type") === "error", "DELETE")
-          .otherwise("UPDATE").as("operation"),
-        when(col("event_type") === "signup", lit(null).cast("string"))
-          .otherwise(payload).as("before"),
-        when(col("event_type") === "error", lit(null).cast("string"))
-          .otherwise(payload).as("after")
-      )
-      val snapshot = s.range(4999).select(
-        col("id").as("rid"), lit(-1L).as("user_id"), lit(0L).as("cents"))
+      val (snapshot, log, payloadSchema) = applyFixture(s, dir)
       graft.capture.CdcApply
         .applyLog(snapshot, log, Seq("rid"), payloadSchema)
+        .orderBy("rid")
+    },
+
+    // the WHOLE reference loop in one gate: change log → envelope encode →
+    // topic layout → TopicSource consume → decode → apply onto a replica
+    // snapshot. Same oracle as c8_apply_log — the transport legs (with
+    // nested JSON-in-JSON escaping of before/after through the envelope)
+    // must be lossless for the replica to converge to the same state.
+    "e2e_topic_replica" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val (snapshot, log, payloadSchema) = applyFixture(s, dir)
+      val delivery = JsonEnvelope
+        .withKey(
+          JsonEnvelope.withTopic(JsonEnvelope.encode(log, "event_log"), "event_log"),
+          col("event_id"))
+        .select("topic", "key", "value")
+      val out = java.nio.file.Files.createTempDirectory("graft-topic-replica").toString
+      delivery.write.mode("overwrite").partitionBy("topic").parquet(out)
+      val messageSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("operation", StringType),
+        StructField("before", StringType),
+        StructField("after", StringType)))
+      val consumed = graft.sources.TopicSource.read(
+        s, graft.sources.TopicSource.Config(brokers = None, path = out), Seq("cdc-event_log"))
+      val replayed = graft.sources.TopicSource.decode(consumed, messageSchema)
+      graft.capture.CdcApply
+        .applyLog(snapshot, replayed, Seq("rid"), payloadSchema)
         .orderBy("rid")
     },
 
@@ -341,6 +350,35 @@ object CdcQueries {
     }
   )
 
+  /** Shared fixture for the apply-log gates: a synthetic change log over
+    * `events` (op classed from event_type, integer-cents payloads so the
+    * JSON carries no floating-point text) plus the cold replica snapshot
+    * it applies onto, and the payload schema for decode.
+    */
+  private def applyFixture(s: SparkSession, dir: String) = {
+    import org.apache.spark.sql.types._
+    val payloadSchema = StructType(Seq(
+      StructField("rid", LongType), StructField("user_id", LongType),
+      StructField("cents", LongType)))
+    val payload = to_json(struct(
+      (col("event_id") % 4999).as("rid"),
+      col("user_id"),
+      round(col("value") * 100).cast("long").as("cents")))
+    val log = events(s, dir).select(
+      col("event_id"),
+      when(col("event_type") === "signup", "INSERT")
+        .when(col("event_type") === "error", "DELETE")
+        .otherwise("UPDATE").as("operation"),
+      when(col("event_type") === "signup", lit(null).cast("string"))
+        .otherwise(payload).as("before"),
+      when(col("event_type") === "error", lit(null).cast("string"))
+        .otherwise(payload).as("after")
+    )
+    val snapshot = s.range(4999).select(
+      col("id").as("rid"), lit(-1L).as("user_id"), lit(0L).as("cents"))
+    (snapshot, log, payloadSchema)
+  }
+
   private val envelopeSchemaBlock: String = {
     import org.apache.spark.sql.types._
     JsonEnvelope.schemaBlock(
@@ -351,6 +389,28 @@ object CdcQueries {
       "event_log"
     )
   }
+
+  private val applyLogSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_id % 4999 AS rid, user_id,
+      |         CAST(round(value * 100) AS BIGINT) AS cents,
+      |         CASE WHEN event_type = 'signup' THEN 'INSERT'
+      |              WHEN event_type = 'error' THEN 'DELETE'
+      |              ELSE 'UPDATE' END AS op
+      |  FROM events
+      |), latest AS (
+      |  SELECT *, row_number() OVER (PARTITION BY rid ORDER BY event_id DESC) AS rn FROM ev
+      |), survivors AS (
+      |  SELECT rid, user_id, cents FROM latest WHERE rn = 1 AND op <> 'DELETE'
+      |), untouched AS (
+      |  SELECT t.rid, CAST(-1 AS BIGINT) AS user_id, CAST(0 AS BIGINT) AS cents
+      |  FROM range(4999) t(rid)
+      |  WHERE t.rid NOT IN (SELECT rid FROM latest WHERE rn = 1)
+      |)
+      |SELECT rid, user_id, cents FROM untouched
+      |UNION ALL
+      |SELECT rid, user_id, cents FROM survivors
+      |ORDER BY rid""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "c1_capture_diff" ->
@@ -411,27 +471,9 @@ object CdcQueries {
         |UNION ALL
         |SELECT 'cdc-event_log_errors' AS topic, event_id FROM events WHERE event_type = 'error'
         |ORDER BY topic, event_id""".stripMargin,
-    "c8_apply_log" ->
-      """WITH ev AS (
-        |  SELECT event_id, event_id % 4999 AS rid, user_id,
-        |         CAST(round(value * 100) AS BIGINT) AS cents,
-        |         CASE WHEN event_type = 'signup' THEN 'INSERT'
-        |              WHEN event_type = 'error' THEN 'DELETE'
-        |              ELSE 'UPDATE' END AS op
-        |  FROM events
-        |), latest AS (
-        |  SELECT *, row_number() OVER (PARTITION BY rid ORDER BY event_id DESC) AS rn FROM ev
-        |), survivors AS (
-        |  SELECT rid, user_id, cents FROM latest WHERE rn = 1 AND op <> 'DELETE'
-        |), untouched AS (
-        |  SELECT t.rid, CAST(-1 AS BIGINT) AS user_id, CAST(0 AS BIGINT) AS cents
-        |  FROM range(4999) t(rid)
-        |  WHERE t.rid NOT IN (SELECT rid FROM latest WHERE rn = 1)
-        |)
-        |SELECT rid, user_id, cents FROM untouched
-        |UNION ALL
-        |SELECT rid, user_id, cents FROM survivors
-        |ORDER BY rid""".stripMargin,
+    "c8_apply_log" -> applyLogSql,
+    // byte-lossless transport ⇒ the replica converges to the same state
+    "e2e_topic_replica" -> applyLogSql,
     "e2e_log_roundtrip" ->
       """SELECT event_id,
         |       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,

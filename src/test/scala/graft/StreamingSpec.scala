@@ -116,6 +116,51 @@ class StreamingSpec extends SparkSpec {
     assert(bad.getMessage.contains("key"))
   }
 
+  test("TopicSource.readStream tails the sink directory and decodes as it arrives") {
+    import graft.sink.TopicSink
+    import graft.sources.TopicSource
+    import org.apache.spark.sql.types._
+    val logPath = tempDir("tclog")
+    val outPath = tempDir("tctopics")
+    CdcLog.append(mkEvents(1 to 12), logPath)
+    val delivery = CdcStream.deliveryStream(
+      CdcStream.readLogStream(spark, logPath, CdcLog.read(spark, logPath).schema),
+      "dataschema", "assets")
+    val sink = TopicSink.start(delivery, TopicSink.Config(
+      brokers = None, path = outPath, checkpoint = tempDir("tcckpt"),
+      trigger = Trigger.AvailableNow()))
+    sink.awaitTermination()
+
+    // consumer side: stream the topic directory, decode the envelope,
+    // land typed rows in a memory sink — the reference's downstream
+    // consumer loop (readme.md:124-126) in streaming form
+    val messageSchema = StructType(Seq(
+      StructField("topic", StringType),
+      StructField("key", StringType),
+      StructField("value", StringType)))
+    val payloadSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("operation", StringType),
+      StructField("after", StringType)))
+    val messages = TopicSource.readStream(
+      spark, TopicSource.Config(brokers = None, path = outPath),
+      Seq("cdc-event_log_assets"), messageSchema)
+    val typed = TopicSource.decode(messages, payloadSchema)
+    val q = typed.writeStream.outputMode("append").format("memory")
+      .queryName("consumed").option("checkpointLocation", tempDir("tcckpt2"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.sql("SELECT event_id, operation FROM consumed")
+      .as[(Long, String)].collect().toSet
+    val want = CdcStream.deliveryStream(
+      CdcLog.read(spark, logPath), "dataschema", "assets")
+      .select(get_json_object($"value", "$.payload.event_id").cast("long"),
+        get_json_object($"value", "$.payload.operation"))
+      .as[(Long, String)].collect().toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("tumbling window aggregation over the event stream with watermark") {
     val ev = Tables.load(spark, sf0001, "events")
     val streamDir = tempDir("evstream") + "/data"
