@@ -21,7 +21,8 @@ import graft.ext.Dedup
   * realistic crawl shape: volume mostly-unique, a thin band of true
   * duplicates, shingle frequency skew preserved. Embeddings replicate
   * with first-component nudges (replica 1 a near-dup at cos ≥ 0.999,
-  * the rest scaled off-axis below threshold).
+  * the rest sign-flipped off-axis on k-distinct stripes — mostly below
+  * the 0.9 threshold, with realistic straggler pairs above it).
   *
   * Emits one JSON line with per-op seconds at 1× and 10× plus the
   * scale factor ratio/linear, and writes it to BENCH_STRESS.json.
@@ -61,12 +62,19 @@ object StressBench {
               array(element_at(col("embedding"), 1) * lit(1.05f)),
               slice(col("embedding"), 2, 63)))
           .otherwise(
-            // heavily bend replicas >=2 off-axis: flip the sign of every
-            // (k mod 7)+2-nd component — cosine vs source drops far below
-            // any near-dup threshold but vector norms stay realistic
+            // bend replicas >=2 off-axis: flip signs on a k-dependent
+            // (period, phase) stripe — period (k mod 7)+2, phase shifted
+            // by k so no two replicas share the identical flip mask (a
+            // plain i % period == 0 made k=2 and k=9 bit-identical).
+            // Flipping ~1/period of the components puts E[cos vs source]
+            // ≈ 1 − 2/period (≈ 0.5-0.75) — mostly below the 0.9
+            // threshold; the occasional straggler above it is realistic
+            // corpus noise, counted by the op like any true pair
             transform(
               col("embedding"),
-              (x, i) => when(i % (pmod(col("k"), lit(7)) + 2) === 0, -x).otherwise(x)))
+              (x, i) =>
+                when((i + col("k")) % (pmod(col("k"), lit(7)) + 2) === 0, -x)
+                  .otherwise(x)))
           .as("embedding"))
   }
 
@@ -119,15 +127,22 @@ object StressBench {
     val docs10 = spark.read.parquet(s"$work/docs10")
     val embs10 = spark.read.parquet(s"$work/embs10")
 
+    // min of `Runs` timings per op (the graft.Bench convention): the
+    // heavy candidate stages are GC-luck-sensitive (simhash at 10×
+    // swung 22-92 s single-shot), and the minimum is the steady-state
+    // cost the scaling claim is about
+    val Runs = 2
     def runAll(d: DataFrame, e: DataFrame): Seq[(String, Long, Double)] =
       ops(d, e).map { case (name, f) =>
-        // the dedup ops cache sketch/shingle frames internally for their
-        // own multi-scan plans; dropping them BETWEEN ops keeps each
-        // measurement cold-cache and stops earlier ops' storage from
-        // forcing this op's working set to spill (measured: simhash at
-        // 10× swung 22 s → 92 s run-to-run before this, stable after)
-        spark.catalog.clearCache()
-        val (n, s) = time(f()); (name, n, s)
+        val timings = (1 to Runs).map { _ =>
+          // the dedup ops cache sketch/shingle frames internally for
+          // their own multi-scan plans; dropping them between runs keeps
+          // each measurement cold-cache and stops earlier ops' storage
+          // from forcing this op's working set to spill
+          spark.catalog.clearCache()
+          time(f())
+        }
+        (name, timings.head._1, timings.map(_._2).min)
       }
 
     // warm (JIT, codegen, file index) once with the small corpus, untimed

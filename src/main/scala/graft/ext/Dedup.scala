@@ -619,8 +619,10 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       numPlanes: Int = 64,
-      numBlocks: Int = 8,
-      seed: Int = 42
+      seed: Int = 42,
+      // appended AFTER seed so pre-block-multiprobe positional callers
+      // (df, id, vec, t, numPlanes, seed) keep their meaning
+      numBlocks: Int = 8
   ): DataFrame = {
     import graft.ext.Similarity
     require(numPlanes >= 1 && numPlanes <= 64, "need 1 <= numPlanes <= 64")

@@ -55,6 +55,13 @@ case class AsOfJoinNode(
         ts.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType] ||
         ts.dataType == org.apache.spark.sql.types.LongType,
       s"as-of ts column ${ts.name} must be timestamp/timestamp_ntz/long, got ${ts.dataType}")
+  // …and the two sides must agree: TimestampType vs LongType (or NTZ)
+  // both pass the long-backed check yet encode different units/epochs,
+  // which would compare micros against raw longs garbage-style
+  require(
+    leftTs.dataType == rightTs.dataType,
+    s"as-of ts columns must have the SAME type on both sides, " +
+      s"got ${leftTs.dataType} vs ${rightTs.dataType}")
   override def output: Seq[Attribute] = left.output ++ valOutput
   // valOutput is produced HERE, not consumed from the children — without
   // this the analyzer counts the carried-value attrs as missing inputs

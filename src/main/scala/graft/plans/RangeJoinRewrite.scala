@@ -53,13 +53,17 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
       // a real equi KEY needs one operand per side — a same-side equality
-      // (a.x = a.y) is just a filter and must not suppress the rewrite
+      // (a.x = a.y) is just a filter and must not suppress the rewrite.
+      // EqualNullSafe counts too: ExtractEquiJoinKeys plans <=> as a
+      // native equi-join, which this rule must leave alone.
+      def crossSide(a: Expression, b: Expression): Boolean =
+        (a.references.nonEmpty && b.references.nonEmpty) &&
+          ((a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+            (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet)))
       val hasEqui = conjuncts.exists {
-        case EqualTo(a, b) =>
-          (a.references.nonEmpty && b.references.nonEmpty) &&
-            ((a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
-              (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet)))
-        case _ => false
+        case EqualTo(a, b)       => crossSide(a, b)
+        case EqualNullSafe(a, b) => crossSide(a, b)
+        case _                   => false
       }
       if (hasEqui) j
       else {

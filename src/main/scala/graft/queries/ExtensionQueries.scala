@@ -595,7 +595,13 @@ object ExtensionQueries {
         col("ts"), col("event_type"),
         round(col("value") * 100).cast("long").as("value_cents"))
       val work = java.nio.file.Files.createTempDirectory("graft-cagg").toString
-      ev.write.mode("overwrite").parquet(s"$work/in")
+      // ONE input file → structurally one AvailableNow micro-batch: with
+      // several files the drain could split into batches and the 2 h
+      // watermark would drop later-batch rows the batch oracle keeps —
+      // the single-batch invariant must not hinge on the file-source's
+      // default files-per-trigger versus however many partitions the
+      // fixture happens to write
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$work/in")
       val stream = s.readStream.schema(ev.schema).parquet(s"$work/in")
       // AvailableNow: drain the bounded input immediately instead of
       // idling on the 5 s poll cadence — the backfill trigger a bounded

@@ -88,8 +88,12 @@ object JdbcSource {
     config.driver.orElse(config.url.flatMap(subprotocol).flatMap(KnownDrivers.get))
 
   def driverOnClasspath(className: String): Boolean =
-    try { Class.forName(className); true }
-    catch { case _: ClassNotFoundException => false }
+    // initialize = false: detection must not run the driver's static
+    // initializers (a present-but-broken jar would otherwise explode
+    // HERE with the opaque error this check exists to prevent);
+    // LinkageError covers NoClassDefFoundError from broken jars too
+    try { Class.forName(className, false, getClass.getClassLoader); true }
+    catch { case _: ClassNotFoundException | _: LinkageError => false }
 
   /** The source plan a Config resolves to, as inspectable data — tests
     * assert on this instead of connecting to databases that don't exist
@@ -120,6 +124,10 @@ object JdbcSource {
     case None =>
       val dir = config.registryDir.getOrElse(
         throw new IllegalArgumentException("registry mode needs registryDir"))
+      // NOTE: read() executes registry mode through Tables.load, which
+      // additionally applies the events nanos→micros contract on top of
+      // this parquet path — the Resolved here is the physical source,
+      // not the post-read column rewrite
       Resolved("parquet", Map("path" -> s"$dir/${unqualified(table)}.parquet"))
   }
 
@@ -147,9 +155,8 @@ object JdbcSource {
               "Spark's jars dir — add the driver artifact, or use registry mode (url=None)")
         spark.read.format("jdbc").options(resolve(config, table).options).load()
       case None =>
-        val dir = config.registryDir.getOrElse(
-          throw new IllegalArgumentException("registry mode needs registryDir"))
-        Tables.load(spark, dir, unqualified(table))
+        resolve(config, table) // same registryDir validation as the plan
+        Tables.load(spark, config.registryDir.get, unqualified(table))
     }
   }
 }

@@ -59,30 +59,37 @@ object TopicSource {
       Resolved("parquet", Map("path" -> config.path))
   }
 
-  /** Batch-read the configured topics as (topic, key, value) rows; empty
-    * `topics` in file mode means every topic under the path.
-    */
-  def read(spark: SparkSession, config: Config, topics: Seq[String] = Seq.empty): DataFrame = {
+  private def requireKafkaConnector(config: Config): Unit =
     if (config.brokers.isDefined && !kafkaConnectorOnClasspath)
       throw new IllegalStateException(
         s"TopicSource kafka mode needs the spark-sql-kafka connector ($KafkaProviderClass) on " +
           "the classpath; it is not bundled with Spark's jars dir — add the " +
           "spark-sql-kafka-0-10 artifact matching your Spark version, or use file mode (brokers=None)")
-    val resolved = resolve(config, topics)
-    config.brokers match {
-      case Some(_) =>
-        spark.read.format(resolved.format).options(resolved.options).load()
-          .select(
-            col("topic"),
-            col("key").cast("string").as("key"),
-            col("value").cast("string").as("value"))
-      case None =>
-        val raw = spark.read.format(resolved.format).options(resolved.options).load()
-        // `topic` comes back as the discovered partition column; an
-        // explicit topic list prunes to those directories at plan time
-        if (topics.isEmpty) raw.select("topic", "key", "value")
-        else raw.where(col("topic").isin(topics: _*)).select("topic", "key", "value")
+
+  /** Shared shaping for both modes and both batch/stream: kafka rows cast
+    * binary key/value to string; file rows filter the discovered `topic`
+    * partition column (an explicit topic list prunes to those directories
+    * at plan time).
+    */
+  private def shape(raw: DataFrame, kafka: Boolean, topics: Seq[String]): DataFrame =
+    if (kafka)
+      raw.select(
+        col("topic"),
+        col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"))
+    else {
+      val filtered = if (topics.isEmpty) raw else raw.where(col("topic").isin(topics: _*))
+      filtered.select("topic", "key", "value")
     }
+
+  /** Batch-read the configured topics as (topic, key, value) rows; empty
+    * `topics` in file mode means every topic under the path.
+    */
+  def read(spark: SparkSession, config: Config, topics: Seq[String] = Seq.empty): DataFrame = {
+    requireKafkaConnector(config)
+    val resolved = resolve(config, topics)
+    val raw = spark.read.format(resolved.format).options(resolved.options).load()
+    shape(raw, kafka = config.brokers.isDefined, topics)
   }
 
   /** Streaming twin of [[read]] (file mode tails the sink directory the
@@ -94,23 +101,11 @@ object TopicSource {
       topics: Seq[String],
       messageSchema: StructType
   ): DataFrame = {
-    if (config.brokers.isDefined && !kafkaConnectorOnClasspath)
-      throw new IllegalStateException(
-        s"TopicSource kafka mode needs $KafkaProviderClass on the classpath")
+    requireKafkaConnector(config)
     val resolved = resolve(config, topics)
-    config.brokers match {
-      case Some(_) =>
-        spark.readStream.format(resolved.format).options(resolved.options).load()
-          .select(
-            col("topic"),
-            col("key").cast("string").as("key"),
-            col("value").cast("string").as("value"))
-      case None =>
-        val raw = spark.readStream.schema(messageSchema)
-          .format(resolved.format).options(resolved.options).load()
-        if (topics.isEmpty) raw.select("topic", "key", "value")
-        else raw.where(col("topic").isin(topics: _*)).select("topic", "key", "value")
-    }
+    val reader = spark.readStream.format(resolved.format).options(resolved.options)
+    val raw = (if (config.brokers.isEmpty) reader.schema(messageSchema) else reader).load()
+    shape(raw, kafka = config.brokers.isDefined, topics)
   }
 
   /** Decode envelope messages back to typed rows: input must carry a
@@ -129,7 +124,14 @@ object TopicSource {
       payloadSchema: StructType,
       schemas: Boolean = true
   ): DataFrame = {
-    val passthrough = messages.columns.filter(_ != "value").map(col).toSeq
+    val passthroughNames = messages.columns.filter(_ != "value").toSeq
+    val clash = payloadSchema.fieldNames.toSet.intersect(passthroughNames.toSet)
+    require(
+      clash.isEmpty,
+      s"payload fields ${clash.mkString(",")} collide with message columns — " +
+        "drop or rename the message columns before decode, or the result has " +
+        "ambiguous duplicate names")
+    val passthrough = passthroughNames.map(col)
     val decoded =
       if (schemas)
         from_json(col("value"), new StructType().add("payload", payloadSchema))

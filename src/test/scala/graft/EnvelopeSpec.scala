@@ -103,9 +103,13 @@ class EnvelopeSpec extends SparkSpec {
     assert(TopicSource.read(spark, cfg).count() == 2)
     val one = TopicSource.read(spark, cfg, Seq("cdc-t0"))
     assert(one.select("topic").distinct().collect().map(_.getString(0)).toSeq == Seq("cdc-t0"))
-    // the topic filter prunes partitions at scan time, not post-scan
+    // the topic filter prunes partitions at scan time, not post-scan: the
+    // scan's PartitionFilters bracket must carry a topic predicate (an
+    // unpruned scan prints "PartitionFilters: []"; Dataset.inputFiles is
+    // no witness — it lists the UNfiltered relation's files)
     val scan = one.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") || one.count() == 1)
+    assert("PartitionFilters: \\[[^\\]]*topic".r.findFirstIn(scan).nonEmpty,
+      s"topic filter did not reach PartitionFilters:\n$scan")
   }
 
   test("TopicSource kafka mode resolves subscribe options and fails fast off-classpath") {
