@@ -682,6 +682,32 @@ object ExtensionQueries {
           max(col("doc_id")).as("max_id")
         )
         .orderBy("source")
+    },
+
+    // JSONL round-trip, per-document: JSONL's entire fidelity risk is
+    // string escaping (newlines, quotes, unicode in text), so the gate
+    // compares an md5 of every document's text after the round-trip —
+    // stronger than the ORC gate's aggregates, pinned row-by-row against
+    // the parquet original in DuckDB.
+    "x_jsonl_roundtrip" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val jlDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-jsonl-${new java.io.File(dir).getName}"
+      ).getAbsolutePath
+      val fp = graft.ext.FixtureCache.fingerprint(d, "jsonl-roundtrip")
+      if (!graft.ext.FixtureCache.matches(jlDir, fp)) {
+        graft.sources.CorpusIO.writeJsonl(d, jlDir)
+        graft.ext.FixtureCache.write(jlDir, fp)
+      }
+      val back = graft.sources.CorpusIO.readJsonl(
+        s, jlDir, graft.sources.CorpusIO.documentsSchema)
+      graft.sources.CorpusIO
+        .validRecords(back)
+        .select(
+          col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1263,6 +1289,9 @@ object ExtensionQueries {
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       count(DISTINCT lang) AS n_langs,
         |       min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "x_jsonl_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
