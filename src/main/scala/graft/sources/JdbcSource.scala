@@ -31,9 +31,12 @@ import graft.Tables
   * Scale shape: Spark's JDBC relation pushes filters and projections to
   * the remote database (the poll predicate `ts > :t OR (ts = :t AND
   * event_id > :i)` becomes the connector's btree index scan, not a table
-  * dump), and `partitionColumn`/`numPartitions` split the read into
-  * parallel range queries — the only way a 1000-executor cluster drains a
-  * large backfill without serializing through one connection.
+  * dump — pinned against a live embedded Derby in JdbcDerbySpec, which
+  * asserts the whole Or(ts>, And(ts=, event_id>)) disjunction lands in
+  * the JDBC scan's PushedFilters), and `partitionColumn`/`numPartitions`
+  * split the read into parallel range queries — the only way a
+  * 1000-executor cluster drains a large backfill without serializing
+  * through one connection.
   */
 object JdbcSource {
 
@@ -75,7 +78,11 @@ object JdbcSource {
     "sqlite" -> "org.sqlite.JDBC",
     "duckdb" -> "org.duckdb.DuckDBDriver",
     "h2" -> "org.h2.Driver",
-    "hive2" -> "org.apache.hive.jdbc.HiveDriver"
+    "hive2" -> "org.apache.hive.jdbc.HiveDriver",
+    // ships in Spark's jars dir — the one subprotocol the zero-egress
+    // build can execute live (JdbcDerbySpec drives the whole jdbc branch
+    // against an embedded jdbc:derby:memory database)
+    "derby" -> "org.apache.derby.jdbc.EmbeddedDriver"
   )
 
   /** `jdbc:postgresql://host/db` → `postgresql`. */

@@ -1,0 +1,246 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.DataFrame
+
+import graft.poll.{IncrementalPoller, PollRunner}
+import graft.poll.IncrementalPoller.Offset
+import graft.sources.JdbcSource
+import graft.sources.JdbcSource.Config
+
+/** Live execution of JdbcSource's jdbc branch. Derby ships in Spark's
+  * jars dir (derby-10.16.1.1.jar), so an embedded `jdbc:derby:memory:`
+  * database exercises the real `format("jdbc")` path offline — the one
+  * branch JdbcSourceSpec could only assert as a resolved plan:
+  *
+  *   - content parity with registry mode (the same events fixture seeded
+  *     through plain JDBC inserts reads back identically),
+  *   - the poll predicate landing in the JDBC scan's `PushedFilters`
+  *     (the "btree index scan, not a table dump" claim in
+  *     JdbcSource's scaladoc, pinned against a live database),
+  *   - partitioned parallel range reads returning the same rows,
+  *   - the WHOLE reference loop with a real database leg: Derby change
+  *     log → JdbcSource → PollRunner multi-cycle poll with offset
+  *     commits and a mid-run restart → envelope → topic layout →
+  *     TopicSource consume → decode → CdcApply replica convergence
+  *     (reference readme.md:42,54 connector cycle; connector.json:4-8
+  *     connection surface).
+  */
+class JdbcDerbySpec extends SparkSpec {
+
+  private val memUrl = "jdbc:derby:memory:graftspec"
+
+  /** One-time embedded database seeded from the events fixture via plain
+    * JDBC inserts — the "source database" every test reads through the
+    * engine's jdbc branch. Quoted-uppercase DDL identifiers so reserved
+    * words (VALUE) can't bite; Spark reads them back uppercase and tests
+    * re-alias to the engine's lowercase contract.
+    */
+  private lazy val seededRows: Long = {
+    requireFixture(sf0001)
+    // keep Derby's log file out of the repo CWD
+    System.setProperty("derby.system.home", tempDir("derby-home"))
+    val rows = Tables.load(spark, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect()
+    val conn = DriverManager.getConnection(s"$memUrl;create=true")
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE EVENTS ("EVENT_ID" BIGINT, "TS" TIMESTAMP, "USER_ID" BIGINT,
+          | "EVENT_TYPE" VARCHAR(64), "VALUE" DOUBLE, "PROPS" VARCHAR(4000))""".stripMargin)
+      st.close()
+      val ps = conn.prepareStatement("INSERT INTO EVENTS VALUES (?, ?, ?, ?, ?, ?)")
+      rows.foreach { r =>
+        (0 until 6).foreach(i => ps.setObject(i + 1, r.get(i)))
+        ps.addBatch()
+      }
+      ps.executeBatch()
+      rows.length.toLong
+    } finally conn.close()
+  }
+
+  private def eventsConfig = Config(url = Some(memUrl), tableWhitelist = Seq("events"))
+
+  /** Derby metadata is uppercase; the engine's column contract is
+    * lowercase. Spark resolution is case-insensitive either way — this
+    * alias exists only so frame-level parity checks compare equal schemas.
+    */
+  private def lowercased(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).as(c.toLowerCase)).toIndexedSeq: _*)
+
+  test("derby subprotocol infers the embedded driver, present on the real classpath") {
+    assert(JdbcSource.driverClassFor(Config(url = Some(memUrl)))
+      .contains("org.apache.derby.jdbc.EmbeddedDriver"))
+    assert(JdbcSource.driverOnClasspath("org.apache.derby.jdbc.EmbeddedDriver"))
+  }
+
+  test("jdbc mode executes a live read with content parity against registry mode") {
+    assert(seededRows > 0)
+    val viaJdbc = lowercased(JdbcSource.read(spark, eventsConfig, "events"))
+    val viaRegistry = JdbcSource.read(
+      spark, Config(url = None, registryDir = Some(sf0001)), "events")
+    assert(viaJdbc.count() == seededRows && viaRegistry.count() == seededRows)
+    // exact parity both directions: timestamps (µs), doubles, and the JSON
+    // props strings must all survive the JDBC round trip bit-for-bit
+    assert(viaJdbc.exceptAll(viaRegistry).isEmpty)
+    assert(viaRegistry.exceptAll(viaJdbc).isEmpty)
+  }
+
+  test("the poll predicate is pushed to the remote database (PushedFilters)") {
+    assert(seededRows > 0)
+    val rel = JdbcSource.read(spark, eventsConfig, "events")
+    val registry = JdbcSource.read(
+      spark, Config(url = None, registryDir = Some(sf0001)), "events")
+    val mid = registry.orderBy(col("ts"), col("event_id"))
+      .select("ts", "event_id").collect()(seededRows.toInt / 2)
+    val off = Offset(mid.getTimestamp(0), mid.getLong(1))
+
+    val polled = IncrementalPoller.poll(rel, off)
+    val plan = polled.queryExecution.executedPlan.toString()
+    // the whole lexicographic disjunction must reach the JDBC relation —
+    // Or(ts >, And(ts =, event_id >)) — not be evaluated Spark-side after
+    // a full table dump
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters"))
+      .getOrElse(fail(s"no PushedFilters in plan:\n$plan"))
+    assert(pushed.toUpperCase.contains("TS"), pushed)
+    assert(pushed.toUpperCase.contains("EVENT_ID"), pushed)
+    assert(pushed.toUpperCase.contains("OR("), pushed)
+
+    // and the pushed read returns exactly the registry-mode tail
+    val expected = IncrementalPoller.poll(registry, off)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val got = polled.select(col("EVENT_ID")).collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.size == seededRows.toInt - seededRows.toInt / 2 - 1)
+  }
+
+  test("partitioned parallel range reads return the same rows") {
+    assert(seededRows > 0)
+    val single = lowercased(JdbcSource.read(spark, eventsConfig, "events"))
+    val maxId = single.agg(max("event_id")).collect()(0).getLong(0)
+    val parallel = lowercased(JdbcSource.read(
+      spark,
+      eventsConfig.copy(
+        partitionColumn = Some("EVENT_ID"), lowerBound = Some("0"),
+        upperBound = Some(maxId.toString), numPartitions = Some(4)),
+      "events"))
+    assert(parallel.rdd.getNumPartitions == 4)
+    assert(parallel.count() == seededRows)
+    assert(parallel.exceptAll(single).isEmpty)
+  }
+
+  // --- the full reference loop against a real database --------------------
+
+  private val payloadSchema = StructType(Seq(
+    StructField("rid", LongType), StructField("user_id", LongType),
+    StructField("cents", LongType)))
+
+  private val messageSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("operation", StringType),
+    StructField("before", StringType),
+    StructField("after", StringType)))
+
+  /** The synthetic change log the loop replicates (the applyFixture shape:
+    * op classed from event_type, integer-cents payloads so the JSON text
+    * is exact), ordered by the poll's lexicographic (ts, event_id) key so
+    * sequential inserts always land after the committed offset.
+    */
+  private def changeLog(): DataFrame = {
+    val payload = to_json(struct(
+      (col("event_id") % 211).as("rid"),
+      col("user_id"),
+      round(col("value") * 100).cast("long").as("cents")))
+    Tables.load(spark, sf0001, "events").select(
+      col("ts"),
+      col("event_id"),
+      when(col("event_type") === "signup", "INSERT")
+        .when(col("event_type") === "error", "DELETE")
+        .otherwise("UPDATE").as("operation"),
+      when(col("event_type") === "signup", lit(null).cast("string"))
+        .otherwise(payload).as("before"),
+      when(col("event_type") === "error", lit(null).cast("string"))
+        .otherwise(payload).as("after"))
+  }
+
+  test("reference loop e2e: Derby log → poll cycles with restart → topic → replica") {
+    assert(seededRows > 0) // brings up the in-memory database
+    val conn = DriverManager.getConnection(memUrl)
+    val insert = try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE EVENT_LOG ("TS" TIMESTAMP, "EVENT_ID" BIGINT,
+          | "OPERATION" VARCHAR(10), "BEFORE" VARCHAR(4000), "AFTER" VARCHAR(4000))""".stripMargin)
+      st.close()
+      conn.prepareStatement("INSERT INTO EVENT_LOG VALUES (?, ?, ?, ?, ?)")
+    } catch { case e: Throwable => conn.close(); throw e }
+
+    try {
+      val log = changeLog()
+      val allRows = log.orderBy(col("ts"), col("event_id")).collect()
+      val slices = Seq(
+        allRows.slice(0, allRows.length / 3),
+        allRows.slice(allRows.length / 3, 2 * allRows.length / 3),
+        allRows.slice(2 * allRows.length / 3, allRows.length))
+
+      val offsetDir = tempDir("derby-offsets")
+      val topicDir = tempDir("derby-topic")
+      val cfg = Config(url = Some(memUrl), tableWhitelist = Seq("event_log"))
+      // re-resolved per poll: each cycle re-executes the JDBC read, so
+      // rows committed to the source between cycles appear — the live
+      // analogue of the connector's repeated poll query
+      val relations = Map("event_log" ->
+        lowercased(JdbcSource.read(spark, cfg, "event_log")))
+      def deliver(name: String, enveloped: DataFrame): Unit =
+        enveloped.select("topic", "key", "value")
+          .write.mode("append").partitionBy("topic").parquet(topicDir)
+      val initial = Offset.initial("2020-01-01T00:00:00Z")
+
+      def insertSlice(rows: Array[org.apache.spark.sql.Row]): Unit = {
+        rows.foreach { r =>
+          (0 until 5).foreach(i => insert.setObject(i + 1, r.get(i)))
+          insert.addBatch()
+        }
+        insert.executeBatch()
+      }
+
+      // cycles 1-2 under one runner instance
+      val runner1 = new PollRunner(spark, offsetDir, initial)
+      insertSlice(slices(0))
+      val n1 = runner1.pollOnce(relations)(deliver)("event_log")
+      insertSlice(slices(1))
+      val n2 = runner1.pollOnce(relations)(deliver)("event_log")
+      // mid-run restart: a NEW runner must resume from the committed
+      // offset files, not re-deliver cycles 1-2
+      val runner2 = new PollRunner(spark, offsetDir, initial)
+      insertSlice(slices(2))
+      val n3 = runner2.pollOnce(relations)(deliver)("event_log")
+      // a drained source delivers nothing (offset really advanced)
+      val n4 = runner2.pollOnce(relations)(deliver)("event_log")
+
+      assert(Seq(n1, n2, n3) == slices.map(_.length.toLong))
+      assert(n4 == 0L)
+
+      // consume the topic and converge the replica
+      val consumed = graft.sources.TopicSource.read(
+        spark,
+        graft.sources.TopicSource.Config(brokers = None, path = topicDir),
+        Seq("cdc-event_log"))
+      assert(consumed.count() == allRows.length.toLong) // exactly-once across the restart
+      val replayed = graft.sources.TopicSource.decode(consumed, messageSchema)
+      val snapshot = spark.range(211).select(
+        col("id").as("rid"), lit(-1L).as("user_id"), lit(0L).as("cents"))
+      val replica = graft.capture.CdcApply
+        .applyLog(snapshot, replayed, Seq("rid"), payloadSchema)
+      val expected = graft.capture.CdcApply
+        .applyLog(snapshot, log, Seq("rid"), payloadSchema)
+      assert(replica.exceptAll(expected).isEmpty && expected.exceptAll(replica).isEmpty)
+    } finally {
+      insert.close()
+      conn.close()
+    }
+  }
+}
