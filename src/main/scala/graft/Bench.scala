@@ -49,8 +49,21 @@ object Bench {
       java.nio.file.Files.createTempDirectory("graft_bench_ivf").toString)
     // optional comma-separated subset for local iteration (shared knob)
     val only = SparkEntry.querySubset
+    // x_dedup_embedding is the documented all-pairs ORACLE BASELINE — a
+    // genuine CartesianProduct, allowlisted with rationale in PlanSpec (the
+    // gated production path is x_dedup_embedding_lsh). Its pair count grows
+    // quadratically, so above sf0.1 it would dominate the whole suite;
+    // cap it to oracle scale instead of letting a future sf1 run time it.
+    val sfValue = "sf([0-9.]+)".r.findFirstMatchIn(new java.io.File(sfDir).getName)
+      .map(_.group(1).toDouble)
+    val quadraticOracleOnly = Set("x_dedup_embedding")
+    val skipQuadratic = sfValue.forall(_ > 0.1)
+    if (skipQuadratic)
+      System.err.println(s"[bench] skipping ${quadraticOracleOnly.mkString(",")}: " +
+        "all-pairs oracle baseline capped to <= sf0.1 (see PlanSpec allowlist)")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filterNot { case (n, _) => skipQuadratic && quadraticOracleOnly(n) }
     // best-of-2 per query: the first execution of a plan pays Janino
     // compilation + JIT warmup (and occasionally a noisy neighbor — this
     // host showed 2-10x swings round 1); the min of two runs reflects the

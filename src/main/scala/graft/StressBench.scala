@@ -60,7 +60,9 @@ object StressBench {
           .when(col("k") === 1,
             concat(
               array(element_at(col("embedding"), 1) * lit(1.05f)),
-              slice(col("embedding"), 2, 63)))
+              // length-agnostic tail — a hardcoded 63 would silently
+              // truncate replica-1 vectors on a non-64-dim corpus
+              slice(col("embedding"), lit(2), size(col("embedding")) - 1)))
           .otherwise(
             // bend replicas >=2 off-axis: flip signs on a k-dependent
             // (period, phase) stripe — period (k mod 7)+2, phase shifted

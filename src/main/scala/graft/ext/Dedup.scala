@@ -589,12 +589,19 @@ object Dedup {
     * candidate iff ANY block matches exactly. Pigeonhole: signatures
     * within Hamming `numBlocks - 1` of each other MUST agree on at least
     * one block, so recall is structural for low-Hamming pairs — a cos-θ
-    * pair disagrees per plane w.p. θ/π, so true near-dups (cos ≥ 0.9 →
-    * θ/π ≤ 0.14) land within the guaranteed radius with overwhelming
-    * probability, while far pairs share a block rarely (2^-bitsPerBlock
-    * per block for random signs). Survivors are exact-cosine-verified, so
-    * the OUTPUT is hash-independent whenever recall holds — the same
-    * oracle contract as the MinHash path.
+    * pair disagrees per plane w.p. θ/π — while far pairs share a block
+    * rarely (2^-bitsPerBlock per block for random signs). Recall at the
+    * boundary is probabilistic, not guaranteed: at the defaults
+    * (numPlanes=64, numBlocks=8 → radius 7) a pair at exactly cos = 0.9
+    * has expected signature Hamming ≈ 64·acos(0.9)/π ≈ 9.2, outside the
+    * guaranteed radius, and its any-block-match probability is only
+    * ~93% — pairs just above the threshold can be missed. True
+    * near-duplicates (cos ≥ 0.95, Hamming ≈ 0-6) are caught with
+    * overwhelming probability; raise `numBlocks` (wider radius, more
+    * candidates) when strict near-threshold recall matters. Survivors
+    * are exact-cosine-verified, so the OUTPUT is hash-independent
+    * WHENEVER RECALL HOLDS — the same oracle contract as the MinHash
+    * path, with the same boundary caveat.
     *
     * Scale shape: one codegen'd signature pass, a `numBlocks`× map-side
     * explode, one equi-join on (block, value) — never all-pairs. The

@@ -307,7 +307,10 @@ object ExtensionQueries {
           (col("vec_id") + 1000000L).as("vec_id"),
           concat(
             array(element_at(col("embedding"), 1) * lit(1.05f)),
-            slice(col("embedding"), 2, 63)).as("embedding"))
+            // length-agnostic tail (mirrors the oracle's open-ended
+            // embedding[2:]) — a hardcoded 63 would silently truncate
+            // any non-64-dim corpus
+            slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
       val corpus = e.select("vec_id", "embedding").unionByName(copies)
       Dedup
         .embeddingNearDupPairsLsh(corpus, "vec_id", "embedding", threshold = 0.9)

@@ -31,6 +31,28 @@ object JsonEnvelope {
     case _             => "string"
   }
 
+  /** JSON string-literal escape for identifiers interpolated into the
+    * static schema block. Field and relation names are caller-supplied, so
+    * a name containing `"`, `\` or a control char must not break the
+    * emitted JSON (the engine's own schemas never hit this; hostile DDL
+    * could).
+    */
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '"'            => sb.append("\\\"")
+      case '\\'           => sb.append("\\\\")
+      case '\b'           => sb.append("\\b")
+      case '\f'           => sb.append("\\f")
+      case '\n'           => sb.append("\\n")
+      case '\r'           => sb.append("\\r")
+      case '\t'           => sb.append("\\t")
+      case c if c < 0x20  => sb.append(f"\\u${c.toInt}%04x")
+      case c              => sb.append(c)
+    }
+    sb.toString
+  }
+
   /** Render the static `schema` block for a relation's StructType, in the
     * shape JsonConverter emits: `{"type":"struct","fields":[...],
     * "optional":false,"name":...}`.
@@ -38,10 +60,10 @@ object JsonEnvelope {
   def schemaBlock(schema: StructType, name: String): String = {
     val fields = schema.fields
       .map { f =>
-        s"""{"type":"${connectType(f.dataType)}","optional":${f.nullable},"field":"${f.name}"}"""
+        s"""{"type":"${connectType(f.dataType)}","optional":${f.nullable},"field":"${jsonEscape(f.name)}"}"""
       }
       .mkString("[", ",", "]")
-    s"""{"type":"struct","fields":$fields,"optional":false,"name":"$name"}"""
+    s"""{"type":"struct","fields":$fields,"optional":false,"name":"${jsonEscape(name)}"}"""
   }
 
   /** Encode rows of `df` as Connect envelopes in column `value`.

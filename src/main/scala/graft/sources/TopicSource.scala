@@ -118,11 +118,24 @@ object TopicSource {
     * Connect consumers the reference shows do the same), false parses
     * the bare payload. One `from_json` either way — the decode stage
     * stays inside WholeStageCodegen like the encode stage.
+    *
+    * `strict` (default true) turns a producer/consumer `schemas`
+    * mismatch into an error instead of silent nulls: `from_json` runs
+    * PERMISSIVE, so decoding payload-only messages with `schemas=true`
+    * (or enveloped messages with `schemas=false`) would otherwise yield
+    * all-null payload fields that corrupt downstream state (e.g.
+    * [[graft.capture.CdcApply]]) without a trace. The check is one
+    * codegen'd null test per row: the wrapper's `payload` field is null
+    * (schemas=true), or every payload field decoded null while the
+    * message itself is non-null (schemas=false — an all-null payload row
+    * is indistinguishable from a mismatch, so producers of genuinely
+    * all-null payloads must pass strict=false).
     */
   def decode(
       messages: DataFrame,
       payloadSchema: StructType,
-      schemas: Boolean = true
+      schemas: Boolean = true,
+      strict: Boolean = true
   ): DataFrame = {
     val passthroughNames = messages.columns.filter(_ != "value").toSeq
     val clash = payloadSchema.fieldNames.toSet.intersect(passthroughNames.toSet)
@@ -132,11 +145,29 @@ object TopicSource {
         "drop or rename the message columns before decode, or the result has " +
         "ambiguous duplicate names")
     val passthrough = passthroughNames.map(col)
-    val decoded =
+    val parsed =
       if (schemas)
         from_json(col("value"), new StructType().add("payload", payloadSchema))
           .getField("payload")
       else from_json(col("value"), payloadSchema)
+    val decoded =
+      if (!strict) parsed
+      else {
+        val mismatch =
+          if (schemas) col("value").isNotNull && parsed.isNull
+          else
+            col("value").isNotNull &&
+              payloadSchema.fieldNames
+                .map(f => parsed.getField(f).isNull)
+                .reduce(_ && _)
+        when(
+          mismatch,
+          raise_error(concat(
+            lit(s"TopicSource.decode(schemas=$schemas): message did not decode — " +
+              "producer/consumer schemas setting mismatch? value: "),
+            col("value")))
+        ).otherwise(parsed)
+      }
     val payloadCols =
       payloadSchema.fieldNames.map(f => decoded.getField(f).as(f)).toSeq
     messages.select(passthrough ++ payloadCols: _*)

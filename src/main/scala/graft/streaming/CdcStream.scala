@@ -127,6 +127,42 @@ object CdcStream {
     * between the two renames degrades to replaying one batch, never to
     * silently restarting from empty).
     */
+  /** Guard against mixing rollup-state key formats across builds: the
+    * upsert key changed from `unix_timestamp` seconds to `unix_micros`
+    * (v2) — replaying onto an old-format table would silently DUPLICATE
+    * every window, because second-keys never match µs-keys in the
+    * replace-by-key anti join. The format is stamped beside the state
+    * dir on first write and verified on every upsert; a table that
+    * predates the stamp must be rebuilt, not mixed.
+    */
+  private def verifyStateKeyFormat(
+      spark: SparkSession, statePath: String, fmt: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(s"$statePath.keyfmt")
+    val live = new Path(statePath)
+    val bak = new Path(s"$statePath.bak")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val got =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (got != fmt)
+        throw new IllegalStateException(
+          s"rollup state at $statePath is keyed '$got' but this build writes " +
+            s"'$fmt' — rebuild the state table (delete $statePath*) instead of " +
+            "mixing key formats, which would duplicate windows silently")
+    } else if (fs.exists(live) || fs.exists(bak)) {
+      throw new IllegalStateException(
+        s"rollup state at $statePath predates the key-format stamp (expected " +
+          s"'$fmt') — it was written by an earlier build with second-resolution " +
+          s"keys; rebuild it (delete $statePath*) instead of mixing key formats")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(fmt.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   private def readState(spark: SparkSession, statePath: String): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
     val live = new Path(statePath)
@@ -230,6 +266,7 @@ object CdcStream {
     agg.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
+        verifyStateKeyFormat(spark, statePath, "win_start:unix_micros:v2")
         val changed = batch.toDF().cache()
         try {
           val next = readState(spark, statePath) match {

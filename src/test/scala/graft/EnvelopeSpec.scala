@@ -23,6 +23,25 @@ class EnvelopeSpec extends SparkSpec {
     assert(block.contains(""""name":"rel""""))
   }
 
+  test("schema block escapes hostile field and relation names (valid JSON out)") {
+    val hostile = StructType(Seq(
+      StructField("""evil"name""", StringType, nullable = true),
+      StructField("tab\tnewline\nback\\slash", LongType, nullable = false)
+    ))
+    val block = JsonEnvelope.schemaBlock(hostile, """rel"with\quotes""")
+    // parse it back: from_json returns non-null iff the JSON is well-formed
+    val parsed = spark.range(1).select(
+      get_json_object(lit(block), "$.type").as("t"),
+      get_json_object(lit(block), "$.name").as("n"),
+      get_json_object(lit(block), "$.fields[0].field").as("f0"),
+      get_json_object(lit(block), "$.fields[1].field").as("f1")
+    ).head()
+    assert(parsed.getString(0) == "struct")
+    assert(parsed.getString(1) == """rel"with\quotes""")
+    assert(parsed.getString(2) == """evil"name""")
+    assert(parsed.getString(3) == "tab\tnewline\nback\\slash")
+  }
+
   test("envelope value is parseable JSON with schema and payload blocks") {
     val df = Seq((1L, "click")).toDF("event_id", "event_type")
     val value = JsonEnvelope.encode(df, "event_log").select("value").as[String].head()
