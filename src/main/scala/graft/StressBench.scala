@@ -3,15 +3,15 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.Dedup
+import graft.ext.{Dedup, Similarity}
 
-/** Scale stress for the dedup family: the candidate-bounding knobs
-  * (`maxShingleDf`, MinHash banding, SimHash block multiprobe, SRP-LSH
-  * blocks, the adaptive clustering threshold) have only ever run at
-  * sf0.1 — this main pins that the candidate FILTERS, not small data,
-  * carry the scale story, by running the same operators on a 10×
-  * synthetic expansion of the sf0.1 corpus and checking per-op time
-  * stays within ~2× of linear.
+/** Scale stress for the dedup + similarity families: the
+  * candidate-bounding knobs (`maxShingleDf`, MinHash banding, SimHash
+  * block multiprobe, SRP-LSH blocks, the adaptive clustering threshold,
+  * the ANN bucket/probe counts) have only ever run at sf0.1 — this main
+  * pins that the candidate FILTERS, not small data, carry the scale
+  * story, by running the same operators on a 10× synthetic expansion of
+  * the sf0.1 corpus and checking per-op time stays within ~2× of linear.
   *
   * Corpus: every document replicated `Replicas` times with deterministic
   * word-level mutations — replica 1 appends one sentinel word (a true
@@ -106,6 +106,26 @@ object StressBench {
       Dedup.embeddingNearDupPairsLsh(embs, "vec_id", "embedding", 0.9).count())
   )
 
+  /** ANN probe paths at fixed query count and growing corpus — the shape
+    * a deployment has (queries arrive at their own rate; the corpus is
+    * what scales). The IVF index is pre-built per corpus OUTSIDE the
+    * timed window (an index is amortized over every probe, the Bench
+    * convention); LSH re-buckets the corpus inside the op, so its timing
+    * includes the one codegen'd signature pass — still linear work.
+    */
+  private def simOps(
+      queries: DataFrame,
+      embs: DataFrame,
+      ivfIndexed: DataFrame,
+      ivfCentroids: DataFrame): Seq[(String, () => Long)] = Seq(
+    "sim_lsh_topk" -> (() =>
+      Similarity.lshTopK(embs, queries, "vec_id", "embedding", k = 5,
+        numPlanes = 8, multiProbeBits = 1).count()),
+    "sim_ivf_topk" -> (() =>
+      Similarity.ivfTopK(ivfIndexed, ivfCentroids, queries, "vec_id", "embedding",
+        k = 5, nProbe = 4).count())
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -129,13 +149,27 @@ object StressBench {
     val docs10 = spark.read.parquet(s"$work/docs10")
     val embs10 = spark.read.parquet(s"$work/embs10")
 
+    // fixed query set for the ANN probes (corpus scales, queries don't)
+    val queries = embs1.where(col("vec_id") < 10)
+    // IVF indexes pre-built per corpus, partitioned by centroid_id so the
+    // probe join prunes to probed centroids' partitions (the cached-index
+    // layout the gate reads)
+    def buildIvf(e: DataFrame, path: String): (DataFrame, DataFrame) = {
+      val (indexed, centroids) = Similarity.ivfIndex(e, "vec_id", "embedding", nCentroids = 16)
+      indexed.write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/indexed")
+      centroids.write.mode("overwrite").parquet(s"$path/centroids")
+      (spark.read.parquet(s"$path/indexed"), spark.read.parquet(s"$path/centroids"))
+    }
+    val (ivfIdx1, ivfCen1) = buildIvf(embs1, s"$work/ivf1")
+    val (ivfIdx10, ivfCen10) = buildIvf(embs10, s"$work/ivf10")
+
     // min of `Runs` timings per op (the graft.Bench convention): the
     // heavy candidate stages are GC-luck-sensitive (simhash at 10×
     // swung 22-92 s single-shot), and the minimum is the steady-state
     // cost the scaling claim is about
     val Runs = 2
-    def runAll(d: DataFrame, e: DataFrame): Seq[(String, Long, Double)] =
-      ops(d, e).map { case (name, f) =>
+    def runAll(opList: Seq[(String, () => Long)]): Seq[(String, Long, Double)] =
+      opList.map { case (name, f) =>
         val timings = (1 to Runs).map { _ =>
           // the dedup ops cache sketch/shingle frames internally for
           // their own multi-scan plans; dropping them between runs keeps
@@ -147,11 +181,14 @@ object StressBench {
         (name, timings.head._1, timings.map(_._2).min)
       }
 
-    // warm (JIT, codegen, file index) once with the small corpus, untimed
-    ops(docs1, embs1).foreach { case (_, f) => f(); () }
+    def opsAt(d: DataFrame, e: DataFrame, idx: DataFrame, cen: DataFrame) =
+      ops(d, e) ++ simOps(queries, e, idx, cen)
 
-    val base = runAll(docs1, embs1)
-    val big = runAll(docs10, embs10)
+    // warm (JIT, codegen, file index) once with the small corpus, untimed
+    opsAt(docs1, embs1, ivfIdx1, ivfCen1).foreach { case (_, f) => f(); () }
+
+    val base = runAll(opsAt(docs1, embs1, ivfIdx1, ivfCen1))
+    val big = runAll(opsAt(docs10, embs10, ivfIdx10, ivfCen10))
     val rows1 = docs1.count(); val rows10 = docs10.count()
 
     val per = base.zip(big).map { case ((n, c1, s1), (_, c10, s10)) =>

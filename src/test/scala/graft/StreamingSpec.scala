@@ -225,6 +225,93 @@ class StreamingSpec extends SparkSpec {
     } finally { ev.unpersist(); () }
   }
 
+  test("continuous aggregate: mid-stream stop + checkpoint restart converges to the batch oracle") {
+    val ev = Tables.load(spark, sf0001, "events").limit(600).cache()
+    try {
+      val total = ev.count()
+      val dataDir = tempDir("caggrs-data") + "/d"
+      val statePath = tempDir("caggrs-state") + "/rollup"
+      val checkpoint = tempDir("caggrs-ckpt")
+      // six time-ordered file groups, one micro-batch each
+      // (maxFilesPerTrigger=1), so the stop below lands between batches
+      // with real input still unread — a restart that re-scanned from
+      // zero or dropped the committed offset would diverge
+      val cuts = ev.agg(
+        expr("percentile(unix_micros(ts), array(1D/6, 2D/6, 3D/6, 4D/6, 5D/6))")).head()
+        .getSeq[Double](0).map(_.toLong)
+      val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+      bounds.sliding(2).foreach { case Seq(lo, hi) =>
+        ev.where(unix_micros($"ts") > lo && unix_micros($"ts") <= hi)
+          .coalesce(1).write.mode("append").parquet(dataDir)
+      }
+      def stream() = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dataDir)
+      val fast = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds")
+      val q1 = graft.streaming.CdcStream.continuousAggregate(
+        stream(), "ts", "1 hour", "2 hours", "event_type", statePath, checkpoint, fast)
+      // stop as soon as the first batch has committed — mid-stream, maybe
+      // mid-batch (swapState is atomic, the upsert idempotent, so a
+      // half-finished trigger must be safe to replay)
+      val t0 = System.nanoTime()
+      while (q1.recentProgress.map(_.numInputRows).sum < 1 && System.nanoTime() - t0 < 60e9)
+        Thread.sleep(50)
+      q1.stop(); q1.awaitTermination()
+      val processed1 = q1.recentProgress.map(_.numInputRows).sum
+      assert(processed1 >= 1, "first run must commit at least one batch")
+      assert(processed1 < total, "the stop must leave unprocessed input for the restart")
+      // restart from the SAME checkpoint: resumes at the committed offset
+      // and must converge the rollup to the batch aggregate
+      val q2 = graft.streaming.CdcStream.continuousAggregate(
+        stream(), "ts", "1 hour", "2 hours", "event_type", statePath, checkpoint, fast)
+      q2.processAllAvailable(); q2.stop()
+      val got = spark.read.parquet(statePath)
+      val expected = ev
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+        .select(unix_micros($"w.start").as("win_start"), $"event_type", $"n", $"total")
+      assert(got.count() == expected.count())
+      val joined = got.as("g").join(expected.as("e"), Seq("win_start", "event_type"), "full_outer")
+        .select($"g.n".as("gn"), $"e.n".as("en"), $"g.total".as("gt"), $"e.total".as("et"))
+        .collect()
+      joined.foreach { r =>
+        assert(!r.isNullAt(0) && !r.isNullAt(1), s"window lost across the restart: $r")
+        assert(r.getLong(0) == r.getLong(1), s"count mismatch after restart: $r")
+        assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-6, s"total mismatch after restart: $r")
+      }
+    } finally { ev.unpersist(); () }
+  }
+
+  test("continuous aggregate refuses a state table with an unknown key format") {
+    val ev = Tables.load(spark, sf0001, "events").limit(50).cache()
+    try {
+      val dataDir = tempDir("caggkf-data") + "/d"
+      val statePath = tempDir("caggkf-state") + "/rollup"
+      ev.write.parquet(dataDir)
+      // a pre-existing state table with NO format stamp — the shape an
+      // earlier build (second-resolution win_start keys) leaves behind
+      spark.range(1).select(
+        lit(1700000000L).as("win_start"), lit("click").as("event_type"),
+        lit(1L).as("n"), lit(1.0).as("total")).write.parquet(statePath)
+      val stream = spark.readStream.schema(ev.schema).parquet(dataDir)
+      val q = graft.streaming.CdcStream.continuousAggregate(
+        stream, "ts", "1 hour", "2 hours", "event_type", statePath,
+        tempDir("caggkf-ckpt"),
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable(); q.awaitTermination()
+      }
+      q.stop()
+      def causes(t: Throwable): Iterator[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      assert(causes(e).exists(c =>
+        c.isInstanceOf[IllegalStateException] &&
+          c.getMessage.contains("predates the key-format stamp")),
+        s"expected the key-format guard to fire, got: $e")
+      // the unstamped old state must be left untouched, not mixed into
+      assert(spark.read.parquet(statePath).count() == 1)
+    } finally { ev.unpersist(); () }
+  }
+
   test("continuous aggregate recovers prior rollups from a mid-swap crash (.bak fallback)") {
     val ev = Tables.load(spark, sf0001, "events").limit(400).cache()
     try {
