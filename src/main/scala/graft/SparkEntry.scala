@@ -59,6 +59,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ RelationalQueries.oracles ++ ExtensionQueries.oracles
 
+  /** Oracle-side expected tables for gates whose check DuckDB cannot
+    * compute itself (e.g. xxhash64). Verify materializes each under
+    * `<outDir>.expected/<name>`; the oracle SQL reads it back via the
+    * `{GRAFT_EXPECTED}` placeholder.
+    */
+  def expectedTables: Map[String, (SparkSession, String) => DataFrame] =
+    ExtensionQueries.expectedTables
+
   /** Local-iteration subset knob shared by Bench and Verify: either
     * SPARK_GRAFT_ONLY or SPARK_GRAFT_QUERIES (aliases, trimmed, empty
     * names dropped). The driver sets neither, so both mains always cover

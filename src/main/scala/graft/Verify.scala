@@ -34,6 +34,22 @@ object Verify {
       // leftovers accumulate memory pressure across the dump
       spark.catalog.clearCache()
     }
+    // expected tables for oracles DuckDB cannot compute itself: computed
+    // by an INDEPENDENT implementation (never the gated code path) and
+    // materialized where the {GRAFT_EXPECTED} oracle SQL will read them —
+    // a SIBLING dir of the dump, so the driver's "results without an
+    // oracle" scan over outDir subdirs never mistakes them for queries
+    val absOut = new java.io.File(outDir).getAbsolutePath
+    val expectedDir = s"$absOut.expected"
+    SparkEntry.expectedTables
+      .filter { case (name, _) => selected.contains(name) }
+      .foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$expectedDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] expected table for $name failed: ${e.getMessage}")
+        }
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -47,7 +63,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{GRAFT_EXPECTED}", expectedDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

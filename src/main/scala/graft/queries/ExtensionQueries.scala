@@ -427,10 +427,13 @@ object ExtensionQueries {
     },
 
     // the PRODUCTION fingerprint (xxhash64, 8-byte payload, codegen'd) —
-    // no oracle (xxhash64 has no DuckDB twin; ExtSpec pins its stability
-    // and its parity with the built-in composition), benched so the path
-    // users actually run keeps a number beside its md5-portable gate twin,
-    // same precedent as q_approx_distinct_sketch
+    // gated against a pinned expected table: DuckDB has no xxhash64, so
+    // Verify materializes min(XxHash64Ref(shingle)) per document (an
+    // independent spec-derived XXH64, functions/XxHash64Ref.scala) under
+    // the {GRAFT_EXPECTED} sibling dir and the oracle reads it back. The
+    // shingle pipeline feeding both sides is DuckDB-proven by the
+    // md5-portable twin above; this closes the remaining link — the
+    // 64-bit hash values themselves.
     "x_text_fingerprint_prod" -> { (s, dir) =>
       TextOps
         .fingerprints(docs(s, dir), "doc_id", "text", 5)
@@ -501,7 +504,15 @@ object ExtensionQueries {
       Multimodal
         .extractFeaturesReal(media)
         .toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
+        // checksum IS the decoded content (pixel/sample/frame sums); the
+        // oracle reproduces it in closed form from the fixture's LCG —
+        // pixel i of seed s is ((A^i·s + C·Σ A^j) >>> 40) masked, so a
+        // recursive CTE of affine-map powers lets DuckDB compute every
+        // decoded sum without any codec. n_bytes stays out of the gate:
+        // PNG/deflate byte length is not SQL-derivable (byte counts are
+        // gated by x_multimodal_meta; n_bytes + mean features keep their
+        // ExtSpec coverage).
+        .select(col("media_id"), col("kind"), col("checksum"))
         .orderBy("media_id")
     },
 
@@ -772,6 +783,38 @@ object ExtensionQueries {
        |WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.4
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Oracle-side EXPECTED tables for gates whose check DuckDB cannot
+    * compute itself. Verify materializes each under
+    * `<outDir>.expected/<name>` (a sibling of the dump dir, so the
+    * driver's no-oracle scan never mistakes it for a query result) and
+    * the matching oracle SQL reads it back via the `{GRAFT_EXPECTED}`
+    * placeholder, substituted at dump time. The expected computation must be independent
+    * of the code path under test — here: the engine's shingler (itself
+    * DuckDB-proven by the md5-portable `x_text_fingerprint` twin) hashed
+    * with the spec-derived [[graft.functions.XxHash64Ref]] instead of
+    * Spark's XXH64, min per document, nulls for shingle-less docs
+    * (matching `array_min` of an empty array).
+    */
+  val expectedTables: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_fingerprint_prod" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      docs(s, dir)
+        .select(
+          col("doc_id").cast("long").as("id"),
+          graft.functions.GraftFunctions.word_shingles(col("text"), 5).as("sh"))
+        .as[(Long, Seq[String])]
+        .map { case (id, sh) =>
+          val fp =
+            if (sh == null || sh.isEmpty) None
+            else Some(sh.iterator.map(graft.functions.XxHash64Ref.hashString(_)).min)
+          (id, fp)
+        }
+        .toDF("doc_id", "fp")
+        .orderBy("doc_id")
+    }
+  )
+
   val oracles: Map[String, String] = Map(
     // chunk keep-first re-derived with a window rank over (doc_id, idx) —
     // the declarative spec of the engine's groupBy-min + join-back plan
@@ -974,6 +1017,13 @@ object ExtensionQueries {
         |            WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // reads the Verify-materialized expected table (independent
+    // spec-derived XXH64 over the proven shingle pipeline — see
+    // expectedTables); {GRAFT_EXPECTED} resolves at dump time
+    "x_text_fingerprint_prod" ->
+      """SELECT doc_id, fp
+        |FROM read_parquet('{GRAFT_EXPECTED}/x_text_fingerprint_prod/*.parquet')
+        |ORDER BY doc_id""".stripMargin,
     "x_text_fingerprint" ->
       s"""$shingleSql
          |SELECT doc_id,
@@ -1066,6 +1116,69 @@ object ExtensionQueries {
         |       CAST(8000 AS INT) AS sample_rate,
         |       CAST(((1 + n_chars % 4001) * 1000) // 8000 AS BIGINT) AS duration_ms_decoded
         |FROM documents ORDER BY media_id""".stripMargin,
+    // the decoded-content checksums in closed form: the fixture's pixel /
+    // sample streams are an LCG (s' = s·A + C mod 2^64; value =
+    // (s >>> 40) masked), so a recursive CTE of affine-map powers
+    // (a_k, b_k) with f^k(seed) = a_k·seed + b_k lets DuckDB reproduce
+    // every decoded sum — image pixel i uses f^(i+2)(doc_id), audio
+    // sample i uses f^(i+2)(doc_id) as a SIGNED 16-bit value, video frame
+    // j reseeds at doc_id·131 + j. This cross-checks the whole real
+    // encode→decode path (PNG/WAV/GRVI) against pure integer arithmetic.
+    "x_multimodal_features" ->
+      """WITH RECURSIVE aff(k, a, b) AS (
+        |  SELECT 1,
+        |         CAST(6364136223846793005 AS HUGEINT),
+        |         CAST(1442695040888963407 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT k + 1,
+        |         (a * 6364136223846793005) % 18446744073709551616,
+        |         (b * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM aff WHERE k < 4002
+        |),
+        |imgs AS (
+        |  SELECT doc_id AS media_id,
+        |         (1 + n_chars % 64) * (1 + n_chars % 48) AS n
+        |  FROM documents WHERE doc_id % 3 = 0
+        |),
+        |img_sum AS (
+        |  SELECT media_id, 'image' AS kind,
+        |         CAST(SUM(((aff.a * media_id + aff.b) % 18446744073709551616
+        |               // 1099511627776) % 16777216) AS BIGINT) AS checksum
+        |  FROM imgs JOIN aff ON aff.k BETWEEN 2 AND n + 1
+        |  GROUP BY media_id
+        |),
+        |auds AS (
+        |  SELECT doc_id AS media_id, 1 + n_chars % 4001 AS n
+        |  FROM documents WHERE doc_id % 3 = 1
+        |),
+        |aud_sum AS (
+        |  SELECT media_id, 'audio' AS kind,
+        |         CAST(SUM(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS BIGINT) AS checksum
+        |  FROM (
+        |    SELECT media_id,
+        |           ((aff.a * media_id + aff.b) % 18446744073709551616
+        |            // 1099511627776) % 65536 AS v
+        |    FROM auds JOIN aff ON aff.k BETWEEN 2 AND n + 1
+        |  ) GROUP BY media_id
+        |),
+        |vids AS (
+        |  SELECT doc_id AS media_id,
+        |         (1 + n_chars % 32) * (1 + n_chars % 24) AS npx,
+        |         1 + n_chars % 8 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2
+        |),
+        |vid_sum AS (
+        |  SELECT media_id, 'video' AS kind,
+        |         CAST(SUM(((aff.a * ((media_id * 131 + f.j) % 18446744073709551616) + aff.b)
+        |               % 18446744073709551616 // 1099511627776) % 16777216) AS BIGINT) AS checksum
+        |  FROM vids, range(0, 8) f(j), aff
+        |  WHERE f.j < nf AND aff.k BETWEEN 2 AND npx + 1
+        |  GROUP BY media_id
+        |)
+        |SELECT * FROM img_sum
+        |UNION ALL SELECT * FROM aud_sum
+        |UNION ALL SELECT * FROM vid_sum
+        |ORDER BY media_id""".stripMargin,
     "x_multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |       CAST(1 + n_chars % 64 AS INT) AS width_decoded,

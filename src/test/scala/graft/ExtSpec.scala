@@ -692,6 +692,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("spec-derived XxHash64Ref matches Spark's XXH64 across lengths and seeds") {
+    import graft.functions.XxHash64Ref
+    // every tail-path combination: 0-byte, <4, exactly 4, 4-7, exactly 8,
+    // 8-31 (no stripe), exactly 32, 32+tails, multi-stripe, plus
+    // multi-byte UTF-8 — and a non-default seed
+    val samples =
+      (0 to 40).map(n => "a" * n) ++
+        Seq("", "x", "abc", "abcd", "abcdefg", "abcdefgh",
+          "the quick brown fox jumps over the lazy dog",
+          "naïve café — 中文測試 🚀", "tab\tand\nnewline",
+          ("lorem ipsum " * 50).trim)
+    for (s <- samples; seed <- Seq(0L, 42L, -1L)) {
+      val bytes = s.getBytes("UTF-8")
+      val spark64 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          bytes.length, seed)
+      assert(XxHash64Ref.hash(bytes, seed) == spark64,
+        s"mismatch len=${bytes.length} seed=$seed input=${s.take(30)}")
+    }
+  }
+
+  test("production fingerprint matches the independent XxHash64Ref expected table") {
+    val expected = graft.queries.ExtensionQueries
+      .expectedTables("x_text_fingerprint_prod")(spark, sf0001)
+    val got = TextOps.fingerprints(docs, "doc_id", "text", 5)
+      .select($"id".as("doc_id"), $"fp")
+    assert(got.count() == expected.count() && got.count() > 0)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("fingerprint is stable under a tail edit (min-shingle-hash property)") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
     val edited = base + " omega"
