@@ -86,6 +86,30 @@ class EnvelopeSpec extends SparkSpec {
     payloadOnly.collect().foreach(r => assert(!r.getString(0).contains("\"schema\"")))
   }
 
+  test("strict decode raises on a producer/consumer schemas mismatch instead of nulling") {
+    val df = Seq((1L, "click"), (2L, "error")).toDF("event_id", "event_type")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType)))
+    // payload-only messages decoded as if enveloped → every field null →
+    // strict raises with the offending value; lax keeps round-7's silent
+    // nulls for callers that opt out
+    val payloadOnly = graft.sink.JsonEnvelope.encode(df, "rel", schemas = false)
+      .select("value")
+    val e = intercept[Exception] {
+      graft.sources.TopicSource.decode(payloadOnly, schema, schemas = true).collect()
+    }
+    assert(e.getMessage.contains("schemas setting mismatch"), e.getMessage)
+    val lax = graft.sources.TopicSource
+      .decode(payloadOnly, schema, schemas = true, strict = false).collect()
+    assert(lax.length == 2 && lax.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    // matched settings decode clean under strict in both forms
+    val enveloped = graft.sink.JsonEnvelope.encode(df, "rel").select("value")
+    assert(graft.sources.TopicSource.decode(enveloped, schema, schemas = true)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(graft.sources.TopicSource.decode(payloadOnly, schema, schemas = false)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("TopicSource decodes both envelope forms back to the original rows") {
     import graft.sources.TopicSource
     import org.apache.spark.sql.types._
