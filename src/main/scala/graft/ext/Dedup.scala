@@ -598,7 +598,10 @@ object Dedup {
     * ~93% — pairs just above the threshold can be missed. True
     * near-duplicates (cos ≥ 0.95, Hamming ≈ 0-6) are caught with
     * overwhelming probability; raise `numBlocks` (wider radius, more
-    * candidates) when strict near-threshold recall matters. Survivors
+    * candidates) when strict near-threshold recall matters — both the
+    * ~93% boundary figure and numBlocks=16 recovering ≥95% at cos=0.9
+    * are pinned quantitatively in ExtSpec ("SRP block-LSH boundary
+    * recall"). Survivors
     * are exact-cosine-verified, so the OUTPUT is hash-independent
     * WHENEVER RECALL HOLDS — the same oracle contract as the MinHash
     * path, with the same boundary caveat.

@@ -108,6 +108,48 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("SRP block-LSH boundary recall at cos=0.9 rises with numBlocks (docstring claim)") {
+    // deterministic boundary pairs: for each base vector v build
+    // v' = cosθ·v̂ + sinθ·û with û ⊥ v̂ derived from a seeded direction —
+    // cos(v, v') = 0.9 exactly (up to float), i.e. pairs AT the
+    // threshold, where expected signature Hamming ≈ 64·θ/π ≈ 9.2 exceeds
+    // the 8-block pigeonhole radius 7. The docstring states ~93%
+    // any-block-match there and full coverage at wider radii — pin both.
+    val theta = math.acos(0.9)
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val pairs = (0 until 250).map { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val nv = math.sqrt(v.map(x => x * x).sum)
+      val vh = v.map(_ / nv)
+      val e = Array.fill(dim)(rnd.nextGaussian())
+      val dot = vh.zip(e).map { case (a, b) => a * b }.sum
+      val u = e.zip(vh).map { case (b, a) => b - dot * a }
+      val nu = math.sqrt(u.map(x => x * x).sum)
+      val uh = u.map(_ / nu)
+      val w = vh.zip(uh).map { case (a, b) =>
+        (math.cos(theta) * a + math.sin(theta) * b).toFloat }
+      (i.toLong, vh.map(_.toFloat), w)
+    }
+    val df = spark.createDataFrame(
+      pairs.flatMap { case (i, a, b) => Seq((2 * i, a.toSeq), (2 * i + 1, b.toSeq)) })
+      .toDF("vec_id", "embedding")
+    def recallAt(blocks: Int): Double = {
+      val found = Dedup
+        .embeddingNearDupPairsLsh(df, "vec_id", "embedding", threshold = 0.89,
+          numBlocks = blocks)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      pairs.count(p => found.contains((2 * p._1, 2 * p._1 + 1))).toDouble / pairs.size
+    }
+    val r8 = recallAt(8)
+    val r16 = recallAt(16)
+    // r8 ≈ 0.93 by the docstring's boundary analysis; r16's radius 15
+    // covers the expected Hamming 9.2 structurally
+    assert(r8 >= 0.80 && r8 < 1.0, s"boundary recall at 8 blocks: $r8")
+    assert(r16 >= 0.95, s"boundary recall at 16 blocks: $r16")
+    assert(r16 > r8, s"wider radius must not lose recall: r8=$r8 r16=$r16")
+  }
+
   test("ml MinHashLSH pipeline recovers the exact-Jaccard pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5, 100L)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
