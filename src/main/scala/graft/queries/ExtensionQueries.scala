@@ -355,6 +355,47 @@ object ExtensionQueries {
         .orderBy("q_id", "rank")
     },
 
+    // planted-neighbor oracle gates for the ANN scale paths (the same
+    // injected-copy technique as x_dedup_embedding_lsh): every 20th
+    // corpus vector, perturbed first component ×1.05 → cos vs its source
+    // ≥ 0.9997 while the rest of the corpus sits ≤ ~0.65, so the exact
+    // re-score MUST rank the source first whenever the candidate stage
+    // surfaces it — the gate pins retrieval end-to-end with a trivially
+    // SQL-expressible answer (q_id ↦ source id). Candidate coverage is
+    // corpus-pinned, not structural (whole-signature + 1-bit multiprobe
+    // for LSH, nProbe=4 of 16 centroids for IVF): verified green at
+    // sf0.01 AND sf0.1, and any fixture change that breaks coverage
+    // fails loudly as a missing row, never silently.
+    "x_sim_lsh_planted" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val e = embs(s, dir)
+      val queries = e.where(col("vec_id") % 20 === 0).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) * lit(1.05f)),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
+      Similarity
+        .lshTopK(e, queries, "vec_id", "embedding", k = 1,
+          numPlanes = 8, multiProbeBits = 1)
+        .select(col("q_id"), col("n_id"))
+        .orderBy("q_id")
+    },
+
+    "x_sim_ivf_planted" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val e = embs(s, dir)
+      val (indexed, centroids) = Similarity.cachedIvfIndex(e, "vec_id", "embedding", nCentroids = 16)
+      val queries = e.where(col("vec_id") % 20 === 0).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) * lit(1.05f)),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
+      Similarity
+        .ivfTopK(indexed, centroids, queries, "vec_id", "embedding", k = 1, nProbe = 4)
+        .select(col("q_id"), col("n_id"))
+        .orderBy("q_id")
+    },
+
     // token counting: whitespace + BPE-ish regex pre-tokenizer
     "x_text_tokens" -> { (s, dir) =>
       docs(s, dir)
@@ -1103,6 +1144,15 @@ object ExtensionQueries {
         |  WHERE a.vec_id < b.vec_id
         |) WHERE cos >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    // planted-neighbor ANN gates: the injected copy is its source's
+    // nearest neighbor by construction (cos ≥ 0.9997 vs ≤ ~0.65 corpus
+    // background), so rank-1 retrieval must return the identity mapping
+    "x_sim_lsh_planted" ->
+      """SELECT vec_id + 1000000 AS q_id, vec_id AS n_id
+        |FROM embeddings WHERE vec_id % 20 = 0 ORDER BY q_id""".stripMargin,
+    "x_sim_ivf_planted" ->
+      """SELECT vec_id + 1000000 AS q_id, vec_id AS n_id
+        |FROM embeddings WHERE vec_id % 20 = 0 ORDER BY q_id""".stripMargin,
     "x_video_decode" ->
       """SELECT doc_id AS media_id,
         |       CAST(1 + n_chars % 8 AS INT) AS n_frames,

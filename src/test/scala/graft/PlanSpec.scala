@@ -97,10 +97,11 @@ class PlanSpec extends SparkSpec {
     //   x_sim_bruteforce_topk  — broadcast of the 10-query side over the
     //                            corpus scan (the intended map-only plan)
     //   x_sim_ivf_topk         — queries × 16 broadcast centroids probe
+    //   x_sim_ivf_planted      — same probe shape, planted-query oracle
     // Anything new showing these operators is a join that lost its keys.
     val allowed = Set(
       "s2_retention_window", "x_dedup_exact", "x_dedup_embedding",
-      "x_sim_bruteforce_topk", "x_sim_ivf_topk")
+      "x_sim_bruteforce_topk", "x_sim_ivf_topk", "x_sim_ivf_planted")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(allowed).flatMap { name =>
       val p = try plan(name) catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
       if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
