@@ -166,6 +166,86 @@ class JdbcDerbySpec extends SparkSpec {
         .otherwise(payload).as("after"))
   }
 
+  test("whitelist polls a TABLE and a VIEW through one runner (connector.json:7,14)") {
+    // the reference whitelist is `cdc.event_log_assets,cdc.event_log`
+    // with `table.types: TABLE,VIEW` — event_log_assets is a filtered
+    // VIEW over the log (init.sql:75-84: schema_name = 'dataschema' AND
+    // table_name = 'assets'). Mirror it in Derby: one source table, one
+    // real database view, both polled by the same runner with
+    // independent offsets, each to its own topic.
+    assert(seededRows > 0)
+    val conn = DriverManager.getConnection(memUrl)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE EVENT_LOG2 ("TS" TIMESTAMP, "EVENT_ID" BIGINT,
+          | "SCHEMA_NAME" VARCHAR(64), "TABLE_NAME" VARCHAR(64),
+          | "OPERATION" VARCHAR(10), "AFTER" VARCHAR(4000))""".stripMargin)
+      st.executeUpdate(
+        """CREATE VIEW EVENT_LOG_ASSETS AS
+          | SELECT "TS", "SCHEMA_NAME", "TABLE_NAME", "OPERATION", "AFTER", "EVENT_ID"
+          | FROM EVENT_LOG2
+          | WHERE "SCHEMA_NAME" = 'dataschema' AND "TABLE_NAME" = 'assets'""".stripMargin)
+      st.close()
+      val rows = Tables.load(spark, sf0001, "events").select(
+        col("ts"), col("event_id"),
+        lit("dataschema").as("schema_name"),
+        when(col("user_id") % 3 === 0, "assets").otherwise("users").as("table_name"),
+        lit("INSERT").as("operation"),
+        to_json(struct(col("event_id"), col("user_id"))).as("after")
+      ).collect()
+      val ps = conn.prepareStatement("INSERT INTO EVENT_LOG2 VALUES (?, ?, ?, ?, ?, ?)")
+      try {
+        rows.foreach { r =>
+          (0 until 6).foreach(i => ps.setObject(i + 1, r.get(i)))
+          ps.addBatch()
+        }
+        ps.executeBatch()
+      } finally ps.close()
+
+      val cfg = Config(
+        url = Some(memUrl),
+        tableWhitelist = Seq("event_log2", "event_log_assets"))
+      val relations = Map(
+        "event_log2" -> lowercased(JdbcSource.read(spark, cfg, "event_log2")),
+        "event_log_assets" -> lowercased(JdbcSource.read(spark, cfg, "event_log_assets")))
+
+      // the poll predicate pushes THROUGH the database view: Derby plans
+      // the filtered view + pushed (ts, event_id) disjunction as one scan
+      val mid = rows.sortBy(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+        .apply(rows.length / 2)
+      val viewPlan = IncrementalPoller
+        .poll(relations("event_log_assets"), Offset(mid.getTimestamp(0), mid.getLong(1)))
+        .queryExecution.executedPlan.toString()
+      val pushedLine = viewPlan.linesIterator.find(_.contains("PushedFilters"))
+        .getOrElse(fail(s"no PushedFilters in view plan:\n$viewPlan"))
+      assert(pushedLine.toUpperCase.contains("TS") &&
+        pushedLine.toUpperCase.contains("EVENT_ID"), pushedLine)
+
+      val offsetDir = tempDir("derby-wl-offsets")
+      val topicDir = tempDir("derby-wl-topic")
+      def deliver(name: String, enveloped: org.apache.spark.sql.DataFrame): Unit =
+        enveloped.select("topic", "key", "value")
+          .write.mode("append").partitionBy("topic").parquet(topicDir)
+      val runner = new PollRunner(spark, offsetDir, Offset.initial("2020-01-01T00:00:00Z"))
+      val counts = runner.pollOnce(relations)(deliver)
+      val assetRows = rows.count(_.getString(3) == "assets").toLong
+      assert(counts("event_log2") == rows.length.toLong)
+      assert(counts("event_log_assets") == assetRows && assetRows > 0)
+      // drained: both offsets advanced independently
+      val counts2 = runner.pollOnce(relations)(deliver)
+      assert(counts2.values.forall(_ == 0L))
+      // each relation landed on its own topic with exactly its rows
+      val consumed = graft.sources.TopicSource.read(
+        spark, graft.sources.TopicSource.Config(brokers = None, path = topicDir),
+        Seq("cdc-event_log2", "cdc-event_log_assets"))
+      val byTopic = consumed.groupBy("topic").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byTopic("cdc-event_log2") == rows.length.toLong)
+      assert(byTopic("cdc-event_log_assets") == assetRows)
+    } finally conn.close()
+  }
+
   test("reference loop e2e: Derby log → poll cycles with restart → topic → replica") {
     assert(seededRows > 0) // brings up the in-memory database
     val conn = DriverManager.getConnection(memUrl)
