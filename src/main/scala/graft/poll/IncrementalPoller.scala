@@ -39,10 +39,21 @@ object IncrementalPoller {
       Offset(Timestamp.from(java.time.Instant.parse(isoTs)), 0L)
   }
 
-  /** The incremental-scan predicate (SURVEY.md §2.3 R3). */
+  /** The incremental-scan predicate (SURVEY.md §2.3 R3).
+    *
+    * Null semantics mirror the connector with `validate.non.null = false`
+    * (reference connector.json:10 — the reference DISABLES the non-null
+    * validation, so rows with a null ts or event_id are legal in the
+    * source): such rows can never form an offset, so they are never
+    * delivered — the ts comparison already nulls out, and the explicit
+    * event_id guard keeps a null id from reaching [[nextOffset]], where
+    * it would otherwise throw mid-poll. One extra pushed-down conjunct;
+    * the skip is silent by design, exactly like the connector's.
+    */
   def afterOffset(off: Offset): Column =
-    col("ts") > lit(off.ts) ||
-      (col("ts") === lit(off.ts) && col("event_id") > lit(off.eventId))
+    col("event_id").isNotNull && (
+      col("ts") > lit(off.ts) ||
+        (col("ts") === lit(off.ts) && col("event_id") > lit(off.eventId)))
 
   /** The connector's `timestamp.delay` guard: exclude rows newer than
     * `now − delay`, giving in-flight transactions `delay` to commit before

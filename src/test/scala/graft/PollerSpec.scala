@@ -27,6 +27,27 @@ class PollerSpec extends SparkSpec {
     assert(got == Seq(7L, 8L, 9L, 10L))
   }
 
+  test("null ts / null event_id rows are skipped, never wedge the poll (validate.non.null=false parity)") {
+    // the reference disables non-null validation (connector.json:10), so
+    // nullable offset columns are legal in the source; rows that cannot
+    // form an offset must be silently skipped — not delivered, not
+    // allowed to NPE nextOffset, not blocking later rows
+    val dirty = Seq(
+      (ts("2025-01-01T00:00:01Z"), Option(1L)),
+      (null.asInstanceOf[Timestamp], Option(2L)), // null ts
+      (ts("2025-01-01T00:00:03Z"), Option.empty[Long]), // null event_id
+      (ts("2025-01-01T00:00:04Z"), Option(4L))
+    ).toDF("ts", "event_id")
+    val off = Offset(ts("2025-01-01T00:00:00Z"), 0L)
+    val batch = IncrementalPoller.poll(dirty, off)
+    assert(batch.select("event_id").as[Option[Long]].collect().toSeq == Seq(Some(1L), Some(4L)))
+    // the advanced offset comes from the clean max row, and a re-poll
+    // from it drains clean
+    val next = IncrementalPoller.nextOffset(batch, off)
+    assert(next == Offset(ts("2025-01-01T00:00:04Z"), 4L))
+    assert(IncrementalPoller.poll(dirty, next).count() == 0L)
+  }
+
   test("initial offset (start.timestamp semantics) fetches everything after it") {
     val got = IncrementalPoller.poll(log, Offset.initial("2025-01-01T00:00:00Z"))
     assert(got.count() == 10)
