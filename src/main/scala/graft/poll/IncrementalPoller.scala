@@ -50,10 +50,10 @@ object IncrementalPoller {
     * it would otherwise throw mid-poll. One extra pushed-down conjunct;
     * the skip is silent by design, exactly like the connector's.
     */
-  def afterOffset(off: Offset): Column =
-    col("event_id").isNotNull && (
-      col("ts") > lit(off.ts) ||
-        (col("ts") === lit(off.ts) && col("event_id") > lit(off.eventId)))
+  def afterOffset(off: Offset, tsCol: String = "ts", idCol: String = "event_id"): Column =
+    col(idCol).isNotNull && (
+      col(tsCol) > lit(off.ts) ||
+        (col(tsCol) === lit(off.ts) && col(idCol) > lit(off.eventId)))
 
   /** The connector's `timestamp.delay` guard: exclude rows newer than
     * `now − delay`, giving in-flight transactions `delay` to commit before
@@ -64,8 +64,8 @@ object IncrementalPoller {
     * reference's documented defect. The streaming path (graft.streaming)
     * has no such loss; this mode exists for connector parity.
     */
-  def delayGuard(now: Column, delay: String): Column =
-    col("ts") < now - expr(s"INTERVAL $delay")
+  def delayGuard(now: Column, delay: String, tsCol: String = "ts"): Column =
+    col(tsCol) < now - expr(s"INTERVAL $delay")
 
   /** One poll: rows strictly after `off`, in delivery order (ts, event_id)
     * ASC — ordering only within the batch, matching the connector, which
@@ -73,25 +73,37 @@ object IncrementalPoller {
     *
     * @param delay optional `timestamp.delay` window, e.g. Some("5 SECONDS")
     * @param now   evaluation time for the delay guard (constant in tests)
+    * @param tsCol/idCol the connector's `timestamp.column.name` /
+    *        `incrementing.column.name` (reference connector.json:8-9 —
+    *        it names them explicitly because source tables vary; defaults
+    *        are the engine's canonical log schema, which PollRunner's
+    *        envelope stage standardizes on)
     */
   def poll(
       relation: DataFrame,
       off: Offset,
       delay: Option[String] = None,
-      now: Column = current_timestamp()
+      now: Column = current_timestamp(),
+      tsCol: String = "ts",
+      idCol: String = "event_id"
   ): DataFrame = {
-    val base = relation.where(afterOffset(off))
-    val guarded = delay.fold(base)(d => base.where(delayGuard(now, d)))
-    guarded.orderBy(col("ts").asc, col("event_id").asc)
+    val base = relation.where(afterOffset(off, tsCol, idCol))
+    val guarded = delay.fold(base)(d => base.where(delayGuard(now, d, tsCol)))
+    guarded.orderBy(col(tsCol).asc, col(idCol).asc)
   }
 
   /** The offset a batch advances to: lexicographic max of (ts, event_id).
     * One small aggregate — never a driver-side scan of the batch.
     */
-  def nextOffset(batch: DataFrame, current: Offset): Offset = {
+  def nextOffset(
+      batch: DataFrame,
+      current: Offset,
+      tsCol: String = "ts",
+      idCol: String = "event_id"
+  ): Offset = {
     val top = batch
-      .select(col("ts"), col("event_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+      .select(col(tsCol), col(idCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
       .limit(1)
       .collect()
     top.headOption.fold(current) { r: Row =>

@@ -48,6 +48,19 @@ class PollerSpec extends SparkSpec {
     assert(IncrementalPoller.poll(dirty, next).count() == 0L)
   }
 
+  test("custom timestamp/incrementing column names (connector.json:8-9)") {
+    // the connector names its offset columns explicitly because source
+    // tables vary; the poller accepts the same two knobs
+    val renamed = log.withColumnRenamed("ts", "committed_at")
+      .withColumnRenamed("event_id", "seq_no")
+    val off = Offset(ts("2025-01-01T00:00:06Z"), 6L)
+    val batch = IncrementalPoller.poll(
+      renamed, off, tsCol = "committed_at", idCol = "seq_no")
+    assert(batch.select("seq_no").as[Long].collect().toSeq == Seq(7L, 8L, 9L, 10L))
+    val next = IncrementalPoller.nextOffset(batch, off, tsCol = "committed_at", idCol = "seq_no")
+    assert(next == Offset(ts("2025-01-01T00:00:10Z"), 10L))
+  }
+
   test("initial offset (start.timestamp semantics) fetches everything after it") {
     val got = IncrementalPoller.poll(log, Offset.initial("2025-01-01T00:00:00Z"))
     assert(got.count() == 10)
