@@ -755,6 +755,24 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("XxHash64Ref equals Spark XXH64 on 2000 seeded random inputs") {
+    // property sweep (seeded, deterministic — the CdcReplaySpec idiom):
+    // random lengths 0-200 hit every stripe/tail combination many times
+    // over, random bytes rule out value-dependent divergence, random
+    // seeds rule out seed-handling divergence
+    import graft.functions.XxHash64Ref
+    val rnd = new scala.util.Random(42)
+    (0 until 2000).foreach { i =>
+      val len = rnd.nextInt(200)
+      val bytes = new Array[Byte](len)
+      rnd.nextBytes(bytes)
+      val seed = rnd.nextLong()
+      val expect = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, seed)
+      assert(XxHash64Ref.hash(bytes, seed) == expect, s"case $i len=$len seed=$seed")
+    }
+  }
+
   test("production fingerprint matches the independent XxHash64Ref expected table") {
     val expected = graft.queries.ExtensionQueries
       .expectedTables("x_text_fingerprint_prod")(spark, sf0001)
