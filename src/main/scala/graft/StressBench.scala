@@ -29,7 +29,13 @@ import graft.ext.{Dedup, Similarity}
   */
 object StressBench {
 
-  val Replicas = 10
+  /** Corpus expansion factor. Default 10 is the recorded BENCH_STRESS
+    * contract; SPARK_GRAFT_STRESS_REPLICAS overrides for deeper one-off
+    * probes (30×, 100×), whose results land in BENCH_STRESS_<k>x.json so
+    * a probe can never overwrite the standard artifact.
+    */
+  val Replicas: Int =
+    sys.env.get("SPARK_GRAFT_STRESS_REPLICAS").map(_.toInt).filter(_ > 1).getOrElse(10)
 
   def expandDocs(docs: DataFrame): DataFrame = {
     val k = explode(sequence(lit(0), lit(Replicas - 1))).as("k")
@@ -131,6 +137,11 @@ object StressBench {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
+      // AQE, matching graft.Bench: at the larger expansion factors the
+      // candidate stages outgrow 32 fixed post-shuffle partitions, and
+      // letting the runtime re-split oversized/skewed partitions is
+      // exactly the mechanism a real cluster run would rely on
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .appName("graft-stress")
@@ -191,14 +202,17 @@ object StressBench {
     val big = runAll(opsAt(docs10, embs10, ivfIdx10, ivfCen10))
     val rows1 = docs1.count(); val rows10 = docs10.count()
 
+    val k = s"${Replicas}x"
     val per = base.zip(big).map { case ((n, c1, s1), (_, c10, s10)) =>
       val ratio = s10 / math.max(s1, 1e-9)
-      f"""\"$n\":{\"rows_1x\":$c1,\"sec_1x\":${s1}%.2f,\"rows_10x\":$c10,\"sec_10x\":${s10}%.2f,\"x_vs_linear\":${ratio / Replicas}%.2f}"""
+      f"""\"$n\":{\"rows_1x\":$c1,\"sec_1x\":${s1}%.2f,\"rows_$k\":$c10,\"sec_$k\":${s10}%.2f,\"x_vs_linear\":${ratio / Replicas}%.2f}"""
     }
     val line =
-      s"""{"metric":"dedup_stress","replicas":$Replicas,"docs_1x":$rows1,"docs_10x":$rows10,"ops":{${per.mkString(",")}}}"""
+      s"""{"metric":"dedup_stress","replicas":$Replicas,"docs_1x":$rows1,"docs_$k":$rows10,"ops":{${per.mkString(",")}}}"""
     println(line)
-    val w = new java.io.PrintWriter("BENCH_STRESS.json")
+    val outFile =
+      if (Replicas == 10) "BENCH_STRESS.json" else s"BENCH_STRESS_${Replicas}x.json"
+    val w = new java.io.PrintWriter(outFile)
     try w.println(line) finally w.close()
     spark.stop()
   }

@@ -618,10 +618,14 @@ object Dedup {
     * Bucket-count saturation is the scale dial: bits-per-block =
     * numPlanes/numBlocks bounds distinct bucket values at 2^bits, and
     * per-bucket load — hence candidate volume — grows as n²/2^bits.
-    * Fewer, wider blocks (numBlocks = 4 → 16-bit blocks, 65 536 values)
-    * trade guaranteed pigeonhole radius for selectivity; at true
-    * near-dup thresholds pairs sit at Hamming ≈ 0 and the narrower
-    * radius still covers them with overwhelming probability.
+    * With the default 8-bit blocks that quadratic term dominates past
+    * n ≈ 20k (a 30× stress probe measured 5.1× over linear at n = 150k),
+    * so above [[LshBandingCutover]] the candidate generator switches to
+    * [[embeddingNearDupPairsLshBanded]] — independent narrow signatures
+    * (MinHash-banding shape) whose 16-bit bands keep per-bucket load
+    * ~n/65536 while matching this path's ~93% boundary recall
+    * (1 − (1 − 0.856¹⁶)³² ≈ 0.94). The OUTPUT contract is unchanged by
+    * the switch: candidates are exact-cosine-verified either way.
     */
   def embeddingNearDupPairsLsh(
       df: DataFrame,
@@ -639,29 +643,95 @@ object Dedup {
     require(
       numBlocks >= 1 && numPlanes % numBlocks == 0,
       s"numBlocks ($numBlocks) must divide numPlanes ($numPlanes)")
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // adaptive cutover (the duplicateComponents precedent): the id-only
+    // count is one cheap columnar pass; past it, 8-bit block buckets
+    // saturate quadratically and banding is the right generator
+    if (base.count() > LshBandingCutover)
+      return embeddingNearDupPairsLshBanded(df, idCol, vecCol, threshold, seed = seed)
     val bits = numPlanes / numBlocks
     // bits == 64 only when numBlocks == 1 (one block = the whole signature)
     val mask = if (bits == 64) -1L else (1L << bits) - 1L
-    val base = df.select(
-      col(idCol).cast("long").as("id"),
-      col(vecCol).as("v"),
-      Similarity.srpBucket(col(vecCol), numPlanes, seed).as("sig")
-    )
+    val signed = base.withColumn("sig", Similarity.srpBucket(col("v"), numPlanes, seed))
     // posexplode → (block index, block value); the join key is the pair,
     // so block i of one vector never matches block j≠i of another
-    val probes = base.select(
+    val probes = signed.select(
       col("id"),
       posexplode(
         array((0 until numBlocks).map(b =>
           shiftrightunsigned(col("sig"), b * bits).bitwiseAND(lit(mask))): _*)
       ).as(Seq("block", "bval"))
     )
+    verifiedPairs(base, candidatePairs(probes), threshold)
+  }
+
+  /** Corpus size past which [[embeddingNearDupPairsLsh]] switches its
+    * candidate generator to banding: with 8-bit blocks the expected
+    * per-bucket load is n/256 and candidate volume grows as 8·n²/256 —
+    * at 20k that is ~12M pairs (fine); by 150k it is ~700M (measured
+    * 5.1× over linear in a 30× stress probe before the switch existed).
+    */
+  val LshBandingCutover: Long = 20000L
+
+  /** SRP banding — the large-corpus candidate generator: `bands`
+    * INDEPENDENT `bitsPerBand`-plane signatures (seeded per band), a pair
+    * is a candidate iff any band matches exactly — the classic
+    * MinHash-banding shape applied to sign-random-projection bits.
+    *
+    * Versus splitting one 64-bit signature: per-band bucket count is
+    * 2^bitsPerBand (65 536 at the default 16) instead of 2^8, so
+    * per-bucket load — the quadratic term — shrinks 256×, while recall
+    * at a cos-0.9 boundary pair stays ≈ 1 − (1 − (1−0.144)¹⁶)³² ≈ 0.94,
+    * the block path's figure. True near-dups (flip rate ≤ 0.8%/plane at
+    * cos ≥ 0.9997) match a given band w.p. ≥ 0.88 and any of 32 bands
+    * w.p. 1 − 10⁻²⁹ — structural in practice, so the oracle contract
+    * (exact-verified, hash-independent whenever recall holds) carries
+    * over. Cost: bands·bitsPerBand = 512 plane projections per row
+    * (8× the single-signature pass) — map-side, codegen'd, and bought
+    * back ~100× over in candidate-join volume at n ≥ 10⁵.
+    */
+  def embeddingNearDupPairsLshBanded(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bands: Int = 32,
+      bitsPerBand: Int = 16,
+      seed: Int = 42
+  ): DataFrame = {
+    import graft.ext.Similarity
+    require(bands >= 1, s"bands ($bands) must be >= 1")
+    require(bitsPerBand >= 1 && bitsPerBand <= 64, "need 1 <= bitsPerBand <= 64")
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val probes = base.select(
+      col("id"),
+      posexplode(
+        array((0 until bands).map(b =>
+          Similarity.srpBucket(col("v"), bitsPerBand, seed + 1 + b)): _*)
+      ).as(Seq("block", "bval"))
+    )
+    verifiedPairs(base, candidatePairs(probes), threshold)
+  }
+
+  /** Shared candidate join for the LSH paths: equi-join on
+    * (block/band, value), id pairs only — payloads never ride the
+    * candidate shuffle (measured 3.6× over linear when they did).
+    */
+  private def candidatePairs(probes: DataFrame): DataFrame = {
     val l = probes.select(col("block"), col("bval"), col("id").as("id_a"))
     val r = probes.select(col("block"), col("bval"), col("id").as("id_b"))
-    val candidates = l.join(r, Seq("block", "bval"))
+    l.join(r, Seq("block", "bval"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Shared exact-verify tail: re-attach vectors to the deduped id pairs
+    * and enforce the cosine threshold — the step that makes the output
+    * hash-independent whenever candidate recall holds.
+    */
+  private def verifiedPairs(
+      base: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
     val vecs = base.select(col("id"), col("v"))
     candidates
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))

@@ -108,6 +108,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("banded SRP LSH finds every planted near-dup and agrees with the block path") {
+    // the x_dedup_embedding_lsh gate construction: every 5th vector gets
+    // a perturbed copy at cos >= 0.9997 — both candidate generators must
+    // surface all of them, and the exact-verify tail makes the two
+    // paths' OUTPUTS identical whenever recall holds
+    val e = embs.limit(400).select($"vec_id", $"embedding")
+    val copies = e.where($"vec_id" % 5 === 0).select(
+      ($"vec_id" + 1000000L).as("vec_id"),
+      concat(
+        array(element_at($"embedding", 1) * lit(1.05f)),
+        slice($"embedding", lit(2), size($"embedding") - 1)).as("embedding"))
+    val corpus = e.unionByName(copies)
+    val planted = e.where($"vec_id" % 5 === 0).select("vec_id").as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = pairs(Dedup.embeddingNearDupPairsLshBanded(
+      corpus, "vec_id", "embedding", threshold = 0.9))
+    val block = pairs(Dedup.embeddingNearDupPairsLsh(
+      corpus, "vec_id", "embedding", threshold = 0.9))
+    assert(planted.subsetOf(banded), s"banded missed ${(planted -- banded).take(3)}")
+    assert(banded == block, "exact-verified outputs must agree across generators")
+  }
+
   test("SRP block-LSH boundary recall at cos=0.9 rises with numBlocks (docstring claim)") {
     // deterministic boundary pairs: for each base vector v build
     // v' = cosθ·v̂ + sinθ·û with û ⊥ v̂ derived from a seeded direction —
