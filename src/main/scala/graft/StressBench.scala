@@ -37,6 +37,13 @@ object StressBench {
   val Replicas: Int =
     sys.env.get("SPARK_GRAFT_STRESS_REPLICAS").map(_.toInt).filter(_ > 1).getOrElse(10)
 
+  /** Optional comma-separated op subset (iteration knob, mirroring
+    * SPARK_GRAFT_ONLY in graft.Bench). A subset run never writes the
+    * JSON artifact — partial results must not overwrite the contract.
+    */
+  val OnlyOps: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_STRESS_OPS").map(_.split(",").map(_.trim).toSet)
+
   def expandDocs(docs: DataFrame): DataFrame = {
     val k = explode(sequence(lit(0), lit(Replicas - 1))).as("k")
     docs
@@ -193,7 +200,8 @@ object StressBench {
       }
 
     def opsAt(d: DataFrame, e: DataFrame, idx: DataFrame, cen: DataFrame) =
-      ops(d, e) ++ simOps(queries, e, idx, cen)
+      (ops(d, e) ++ simOps(queries, e, idx, cen))
+        .filter { case (n, _) => OnlyOps.forall(_.contains(n)) }
 
     // warm (JIT, codegen, file index) once with the small corpus, untimed
     opsAt(docs1, embs1, ivfIdx1, ivfCen1).foreach { case (_, f) => f(); () }
@@ -210,10 +218,12 @@ object StressBench {
     val line =
       s"""{"metric":"dedup_stress","replicas":$Replicas,"docs_1x":$rows1,"docs_$k":$rows10,"ops":{${per.mkString(",")}}}"""
     println(line)
-    val outFile =
-      if (Replicas == 10) "BENCH_STRESS.json" else s"BENCH_STRESS_${Replicas}x.json"
-    val w = new java.io.PrintWriter(outFile)
-    try w.println(line) finally w.close()
+    if (OnlyOps.isEmpty) {
+      val outFile =
+        if (Replicas == 10) "BENCH_STRESS.json" else s"BENCH_STRESS_${Replicas}x.json"
+      val w = new java.io.PrintWriter(outFile)
+      try w.println(line) finally w.close()
+    }
     spark.stop()
   }
 }

@@ -701,8 +701,11 @@ object Dedup {
     * w.p. 1 − 10⁻²⁹ — structural in practice, so the oracle contract
     * (exact-verified, hash-independent whenever recall holds) carries
     * over. Cost: bands·bitsPerBand = 512 plane projections per row
-    * (8× the single-signature pass) — map-side, codegen'd, and bought
-    * back ~100× over in candidate-join volume at n ≥ 10⁵.
+    * (8× the single-signature pass) — map-side, codegen'd, pure
+    * fused multiply-adds against the materialized plane matrix
+    * ([[graft.functions.SrpPlaneWeights]]; re-hashing per row was the
+    * 30× stress bottleneck at 2.6× over linear, 1.15× with the cache) —
+    * and bought back ~100× over in candidate-join volume at n ≥ 10⁵.
     */
   def embeddingNearDupPairsLshBanded(
       df: DataFrame,

@@ -103,18 +103,22 @@ case class SrpBucket(child: Expression, numPlanes: Int, seed: Int)
     Array.tabulate(numPlanes)(p => XXH64.hashInt(p, h0))
   }
 
+  // the plane matrix depends only on (seed, plane, dim index), never the
+  // data — materialized once per dim instead of re-hashed per row
+  @transient private lazy val weights: SrpPlaneWeights = new SrpPlaneWeights(planeSeeds)
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    val w = weights.forDim(n)
     var bucket = 0L
     var p = 0
     while (p < numPlanes) {
-      val ps = planeSeeds(p)
+      val wp = w(p)
       var dot = 0.0
       var i = 0
       while (i < n) {
-        val h = XXH64.hashInt(i, ps)
-        dot += v.getFloat(i).toDouble * ((h % 1000L).toDouble / 1000.0)
+        dot += v.getFloat(i).toDouble * wp(i)
         i += 1
       }
       if (dot > 0.0) bucket |= (1L << p)
@@ -124,23 +128,23 @@ case class SrpBucket(child: Expression, numPlanes: Int, seed: Int)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val seeds = ctx.addReferenceObj("planeSeeds", planeSeeds, "long[]")
+    val wref = ctx.addReferenceObj("srpWeights", weights, classOf[SrpPlaneWeights].getName)
     // fresh locals — see CosineSimilarity.doGenCode
     val n = ctx.freshName("n"); val bucket = ctx.freshName("bucket")
-    val p = ctx.freshName("p"); val ps = ctx.freshName("ps")
-    val dot = ctx.freshName("dot"); val i = ctx.freshName("i"); val h = ctx.freshName("h")
+    val p = ctx.freshName("p"); val w = ctx.freshName("w"); val wp = ctx.freshName("wp")
+    val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
     nullSafeCodeGen(
       ctx,
       ev,
       v => s"""
         |int $n = $v.numElements();
+        |double[][] $w = $wref.forDim($n);
         |long $bucket = 0L;
         |for (int $p = 0; $p < $numPlanes; $p++) {
-        |  long $ps = $seeds[$p];
+        |  double[] $wp = $w[$p];
         |  double $dot = 0.0;
         |  for (int $i = 0; $i < $n; $i++) {
-        |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt($i, $ps);
-        |    $dot += (double) $v.getFloat($i) * (((double) ($h % 1000L)) / 1000.0);
+        |    $dot += (double) $v.getFloat($i) * $wp[$i];
         |  }
         |  if ($dot > 0.0) $bucket |= (1L << $p);
         |}
@@ -150,6 +154,30 @@ case class SrpBucket(child: Expression, numPlanes: Int, seed: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Materialized SRP plane matrix for [[SrpBucket]]: component (p, i) is
+  * `(xxhash64(planeSeed_p, i) % 1000) / 1000.0` — exactly the value the
+  * previous per-row form hashed inline, hoisted because it depends only on
+  * (seed, plane, dim), never the vector. At 150k rows × 32 bands × 16
+  * planes × 64 dims the inline form was ~5·10⁹ XXH64 calls per signature
+  * pass; this is one 256 KB matrix per expression instance.
+  *
+  * Single-entry dim cache: corpora have one dim, so a map is overkill; a
+  * ragged corpus just recomputes on dim change (correct, slower). The
+  * benign race on the volatile is settled by both threads writing
+  * identical matrices.
+  */
+final class SrpPlaneWeights(planeSeeds: Array[Long]) extends Serializable {
+  @transient @volatile private var cached: (Int, Array[Array[Double]]) = null
+  def forDim(n: Int): Array[Array[Double]] = {
+    val c = cached
+    if (c != null && c._1 == n) return c._2
+    val w = Array.tabulate(planeSeeds.length, n)((p, i) =>
+      (XXH64.hashInt(i, planeSeeds(p)) % 1000L).toDouble / 1000.0)
+    cached = (n, w)
+    w
+  }
 }
 
 /** Dot product over `array<float>` — same codegen rationale as

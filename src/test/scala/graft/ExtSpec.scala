@@ -37,6 +37,20 @@ class ExtSpec extends SparkSpec {
     assert(viaExpr.values.toSet.size > 1, "buckets should spread across values")
   }
 
+  test("SrpBucket plane-weight cache recomputes across ragged dims in one column") {
+    // SrpPlaneWeights holds a single (dim, matrix) entry; interleaved dims
+    // force the recompute path every row and must still match the
+    // per-row-hash reference composition exactly
+    val ragged = embs.limit(20).select(
+      $"vec_id".cast("long").as("id"),
+      when($"vec_id" % 2 === 0, slice($"embedding", 1, 32)).otherwise($"embedding").as("v"))
+    val viaExpr = ragged.select($"id", Similarity.srpBucket($"v", 16, 7).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val viaBuiltins = ragged.select($"id", Similarity.srpBucketReference($"v", 16, 7).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaBuiltins)
+  }
+
   test("TopShingleCount matches the interpreted bigram mode-count composition exactly") {
     graft.functions.GraftFunctions.register(spark)
     val viaExpr = docs.select(
