@@ -660,8 +660,14 @@ object Dedup {
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     // adaptive cutover (the duplicateComponents precedent): the id-only
     // count is one cheap columnar pass; past it, 8-bit block buckets
-    // saturate quadratically and banding is the right generator
-    if (base.count() > LshBandingCutover)
+    // saturate quadratically and banding is the right generator. The
+    // band geometry widens with the corpus for the same reason — see
+    // [[LshWideBandCutover]].
+    val n = base.count()
+    if (n > LshWideBandCutover)
+      return embeddingNearDupPairsLshBanded(
+        df, idCol, vecCol, threshold, bands = 64, bitsPerBand = 20, seed = seed)
+    if (n > LshBandingCutover)
       return embeddingNearDupPairsLshBanded(df, idCol, vecCol, threshold, seed = seed)
     val bits = numPlanes / numBlocks
     // bits == 64 only when numBlocks == 1 (one block = the whole signature)
@@ -686,6 +692,28 @@ object Dedup {
     * 5.1× over linear in a 30× stress probe before the switch existed).
     */
   val LshBandingCutover: Long = 20000L
+
+  /** Corpus size past which the banding geometry widens from 32×16-bit to
+    * 64×20-bit bands: random-collision candidate volume is
+    * bands·n²/2^(bitsPerBand+1), so 16-bit bands that carry ~5M candidates
+    * at n = 150k carry ~61M by n = 500k (quadratic over a fixed 65 536
+    * buckets). 20-bit bands hold per-bucket load to n/2²⁰ and cut the
+    * 500k candidate volume to ~7.6M, while 64 bands keep boundary recall
+    * at cos = 0.9 at 1 − (1 − 0.856²⁰)⁶⁴ ≈ 0.946 — the 32×16 figure.
+    * True near-dups (≤0.8% flip/plane) still match any-band essentially
+    * surely: 1 − (1 − 0.992²⁰)⁶⁴ ≈ 1 − 0.148⁶⁴. The extra projection
+    * cost (1280 planes vs 512) is pure cached-matrix FMAs
+    * ([[graft.functions.SrpPlaneWeights]]).
+    *
+    * Measured honestly: at n = 500k the geometries TIE (100× stress probe:
+    * 87.8 s wide vs 85.2 s narrow, both ≈1.5× vs linear, identical 429 841
+    * verified pairs) — that corpus's exact-verify of ~430k true pairs
+    * dominates both. The rung is for the decade above, where the 16-bit
+    * quadratic term must take over (~1B random candidates by n = 2M vs
+    * ~30M at 20 bits); 500k is simply the largest corpus the sandbox
+    * probes.
+    */
+  val LshWideBandCutover: Long = 200000L
 
   /** SRP banding — the large-corpus candidate generator: `bands`
     * INDEPENDENT `bitsPerBand`-plane signatures (seeded per band), a pair

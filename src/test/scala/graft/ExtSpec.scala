@@ -142,8 +142,14 @@ class ExtSpec extends SparkSpec {
       corpus, "vec_id", "embedding", threshold = 0.9))
     val block = pairs(Dedup.embeddingNearDupPairsLsh(
       corpus, "vec_id", "embedding", threshold = 0.9))
+    // the >200k-corpus geometry (LshWideBandCutover) on the same planted
+    // corpus — the cutover volume itself is out of unit-test reach, but
+    // the 64×20 parameters' recall contract is not
+    val wide = pairs(Dedup.embeddingNearDupPairsLshBanded(
+      corpus, "vec_id", "embedding", threshold = 0.9, bands = 64, bitsPerBand = 20))
     assert(planted.subsetOf(banded), s"banded missed ${(planted -- banded).take(3)}")
     assert(banded == block, "exact-verified outputs must agree across generators")
+    assert(wide == block, "wide-band geometry must agree with the block path")
   }
 
   test("SRP block-LSH boundary recall at cos=0.9 rises with numBlocks (docstring claim)") {
