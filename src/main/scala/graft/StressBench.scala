@@ -5,13 +5,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ext.{Dedup, Similarity}
 
-/** Scale stress for the dedup + similarity families: the
+/** Scale stress for the dedup + similarity + time-series + CDC families: the
   * candidate-bounding knobs (`maxShingleDf`, MinHash banding, SimHash
   * block multiprobe, SRP-LSH blocks, the adaptive clustering threshold,
-  * the ANN bucket/probe counts) have only ever run at sf0.1 — this main
-  * pins that the candidate FILTERS, not small data, carry the scale
-  * story, by running the same operators on a 10× synthetic expansion of
-  * the sf0.1 corpus and checking per-op time stays within ~2× of linear.
+  * the ANN bucket/probe counts) and the custom keyed operators (as-of
+  * sorted-merge exec, bucketed range join, gapfill) have only ever run
+  * at sf0.1 — this main pins that the candidate FILTERS and per-key plan
+  * shapes, not small data, carry the scale story, by running the same
+  * operators on a 10× synthetic expansion of the sf0.1 corpus and
+  * checking per-op time stays within ~2× of linear.
   *
   * Corpus: every document replicated `Replicas` times with deterministic
   * word-level mutations — replica 1 appends one sentinel word (a true
@@ -93,6 +95,40 @@ object StressBench {
           .as("embedding"))
   }
 
+  /** Events expansion for the time-series family: each replica shifts
+    * user_id and event_id past the 1× maxima, timestamps unchanged —
+    * corpus growth by MORE USERS at constant per-user event density, the
+    * realistic deployment axis (and the one that must stay linear: per-key
+    * work in the sorted-merge as-of, the bucketed range join, and the
+    * gapfill grid is untouched; only key count grows).
+    */
+  def expandEvents(ev: DataFrame, userStride: Long, idStride: Long): DataFrame = {
+    val k = explode(sequence(lit(0), lit(Replicas - 1))).as("k")
+    ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"), k)
+      .select(
+        (col("event_id") + col("k") * idStride).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("k") * userStride).as("user_id"),
+        col("event_type"),
+        col("value"))
+  }
+
+  /** Deterministic next-snapshot mutation for the CDC family: 5% of rows
+    * deleted (event_id ≡ 3 mod 20), 10% updated (≡ 4 mod 10, value+1), 5%
+    * inserted past `insertStride` (≡ 7 mod 20 re-keyed) — the standard
+    * mixed-DML shape, so the capture diff is ~20% of the corpus and apply
+    * touches every class of change.
+    */
+  def mutateSnapshot(ev: DataFrame, insertStride: Long): DataFrame = {
+    val afterDelete = ev.where(col("event_id") % 20 =!= 3)
+    val updated = afterDelete.withColumn(
+      "value",
+      when(col("event_id") % 10 === 4, col("value") + 1.0).otherwise(col("value")))
+    val inserts = ev.where(col("event_id") % 20 === 7)
+      .withColumn("event_id", col("event_id") + insertStride)
+    updated.unionByName(inserts)
+  }
+
   private def time[A](body: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = body
@@ -117,6 +153,60 @@ object StressBench {
     }),
     "embedding_lsh" -> (() =>
       Dedup.embeddingNearDupPairsLsh(embs, "vec_id", "embedding", 0.9).count())
+  )
+
+  /** Time-series family over the expanded events corpus — the custom
+    * physical/bucketed operators' scale pins (the gate shapes from
+    * RelationalQueries/ExtensionQueries, timed at volume): the sorted-merge
+    * as-of exec is one co-partitioned sort + O(1)-state merge, the range
+    * join is an epoch-bucket equi-join with fixed 2× probe fan-out, and
+    * gapfill explodes each user's grid map-side — all keyed per user, so
+    * user-axis growth must stay ~linear or the plan shape regressed.
+    */
+  private def timeOps(ev: DataFrame): Seq[(String, () => Long)] = Seq(
+    "asof_exec" -> (() => {
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOfJoin
+        .backwardExec(clicks, errors, Seq("user_id"), "ts", "event_id", Seq("event_id"))
+        .count()
+    }),
+    "range_join" -> (() => {
+      val e = ev.select("user_id", "ts", "event_id")
+      graft.operators.RangeJoin
+        .within(e, e, Seq("user_id"), "ts", "ts", windowMicros = 3600L * 1000000L)
+        .count()
+    }),
+    "gapfill" -> (() =>
+      graft.operators.GapFill
+        .fill(ev, Seq("user_id"), "ts", "value", bucketMicros = 3600L * 1000000L)
+        .count())
+  )
+
+  /** CDC family — the reference's actual domain at volume: the snapshot
+    * diff is one full-outer sort-merge join on the PK (capture), id
+    * assignment is the distributed two-phase cumsum, and apply is a
+    * latest-event-per-key window + anti-join — all PK-keyed, so the
+    * user/event-axis expansion must scale ~linearly. `cur` and the
+    * captured log are pre-materialized parquet (the IVF-index
+    * convention: inputs aren't part of the op under test).
+    */
+  private def cdcOps(
+      prev: DataFrame,
+      cur: DataFrame,
+      log0: DataFrame,
+      log: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): Seq[(String, () => Long)] = Seq(
+    "cdc_capture" -> (() =>
+      graft.capture.CdcCapture.capture(prev, cur, Seq("event_id"), "stress", "events").count()),
+    "cdc_assign_ids" -> (() =>
+      graft.capture.CdcCapture
+        .assignIdsDistributed(log0, 0L, Seq("ts", "operation", "after", "before"))
+        .count()),
+    "cdc_apply" -> (() =>
+      graft.capture.CdcApply.applyLog(prev, log, Seq("event_id"), schema).count())
   )
 
   /** ANN probe paths at fixed query count and growing corpus — the shape
@@ -181,6 +271,34 @@ object StressBench {
     val (ivfIdx1, ivfCen1) = buildIvf(embs1, s"$work/ivf1")
     val (ivfIdx10, ivfCen10) = buildIvf(embs10, s"$work/ivf10")
 
+    // time-series corpus: id strides from the 1× maxima keep replicas'
+    // users and event ids disjoint
+    val ev1 = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val (idStride, userStride) = {
+      val r = ev1.agg(max("event_id"), max("user_id")).head()
+      (r.getLong(0) + 1L, r.getLong(1) + 1L)
+    }
+    expandEvents(ev1, userStride, idStride).write.mode("overwrite").parquet(s"$work/ev10")
+    val ev10 = spark.read.parquet(s"$work/ev10")
+
+    // CDC corpora: mutated next-snapshot + captured change log per scale,
+    // materialized so the timed ops read parquet, not the mutation lineage
+    def buildCdc(ev: DataFrame, path: String): (DataFrame, DataFrame, DataFrame) = {
+      mutateSnapshot(ev, idStride * Replicas).write.mode("overwrite").parquet(s"$path/cur")
+      val cur = spark.read.parquet(s"$path/cur")
+      graft.capture.CdcCapture.capture(ev, cur, Seq("event_id"), "stress", "events")
+        .write.mode("overwrite").parquet(s"$path/log0")
+      val log0 = spark.read.parquet(s"$path/log0")
+      graft.capture.CdcCapture
+        .assignIdsDistributed(log0, 0L, Seq("ts", "operation", "after", "before"))
+        .write.mode("overwrite").parquet(s"$path/log")
+      (cur, log0, spark.read.parquet(s"$path/log"))
+    }
+    val (cur1, log01, logA1) = buildCdc(ev1, s"$work/cdc1")
+    val (cur10, log010, logA10) = buildCdc(ev10, s"$work/cdc10")
+    val evSchema = ev1.schema
+
     // min of `Runs` timings per op (the graft.Bench convention): the
     // heavy candidate stages are GC-luck-sensitive (simhash at 10×
     // swung 22-92 s single-shot), and the minimum is the steady-state
@@ -199,15 +317,19 @@ object StressBench {
         (name, timings.head._1, timings.map(_._2).min)
       }
 
-    def opsAt(d: DataFrame, e: DataFrame, idx: DataFrame, cen: DataFrame) =
-      (ops(d, e) ++ simOps(queries, e, idx, cen))
+    def opsAt(
+        d: DataFrame, e: DataFrame, idx: DataFrame, cen: DataFrame, evs: DataFrame,
+        cur: DataFrame, log0: DataFrame, log: DataFrame) =
+      (ops(d, e) ++ simOps(queries, e, idx, cen) ++ timeOps(evs) ++
+        cdcOps(evs, cur, log0, log, evSchema))
         .filter { case (n, _) => OnlyOps.forall(_.contains(n)) }
 
     // warm (JIT, codegen, file index) once with the small corpus, untimed
-    opsAt(docs1, embs1, ivfIdx1, ivfCen1).foreach { case (_, f) => f(); () }
+    opsAt(docs1, embs1, ivfIdx1, ivfCen1, ev1, cur1, log01, logA1)
+      .foreach { case (_, f) => f(); () }
 
-    val base = runAll(opsAt(docs1, embs1, ivfIdx1, ivfCen1))
-    val big = runAll(opsAt(docs10, embs10, ivfIdx10, ivfCen10))
+    val base = runAll(opsAt(docs1, embs1, ivfIdx1, ivfCen1, ev1, cur1, log01, logA1))
+    val big = runAll(opsAt(docs10, embs10, ivfIdx10, ivfCen10, ev10, cur10, log010, logA10))
     val rows1 = docs1.count(); val rows10 = docs10.count()
 
     val k = s"${Replicas}x"
