@@ -35,6 +35,14 @@ object StressBench {
     * contract; SPARK_GRAFT_STRESS_REPLICAS overrides for deeper one-off
     * probes (30×, 100×), whose results land in BENCH_STRESS_<k>x.json so
     * a probe can never overwrite the standard artifact.
+    *
+    * ~100× is the probe's validity ceiling: the mutation masks are
+    * periodic in k (flip stripes repeat with period lcm ≤ ~56), so past
+    * a few hundred replicas distinct replicas of one source start
+    * sharing masks EXACTLY — the true-pair band itself then grows
+    * quadratically in Replicas and every generator's output (and cost)
+    * follows it. A 300× embedding probe measures that corpus artifact,
+    * not engine scaling; don't read x_vs_linear there.
     */
   val Replicas: Int =
     sys.env.get("SPARK_GRAFT_STRESS_REPLICAS").map(_.toInt).filter(_ > 1).getOrElse(10)
@@ -135,8 +143,12 @@ object StressBench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** count() forces full evaluation of every op's output. */
-  private def ops(docs: DataFrame, embs: DataFrame): Seq[(String, () => Long)] = Seq(
+  /** count() forces full evaluation of every op's output. Frames are
+    * by-name: corpus expansion is lazy in main, and a thunk must not
+    * force a corpus its op family doesn't read (a 300× embedding-only
+    * probe shouldn't build the 30M-event CDC log).
+    */
+  private def ops(docs: => DataFrame, embs: => DataFrame): Seq[(String, () => Long)] = Seq(
     "ngram_jaccard" -> (() =>
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.4,
         maxShingleDf = 100L).count()),
@@ -163,7 +175,7 @@ object StressBench {
     * gapfill explodes each user's grid map-side — all keyed per user, so
     * user-axis growth must stay ~linear or the plan shape regressed.
     */
-  private def timeOps(ev: DataFrame): Seq[(String, () => Long)] = Seq(
+  private def timeOps(ev: => DataFrame): Seq[(String, () => Long)] = Seq(
     "asof_exec" -> (() => {
       val clicks = ev.where(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id"))
@@ -194,10 +206,10 @@ object StressBench {
     * convention: inputs aren't part of the op under test).
     */
   private def cdcOps(
-      prev: DataFrame,
-      cur: DataFrame,
-      log0: DataFrame,
-      log: DataFrame,
+      prev: => DataFrame,
+      cur: => DataFrame,
+      log0: => DataFrame,
+      log: => DataFrame,
       schema: org.apache.spark.sql.types.StructType): Seq[(String, () => Long)] = Seq(
     "cdc_capture" -> (() =>
       graft.capture.CdcCapture.capture(prev, cur, Seq("event_id"), "stress", "events").count()),
@@ -217,10 +229,10 @@ object StressBench {
     * includes the one codegen'd signature pass — still linear work.
     */
   private def simOps(
-      queries: DataFrame,
-      embs: DataFrame,
-      ivfIndexed: DataFrame,
-      ivfCentroids: DataFrame): Seq[(String, () => Long)] = Seq(
+      queries: => DataFrame,
+      embs: => DataFrame,
+      ivfIndexed: => DataFrame,
+      ivfCentroids: => DataFrame): Seq[(String, () => Long)] = Seq(
     "sim_lsh_topk" -> (() =>
       Similarity.lshTopK(embs, queries, "vec_id", "embedding", k = 5,
         numPlanes = 8, multiProbeBits = 1).count()),
@@ -247,15 +259,23 @@ object StressBench {
     graft.functions.GraftFunctions.register(spark)
 
     val work = java.nio.file.Files.createTempDirectory("graft-stress").toString
-    // materialize both corpora to parquet so the timed ops read the same
-    // physical layout the gates read (no recompute of the expansion
-    // inside each op's lineage)
+    // 1× table loads are cheap and always materialize; the EXPANSIONS are
+    // lazy — corpora build on first touch by a surviving op's thunk, so an
+    // SPARK_GRAFT_STRESS_OPS subset probe (e.g. embedding-only at 300×)
+    // pays only for the corpora its family reads
     val docs1 = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
     val embs1 = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
-    expandDocs(docs1).write.mode("overwrite").parquet(s"$work/docs10")
-    expandEmbs(embs1).write.mode("overwrite").parquet(s"$work/embs10")
-    val docs10 = spark.read.parquet(s"$work/docs10")
-    val embs10 = spark.read.parquet(s"$work/embs10")
+    // expanded corpora materialize to parquet so the timed ops read the
+    // same physical layout the gates read (no recompute of the expansion
+    // inside each op's lineage)
+    lazy val docs10 = {
+      expandDocs(docs1).write.mode("overwrite").parquet(s"$work/docs10")
+      spark.read.parquet(s"$work/docs10")
+    }
+    lazy val embs10 = {
+      expandEmbs(embs1).write.mode("overwrite").parquet(s"$work/embs10")
+      spark.read.parquet(s"$work/embs10")
+    }
 
     // fixed query set for the ANN probes (corpus scales, queries don't)
     val queries = embs1.where(col("vec_id") < 10)
@@ -268,19 +288,21 @@ object StressBench {
       centroids.write.mode("overwrite").parquet(s"$path/centroids")
       (spark.read.parquet(s"$path/indexed"), spark.read.parquet(s"$path/centroids"))
     }
-    val (ivfIdx1, ivfCen1) = buildIvf(embs1, s"$work/ivf1")
-    val (ivfIdx10, ivfCen10) = buildIvf(embs10, s"$work/ivf10")
+    lazy val (ivfIdx1, ivfCen1) = buildIvf(embs1, s"$work/ivf1")
+    lazy val (ivfIdx10, ivfCen10) = buildIvf(embs10, s"$work/ivf10")
 
     // time-series corpus: id strides from the 1× maxima keep replicas'
     // users and event ids disjoint
     val ev1 = Tables.load(spark, sfDir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
-    val (idStride, userStride) = {
+    lazy val (idStride, userStride) = {
       val r = ev1.agg(max("event_id"), max("user_id")).head()
       (r.getLong(0) + 1L, r.getLong(1) + 1L)
     }
-    expandEvents(ev1, userStride, idStride).write.mode("overwrite").parquet(s"$work/ev10")
-    val ev10 = spark.read.parquet(s"$work/ev10")
+    lazy val ev10 = {
+      expandEvents(ev1, userStride, idStride).write.mode("overwrite").parquet(s"$work/ev10")
+      spark.read.parquet(s"$work/ev10")
+    }
 
     // CDC corpora: mutated next-snapshot + captured change log per scale,
     // materialized so the timed ops read parquet, not the mutation lineage
@@ -295,8 +317,8 @@ object StressBench {
         .write.mode("overwrite").parquet(s"$path/log")
       (cur, log0, spark.read.parquet(s"$path/log"))
     }
-    val (cur1, log01, logA1) = buildCdc(ev1, s"$work/cdc1")
-    val (cur10, log010, logA10) = buildCdc(ev10, s"$work/cdc10")
+    lazy val (cur1, log01, logA1) = buildCdc(ev1, s"$work/cdc1")
+    lazy val (cur10, log010, logA10) = buildCdc(ev10, s"$work/cdc10")
     val evSchema = ev1.schema
 
     // min of `Runs` timings per op (the graft.Bench convention): the
@@ -318,8 +340,8 @@ object StressBench {
       }
 
     def opsAt(
-        d: DataFrame, e: DataFrame, idx: DataFrame, cen: DataFrame, evs: DataFrame,
-        cur: DataFrame, log0: DataFrame, log: DataFrame) =
+        d: => DataFrame, e: => DataFrame, idx: => DataFrame, cen: => DataFrame,
+        evs: => DataFrame, cur: => DataFrame, log0: => DataFrame, log: => DataFrame) =
       (ops(d, e) ++ simOps(queries, e, idx, cen) ++ timeOps(evs) ++
         cdcOps(evs, cur, log0, log, evSchema))
         .filter { case (n, _) => OnlyOps.forall(_.contains(n)) }
@@ -330,7 +352,10 @@ object StressBench {
 
     val base = runAll(opsAt(docs1, embs1, ivfIdx1, ivfCen1, ev1, cur1, log01, logA1))
     val big = runAll(opsAt(docs10, embs10, ivfIdx10, ivfCen10, ev10, cur10, log010, logA10))
-    val rows1 = docs1.count(); val rows10 = docs10.count()
+    // rows_k = rows_1 · Replicas exactly (expandDocs emits one row per
+    // (doc, k)) — computed, not counted, so a docs-free subset probe
+    // never forces the docs expansion
+    val rows1 = docs1.count(); val rows10 = rows1 * Replicas
 
     val k = s"${Replicas}x"
     val per = base.zip(big).map { case ((n, c1, s1), (_, c10, s10)) =>
