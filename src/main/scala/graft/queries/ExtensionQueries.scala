@@ -763,6 +763,60 @@ object ExtensionQueries {
           col("doc_id"), md5(col("text")).as("text_md5"),
           col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
+    },
+
+    // Timescale counter_agg → delta/rate/num_resets over a synthetic
+    // counter derived IN-QUERY from events (a per-user cumulative cents
+    // sum wrapped mod 1e6, so it genuinely resets a few times per user —
+    // the construction is itself window SQL, so DuckDB re-derives the
+    // identical counter). All-long until the final rate division.
+    "x_counter_agg" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(expr("unix_micros(ts)"))
+      val ctr = events(s, dir)
+        .select(col("user_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("counter", sum(col("cents")).over(w) % 1000000L)
+      graft.operators.TsAnalytics
+        .counterAgg(ctr, Seq("user_id"), "ts", "counter")
+        .select(
+          col("user_id"), col("n_points"), col("n_resets"),
+          col("first_v"), col("last_v"), col("delta"), col("span_s"),
+          round(col("rate_per_s"), 6).as("rate_per_s"))
+        .orderBy("user_id")
+    },
+
+    // Timescale average(time_weight('LOCF', ts, value)) per user: each
+    // observation weighs by its holding time. Exact-long weighted sum
+    // (e4 fixed-point value × ms duration) → hash-stable cross-engine.
+    "x_time_weighted" -> { (s, dir) =>
+      graft.operators.TsAnalytics
+        .timeWeightedAvg(events(s, dir), Seq("user_id"), "ts", "value")
+        .orderBy("user_id")
+    },
+
+    // Timescale histogram(value, 0, 600, 12) per event_type —
+    // width_bucket layout with under/overflow buckets. Pure arithmetic
+    // bucketing, one hash aggregate; the oracle runs the identical
+    // floor((v-lo)/width)+1 expression.
+    "x_histogram" -> { (s, dir) =>
+      graft.operators.TsAnalytics
+        .histogram(events(s, dir), Seq("event_type"), "value",
+          lo = 0.0, hi = 600.0, nBuckets = 12)
+        .orderBy("event_type", "bucket")
+    },
+
+    // LTTB downsample (Steinarsson 2013) of each user's value series to
+    // 24 points. The selection algorithm is fixture-proven in
+    // TsAnalyticsSpec; this gate pins the DISTRIBUTED orchestration
+    // (groupByKey/flatMapGroups over the real corpus) against an
+    // independent driver-side grouping of the same sequential core — the
+    // x_text_fingerprint_prod expected-table pattern.
+    "x_lttb" -> { (s, dir) =>
+      graft.operators.TsAnalytics
+        .lttb(events(s, dir), "user_id", "ts", "value", nOut = 24)
+        .select(col("key").cast("long").as("user_id"), col("t_us"), col("v").as("value"))
+        .orderBy("user_id", "t_us")
     }
   )
 
@@ -853,6 +907,28 @@ object ExtensionQueries {
         }
         .toDF("doc_id", "fp")
         .orderBy("doc_id")
+    },
+
+    // x_lttb's expected side: the same sequential LTTB core (itself
+    // fixture-proven in TsAnalyticsSpec — spike survival, bucket
+    // structure, tie handling), but orchestrated on the DRIVER over a
+    // plain collect+groupBy instead of the gated groupByKey/
+    // flatMapGroups distribution. Shared core + independent
+    // orchestration mirrors x_text_fingerprint_prod's use of
+    // XxHash64Ref: what the gate proves is the distributed path.
+    "x_lttb" -> { (s, dir) =>
+      import s.implicits._
+      val rows = events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("t"), col("value"))
+        .as[(Long, Long, Double)]
+        .collect()
+      val out = rows.groupBy(_._1).toSeq.flatMap { case (uid, pts) =>
+        val series = pts.map(p => (p._2, p._3)).sortBy(_._1)
+        graft.operators.TsAnalytics.lttbSelect(series, 24)
+          .map { case (t, v) => (uid, t, v) }
+      }
+      s.createDataset(out).toDF("user_id", "t_us", "value")
+        .orderBy("user_id", "t_us")
     }
   )
 
@@ -1458,6 +1534,69 @@ object ExtensionQueries {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "x_jsonl_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // identical counter construction (windowed cumsum mod 1e6), identical
+    // reset-adjusted delta; rate is the one double op, a single division
+    "x_counter_agg" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+        |), ctr AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) % 1000000 AS BIGINT) AS counter
+        |  FROM c
+        |), d AS (
+        |  SELECT user_id, epoch_us(ts) AS us, counter,
+        |         counter - lag(counter) OVER (PARTITION BY user_id ORDER BY ts) AS raw
+        |  FROM ctr
+        |), g AS (
+        |  SELECT user_id,
+        |         count(*) AS n_points,
+        |         count(CASE WHEN raw < 0 THEN 1 END) AS n_resets,
+        |         arg_min(counter, us) AS first_v,
+        |         arg_max(counter, us) AS last_v,
+        |         CAST(coalesce(sum(CASE WHEN raw < 0 THEN counter ELSE raw END), 0) AS BIGINT) AS delta,
+        |         (max(us) - min(us)) // 1000000 AS span_s
+        |  FROM d GROUP BY user_id
+        |)
+        |SELECT user_id, n_points, n_resets, first_v, last_v, delta, span_s,
+        |       CASE WHEN span_s > 0
+        |            THEN round(CAST(delta AS DOUBLE) / span_s, 6) END AS rate_per_s
+        |FROM g ORDER BY user_id""".stripMargin,
+    // same e4 fixed-point value, same ms-truncated LOCF durations, same
+    // exact-long weighted sum; twa re-derived with the identical
+    // (wsum/1e4)/dur double expression
+    "x_time_weighted" ->
+      """WITH seg AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4,
+        |         (lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+        |           - epoch_us(ts)) // 1000 AS dur_ms
+        |  FROM events WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT user_id, count(*) AS n_points,
+        |         CAST(coalesce(sum(dur_ms), 0) AS BIGINT) AS sum_dur_ms,
+        |         CAST(coalesce(sum(v_e4 * dur_ms), 0) AS BIGINT) AS wsum_e4ms
+        |  FROM seg GROUP BY user_id
+        |)
+        |SELECT user_id, n_points, sum_dur_ms, wsum_e4ms,
+        |       CASE WHEN sum_dur_ms > 0
+        |            THEN round((CAST(wsum_e4ms AS DOUBLE) / 10000.0) / sum_dur_ms, 4) END AS twa
+        |FROM g ORDER BY user_id""".stripMargin,
+    // identical floor((v-lo)/width)+1 bucketing, width = (600-0)/12 = 50
+    "x_histogram" ->
+      """SELECT event_type,
+        |       CASE WHEN value < 0.0 THEN 0
+        |            WHEN value >= 600.0 THEN 13
+        |            ELSE CAST(floor((value - 0.0) / 50.0) + 1 AS INTEGER) END AS bucket,
+        |       count(*) AS n
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    // expected table from the driver-side orchestration (see
+    // expectedTables) — {GRAFT_EXPECTED} resolves at dump time
+    "x_lttb" ->
+      """SELECT user_id, t_us, value
+        |FROM read_parquet('{GRAFT_EXPECTED}/x_lttb/*.parquet')
+        |ORDER BY user_id, t_us""".stripMargin
   )
 }
