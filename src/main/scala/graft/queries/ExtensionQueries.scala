@@ -765,6 +765,59 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Avro round-trip, per-document: the reference's Kafka stack speaks
+    // Avro on the wire, so the engine proves lossless binary interchange
+    // the same way as JSONL — md5 of every document after write→read,
+    // pinned against the parquet original in DuckDB.
+    "x_avro_roundtrip" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val avDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-avro-${new java.io.File(dir).getName}"
+      ).getAbsolutePath
+      val fp = graft.ext.FixtureCache.fingerprint(d, "avro-roundtrip")
+      if (!graft.ext.FixtureCache.matches(avDir, fp)) {
+        graft.sources.CorpusIO.writeAvro(d, avDir)
+        graft.ext.FixtureCache.write(avDir, fp)
+      }
+      graft.sources.CorpusIO.readAvro(s, avDir)
+        .select(
+          col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // CSV round-trip, per-document, over a corpus SPICED with the
+    // characters CSV exists to escape (the raw docs are plain ASCII, so
+    // the gate prepends a quote+comma+newline prefix and appends a
+    // trailing quote before the write): write RFC-4180 CSV, read it back
+    // multiLine, md5 every document against DuckDB computing the same
+    // md5 from the parquet original — quoting, quote doubling, and
+    // embedded-newline fidelity all pinned row-by-row.
+    "x_csv_roundtrip" -> { (s, dir) =>
+      val spiced = docs(s, dir).select(
+        col("doc_id"),
+        concat(lit("q=\",\n"), col("text"), lit("\"")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      val csvDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-csv-${new java.io.File(dir).getName}"
+      ).getAbsolutePath
+      val fp = graft.ext.FixtureCache.fingerprint(spiced, "csv-roundtrip")
+      if (!graft.ext.FixtureCache.matches(csvDir, fp)) {
+        graft.sources.CorpusIO.writeCsv(spiced, csvDir)
+        graft.ext.FixtureCache.write(csvDir, fp)
+      }
+      val back = graft.sources.CorpusIO.readCsv(
+        s, csvDir, graft.sources.CorpusIO.documentsSchema, multiLine = true)
+      graft.sources.CorpusIO
+        .validRecords(back)
+        .select(
+          col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // Timescale counter_agg → delta/rate/num_resets over a synthetic
     // counter derived IN-QUERY from events (a per-user cumulative cents
     // sum wrapped mod 1e6, so it genuinely resets a few times per user —
@@ -1534,6 +1587,16 @@ object ExtensionQueries {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "x_jsonl_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_avro_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // same spice prefix/suffix re-derived from the parquet original —
+    // equality pins the CSV writer/parser escaping round-trip
+    "x_csv_roundtrip" ->
+      """SELECT doc_id,
+        |       md5('q=",' || chr(10) || text || '"') AS text_md5,
+        |       lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     // identical counter construction (windowed cumsum mod 1e6), identical
     // reset-adjusted delta; rate is the one double op, a single division

@@ -44,15 +44,30 @@ object CorpusIO {
       .json(path)
 
   /** Header-less CSV against an explicit schema, same reject contract as
-    * [[readJsonl]]. `multiLine` stays off: multi-line CSV parsing is not
-    * splittable, so one file becomes one task regardless of size.
+    * [[readJsonl]]. Quoting is RFC-4180 (quote char doubled inside quoted
+    * fields — `escape` set to the quote char, not Spark's backslash
+    * default), matching [[writeCsv]] so exports round-trip.
+    *
+    * `multiLine` defaults OFF because multi-line CSV parsing is not
+    * splittable — one file becomes one task regardless of size. Turn it
+    * on only for corpora whose text embeds newlines, and shard the
+    * export into many files so parallelism comes from file count
+    * (exactly what [[writeCsv]]'s partitioned output produces).
     */
-  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  def readCsv(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      multiLine: Boolean = false
+  ): DataFrame =
     spark.read
       .schema(withCorrupt(schema))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .option("header", "false")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("multiLine", multiLine.toString)
       .csv(path)
 
   /** The good rows, corrupt column dropped. Note: Spark disallows plans
@@ -90,4 +105,46 @@ object CorpusIO {
   /** ORC export (zlib by default; splittable stripes). */
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
+
+  /** Avro read — row-oriented interchange (the serialization family the
+    * reference's Kafka Connect stack speaks natively; Spark bundles the
+    * implementation classes in spark-sql). Schema-ful binary like
+    * ORC/parquet, so no corrupt-record contract applies; unlike the
+    * columnar pair there is no column pruning or predicate pushdown —
+    * Avro is the WIRE format, parquet/ORC stay the at-rest formats.
+    *
+    * The FULL provider class name is used because this distribution
+    * ships the classes without the `avro` shortname's service
+    * registration (`META-INF/services/...DataSourceRegister` has no avro
+    * entry), and Spark special-cases the bare name with a misleading
+    * "deploy the external module" error before ever trying the class.
+    */
+  private val AvroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def readAvro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(AvroProvider).load(path)
+
+  /** Avro export (splittable blocks, snappy by default). */
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").format(AvroProvider).save(path)
+
+  /** Header-less CSV export with RFC-4180 quoting (embedded quotes
+    * doubled, fields with separators/newlines quoted) — the exact
+    * dialect [[readCsv]] parses, so write→read round-trips byte-exactly
+    * including newlines and quotes in text. One output file per input
+    * partition, which is what keeps a later `multiLine` read parallel.
+    *
+    * The two `ignore*WhiteSpace` options default TRUE on write (unlike
+    * read) — Spark would silently trim edge whitespace, including a
+    * trailing newline, out of every field. Fidelity export must turn
+    * both off.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "false")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
 }

@@ -102,6 +102,41 @@ class CorpusIOSpec extends SparkSpec {
     assert(admitted == 2 && quarantined == 1)
   }
 
+  test("documents roundtrip through Avro losslessly") {
+    val dir = tempDir("avro") + "/docs"
+    CorpusIO.writeAvro(docs, dir)
+    val back = CorpusIO.readAvro(spark, dir)
+    assert(back.count() == docs.count())
+    val cols = docs.columns.map(col).toSeq
+    assert(back.select(cols: _*).exceptAll(docs.select(cols: _*)).isEmpty)
+    assert(docs.select(cols: _*).exceptAll(back.select(cols: _*)).isEmpty)
+  }
+
+  test("CSV write→read round-trips quotes, commas, and embedded newlines exactly") {
+    val nasty = Seq(
+      (1L, "plain text", "en", "s", 10L),
+      (2L, "comma, inside", "en", "s", 13L),
+      (3L, "a \"quoted\" word", "en", "s", 15L),
+      (4L, "line one\nline two\r\nline three", "en", "s", 29L),
+      (5L, "all: \",\n\"\"--,\n", "en", "s", 14L),
+      (6L, "", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("csvrt") + "/docs"
+    CorpusIO.writeCsv(nasty, dir)
+    val parsed = CorpusIO.readCsv(spark, dir, CorpusIO.documentsSchema, multiLine = true).cache()
+    try {
+      val back = CorpusIO.validRecords(parsed)
+      assert(CorpusIO.corruptRecords(parsed).isEmpty)
+      val got = back.orderBy("doc_id").select($"doc_id", $"text").as[(Long, String)].collect()
+      // empty string and null are indistinguishable in bare CSV — accept
+      // the null reading for doc 6, exactness for all the spiced rows
+      assert(got.take(5).toSeq === Seq(
+        1L -> "plain text", 2L -> "comma, inside", 3L -> "a \"quoted\" word",
+        4L -> "line one\nline two\r\nline three", 5L -> "all: \",\n\"\"--,\n"))
+      assert(got(5)._2 == null || got(5)._2 == "")
+    } finally { parsed.unpersist(); () }
+  }
+
   test("CSV reads against an explicit schema with the same reject contract") {
     val dir = tempDir("csvdocs")
     val lines = Seq(
