@@ -313,6 +313,25 @@ object CdcQueries {
         .orderBy("event_id")
     },
 
+    // the Connect AvroConverter deployment variant: binary Avro messages
+    // with the schema out of band (a schema-registry stand-in). The gate
+    // runs the full encode → binary value → decode trip and hash-matches
+    // the DECODED rows against the original table — binary fidelity for
+    // longs, micros timestamps, strings, and doubles in one pass.
+    "d8_avro_envelope" -> { (s, dir) =>
+      val rows = events(s, dir)
+        .where(col("event_id") < 200)
+        .select(
+          col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value").as("val"))
+      val schemaJson = graft.sink.AvroEnvelope.payloadSchemaJson(rows, "event_log")
+      val wire = graft.sink.AvroEnvelope.encode(rows, "event_log").select("value")
+      graft.sink.AvroEnvelope
+        .decode(wire, schemaJson)
+        .select(col("event_id"), col("ts_us"), col("event_type"), col("val"))
+        .orderBy("event_id")
+    },
+
     // the consumer half of the delivery contract: envelope-encode a typed
     // frame, write it in TopicSink's file-mode layout (topic-partitioned
     // parquet), read it back through TopicSource and decode — the gate
@@ -589,6 +608,10 @@ object CdcQueries {
         |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
     "d7_topic_consume" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+    // decoded-rows identity: the avro trip must reproduce the source rows
+    "d8_avro_envelope" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value AS val
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin
   )
 }

@@ -67,6 +67,43 @@ class EnvelopeSpec extends SparkSpec {
     assert(k == 10)
   }
 
+  test("Avro envelope round-trips typed rows, nulls included, through binary values") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some("INSERT"), Some(3.5), Some("after-json")),
+      (2L, Some("DELETE"), None, None),
+      (3L, None, Some(-0.0), Some("x\"y\nz"))
+    ).toDF("event_id", "operation", "val", "after")
+    val schemaJson = graft.sink.AvroEnvelope.payloadSchemaJson(rows, "ev")
+    assert(schemaJson.contains("\"record\"") && schemaJson.contains("event_id"))
+    val wire = graft.sink.AvroEnvelope.encode(rows, "ev").select("value")
+    assert(wire.schema("value").dataType.typeName === "binary")
+    val back = graft.sink.AvroEnvelope.decode(wire, schemaJson)
+    assert(back.columns.toSeq === Seq("event_id", "operation", "val", "after"))
+    val cols = rows.columns.map(org.apache.spark.sql.functions.col).toSeq
+    assert(back.select(cols: _*).exceptAll(rows.select(cols: _*)).isEmpty)
+    assert(rows.select(cols: _*).exceptAll(back.select(cols: _*)).isEmpty)
+  }
+
+  test("Avro decode keeps transport columns and rejects non-flat payloads") {
+    import spark.implicits._
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("event_id", "event_type")
+    val schemaJson = graft.sink.AvroEnvelope.payloadSchemaJson(rows, "ev")
+    val wire = graft.sink.AvroEnvelope.encode(rows, "ev")
+      .select(org.apache.spark.sql.functions.lit("cdc-ev").as("topic"),
+        org.apache.spark.sql.functions.col("value"))
+    val back = graft.sink.AvroEnvelope.decode(wire, schemaJson)
+    assert(back.columns.toSeq === Seq("topic", "event_id", "event_type"))
+    assert(back.where($"topic" === "cdc-ev").count() === 2)
+    // timestamps must be projected to micros first — the codec says so
+    val ts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      graft.sink.AvroEnvelope.encode(ts, "ev")
+    }
+    assert(e.getMessage.contains("unix_micros"))
+  }
+
   test("topic naming matches the reference prefix scheme") {
     assert(JsonEnvelope.topicFor("event_log") == "cdc-event_log")
     assert(JsonEnvelope.topicFor("event_log_assets") == "cdc-event_log_assets")
