@@ -40,6 +40,7 @@ object GraftFunctions {
     "simhash_agg" -> { es: Seq[Expression] => SimHashAgg(es(0)) },
     "srp_bucket" -> { es: Seq[Expression] => SrpBucket(es(0), intLit(es(1)), intLit(es(2))) },
     "count_in_set" -> { es: Seq[Expression] => CountInSet(es(0), stringSeqLit(es(1))) },
+    "prefix_sum" -> { es: Seq[Expression] => PrefixSumLongs(es(0), es(1)) },
     "top_shingle_count" -> { es: Seq[Expression] => TopShingleCount(es(0), intLit(es(1))) },
     // Spark's own runtime-filter expressions (the pair InjectRuntimeFilter
     // plants around shuffle joins), surfaced by name: Spark 4 ships them
@@ -82,6 +83,12 @@ object GraftFunctions {
   /** Per-element xxhash64 (seed 42, matching the builtin) of array<string>. */
   def hashed_array(arr: Column): Column =
     call_function("hashed_array", arr)
+
+  /** Running sum over a delta array: `out(0)=init, out(i)=out(i-1)+arr(i-1)`
+    * (length n+1; codegen'd — see [[PrefixSumLongs]]).
+    */
+  def prefix_sum(arr: Column, init: Column): Column =
+    call_function("prefix_sum", arr, init)
 
   /** MinHash signature aggregate over exploded shingle strings. */
   def minhash_agg(shingle: Column, numHashes: Int): Column =

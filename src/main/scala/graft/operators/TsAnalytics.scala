@@ -78,6 +78,237 @@ object TsAnalytics {
       )
   }
 
+  /** Per-key gauge rollup — Timescale `gauge_agg` + accessors
+    * (`delta`/`idelta_right`/`irate_right`): unlike [[counterAgg]] a gauge
+    * may move freely in both directions, so there is no reset logic —
+    * `delta` is simply `last − first`, and the instantaneous accessors
+    * read the final observed step (`idelta_right` = last − previous-last,
+    * `irate_right` = that step over its wall-clock gap).
+    *
+    * Determinism contract: nothing SUMS doubles — every double output is
+    * either a value picked by `min_by`/`max_by` over the unique
+    * epoch-microsecond key or a single subtraction/division of two such
+    * picks, so the result is bit-identical across engines and shuffle
+    * orders. One key-partitioned lag window + one hash aggregate.
+    */
+  def gaugeAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val k = keys.map(col)
+    val us = expr(s"unix_micros($tsCol)")
+    val w = Window.partitionBy(k: _*).orderBy(col("__us"))
+    val stepped = df
+      .where(col(valueCol).isNotNull)
+      .withColumn("__us", us)
+      .withColumn("__step", col(valueCol) - lag(col(valueCol), 1).over(w))
+      .withColumn("__gap_us", col("__us") - lag(col("__us"), 1).over(w))
+    stepped
+      .groupBy(k: _*)
+      .agg(
+        count(lit(1)).as("n_points"),
+        expr(s"min_by($valueCol, __us)").as("first_v"),
+        expr(s"max_by($valueCol, __us)").as("last_v"),
+        expr(s"max_by(__step, __us)").as("__idelta"),
+        expr("max_by(__gap_us, __us)").as("__last_gap_us"),
+        expr("(max(__us) - min(__us)) div 1000000").as("span_s")
+      )
+      .withColumn("delta", col("last_v") - col("first_v"))
+      .withColumn("idelta_right", col("__idelta"))
+      .withColumn(
+        "irate_per_s",
+        when(
+          col("__last_gap_us") > 0,
+          col("__idelta") / (col("__last_gap_us").cast(DoubleType) / 1e6)
+        )
+      )
+      .drop("__idelta", "__last_gap_us")
+  }
+
+  /** Per-key two-dimensional statistical rollup over (time, value) —
+    * Timescale `stats_agg(ts, value)` + `slope`/`intercept`/
+    * `corr`: ordinary-least-squares of value against elapsed seconds.
+    *
+    * Fixed-point contract (the exact-long trick that makes a regression
+    * hash-comparable across engines): x = whole seconds since the key's
+    * first observation (long), y = value quantized to 1e-4 (long); the six
+    * sufficient statistics `n, Σx, Σy, Σxx, Σxy, Σyy` are then exact long
+    * sums (order-insensitive), and slope/intercept/corr are derived from
+    * them in ONE fixed double expression tree — both engines evaluate the
+    * identical IEEE operation sequence on identical integers, so even the
+    * unrounded doubles match bitwise. Casts to double happen BEFORE the
+    * cross-products (`n·Σxy` overflows int64 at corpus scale).
+    *
+    * `slope` is in value-units per second (the e4 scale cancels between
+    * numerator and denominator only for corr; slope/intercept divide it
+    * back out). One min-window + one hash aggregate, no double summation.
+    */
+  def statsRegr(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val k = keys.map(col)
+    val us = expr(s"unix_micros($tsCol)")
+    val pts = df
+      .where(col(valueCol).isNotNull)
+      .withColumn("__us", us)
+      .withColumn("__x", expr("(__us - min(__us) OVER (PARTITION BY " + keys.mkString(", ") + ")) div 1000000"))
+      .withColumn("__y", floor(col(valueCol) * 10000 + 0.5).cast(LongType))
+    val d = (c: String) => col(c).cast(DoubleType)
+    pts
+      .groupBy(k: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("sum_x"),
+        sum(col("__y")).as("sum_y"),
+        sum(col("__x") * col("__x")).as("sum_xx"),
+        sum(col("__x") * col("__y")).as("sum_xy"),
+        sum(col("__y") * col("__y")).as("sum_yy")
+      )
+      .withColumn("__sxx", d("n") * d("sum_xx") - d("sum_x") * d("sum_x"))
+      .withColumn("__sxy", d("n") * d("sum_xy") - d("sum_x") * d("sum_y"))
+      .withColumn("__syy", d("n") * d("sum_yy") - d("sum_y") * d("sum_y"))
+      .withColumn(
+        "slope",
+        when(col("__sxx") > 0, round(col("__sxy") / col("__sxx") / 10000.0, 6))
+      )
+      .withColumn(
+        "intercept",
+        when(
+          col("__sxx") > 0,
+          round(
+            (d("sum_y") / d("n") - col("__sxy") / col("__sxx") * (d("sum_x") / d("n"))) / 10000.0,
+            6)
+        )
+      )
+      .withColumn(
+        "corr",
+        when(
+          col("__sxx") > 0 && col("__syy") > 0,
+          round(col("__sxy") / sqrt(col("__sxx")) / sqrt(col("__syy")), 6)
+        )
+      )
+      .drop("__sxx", "__sxy", "__syy")
+  }
+
+  /** Per-key state-duration rollup — Timescale `state_agg`/
+    * `duration_in`: `stateCol` is a discrete state that HOLDS until the
+    * next observation (the same LOCF reading as [[timeWeightedAvg]]), so
+    * each row contributes its holding time to its state's total. The
+    * key's final observation has no successor and contributes no
+    * duration (the agg covers the observed interval only).
+    *
+    * Output per (key, state): `n_obs` (observations in the state),
+    * `n_entries` (transitions INTO the state — a run of equal states
+    * counts once), and `dur_ms` (total held milliseconds, exact long:
+    * per-segment µs truncate to ms before the sum). Two lag/lead reads
+    * over one key-partitioned window + one hash aggregate.
+    */
+  def stateAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      stateCol: String
+  ): DataFrame = {
+    val k = keys.map(col)
+    val us = expr(s"unix_micros($tsCol)")
+    val w = Window.partitionBy(k: _*).orderBy(col("__us"))
+    val seg = df
+      .where(col(stateCol).isNotNull)
+      .withColumn("__us", us)
+      .withColumn("__dur_ms", expr(s"(lead(__us, 1) OVER (PARTITION BY ${keys.mkString(", ")} ORDER BY __us) - __us) div 1000"))
+      .withColumn("__prev_state", lag(col(stateCol), 1).over(w))
+      .withColumn(
+        "__entry",
+        when(col("__prev_state").isNull || col("__prev_state") =!= col(stateCol), lit(1L)).otherwise(lit(0L))
+      )
+    seg
+      .groupBy(k :+ col(stateCol).as("state"): _*)
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(col("__entry")).as("n_entries"),
+        coalesce(sum(col("__dur_ms")), lit(0L)).as("dur_ms")
+      )
+  }
+
+  /** Per-(key, time-bucket) OHLC rollup — Timescale `candlestick_agg`
+    * (`open`/`high`/`low`/`close`/`volume`, plus the trade count):
+    * open/close are the first/last observed values in the bucket picked
+    * by `min_by`/`max_by` over the unique microsecond key (never a sort),
+    * high/low are plain min/max, `n_trades` counts observations and
+    * `volume_e4` is the exact-long e4 value sum (the double-free stand-in
+    * for a notional volume column, which `events` lacks).
+    *
+    * One hash aggregate keyed by (keys…, bucket) — no window at all, so
+    * the rollup is a pure map-side-combinable aggregation.
+    */
+  def candlestick(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      bucket: String = "hour"
+  ): DataFrame = {
+    val k = keys.map(col)
+    val v = col(valueCol)
+    df.where(v.isNotNull)
+      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .groupBy(k :+ date_trunc(bucket, col(tsCol)).as("bucket_ts"): _*)
+      .agg(
+        count(lit(1)).as("n_trades"),
+        expr(s"min_by($valueCol, __us)").as("open"),
+        max(v).as("high"),
+        min(v).as("low"),
+        expr(s"max_by($valueCol, __us)").as("close"),
+        sum(floor(v * 10000 + 0.5).cast(LongType)).as("volume_e4")
+      )
+  }
+
+  /** Per-key liveness rollup — Timescale `heartbeat_agg` + `uptime`/
+    * `downtime`/`interpolated` accessors: each observation asserts the
+    * source was alive for `livenessS` seconds; consecutive heartbeats
+    * closer than that merge into one covered interval, a larger gap
+    * means `gap − liveness` of downtime. The final heartbeat contributes
+    * its full liveness window (coverage is over
+    * `[first_ts, last_ts + liveness]`).
+    *
+    * All-long arithmetic: per-gap µs clamp (`least`/`greatest`), exact µs
+    * sums, ONE `div 1000` per output column at the end (truncating per
+    * gap would drift). Output per key: `n_beats`, `n_gaps` (gaps past
+    * liveness), `up_ms`, `down_ms`, and `span_ms` (= up + down, the
+    * covered interval length). One lead window + one hash aggregate.
+    */
+  def heartbeatAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      livenessS: Long
+  ): DataFrame = {
+    require(livenessS > 0, "liveness window must be positive")
+    val k = keys.map(col)
+    val lUs = livenessS * 1000000L
+    val w = Window.partitionBy(k: _*).orderBy(col("__us"))
+    val gaps = df
+      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .withColumn("__gap_us", lead(col("__us"), 1).over(w) - col("__us"))
+    gaps
+      .groupBy(k: _*)
+      .agg(
+        count(lit(1)).as("n_beats"),
+        count(when(col("__gap_us") > lUs, lit(1))).as("n_gaps"),
+        // least/greatest SKIP nulls in both Spark and DuckDB (they don't
+        // propagate), so the terminal null gap must be excluded explicitly
+        // or it would contribute a phantom full liveness window
+        expr(s"(coalesce(sum(CASE WHEN __gap_us IS NOT NULL THEN least(__gap_us, ${lUs}L) END), 0L) + ${lUs}L) div 1000").as("up_ms"),
+        expr(s"coalesce(sum(CASE WHEN __gap_us IS NOT NULL THEN greatest(__gap_us - ${lUs}L, 0L) END), 0L) div 1000").as("down_ms")
+      )
+      .withColumn("span_ms", col("up_ms") + col("down_ms"))
+  }
+
   /** Per-key LOCF time-weighted average — Timescale
     * `average(time_weight('LOCF', ts, value))`: each observation holds
     * until the next one, so it weighs by its holding duration; the last
@@ -153,6 +384,50 @@ object TsAnalytics {
       .groupBy(keys.map(col) :+ idx.as("bucket"): _*)
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Leaf level of a hierarchical continuous aggregate — Timescale's
+    * cagg-on-cagg: the finest rollup keeps DECOMPOSABLE statistics only
+    * (count, exact-long e4 sum, min, max), so any coarser level can be
+    * derived from it by [[rerollup]] without touching raw data again.
+    * `sum_e4` is the fixed-point long sum (order-insensitive, exact), so
+    * the whole hierarchy is hash-comparable against a single-level
+    * aggregate of the raw table — the equivalence the gate pins.
+    */
+  def bucketRollup(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      bucket: String
+  ): DataFrame = {
+    val v = col(valueCol)
+    df.where(v.isNotNull)
+      .groupBy(keys.map(col) :+ date_trunc(bucket, col(tsCol)).as("bucket_ts"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(v * 10000 + 0.5).cast(LongType)).as("sum_e4"),
+        min(v).as("min_v"),
+        max(v).as("max_v")
+      )
+  }
+
+  /** Coarser level derived FROM a finer [[bucketRollup]] — never from raw
+    * data. Counts and sums add, min/max nest, and `n_child` counts the
+    * finer buckets folded in. At 100 TB this is the whole point of the
+    * hierarchy: the daily level re-aggregates ~24 rows per (key, day)
+    * instead of re-scanning the raw event stream, and both levels stay
+    * plain map-side-combinable hash aggregates.
+    */
+  def rerollup(finer: DataFrame, keys: Seq[String], bucket: String): DataFrame =
+    finer
+      .groupBy(keys.map(col) :+ date_trunc(bucket, col("bucket_ts")).as("bucket_ts"): _*)
+      .agg(
+        count(lit(1)).as("n_child"),
+        sum(col("n")).as("n"),
+        sum(col("sum_e4")).as("sum_e4"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v")
+      )
 
   private val lttbOutSchema = StructType(Seq(
     StructField("key", StringType, nullable = true),

@@ -870,6 +870,72 @@ object ExtensionQueries {
         .lttb(events(s, dir), "user_id", "ts", "value", nOut = 24)
         .select(col("key").cast("long").as("user_id"), col("t_us"), col("v").as("value"))
         .orderBy("user_id", "t_us")
+    },
+
+    // Timescale gauge_agg → delta/idelta_right/irate: bidirectional gauge,
+    // no reset logic. Every double output is min_by/max_by-picked or a
+    // single subtraction/division — nothing sums doubles, so the unrounded
+    // values are bit-identical cross-engine (only irate, a division, is
+    // rounded for presentation).
+    "x_gauge_agg" -> { (s, dir) =>
+      graft.operators.TsAnalytics
+        .gaugeAgg(events(s, dir), Seq("user_id"), "ts", "value")
+        .select(
+          col("user_id"), col("n_points"), col("first_v"), col("last_v"),
+          col("delta"), col("idelta_right"), col("span_s"),
+          round(col("irate_per_s"), 6).as("irate_per_s"))
+        .orderBy("user_id")
+    },
+
+    // Timescale stats_agg(ts, value) → slope/intercept/corr: OLS of value
+    // against elapsed seconds. The six sufficient statistics are exact
+    // long sums (the hash anchor); the derived doubles come from one fixed
+    // IEEE expression tree both engines evaluate identically.
+    "x_stats_regr" -> { (s, dir) =>
+      graft.operators.TsAnalytics
+        .statsRegr(events(s, dir), Seq("user_id"), "ts", "value")
+        .orderBy("user_id")
+    },
+
+    // Timescale state_agg/duration_in over the event_type state machine:
+    // LOCF holding times (exact ms longs), entry transitions counted once
+    // per run.
+    "x_state_agg" -> { (s, dir) =>
+      graft.operators.TsAnalytics
+        .stateAgg(events(s, dir), Seq("user_id"), "ts", "event_type")
+        .orderBy("user_id", "state")
+    },
+
+    // Timescale candlestick_agg per (event_type, hour): OHLC picked by
+    // min_by/max_by over the unique µs key (ts uniqueness within
+    // (event_type, hour) verified on the corpus at all SFs), volume as the
+    // exact-long e4 sum. Pure hash aggregate — no window.
+    "x_candlestick" -> { (s, dir) =>
+      graft.operators.TsAnalytics
+        .candlestick(events(s, dir), Seq("event_type"), "ts", "value", bucket = "hour")
+        .orderBy("event_type", "bucket_ts")
+    },
+
+    // Timescale heartbeat_agg with a 600 s liveness window over each
+    // user's event stream: uptime/downtime in exact µs sums, one final
+    // div to ms.
+    "x_heartbeat_agg" -> { (s, dir) =>
+      graft.operators.TsAnalytics
+        .heartbeatAgg(events(s, dir), Seq("user_id"), "ts", livenessS = 600L)
+        .orderBy("user_id")
+    },
+
+    // Hierarchical continuous aggregate (Timescale cagg-on-cagg): the
+    // DAILY level is derived from the HOURLY bucketRollup — never from raw
+    // events — while the oracle aggregates the raw table straight to daily
+    // (n_child = distinct hours). Hash equality pins the decomposition:
+    // counts/exact-long sums add, min/max nest, across both levels.
+    "x_rollup_hierarchy" -> { (s, dir) =>
+      val hourly = graft.operators.TsAnalytics
+        .bucketRollup(events(s, dir), Seq("event_type"), "ts", "value", bucket = "hour")
+      graft.operators.TsAnalytics
+        .rerollup(hourly, Seq("event_type"), bucket = "day")
+        .orderBy("event_type", "bucket_ts")
     }
   )
 
@@ -1660,6 +1726,119 @@ object ExtensionQueries {
     "x_lttb" ->
       """SELECT user_id, t_us, value
         |FROM read_parquet('{GRAFT_EXPECTED}/x_lttb/*.parquet')
-        |ORDER BY user_id, t_us""".stripMargin
+        |ORDER BY user_id, t_us""".stripMargin,
+    // same lag/arg_max picks over the unique µs key; delta and idelta are
+    // single subtractions of identical doubles, irate the one division
+    "x_gauge_agg" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value,
+        |         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS step,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+        |  FROM events WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT user_id, count(*) AS n_points,
+        |         arg_min(value, us) AS first_v, arg_max(value, us) AS last_v,
+        |         arg_max(step, us) AS idelta_right,
+        |         arg_max(gap_us, us) AS last_gap_us,
+        |         (max(us) - min(us)) // 1000000 AS span_s
+        |  FROM d GROUP BY user_id
+        |)
+        |SELECT user_id, n_points, first_v, last_v,
+        |       last_v - first_v AS delta, idelta_right, span_s,
+        |       CASE WHEN last_gap_us > 0
+        |            THEN round(idelta_right / (CAST(last_gap_us AS DOUBLE) / 1e6), 6) END AS irate_per_s
+        |FROM g ORDER BY user_id""".stripMargin,
+    // identical fixed-point sufficient statistics (exact long sums), then
+    // the identical double expression tree for slope/intercept/corr —
+    // casts to double BEFORE the cross-products, division order preserved
+    "x_stats_regr" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL
+        |), x AS (
+        |  SELECT user_id,
+        |         (us - min(us) OVER (PARTITION BY user_id)) // 1000000 AS x, y
+        |  FROM p
+        |), g AS (
+        |  SELECT user_id, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |         CAST(sum(x * x) AS BIGINT) AS sum_xx,
+        |         CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |         CAST(sum(y * y) AS BIGINT) AS sum_yy
+        |  FROM x GROUP BY user_id
+        |), dv AS (
+        |  SELECT *,
+        |         CAST(n AS DOUBLE) * sum_xx - CAST(sum_x AS DOUBLE) * sum_x AS sxx,
+        |         CAST(n AS DOUBLE) * sum_xy - CAST(sum_x AS DOUBLE) * sum_y AS sxy,
+        |         CAST(n AS DOUBLE) * sum_yy - CAST(sum_y AS DOUBLE) * sum_y AS syy
+        |  FROM g
+        |)
+        |SELECT user_id, n, sum_x, sum_y, sum_xx, sum_xy, sum_yy,
+        |       CASE WHEN sxx > 0 THEN round(sxy / sxx / 10000.0, 6) END AS slope,
+        |       CASE WHEN sxx > 0 THEN round((CAST(sum_y AS DOUBLE) / n
+        |              - sxy / sxx * (CAST(sum_x AS DOUBLE) / n)) / 10000.0, 6) END AS intercept,
+        |       CASE WHEN sxx > 0 AND syy > 0
+        |            THEN round(sxy / sqrt(sxx) / sqrt(syy), 6) END AS corr
+        |FROM dv ORDER BY user_id""".stripMargin,
+    // identical LOCF holding-time window (µs truncate to ms per segment),
+    // identical run-entry detection via lag
+    "x_state_agg" ->
+      """WITH d AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us,
+        |         (lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+        |           - epoch_us(ts)) // 1000 AS dur_ms,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_state
+        |  FROM events WHERE event_type IS NOT NULL
+        |)
+        |SELECT user_id, event_type AS state, count(*) AS n_obs,
+        |       CAST(sum(CASE WHEN prev_state IS NULL OR prev_state <> event_type
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_entries,
+        |       CAST(coalesce(sum(dur_ms), 0) AS BIGINT) AS dur_ms
+        |FROM d GROUP BY user_id, event_type
+        |ORDER BY user_id, state""".stripMargin,
+    // same arg_min/arg_max OHLC picks over the unique µs key, same
+    // exact-long e4 volume sum
+    "x_candlestick" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+        |         epoch_us(ts) AS us, value
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT event_type, bucket_ts, count(*) AS n_trades,
+        |       arg_min(value, us) AS open, max(value) AS high,
+        |       min(value) AS low, arg_max(value, us) AS close,
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS volume_e4
+        |FROM e GROUP BY 1, 2
+        |ORDER BY event_type, bucket_ts""".stripMargin,
+    // same per-gap µs clamps, exact µs sums, one final // 1000 per column;
+    // the CASE guard mirrors the engine's — least/greatest skip NULLs in
+    // both engines, so the terminal null gap must be excluded explicitly
+    "x_heartbeat_agg" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+        |           - epoch_us(ts) AS gap_us
+        |  FROM events
+        |)
+        |SELECT user_id, count(*) AS n_beats,
+        |       count(CASE WHEN gap_us > 600000000 THEN 1 END) AS n_gaps,
+        |       CAST((coalesce(sum(CASE WHEN gap_us IS NOT NULL THEN least(gap_us, 600000000) END), 0) + 600000000) // 1000 AS BIGINT) AS up_ms,
+        |       CAST(coalesce(sum(CASE WHEN gap_us IS NOT NULL THEN greatest(gap_us - 600000000, 0) END), 0) // 1000 AS BIGINT) AS down_ms,
+        |       CAST((coalesce(sum(CASE WHEN gap_us IS NOT NULL THEN least(gap_us, 600000000) END), 0) + 600000000) // 1000
+        |         + coalesce(sum(CASE WHEN gap_us IS NOT NULL THEN greatest(gap_us - 600000000, 0) END), 0) // 1000 AS BIGINT) AS span_ms
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the oracle aggregates RAW events straight to daily (n_child =
+    // distinct hours); the engine must reach the identical table via the
+    // hourly level only — the decomposability claim under test
+    "x_rollup_hierarchy" ->
+      """SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+        |       count(DISTINCT date_trunc('hour', ts)) AS n_child,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e4,
+        |       min(value) AS min_v, max(value) AS max_v
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY event_type, bucket_ts""".stripMargin
   )
 }

@@ -110,13 +110,144 @@ class TsAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("gaugeAgg: bidirectional delta, final-step idelta and irate") {
+    // gauge 10 → 25 → 5 → 9: delta = last−first = −1 (no reset logic),
+    // idelta_right = 9−5 = 4 over a 10 s gap → irate 0.4/s
+    val df = series(Seq((1L, 0L, 10.0), (1L, 10L, 25.0), (1L, 20L, 5.0), (1L, 30L, 9.0)))
+    val out = TsAnalytics.gaugeAgg(df, Seq("user_id"), "ts", "value").collect().head
+    assert(out.getAs[Long]("n_points") === 4L)
+    assert(out.getAs[Double]("first_v") === 10.0)
+    assert(out.getAs[Double]("last_v") === 9.0)
+    assert(out.getAs[Double]("delta") === -1.0)
+    assert(out.getAs[Double]("idelta_right") === 4.0)
+    assert(out.getAs[Long]("span_s") === 30L)
+    assert(out.getAs[Double]("irate_per_s") === 0.4)
+  }
+
+  test("gaugeAgg: single-point key → zero delta, null instantaneous accessors") {
+    val out = TsAnalytics.gaugeAgg(series(Seq((7L, 5L, 42.0))), Seq("user_id"), "ts", "value")
+      .collect().head
+    assert(out.getAs[Double]("delta") === 0.0)
+    assert(out.isNullAt(out.fieldIndex("idelta_right")))
+    assert(out.isNullAt(out.fieldIndex("irate_per_s")))
+  }
+
+  test("statsRegr: exact sufficient statistics and OLS on a known line") {
+    // y = 2x + 3 at x = 0,10,20,30 s → slope 2, intercept 3, corr 1
+    val df = series(Seq((1L, 0L, 3.0), (1L, 10L, 23.0), (1L, 20L, 43.0), (1L, 30L, 63.0)))
+    val out = TsAnalytics.statsRegr(df, Seq("user_id"), "ts", "value").collect().head
+    assert(out.getAs[Long]("n") === 4L)
+    assert(out.getAs[Long]("sum_x") === 60L)
+    assert(out.getAs[Long]("sum_y") === 30000L + 230000L + 430000L + 630000L)
+    assert(out.getAs[Double]("slope") === 2.0)
+    assert(out.getAs[Double]("intercept") === 3.0)
+    assert(out.getAs[Double]("corr") === 1.0)
+  }
+
+  test("statsRegr: degenerate keys yield null slope/corr, not NaN") {
+    // user 1: single point (sxx = 0); user 2: constant value (syy = 0)
+    val df = series(Seq((1L, 0L, 5.0), (2L, 0L, 7.0), (2L, 10L, 7.0)))
+    val out = TsAnalytics.statsRegr(df, Seq("user_id"), "ts", "value")
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).isNullAt(out(1L).fieldIndex("slope")))
+    assert(out(1L).isNullAt(out(1L).fieldIndex("corr")))
+    assert(out(2L).getAs[Double]("slope") === 0.0)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("corr")))
+  }
+
+  test("stateAgg: LOCF durations, run-compressed entries, terminal row weighs zero") {
+    import spark.implicits._
+    // a(0) a(5) b(10) a(20): 'a' holds 0→5 and 5→10 (10 s total) plus the
+    // terminal 20→end segment (0 s), entered twice (the a,a run is one
+    // entry); 'b' holds 10→20 (10 s), one entry
+    val df = Seq((1L, 0L, "a"), (1L, 5L, "a"), (1L, 10L, "b"), (1L, 20L, "a"))
+      .toDF("user_id", "sec", "state")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"), col("state"))
+    val out = TsAnalytics.stateAgg(df, Seq("user_id"), "ts", "state")
+      .collect().map(r => r.getAs[String]("state") -> r).toMap
+    assert(out("a").getAs[Long]("n_obs") === 3L)
+    assert(out("a").getAs[Long]("n_entries") === 2L)
+    assert(out("a").getAs[Long]("dur_ms") === 10000L)
+    assert(out("b").getAs[Long]("n_obs") === 1L)
+    assert(out("b").getAs[Long]("n_entries") === 1L)
+    assert(out("b").getAs[Long]("dur_ms") === 10000L)
+  }
+
+  test("candlestick: OHLC picks by time, exact e4 volume") {
+    // one hour bucket: open = first value, close = last, high/low extremes
+    val df = series(Seq((1L, 0L, 5.0), (1L, 60L, 9.5), (1L, 120L, 1.25), (1L, 180L, 7.0)))
+    val out = TsAnalytics.candlestick(df, Seq("user_id"), "ts", "value", bucket = "hour")
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_trades") === 4L)
+    assert(r.getAs[Double]("open") === 5.0)
+    assert(r.getAs[Double]("high") === 9.5)
+    assert(r.getAs[Double]("low") === 1.25)
+    assert(r.getAs[Double]("close") === 7.0)
+    assert(r.getAs[Long]("volume_e4") === 50000L + 95000L + 12500L + 70000L)
+  }
+
+  test("heartbeatAgg: gaps past liveness split uptime, final beat adds its window") {
+    // liveness 10 s, beats at 0, 5, 30: gaps 5 (covered), 25 (10 up + 15
+    // down) + trailing 10 → up = 5+10+10 = 25 s, down = 15 s, 1 gap
+    val df = series(Seq((1L, 0L, 1.0), (1L, 5L, 1.0), (1L, 30L, 1.0)))
+    val out = TsAnalytics.heartbeatAgg(df, Seq("user_id"), "ts", livenessS = 10L)
+      .collect().head
+    assert(out.getAs[Long]("n_beats") === 3L)
+    assert(out.getAs[Long]("n_gaps") === 1L)
+    assert(out.getAs[Long]("up_ms") === 25000L)
+    assert(out.getAs[Long]("down_ms") === 15000L)
+    assert(out.getAs[Long]("span_ms") === 40000L)
+  }
+
+  test("heartbeatAgg: single beat is alive for exactly the liveness window") {
+    val out = TsAnalytics.heartbeatAgg(series(Seq((1L, 0L, 1.0))), Seq("user_id"), "ts", 10L)
+      .collect().head
+    assert(out.getAs[Long]("up_ms") === 10000L)
+    assert(out.getAs[Long]("down_ms") === 0L)
+    assert(out.getAs[Long]("n_gaps") === 0L)
+  }
+
+  test("hierarchical rollup equals a direct aggregate of the raw series") {
+    import spark.implicits._
+    // 3 days × uneven hourly coverage; daily-from-hourly must equal
+    // daily-from-raw exactly (exact-long sums decompose)
+    val rows = for {
+      d <- 0 until 3; h <- 0 until 24 by (d + 1); m <- Seq(0, 17, 49)
+    } yield (1L, d * 86400L + h * 3600L + m * 60L, (h * 100 + m) / 7.0)
+    val df = series(rows)
+    val hourly = TsAnalytics.bucketRollup(df, Seq("user_id"), "ts", "value", "hour")
+    val daily = TsAnalytics.rerollup(hourly, Seq("user_id"), "day")
+      .select("bucket_ts", "n", "sum_e4", "min_v", "max_v")
+    val direct = df
+      .groupBy(date_trunc("day", col("ts")).as("bucket_ts"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("value") * 10000 + 0.5).cast("long")).as("sum_e4"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+    assert(daily.exceptAll(direct).isEmpty && direct.exceptAll(daily).isEmpty)
+    // and the hourly level genuinely fed the daily one: n_child counts hours
+    val d0 = TsAnalytics.rerollup(hourly, Seq("user_id"), "day")
+      .orderBy("bucket_ts").collect()
+    assert(d0.map(_.getAs[Long]("n_child")).toSeq === Seq(24L, 12L, 8L))
+  }
+
   test("plans stay key-partitioned — no single-partition window or sort") {
     val df = series((0L until 50L).flatMap(t => Seq((1L, t, t.toDouble), (2L, t, 1.0))))
     for (
       plan <- Seq(
         TsAnalytics.counterAgg(df, Seq("user_id"), "ts", "value"),
         TsAnalytics.timeWeightedAvg(df, Seq("user_id"), "ts", "value"),
-        TsAnalytics.histogram(df, Seq("user_id"), "value", 0.0, 100.0, 10)
+        TsAnalytics.histogram(df, Seq("user_id"), "value", 0.0, 100.0, 10),
+        TsAnalytics.gaugeAgg(df, Seq("user_id"), "ts", "value"),
+        TsAnalytics.statsRegr(df, Seq("user_id"), "ts", "value"),
+        TsAnalytics.stateAgg(df, Seq("user_id"), "ts", "value"),
+        TsAnalytics.heartbeatAgg(df, Seq("user_id"), "ts", 10L),
+        TsAnalytics.rerollup(
+          TsAnalytics.bucketRollup(df, Seq("user_id"), "ts", "value", "hour"),
+          Seq("user_id"), "day")
       )
     ) {
       val p = plan.queryExecution.executedPlan.toString
