@@ -12,13 +12,24 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read nanos as long and truncate to micros — the
-      // same ns→µs truncation DuckDB applies, so oracle timestamps agree.
+      // events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
+      // Spark's vectorized reader rejects — read nanos as long, truncate
+      // to micros, the same ns→µs truncation DuckDB applies) or plain
+      // TIMESTAMP(MICROS) with isAdjustedToUTC=false (which Spark infers
+      // as TIMESTAMP_NTZ). Adapt on the actual footer type so both
+      // generations load to the identical session-TZ TIMESTAMP(µs)
+      // values — sessions pin UTC, so the NTZ cast is epoch-preserving.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

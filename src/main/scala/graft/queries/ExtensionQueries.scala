@@ -935,7 +935,11 @@ object ExtensionQueries {
         .bucketRollup(events(s, dir), Seq("event_type"), "ts", "value", bucket = "hour")
       graft.operators.TsAnalytics
         .rerollup(hourly, Seq("event_type"), bucket = "day")
-        .orderBy("event_type", "bucket_ts")
+        // epoch seconds, not a raw timestamp: the compare would otherwise
+        // see tz-aware (Spark µs-UTC parquet) vs naive (DuckDB) dtypes
+        .withColumn("bucket_s", expr("unix_seconds(bucket_ts)"))
+        .drop("bucket_ts")
+        .orderBy("event_type", "bucket_s")
     }
   )
 
@@ -1832,13 +1836,13 @@ object ExtensionQueries {
     // distinct hours); the engine must reach the identical table via the
     // hourly level only — the decomposability claim under test
     "x_rollup_hierarchy" ->
-      """SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+      """SELECT event_type, CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_s,
         |       count(DISTINCT date_trunc('hour', ts)) AS n_child,
         |       count(*) AS n,
         |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e4,
         |       min(value) AS min_v, max(value) AS max_v
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2
-        |ORDER BY event_type, bucket_ts""".stripMargin
+        |ORDER BY event_type, bucket_s""".stripMargin
   )
 }
