@@ -57,6 +57,64 @@ object CdcApply {
     untouched.select(cols.map(col): _*).unionByName(survivors)
   }
 
+  /** Type-2 slowly-changing-dimension history from the change log — the
+    * standard downstream consumer shape built from the reference's topics
+    * (readme.md:218 "reconstruct full change histories", materialized as a
+    * queryable versions table rather than one point-in-time state): one row
+    * per VERSION a key ever held, carrying the payload columns plus
+    *
+    *  - `valid_from_id` — the event that created the version (null for the
+    *    pre-log snapshot seed),
+    *  - `valid_to_id`   — the event that superseded it (next INSERT/UPDATE
+    *    or the closing DELETE; null while still open),
+    *  - `is_current`    — 1 iff the version has no successor event. A
+    *    version closed by DELETE has `valid_to_id` set, so deleted keys
+    *    correctly have no current row.
+    *
+    * The snapshot seeds each key's first version (open at log start); the
+    * event axis is `event_id`, the reference's monotonic sequence
+    * (init.sql:51-59) — unlike the capture timestamp it is unique, so the
+    * version chain is deterministic. DELETE events participate in the
+    * window (they close the prior version) but emit no version row.
+    *
+    * Scale: identical shape to [[applyLog]] — one window partitioned BY KEY
+    * ordered by event_id (never global), one union with the snapshot; both
+    * shuffle on the PK only, so building the full history of a day's log
+    * over a 100 TB dimension is one co-partitionable pass.
+    */
+  def scd2History(
+      snapshot: DataFrame,
+      events: DataFrame,
+      pk: Seq[String],
+      payloadSchema: StructType
+  ): DataFrame = {
+    val cols = payloadSchema.fieldNames.toSeq
+    val parsed = events.select(
+      col("event_id"),
+      col("operation"),
+      from_json(coalesce(col("after"), col("before")), payloadSchema).as("__row")
+    )
+    val seeded = snapshot
+      .select(struct(cols.map(col): _*).as("__row"))
+      .withColumn("event_id", lit(null).cast("long"))
+      .withColumn("operation", lit("SEED"))
+      .select("event_id", "operation", "__row")
+    val all = pk.foldLeft(parsed.unionByName(seeded)) {
+      case (df, k) => df.withColumn(k, col(s"__row.$k"))
+    }
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(col("event_id").asc_nulls_first)
+    all
+      .withColumn("valid_to_id", lead(col("event_id"), 1).over(w))
+      .where(col("operation") =!= ChangeEvent.Delete)
+      .select(
+        cols.map(c => col(s"__row.$c").as(c)) ++ Seq(
+          col("event_id").as("valid_from_id"),
+          col("valid_to_id"),
+          when(col("valid_to_id").isNull, 1).otherwise(0).as("is_current")
+        ): _*
+      )
+  }
+
   /** Point-in-time reconstruction: the table state as of `maxEventId`
     * (inclusive) — replay only the log prefix. With the retention window
     * (CdcLog) this gives time travel across the retained history, the

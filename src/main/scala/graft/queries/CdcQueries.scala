@@ -225,6 +225,18 @@ object CdcQueries {
         .orderBy("rid")
     },
 
+    // C9: SCD2 history — the change log materialized as a type-2 versions
+    // table (one row per version a key ever held, valid_from/valid_to on
+    // the monotonic event_id axis, snapshot seeding the pre-log version)
+    // rather than one point-in-time state; the "reconstruct full change
+    // histories" capability (readme.md:218) as a queryable dimension
+    "c9_scd2_history" -> { (s, dir) =>
+      val (snapshot, log, payloadSchema) = applyFixture(s, dir)
+      graft.capture.CdcApply
+        .scd2History(snapshot, log, Seq("rid"), payloadSchema)
+        .orderBy(col("rid"), col("valid_from_id").asc_nulls_first)
+    },
+
     // the WHOLE reference loop in one gate: change log → envelope encode →
     // topic layout → TopicSource consume → decode → apply onto a replica
     // snapshot. Same oracle as c8_apply_log — the transport legs (with
@@ -567,6 +579,30 @@ object CdcQueries {
         |SELECT 'cdc-event_log_errors' AS topic, event_id FROM events WHERE event_type = 'error'
         |ORDER BY topic, event_id""".stripMargin,
     "c8_apply_log" -> applyLogSql,
+    // same ev classification as applyLogSql; DELETE closes the prior
+    // version but emits no row, the snapshot seeds each key's first
+    // version (valid_from_id NULL, open at log start)
+    "c9_scd2_history" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_id % 4999 AS rid, user_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CASE WHEN event_type = 'signup' THEN 'INSERT'
+        |              WHEN event_type = 'error' THEN 'DELETE'
+        |              ELSE 'UPDATE' END AS op
+        |  FROM events
+        |), seeded AS (
+        |  SELECT event_id, rid, user_id, cents, op FROM ev
+        |  UNION ALL
+        |  SELECT NULL, t.rid, CAST(-1 AS BIGINT), CAST(0 AS BIGINT), 'SEED'
+        |  FROM range(4999) t(rid)
+        |), chained AS (
+        |  SELECT *, lead(event_id) OVER (PARTITION BY rid ORDER BY event_id ASC NULLS FIRST) AS valid_to_id
+        |  FROM seeded
+        |)
+        |SELECT rid, user_id, cents, event_id AS valid_from_id, valid_to_id,
+        |       CAST(CASE WHEN valid_to_id IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM chained WHERE op <> 'DELETE'
+        |ORDER BY rid, valid_from_id NULLS FIRST""".stripMargin,
     // byte-lossless transport ⇒ the replica converges to the same state
     "e2e_topic_replica" -> applyLogSql,
     // the jdbc-branch gate: everything strictly after the median

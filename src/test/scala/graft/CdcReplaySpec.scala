@@ -104,6 +104,46 @@ class CdcReplaySpec extends SparkSpec {
     assert(state(Long.MaxValue) == s2)
   }
 
+  test("scd2History: version intervals chain per key and current rows equal applyLog") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", IntegerType), StructField("v", StringType)))
+    val rnd = new scala.util.Random(11)
+    def word() = (0 until 4).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    (0 until 5).foreach { run =>
+      val s0 = (0 until rnd.nextInt(12)).map(_ => rnd.nextInt(16) -> word()).toMap
+      // three capture phases so keys accumulate multi-version chains
+      val states = Iterator.iterate(s0) { st =>
+        applyScript(st, (0 until 6).map(_ =>
+          (Seq("ins", "upd", "del")(rnd.nextInt(3)), rnd.nextInt(16), word())))
+      }.take(4).toSeq
+      val log = states.sliding(2).zipWithIndex.map { case (pair, i) =>
+        CdcCapture.assignIds(
+          CdcCapture.capture(toDf(pair.head), toDf(pair.last), Seq("id"), "s", "t", lit(t0)),
+          base = i * 1000L)
+      }.reduceLeft(_ unionByName _)
+      val hist = graft.capture.CdcApply
+        .scd2History(toDf(s0), log, Seq("id"), schema)
+        .select("id", "v", "valid_from_id", "valid_to_id", "is_current")
+        .collect()
+      // the open (is_current) versions ARE the applied state
+      val cur = hist.filter(_.getInt(4) == 1).map(r => r.getInt(0) -> r.getString(1)).toMap
+      val applied = graft.capture.CdcApply
+        .applyLog(toDf(s0), log, Seq("id"), schema)
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(cur == applied, s"run=$run s0=$s0")
+      // per key: versions sorted by valid_from (seed first) close strictly
+      // before the successor opens, and at most one version stays open
+      hist.groupBy(_.getInt(0)).foreach { case (id, vs) =>
+        val sorted = vs.sortBy(r => if (r.isNullAt(2)) Long.MinValue else r.getLong(2))
+        sorted.init.zip(sorted.tail).foreach { case (a, b) =>
+          assert(!a.isNullAt(3), s"run=$run id=$id: non-final version left open")
+          assert(a.getLong(3) <= b.getLong(2), s"run=$run id=$id: versions overlap")
+        }
+        assert(sorted.count(_.isNullAt(3)) <= 1, s"run=$run id=$id: two open versions")
+      }
+    }
+  }
+
   test("capture of identical snapshots is empty") {
     val m = Map(1 -> "a", 2 -> "b")
     assert(CdcCapture.capture(toDf(m), toDf(m), Seq("id"), "s", "t", lit(t0)).count() == 0)
