@@ -477,6 +477,157 @@ object TsAnalytics {
       .toDF()
   }
 
+  private val asapOutSchema = StructType(Seq(
+    StructField("key", StringType, nullable = true),
+    StructField("t_us", LongType, nullable = false),
+    StructField("v_smooth", DoubleType, nullable = false),
+    StructField("window", org.apache.spark.sql.types.IntegerType, nullable = false)
+  ))
+
+  /** ASAP smoothing (Rong & Bailis, VLDB 2017 "ASAP: Prioritizing
+    * Attention via Time Series Smoothing"): per key, pick the moving-
+    * average window that minimizes roughness (stddev of first differences)
+    * while preserving kurtosis (so genuine outliers survive smoothing),
+    * searching candidate windows at the autocorrelation peaks of the
+    * series — the paper's insight that good windows sit at the series'
+    * periodicities. Emits the smoothed series (window-start timestamps,
+    * `n − w + 1` points) plus the chosen window per key.
+    *
+    * Input should be a regular grid (bucket upstream — [[bucketRollup]] or
+    * [[GapFill]]), matching the paper's fixed-interval model; the window
+    * is then a count of grid steps. Same executor-memory contract and
+    * typed `flatMapGroups` shape as [[lttb]] — sequential per key by
+    * nature, bounded by the upstream grid, never a global window.
+    *
+    * Determinism: selection and smoothing are pure sequential folds over
+    * the time-sorted array (ties in the roughness minimization keep the
+    * smallest window), so a single-threaded replay of the same series
+    * reproduces the output bit-for-bit — the expected-table gate contract.
+    */
+  def asapSmooth(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      maxLagCap: Int = 400
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df
+      .where(col(valueCol).isNotNull)
+      .select(
+        col(keyCol).cast(StringType).as("key"),
+        expr(s"unix_micros($tsCol)").as("t_us"),
+        col(valueCol).cast(DoubleType).as("v")
+      )
+      .as[(String, Long, Double)]
+    pts
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val series = it.map(p => (p._2, p._3)).toArray.sortBy(_._1)
+        asapReplay(series, maxLagCap).iterator.map { case (t, v, w) => Row(key, t, v, w) }
+      }(org.apache.spark.sql.Encoders.row(asapOutSchema))
+      .toDF()
+  }
+
+  /** Single-series ASAP: select the window, smooth, stamp the choice —
+    * the shared core of the distributed path and the expected-table
+    * replay. `series` must be time-sorted.
+    */
+  private[graft] def asapReplay(
+      series: Array[(Long, Double)],
+      maxLagCap: Int
+  ): Array[(Long, Double, Int)] = {
+    val v = series.map(_._2)
+    val w = asapSelect(v, maxLagCap)
+    val sm = asapSma(v, w)
+    Array.tabulate(sm.length)(i => (series(i)._1, sm(i), w))
+  }
+
+  /** Window selection: candidates are the autocorrelation peak lags
+    * (local maxima above 0.2, the paper's significance floor) capped at
+    * `min(n/2, maxLagCap)`; the winner minimizes roughness subject to
+    * `kurtosis(smoothed) ≥ kurtosis(original)`, with `1` (no smoothing)
+    * as the baseline. Strict `<` keeps the smallest window on ties.
+    */
+  private[graft] def asapSelect(values: Array[Double], maxLagCap: Int): Int = {
+    val n = values.length
+    if (n < 8) return 1
+    val mean = values.sum / n
+    val c = values.map(_ - mean)
+    var c0 = 0.0
+    c.foreach(x => c0 += x * x)
+    if (c0 == 0.0) return 1
+    val maxLag = math.min(n / 2, maxLagCap)
+    val acf = new Array[Double](maxLag + 1)
+    var k = 1
+    while (k <= maxLag) {
+      var s = 0.0
+      var i = 0
+      while (i < n - k) { s += c(i) * c(i + k); i += 1 }
+      acf(k) = s / c0
+      k += 1
+    }
+    val candidates = (2 until maxLag).filter { lag =>
+      acf(lag) > 0.2 && acf(lag) > acf(lag - 1) && acf(lag) >= acf(lag + 1)
+    }
+    val origKurt = asapKurtosis(values)
+    var best = 1
+    var bestRough = asapRoughness(values)
+    candidates.foreach { w =>
+      val sm = asapSma(values, w)
+      val r = asapRoughness(sm)
+      if (r < bestRough && asapKurtosis(sm) >= origKurt) {
+        best = w
+        bestRough = r
+      }
+    }
+    best
+  }
+
+  /** Simple moving average, window-start aligned (`n − w + 1` points).
+    * Each window sums left-to-right independently — O(n·w), chosen over
+    * the rolling add/subtract update so executor and replay accumulate in
+    * the identical order (bit-determinism beats the constant factor at
+    * the bounded per-key series sizes this operator documents).
+    */
+  private[graft] def asapSma(v: Array[Double], w: Int): Array[Double] = {
+    if (w <= 1) return v.clone()
+    val out = new Array[Double](v.length - w + 1)
+    var i = 0
+    while (i < out.length) {
+      var s = 0.0
+      var j = i
+      while (j < i + w) { s += v(j); j += 1 }
+      out(i) = s / w
+      i += 1
+    }
+    out
+  }
+
+  /** Roughness = population stddev of first differences (paper §3.1). */
+  private[graft] def asapRoughness(v: Array[Double]): Double = {
+    if (v.length < 2) return 0.0
+    val d = new Array[Double](v.length - 1)
+    var i = 0
+    while (i < d.length) { d(i) = v(i + 1) - v(i); i += 1 }
+    val m = d.sum / d.length
+    var s2 = 0.0
+    d.foreach { x => val e = x - m; s2 += e * e }
+    math.sqrt(s2 / d.length)
+  }
+
+  /** Excess-free sample kurtosis `n·m4/m2²` (paper §3.1 outlier guard). */
+  private[graft] def asapKurtosis(v: Array[Double]): Double = {
+    val n = v.length
+    if (n == 0) return 0.0
+    val mean = v.sum / n
+    var m2 = 0.0
+    var m4 = 0.0
+    v.foreach { x => val d = x - mean; val d2 = d * d; m2 += d2; m4 += d2 * d2 }
+    if (m2 == 0.0) 0.0 else n * m4 / (m2 * m2)
+  }
+
   /** The sequential core, shared shape with the Steinarsson paper's
     * reference pseudocode; `series` must be time-sorted.
     */

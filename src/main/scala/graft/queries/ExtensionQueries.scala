@@ -25,6 +25,37 @@ object ExtensionQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
+  /** Shared input of the x_asap_smooth gate and its expected-table twin:
+    * the hourly per-event_type grid (exact-long e4 sums divided once so
+    * the doubles are bit-identical regardless of shuffle order) plus one
+    * PLANTED key — a daily sine with alternating-hour jitter, the shape
+    * ASAP exists to smooth. The organic series carry no autocorrelation
+    * structure (they select w = 1, pinning the passthrough path); the
+    * planted key forces the distributed path through a real w > 1
+    * selection + smooth, the injected-structure idiom the planted-ANN and
+    * near-dup gates use. Both gate and twin read THIS output, so the
+    * planted doubles are computed once by Spark and shared.
+    */
+  private def asapGrid(s: SparkSession, dir: String): DataFrame = {
+    val organic = events(s, dir)
+      .where(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket_ts"))
+      .agg(
+        sum(floor(col("value") * 10000 + 0.5).cast("long")).as("s_e4"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("bucket_ts"),
+        (col("s_e4") / col("n") / lit(10000.0)).as("v"))
+    val planted = organic
+      .select("bucket_ts").distinct()
+      .withColumn("h", expr("unix_micros(bucket_ts) div 3600000000"))
+      .select(
+        lit("planted_periodic").as("event_type"),
+        col("bucket_ts"),
+        (sin(col("h") * lit(2 * math.Pi / 24)) * 10 +
+          when(col("h") % 2 === 0, 1.5).otherwise(-1.5)).as("v"))
+    organic.unionByName(planted)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: content-keyed keep-min summary
     "x_dedup_exact" -> { (s, dir) =>
@@ -872,6 +903,20 @@ object ExtensionQueries {
         .orderBy("user_id", "t_us")
     },
 
+    // ASAP smoothing (Rong & Bailis, VLDB 2017) of each event_type's
+    // hourly series: window chosen at the autocorrelation peaks to
+    // minimize roughness under the kurtosis guard. Input grid is
+    // exact-long e4 sums divided once (bit-deterministic); the gate pins
+    // the DISTRIBUTED flatMapGroups orchestration against the
+    // driver-side replay of the same sequential core (expected-table
+    // channel, the x_lttb pattern).
+    "x_asap_smooth" -> { (s, dir) =>
+      graft.operators.TsAnalytics
+        .asapSmooth(asapGrid(s, dir), "event_type", "bucket_ts", "v")
+        .select(col("key").as("event_type"), col("t_us"), col("v_smooth"), col("window").as("w"))
+        .orderBy("event_type", "t_us")
+    },
+
     // Timescale gauge_agg → delta/idelta_right/irate: bidirectional gauge,
     // no reset logic. Every double output is min_by/max_by-picked or a
     // single subtraction/division — nothing sums doubles, so the unrounded
@@ -1052,6 +1097,24 @@ object ExtensionQueries {
       }
       s.createDataset(out).toDF("user_id", "t_us", "value")
         .orderBy("user_id", "t_us")
+    },
+
+    // x_asap_smooth's expected side: same sequential select+smooth core
+    // (fixture-proven in TsAnalyticsSpec), driver-side orchestration over
+    // the identical exact-long grid.
+    "x_asap_smooth" -> { (s, dir) =>
+      import s.implicits._
+      val rows = asapGrid(s, dir)
+        .select(col("event_type"), expr("unix_micros(bucket_ts)").as("t"), col("v"))
+        .as[(String, Long, Double)]
+        .collect()
+      val out = rows.groupBy(_._1).toSeq.flatMap { case (et, pts) =>
+        val series = pts.map(p => (p._2, p._3)).sortBy(_._1)
+        graft.operators.TsAnalytics.asapReplay(series, 400)
+          .map { case (t, v, w) => (et, t, v, w) }
+      }
+      s.createDataset(out).toDF("event_type", "t_us", "v_smooth", "w")
+        .orderBy("event_type", "t_us")
     }
   )
 
@@ -1731,6 +1794,10 @@ object ExtensionQueries {
       """SELECT user_id, t_us, value
         |FROM read_parquet('{GRAFT_EXPECTED}/x_lttb/*.parquet')
         |ORDER BY user_id, t_us""".stripMargin,
+    "x_asap_smooth" ->
+      """SELECT event_type, t_us, v_smooth, w
+        |FROM read_parquet('{GRAFT_EXPECTED}/x_asap_smooth/*.parquet')
+        |ORDER BY event_type, t_us""".stripMargin,
     // same lag/arg_max picks over the unique µs key; delta and idelta are
     // single subtractions of identical doubles, irate the one division
     "x_gauge_agg" ->

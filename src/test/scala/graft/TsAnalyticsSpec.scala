@@ -234,6 +234,47 @@ class TsAnalyticsSpec extends SparkSpec {
     assert(d0.map(_.getAs[Long]("n_child")).toSeq === Seq(24L, 12L, 8L))
   }
 
+  test("asapSelect: periodic noise picks a window at the period; smoothing cuts roughness") {
+    // period-12 sine + deterministic high-frequency jitter: the ACF peaks
+    // at lag 12, and a 12-wide SMA should crush the jitter
+    val v = Array.tabulate(240) { i =>
+      math.sin(i * 2 * math.Pi / 12) * 10 + (if (i % 2 == 0) 1.5 else -1.5)
+    }
+    val w = TsAnalytics.asapSelect(v, maxLagCap = 100)
+    assert(w > 1, "periodic jittery series must choose to smooth")
+    val sm = TsAnalytics.asapSma(v, w)
+    assert(TsAnalytics.asapRoughness(sm) < TsAnalytics.asapRoughness(v))
+    assert(TsAnalytics.asapKurtosis(sm) >= TsAnalytics.asapKurtosis(v))
+  }
+
+  test("asapSelect: constant and tiny series do not smooth") {
+    assert(TsAnalytics.asapSelect(Array.fill(50)(3.0), 100) === 1)
+    assert(TsAnalytics.asapSelect(Array(1.0, 2.0, 3.0), 100) === 1)
+  }
+
+  test("asapSma: window-start alignment and exact means") {
+    val sm = TsAnalytics.asapSma(Array(1.0, 2.0, 3.0, 4.0), 2)
+    assert(sm.toSeq === Seq(1.5, 2.5, 3.5))
+    assert(TsAnalytics.asapSma(Array(1.0, 2.0), 1).toSeq === Seq(1.0, 2.0))
+  }
+
+  test("asapSmooth: distributed path equals the driver replay, per key") {
+    val pts = (0L until 120L).flatMap { t =>
+      val periodic = math.sin(t * 2 * math.Pi / 12) * 10 + (if (t % 2 == 0) 1.5 else -1.5)
+      Seq((1L, t, periodic), (2L, t, 5.0))
+    }
+    val out = TsAnalytics.asapSmooth(series(pts), "user_id", "ts", "value")
+      .orderBy("key", "t_us").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val expected = pts.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+      val s = rows.map(p => (p._2 * 1000000L, p._3)).sortBy(_._1).toArray
+      TsAnalytics.asapReplay(s, 400).map { case (t, v, w) => (k.toString, t, v, w) }
+    }.sortBy(r => (r._1, r._2))
+    assert(out.toSeq === expected, "flatMapGroups path must reproduce the sequential core exactly")
+    // the constant key must pass through unsmoothed
+    assert(out.filter(_._1 == "2").forall(r => r._4 === 1 && r._3 === 5.0))
+  }
+
   test("plans stay key-partitioned — no single-partition window or sort") {
     val df = series((0L until 50L).flatMap(t => Seq((1L, t, t.toDouble), (2L, t, 1.0))))
     for (
