@@ -38,6 +38,7 @@ object GraftFunctions {
     "hashed_array" -> { es: Seq[Expression] => HashedArray(es(0)) },
     "minhash_agg" -> { es: Seq[Expression] => MinHashAgg(es(0), intLit(es(1))) },
     "simhash_agg" -> { es: Seq[Expression] => SimHashAgg(es(0)) },
+    "space_saving_agg" -> { es: Seq[Expression] => SpaceSavingAgg(es(0), intLit(es(1))) },
     "srp_bucket" -> { es: Seq[Expression] => SrpBucket(es(0), intLit(es(1)), intLit(es(2))) },
     "count_in_set" -> { es: Seq[Expression] => CountInSet(es(0), stringSeqLit(es(1))) },
     "prefix_sum" -> { es: Seq[Expression] => PrefixSumLongs(es(0), es(1)) },
@@ -97,6 +98,13 @@ object GraftFunctions {
   /** SimHash sketch aggregate over exploded shingle strings. */
   def simhash_agg(shingle: Column): Column =
     call_function("simhash_agg", shingle)
+
+  /** Space-saving heavy-hitter summary of a string column (see
+    * [[SpaceSavingAgg]]): fixed-k counters with no-undercount /
+    * bounded-overcount guarantees, exact when k ≥ distinct.
+    */
+  def space_saving_agg(item: Column, k: Int): Column =
+    call_function("space_saving_agg", item, org.apache.spark.sql.functions.lit(k))
 
   /** SRP-LSH bucket id over `numPlanes` pseudo-random hyperplanes
     * (codegen'd; see [[SrpBucket]]).

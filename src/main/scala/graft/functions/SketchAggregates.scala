@@ -155,3 +155,173 @@ case class SimHashAgg(
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(child = cs.head)
 }
+
+/** Space-saving heavy hitters (Metwally, Agrawal & El Abbadi, ICDT 2005) —
+  * the Timescale `freq_agg`/`topn_agg` family: a fixed-`k` counter summary
+  * with the classic guarantees — estimates never undercount
+  * (`est ≥ true`), the possible overcount is tracked per item
+  * (`true ≥ est − err`), and any item with true frequency > n/k is
+  * guaranteed present. Merge (map-side combine) follows Mergeable
+  * Summaries (Agarwal et al., PODS 2012): shared items add
+  * component-wise; an item absent from one side adds that side's minimum
+  * estimate to both est and err (its occurrences there are at most that
+  * minimum — zero while the side is under capacity); the union trims back
+  * to the `k` largest.
+  *
+  * When `k` ≥ the stream's distinct count no eviction ever fires and the
+  * summary degenerates to EXACT counting with err = 0 — what lets
+  * `x_vocab_ss` carry a full DuckDB oracle; the eviction/merge bounds are
+  * spec-checked on skewed streams where k < distinct (ExtSpec). Estimates
+  * under eviction are merge-order dependent (like every mergeable
+  * sketch); the bounds are not.
+  *
+  * Output: `array<struct<item,est,err>>` sorted est desc then item asc.
+  */
+case class SpaceSavingAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[java.util.HashMap[String, Array[Long]]] {
+  require(k >= 1, "space_saving_agg requires k >= 1")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("est", LongType, nullable = false),
+      StructField("err", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "space_saving_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"space_saving_agg requires string input, got $dt")
+  }
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Array[Long]] =
+    new java.util.HashMap[String, Array[Long]](k * 2)
+
+  /** Smallest estimate in a full summary (lexicographically-smallest key
+    * on ties, so eviction is deterministic given identical map content).
+    */
+  private def minEntry(m: java.util.HashMap[String, Array[Long]]): (String, Long) = {
+    var mk: String = null
+    var mv = Long.MaxValue
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val est = e.getValue()(0)
+      if (est < mv || (est == mv && (mk == null || e.getKey < mk))) { mv = est; mk = e.getKey }
+    }
+    (mk, mv)
+  }
+
+  override def update(
+      m: java.util.HashMap[String, Array[Long]],
+      input: InternalRow
+  ): java.util.HashMap[String, Array[Long]] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      val cur = m.get(s)
+      if (cur != null) cur(0) += 1L
+      else if (m.size < k) m.put(s, Array(1L, 0L))
+      else {
+        val (mk, mv) = minEntry(m)
+        m.remove(mk)
+        m.put(s, Array(mv + 1L, mv))
+      }
+    }
+    m
+  }
+
+  override def merge(
+      a: java.util.HashMap[String, Array[Long]],
+      b: java.util.HashMap[String, Array[Long]]
+  ): java.util.HashMap[String, Array[Long]] = {
+    if (b.isEmpty) return a
+    val minA = if (a.size < k) 0L else minEntry(a)._2
+    val minB = if (b.size < k) 0L else minEntry(b)._2
+    // items only in a could have appeared up to minB times in b's stream
+    val aIt = a.entrySet().iterator()
+    while (aIt.hasNext) {
+      val e = aIt.next()
+      val bv = b.get(e.getKey)
+      if (bv == null) { e.getValue()(0) += minB; e.getValue()(1) += minB }
+    }
+    // shared items add component-wise; b-only items enter with a's floor
+    val bIt = b.entrySet().iterator()
+    while (bIt.hasNext) {
+      val e = bIt.next()
+      val av = a.get(e.getKey)
+      if (av != null) { av(0) += e.getValue()(0); av(1) += e.getValue()(1) }
+      else a.put(e.getKey, Array(e.getValue()(0) + minA, e.getValue()(1) + minA))
+    }
+    if (a.size > k) {
+      val kept = sortedEntries(a).take(k)
+      a.clear()
+      kept.foreach { case (item, est, err) => a.put(item, Array(est, err)) }
+    }
+    a
+  }
+
+  private def sortedEntries(
+      m: java.util.HashMap[String, Array[Long]]
+  ): Array[(String, Long, Long)] = {
+    val arr = new Array[(String, Long, Long)](m.size)
+    var i = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      arr(i) = (e.getKey, e.getValue()(0), e.getValue()(1))
+      i += 1
+    }
+    arr.sortBy { case (item, est, _) => (-est, item) }
+  }
+
+  override def eval(m: java.util.HashMap[String, Array[Long]]): Any =
+    new GenericArrayData(sortedEntries(m).map { case (item, est, err) =>
+      org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(item),
+        java.lang.Long.valueOf(est), java.lang.Long.valueOf(err))
+    }.toArray[Any])
+
+  override def serialize(m: java.util.HashMap[String, Array[Long]]): Array[Byte] = {
+    var bytes = 4
+    val items = sortedEntries(m)
+    items.foreach { case (item, _, _) => bytes += 4 + item.getBytes("UTF-8").length + 16 }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(items.length)
+    items.foreach { case (item, est, err) =>
+      val ib = item.getBytes("UTF-8")
+      bb.putInt(ib.length)
+      bb.put(ib)
+      bb.putLong(est)
+      bb.putLong(err)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Array[Long]] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = new java.util.HashMap[String, Array[Long]](k * 2)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val ib = new Array[Byte](len)
+      bb.get(ib)
+      m.put(new String(ib, "UTF-8"), Array(bb.getLong, bb.getLong))
+      i += 1
+    }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SpaceSavingAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SpaceSavingAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs.head)
+}

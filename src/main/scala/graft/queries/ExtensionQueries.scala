@@ -277,6 +277,24 @@ object ExtensionQueries {
         .limit(50)
     },
 
+    // space-saving heavy hitters over the same token stream — Timescale's
+    // freq_agg/topn family as one fixed-k TypedImperativeAggregate.
+    // k=64 ≥ the corpus's 31 distinct tokens, so the summary is provably
+    // exact (no eviction fires, merges are pure component sums): est =
+    // exact count, err = 0 — which is what lets THIS sketch gate carry a
+    // full DuckDB oracle while x_vocab_cms stays rows-only. The eviction
+    // and merge bounds (no undercount, tracked overcount, n/k-heavy items
+    // always present) are spec'd on skewed k < distinct streams in ExtSpec.
+    "x_vocab_ss" -> { (s, dir) =>
+      docs(s, dir)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+        .agg(graft.functions.GraftFunctions.space_saving_agg(col("tok"), 64).as("ss"))
+        .select(explode(col("ss")).as("e"))
+        .select(col("e.item").as("tok"), col("e.est").as("est"), col("e.err").as("err"))
+        .orderBy(col("est").desc, col("tok").asc)
+    },
+
     // exact distribution quantiles per event_type (the data-quality cut a
     // pipeline runs before/after a transform): percentile is exact with
     // linear interpolation — the same definition as the oracle's
@@ -1308,6 +1326,13 @@ object ExtensionQueries {
         |GROUP BY token
         |ORDER BY n DESC, token ASC
         |LIMIT 50""".stripMargin,
+    // k ≥ distinct ⇒ space-saving degenerates to exact counting (err 0)
+    "x_vocab_ss" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) AS est, CAST(0 AS BIGINT) AS err
+        |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents)
+        |WHERE tok <> ''
+        |GROUP BY tok
+        |ORDER BY est DESC, tok ASC""".stripMargin,
     "x_quantiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 4) AS p50,

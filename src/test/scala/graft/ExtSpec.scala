@@ -917,6 +917,43 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("space-saving bounds under eviction: no undercount, tracked overcount, n/k-heavies present") {
+    import graft.functions.GraftFunctions
+    // skewed deterministic stream, k=8 far below the 40 distinct items:
+    // heavy items h0..h3 dominate, the t* tail forces constant eviction
+    val stream = (0 until 4).flatMap(h => Seq.fill(200 + 100 * h)(s"h$h")) ++
+      (0 until 36).flatMap(t => Seq.fill(6 + (t % 5))(s"t$t"))
+    val n = stream.size.toLong
+    val k = 8
+    val exact = stream.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    val df = spark.createDataset(stream)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("item").repartition(4) // force real partial-summary merges
+    val summary = df.agg(GraftFunctions.space_saving_agg($"item", k).as("ss"))
+      .select(explode($"ss").as("e"))
+      .select($"e.item", $"e.est", $"e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(summary.length <= k, s"summary exceeded capacity: ${summary.length} > $k")
+    summary.foreach { case (item, est, err) =>
+      val truth = exact.getOrElse(item, 0L)
+      assert(est >= truth, s"'$item' undercounted: est $est < true $truth")
+      assert(est - err <= truth, s"'$item' bound broken: est-err ${est - err} > true $truth")
+    }
+    // any item with true frequency > n/k must be in the summary
+    val kept = summary.map(_._1).toSet
+    exact.filter(_._2 > n / k).keys.foreach { heavy =>
+      assert(kept.contains(heavy), s"heavy hitter '$heavy' (>${n / k}) evicted")
+    }
+    // k ≥ distinct degenerates to exact counting with err = 0
+    val exactSummary = df.agg(GraftFunctions.space_saving_agg($"item", 64).as("ss"))
+      .select(explode($"ss").as("e"))
+      .select($"e.item", $"e.est", $"e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(exactSummary.length === exact.size)
+    exactSummary.foreach { case (item, est, err) =>
+      assert(est === exact(item) && err === 0L, s"k≥distinct must be exact: $item $est±$err")
+    }
+  }
+
   test("gate pin: (user_id, ts) is unique at µs grain on the gate corpora") {
     // x_time_bucket_agg's min_by/max_by determinism rests on this — a
     // data change that introduces per-user µs ties must fail HERE, not
