@@ -277,6 +277,47 @@ object ExtensionQueries {
         .limit(50)
     },
 
+    // decomposable distinct-count rollup — the sketch answer to the ONE
+    // aggregate x_rollup_hierarchy cannot decompose: count(DISTINCT)
+    // does not add across buckets, but Datasketches HLL register states
+    // do (slotwise max ⇒ order- AND grouping-independent). Hourly
+    // sketches union to daily; the gate pins (a) associativity — the
+    // unioned-from-hourly daily estimate EQUALS the directly-built daily
+    // estimate — and (b) the accuracy bound vs the exact two-phase
+    // distinct, both as booleans the oracle fixes TRUE (the
+    // q_approx_distinct idiom), so the gate hash-matches end to end. At
+    // 100 TB this is the whole point: the daily distinct-users level
+    // re-aggregates ~24 fixed-size sketches per key instead of
+    // re-scanning raw events.
+    "x_rollup_distinct" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val hourly = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val merged = hourly
+        .groupBy(col("event_type"), date_trunc("day", col("h")).as("d"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_merged"))
+      val direct = ev
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est_direct"))
+      val exact = ev
+        .groupBy(col("event_type"), col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)))
+        .groupBy(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("exact_users"))
+      exact
+        .join(merged, Seq("event_type", "d"))
+        .join(direct, Seq("event_type", "d"))
+        .select(
+          col("event_type"),
+          expr("unix_seconds(d)").as("day_s"),
+          col("exact_users"),
+          (col("est_merged") === col("est_direct")).as("merge_associative"),
+          (abs(col("est_merged") - col("exact_users")) <= col("exact_users") * 0.05)
+            .as("within_5pct"))
+        .orderBy("event_type", "day_s")
+    },
+
     // space-saving heavy hitters over the same token stream — Timescale's
     // freq_agg/topn family as one fixed-k TypedImperativeAggregate.
     // k=64 ≥ the corpus's 31 distinct tokens, so the summary is provably
@@ -1326,6 +1367,17 @@ object ExtensionQueries {
         |GROUP BY token
         |ORDER BY n DESC, token ASC
         |LIMIT 50""".stripMargin,
+    // the booleans are the gated claims (q_approx_distinct idiom): the
+    // oracle owns the exact counts, the engine must land TRUE on both
+    "x_rollup_distinct" ->
+      """SELECT event_type,
+        |       CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS merge_associative,
+        |       TRUE AS within_5pct
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, day_s""".stripMargin,
     // k ≥ distinct ⇒ space-saving degenerates to exact counting (err 0)
     "x_vocab_ss" ->
       """SELECT tok, CAST(count(*) AS BIGINT) AS est, CAST(0 AS BIGINT) AS err
