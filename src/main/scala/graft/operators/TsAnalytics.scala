@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 
 /** Time-series analytics over irregular series — the TimescaleDB
   * hyperfunction families the reference's hypertables exist to serve
@@ -475,6 +475,27 @@ object TsAnalytics {
         lttbSelect(series, nOut).iterator.map { case (t, v) => Row(key, t, v) }
       }(org.apache.spark.sql.Encoders.row(lttbOutSchema))
       .toDF()
+  }
+
+  /** Timescale `time_bucket(width, ts, origin)` for ARBITRARY widths —
+    * the form `date_trunc` cannot express (90-second, 15-minute, 6-hour
+    * buckets…). Pure integer µs arithmetic in one codegen'd projection:
+    * bucket start = ts − ((ts − origin) mod width), with the mod folded
+    * positive so pre-origin timestamps still floor (Timescale's
+    * semantics), never truncate toward zero.
+    *
+    * @param ts            timestamp column
+    * @param widthSeconds  bucket width in whole seconds (> 0)
+    * @param originEpochS  bucket phase origin, epoch seconds (default 0 —
+    *                      Unix-epoch-aligned, Timescale's default for
+    *                      sub-month widths)
+    */
+  def timeBucket(ts: Column, widthSeconds: Long, originEpochS: Long = 0L): Column = {
+    require(widthSeconds > 0, "bucket width must be positive")
+    val w = widthSeconds * 1000000L
+    val o = originEpochS * 1000000L
+    val x = unix_micros(ts) - lit(o)
+    timestamp_micros(lit(o) + x - ((x % w + w) % w))
   }
 
   private val asapOutSchema = StructType(Seq(

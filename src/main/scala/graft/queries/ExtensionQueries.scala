@@ -277,6 +277,26 @@ object ExtensionQueries {
         .limit(50)
     },
 
+    // Timescale time_bucket with an ARBITRARY width and phase origin
+    // (90-second buckets anchored 30 s past the epoch) — the form
+    // date_trunc cannot express; the oracle is DuckDB's NATIVE
+    // time_bucket(INTERVAL, ts, origin), a genuine cross-engine
+    // semantics pin (incl. flooring, not truncating, before the origin)
+    "x_time_bucket_width" -> { (s, dir) =>
+      events(s, dir)
+        .where(col("value").isNotNull)
+        .groupBy(
+          col("event_type"),
+          graft.operators.TsAnalytics.timeBucket(col("ts"), 90L, 30L).as("b"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(floor(col("value") * 10000 + 0.5).cast("long")).as("sum_e4"))
+        .select(
+          col("event_type"), expr("unix_seconds(b)").as("bucket_s"),
+          col("n"), col("sum_e4"))
+        .orderBy("event_type", "bucket_s")
+    },
+
     // decomposable distinct-count rollup — the sketch answer to the ONE
     // aggregate x_rollup_hierarchy cannot decompose: count(DISTINCT)
     // does not add across buckets, but Datasketches HLL register states
@@ -1367,6 +1387,15 @@ object ExtensionQueries {
         |GROUP BY token
         |ORDER BY n DESC, token ASC
         |LIMIT 50""".stripMargin,
+    // DuckDB's own time_bucket — not a re-derivation — pins the semantics
+    "x_time_bucket_width" ->
+      """SELECT event_type,
+        |       CAST(floor(epoch(time_bucket(INTERVAL '90 seconds', ts, TIMESTAMP '1970-01-01 00:00:30'))) AS BIGINT) AS bucket_s,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e4
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY event_type, bucket_s""".stripMargin,
     // the booleans are the gated claims (q_approx_distinct idiom): the
     // oracle owns the exact counts, the engine must land TRUE on both
     "x_rollup_distinct" ->

@@ -234,6 +234,17 @@ class TsAnalyticsSpec extends SparkSpec {
     assert(d0.map(_.getAs[Long]("n_child")).toSeq === Seq(24L, 12L, 8L))
   }
 
+  test("timeBucket: arbitrary width with phase origin; pre-origin timestamps floor") {
+    val df = series(Seq((1L, 0L, 1.0), (1L, 29L, 1.0), (1L, 30L, 1.0), (1L, 119L, 1.0), (1L, 120L, 1.0)))
+    val out = df
+      .select(
+        unix_seconds(col("ts")).as("s"),
+        unix_seconds(TsAnalytics.timeBucket(col("ts"), 90L, 30L)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 90 s buckets anchored at +30 s: [-60, 30), [30, 120), [120, 210)…
+    assert(out === Map(0L -> -60L, 29L -> -60L, 30L -> 30L, 119L -> 30L, 120L -> 120L))
+  }
+
   test("asapSelect: periodic noise picks a window at the period; smoothing cuts roughness") {
     // period-12 sine + deterministic high-frequency jitter: the ACF peaks
     // at lag 12, and a 12-wide SMA should crush the jitter
