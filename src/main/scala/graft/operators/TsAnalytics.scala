@@ -268,6 +268,29 @@ object TsAnalytics {
       )
   }
 
+  /** Coarser OHLC derived FROM a finer [[candlestick]] level — Timescale's
+    * `rollup(candlestick_agg)`: open nests as the open of the EARLIEST
+    * child bucket (`min_by` over the child bucket timestamp, unique per
+    * key by construction), close as the latest child's close, high/low as
+    * plain max/min, trades and e4 volume as long sums. Like [[rerollup]],
+    * the daily level re-aggregates ~24 candle rows per key instead of
+    * re-scanning raw trades, and both levels stay map-side-combinable
+    * hash aggregates; the decomposition is exact, so daily-from-hourly
+    * hash-matches daily-from-raw (the gate's claim).
+    */
+  def rerollupCandlestick(finer: DataFrame, keys: Seq[String], bucket: String): DataFrame =
+    finer
+      .withColumn("__bus", expr("unix_micros(bucket_ts)"))
+      .groupBy(keys.map(col) :+ date_trunc(bucket, col("bucket_ts")).as("bucket_ts"): _*)
+      .agg(
+        sum(col("n_trades")).as("n_trades"),
+        expr("min_by(open, __bus)").as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        expr("max_by(close, __bus)").as("close"),
+        sum(col("volume_e4")).as("volume_e4")
+      )
+
   /** Per-key liveness rollup — Timescale `heartbeat_agg` + `uptime`/
     * `downtime`/`interpolated` accessors: each observation asserts the
     * source was alive for `livenessS` seconds; consecutive heartbeats

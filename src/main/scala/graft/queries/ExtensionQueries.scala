@@ -1040,6 +1040,21 @@ object ExtensionQueries {
         .orderBy("event_type", "bucket_ts")
     },
 
+    // rollup(candlestick_agg): the daily OHLC derived from the HOURLY
+    // candles (open of earliest child, close of latest, nested high/low,
+    // summed trades/volume) must hash-match the daily OHLC the oracle
+    // builds directly from raw events — the exact-decomposition claim,
+    // x_rollup_hierarchy's pattern for the pick-based aggregate family
+    "x_candlestick_rollup" -> { (s, dir) =>
+      val hourly = graft.operators.TsAnalytics
+        .candlestick(events(s, dir), Seq("event_type"), "ts", "value", bucket = "hour")
+      graft.operators.TsAnalytics
+        .rerollupCandlestick(hourly, Seq("event_type"), bucket = "day")
+        .withColumn("bucket_s", expr("unix_seconds(bucket_ts)"))
+        .drop("bucket_ts")
+        .orderBy("event_type", "bucket_s")
+    },
+
     // Timescale heartbeat_agg with a 600 s liveness window over each
     // user's event stream: uptime/downtime in exact µs sums, one final
     // div to ms.
@@ -1988,6 +2003,21 @@ object ExtensionQueries {
         |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS volume_e4
         |FROM e GROUP BY 1, 2
         |ORDER BY event_type, bucket_ts""".stripMargin,
+    // the oracle aggregates RAW events straight to days — the engine must
+    // reach the identical table through the hourly candles only
+    "x_candlestick_rollup" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_s,
+        |         epoch_us(ts) AS us, value
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT event_type, bucket_s, count(*) AS n_trades,
+        |       arg_min(value, us) AS open, max(value) AS high,
+        |       min(value) AS low, arg_max(value, us) AS close,
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS volume_e4
+        |FROM e GROUP BY 1, 2
+        |ORDER BY event_type, bucket_s""".stripMargin,
     // same per-gap µs clamps, exact µs sums, one final // 1000 per column;
     // the CASE guard mirrors the engine's — least/greatest skip NULLs in
     // both engines, so the terminal null gap must be excluded explicitly

@@ -286,6 +286,20 @@ class TsAnalyticsSpec extends SparkSpec {
     assert(out.filter(_._1 == "2").forall(r => r._4 === 1 && r._3 === 5.0))
   }
 
+  test("candlestick rollup equals a direct daily aggregate") {
+    // two users, 44 hours of alternating values spanning two days
+    val pts = (0 until 44).flatMap { h =>
+      Seq((1L, h * 3600L + 60L, (h % 7).toDouble + 0.25), (2L, h * 3600L + 120L, 50.0 - h))
+    }
+    val df = series(pts)
+    val hourly = TsAnalytics.candlestick(df, Seq("user_id"), "ts", "value", bucket = "hour")
+    val daily = TsAnalytics.rerollupCandlestick(hourly, Seq("user_id"), bucket = "day")
+      .select("user_id", "bucket_ts", "n_trades", "open", "high", "low", "close", "volume_e4")
+    val direct = TsAnalytics.candlestick(df, Seq("user_id"), "ts", "value", bucket = "day")
+      .select("user_id", "bucket_ts", "n_trades", "open", "high", "low", "close", "volume_e4")
+    assert(daily.exceptAll(direct).isEmpty && direct.exceptAll(daily).isEmpty)
+  }
+
   test("plans stay key-partitioned — no single-partition window or sort") {
     val df = series((0L until 50L).flatMap(t => Seq((1L, t, t.toDouble), (2L, t, 1.0))))
     for (
