@@ -377,6 +377,55 @@ object TsAnalytics {
       )
   }
 
+  /** Per-(key, bucket) time-weighted average — the CONTINUOUS-AGGREGATE
+    * form of [[timeWeightedAvg]] (Timescale `time_bucket` +
+    * `average(time_weight('LOCF'))`, the shape dashboards query): each
+    * LOCF segment [obs, next-obs) is SPLIT across the fixed-width
+    * buckets it spans, contributing its overlap µs × value to every
+    * covered bucket, so a reading held across an edge weighs into both
+    * sides exactly — the boundary-interpolation the naive per-bucket
+    * grouping gets wrong.
+    *
+    * Shape: one key-partitioned lead window → `sequence` explode of the
+    * covered bucket range (a segment touches `len/width + 1` buckets —
+    * bounded fan-out, never a grid join) → one hash aggregate on
+    * (key, bucket). Exact-long overlap-µs × e4-value products; the one
+    * division happens at the end per output row.
+    *
+    * Output per (key, bucket): `bucket_s` (epoch seconds), `covered_us`
+    * (observed µs inside the bucket), `wsum_e4us` (the exact integral),
+    * and `twa` (their ratio, rounded 6dp).
+    */
+  def timeWeightedBucketed(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      bucketSeconds: Long
+  ): DataFrame = {
+    require(bucketSeconds > 0, "bucket width must be positive")
+    val w = bucketSeconds * 1000000L
+    val k = keys.map(col)
+    val win = Window.partitionBy(k: _*).orderBy(col("__us"))
+    val seg = df
+      .where(col(valueCol).isNotNull)
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__v4", floor(col(valueCol) * 10000 + 0.5).cast(LongType))
+      .withColumn("__nxt", lead(col("__us"), 1).over(win))
+      .where(col("__nxt").isNotNull)
+    val b = col("__b")
+    val overlap = least(col("__nxt"), (b + 1) * w) - greatest(col("__us"), b * w)
+    seg
+      .withColumn("__b", explode(sequence(expr(s"__us div ${w}L"), expr(s"(__nxt - 1) div ${w}L"))))
+      .groupBy(k :+ (b * bucketSeconds).as("bucket_s"): _*)
+      .agg(
+        sum(overlap).as("covered_us"),
+        sum(overlap * col("__v4")).as("wsum_e4us")
+      )
+      .withColumn("twa",
+        round(col("wsum_e4us").cast(DoubleType) / col("covered_us") / 10000.0, 6))
+  }
+
   /** Per-key fixed-bound value histogram — Timescale
     * `histogram(value, lo, hi, nBuckets)` semantics (`width_bucket`
     * layout): bucket 0 is underflow (`v < lo`), buckets `1..nBuckets`

@@ -1040,6 +1040,17 @@ object ExtensionQueries {
         .orderBy("event_type", "bucket_ts")
     },
 
+    // the continuous-aggregate form of time_weight: hourly buckets, LOCF
+    // segments SPLIT across the bucket edges they span (overlap-µs × e4
+    // exact-long products, one division per output row) — the boundary
+    // interpolation a naive per-bucket grouping gets wrong; oracle
+    // re-derives the identical segment split via generate_series
+    "x_time_weight_bucketed" -> { (s, dir) =>
+      graft.operators.TsAnalytics
+        .timeWeightedBucketed(events(s, dir), Seq("user_id"), "ts", "value", bucketSeconds = 3600L)
+        .orderBy("user_id", "bucket_s")
+    },
+
     // rollup(candlestick_agg): the daily OHLC derived from the HOURLY
     // candles (open of earliest child, close of latest, nested high/low,
     // summed trades/volume) must hash-match the daily OHLC the oracle
@@ -2003,6 +2014,29 @@ object ExtensionQueries {
         |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS volume_e4
         |FROM e GROUP BY 1, 2
         |ORDER BY event_type, bucket_ts""".stripMargin,
+    // identical LOCF segment split: lead window → inclusive bucket-range
+    // explode → overlap clamp; BIGINT/BIGINT '/' is double in both engines
+    "x_time_weight_bucketed" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS nxt
+        |  FROM events WHERE value IS NOT NULL
+        |), seg AS (
+        |  SELECT * FROM obs WHERE nxt IS NOT NULL
+        |), expl AS (
+        |  SELECT user_id, us, nxt, v4, b
+        |  FROM seg, unnest(generate_series(us // 3600000000, (nxt - 1) // 3600000000)) AS t(b)
+        |), per AS (
+        |  SELECT user_id, b,
+        |         CAST(SUM(LEAST(nxt, (b + 1) * 3600000000) - GREATEST(us, b * 3600000000)) AS BIGINT) AS covered_us,
+        |         CAST(SUM((LEAST(nxt, (b + 1) * 3600000000) - GREATEST(us, b * 3600000000)) * v4) AS BIGINT) AS wsum_e4us
+        |  FROM expl GROUP BY 1, 2
+        |)
+        |SELECT user_id, b * 3600 AS bucket_s, covered_us, wsum_e4us,
+        |       round(wsum_e4us / covered_us / 10000.0, 6) AS twa
+        |FROM per
+        |ORDER BY user_id, bucket_s""".stripMargin,
     // the oracle aggregates RAW events straight to days — the engine must
     // reach the identical table through the hourly candles only
     "x_candlestick_rollup" ->

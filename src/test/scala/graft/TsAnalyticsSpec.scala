@@ -286,6 +286,16 @@ class TsAnalyticsSpec extends SparkSpec {
     assert(out.filter(_._1 == "2").forall(r => r._4 === 1 && r._3 === 5.0))
   }
 
+  test("timeWeightedBucketed: segments split across bucket edges, exact overlap weighting") {
+    // v=10 held [0, 5400s), v=20 held [5400s, 7200s): hour 0 is pure 10,
+    // hour 1 is half 10 / half 20 → twa 15; the terminal obs ends coverage
+    val df = series(Seq((1L, 0L, 10.0), (1L, 5400L, 20.0), (1L, 7200L, 99.0)))
+    val out = TsAnalytics.timeWeightedBucketed(df, Seq("user_id"), "ts", "value", 3600L)
+      .orderBy("bucket_s").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(out.toSeq === Seq((0L, 3600000000L, 10.0), (3600L, 3600000000L, 15.0)))
+  }
+
   test("candlestick rollup equals a direct daily aggregate") {
     // two users, 44 hours of alternating values spanning two days
     val pts = (0 until 44).flatMap { h =>
