@@ -39,6 +39,9 @@ object GraftFunctions {
     "minhash_agg" -> { es: Seq[Expression] => MinHashAgg(es(0), intLit(es(1))) },
     "simhash_agg" -> { es: Seq[Expression] => SimHashAgg(es(0)) },
     "space_saving_agg" -> { es: Seq[Expression] => SpaceSavingAgg(es(0), intLit(es(1))) },
+    "udd_sketch_agg" -> { es: Seq[Expression] => UddSketchAgg(es(0)) },
+    "udd_merge_agg" -> { es: Seq[Expression] => UddMergeAgg(es(0)) },
+    "udd_quantile" -> { es: Seq[Expression] => UddQuantile(es(0), es(1)) },
     "srp_bucket" -> { es: Seq[Expression] => SrpBucket(es(0), intLit(es(1)), intLit(es(2))) },
     "count_in_set" -> { es: Seq[Expression] => CountInSet(es(0), stringSeqLit(es(1))) },
     "prefix_sum" -> { es: Seq[Expression] => PrefixSumLongs(es(0), es(1)) },
@@ -105,6 +108,19 @@ object GraftFunctions {
     */
   def space_saving_agg(item: Column, k: Int): Column =
     call_function("space_saving_agg", item, org.apache.spark.sql.functions.lit(k))
+
+  /** UDDSketch mergeable-quantile state of a double column (see
+    * [[UddSketchAgg]]); roll levels up with [[udd_merge_agg]], read with
+    * [[udd_quantile]].
+    */
+  def udd_sketch_agg(value: Column): Column =
+    call_function("udd_sketch_agg", value)
+
+  def udd_merge_agg(sketch: Column): Column =
+    call_function("udd_merge_agg", sketch)
+
+  def udd_quantile(sketch: Column, p: Double): Column =
+    call_function("udd_quantile", sketch, org.apache.spark.sql.functions.lit(p))
 
   /** SRP-LSH bucket id over `numPlanes` pseudo-random hyperplanes
     * (codegen'd; see [[SrpBucket]]).

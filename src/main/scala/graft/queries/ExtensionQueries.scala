@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -1040,6 +1041,62 @@ object ExtensionQueries {
         .orderBy("event_type", "bucket_ts")
     },
 
+    // percentile_agg + rollup(approx_percentile): hourly UDDSketch states
+    // merge to daily by per-bucket addition — the percentile twin of
+    // x_rollup_distinct. With no collapse pass the merged state is
+    // bit-identical regardless of merge order, so merge-associativity is
+    // gated as EXACT estimate equality; accuracy vs the exact percentile
+    // rides the same oracle-fixed-TRUE boolean idiom, and the exact p50/
+    // p95 columns themselves hash-match quantile_cont (the x_quantiles
+    // bit-parity). γ=1.02 ⇒ ~1% relative value error; the bound below is
+    // 5% + 0.5 absolute to absorb discrete-rank vs interpolation drift.
+    "x_percentile_rollup" -> { (s, dir) =>
+      import graft.functions.GraftFunctions._
+      val ev = events(s, dir).where(col("value").isNotNull)
+      val hourly = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(udd_sketch_agg(col("value")).as("sk"))
+      val merged = hourly
+        .groupBy(col("event_type"), date_trunc("day", col("h")).as("d"))
+        .agg(udd_merge_agg(col("sk")).as("msk"))
+        .select(col("event_type"), col("d"),
+          udd_quantile(col("msk"), 0.5).as("m50"), udd_quantile(col("msk"), 0.95).as("m95"))
+      val direct = ev
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(udd_sketch_agg(col("value")).as("dsk"))
+        .select(col("event_type"), col("d"),
+          udd_quantile(col("dsk"), 0.5).as("d50"), udd_quantile(col("dsk"), 0.95).as("d95"))
+      val exact = ev
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(expr("percentile(value, 0.5)").as("e50"), expr("percentile(value, 0.95)").as("e95"))
+      // the sketch's own yardstick is the DISCRETE quantile (the value at
+      // rank ⌈p·n⌉ — the γ-bound holds vs THAT value, not the interpolated
+      // quantile_cont, whose gap to the nearest order stat dwarfs α on
+      // sparse tails): one key-partitioned rank pick per cell
+      val cellW = Window.partitionBy(col("event_type"), col("d"))
+      val disc = ev
+        .withColumn("d", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(cellW.orderBy(col("value"))))
+        .withColumn("cnt", count(lit(1)).over(cellW))
+        .groupBy(col("event_type"), col("d"))
+        .agg(
+          max(when(col("rn") === ceil(col("cnt") * 0.5), col("value"))).as("e50d"),
+          max(when(col("rn") === ceil(col("cnt") * 0.95), col("value"))).as("e95d"))
+      exact
+        .join(merged, Seq("event_type", "d"))
+        .join(direct, Seq("event_type", "d"))
+        .join(disc, Seq("event_type", "d"))
+        .select(
+          col("event_type"),
+          expr("unix_seconds(d)").as("day_s"),
+          round(col("e50"), 4).as("p50_exact"),
+          round(col("e95"), 4).as("p95_exact"),
+          (col("m50") === col("d50") && col("m95") === col("d95")).as("merge_associative"),
+          (abs(col("m50") - col("e50d")) <= abs(col("e50d")) * 0.02).as("p50_close"),
+          (abs(col("m95") - col("e95d")) <= abs(col("e95d")) * 0.02).as("p95_close"))
+        .orderBy("event_type", "day_s")
+    },
+
     // the continuous-aggregate form of time_weight: hourly buckets, LOCF
     // segments SPLIT across the bucket edges they span (overlap-µs × e4
     // exact-long products, one division per output row) — the boundary
@@ -2014,6 +2071,17 @@ object ExtensionQueries {
         |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS volume_e4
         |FROM e GROUP BY 1, 2
         |ORDER BY event_type, bucket_ts""".stripMargin,
+    // oracle owns the exact daily percentiles (bit-parity with Spark's
+    // percentile, the x_quantiles contract) and fixes the three claims TRUE
+    "x_percentile_rollup" ->
+      """SELECT event_type,
+        |       CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+        |       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+        |       round(quantile_cont(value, 0.95), 4) AS p95_exact,
+        |       TRUE AS merge_associative, TRUE AS p50_close, TRUE AS p95_close
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY event_type, day_s""".stripMargin,
     // identical LOCF segment split: lead window → inclusive bucket-range
     // explode → overlap clamp; BIGINT/BIGINT '/' is double in both engines
     "x_time_weight_bucketed" ->

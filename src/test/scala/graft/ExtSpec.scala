@@ -954,6 +954,41 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("UDDSketch: γ-bucket error bound, rank walk, and exact merge-order independence") {
+    import graft.functions.{GraftFunctions, UddSketch}
+    val g = UddSketch.DefaultGamma
+    val alpha = (g - 1) / (g + 1)
+    // bucket midpoint is within α relative error across magnitudes + signs
+    Seq(0.004, 0.7, 1.0, 3.14, 599.9, -0.02, -250.0).foreach { v =>
+      val est = UddSketch.valueOf(UddSketch.bucketOf(v, g), g)
+      assert(math.abs(est - v) <= alpha * math.abs(v) * 1.0001,
+        s"bucket midpoint for $v drifted: $est")
+    }
+    // rank walk on a known mixed stream incl. zeros and negatives
+    val vals = Seq.tabulate(200)(i => (i - 50).toDouble) // -50..149, one zero
+    val zero = vals.count(_ == 0.0).toLong
+    val m = vals.filter(_ != 0.0).groupBy(v => UddSketch.bucketOf(v, g))
+      .map { case (b, xs) => b -> xs.size.toLong }
+    Seq(0.05, 0.5, 0.95).foreach { p =>
+      val est = UddSketch.quantile(zero, m, p, g).get
+      val exact = vals.sorted.apply(math.max(1, math.ceil(p * vals.size).toInt) - 1)
+      assert(math.abs(est - exact) <= alpha * math.abs(exact) + 1e-9,
+        s"p=$p est=$est exact=$exact")
+    }
+    // distributed: merged state equals direct state EXACTLY (no collapse ⇒
+    // merge-order independent), under forced multi-partition combines
+    val df = spark.createDataset(vals)(org.apache.spark.sql.Encoders.scalaDouble)
+      .toDF("v").repartition(7)
+    val direct = df.agg(GraftFunctions.udd_quantile(GraftFunctions.udd_sketch_agg($"v"), 0.5))
+      .head().getDouble(0)
+    val twoLevel = df
+      .withColumn("part", $"v" % 5)
+      .groupBy("part").agg(GraftFunctions.udd_sketch_agg($"v").as("sk"))
+      .agg(GraftFunctions.udd_quantile(GraftFunctions.udd_merge_agg($"sk"), 0.5))
+      .head().getDouble(0)
+    assert(direct === twoLevel, "two-level merge must reproduce the direct sketch exactly")
+  }
+
   test("gate pin: (user_id, ts) is unique at µs grain on the gate corpora") {
     // x_time_bucket_agg's min_by/max_by determinism rests on this — a
     // data change that introduces per-user µs ties must fail HERE, not

@@ -323,7 +323,13 @@ class TsAnalyticsSpec extends SparkSpec {
         TsAnalytics.heartbeatAgg(df, Seq("user_id"), "ts", 10L),
         TsAnalytics.rerollup(
           TsAnalytics.bucketRollup(df, Seq("user_id"), "ts", "value", "hour"),
-          Seq("user_id"), "day")
+          Seq("user_id"), "day"),
+        TsAnalytics.rerollupCandlestick(
+          TsAnalytics.candlestick(df, Seq("user_id"), "ts", "value", "hour"),
+          Seq("user_id"), "day"),
+        TsAnalytics.timeWeightedBucketed(df, Seq("user_id"), "ts", "value", 3600L),
+        df.groupBy(col("user_id"), TsAnalytics.timeBucket(col("ts"), 90L, 30L).as("b"))
+          .agg(count(lit(1)).as("n"))
       )
     ) {
       val p = plan.queryExecution.executedPlan.toString
