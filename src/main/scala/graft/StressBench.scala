@@ -171,9 +171,13 @@ object StressBench {
     * physical/bucketed operators' scale pins (the gate shapes from
     * RelationalQueries/ExtensionQueries, timed at volume): the sorted-merge
     * as-of exec is one co-partitioned sort + O(1)-state merge, the range
-    * join is an epoch-bucket equi-join with fixed 2× probe fan-out, and
-    * gapfill explodes each user's grid map-side — all keyed per user, so
-    * user-axis growth must stay ~linear or the plan shape regressed.
+    * join is an epoch-bucket equi-join with fixed 2× probe fan-out,
+    * gapfill explodes each user's grid map-side, the bucketed time-weight
+    * is one key window + bounded segment-split explode feeding a
+    * partitioning-reusing aggregate (one shuffle total), and SCD2 history
+    * is one PK-keyed lead window over snapshot ∪ log — all keyed per
+    * user/PK, so user-axis growth must stay ~linear or the plan shape
+    * regressed.
     */
   private def timeOps(ev: => DataFrame): Seq[(String, () => Long)] = Seq(
     "asof_exec" -> (() => {
@@ -194,7 +198,26 @@ object StressBench {
     "gapfill" -> (() =>
       graft.operators.GapFill
         .fill(ev, Seq("user_id"), "ts", "value", bucketMicros = 3600L * 1000000L)
-        .count())
+        .count()),
+    "time_weight_bucketed" -> (() =>
+      graft.operators.TsAnalytics
+        .timeWeightedBucketed(ev, Seq("user_id"), "ts", "value", bucketSeconds = 3600L)
+        .count()),
+    "scd2_history" -> (() => {
+      val log = ev.select(
+        col("event_id"),
+        when(col("event_id") % 20 === 3, "DELETE").otherwise("UPDATE").as("operation"),
+        to_json(struct(col("event_id").as("rid"), col("user_id"), col("value"))).as("after"))
+        .withColumn("before", col("after"))
+      val snapshot = ev.select(col("event_id").as("rid"), col("user_id"), col("value"))
+      graft.capture.CdcApply.scd2History(
+        snapshot, log, Seq("rid"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rid", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+      ).count()
+    })
   )
 
   /** CDC family — the reference's actual domain at volume: the snapshot

@@ -122,6 +122,30 @@ object GraftFunctions {
   def udd_quantile(sketch: Column, p: Double): Column =
     call_function("udd_quantile", sketch, org.apache.spark.sql.functions.lit(p))
 
+  /** Timescale's saturating int32 arithmetic — overflow clamps to the
+    * int32 bounds instead of wrapping (and the `_pos` forms additionally
+    * floor at 0): compute in LONG (i32 ops cannot overflow a long), clamp,
+    * narrow. Pure codegen'd expressions, no UDF.
+    */
+  private def clamp32(x: Column): Column = {
+    import org.apache.spark.sql.functions.{greatest, least, lit}
+    greatest(least(x, lit(2147483647L)), lit(-2147483648L)).cast("int")
+  }
+
+  def saturating_add(a: Column, b: Column): Column = clamp32(a.cast("long") + b.cast("long"))
+  def saturating_sub(a: Column, b: Column): Column = clamp32(a.cast("long") - b.cast("long"))
+  def saturating_mul(a: Column, b: Column): Column = clamp32(a.cast("long") * b.cast("long"))
+
+  def saturating_add_pos(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{greatest, lit}
+    greatest(saturating_add(a, b), lit(0)).cast("int")
+  }
+
+  def saturating_sub_pos(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{greatest, lit}
+    greatest(saturating_sub(a, b), lit(0)).cast("int")
+  }
+
   /** SRP-LSH bucket id over `numPlanes` pseudo-random hyperplanes
     * (codegen'd; see [[SrpBucket]]).
     */

@@ -1041,6 +1041,26 @@ object ExtensionQueries {
         .orderBy("event_type", "bucket_ts")
     },
 
+    // Timescale saturating int32 arithmetic over deterministic full-range
+    // operands (an LCG spread over the whole i32 domain, so add/sub/mul
+    // genuinely overflow): clamp-at-bounds instead of wrap, _pos forms
+    // floored at 0 — the identical LONG-clamp-narrow formula runs in the
+    // oracle
+    "x_saturating" -> { (s, dir) =>
+      import graft.functions.GraftFunctions._
+      val ev = events(s, dir)
+        .withColumn("a", (pmod(col("event_id") * 48271L, lit(4294967296L)) - 2147483648L).cast("int"))
+        .withColumn("b", (pmod(col("event_id") * 69621L + 12345L, lit(4294967296L)) - 2147483648L).cast("int"))
+      ev.select(
+        col("event_id"), col("a"), col("b"),
+        saturating_add(col("a"), col("b")).as("s_add"),
+        saturating_sub(col("a"), col("b")).as("s_sub"),
+        saturating_mul(col("a"), col("b")).as("s_mul"),
+        saturating_add_pos(col("a"), col("b")).as("s_add_pos"),
+        saturating_sub_pos(col("a"), col("b")).as("s_sub_pos"))
+        .orderBy("event_id")
+    },
+
     // percentile_agg + rollup(approx_percentile): hourly UDDSketch states
     // merge to daily by per-bucket addition — the percentile twin of
     // x_rollup_distinct. With no collapse pass the merged state is
@@ -2071,6 +2091,22 @@ object ExtensionQueries {
         |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS volume_e4
         |FROM e GROUP BY 1, 2
         |ORDER BY event_type, bucket_ts""".stripMargin,
+    // identical LONG-clamp-narrow formula; ((x % m) + m) % m is DuckDB's
+    // pmod, and i32×i32 products stay within BIGINT
+    "x_saturating" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |         CAST(((event_id * 48271) % 4294967296 + 4294967296) % 4294967296 - 2147483648 AS INTEGER) AS a,
+        |         CAST(((event_id * 69621 + 12345) % 4294967296 + 4294967296) % 4294967296 - 2147483648 AS INTEGER) AS b
+        |  FROM events
+        |)
+        |SELECT event_id, a, b,
+        |       CAST(GREATEST(LEAST(CAST(a AS BIGINT) + b, 2147483647), -2147483648) AS INTEGER) AS s_add,
+        |       CAST(GREATEST(LEAST(CAST(a AS BIGINT) - b, 2147483647), -2147483648) AS INTEGER) AS s_sub,
+        |       CAST(GREATEST(LEAST(CAST(a AS BIGINT) * b, 2147483647), -2147483648) AS INTEGER) AS s_mul,
+        |       CAST(GREATEST(GREATEST(LEAST(CAST(a AS BIGINT) + b, 2147483647), -2147483648), 0) AS INTEGER) AS s_add_pos,
+        |       CAST(GREATEST(GREATEST(LEAST(CAST(a AS BIGINT) - b, 2147483647), -2147483648), 0) AS INTEGER) AS s_sub_pos
+        |FROM t ORDER BY event_id""".stripMargin,
     // oracle owns the exact daily percentiles (bit-parity with Spark's
     // percentile, the x_quantiles contract) and fixes the three claims TRUE
     "x_percentile_rollup" ->
