@@ -426,6 +426,44 @@ object TsAnalytics {
         round(col("wsum_e4us").cast(DoubleType) / col("covered_us") / 10000.0, 6))
   }
 
+  /** Per-(key, state, bucket) held time — Timescale `state_agg` +
+    * `duration_in(state)` per `time_bucket`, the bucketed twin of
+    * [[stateAgg]] built on the same segment-split machinery as
+    * [[timeWeightedBucketed]]: each LOCF state segment [obs, next-obs)
+    * splits across the fixed-width buckets it spans, adding its overlap
+    * µs to (key, state, bucket) — so a state held across a bucket edge
+    * is charged to both sides exactly. Exact-long µs sums, one truncating
+    * div-to-ms per output row. The explode is map-side; the aggregate
+    * keys on (key, state, bucket), a superset of the window's key
+    * partitioning, so Catalyst reuses the one exchange — same
+    * one-shuffle shape as [[timeWeightedBucketed]].
+    */
+  def stateDurationBucketed(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      stateCol: String,
+      bucketSeconds: Long
+  ): DataFrame = {
+    require(bucketSeconds > 0, "bucket width must be positive")
+    val w = bucketSeconds * 1000000L
+    val k = keys.map(col)
+    val win = Window.partitionBy(k: _*).orderBy(col("__us"))
+    val seg = df
+      .where(col(stateCol).isNotNull)
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__nxt", lead(col("__us"), 1).over(win))
+      .where(col("__nxt").isNotNull)
+    val b = col("__b")
+    val overlap = least(col("__nxt"), (b + 1) * w) - greatest(col("__us"), b * w)
+    seg
+      .withColumn("__b", explode(sequence(expr(s"__us div ${w}L"), expr(s"(__nxt - 1) div ${w}L"))))
+      .groupBy(k ++ Seq(col(stateCol).as("state"), (b * bucketSeconds).as("bucket_s")): _*)
+      .agg(sum(overlap).as("__sum_us"))
+      .withColumn("dur_ms", expr("__sum_us div 1000"))
+      .drop("__sum_us")
+  }
+
   /** Per-key fixed-bound value histogram — Timescale
     * `histogram(value, lo, hi, nBuckets)` semantics (`width_bucket`
     * layout): bucket 0 is underflow (`v < lo`), buckets `1..nBuckets`

@@ -1041,6 +1041,16 @@ object ExtensionQueries {
         .orderBy("event_type", "bucket_ts")
     },
 
+    // state_agg + duration_in per time_bucket: per-(user, state, hour)
+    // held milliseconds with LOCF state segments split exactly across
+    // bucket edges — the same segment-split machinery as
+    // x_time_weight_bucketed, re-derived by the oracle via generate_series
+    "x_state_timeline" -> { (s, dir) =>
+      graft.operators.TsAnalytics
+        .stateDurationBucketed(events(s, dir), Seq("user_id"), "ts", "event_type", bucketSeconds = 3600L)
+        .orderBy("user_id", "state", "bucket_s")
+    },
+
     // Timescale saturating int32 arithmetic over deterministic full-range
     // operands (an LCG spread over the whole i32 domain, so add/sub/mul
     // genuinely overflow): clamp-at-bounds instead of wrap, _pos forms
@@ -2091,6 +2101,22 @@ object ExtensionQueries {
         |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS volume_e4
         |FROM e GROUP BY 1, 2
         |ORDER BY event_type, bucket_ts""".stripMargin,
+    // the x_time_weight_bucketed split with state as the carried payload
+    "x_state_timeline" ->
+      """WITH obs AS (
+        |  SELECT user_id, event_type AS state, epoch_us(ts) AS us,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS nxt
+        |  FROM events WHERE event_type IS NOT NULL
+        |), seg AS (
+        |  SELECT * FROM obs WHERE nxt IS NOT NULL
+        |), expl AS (
+        |  SELECT user_id, state, us, nxt, b
+        |  FROM seg, unnest(generate_series(us // 3600000000, (nxt - 1) // 3600000000)) AS t(b)
+        |)
+        |SELECT user_id, state, b * 3600 AS bucket_s,
+        |       CAST(SUM(LEAST(nxt, (b + 1) * 3600000000) - GREATEST(us, b * 3600000000)) AS BIGINT) // 1000 AS dur_ms
+        |FROM expl GROUP BY 1, 2, 3
+        |ORDER BY user_id, state, bucket_s""".stripMargin,
     // identical LONG-clamp-narrow formula; ((x % m) + m) % m is DuckDB's
     // pmod, and i32×i32 products stay within BIGINT
     "x_saturating" ->

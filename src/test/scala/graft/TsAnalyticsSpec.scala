@@ -296,6 +296,18 @@ class TsAnalyticsSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 3600000000L, 10.0), (3600L, 3600000000L, 15.0)))
   }
 
+  test("stateDurationBucketed: state held across a bucket edge charges both sides") {
+    import spark.implicits._
+    // state A [0, 5400s), B [5400, 7200): hour0 = A 3600s; hour1 = A 1800s + B 1800s
+    val df = Seq((1L, 0L, "A"), (1L, 5400L, "B"), (1L, 7200L, "C"))
+      .toDF("user_id", "sec", "state")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"), col("state"))
+    val out = TsAnalytics.stateDurationBucketed(df, Seq("user_id"), "ts", "state", 3600L)
+      .orderBy("state", "bucket_s").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("A", 0L, 3600000L), ("A", 3600L, 1800000L), ("B", 3600L, 1800000L)))
+  }
+
   test("candlestick rollup equals a direct daily aggregate") {
     // two users, 44 hours of alternating values spanning two days
     val pts = (0 until 44).flatMap { h =>
