@@ -371,22 +371,30 @@ object ExtensionQueries {
         .orderBy("event_type")
     },
 
-    // t-digest sketch twin of x_quantiles (rows-only — sketch internals
-    // have no DuckDB twin; ExtSpec pins the rank-error bound against the
-    // exact percentile). At 100 TB this IS the quantile plan: the sketch
-    // is a fixed-size partial aggregate regardless of input size, where
-    // exact percentile must shuffle every distinct value.
+    // t-digest sketch twin of x_quantiles. At 100 TB this IS the quantile
+    // plan: the sketch is a fixed-size partial aggregate regardless of
+    // input size, where exact percentile must shuffle every distinct
+    // value. Formerly rows-only (sketch internals have no DuckDB twin);
+    // now HASH-gated via the q_approx_distinct idiom — the oracle owns
+    // the exact percentiles and row count, and the ExtSpec rank-bracket
+    // bound (approx within the exact p±2%-rank quantiles) rides as
+    // booleans the oracle fixes TRUE.
     "x_quantiles_sketch" -> { (s, dir) =>
       events(s, dir)
         .groupBy("event_type")
         .agg(
           expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("ps"),
+          expr("percentile(value, array(0.48, 0.52, 0.93, 0.97, 0.5, 0.95))").as("ex"),
           count(lit(1)).as("n"))
         .select(
           col("event_type"),
-          round(col("ps").getItem(0), 4).as("p50_approx"),
-          round(col("ps").getItem(1), 4).as("p95_approx"),
-          col("n"))
+          round(col("ex").getItem(4), 4).as("p50_exact"),
+          round(col("ex").getItem(5), 4).as("p95_exact"),
+          col("n"),
+          (col("ps").getItem(0) >= col("ex").getItem(0) &&
+            col("ps").getItem(0) <= col("ex").getItem(1)).as("p50_in_bracket"),
+          (col("ps").getItem(1) >= col("ex").getItem(2) &&
+            col("ps").getItem(1) <= col("ex").getItem(3)).as("p95_in_bracket"))
         .orderBy("event_type")
     },
 
@@ -687,17 +695,22 @@ object ExtensionQueries {
         .orderBy("user_id")
     },
 
-    // Count-Min sketch beside the exact vocabulary counts (rows-only —
-    // sketch internals have no DuckDB twin; ExtSpec pins the published
-    // ε·N overestimate bound). The 100 TB shape: the sketch is one
-    // fixed-size partial aggregate (a few KB regardless of corpus), the
-    // exact top-k ships k rows; estimates for ANY token then cost O(1)
-    // driver-side with no second scan.
+    // Count-Min sketch beside the exact vocabulary counts. The 100 TB
+    // shape: the sketch is one fixed-size partial aggregate (a few KB
+    // regardless of corpus), the exact top-k ships k rows; estimates for
+    // ANY token then cost O(1) driver-side with no second scan. Formerly
+    // rows-only (sketch internals have no DuckDB twin); now HASH-gated —
+    // the oracle owns the exact top-20 counts, and the published CMS
+    // guarantees (never undercounts; overcount ≤ ε·N) ride as booleans
+    // the oracle fixes TRUE. CMS counters add elementwise, so the
+    // estimates are merge-order independent and the booleans stable.
     "x_vocab_cms" -> { (s, dir) =>
       import s.implicits._
       val toks = docs(s, dir)
         .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
         .where(length(col("tok")) > 0)
+      val total = toks.count()
+      val epsN = math.ceil(0.001 * total).toLong
       val skBytes = toks
         .agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)"))
         .head().getAs[Array[Byte]](0)
@@ -707,9 +720,12 @@ object ExtensionQueries {
         .orderBy(col("n_exact").desc, col("tok").asc)
         .limit(20)
         .collect()
-        .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+        .map { r =>
+          val est = cms.estimateCount(r.getString(0))
+          (r.getString(0), r.getLong(1), est >= r.getLong(1), est <= r.getLong(1) + epsN)
+        }
       s.createDataset(top.toSeq)
-        .toDF("tok", "n_exact", "n_cms")
+        .toDF("tok", "n_exact", "never_undercounts", "within_eps_n")
         .orderBy(col("n_exact").desc, col("tok").asc)
     },
 
@@ -2101,6 +2117,31 @@ object ExtensionQueries {
         |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS volume_e4
         |FROM e GROUP BY 1, 2
         |ORDER BY event_type, bucket_ts""".stripMargin,
+    // formerly rows-only: the oracle owns the exact per-type percentiles
+    // and count (quantile_cont ≡ Spark percentile, the x_quantiles
+    // bit-parity) and fixes the rank-bracket claims TRUE
+    "x_quantiles_sketch" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+        |       round(quantile_cont(value, 0.95), 4) AS p95_exact,
+        |       count(*) AS n,
+        |       TRUE AS p50_in_bracket, TRUE AS p95_in_bracket
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // formerly rows-only: exact top-20 counts oracle-owned, CMS bounds
+    // (never undercounts, ≤ ε·N overcount) fixed TRUE
+    "x_vocab_cms" ->
+      """SELECT tok, n_exact, TRUE AS never_undercounts, TRUE AS within_eps_n
+        |FROM (
+        |  SELECT tok, count(*) AS n_exact
+        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents)
+        |  WHERE tok <> ''
+        |  GROUP BY tok
+        |  ORDER BY n_exact DESC, tok ASC
+        |  LIMIT 20
+        |)
+        |ORDER BY n_exact DESC, tok ASC""".stripMargin,
     // the x_time_weight_bucketed split with state as the carried payload
     "x_state_timeline" ->
       """WITH obs AS (
