@@ -200,6 +200,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // equi-keyless bounded-interval joins → bucketed equi-joins (the
     // nested-loop escape hatch; see the rule's scaladoc for the shape)
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // transparent continuous-aggregate rewrite: coarse time-bucket
+    // aggregates over a registered raw table are served from its
+    // materialized finer rollup (Timescale real-time-aggregate behavior)
+    e.injectOptimizerRule(_ => graft.plans.RollupRewrite)
     // plans the AsOfJoinNode custom operator (sorted-merge as-of exec)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

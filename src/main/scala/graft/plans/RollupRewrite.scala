@@ -1,0 +1,276 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions.{col, count, date_trunc, lit, max, min, sum}
+
+/** Transparent continuous-aggregate query rewrite — TimescaleDB's
+  * real-time-aggregate behavior (reference init.sql:70's hypertable is
+  * exactly what Timescale points continuous aggregates at; public docs:
+  * queries against the raw hypertable are answered from the materialized
+  * rollup when their shape allows): a coarse time-bucket aggregate
+  * written against the RAW table is rewritten by the optimizer to
+  * re-aggregate the registered finer rollup instead — the user keeps the
+  * raw-table query, the engine reads ~24 rollup rows per (key, day)
+  * rather than the raw event stream. At 100 TB this turns a full-corpus
+  * scan into a rollup-table scan thousands of times smaller.
+  *
+  * Shape contract (checked structurally, never assumed):
+  *   - the aggregate's child is a scan of the registered raw files
+  *     (bare relation or an attribute-only Project over it);
+  *   - groupings are key columns plus exactly one
+  *     `date_trunc(level, tsCol)` with `level` calendar-coarser-or-equal
+  *     than the rollup's own bucket;
+  *   - aggregate functions are `count(lit)` / `sum|min|max(measure)`
+  *     where `measure` structurally equals the expression the rollup was
+  *     built over (no DISTINCT, no FILTER).
+  * Anything else is left untouched. The rewrite preserves the original
+  * output names AND exprIds, so enclosing plans resolve unchanged.
+  *
+  * The decomposition is exact (counts add, long sums add, min/max nest —
+  * the [[graft.operators.TsAnalytics.rerollup]] algebra), so a rewritten
+  * query is hash-identical to the raw aggregate — the `x_rollup_rewrite`
+  * gate computes THROUGH the rewrite against a raw-data DuckDB oracle.
+  */
+object RollupRewrite extends Rule[LogicalPlan] {
+
+  /** A registered rollup: which raw files it serves, its own (analyzed,
+    * materialized) scan plan, the grouping keys, the bucket column
+    * produced as `bucket_ts` at `finerLevel`, and the canonical measure
+    * SQL (normalized) its sum/min/max columns were built over.
+    */
+  case class Spec(
+      rawFiles: Set[String],
+      rollup: LogicalPlan,
+      keyCols: Seq[String],
+      tsCol: String,
+      finerLevel: String,
+      measureSql: String
+  )
+
+  private val specs = new java.util.concurrent.ConcurrentHashMap[String, Spec]()
+
+  def register(name: String, spec: Spec): Unit = specs.put(name, spec)
+  def clear(): Unit = specs.clear()
+
+  /** Canonical structural form for measure matching: SQL text, lowercased,
+    * whitespace-stripped. Attribute references render by NAME, which is
+    * the contract — the raw attrs and the registration-time attrs carry
+    * different exprIds by construction.
+    */
+  def canonical(e: Expression): String = e.sql.toLowerCase.replaceAll("\\s+", "")
+
+  /** The measure's canonical form as it will appear INSIDE an optimized
+    * query plan — resolve against the raw table and run the optimizer
+    * over a one-column projection, so analyzer-inserted casts and
+    * constant folding render identically on both sides of the match.
+    */
+  def canonicalMeasure(raw: DataFrame, measure: Column): String = {
+    val plan = raw.select(measure.as("__graft_m")).queryExecution.optimizedPlan
+    val e = plan.collectFirst {
+      case Project(projectList, _) =>
+        projectList.collectFirst { case Alias(child, "__graft_m") => child }
+    }.flatten.getOrElse(
+      throw new IllegalArgumentException(s"cannot canonicalize measure over ${raw.schema}"))
+    canonical(e)
+  }
+
+  /** Hourly-style rollup the rewrite can serve: n / sum_e / min_e / max_e
+    * per (keys…, bucket_ts). Build it, materialize it to parquet, read it
+    * back, and register THAT scan.
+    */
+  def buildRollup(
+      raw: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      measure: Column,
+      level: String
+  ): DataFrame =
+    raw
+      .groupBy(keys.map(col) :+ date_trunc(level, col(tsCol)).as("bucket_ts"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(measure).as("sum_e"),
+        min(measure).as("min_e"),
+        max(measure).as("max_e"))
+
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(RollupRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RollupRewrite
+    }
+
+  /** Calendar-nesting ranks. The registered rollup's own level is
+    * restricted to sub-day granularities (minute/hour/day), which nest
+    * into EVERY coarser calendar level — including week AND month, whose
+    * mutual non-nesting therefore never matters here:
+    * `date_trunc(coarse, date_trunc(fine, ts)) == date_trunc(coarse, ts)`
+    * holds for all served pairs.
+    */
+  private val levelRank = Map(
+    "minute" -> 1, "hour" -> 2, "day" -> 3, "week" -> 4,
+    "month" -> 5, "quarter" -> 6, "year" -> 7)
+
+  private def serves(finer: String, coarser: String): Boolean =
+    (levelRank.get(finer.toLowerCase), levelRank.get(coarser.toLowerCase)) match {
+      case (Some(f), Some(c)) => f <= 3 && c >= f
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg: Aggregate =>
+      val it = specs.values().iterator()
+      var out: LogicalPlan = agg
+      while (it.hasNext && (out eq agg)) {
+        tryRewrite(agg, it.next()).foreach(r => out = r)
+      }
+      out
+  }
+
+  /** Unwrap alias/projection layers down to the relation, accumulating a
+    * substitution map exprId → underlying expression for every projection
+    * alias passed on the way (the optimizer's PullOutGroupingExpressions
+    * parks `date_trunc` in exactly such a Project below the Aggregate).
+    */
+  private def unwrapScan(
+      plan: LogicalPlan): Option[(LogicalRelation, Map[ExprId, Expression])] = plan match {
+    case r: LogicalRelation => Some((r, Map.empty))
+    case SubqueryAlias(_, child) => unwrapScan(child)
+    case Project(projectList, child) =>
+      unwrapScan(child).map { case (r, inner) =>
+        val m = projectList.collect {
+          case a @ Alias(ac, _) => a.exprId -> deref(ac, inner)
+        }.toMap
+        (r, inner ++ m)
+      }
+    case _ => None
+  }
+
+  private def deref(e: Expression, m: Map[ExprId, Expression]): Expression =
+    if (m.isEmpty) e
+    else e.transform { case a: AttributeReference if m.contains(a.exprId) => m(a.exprId) }
+
+  private def scanFiles(r: LogicalRelation): Set[String] = r.relation match {
+    case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+      fs.location.inputFiles.toSet
+    case _ => Set.empty
+  }
+
+  private def tryRewrite(agg: Aggregate, spec: Spec): Option[LogicalPlan] = {
+    val (scan, aliasMap) = unwrapScan(agg.child).getOrElse(return None)
+    if (scanFiles(scan).intersect(spec.rawFiles).isEmpty) return None
+
+    // classify groupings (dereferenced through the projection aliases):
+    // keys by name + exactly one coarser date_trunc over the ts column
+    var truncLevel: Option[String] = None
+    var truncTz: Option[String] = None
+    def classifyGrouping(e: Expression): Boolean = deref(stripAlias(e), aliasMap) match {
+      case a: AttributeReference => spec.keyCols.contains(a.name)
+      case DateTruncOf(level, tsAttr, tz) if tsAttr.name == spec.tsCol &&
+          serves(spec.finerLevel, level) && truncLevel.isEmpty =>
+        truncLevel = Some(level); truncTz = tz; true
+      case _ => false
+    }
+    if (!agg.groupingExpressions.forall(classifyGrouping) || truncLevel.isEmpty) return None
+
+    // fresh instance of the rollup scan so repeated rewrites cannot
+    // collide on exprIds
+    val rollup = spec.rollup.transform {
+      case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
+    }
+    val byName = rollup.output.map(a => a.name -> a).toMap
+    val needed = Seq("bucket_ts", "n", "sum_e", "min_e", "max_e") ++ spec.keyCols
+    if (!needed.forall(byName.contains)) return None
+    def rAttr(name: String): Attribute = byName(name)
+    val bucketAttr = rAttr("bucket_ts")
+    val nAttr = rAttr("n")
+    val sumAttr = rAttr("sum_e")
+    val minAttr = rAttr("min_e")
+    val maxAttr = rAttr("max_e")
+
+    def newTrunc(level: String): Expression =
+      TruncTimestamp(Literal(level), bucketAttr, truncTz)
+
+    def mapAggFn(fn: AggregateFunction): Option[AggregateFunction] = fn match {
+      case Count(children) if children.forall(_.isInstanceOf[Literal]) => Some(Sum(nAttr))
+      case Sum(e, mode) if canonical(deref(e, aliasMap)) == spec.measureSql =>
+        Some(Sum(sumAttr, mode))
+      case Min(e) if canonical(deref(e, aliasMap)) == spec.measureSql => Some(Min(minAttr))
+      case Max(e) if canonical(deref(e, aliasMap)) == spec.measureSql => Some(Max(maxAttr))
+      case _ => None
+    }
+
+    def isTruncOutput(e: Expression): Boolean = deref(e, aliasMap) match {
+      case DateTruncOf(level, tsAttr, _) =>
+        tsAttr.name == spec.tsCol && truncLevel.contains(level)
+      case _ => false
+    }
+
+    // Rewrite each output expression inside-out: grouping outputs (the
+    // date_trunc — possibly wrapped in arbitrary scalar expressions the
+    // optimizer collapsed into the aggregate, e.g. unix_seconds(trunc))
+    // re-root onto the rollup's bucket column, key attrs onto the
+    // rollup's key columns, aggregate functions onto the rollup measures.
+    // Any residual reference to a raw-table attribute means the shape is
+    // not served — leave the plan untouched.
+    val rollupOutputIds = rollup.outputSet
+    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
+      val body = ne match {
+        case a: Alias => a.child
+        case other => other
+      }
+      val rewritten = body.transform {
+        case e if isTruncOutput(e) => newTrunc(truncLevel.get)
+        case a: AttributeReference if spec.keyCols.contains(a.name) => rAttr(a.name)
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          mapAggFn(ae.aggregateFunction) match {
+            case Some(mapped) => ae.copy(aggregateFunction = mapped)
+            case None => ae // leaves raw references → rejected below
+          }
+      }
+      if (!rewritten.references.subsetOf(rollupOutputIds)) return None
+      Alias(rewritten, ne.name)(exprId = ne.exprId)
+    }
+
+    val newGroupings: Seq[Expression] = agg.groupingExpressions.map { g =>
+      deref(stripAlias(g), aliasMap) match {
+        case a: AttributeReference if spec.keyCols.contains(a.name) => rAttr(a.name)
+        case DateTruncOf(_, _, _) => newTrunc(truncLevel.get)
+        case _ => return None
+      }
+    }
+
+    Some(Aggregate(newGroupings, newAggExprs, rollup))
+  }
+
+  private def stripAlias(e: Expression): Expression = e match {
+    case Alias(child, _) => child
+    case other => other
+  }
+
+  /** Extractor for `date_trunc(levelLiteral, ts)` where `ts` is the raw
+    * timestamp attribute, possibly behind the NTZ→TZ cast Tables.load
+    * inserts.
+    */
+  private object DateTruncOf {
+    def unapply(e: Expression): Option[(String, AttributeReference, Option[String])] = e match {
+      case TruncTimestamp(Literal(fmt, _), TsAttr(ts), tz) => Some((fmt.toString, ts, tz))
+      case _ => None
+    }
+  }
+
+  private object TsAttr {
+    def unapply(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference => Some(a)
+      case Cast(a: AttributeReference, t, _, _)
+          if t == org.apache.spark.sql.types.TimestampType ||
+            t == org.apache.spark.sql.types.TimestampNTZType => Some(a)
+      case _ => None
+    }
+  }
+}

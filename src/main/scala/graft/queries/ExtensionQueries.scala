@@ -1067,6 +1067,42 @@ object ExtensionQueries {
         .orderBy("user_id", "state", "bucket_s")
     },
 
+    // Timescale's transparent real-time-aggregate rewrite, computed
+    // THROUGH the optimizer rule: the daily query is written against RAW
+    // events, RollupRewrite serves it from the materialized hourly rollup
+    // (require() hard-fails the gate if the rewrite did not fire), and
+    // the oracle aggregates the raw table directly — hash equality pins
+    // that the rewrite is invisible to results. Registration is scoped:
+    // the gate materializes its output, then clears the registry so no
+    // other gate's plan is touched.
+    "x_rollup_rewrite" -> { (s, dir) =>
+      import graft.plans.RollupRewrite
+      RollupRewrite.clear()
+      val raw = events(s, dir)
+      val m = floor(col("value") * 10000 + 0.5).cast("long")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rollup-gate").toString
+      RollupRewrite.buildRollup(raw, Seq("event_type"), "ts", m, "hour")
+        .write.mode("overwrite").parquet(tmp)
+      val rollup = s.read.parquet(tmp)
+      RollupRewrite.register("events_hourly_gate", RollupRewrite.Spec(
+        raw.inputFiles.toSet, rollup.queryExecution.analyzed, Seq("event_type"), "ts", "hour",
+        RollupRewrite.canonicalMeasure(raw, m)))
+      RollupRewrite.install(s)
+      val q = raw
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"), sum(m).as("sum_e4"), min(m).as("min_e4"), max(m).as("max_e4"))
+        .select(col("event_type"), expr("unix_seconds(d)").as("day_s"),
+          col("n"), col("sum_e4"), col("min_e4"), col("max_e4"))
+        .orderBy("event_type", "day_s")
+      val physical = q.queryExecution.executedPlan.toString
+      require(physical.contains(new java.io.File(tmp).getName),
+        "rollup rewrite did not fire for the gate query")
+      val out = java.nio.file.Files.createTempDirectory("graft-rollup-gate-out").toString
+      q.write.mode("overwrite").parquet(out)
+      RollupRewrite.clear()
+      s.read.parquet(out).orderBy("event_type", "day_s")
+    },
+
     // Timescale saturating int32 arithmetic over deterministic full-range
     // operands (an LCG spread over the whole i32 domain, so add/sub/mul
     // genuinely overflow): clamp-at-bounds instead of wrap, _pos forms
@@ -2142,6 +2178,18 @@ object ExtensionQueries {
         |  LIMIT 20
         |)
         |ORDER BY n_exact DESC, tok ASC""".stripMargin,
+    // the oracle aggregates RAW events; the engine reached the identical
+    // table through the hourly rollup via the optimizer rewrite
+    "x_rollup_rewrite" ->
+      """SELECT event_type,
+        |       CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e4,
+        |       min(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS min_e4,
+        |       max(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS max_e4
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, day_s""".stripMargin,
     // the x_time_weight_bucketed split with state as the carried payload
     "x_state_timeline" ->
       """WITH obs AS (
