@@ -194,6 +194,96 @@ object CdcStream {
       .outputMode("append")
       .start()
 
+  /** Streaming SCD2 maintenance — [[graft.capture.CdcApply.scd2History]]
+    * kept current by micro-batches: the history table (one row per
+    * version, `valid_from_id`/`valid_to_id`/`is_current`) is extended
+    * incrementally as change events arrive, the dimension-tracking twin
+    * of [[materialize]]'s current-state table.
+    *
+    * Work per trigger is O(batch + open versions of touched keys):
+    * untouched keys pass through via one anti-join on the PK, CLOSED
+    * versions of touched keys are immutable by construction, and only
+    * each touched key's OPEN version re-enters the lead window beside
+    * the batch's events — the monotonic event id guarantees it sorts
+    * first, so the chain extends without recomputing history.
+    * At-least-once redelivery is absorbed by the per-key high-water
+    * mark (max id the history has already incorporated, whether as a
+    * version start or a closing edge): replayed events at or below it
+    * are dropped before the window, so reprocessing a delivered batch
+    * is a no-op — the streaming form of `CdcLog.dedup` idempotence.
+    */
+  def scd2Maintain(
+      logStream: DataFrame,
+      statePath: String,
+      checkpoint: String,
+      pk: Seq[String],
+      payloadSchema: StructType,
+      trigger: Trigger = DefaultTrigger
+  ): StreamingQuery =
+    logStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        verifyStateKeyFormat(spark, statePath, "scd2:event_id:v1")
+        val cols = payloadSchema.fieldNames.toSeq
+        val parsed = batch.toDF().select(
+          col("event_id").as("__ord"),
+          col("operation"),
+          from_json(coalesce(col("after"), col("before")), payloadSchema).as("__row"))
+        val keyed = pk.foldLeft(parsed) { case (df, k) => df.withColumn(k, col(s"__row.$k")) }
+        val history = readState(spark, statePath)
+        val batchKeys = keyed.select(pk.map(col): _*).distinct()
+        val openAsChain = history.map { h =>
+          h.join(batchKeys, pk, "left_semi")
+            .where(col("is_current") === 1)
+            .select(
+              col("valid_from_id").as("__ord"),
+              lit("OPEN").as("operation"),
+              struct(cols.map(col): _*).as("__row"))
+        }
+        val openKeyed = openAsChain.map(o =>
+          pk.foldLeft(o) { case (df, k) => df.withColumn(k, col(s"__row.$k")) })
+        // redelivery guard: drop batch events the history already holds
+        val hwm = history.map { h =>
+          h.join(batchKeys, pk, "left_semi")
+            .groupBy(pk.map(col): _*)
+            .agg(max(greatest(
+              coalesce(col("valid_to_id"), lit(Long.MinValue)),
+              coalesce(col("valid_from_id"), lit(Long.MinValue)))).as("__hwm"))
+        }
+        val fresh = hwm match {
+          case Some(m) =>
+            keyed.join(m, pk, "left_outer")
+              .where(col("__hwm").isNull || col("__ord") > col("__hwm"))
+              .drop("__hwm")
+          case None => keyed
+        }
+        val chainIn = openKeyed.map(fresh.unionByName(_)).getOrElse(fresh)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pk.map(col): _*).orderBy(col("__ord").asc_nulls_first)
+        val rebuilt = chainIn
+          .withColumn("valid_to_id", lead(col("__ord"), 1).over(w))
+          .where(col("operation") =!= graft.model.ChangeEvent.Delete)
+          .select(
+            cols.map(c => col(s"__row.$c").as(c)) ++ Seq(
+              col("__ord").as("valid_from_id"),
+              col("valid_to_id"),
+              when(col("valid_to_id").isNull, 1).otherwise(0).as("is_current")
+            ): _*)
+        val next = history match {
+          case Some(h) =>
+            val untouched = h.join(batchKeys, pk, "left_anti")
+            val closedTouched = h.join(batchKeys, pk, "left_semi")
+              .where(col("is_current") === 0)
+            untouched.unionByName(closedTouched).unionByName(rebuilt)
+          case None => rebuilt
+        }
+        swapState(spark, statePath, next)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode("append")
+      .start()
+
   /** Streaming exact dedup with bounded state: duplicates of a key are
     * dropped for as long as the key can still arrive (the watermark bound)
     * — the streaming form of CdcLog.dedup's at-least-once idempotence.

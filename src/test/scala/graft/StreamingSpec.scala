@@ -417,6 +417,50 @@ class StreamingSpec extends SparkSpec {
       == Seq((1, "a"), (2, "b2"), (4, "d")))
   }
 
+  test("scd2Maintain: incremental version history equals the batch operator, redelivery absorbed") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", IntegerType), StructField("v", StringType)))
+    val logPath = tempDir("scd2log")
+    val statePath = tempDir("scd2state") + "/hist"
+    val ckpt = tempDir("scd2ckpt")
+    def env(id: Int, op: String, v: String, eid: Long) = {
+      val json = s"""{"id":$id,"v":"$v"}"""
+      (java.sql.Timestamp.from(java.time.Instant.parse("2025-06-14T00:00:00Z")),
+        "dataschema", "t", op,
+        if (op == "INSERT") null else json,
+        if (op == "DELETE") null else json,
+        eid)
+    }
+    def runOnce(): Unit = {
+      val stream = CdcStream.readLogStream(spark, logPath, CdcLog.read(spark, logPath).schema)
+      val q = CdcStream.scd2Maintain(stream, statePath, ckpt, Seq("id"), schema,
+        Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    val b1 = Seq(env(1, "INSERT", "a", 1L), env(2, "INSERT", "b", 2L), env(3, "INSERT", "c", 3L))
+    CdcLog.append(b1.toDF("ts", "schema_name", "table_name", "operation", "before", "after", "event_id"), logPath)
+    runOnce()
+    assert(spark.read.parquet(statePath).where($"is_current" === 1).count() === 3)
+    // batch 2 extends chains and REDELIVERS event 2 (must be a no-op)
+    val b2 = Seq(env(2, "INSERT", "b", 2L), // redelivery
+      env(2, "UPDATE", "b2", 4L), env(3, "DELETE", "c", 5L), env(4, "INSERT", "d", 6L))
+    CdcLog.append(b2.toDF("ts", "schema_name", "table_name", "operation", "before", "after", "event_id"), logPath)
+    runOnce()
+    val got = spark.read.parquet(statePath)
+      .select("id", "v", "valid_from_id", "valid_to_id", "is_current")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.get(2), r.get(3), r.getInt(4))).toSet
+    val allEvents = CdcLog.dedup(CdcLog.read(spark, logPath))
+    val emptySnap = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val expected = graft.capture.CdcApply
+      .scd2History(emptySnap, allEvents, Seq("id"), schema)
+      .select("id", "v", "valid_from_id", "valid_to_id", "is_current")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.get(2), r.get(3), r.getInt(4))).toSet
+    assert(got === expected, s"incremental history diverged:\n got=$got\n exp=$expected")
+    // the deleted key has no current row; key 2's chain closed then reopened
+    assert(!got.exists(r => r._1 == 3 && r._5 == 1))
+    assert(got.count(r => r._1 == 2) === 2)
+  }
+
   test("streaming dedup within watermark drops redelivered keys") {
     val dir = tempDir("sdedup") + "/data"
     val ev = Tables.load(spark, sf0001, "events").limit(200)
