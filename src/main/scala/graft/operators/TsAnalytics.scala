@@ -464,6 +464,45 @@ object TsAnalytics {
       .drop("__sum_us")
   }
 
+  /** Per-(key, bucket) uptime — Timescale `heartbeat_agg` + `uptime` per
+    * `time_bucket`, the bucketed member of the liveness family: each
+    * heartbeat covers `[beat, beat + min(gap-to-next, liveness))` (the
+    * same per-gap clamp as [[heartbeatAgg]]; consecutive beats closer
+    * than the liveness window merge seamlessly because each segment ends
+    * where the next begins), and that covered interval SPLITS across the
+    * fixed-width buckets it spans — the [[timeWeightedBucketed]] edge
+    * machinery with the clamp applied before the split. The key's final
+    * beat contributes its full liveness window. Exact-long µs sums, one
+    * truncating ms division per output row; same one-shuffle plan.
+    */
+  def heartbeatUptimeBucketed(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      livenessS: Long,
+      bucketSeconds: Long
+  ): DataFrame = {
+    require(livenessS > 0 && bucketSeconds > 0, "liveness and bucket width must be positive")
+    val w = bucketSeconds * 1000000L
+    val lUs = livenessS * 1000000L
+    val k = keys.map(col)
+    val win = Window.partitionBy(k: _*).orderBy(col("__us"))
+    val seg = df
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__nxt", lead(col("__us"), 1).over(win))
+      // covered interval end: clamp at liveness; the final beat (no next)
+      // covers its full window
+      .withColumn("__end", least(coalesce(col("__nxt"), lit(Long.MaxValue)), col("__us") + lUs))
+    val b = col("__b")
+    val overlap = least(col("__end"), (b + 1) * w) - greatest(col("__us"), b * w)
+    seg
+      .withColumn("__b", explode(sequence(expr(s"__us div ${w}L"), expr(s"(__end - 1) div ${w}L"))))
+      .groupBy(k :+ (b * bucketSeconds).as("bucket_s"): _*)
+      .agg(sum(overlap).as("__up_us"))
+      .withColumn("up_ms", expr("__up_us div 1000"))
+      .drop("__up_us")
+  }
+
   /** Per-key fixed-bound value histogram — Timescale
     * `histogram(value, lo, hi, nBuckets)` semantics (`width_bucket`
     * layout): bucket 0 is underflow (`v < lo`), buckets `1..nBuckets`

@@ -1057,6 +1057,17 @@ object ExtensionQueries {
         .orderBy("event_type", "bucket_ts")
     },
 
+    // heartbeat_agg + uptime per time_bucket: per-(user, hour) covered
+    // milliseconds under a 600 s liveness window, coverage intervals
+    // clamped per gap then split across bucket edges — the third member
+    // of the edge-split family, oracle re-derived via generate_series
+    "x_heartbeat_bucketed" -> { (s, dir) =>
+      graft.operators.TsAnalytics
+        .heartbeatUptimeBucketed(events(s, dir), Seq("user_id"), "ts",
+          livenessS = 600L, bucketSeconds = 3600L)
+        .orderBy("user_id", "bucket_s")
+    },
+
     // state_agg + duration_in per time_bucket: per-(user, state, hour)
     // held milliseconds with LOCF state segments split exactly across
     // bucket edges — the same segment-split machinery as
@@ -2190,6 +2201,25 @@ object ExtensionQueries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY event_type, day_s""".stripMargin,
+    // same clamp-then-split: covered end = least(next, beat + 600 s);
+    // final beat covers its full window
+    "x_heartbeat_bucketed" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS nxt
+        |  FROM events
+        |), seg AS (
+        |  SELECT user_id, us,
+        |         LEAST(COALESCE(nxt, 9223372036854775807), us + 600000000) AS fin
+        |  FROM obs
+        |), expl AS (
+        |  SELECT user_id, us, fin, b
+        |  FROM seg, unnest(generate_series(us // 3600000000, (fin - 1) // 3600000000)) AS t(b)
+        |)
+        |SELECT user_id, b * 3600 AS bucket_s,
+        |       CAST(SUM(LEAST(fin, (b + 1) * 3600000000) - GREATEST(us, b * 3600000000)) AS BIGINT) // 1000 AS up_ms
+        |FROM expl GROUP BY 1, 2
+        |ORDER BY user_id, bucket_s""".stripMargin,
     // the x_time_weight_bucketed split with state as the carried payload
     "x_state_timeline" ->
       """WITH obs AS (

@@ -296,6 +296,18 @@ class TsAnalyticsSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 3600000000L, 10.0), (3600L, 3600000000L, 15.0)))
   }
 
+  test("heartbeatUptimeBucketed: clamp then split — gaps, edges, final-beat window") {
+    // liveness 600 s, hour buckets. Beat 3000 clamps at the next beat
+    // (3500): 500 s in hour0. Beat 3500 covers [3500, 4100): 100 s in
+    // hour0 + 500 s across the edge into hour1. Final beat 7000 covers
+    // its full window [7000, 7600): 200 s in hour1 + 400 s in hour2.
+    val df = series(Seq((1L, 3000L, 1.0), (1L, 3500L, 1.0), (1L, 7000L, 1.0)))
+    val out = TsAnalytics.heartbeatUptimeBucketed(df, Seq("user_id"), "ts", 600L, 3600L)
+      .orderBy("bucket_s").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0L, 600000L), (3600L, 700000L), (7200L, 400000L)))
+  }
+
   test("stateDurationBucketed: state held across a bucket edge charges both sides") {
     import spark.implicits._
     // state A [0, 5400s), B [5400, 7200): hour0 = A 3600s; hour1 = A 1800s + B 1800s
