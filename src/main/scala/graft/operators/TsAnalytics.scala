@@ -137,9 +137,14 @@ object TsAnalytics {
     * sufficient statistics `n, Σx, Σy, Σxx, Σxy, Σyy` are then exact long
     * sums (order-insensitive), and slope/intercept/corr are derived from
     * them in ONE fixed double expression tree — both engines evaluate the
-    * identical IEEE operation sequence on identical integers, so even the
-    * unrounded doubles match bitwise. Casts to double happen BEFORE the
-    * cross-products (`n·Σxy` overflows int64 at corpus scale).
+    * identical IEEE operation sequence on identical integers, so the
+    * UNROUNDED doubles match bitwise. The outputs are left unrounded here;
+    * callers that need a hash-stable projection quantize with
+    * `CAST(floor(x * 1e6 + 0.5) AS BIGINT)` (decimal `round(x, 6)` is NOT
+    * portable: Spark routes it through BigDecimal HALF_UP while DuckDB
+    * rounds the raw double, and near-tie 7th digits diverge). Casts to
+    * double happen BEFORE the cross-products (`n·Σxy` overflows int64 at
+    * corpus scale).
     *
     * `slope` is in value-units per second (the e4 scale cancels between
     * numerator and denominator only for corr; slope/intercept divide it
@@ -174,22 +179,20 @@ object TsAnalytics {
       .withColumn("__syy", d("n") * d("sum_yy") - d("sum_y") * d("sum_y"))
       .withColumn(
         "slope",
-        when(col("__sxx") > 0, round(col("__sxy") / col("__sxx") / 10000.0, 6))
+        when(col("__sxx") > 0, col("__sxy") / col("__sxx") / 10000.0)
       )
       .withColumn(
         "intercept",
         when(
           col("__sxx") > 0,
-          round(
-            (d("sum_y") / d("n") - col("__sxy") / col("__sxx") * (d("sum_x") / d("n"))) / 10000.0,
-            6)
+          (d("sum_y") / d("n") - col("__sxy") / col("__sxx") * (d("sum_x") / d("n"))) / 10000.0
         )
       )
       .withColumn(
         "corr",
         when(
           col("__sxx") > 0 && col("__syy") > 0,
-          round(col("__sxy") / sqrt(col("__sxx")) / sqrt(col("__syy")), 6)
+          col("__sxy") / sqrt(col("__sxx")) / sqrt(col("__syy"))
         )
       )
       .drop("__sxx", "__sxy", "__syy")

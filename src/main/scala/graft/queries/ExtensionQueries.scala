@@ -1031,10 +1031,20 @@ object ExtensionQueries {
     // Timescale stats_agg(ts, value) → slope/intercept/corr: OLS of value
     // against elapsed seconds. The six sufficient statistics are exact
     // long sums (the hash anchor); the derived doubles come from one fixed
-    // IEEE expression tree both engines evaluate identically.
+    // IEEE expression tree both engines evaluate identically, then are
+    // hashed as e6 fixed-point longs (floor(x*1e6+0.5)) — decimal
+    // round(x,6) is engine-dependent at 7th-digit ties (Spark BigDecimal
+    // HALF_UP vs DuckDB double rounding), which is exactly what the r8
+    // hash-fail caught.
     "x_stats_regr" -> { (s, dir) =>
+      val e6 = (c: String) =>
+        floor(col(c) * 1000000.0 + 0.5).cast("long").as(c + "_e6")
       graft.operators.TsAnalytics
         .statsRegr(events(s, dir), Seq("user_id"), "ts", "value")
+        .select(
+          col("user_id"), col("n"), col("sum_x"), col("sum_y"),
+          col("sum_xx"), col("sum_xy"), col("sum_yy"),
+          e6("slope"), e6("intercept"), e6("corr"))
         .orderBy("user_id")
     },
 
@@ -2128,11 +2138,14 @@ object ExtensionQueries {
         |  FROM g
         |)
         |SELECT user_id, n, sum_x, sum_y, sum_xx, sum_xy, sum_yy,
-        |       CASE WHEN sxx > 0 THEN round(sxy / sxx / 10000.0, 6) END AS slope,
-        |       CASE WHEN sxx > 0 THEN round((CAST(sum_y AS DOUBLE) / n
-        |              - sxy / sxx * (CAST(sum_x AS DOUBLE) / n)) / 10000.0, 6) END AS intercept,
+        |       CASE WHEN sxx > 0 THEN CAST(floor(sxy / sxx / 10000.0
+        |              * 1000000.0 + 0.5) AS BIGINT) END AS slope_e6,
+        |       CASE WHEN sxx > 0 THEN CAST(floor((CAST(sum_y AS DOUBLE) / n
+        |              - sxy / sxx * (CAST(sum_x AS DOUBLE) / n)) / 10000.0
+        |              * 1000000.0 + 0.5) AS BIGINT) END AS intercept_e6,
         |       CASE WHEN sxx > 0 AND syy > 0
-        |            THEN round(sxy / sqrt(sxx) / sqrt(syy), 6) END AS corr
+        |            THEN CAST(floor(sxy / sqrt(sxx) / sqrt(syy)
+        |              * 1000000.0 + 0.5) AS BIGINT) END AS corr_e6
         |FROM dv ORDER BY user_id""".stripMargin,
     // identical LOCF holding-time window (µs truncate to ms per segment),
     // identical run-entry detection via lag
