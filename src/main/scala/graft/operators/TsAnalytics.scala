@@ -415,7 +415,10 @@ object TsAnalytics {
       .withColumn("__us", unix_micros(col(tsCol)))
       .withColumn("__v4", floor(col(valueCol) * 10000 + 0.5).cast(LongType))
       .withColumn("__nxt", lead(col("__us"), 1).over(win))
-      .where(col("__nxt").isNotNull)
+      // strict: a zero-length segment (duplicate per-key timestamp) would
+      // make sequence(start, stop) run DESCENDING (stop < start after the
+      // -1), emitting phantom buckets with covered_us = 0 and a 0/0 twa
+      .where(col("__nxt") > col("__us"))
     val b = col("__b")
     val overlap = least(col("__nxt"), (b + 1) * w) - greatest(col("__us"), b * w)
     seg
@@ -456,7 +459,9 @@ object TsAnalytics {
       .where(col(stateCol).isNotNull)
       .withColumn("__us", unix_micros(col(tsCol)))
       .withColumn("__nxt", lead(col("__us"), 1).over(win))
-      .where(col("__nxt").isNotNull)
+      // strict (not just non-null): zero-length segments would explode a
+      // descending sequence — see [[timeWeightedBucketed]]
+      .where(col("__nxt") > col("__us"))
     val b = col("__b")
     val overlap = least(col("__nxt"), (b + 1) * w) - greatest(col("__us"), b * w)
     seg
@@ -496,6 +501,10 @@ object TsAnalytics {
       // covered interval end: clamp at liveness; the final beat (no next)
       // covers its full window
       .withColumn("__end", least(coalesce(col("__nxt"), lit(Long.MaxValue)), col("__us") + lUs))
+      // strict: a duplicate per-key beat (nxt == us) yields a zero-length
+      // covered interval whose explode would run descending — drop it;
+      // the surviving twin of the duplicate covers the same range
+      .where(col("__end") > col("__us"))
     val b = col("__b")
     val overlap = least(col("__end"), (b + 1) * w) - greatest(col("__us"), b * w)
     seg

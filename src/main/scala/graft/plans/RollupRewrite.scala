@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions.{col, count, date_trunc, lit, max, min, sum}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Transparent continuous-aggregate query rewrite — TimescaleDB's
   * real-time-aggregate behavior (reference init.sql:70's hypertable is
@@ -26,11 +27,23 @@ import org.apache.spark.sql.functions.{col, count, date_trunc, lit, max, min, su
   *   - groupings are key columns plus exactly one
   *     `date_trunc(level, tsCol)` with `level` calendar-coarser-or-equal
   *     than the rollup's own bucket;
-  *   - aggregate functions are `count(lit)` / `sum|min|max(measure)`
+  *   - aggregate functions are `count(lit)` / `sum|min|max|avg(measure)`
   *     where `measure` structurally equals the expression the rollup was
-  *     built over (no DISTINCT, no FILTER).
+  *     built over (no DISTINCT, no FILTER). `avg` is served by the
+  *     Timescale sum/count decomposition — `sum(sum_e) / sum(cnt_e)` —
+  *     and only for non-decimal measures from rollups that carry the
+  *     `cnt_e = count(measure)` column (count of NON-NULL measure values;
+  *     `n = count(*)` would be wrong whenever the measure is nullable).
   * Anything else is left untouched. The rewrite preserves the original
   * output names AND exprIds, so enclosing plans resolve unchanged.
+  *
+  * Staleness contract: the rewrite fires only when the query's scan
+  * file-set EQUALS the registered `rawFiles` — a raw table that gained
+  * (or lost) files since registration is served from the raw scan, never
+  * from the now-stale rollup. Registrations must be refreshed after the
+  * raw table changes; Timescale's real-time aggregates instead union in
+  * the un-materialized tail, which a future invalidation-watermark
+  * variant could mirror.
   *
   * The decomposition is exact (counts add, long sums add, min/max nest —
   * the [[graft.operators.TsAnalytics.rerollup]] algebra), so a rewritten
@@ -80,9 +93,11 @@ object RollupRewrite extends Rule[LogicalPlan] {
     canonical(e)
   }
 
-  /** Hourly-style rollup the rewrite can serve: n / sum_e / min_e / max_e
-    * per (keys…, bucket_ts). Build it, materialize it to parquet, read it
-    * back, and register THAT scan.
+  /** Hourly-style rollup the rewrite can serve: n / cnt_e / sum_e / min_e /
+    * max_e per (keys…, bucket_ts). `cnt_e = count(measure)` (non-null
+    * count) is what makes `avg` decomposable; `n = count(*)` serves
+    * `count(lit)`. Build it, materialize it to parquet, read it back, and
+    * register THAT scan.
     */
   def buildRollup(
       raw: DataFrame,
@@ -95,6 +110,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
       .groupBy(keys.map(col) :+ date_trunc(level, col(tsCol)).as("bucket_ts"): _*)
       .agg(
         count(lit(1)).as("n"),
+        count(measure).as("cnt_e"),
         sum(measure).as("sum_e"),
         min(measure).as("min_e"),
         max(measure).as("max_e"))
@@ -163,7 +179,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
   private def tryRewrite(agg: Aggregate, spec: Spec): Option[LogicalPlan] = {
     val (scan, aliasMap) = unwrapScan(agg.child).getOrElse(return None)
-    if (scanFiles(scan).intersect(spec.rawFiles).isEmpty) return None
+    // The registered rollup must provably cover EVERY file the query
+    // would scan, and nothing more: a raw table that gained files since
+    // registration (rollup stale — would silently drop rows) or a scan
+    // over fewer files (rollup would ADD rows from files outside the
+    // scan) both refuse the rewrite and fall through to the raw plan.
+    val files = scanFiles(scan)
+    if (files.isEmpty || files != spec.rawFiles) return None
 
     // classify groupings (dereferenced through the projection aliases):
     // keys by name + exactly one coarser date_trunc over the ts column
@@ -196,12 +218,37 @@ object RollupRewrite extends Rule[LogicalPlan] {
     def newTrunc(level: String): Expression =
       TruncTimestamp(Literal(level), bucketAttr, truncTz)
 
-    def mapAggFn(fn: AggregateFunction): Option[AggregateFunction] = fn match {
-      case Count(children) if children.forall(_.isInstanceOf[Literal]) => Some(Sum(nAttr))
-      case Sum(e, mode) if canonical(deref(e, aliasMap)) == spec.measureSql =>
-        Some(Sum(sumAttr, mode))
-      case Min(e) if canonical(deref(e, aliasMap)) == spec.measureSql => Some(Min(minAttr))
-      case Max(e) if canonical(deref(e, aliasMap)) == spec.measureSql => Some(Max(maxAttr))
+    def isMeasure(e: Expression): Boolean =
+      canonical(deref(e, aliasMap)) == spec.measureSql
+
+    // Map one whole AggregateExpression to its rollup-served form — an
+    // Expression, not just an AggregateFunction, because count and avg
+    // need wrapping: count(lit) becomes coalesce(sum(n), 0) to preserve
+    // Count's non-nullable contract (a bare Sum is nullable, and flipping
+    // nullability mid-optimization under the original exprId is a latent
+    // codegen hazard), and avg becomes the guarded sum/cnt division.
+    def mapAgg(ae: AggregateExpression): Option[Expression] = ae.aggregateFunction match {
+      case Count(children) if children.forall(_.isInstanceOf[Literal]) =>
+        Some(Coalesce(Seq(ae.copy(aggregateFunction = Sum(nAttr)), Literal(0L))))
+      case Sum(e, mode) if isMeasure(e) => Some(ae.copy(aggregateFunction = Sum(sumAttr, mode)))
+      case Min(e) if isMeasure(e) => Some(ae.copy(aggregateFunction = Min(minAttr)))
+      case Max(e) if isMeasure(e) => Some(ae.copy(aggregateFunction = Max(maxAttr)))
+      case Average(e, _) if isMeasure(e) && byName.contains("cnt_e") &&
+          !deref(e, aliasMap).dataType.isInstanceOf[DecimalType] =>
+        // Timescale's real-time-aggregate decomposition: avg(measure) =
+        // sum(sum_e) / sum(cnt_e) — cnt_e counts NON-NULL measures, so
+        // all-null groups divide by a guarded zero and yield NULL exactly
+        // like the raw Average. Fresh resultIds: the two synthesized
+        // aggregates must not collide with each other in the physical
+        // aggregate's expression map. Decimal measures are refused
+        // (Average's decimal sum type/precision algebra differs).
+        val sumA = ae.copy(aggregateFunction = Sum(sumAttr), resultId = NamedExpression.newExprId)
+        val cntA = ae.copy(
+          aggregateFunction = Sum(rAttr("cnt_e")), resultId = NamedExpression.newExprId)
+        Some(If(
+          EqualTo(Coalesce(Seq(cntA, Literal(0L))), Literal(0L)),
+          Literal(null, DoubleType),
+          Divide(Cast(sumA, DoubleType), Cast(cntA, DoubleType))))
       case _ => None
     }
 
@@ -228,10 +275,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
         case e if isTruncOutput(e) => newTrunc(truncLevel.get)
         case a: AttributeReference if spec.keyCols.contains(a.name) => rAttr(a.name)
         case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
-          mapAggFn(ae.aggregateFunction) match {
-            case Some(mapped) => ae.copy(aggregateFunction = mapped)
-            case None => ae // leaves raw references → rejected below
-          }
+          mapAgg(ae).getOrElse(ae) // unmapped leaves raw references → rejected below
       }
       if (!rewritten.references.subsetOf(rollupOutputIds)) return None
       Alias(rewritten, ne.name)(exprId = ne.exprId)

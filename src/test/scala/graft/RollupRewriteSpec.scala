@@ -59,7 +59,7 @@ class RollupRewriteSpec extends SparkSpec {
     assert(q.collect().toSet === expected, "rewritten results must equal the raw aggregate")
   }
 
-  test("coarser levels (month) rewrite too; finer (minute) and avg do not") {
+  test("coarser levels (month) rewrite too; finer (minute) does not") {
     val (raw, dir) = registered()
     val rollupName = new java.io.File(dir).getName
     val monthly = raw
@@ -72,17 +72,61 @@ class RollupRewriteSpec extends SparkSpec {
       .agg(sum(measure).as("s"))
     assert(!byMinute.queryExecution.executedPlan.toString.contains(rollupName),
       "minute is finer than the rollup and must scan raw")
-    val withAvg = raw
-      .groupBy(date_trunc("day", col("ts")).as("d"))
-      .agg(avg(col("value")).as("a"))
-    assert(!withAvg.queryExecution.executedPlan.toString.contains(rollupName),
-      "avg is not a registered decomposable shape and must scan raw")
     // and correctness of the served coarser level
     RollupRewrite.clear()
     val expected = raw.groupBy(date_trunc("month", col("ts")).as("m"))
       .agg(sum(measure).as("s")).collect().toSet
     registered()
     assert(monthly.collect().toSet === expected)
+  }
+
+  test("avg of the measure is served via sum/cnt decomposition; avg of anything else is not") {
+    RollupRewrite.clear()
+    val rawPre = Tables.load(spark, sf0001, "events")
+    val avgQ = (df: DataFrame) => df
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(avg(measure).as("a"), count(lit(1)).as("n"))
+    val expected = avgQ(rawPre).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), math.round(r.getDouble(2) * 1e6), r.getLong(3)))
+      .toSet
+    val (raw, dir) = registered()
+    val rollupName = new java.io.File(dir).getName
+    val served = avgQ(raw)
+    assert(served.queryExecution.executedPlan.toString.contains(rollupName),
+      "avg(measure) must be served from sum_e/cnt_e")
+    val got = served.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), math.round(r.getDouble(2) * 1e6), r.getLong(3)))
+      .toSet
+    assert(got === expected, "decomposed avg must equal the raw avg (to 1e-6)")
+    // avg over a non-measure expression is refused
+    val withOtherAvg = raw
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(avg(col("value")).as("a"))
+    assert(!withOtherAvg.queryExecution.executedPlan.toString.contains(rollupName),
+      "avg over a non-measure expression must scan raw")
+  }
+
+  test("a scan whose file-set differs from the registration is never served") {
+    RollupRewrite.clear()
+    val raw = Tables.load(spark, sf0001, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_stale").toString
+    RollupRewrite.buildRollup(raw, Seq("event_type"), "ts", measure, "hour")
+      .write.mode("overwrite").parquet(dir)
+    val rollup = spark.read.parquet(dir)
+    // registration claims one MORE file than the scan covers — as if the
+    // raw table gained a file after the rollup snapshot was taken (the
+    // driver-side view: rollup no longer covers the table). Equality is
+    // required, so the query must fall through to the raw scan.
+    RollupRewrite.register("events_hourly_stale", RollupRewrite.Spec(
+      raw.inputFiles.toSet + "file:/nonexistent/just-registered.parquet",
+      rollup.queryExecution.analyzed,
+      Seq("event_type"), "ts", "hour",
+      RollupRewrite.canonicalMeasure(raw, measure)))
+    RollupRewrite.install(spark)
+    val q = dailyAgg(raw)
+    assert(!q.queryExecution.executedPlan.toString.contains(new java.io.File(dir).getName),
+      "stale registration (file-set mismatch) must not serve the query")
+    RollupRewrite.clear()
   }
 
   test("non-matching measure and distinct aggregates are left on the raw scan") {

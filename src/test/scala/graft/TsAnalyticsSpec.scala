@@ -296,6 +296,25 @@ class TsAnalyticsSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 3600000000L, 10.0), (3600L, 3600000000L, 15.0)))
   }
 
+  test("bucketed explodes: duplicate per-key timestamps yield no phantom buckets or NaN") {
+    import spark.implicits._
+    // duplicate ts at 100 s: the zero-length segment must be dropped, not
+    // exploded into a DESCENDING sequence of phantom (key,bucket) rows
+    // with covered_us = 0 and twa = 0/0
+    val df = series(Seq((1L, 100L, 10.0), (1L, 100L, 12.0), (1L, 200L, 20.0)))
+    val twa = TsAnalytics.timeWeightedBucketed(df, Seq("user_id"), "ts", "value", 3600L).collect()
+    assert(twa.length === 1)
+    assert(twa.head.getAs[Long]("covered_us") === 100000000L)
+    assert(!twa.head.getAs[Double]("twa").isNaN)
+    val hb = TsAnalytics.heartbeatUptimeBucketed(df, Seq("user_id"), "ts", 600L, 3600L).collect()
+    assert(hb.length === 1 && hb.head.getAs[Long]("up_ms") === 700000L)
+    val sdf = Seq((1L, 100L, "A"), (1L, 100L, "A"), (1L, 200L, "B"))
+      .toDF("user_id", "sec", "state")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"), col("state"))
+    val sd = TsAnalytics.stateDurationBucketed(sdf, Seq("user_id"), "ts", "state", 3600L).collect()
+    assert(sd.length === 1 && sd.head.getAs[Long]("dur_ms") === 100000L)
+  }
+
   test("heartbeatUptimeBucketed: clamp then split — gaps, edges, final-beat window") {
     // liveness 600 s, hour buckets. Beat 3000 clamps at the next beat
     // (3500): 500 s in hour0. Beat 3500 covers [3500, 4100): 100 s in
