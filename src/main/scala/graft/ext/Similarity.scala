@@ -239,6 +239,34 @@ object Similarity {
     spark.conf.set(IvfCacheConfKey, dir)
   }
 
+  /** Incremental IVF insert: assign new vectors to their nearest centroid
+    * (squared-euclidean argmin — the SAME metric KMeans assigned the
+    * original corpus with, so inserted vectors land in the cell a full
+    * rebuild would give them) WITHOUT touching the built index. This is
+    * how a real IVF absorbs writes between retrains: the index is a
+    * partitioning, inserts are a broadcast map join against the (tiny)
+    * centroid table — O(new × nCentroids), never a corpus rescan. Returns
+    * rows shaped like [[ivfIndex]]'s indexed output (n_id, n_vec,
+    * centroid_id), ready to union.
+    */
+  def ivfAssign(
+      centroids: DataFrame, // (centroid_id, c_vec)
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val v = vectors.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+    val w = Window.partitionBy(col("n_id")).orderBy(col("dist").asc, col("centroid_id").asc)
+    v.crossJoin(broadcast(centroids))
+      .withColumn("dist", aggregate(
+        zip_with(col("n_vec"), col("c_vec"),
+          (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select("n_id", "n_vec", "centroid_id")
+  }
+
   /** IVF probe: for each query, rank centroids by cosine, keep the nearest
     * `nProbe`, and scan only those centroid partitions; re-score exactly.
     */

@@ -242,17 +242,31 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
-    // the HLL sketch ALONE — the bench-honest twin of q_approx_distinct:
-    // that gate query pays an exact countDistinct (Expand + extra shuffle)
-    // to earn its oracle, so its bench time no longer reflects the sketch
-    // path; this entry is the sketch's own number. No oracle (DuckDB's
-    // approx_count_distinct is a different sketch); the ≤5% bound vs exact
-    // is gated in q_approx_distinct and unit-tested with an explicit rsd.
+    // HLL on a second surface (events: distinct users per event type),
+    // full-gated with the oracle-fixed-TRUE idiom: the exact side is the
+    // hash anchor, the sketch's ≤5% bound rides as a boolean (DuckDB's
+    // approx_count_distinct is a different sketch, so the estimate itself
+    // can never be the compared value). rsd 0.01 → the 5% bound holds
+    // with ~5σ margin on any corpus. Formerly rows-only: the sketch-alone
+    // bench number this entry used to carry is traded for a real gate —
+    // the pure sketch path stays covered by ExtSpec's explicit-rsd
+    // unit test.
     "q_approx_distinct_sketch" -> { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
-        .orderBy("l_returnflag")
+      val ev = Tables.load(s, dir, "events")
+      val exact = ev
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      val approx = ev
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      exact
+        .join(approx, Seq("event_type"))
+        .select(
+          col("event_type"),
+          col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users") <= 0.05)
+            .as("within_5pct"))
+        .orderBy("event_type")
     },
 
     // rollup (via the SQL surface; the DataFrame cube query below covers
@@ -661,6 +675,11 @@ object RelationalQueries {
         |       count(DISTINCT l_partkey) AS exact_parts,
         |       TRUE AS within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_approx_distinct_sketch" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         |       count(DISTINCT l_partkey) AS n_parts,

@@ -313,6 +313,21 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall") // nProbe=4 of 16 centroids
   }
 
+  test("ivfAssign: incremental inserts land in the cell a rebuild would give them") {
+    val (indexed, centroids) = Similarity.ivfIndex(embs, "vec_id", "embedding", 16)
+    // re-assign a slice of the ALREADY-indexed corpus through the
+    // incremental path: the squared-euclidean argmin must reproduce
+    // KMeans's own assignment for every vector
+    val sample = embs.where($"vec_id" % 7 === 0)
+    val reassigned = Similarity.ivfAssign(centroids, sample, "vec_id", "embedding")
+      .select($"n_id", $"centroid_id".as("assigned"))
+    val mismatches = indexed
+      .join(reassigned, Seq("n_id"))
+      .where($"centroid_id" =!= $"assigned")
+      .count()
+    assert(mismatches === 0L, s"$mismatches vectors landed in a different cell than the rebuild")
+  }
+
   test("LSH-bucketed embedding near-dup recovers the brute-force pairs") {
     val bf = Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
