@@ -835,11 +835,16 @@ object TsAnalytics {
         // is the final point's bucket, which may clamp to just that point)
         val nStart = bEnd
         val nEnd = math.min(((i + 2) * every).toInt + 1, n)
-        var avgT = 0.0; var avgV = 0.0
+        // t centroid via EXACT long sum (one rounding at the final
+        // divide): epoch-µs sums exceed 2^53 past ~5 points, where a
+        // double accumulator would round per step — the exact form is
+        // what the independent DuckDB oracle (sum of a BIGINT slice)
+        // reproduces bit-for-bit at any bucket size
+        var sumT = 0L; var avgV = 0.0
         var j = nStart
-        while (j < nEnd) { avgT += series(j)._1; avgV += series(j)._2; j += 1 }
+        while (j < nEnd) { sumT += series(j)._1; avgV += series(j)._2; j += 1 }
         val m = nEnd - nStart
-        avgT /= m; avgV /= m
+        val avgT = sumT.toDouble / m; avgV /= m
         val (ta, va) = series(a)
         var best = bStart; var bestArea = -1.0
         j = bStart
