@@ -410,6 +410,89 @@ object CdcQueries {
           col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
         .orderBy("event_id")
+    },
+
+    // Streaming SCD2 lifecycle as a DRIVER GATE (r8 verdict: the op was
+    // spec-only): the applyFixture change log arrives in three
+    // event_id-ordered chunks — the middle one re-delivering the tail of
+    // the first (at-least-once) — each processed by a separate
+    // scd2Maintain streaming run (Trigger.AvailableNow) against the same
+    // state table + checkpoint. The FINAL maintained table must equal the
+    // one-shot batch SCD2 derivation the DuckDB oracle computes: chains
+    // per rid on the monotone event_id axis, versions closed by the next
+    // event (deletes close but emit no row), redeliveries absorbed by the
+    // per-key high-water mark.
+    "x_scd2_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.log.CdcLog
+      import graft.streaming.CdcStream
+      val (_, log0, payloadSchema) = applyFixture(s, dir)
+      val log = log0.select(
+        to_timestamp(lit("2025-06-14 00:00:00")).as("ts"),
+        lit("dataschema").as("schema_name"), lit("t").as("table_name"),
+        col("operation"), col("before"), col("after"), col("event_id"))
+      val base = java.nio.file.Files.createTempDirectory("graft_scd2_stream").toString
+      val logPath = s"$base/log"; val statePath = s"$base/hist"; val ckpt = s"$base/ckpt"
+      val cut = log.agg(
+        expr("percentile_approx(event_id, 0.34, 10000)").cast("long"),
+        expr("percentile_approx(event_id, 0.67, 10000)").cast("long")).head()
+      val (c1, c2) = (cut.getLong(0), cut.getLong(1))
+      def runOnce(): Unit = {
+        val q = CdcStream.scd2Maintain(
+          CdcStream.readLogStream(s, logPath, CdcLog.read(s, logPath).schema),
+          statePath, ckpt, Seq("rid"), payloadSchema, Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      CdcLog.append(log.where(col("event_id") <= c1), logPath); runOnce()
+      // chunk 2 re-delivers the last slice of chunk 1 — must be a no-op
+      CdcLog.append(
+        log.where(col("event_id") > c1 - 50 && col("event_id") <= c2), logPath)
+      runOnce()
+      CdcLog.append(log.where(col("event_id") > c2), logPath); runOnce()
+      s.read.parquet(statePath)
+        .select(col("rid"), col("user_id"), col("cents"),
+          col("valid_from_id"), col("valid_to_id"), col("is_current"))
+        .orderBy(col("rid"), col("valid_from_id"))
+    },
+
+    // Streaming interval join as a DRIVER GATE: clicks joined to the
+    // same user's errors in the preceding four hours, both sides REAL file
+    // streams consumed one file per micro-batch (maxFilesPerTrigger=1,
+    // three ts-ordered chunks each) through CdcStream.intervalJoin's
+    // watermarked stream-stream range join, drained into a memory sink.
+    // The watermark (90 days) exceeds the corpus span so nothing is
+    // late-dropped and the streamed result must equal the batch interval
+    // join the DuckDB oracle computes. StreamingSpec pins the
+    // WATERMARK-BOUND state-eviction behavior on hand fixtures; this
+    // gate pins full-corpus correctness of the operator.
+    "x_interval_join" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.CdcStream
+      val ev = events(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_ivj").toString
+      def side(tpe: String, path: String): Unit = ev
+        .where(col("event_type") === tpe)
+        .select(col("ts"), col("user_id"), col("event_id"))
+        .repartitionByRange(3, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.parquet(path)
+      side("click", s"$base/l"); side("error", s"$base/r")
+      val schema = ev.select(col("ts"), col("user_id"), col("event_id")).schema
+      def stream(path: String) =
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+      val joined = CdcStream.intervalJoin(
+        stream(s"$base/l"), stream(s"$base/r"),
+        keys = Seq("user_id"), tsCol = "ts", lookback = "4 hours", watermark = "90 days")
+      val sinkName = "ivj_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sinkName)
+        .select(col("user_id"), col("event_id").as("l_id"), col("r_event_id").as("r_id"),
+          unix_micros(col("ts")).as("l_ts_us"), unix_micros(col("r_ts")).as("r_ts_us"))
+        .orderBy("user_id", "l_id", "r_id")
     }
   )
 
@@ -648,6 +731,37 @@ object CdcQueries {
     // decoded-rows identity: the avro trip must reproduce the source rows
     "d8_avro_envelope" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value AS val
-        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+    // the streamed SCD2 state after three micro-batched runs (one
+    // re-delivering) must equal the one-shot batch derivation: every
+    // event opens a version, lead() on the event_id axis closes it,
+    // deletes close but emit no row. Same chain SQL as c9 minus the
+    // snapshot seeding (the stream starts from an empty state table).
+    "x_scd2_stream" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_id % 4999 AS rid, user_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CASE WHEN event_type = 'signup' THEN 'INSERT'
+        |              WHEN event_type = 'error' THEN 'DELETE'
+        |              ELSE 'UPDATE' END AS op
+        |  FROM events
+        |), chained AS (
+        |  SELECT *, lead(event_id) OVER (PARTITION BY rid ORDER BY event_id) AS valid_to_id
+        |  FROM ev
+        |)
+        |SELECT rid, user_id, cents, event_id AS valid_from_id, valid_to_id,
+        |       CAST(CASE WHEN valid_to_id IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM chained WHERE op <> 'DELETE'
+        |ORDER BY rid, valid_from_id""".stripMargin,
+    // the watermarked stream-stream range join, drained micro-batch by
+    // micro-batch, must equal the plain batch interval join
+    "x_interval_join" ->
+      """SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+        |       epoch_us(l.ts) AS l_ts_us, epoch_us(r.ts) AS r_ts_us
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'click' AND r.event_type = 'error'
+        | AND r.ts > l.ts - INTERVAL 4 HOUR AND r.ts <= l.ts
+        |ORDER BY l.user_id, l_id, r_id""".stripMargin
   )
 }
