@@ -323,4 +323,80 @@ class JdbcDerbySpec extends SparkSpec {
       conn.close()
     }
   }
+
+  // ---- Postgres/TimescaleDB fidelity ---------------------------------------
+  //
+  // The production target (connector.json:4 `connection.url` is postgres)
+  // can't run offline — no pg driver in /opt/spark/jars — but the type
+  // mappings a live TimescaleDB would hand the poller are decided by
+  // Spark's PostgresDialect + the session timezone, and BOTH halves are
+  // testable here: the dialect's JDBC→Catalyst mapping directly, and the
+  // instant/JSON/decimal semantics through live Derby columns of the
+  // same Catalyst types. COVERAGE.md §"Postgres fidelity" documents the
+  // full mapping table these tests pin.
+
+  test("PostgresDialect maps timestamptz/json/jsonb/numeric the way the poller expects") {
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types.MetadataBuilder
+    val d = JdbcDialects.get("jdbc:postgresql://db.example/tsdb")
+    def cat(sqlType: Int, name: String) =
+      d.getCatalystType(sqlType, name, 8, new MetadataBuilder)
+    // json/jsonb arrive as Types.OTHER + a pg type name, and must land as
+    // StringType — the engine's props path (get_json_object/from_json)
+    // consumes them unchanged, exactly like the parquet registry's props
+    assert(cat(java.sql.Types.OTHER, "json").contains(StringType))
+    assert(cat(java.sql.Types.OTHER, "jsonb").contains(StringType))
+    // timestamptz is Types.TIMESTAMP + typeName "timestamptz": an
+    // INSTANT type — must resolve to session-TZ TimestampType (never
+    // NTZ), so a UTC session preserves epoch micros end-to-end
+    assert(cat(java.sql.Types.TIMESTAMP, "timestamptz").contains(TimestampType))
+    // Timescale's recommended PK/sequence types
+    assert(cat(java.sql.Types.BIGINT, "int8").isEmpty || // default mapping
+      cat(java.sql.Types.BIGINT, "int8").contains(LongType))
+    // pg `double precision` keeps full width (float8 → DoubleType);
+    // FLOAT with pg typeName float8 must not narrow to FloatType
+    assert(cat(java.sql.Types.FLOAT, "float8").forall(_ == DoubleType))
+  }
+
+  test("instant fidelity through a live jdbc TIMESTAMP under the UTC session") {
+    seededRows
+    // the poller's offset axis: epoch micros read through format("jdbc")
+    // must equal the registry-mode micros bit-for-bit — the same
+    // guarantee a timestamptz column gives under PostgresDialect, since
+    // both resolve to session-TZ TimestampType (previous test)
+    val viaJdbc = lowercased(JdbcSource.read(spark, eventsConfig, "events"))
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val viaRegistry = Tables.load(spark, sf0001, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    assert(viaJdbc.exceptAll(viaRegistry).isEmpty &&
+      viaRegistry.exceptAll(viaJdbc).isEmpty)
+  }
+
+  test("json-as-text and NUMERIC columns survive the jdbc leg (pg json/numeric shape)") {
+    System.setProperty("derby.system.home", tempDir("derby-home"))
+    val url = "jdbc:derby:memory:graftpgmap"
+    val conn = DriverManager.getConnection(s"$url;create=true")
+    try {
+      val st = conn.createStatement()
+      // a pg `json` column lands in Spark as a STRING; Derby's closest
+      // live stand-in is VARCHAR carrying the same text. NUMERIC(12,4)
+      // maps to DecimalType(12,4) on BOTH dialects (exact, not double).
+      st.executeUpdate(
+        """CREATE TABLE TYPED ("ID" BIGINT, "DOC" VARCHAR(400), "AMT" NUMERIC(12,4))""")
+      st.executeUpdate(
+        """INSERT INTO TYPED VALUES (1, '{"k":7,"tag":"a"}', 12345678.1234)""")
+      st.executeUpdate("""INSERT INTO TYPED VALUES (2, '{"k":9}', 0.0001)""")
+      st.close()
+      val df = lowercased(JdbcSource.read(
+        spark, Config(url = Some(url), tableWhitelist = Seq("typed")), "typed"))
+      assert(df.schema("amt").dataType == DecimalType(12, 4))
+      assert(df.schema("doc").dataType == StringType)
+      // the engine's JSON path consumes the text column unchanged
+      val got = df
+        .select(col("id"), get_json_object(col("doc"), "$.k").cast("long").as("k"),
+          col("amt").cast("string").as("amt"))
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(got.toSeq == Seq((1L, 7L, "12345678.1234"), (2L, 9L, "0.0001")))
+    } finally conn.close()
+  }
 }
