@@ -37,13 +37,18 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * Anything else is left untouched. The rewrite preserves the original
   * output names AND exprIds, so enclosing plans resolve unchanged.
   *
-  * Staleness contract: the rewrite fires only when the query's scan
-  * file-set EQUALS the registered `rawFiles` — a raw table that gained
-  * (or lost) files since registration is served from the raw scan, never
-  * from the now-stale rollup. Registrations must be refreshed after the
-  * raw table changes; Timescale's real-time aggregates instead union in
-  * the un-materialized tail, which a future invalidation-watermark
-  * variant could mirror.
+  * Staleness contract: when the query's scan file-set EQUALS the
+  * registered `rawFiles`, the rollup alone answers. When the raw table
+  * has GAINED files since registration and the spec carries
+  * `measureExpr` (with `realtime = true`, the default), the rewrite
+  * serves `rollup UNION partial-aggregate(tail files only)` —
+  * Timescale's real-time continuous aggregate (`materialized_only =
+  * false`): the materialization never goes stale, it just answers less
+  * of the query, and the un-materialized tail is aggregated at the
+  * rollup's own level from exactly the files registration hasn't seen.
+  * Subset scans (the rollup would ADD rows from files outside the scan)
+  * and supersets without realtime always refuse and fall through to the
+  * raw plan.
   *
   * The decomposition is exact (counts add, long sums add, min/max nest —
   * the [[graft.operators.TsAnalytics.rerollup]] algebra), so a rewritten
@@ -56,6 +61,15 @@ object RollupRewrite extends Rule[LogicalPlan] {
     * materialized) scan plan, the grouping keys, the bucket column
     * produced as `bucket_ts` at `finerLevel`, and the canonical measure
     * SQL (normalized) its sum/min/max columns were built over.
+    *
+    * `measureExpr` (the resolved measure expression, attribute refs by
+    * NAME against the raw schema) enables REAL-TIME serving: when the
+    * query's scan holds MORE files than `rawFiles`, the rewrite unions
+    * the rollup with a partial aggregate over just the un-materialized
+    * tail files — Timescale's real-time continuous aggregate
+    * (`materialized_only = false`). Without it (or with
+    * `realtime = false`) a superset scan refuses the rewrite and falls
+    * through to the raw plan.
     */
   case class Spec(
       rawFiles: Set[String],
@@ -63,7 +77,9 @@ object RollupRewrite extends Rule[LogicalPlan] {
       keyCols: Seq[String],
       tsCol: String,
       finerLevel: String,
-      measureSql: String
+      measureSql: String,
+      measureExpr: Option[Expression] = None,
+      realtime: Boolean = true
   )
 
   private val specs = new java.util.concurrent.ConcurrentHashMap[String, Spec]()
@@ -83,14 +99,20 @@ object RollupRewrite extends Rule[LogicalPlan] {
     * over a one-column projection, so analyzer-inserted casts and
     * constant folding render identically on both sides of the match.
     */
-  def canonicalMeasure(raw: DataFrame, measure: Column): String = {
+  def canonicalMeasure(raw: DataFrame, measure: Column): String =
+    canonical(resolvedMeasure(raw, measure))
+
+  /** The measure as a RESOLVED optimized expression over the raw schema —
+    * the form [[Spec.measureExpr]] stores for real-time tail
+    * aggregation. Attribute refs are re-rooted by name at rewrite time.
+    */
+  def resolvedMeasure(raw: DataFrame, measure: Column): Expression = {
     val plan = raw.select(measure.as("__graft_m")).queryExecution.optimizedPlan
-    val e = plan.collectFirst {
+    plan.collectFirst {
       case Project(projectList, _) =>
         projectList.collectFirst { case Alias(child, "__graft_m") => child }
     }.flatten.getOrElse(
       throw new IllegalArgumentException(s"cannot canonicalize measure over ${raw.schema}"))
-    canonical(e)
   }
 
   /** Hourly-style rollup the rewrite can serve: n / cnt_e / sum_e / min_e /
@@ -179,23 +201,33 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
   private def tryRewrite(agg: Aggregate, spec: Spec): Option[LogicalPlan] = {
     val (scan, aliasMap) = unwrapScan(agg.child).getOrElse(return None)
-    // The registered rollup must provably cover EVERY file the query
-    // would scan, and nothing more: a raw table that gained files since
-    // registration (rollup stale — would silently drop rows) or a scan
-    // over fewer files (rollup would ADD rows from files outside the
-    // scan) both refuse the rewrite and fall through to the raw plan.
+    // Coverage contract per scan file-set:
+    //   - EQUAL to the registered rawFiles → serve from the rollup alone.
+    //   - STRICT SUPERSET and the spec allows real-time → serve from
+    //     rollup UNION a partial aggregate over just the un-materialized
+    //     tail files — Timescale's real-time continuous aggregate
+    //     (materialized_only = false): the rollup never goes stale, it
+    //     just answers less of the query.
+    //   - anything else (subset scans — the rollup would ADD rows from
+    //     files outside the scan; supersets without realtime/measureExpr)
+    //     refuses the rewrite and falls through to the raw plan.
     val files = scanFiles(scan)
-    if (files.isEmpty || files != spec.rawFiles) return None
+    if (files.isEmpty) return None
+    val exact = files == spec.rawFiles
+    val realtime = !exact && spec.realtime && spec.measureExpr.isDefined &&
+      spec.rawFiles.subsetOf(files)
+    if (!exact && !realtime) return None
 
     // classify groupings (dereferenced through the projection aliases):
     // keys by name + exactly one coarser date_trunc over the ts column
     var truncLevel: Option[String] = None
     var truncTz: Option[String] = None
+    var truncInner: Option[Expression] = None
     def classifyGrouping(e: Expression): Boolean = deref(stripAlias(e), aliasMap) match {
       case a: AttributeReference => spec.keyCols.contains(a.name)
-      case DateTruncOf(level, tsAttr, tz) if tsAttr.name == spec.tsCol &&
+      case DateTruncOf(level, tsAttr, inner, tz) if tsAttr.name == spec.tsCol &&
           serves(spec.finerLevel, level) && truncLevel.isEmpty =>
-        truncLevel = Some(level); truncTz = tz; true
+        truncLevel = Some(level); truncTz = tz; truncInner = Some(inner); true
       case _ => false
     }
     if (!agg.groupingExpressions.forall(classifyGrouping) || truncLevel.isEmpty) return None
@@ -205,9 +237,76 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val rollup = spec.rollup.transform {
       case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
     }
-    val byName = rollup.output.map(a => a.name -> a).toMap
-    val needed = Seq("bucket_ts", "n", "sum_e", "min_e", "max_e") ++ spec.keyCols
-    if (!needed.forall(byName.contains)) return None
+    val byNameRollup = rollup.output.map(a => a.name -> a).toMap
+    val needed = Seq("bucket_ts", "n", "sum_e", "min_e", "max_e") ++
+      (if (realtime) Seq("cnt_e") else Nil) ++ spec.keyCols
+    if (!needed.forall(byNameRollup.contains)) return None
+
+    /** Real-time tail: the SAME five-partial rollup shape (buildRollup's
+      * algebra — counts add, sums add, min/max nest) aggregated over ONLY
+      * the files registration has not materialized, built directly in
+      * Catalyst (no nested analysis inside the optimizer). The final
+      * re-aggregate over `rollup UNION tail` is then exact by the same
+      * rerollup algebra that makes the exact-mode rewrite hash-identical.
+      */
+    def buildTailAgg(tailFiles: Set[String]): Option[LogicalPlan] = {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex}
+      val fsRel = scan.relation match {
+        // hive-partitioned layouts would lose partition VALUES through a
+        // leaf-file InMemoryFileIndex — refuse, fall back to raw
+        case f: HadoopFsRelation if f.partitionSchema.isEmpty => f
+        case _ => return None
+      }
+      val spark = fsRel.sparkSession
+      val tailIndex = new InMemoryFileIndex(
+        spark, tailFiles.toSeq.map(new org.apache.hadoop.fs.Path(_)),
+        Map.empty, Some(fsRel.dataSchema))
+      val tailRel = fsRel.copy(location = tailIndex)(spark)
+      val tailOut = scan.output.map(_.newInstance())
+      val tailScan = scan.copy(relation = tailRel, output = tailOut)
+      val byNameTail = tailOut.map(a => a.name -> (a: Attribute)).toMap
+      def reroot(e: Expression): Option[Expression] = {
+        var ok = true
+        val r = e.transform {
+          case a: AttributeReference =>
+            byNameTail.get(a.name) match {
+              case Some(t) => t
+              case None => ok = false; a
+            }
+        }
+        if (ok) Some(r) else None
+      }
+      val keyAttrs = spec.keyCols.map(k => byNameTail.getOrElse(k, return None))
+      val m = reroot(spec.measureExpr.get).getOrElse(return None)
+      // bucket the tail at the rollup's OWN level over the query's ts
+      // expression (cast shape included), re-rooted onto the tail scan;
+      // the final aggregate then re-truncates to the query level exactly
+      // as it does for rollup rows
+      val bucketE = TruncTimestamp(
+        Literal(spec.finerLevel), reroot(truncInner.get).getOrElse(return None), truncTz)
+      val outputs: Seq[NamedExpression] =
+        keyAttrs.map(a => a.asInstanceOf[NamedExpression]) ++ Seq(
+          Alias(bucketE, "bucket_ts")(),
+          Alias(Count(Seq(Literal(1))).toAggregateExpression(), "n")(),
+          Alias(Count(Seq(m)).toAggregateExpression(), "cnt_e")(),
+          Alias(Sum(m).toAggregateExpression(), "sum_e")(),
+          Alias(Min(m).toAggregateExpression(), "min_e")(),
+          Alias(Max(m).toAggregateExpression(), "max_e")())
+      Some(Aggregate((keyAttrs: Seq[Expression]) :+ bucketE, outputs, tailScan))
+    }
+
+    // The plan the final aggregate reads: the rollup alone (exact) or
+    // rollup ∪ tail partials (real-time), positionally aligned
+    val servePlan: LogicalPlan =
+      if (exact) rollup
+      else {
+        val order = spec.keyCols ++ Seq("bucket_ts", "n", "cnt_e", "sum_e", "min_e", "max_e")
+        val rollupProj =
+          Project(order.map(c => byNameRollup(c).asInstanceOf[NamedExpression]), rollup)
+        val tailAgg = buildTailAgg(files -- spec.rawFiles).getOrElse(return None)
+        Union(Seq(rollupProj, tailAgg))
+      }
+    val byName = servePlan.output.map(a => a.name -> a).toMap
     def rAttr(name: String): Attribute = byName(name)
     val bucketAttr = rAttr("bucket_ts")
     val nAttr = rAttr("n")
@@ -253,7 +352,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
     }
 
     def isTruncOutput(e: Expression): Boolean = deref(e, aliasMap) match {
-      case DateTruncOf(level, tsAttr, _) =>
+      case DateTruncOf(level, tsAttr, _, _) =>
         tsAttr.name == spec.tsCol && truncLevel.contains(level)
       case _ => false
     }
@@ -265,7 +364,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
     // rollup's key columns, aggregate functions onto the rollup measures.
     // Any residual reference to a raw-table attribute means the shape is
     // not served — leave the plan untouched.
-    val rollupOutputIds = rollup.outputSet
+    val rollupOutputIds = servePlan.outputSet
     val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
       val body = ne match {
         case a: Alias => a.child
@@ -284,12 +383,12 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val newGroupings: Seq[Expression] = agg.groupingExpressions.map { g =>
       deref(stripAlias(g), aliasMap) match {
         case a: AttributeReference if spec.keyCols.contains(a.name) => rAttr(a.name)
-        case DateTruncOf(_, _, _) => newTrunc(truncLevel.get)
+        case DateTruncOf(_, _, _, _) => newTrunc(truncLevel.get)
         case _ => return None
       }
     }
 
-    Some(Aggregate(newGroupings, newAggExprs, rollup))
+    Some(Aggregate(newGroupings, newAggExprs, servePlan))
   }
 
   private def stripAlias(e: Expression): Expression = e match {
@@ -302,10 +401,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
     * inserts.
     */
   private object DateTruncOf {
-    def unapply(e: Expression): Option[(String, AttributeReference, Option[String])] = e match {
-      case TruncTimestamp(Literal(fmt, _), TsAttr(ts), tz) => Some((fmt.toString, ts, tz))
-      case _ => None
-    }
+    def unapply(
+        e: Expression): Option[(String, AttributeReference, Expression, Option[String])] =
+      e match {
+        case TruncTimestamp(Literal(fmt, _), inner @ TsAttr(ts), tz) =>
+          Some((fmt.toString, ts, inner, tz))
+        case _ => None
+      }
   }
 
   private object TsAttr {

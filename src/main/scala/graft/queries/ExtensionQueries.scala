@@ -1206,6 +1206,58 @@ object ExtensionQueries {
       } finally RollupRewrite.clear()
     },
 
+    // REAL-TIME continuous aggregate (Timescale materialized_only=false):
+    // slice A of events is materialized+registered as the hourly rollup,
+    // slice B's files are appended to the raw table AFTER registration,
+    // and the daily aggregate over the grown table must be served as
+    // rollup UNION partial-aggregate(tail files only) — verified against
+    // the raw-data DuckDB oracle over ALL events (the same SQL as
+    // x_rollup_rewrite; the two slices reunite). The tail-only-scan
+    // property is pinned in RollupRewriteSpec; here the require pins
+    // that the rewrite actually fired.
+    "x_rollup_realtime" -> { (s, dir) =>
+      import graft.plans.RollupRewrite
+      RollupRewrite.clear()
+      try {
+        val ev = events(s, dir).select("event_id", "ts", "event_type", "value")
+        val rawDir =
+          java.nio.file.Files.createTempDirectory("graft-rt-raw").toString + "/raw"
+        ev.where(col("event_id") % 4 =!= 0).coalesce(2).write.parquet(rawDir)
+        val rawA = s.read.parquet(rawDir)
+        val m = floor(col("value") * 10000 + 0.5).cast("long")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-rt-rollup").toString
+        RollupRewrite.buildRollup(rawA, Seq("event_type"), "ts", m, "hour")
+          .write.mode("overwrite").parquet(tmp)
+        val rollup = s.read.parquet(tmp)
+        RollupRewrite.register("events_hourly_rt_gate", RollupRewrite.Spec(
+          rawA.inputFiles.toSet, rollup.queryExecution.analyzed,
+          Seq("event_type"), "ts", "hour",
+          RollupRewrite.canonicalMeasure(rawA, m),
+          measureExpr = Some(RollupRewrite.resolvedMeasure(rawA, m)),
+          realtime = true))
+        RollupRewrite.install(s)
+        ev.where(col("event_id") % 4 === 0).coalesce(1)
+          .write.mode("append").parquet(rawDir)
+        val rawAB = s.read.parquet(rawDir)
+        val q = rawAB
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+          .agg(
+            count(lit(1)).as("n"), sum(m).as("sum_e4"),
+            min(m).as("min_e4"), max(m).as("max_e4"),
+            floor(avg(m) * 1000000.0 + 0.5).cast("long").as("avg_e4e6"))
+          .select(col("event_type"), expr("unix_seconds(d)").as("day_s"),
+            col("n"), col("sum_e4"), col("min_e4"), col("max_e4"), col("avg_e4e6"))
+          .orderBy("event_type", "day_s")
+        require(q.queryExecution.executedPlan.toString
+          .contains(new java.io.File(tmp).getName),
+          "real-time rollup rewrite did not fire for the gate query")
+        val out =
+          java.nio.file.Files.createTempDirectory("graft-rt-gate-out").toString
+        q.write.mode("overwrite").parquet(out)
+        s.read.parquet(out).orderBy("event_type", "day_s")
+      } finally RollupRewrite.clear()
+    },
+
     // Timescale saturating int32 arithmetic over deterministic full-range
     // operands (an LCG spread over the whole i32 domain, so add/sub/mul
     // genuinely overflow): clamp-at-bounds instead of wrap, _pos forms
@@ -2455,6 +2507,21 @@ object ExtensionQueries {
     // the oracle aggregates RAW events; the engine reached the identical
     // table through the hourly rollup via the optimizer rewrite
     "x_rollup_rewrite" ->
+      """SELECT event_type,
+        |       CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e4,
+        |       min(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS min_e4,
+        |       max(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS max_e4,
+        |       CAST(floor(
+        |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / CAST(count(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         * 1000000.0 + 0.5) AS BIGINT) AS avg_e4e6
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, day_s""".stripMargin,
+    "x_rollup_realtime" ->
+      // identical raw-data oracle: the A/B slices reunite to ALL events
       """SELECT event_type,
         |       CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
         |       count(*) AS n,

@@ -141,4 +141,84 @@ class RollupRewriteSpec extends SparkSpec {
       .agg(countDistinct(col("user_id")).as("u"))
     assert(!distinctCount.queryExecution.executedPlan.toString.contains(rollupName))
   }
+
+  // ---- real-time serving (Timescale materialized_only = false) -----------
+
+  /** Write slice A of the events fixture as the raw table, register an
+    * hourly rollup over it WITH measureExpr, then append slice B files.
+    */
+  private def registeredRealtime(realtime: Boolean): (DataFrame, String, Set[String]) = {
+    RollupRewrite.clear()
+    val all = Tables.load(spark, sf0001, "events")
+      .select("event_id", "ts", "event_type", "value")
+    val rawDir = tempDir("rt_raw") + "/raw"
+    all.where(col("event_id") % 4 =!= 0).coalesce(2).write.parquet(rawDir)
+    val rawA = spark.read.parquet(rawDir)
+    val filesA = rawA.inputFiles.toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_rt").toString
+    RollupRewrite.buildRollup(rawA, Seq("event_type"), "ts", measure, "hour")
+      .write.mode("overwrite").parquet(dir)
+    val rollup = spark.read.parquet(dir)
+    RollupRewrite.register("events_hourly_rt", RollupRewrite.Spec(
+      filesA,
+      rollup.queryExecution.analyzed,
+      Seq("event_type"), "ts", "hour",
+      RollupRewrite.canonicalMeasure(rawA, measure),
+      measureExpr = Some(RollupRewrite.resolvedMeasure(rawA, measure)),
+      realtime = realtime))
+    RollupRewrite.install(spark)
+    all.where(col("event_id") % 4 === 0).coalesce(1).write.mode("append").parquet(rawDir)
+    val rawAB = spark.read.parquet(rawDir)
+    (rawAB, dir, rawAB.inputFiles.toSet -- filesA)
+  }
+
+  test("real-time: a raw table that gained files is served from rollup UNION tail") {
+    val (rawAB, dir, tailFiles) = registeredRealtime(realtime = true)
+    assert(tailFiles.nonEmpty)
+    val q = rawAB
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(
+        count(lit(1)).as("n"), sum(measure).as("s"),
+        min(measure).as("mn"), max(measure).as("mx"),
+        avg(measure).as("a"))
+    val physical = q.queryExecution.executedPlan
+    assert(physical.toString.contains(new java.io.File(dir).getName),
+      s"real-time rewrite did not fire:\n$physical")
+    // the raw-side leg must scan ONLY the un-materialized tail files
+    // (asserted on the optimized logical plan — the executed plan hides
+    // its scans behind AdaptiveSparkPlanExec)
+    val rawScans = q.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if !l.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.exists(_.contains(new java.io.File(dir).getName)) =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.toSet
+    }
+    assert(rawScans.nonEmpty && rawScans.forall(_ == tailFiles),
+      s"tail leg must scan exactly the appended files; got $rawScans vs $tailFiles")
+    // results equal the raw aggregate (computed with the registry empty)
+    RollupRewrite.clear()
+    val expected = q.collect().toSet
+    assert(expected.nonEmpty)
+    val (rawAB2, _, _) = registeredRealtime(realtime = true)
+    val got = rawAB2
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(
+        count(lit(1)).as("n"), sum(measure).as("s"),
+        min(measure).as("mn"), max(measure).as("mx"),
+        avg(measure).as("a"))
+      .collect().toSet
+    assert(got === expected, "real-time union must equal the raw aggregate exactly")
+    RollupRewrite.clear()
+  }
+
+  test("real-time off (or no measureExpr): superset scans fall through to raw") {
+    val (rawAB, dir, _) = registeredRealtime(realtime = false)
+    val q = dailyAgg(rawAB)
+    assert(!q.queryExecution.executedPlan.toString.contains(new java.io.File(dir).getName),
+      "realtime=false must refuse a superset scan")
+    RollupRewrite.clear()
+  }
 }
