@@ -421,9 +421,39 @@ object StressBench {
     val rows1 = docs1.count(); val rows10 = rows1 * Replicas
 
     val k = s"${Replicas}x"
+
+    // Work-normalized accounting for the embedding LSH family. Its OUTPUT
+    // pairs grow with the corpus's duplication rate — quadratic in
+    // Replicas here, because the replica flip masks are periodic in k and
+    // distinct replicas of one source collide exactly (see the Replicas
+    // scaladoc) — so wall/linear alone conflates data-driven output
+    // growth with engine growth. Price the engine's actual work instead:
+    // probe rows (n · bands, the geometry the adaptive cutover picks at
+    // each n) plus measured candidate pairs (each one costs the dedup +
+    // two verify joins). `x_vs_linear_work` is (sec_K/work_K)/(sec_1/
+    // work_1); the 1× leg is mostly fixed job overhead, so the honest
+    // cross-scale read is sec ratio vs work ratio BETWEEN the 10×/30×/
+    // 100× artifacts — the raw cand/probe fields are emitted for exactly
+    // that comparison.
+    val extras: Map[String, String] =
+      if (base.exists(_._1 == "embedding_lsh")) {
+        def work(e: DataFrame): (Long, Long) = {
+          val n = e.count()
+          val cand = Dedup.embeddingLshCandidates(e, "vec_id", "embedding").count()
+          (Dedup.lshGeometry(n)._1.toLong * n, cand)
+        }
+        val (pw1, c1) = work(embs1)
+        val (pwK, cK) = work(embs10)
+        val s1 = base.find(_._1 == "embedding_lsh").get._3
+        val sK = big.find(_._1 == "embedding_lsh").get._3
+        val ratio = (sK / (pwK + cK).toDouble) / math.max(s1 / (pw1 + c1).toDouble, 1e-12)
+        Map("embedding_lsh" ->
+          f""",\"probe_rows_1x\":$pw1,\"cand_1x\":$c1,\"probe_rows_$k\":$pwK,\"cand_$k\":$cK,\"x_vs_linear_work\":$ratio%.2f""")
+      } else Map.empty
+
     val per = base.zip(big).map { case ((n, c1, s1), (_, c10, s10)) =>
       val ratio = s10 / math.max(s1, 1e-9)
-      f"""\"$n\":{\"rows_1x\":$c1,\"sec_1x\":${s1}%.2f,\"rows_$k\":$c10,\"sec_$k\":${s10}%.2f,\"x_vs_linear\":${ratio / Replicas}%.2f}"""
+      f"""\"$n\":{\"rows_1x\":$c1,\"sec_1x\":${s1}%.2f,\"rows_$k\":$c10,\"sec_$k\":${s10}%.2f,\"x_vs_linear\":${ratio / Replicas}%.2f${extras.getOrElse(n, "")}}"""
     }
     val line =
       s"""{"metric":"dedup_stress","replicas":$Replicas,"docs_1x":$rows1,"docs_$k":$rows10,"ops":{${per.mkString(",")}}}"""

@@ -632,9 +632,11 @@ object Dedup {
     * Bucket-count saturation is the scale dial: bits-per-block =
     * numPlanes/numBlocks bounds distinct bucket values at 2^bits, and
     * per-bucket load — hence candidate volume — grows as n²/2^bits.
-    * With the default 8-bit blocks that quadratic term dominates past
-    * n ≈ 20k (a 30× stress probe measured 5.1× over linear at n = 150k),
-    * so above [[LshBandingCutover]] the candidate generator switches to
+    * With the default 8-bit blocks that quadratic term dominates within
+    * one decade (a 30× stress probe measured 5.1× over linear at
+    * n = 150k; the 10× probe measured ~2 800 candidates per true pair
+    * already at n = 20k), so above [[LshBandingCutover]] (4 096) the
+    * candidate generator switches to
     * [[embeddingNearDupPairsLshBanded]] — independent narrow signatures
     * (MinHash-banding shape) whose 16-bit bands keep per-bucket load
     * ~n/65536 while matching this path's ~93% boundary recall
@@ -658,20 +660,46 @@ object Dedup {
       numBlocks >= 1 && numPlanes % numBlocks == 0,
       s"numBlocks ($numBlocks) must divide numPlanes ($numPlanes)")
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    verifiedPairs(
+      base,
+      embeddingLshCandidates(df, idCol, vecCol, numPlanes, seed, numBlocks),
+      threshold)
+  }
+
+  /** The candidate stage of [[embeddingNearDupPairsLsh]] alone — same
+    * adaptive geometry selection, same pair dedup, no exact-verify tail.
+    * Exposed so the stress harness can price candidate generation
+    * separately from verification: OUTPUT pairs grow with the corpus's
+    * duplication rate (a data property), while engine work must stay
+    * ~linear in `n · probesPerRow + candidates` (see [[lshGeometry]]).
+    */
+  def embeddingLshCandidates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numPlanes: Int = 64,
+      seed: Int = 42,
+      numBlocks: Int = 8
+  ): DataFrame = {
+    import graft.ext.Similarity
+    require(numPlanes >= 1 && numPlanes <= 64, "need 1 <= numPlanes <= 64")
+    require(
+      numBlocks >= 1 && numPlanes % numBlocks == 0,
+      s"numBlocks ($numBlocks) must divide numPlanes ($numPlanes)")
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     // adaptive cutover (the duplicateComponents precedent): the id-only
     // count is one cheap columnar pass; past it, 8-bit block buckets
     // saturate quadratically and banding is the right generator. The
     // band geometry widens with the corpus for the same reason — see
     // [[LshWideBandCutover]].
     val n = base.count()
-    if (n > LshWideBandCutover)
-      return embeddingNearDupPairsLshBanded(
-        df, idCol, vecCol, threshold, bands = 64, bitsPerBand = 20, seed = seed)
-    if (n > LshBandingCutover)
-      return embeddingNearDupPairsLshBanded(df, idCol, vecCol, threshold, seed = seed)
-    val bits = numPlanes / numBlocks
-    // bits == 64 only when numBlocks == 1 (one block = the whole signature)
-    val mask = if (bits == 64) -1L else (1L << bits) - 1L
+    if (n > LshBandingCutover) {
+      val (bands, bits) = lshGeometry(n)
+      return bandedCandidates(base, bands, bits, seed)
+    }
+    val blockBits = numPlanes / numBlocks
+    // blockBits == 64 only when numBlocks == 1 (one block = the whole signature)
+    val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1L
     val signed = base.withColumn("sig", Similarity.srpBucket(col("v"), numPlanes, seed))
     // posexplode → (block index, block value); the join key is the pair,
     // so block i of one vector never matches block j≠i of another
@@ -679,19 +707,38 @@ object Dedup {
       col("id"),
       posexplode(
         array((0 until numBlocks).map(b =>
-          shiftrightunsigned(col("sig"), b * bits).bitwiseAND(lit(mask))): _*)
+          shiftrightunsigned(col("sig"), b * blockBits).bitwiseAND(lit(mask))): _*)
       ).as(Seq("block", "bval"))
     )
-    verifiedPairs(base, candidatePairs(probes), threshold)
+    candidatePairs(probes)
   }
+
+  /** Candidate geometry the adaptive generator picks at corpus size `n`:
+    * (probes per row, bits per probe). Per-row engine work is
+    * probes·bits plane projections plus `probes` probe-join rows, so
+    * `n · probes` (plus the measured candidate count) is the work
+    * denominator the stress artifacts normalize against.
+    */
+  def lshGeometry(n: Long): (Int, Int) =
+    if (n > LshWideBandCutover) (64, 20)
+    else if (n > LshBandingCutover) (32, 16)
+    else (8, 8)
 
   /** Corpus size past which [[embeddingNearDupPairsLsh]] switches its
     * candidate generator to banding: with 8-bit blocks the expected
-    * per-bucket load is n/256 and candidate volume grows as 8·n²/256 —
-    * at 20k that is ~12M pairs (fine); by 150k it is ~700M (measured
-    * 5.1× over linear in a 30× stress probe before the switch existed).
+    * per-bucket load is n/256 and candidate volume grows quadratically.
+    * Measured on the 10× stress corpus (n = 20k) while this cutover
+    * still sat at 20 000: 7.29M candidates for 2 610 verified pairs
+    * (BENCH_STRESS.json `cand_10x`) — ~2 800 exact-verifies per true
+    * pair — versus banding's ~0.1M candidates at the same n. The block
+    * path's structural pigeonhole window (Hamming ≤ numBlocks−1
+    * GUARANTEED a candidate) is therefore kept only while its quadratic
+    * term is genuinely affordable: at 4 096 rows the worst case is
+    * 8·4096²/512 ≈ 262k candidates — one narrow shuffle — and every
+    * oracle-gated corpus (≤ 2 000 vectors at sf0.1) stays below the
+    * cutover, so gate recall remains structural, not probabilistic.
     */
-  val LshBandingCutover: Long = 20000L
+  val LshBandingCutover: Long = 4096L
 
   /** Corpus size past which the banding geometry widens from 32×16-bit to
     * 64×20-bit bands: random-collision candidate volume is
@@ -744,10 +791,20 @@ object Dedup {
       bitsPerBand: Int = 16,
       seed: Int = 42
   ): DataFrame = {
-    import graft.ext.Similarity
     require(bands >= 1, s"bands ($bands) must be >= 1")
     require(bitsPerBand >= 1 && bitsPerBand <= 64, "need 1 <= bitsPerBand <= 64")
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    verifiedPairs(base, bandedCandidates(base, bands, bitsPerBand, seed), threshold)
+  }
+
+  /** Banded candidate generator over a normalized `(id, v)` frame —
+    * `bands` independent `bitsPerBand`-plane signatures, candidate iff
+    * any band matches exactly (shared by the banded pair API and the
+    * adaptive cutover in [[embeddingLshCandidates]]).
+    */
+  private def bandedCandidates(
+      base: DataFrame, bands: Int, bitsPerBand: Int, seed: Int): DataFrame = {
+    import graft.ext.Similarity
     val probes = base.select(
       col("id"),
       posexplode(
@@ -755,7 +812,7 @@ object Dedup {
           Similarity.srpBucket(col("v"), bitsPerBand, seed + 1 + b)): _*)
       ).as(Seq("block", "bval"))
     )
-    verifiedPairs(base, candidatePairs(probes), threshold)
+    candidatePairs(probes)
   }
 
   /** Shared candidate join for the LSH paths: equi-join on

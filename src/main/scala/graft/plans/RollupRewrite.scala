@@ -252,15 +252,22 @@ object RollupRewrite extends Rule[LogicalPlan] {
     def buildTailAgg(tailFiles: Set[String]): Option[LogicalPlan] = {
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex}
       val fsRel = scan.relation match {
-        // hive-partitioned layouts would lose partition VALUES through a
-        // leaf-file InMemoryFileIndex — refuse, fall back to raw
-        case f: HadoopFsRelation if f.partitionSchema.isEmpty => f
+        case f: HadoopFsRelation => f
         case _ => return None
       }
       val spark = fsRel.sparkSession
-      val tailIndex = new InMemoryFileIndex(
-        spark, tailFiles.toSeq.map(new org.apache.hadoop.fs.Path(_)),
-        Map.empty, Some(fsRel.dataSchema))
+      // Flat layouts: re-list just the tail files. Hive-partitioned
+      // layouts (the 100 TB shape — a time-partitioned raw table): a
+      // leaf-file InMemoryFileIndex would re-list the files with NO
+      // partition columns and the tail scan would silently lose their
+      // values, so instead restrict the query's own index to the tail
+      // allowlist — partition values (and partition pruning) survive.
+      val tailIndex =
+        if (fsRel.partitionSchema.isEmpty)
+          new InMemoryFileIndex(
+            spark, tailFiles.toSeq.map(new org.apache.hadoop.fs.Path(_)),
+            Map.empty, Some(fsRel.dataSchema))
+        else new FilteredFileIndex(fsRel.location, tailFiles)
       val tailRel = fsRel.copy(location = tailIndex)(spark)
       val tailOut = scan.output.map(_.newInstance())
       val tailScan = scan.copy(relation = tailRel, output = tailOut)
@@ -419,4 +426,53 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
   }
+}
+
+/** A [[org.apache.spark.sql.execution.datasources.FileIndex]] view
+  * restricted to an explicit leaf-file allowlist, PRESERVING the
+  * underlying index's partition schema and values — what the real-time
+  * tail aggregate needs on a hive-partitioned raw table. Partition
+  * pruning still applies: filters are delegated to the underlying index
+  * and the allowlist only subtracts files from whatever survives.
+  */
+final class FilteredFileIndex(
+    underlying: org.apache.spark.sql.execution.datasources.FileIndex,
+    keep: Set[String])
+    extends org.apache.spark.sql.execution.datasources.FileIndex {
+  import org.apache.spark.sql.execution.datasources.PartitionDirectory
+
+  // Normalize through hadoop Path: `inputFiles` (where the allowlist
+  // comes from) renders `file:///tmp/…` while the FileStatus paths
+  // inside `listFiles` render `file:/tmp/…` — a raw string-set filter
+  // silently keeps NOTHING at scan time.
+  private val keepNorm: Set[String] =
+    keep.map(s => new org.apache.hadoop.fs.Path(s).toString)
+  private def kept(p: org.apache.hadoop.fs.Path): Boolean = keepNorm(p.toString)
+
+  override def rootPaths: Seq[org.apache.hadoop.fs.Path] = underlying.rootPaths
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    underlying
+      .listFiles(partitionFilters, dataFilters)
+      .map(pd => PartitionDirectory(pd.values, pd.files.filter(f => kept(f.getPath))))
+      .filter(_.files.nonEmpty)
+
+  override def inputFiles: Array[String] =
+    underlying.inputFiles.filter(s => keepNorm(new org.apache.hadoop.fs.Path(s).toString))
+
+  override def refresh(): Unit = underlying.refresh()
+
+  // exact: the kept files' bytes (drives the tail side's size estimate —
+  // an inherited whole-table figure would block broadcast decisions)
+  override lazy val sizeInBytes: Long =
+    underlying.listFiles(Nil, Nil).iterator
+      .flatMap(_.files)
+      .filter(f => kept(f.getPath))
+      .map(_.getLen)
+      .sum
+
+  override def partitionSchema: org.apache.spark.sql.types.StructType =
+    underlying.partitionSchema
 }

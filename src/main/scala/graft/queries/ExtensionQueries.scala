@@ -1258,6 +1258,58 @@ object ExtensionQueries {
       } finally RollupRewrite.clear()
     },
 
+    // The same real-time rewrite over a HIVE-PARTITIONED raw table — the
+    // 100 TB layout (a time-partitioned hypertable). The tail leg cannot
+    // re-list leaf files through a fresh InMemoryFileIndex (that loses
+    // the partition VALUES); it restricts the query's own index to the
+    // un-materialized allowlist (plans.FilteredFileIndex), so partition
+    // columns and partition pruning survive. Same raw-data oracle: the
+    // partitioned slices reunite to ALL events.
+    "x_rollup_realtime_part" -> { (s, dir) =>
+      import graft.plans.RollupRewrite
+      RollupRewrite.clear()
+      try {
+        val ev = events(s, dir)
+          .select("event_id", "ts", "event_type", "value")
+          .withColumn("pday", to_date(col("ts")))
+        val rawDir =
+          java.nio.file.Files.createTempDirectory("graft-rtp-raw").toString + "/raw"
+        ev.where(col("event_id") % 4 =!= 0).write.partitionBy("pday").parquet(rawDir)
+        val rawA = s.read.parquet(rawDir)
+        val m = floor(col("value") * 10000 + 0.5).cast("long")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-rtp-rollup").toString
+        RollupRewrite.buildRollup(rawA, Seq("event_type"), "ts", m, "hour")
+          .write.mode("overwrite").parquet(tmp)
+        val rollup = s.read.parquet(tmp)
+        RollupRewrite.register("events_hourly_rtp_gate", RollupRewrite.Spec(
+          rawA.inputFiles.toSet, rollup.queryExecution.analyzed,
+          Seq("event_type"), "ts", "hour",
+          RollupRewrite.canonicalMeasure(rawA, m),
+          measureExpr = Some(RollupRewrite.resolvedMeasure(rawA, m)),
+          realtime = true))
+        RollupRewrite.install(s)
+        ev.where(col("event_id") % 4 === 0)
+          .write.partitionBy("pday").mode("append").parquet(rawDir)
+        val rawAB = s.read.parquet(rawDir)
+        val q = rawAB
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+          .agg(
+            count(lit(1)).as("n"), sum(m).as("sum_e4"),
+            min(m).as("min_e4"), max(m).as("max_e4"),
+            floor(avg(m) * 1000000.0 + 0.5).cast("long").as("avg_e4e6"))
+          .select(col("event_type"), expr("unix_seconds(d)").as("day_s"),
+            col("n"), col("sum_e4"), col("min_e4"), col("max_e4"), col("avg_e4e6"))
+          .orderBy("event_type", "day_s")
+        require(q.queryExecution.executedPlan.toString
+          .contains(new java.io.File(tmp).getName),
+          "partitioned real-time rollup rewrite did not fire for the gate query")
+        val out =
+          java.nio.file.Files.createTempDirectory("graft-rtp-gate-out").toString
+        q.write.mode("overwrite").parquet(out)
+        s.read.parquet(out).orderBy("event_type", "day_s")
+      } finally RollupRewrite.clear()
+    },
+
     // Timescale saturating int32 arithmetic over deterministic full-range
     // operands (an LCG spread over the whole i32 domain, so add/sub/mul
     // genuinely overflow): clamp-at-bounds instead of wrap, _pos forms
@@ -2522,6 +2574,22 @@ object ExtensionQueries {
         |ORDER BY event_type, day_s""".stripMargin,
     "x_rollup_realtime" ->
       // identical raw-data oracle: the A/B slices reunite to ALL events
+      """SELECT event_type,
+        |       CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e4,
+        |       min(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS min_e4,
+        |       max(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS max_e4,
+        |       CAST(floor(
+        |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / CAST(count(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         * 1000000.0 + 0.5) AS BIGINT) AS avg_e4e6
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, day_s""".stripMargin,
+    "x_rollup_realtime_part" ->
+      // identical raw-data oracle again: the hive-partitioned A/B slices
+      // reunite to ALL events
       """SELECT event_type,
         |       CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
         |       count(*) AS n,

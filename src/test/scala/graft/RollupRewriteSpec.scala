@@ -198,20 +198,83 @@ class RollupRewriteSpec extends SparkSpec {
     }
     assert(rawScans.nonEmpty && rawScans.forall(_ == tailFiles),
       s"tail leg must scan exactly the appended files; got $rawScans vs $tailFiles")
-    // results equal the raw aggregate (computed with the registry empty)
+    // results equal the TRUE raw aggregate: clear the registry and build
+    // a FRESH plan (q's own QueryExecution is already forced — and
+    // rewritten — so q.collect() stays the rewritten run; a new DataFrame
+    // gets a new, un-rewritten QueryExecution)
     RollupRewrite.clear()
-    val expected = q.collect().toSet
-    assert(expected.nonEmpty)
-    val (rawAB2, _, _) = registeredRealtime(realtime = true)
-    val got = rawAB2
+    val expected = rawAB
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
       .agg(
         count(lit(1)).as("n"), sum(measure).as("s"),
         min(measure).as("mn"), max(measure).as("mx"),
         avg(measure).as("a"))
       .collect().toSet
-    assert(got === expected, "real-time union must equal the raw aggregate exactly")
+    assert(expected.nonEmpty)
+    assert(q.collect().toSet === expected,
+      "real-time union must equal the raw aggregate exactly")
+  }
+
+  test("real-time tail on a hive-partitioned raw table keeps partition values") {
     RollupRewrite.clear()
+    val all = Tables.load(spark, sf0001, "events")
+      .select("event_id", "ts", "event_type", "value")
+      .withColumn("pday", to_date(col("ts")))
+    val rawDir = tempDir("rt_part") + "/raw"
+    all.where(col("event_id") % 4 =!= 0).write.partitionBy("pday").parquet(rawDir)
+    val rawA = spark.read.parquet(rawDir)
+    val filesA = rawA.inputFiles.toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_rtp").toString
+    RollupRewrite.buildRollup(rawA, Seq("event_type"), "ts", measure, "hour")
+      .write.mode("overwrite").parquet(dir)
+    RollupRewrite.register("events_hourly_rtp", RollupRewrite.Spec(
+      filesA,
+      spark.read.parquet(dir).queryExecution.analyzed,
+      Seq("event_type"), "ts", "hour",
+      RollupRewrite.canonicalMeasure(rawA, measure),
+      measureExpr = Some(RollupRewrite.resolvedMeasure(rawA, measure))))
+    RollupRewrite.install(spark)
+    all.where(col("event_id") % 4 === 0)
+      .write.partitionBy("pday").mode("append").parquet(rawDir)
+    val rawAB = spark.read.parquet(rawDir)
+    val tailFiles = rawAB.inputFiles.toSet -- filesA
+    assert(tailFiles.nonEmpty)
+    // group by the PARTITION column too: the tail leg can only answer it
+    // if the allowlisted index preserved partition values
+    def aggOf(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"), col("pday"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(measure).as("s"), avg(measure).as("a"))
+    // pday is NOT a registered key, so this shape must fall through —
+    // while the registered shape (event_type only) is served
+    val unserved = aggOf(rawAB)
+    assert(!unserved.queryExecution.executedPlan.toString
+      .contains(new java.io.File(dir).getName),
+      "pday is not a registered key; shape must fall through to raw")
+    val q = rawAB
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(measure).as("s"), avg(measure).as("a"))
+    val physical = q.queryExecution.executedPlan
+    assert(physical.toString.contains(new java.io.File(dir).getName),
+      s"partitioned real-time rewrite did not fire:\n$physical")
+    val rawScans = q.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if !l.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.exists(_.contains(new java.io.File(dir).getName)) =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.toSet
+    }
+    assert(rawScans.nonEmpty && rawScans.forall(_ == tailFiles),
+      s"tail leg must scan exactly the appended partitioned files; got $rawScans vs $tailFiles")
+    RollupRewrite.clear()
+    val expected = rawAB
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(measure).as("s"), avg(measure).as("a"))
+      .collect().toSet
+    assert(expected.nonEmpty)
+    assert(q.collect().toSet === expected,
+      "partitioned real-time union must equal the raw aggregate exactly")
   }
 
   test("real-time off (or no measureExpr): superset scans fall through to raw") {
