@@ -365,6 +365,23 @@ class ExtSpec extends SparkSpec {
     assert(lsh == bf, s"lsh=${lsh.size} bf=${bf.size} missed=${(bf -- lsh).take(5)}")
   }
 
+  test("embeddingLshCandidates is the pair functions' candidate stage") {
+    // the stress harness prices candidate generation separately through
+    // this API — it must be the SAME stage the pair function verifies
+    // from: every verified pair is a candidate, and the adaptive
+    // geometry is the documented three-rung ladder
+    val cand = Dedup.embeddingLshCandidates(embs, "vec_id", "embedding")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val verified = Dedup.embeddingNearDupPairsLsh(embs, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified.subsetOf(cand),
+      s"verified pairs must come from the candidate stage; extra=${(verified -- cand).take(3)}")
+    assert(Dedup.lshGeometry(Dedup.LshBandingCutover) === ((8, 8)))
+    assert(Dedup.lshGeometry(Dedup.LshBandingCutover + 1) === ((32, 16)))
+    assert(Dedup.lshGeometry(Dedup.LshWideBandCutover) === ((32, 16)))
+    assert(Dedup.lshGeometry(Dedup.LshWideBandCutover + 1) === ((64, 20)))
+  }
+
   test("custom functions are callable from SQL text") {
     embs.limit(50).createOrReplaceTempView("sql_embs")
     val viaSql = spark.sql(
