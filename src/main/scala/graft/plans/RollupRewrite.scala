@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.functions.{col, count, date_trunc, lit, max, min, sum}
+import org.apache.spark.sql.functions.{col, count, date_trunc, lit, max, max_by, min, min_by, sum}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Transparent continuous-aggregate query rewrite — TimescaleDB's
@@ -116,10 +116,17 @@ object RollupRewrite extends Rule[LogicalPlan] {
   }
 
   /** Hourly-style rollup the rewrite can serve: n / cnt_e / sum_e / min_e /
-    * max_e per (keys…, bucket_ts). `cnt_e = count(measure)` (non-null
-    * count) is what makes `avg` decomposable; `n = count(*)` serves
-    * `count(lit)`. Build it, materialize it to parquet, read it back, and
-    * register THAT scan.
+    * max_e plus the OHLC partials ts_open / open_e / ts_close / close_e
+    * per (keys…, bucket_ts). `cnt_e = count(measure)` (non-null count) is
+    * what makes `avg` decomposable; `n = count(*)` serves `count(lit)`;
+    * the (argmin-ts, value-at-argmin) pairs make `min_by(measure, ts)` /
+    * `max_by(measure, ts)` — Timescale's `first`/`last`, the candlestick
+    * open/close — decomposable: buckets occupy disjoint time ranges, so
+    * re-aggregating `min_by(open_e, ts_open)` across buckets picks the
+    * globally-earliest bucket's open (exact whenever the corpus's ts is
+    * unique per (key, ts) — on ties both the raw and the rollup pick are
+    * engine-nondeterministic in exactly the same way). Build it,
+    * materialize it to parquet, read it back, and register THAT scan.
     */
   def buildRollup(
       raw: DataFrame,
@@ -135,7 +142,11 @@ object RollupRewrite extends Rule[LogicalPlan] {
         count(measure).as("cnt_e"),
         sum(measure).as("sum_e"),
         min(measure).as("min_e"),
-        max(measure).as("max_e"))
+        max(measure).as("max_e"),
+        min(col(tsCol)).as("ts_open"),
+        min_by(measure, col(tsCol)).as("open_e"),
+        max(col(tsCol)).as("ts_close"),
+        max_by(measure, col(tsCol)).as("close_e"))
 
   def install(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(RollupRewrite)) {
@@ -241,6 +252,12 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val needed = Seq("bucket_ts", "n", "sum_e", "min_e", "max_e") ++
       (if (realtime) Seq("cnt_e") else Nil) ++ spec.keyCols
     if (!needed.forall(byNameRollup.contains)) return None
+    // OHLC partials are optional (rollups materialized before they
+    // existed still serve the count/sum/min/max/avg family); when
+    // present they additionally serve min_by/max_by(measure, ts) and
+    // min/max(ts).
+    val ohlcCols = Seq("ts_open", "open_e", "ts_close", "close_e")
+    val hasOhlc = ohlcCols.forall(byNameRollup.contains)
 
     /** Real-time tail: the SAME five-partial rollup shape (buildRollup's
       * algebra — counts add, sums add, min/max nest) aggregated over ONLY
@@ -289,8 +306,18 @@ object RollupRewrite extends Rule[LogicalPlan] {
       // expression (cast shape included), re-rooted onto the tail scan;
       // the final aggregate then re-truncates to the query level exactly
       // as it does for rollup rows
-      val bucketE = TruncTimestamp(
-        Literal(spec.finerLevel), reroot(truncInner.get).getOrElse(return None), truncTz)
+      val tsE = reroot(truncInner.get).getOrElse(return None)
+      val bucketE = TruncTimestamp(Literal(spec.finerLevel), tsE, truncTz)
+      // OHLC tail partials use the query's own ts expression (cast shape
+      // included) so the union's ts_open/ts_close types line up with the
+      // registration-time rollup columns
+      val ohlcOutputs: Seq[NamedExpression] =
+        if (!hasOhlc) Nil
+        else Seq(
+          Alias(Min(tsE).toAggregateExpression(), "ts_open")(),
+          Alias(MinBy(m, tsE).toAggregateExpression(), "open_e")(),
+          Alias(Max(tsE).toAggregateExpression(), "ts_close")(),
+          Alias(MaxBy(m, tsE).toAggregateExpression(), "close_e")())
       val outputs: Seq[NamedExpression] =
         keyAttrs.map(a => a.asInstanceOf[NamedExpression]) ++ Seq(
           Alias(bucketE, "bucket_ts")(),
@@ -298,7 +325,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
           Alias(Count(Seq(m)).toAggregateExpression(), "cnt_e")(),
           Alias(Sum(m).toAggregateExpression(), "sum_e")(),
           Alias(Min(m).toAggregateExpression(), "min_e")(),
-          Alias(Max(m).toAggregateExpression(), "max_e")())
+          Alias(Max(m).toAggregateExpression(), "max_e")()) ++ ohlcOutputs
       Some(Aggregate((keyAttrs: Seq[Expression]) :+ bucketE, outputs, tailScan))
     }
 
@@ -307,7 +334,9 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val servePlan: LogicalPlan =
       if (exact) rollup
       else {
-        val order = spec.keyCols ++ Seq("bucket_ts", "n", "cnt_e", "sum_e", "min_e", "max_e")
+        val order = spec.keyCols ++
+          Seq("bucket_ts", "n", "cnt_e", "sum_e", "min_e", "max_e") ++
+          (if (hasOhlc) ohlcCols else Nil)
         val rollupProj =
           Project(order.map(c => byNameRollup(c).asInstanceOf[NamedExpression]), rollup)
         val tailAgg = buildTailAgg(files -- spec.rawFiles).getOrElse(return None)
@@ -327,6 +356,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
     def isMeasure(e: Expression): Boolean =
       canonical(deref(e, aliasMap)) == spec.measureSql
 
+    // the raw ts column (possibly behind the NTZ→TZ load cast) — the
+    // only ordering expression the OHLC partials decompose over
+    def isTsColumn(e: Expression): Boolean = deref(e, aliasMap) match {
+      case TsAttr(a) => a.name == spec.tsCol
+      case _ => false
+    }
+
     // Map one whole AggregateExpression to its rollup-served form — an
     // Expression, not just an AggregateFunction, because count and avg
     // need wrapping: count(lit) becomes coalesce(sum(n), 0) to preserve
@@ -339,6 +375,21 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case Sum(e, mode) if isMeasure(e) => Some(ae.copy(aggregateFunction = Sum(sumAttr, mode)))
       case Min(e) if isMeasure(e) => Some(ae.copy(aggregateFunction = Min(minAttr)))
       case Max(e) if isMeasure(e) => Some(ae.copy(aggregateFunction = Max(maxAttr)))
+      // Timescale first/last (candlestick open/close): min_by/max_by of
+      // the measure ordered by the raw ts decompose over the (argmin-ts,
+      // value) partials — buckets occupy disjoint time ranges, so the
+      // cross-bucket argmin is the bucket with the smallest ts_open.
+      // min/max of the ts itself nest the same way.
+      case MinBy(v, o) if hasOhlc && isMeasure(v) && isTsColumn(o) =>
+        Some(ae.copy(aggregateFunction = MinBy(rAttr("open_e"), rAttr("ts_open"))))
+      case MaxBy(v, o) if hasOhlc && isMeasure(v) && isTsColumn(o) =>
+        Some(ae.copy(aggregateFunction = MaxBy(rAttr("close_e"), rAttr("ts_close"))))
+      case Min(e) if hasOhlc && isTsColumn(e) &&
+          e.dataType == rAttr("ts_open").dataType =>
+        Some(ae.copy(aggregateFunction = Min(rAttr("ts_open"))))
+      case Max(e) if hasOhlc && isTsColumn(e) &&
+          e.dataType == rAttr("ts_close").dataType =>
+        Some(ae.copy(aggregateFunction = Max(rAttr("ts_close"))))
       case Average(e, _) if isMeasure(e) && byName.contains("cnt_e") &&
           !deref(e, aliasMap).dataType.isInstanceOf[DecimalType] =>
         // Timescale's real-time-aggregate decomposition: avg(measure) =

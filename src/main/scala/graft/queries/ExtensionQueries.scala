@@ -1310,6 +1310,50 @@ object ExtensionQueries {
       } finally RollupRewrite.clear()
     },
 
+    // Candlestick open/close THROUGH the transparent rewrite —
+    // Timescale's first()/last() served from a continuous aggregate: the
+    // daily min_by/max_by(measure, ts) and min/max(ts) over RAW events
+    // are answered from the hourly rollup's (argmin-ts, value) partials
+    // (buckets occupy disjoint time ranges, so cross-bucket argmin is
+    // the bucket with the smallest ts_open). Decomposition exactness
+    // rides on the corpus's per-(event_type, hour) ts uniqueness — the
+    // same pin the x_candlestick gate already relies on. Oracle:
+    // arg_min/arg_max over the raw table in DuckDB.
+    "x_rollup_ohlc" -> { (s, dir) =>
+      import graft.plans.RollupRewrite
+      RollupRewrite.clear()
+      try {
+        val raw = events(s, dir)
+        val m = floor(col("value") * 10000 + 0.5).cast("long")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ohlc-rollup").toString
+        RollupRewrite.buildRollup(raw, Seq("event_type"), "ts", m, "hour")
+          .write.mode("overwrite").parquet(tmp)
+        val rollup = s.read.parquet(tmp)
+        RollupRewrite.register("events_hourly_ohlc_gate", RollupRewrite.Spec(
+          raw.inputFiles.toSet, rollup.queryExecution.analyzed,
+          Seq("event_type"), "ts", "hour",
+          RollupRewrite.canonicalMeasure(raw, m)))
+        RollupRewrite.install(s)
+        val q = raw
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+          .agg(
+            min_by(m, col("ts")).as("open_e4"),
+            max_by(m, col("ts")).as("close_e4"),
+            unix_micros(min(col("ts"))).as("first_us"),
+            unix_micros(max(col("ts"))).as("last_us"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"), expr("unix_seconds(d)").as("day_s"),
+            col("open_e4"), col("close_e4"), col("first_us"), col("last_us"), col("n"))
+          .orderBy("event_type", "day_s")
+        require(q.queryExecution.executedPlan.toString
+          .contains(new java.io.File(tmp).getName),
+          "OHLC rollup rewrite did not fire for the gate query")
+        val out = java.nio.file.Files.createTempDirectory("graft-ohlc-out").toString
+        q.write.mode("overwrite").parquet(out)
+        s.read.parquet(out).orderBy("event_type", "day_s")
+      } finally RollupRewrite.clear()
+    },
+
     // Timescale saturating int32 arithmetic over deterministic full-range
     // operands (an LCG spread over the whole i32 domain, so add/sub/mul
     // genuinely overflow): clamp-at-bounds instead of wrap, _pos forms
@@ -2584,6 +2628,19 @@ object ExtensionQueries {
         |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
         |         / CAST(count(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
         |         * 1000000.0 + 0.5) AS BIGINT) AS avg_e4e6
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, day_s""".stripMargin,
+    "x_rollup_ohlc" ->
+      // raw-data oracle: DuckDB arg_min/arg_max — the engine reached the
+      // same numbers through the rollup's (argmin-ts, value) partials
+      """SELECT event_type,
+        |       CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+        |       arg_min(CAST(floor(value * 10000 + 0.5) AS BIGINT), ts) AS open_e4,
+        |       arg_max(CAST(floor(value * 10000 + 0.5) AS BIGINT), ts) AS close_e4,
+        |       epoch_us(min(ts)) AS first_us,
+        |       epoch_us(max(ts)) AS last_us,
+        |       count(*) AS n
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY event_type, day_s""".stripMargin,

@@ -277,6 +277,56 @@ class RollupRewriteSpec extends SparkSpec {
       "partitioned real-time union must equal the raw aggregate exactly")
   }
 
+  test("min_by/max_by (OHLC open/close) and min/max(ts) are served from the rollup") {
+    RollupRewrite.clear()
+    val raw = Tables.load(spark, sf0001, "events")
+    def ohlcAgg(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(
+        min_by(measure, col("ts")).as("open"),
+        max_by(measure, col("ts")).as("close"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n"))
+    val expected = ohlcAgg(raw).collect().toSet // registry empty → raw plan
+    val (raw2, dir) = registered()
+    val q = ohlcAgg(raw2)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains(new java.io.File(dir).getName),
+      s"OHLC rewrite did not fire:\n$physical")
+    assert(q.collect().toSet === expected,
+      "rollup-served open/close/first/last must equal the raw aggregate")
+    // ordering by anything other than the raw ts column must fall through
+    val unserved = raw2
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(min_by(measure, col("value")).as("open_by_value"))
+    assert(!unserved.queryExecution.executedPlan.toString
+      .contains(new java.io.File(dir).getName),
+      "min_by ordered by a non-ts column must not be served")
+    RollupRewrite.clear()
+  }
+
+  test("real-time: OHLC partials flow through the rollup UNION tail leg") {
+    val (rawAB, dir, tailFiles) = registeredRealtime(realtime = true)
+    assert(tailFiles.nonEmpty)
+    def ohlcAgg(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(
+        min_by(measure, col("ts")).as("open"),
+        max_by(measure, col("ts")).as("close"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+    val q = ohlcAgg(rawAB)
+    assert(q.queryExecution.executedPlan.toString
+      .contains(new java.io.File(dir).getName),
+      "real-time OHLC rewrite did not fire")
+    RollupRewrite.clear()
+    val expected = ohlcAgg(rawAB).collect().toSet
+    assert(expected.nonEmpty)
+    assert(q.collect().toSet === expected,
+      "real-time union open/close must equal the raw aggregate")
+  }
+
   test("real-time off (or no measureExpr): superset scans fall through to raw") {
     val (rawAB, dir, _) = registeredRealtime(realtime = false)
     val q = dailyAgg(rawAB)
