@@ -443,12 +443,20 @@ object CdcQueries {
           statePath, ckpt, Seq("rid"), payloadSchema, Trigger.AvailableNow())
         q.awaitTermination()
       }
-      CdcLog.append(log.where(col("event_id") <= c1), logPath); runOnce()
-      // chunk 2 re-delivers the last slice of chunk 1 — must be a no-op
-      CdcLog.append(
-        log.where(col("event_id") > c1 - 50 && col("event_id") <= c2), logPath)
-      runOnce()
-      CdcLog.append(log.where(col("event_id") > c2), logPath); runOnce()
+      // gate-scoped shuffle width: the three micro-batched runs pay
+      // per-partition task/state setup on every batch, and the
+      // ~60k-event fixture doesn't need 32-way shuffles (batch results
+      // are partitioning-independent; restored in finally)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        CdcLog.append(log.where(col("event_id") <= c1), logPath); runOnce()
+        // chunk 2 re-delivers the last slice of chunk 1 — must be a no-op
+        CdcLog.append(
+          log.where(col("event_id") > c1 - 50 && col("event_id") <= c2), logPath)
+        runOnce()
+        CdcLog.append(log.where(col("event_id") > c2), logPath); runOnce()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(statePath)
         .select(col("rid"), col("user_id"), col("cents"),
           col("valid_from_id"), col("valid_to_id"), col("is_current"))
@@ -480,15 +488,23 @@ object CdcQueries {
       val schema = ev.select(col("ts"), col("user_id"), col("event_id")).schema
       def stream(path: String) =
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
-      val joined = CdcStream.intervalJoin(
-        stream(s"$base/l"), stream(s"$base/r"),
-        keys = Seq("user_id"), tsCol = "ts", lookback = "4 hours", watermark = "90 days")
+      // gate-scoped shuffle width: the stream-stream join instantiates a
+      // state store per shuffle partition per micro-batch (6 batches
+      // here) — 8 wide is plenty for the sf0.1 corpus and cuts the
+      // per-batch state/task setup 4× (restored in finally)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
       val sinkName = "ivj_" + java.lang.Long.toHexString(System.nanoTime())
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName(sinkName)
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      try {
+        val joined = CdcStream.intervalJoin(
+          stream(s"$base/l"), stream(s"$base/r"),
+          keys = Seq("user_id"), tsCol = "ts", lookback = "4 hours", watermark = "90 days")
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(sinkName)
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(sinkName)
         .select(col("user_id"), col("event_id").as("l_id"), col("r_event_id").as("r_id"),
           unix_micros(col("ts")).as("l_ts_us"), unix_micros(col("r_ts")).as("r_ts_us"))
