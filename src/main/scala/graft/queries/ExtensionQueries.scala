@@ -1310,6 +1310,75 @@ object ExtensionQueries {
       } finally RollupRewrite.clear()
     },
 
+    // The FULL Timescale continuous-aggregate loop in one gate: a
+    // structured stream incrementally maintains the hourly rollup state
+    // table (CdcStream.rollupMaintain — replace-by-key upserts of the
+    // servable buildRollup schema), the drained state parquet registers
+    // directly with the optimizer rewrite, files appended AFTER the
+    // drain are answered by the real-time tail, and the daily raw-table
+    // query — count/sum/min/max AND first/last via the OHLC partials —
+    // must hash-match the DuckDB aggregate over ALL events. Maintenance
+    // by stream, serving by optimizer: materialized_only=false
+    // end-to-end.
+    "x_rollup_serve_stream" -> { (s, dir) =>
+      import graft.plans.RollupRewrite
+      import graft.streaming.CdcStream
+      import org.apache.spark.sql.streaming.Trigger
+      RollupRewrite.clear()
+      try {
+        val ev = events(s, dir).select("event_id", "ts", "event_type", "value")
+        val base = java.nio.file.Files.createTempDirectory("graft-caggserve").toString
+        val rawDir = s"$base/raw"
+        val m = floor(col("value") * 10000 + 0.5).cast("long")
+        ev.where(col("event_id") % 4 =!= 0).coalesce(2).write.parquet(rawDir)
+        val rawA = s.read.parquet(rawDir)
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        try {
+          val q = CdcStream.rollupMaintain(
+            s.readStream.schema(rawA.schema).parquet(rawDir),
+            "ts", "1 hour", "90 days", Seq("event_type"),
+            floor(col("value") * 10000 + 0.5).cast("long"),
+            s"$base/state", s"$base/ckpt", Trigger.AvailableNow())
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        val rollup = s.read.parquet(s"$base/state")
+        RollupRewrite.register("events_cagg_stream", RollupRewrite.Spec(
+          rawA.inputFiles.toSet, rollup.queryExecution.analyzed,
+          Seq("event_type"), "ts", "hour",
+          RollupRewrite.canonicalMeasure(rawA, m),
+          measureExpr = Some(RollupRewrite.resolvedMeasure(rawA, m))))
+        RollupRewrite.install(s)
+        ev.where(col("event_id") % 4 === 0).coalesce(1)
+          .write.mode("append").parquet(rawDir)
+        val rawAB = s.read.parquet(rawDir)
+        val q2 = rawAB
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+          .agg(
+            count(lit(1)).as("n"), sum(m).as("sum_e4"),
+            min(m).as("min_e4"), max(m).as("max_e4"),
+            min_by(m, col("ts")).as("open_e4"),
+            max_by(m, col("ts")).as("close_e4"))
+          .select(col("event_type"), expr("unix_seconds(d)").as("day_s"),
+            col("n"), col("sum_e4"), col("min_e4"), col("max_e4"),
+            col("open_e4"), col("close_e4"))
+          .orderBy("event_type", "day_s")
+        // the base temp name also appears in the raw/tail paths, so
+        // assert specifically that a scan of the STATE table is present
+        val servedFromState = q2.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if l.relation.asInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                .location.inputFiles.exists(_.contains(s"${new java.io.File(base).getName}/state")) => l
+        }
+        require(servedFromState.nonEmpty,
+          "stream-maintained rollup was not served by the rewrite")
+        val out = java.nio.file.Files.createTempDirectory("graft-caggserve-out").toString
+        q2.write.mode("overwrite").parquet(out)
+        s.read.parquet(out).orderBy("event_type", "day_s")
+      } finally RollupRewrite.clear()
+    },
+
     // Candlestick open/close THROUGH the transparent rewrite —
     // Timescale's first()/last() served from a continuous aggregate: the
     // daily min_by/max_by(measure, ts) and min/max(ts) over RAW events
@@ -2628,6 +2697,21 @@ object ExtensionQueries {
         |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
         |         / CAST(count(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
         |         * 1000000.0 + 0.5) AS BIGINT) AS avg_e4e6
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, day_s""".stripMargin,
+    "x_rollup_serve_stream" ->
+      // raw-data oracle over ALL events: the engine answered the same
+      // daily aggregate from a STREAM-maintained hourly rollup (slice A)
+      // union the real-time tail (slice B, appended after the drain)
+      """SELECT event_type,
+        |       CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e4,
+        |       min(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS min_e4,
+        |       max(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS max_e4,
+        |       arg_min(CAST(floor(value * 10000 + 0.5) AS BIGINT), ts) AS open_e4,
+        |       arg_max(CAST(floor(value * 10000 + 0.5) AS BIGINT), ts) AS close_e4
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY event_type, day_s""".stripMargin,

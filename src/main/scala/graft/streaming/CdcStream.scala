@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
 import graft.sink.JsonEnvelope
 import graft.views.EventViews
@@ -364,6 +364,77 @@ object CdcStream {
               // replace-by-key: survivors are rows whose key is NOT in
               // this batch (anti join on the rollup key), plus the batch
               current.join(changed, keys, "left_anti").unionByName(changed)
+            case None => changed
+          }
+          swapState(spark, statePath, next)
+        } finally { changed.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode("update")
+      .start()
+  }
+
+  /** Streaming-maintained SERVABLE rollup — the full Timescale
+    * continuous-aggregate loop: the stream incrementally upserts a state
+    * table whose schema IS [[graft.plans.RollupRewrite.buildRollup]]'s
+    * (keys…, bucket_ts, n, cnt_e, sum_e, min_e, max_e + the OHLC
+    * partials), so after a drain the state parquet registers directly
+    * with the optimizer rewrite: raw-table queries are then answered
+    * from the stream-maintained materialization, and files appended
+    * since the last drain are covered by the rewrite's real-time tail —
+    * `materialized_only = false` end-to-end.
+    *
+    * Upsert is replace-by-key on (keys…, bucket_ts): Spark's stateful
+    * window aggregation emits the FULL re-aggregate of every touched
+    * window each micro-batch (update mode), so replacing the row is
+    * exact — the same swap/anti-join machinery as
+    * [[continuousAggregate]], keyed by the bucket TIMESTAMP itself
+    * (µs-exact in parquet; stamped as its own key format).
+    *
+    * Scale shape: per trigger the batch touches O(batch windows) keys;
+    * the anti-join is keyed on the rollup key, and state I/O is one
+    * columnar swap of the rollup table (itself thousands of times
+    * smaller than the raw stream).
+    */
+  def rollupMaintain(
+      events: DataFrame,
+      tsCol: String,
+      width: String,
+      watermark: String,
+      keys: Seq[String],
+      measure: Column,
+      statePath: String,
+      checkpoint: String,
+      trigger: Trigger = DefaultTrigger
+  ): StreamingQuery = {
+    val agg = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width).as("w") +: keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        count(measure).as("cnt_e"),
+        sum(measure).as("sum_e"),
+        min(measure).as("min_e"),
+        max(measure).as("max_e"),
+        min(col(tsCol)).as("ts_open"),
+        min_by(measure, col(tsCol)).as("open_e"),
+        max(col(tsCol)).as("ts_close"),
+        max_by(measure, col(tsCol)).as("close_e"))
+      .select(col("w.start").as("bucket_ts") +: (keys.map(col) ++ Seq(
+        col("n"), col("cnt_e"), col("sum_e"), col("min_e"), col("max_e"),
+        col("ts_open"), col("open_e"), col("ts_close"), col("close_e"))): _*)
+    val upsertKeys = "bucket_ts" +: keys
+    agg.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        verifyStateKeyFormat(spark, statePath, "bucket_ts:timestamp_us:v1")
+        val changed = batch.toDF().cache()
+        try {
+          val next = readState(spark, statePath) match {
+            case Some(current) =>
+              current.join(changed, upsertKeys, "left_anti").unionByName(changed)
             case None => changed
           }
           swapState(spark, statePath, next)

@@ -225,6 +225,40 @@ class StreamingSpec extends SparkSpec {
     } finally { ev.unpersist(); () }
   }
 
+  test("rollupMaintain: stream-maintained state equals buildRollup across two drains") {
+    import graft.plans.RollupRewrite
+    import graft.streaming.CdcStream
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.load(spark, sf0001, "events")
+      .select("event_id", "ts", "event_type", "value")
+    val measure = floor($"value" * 10000 + 0.5).cast("long")
+    val base = tempDir("rollupmaint")
+    val dataDir = s"$base/d"; val statePath = s"$base/state"; val ckpt = s"$base/ckpt"
+    def drain(): Unit = {
+      val q = CdcStream.rollupMaintain(
+        spark.readStream.schema(ev.schema).parquet(dataDir),
+        "ts", "1 hour", "90 days", Seq("event_type"), measure,
+        statePath, ckpt, Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    // two appends, two drains — the second only touches windows the new
+    // slice lands in; replace-by-key must still converge to the batch
+    // rollup over everything
+    ev.where($"event_id" % 3 =!= 0).coalesce(1).write.mode("append").parquet(dataDir)
+    drain()
+    ev.where($"event_id" % 3 === 0).coalesce(1).write.mode("append").parquet(dataDir)
+    drain()
+    val state = spark.read.parquet(statePath)
+    val got = state.orderBy("event_type", "bucket_ts").collect().toSeq
+    val expected = RollupRewrite
+      .buildRollup(spark.read.parquet(dataDir), Seq("event_type"), "ts", measure, "hour")
+      .select(state.columns.map(col).toSeq: _*)
+      .orderBy("event_type", "bucket_ts").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === expected,
+      "incrementally maintained rollup must equal the one-shot batch rollup")
+  }
+
   test("continuous aggregate: mid-stream stop + checkpoint restart converges to the batch oracle") {
     val ev = Tables.load(spark, sf0001, "events").limit(600).cache()
     try {
