@@ -165,6 +165,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
     "minute" -> 1, "hour" -> 2, "day" -> 3, "week" -> 4,
     "month" -> 5, "quarter" -> 6, "year" -> 7)
 
+  /** Fixed microsecond widths of the servable rollup levels in UTC (no
+    * DST; a UTC day is always 86 400 s) — used to test whether a WHERE
+    * bound is aligned to a bucket boundary.
+    */
+  private val levelWidthUs = Map(
+    "minute" -> 60000000L, "hour" -> 3600000000L, "day" -> 86400000000L)
+
   private def serves(finer: String, coarser: String): Boolean =
     (levelRank.get(finer.toLowerCase), levelRank.get(coarser.toLowerCase)) match {
       case (Some(f), Some(c)) => f <= 3 && c >= f
@@ -187,17 +194,29 @@ object RollupRewrite extends Rule[LogicalPlan] {
     * parks `date_trunc` in exactly such a Project below the Aggregate).
     */
   private def unwrapScan(
-      plan: LogicalPlan): Option[(LogicalRelation, Map[ExprId, Expression])] = plan match {
-    case r: LogicalRelation => Some((r, Map.empty))
-    case SubqueryAlias(_, child) => unwrapScan(child)
-    case Project(projectList, child) =>
-      unwrapScan(child).map { case (r, inner) =>
-        val m = projectList.collect {
-          case a @ Alias(ac, _) => a.exprId -> deref(ac, inner)
-        }.toMap
-        (r, inner ++ m)
-      }
-    case _ => None
+      plan: LogicalPlan): Option[(LogicalRelation, Map[ExprId, Expression], Seq[Expression])] =
+    plan match {
+      case r: LogicalRelation => Some((r, Map.empty, Nil))
+      case SubqueryAlias(_, child) => unwrapScan(child)
+      case Project(projectList, child) =>
+        unwrapScan(child).map { case (r, inner, conds) =>
+          val m = projectList.collect {
+            case a @ Alias(ac, _) => a.exprId -> deref(ac, inner)
+          }.toMap
+          (r, inner ++ m, conds)
+        }
+      case Filter(cond, child) =>
+        // collect the pushed-down WHERE conjuncts; tryRewrite decides
+        // per-conjunct whether the rollup can answer them
+        unwrapScan(child).map { case (r, inner, conds) =>
+          (r, inner, conds ++ splitConjuncts(cond))
+        }
+      case _ => None
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
   }
 
   private def deref(e: Expression, m: Map[ExprId, Expression]): Expression =
@@ -211,7 +230,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(agg: Aggregate, spec: Spec): Option[LogicalPlan] = {
-    val (scan, aliasMap) = unwrapScan(agg.child).getOrElse(return None)
+    val (scan, aliasMap, whereConds) = unwrapScan(agg.child).getOrElse(return None)
     // Coverage contract per scan file-set:
     //   - EQUAL to the registered rawFiles → serve from the rollup alone.
     //   - STRICT SUPERSET and the spec allows real-time → serve from
@@ -258,6 +277,60 @@ object RollupRewrite extends Rule[LogicalPlan] {
     // min/max(ts).
     val ohlcCols = Seq("ts_open", "open_e", "ts_close", "close_e")
     val hasOhlc = ohlcCols.forall(byNameRollup.contains)
+
+    // ---- WHERE-clause serving (the dashboard shape: WHERE key = 'x'
+    // AND ts >= A AND ts < B GROUP BY day) --------------------------------
+    // A pushed-down conjunct is servable iff it can be re-expressed on
+    // the rollup:
+    //   - references only key columns → re-root by name (row-level and
+    //     bucket-level selection coincide because keys are group keys);
+    //   - IsNotNull(ts) (the guard pushdown inserts beside ts bounds) →
+    //     IsNotNull(bucket_ts): a null-ts row lands in a null bucket;
+    //   - half-open ts bounds `ts >= A` / `ts < B` whose literal is
+    //     aligned to the rollup's OWN bucket width in UTC → the same
+    //     bound on bucket_ts: at aligned boundaries, bucket membership
+    //     and row membership coincide exactly. `ts > A` / `ts <= B`
+    //     (boundary row excluded/included inside a bucket) are NOT
+    //     bucket-expressible and refuse.
+    // Any unservable conjunct refuses the whole rewrite — the raw plan
+    // stands.
+    // A servable ts bound, normalized for the bucket comparison: the
+    // optimizer's UnwrapCastInBinaryComparison folds the load's NTZ→TZ
+    // cast into the literal, leaving `ts_ntz >= <ntz literal>` — under
+    // the UTC guard an NTZ wall-µs and a TZ instant-µs coincide, so
+    // either flavor normalizes to the TimestampType literal bucket_ts
+    // needs. Alignment to the rollup's own bucket width is what makes
+    // bucket membership and row membership coincide at the bound.
+    def alignedBound(l: Literal): Option[Literal] = l.dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType =>
+        val ok = truncTz.forall(tz => tz == "UTC" || tz == "Etc/UTC" || tz == "Z") &&
+          l.value != null &&
+          levelWidthUs.get(spec.finerLevel.toLowerCase).exists { w =>
+            Math.floorMod(l.value.asInstanceOf[Long], w) == 0L
+          }
+        if (ok) Some(Literal(l.value, org.apache.spark.sql.types.TimestampType)) else None
+      case _ => None
+    }
+    def mapCondWith(c: Expression, attr: String => Attribute): Option[Expression] = {
+      val d = deref(c, aliasMap)
+      if (d.references.nonEmpty && d.references.forall(a => spec.keyCols.contains(a.name)))
+        Some(d.transform { case a: AttributeReference => attr(a.name) })
+      else d match {
+        case IsNotNull(TsAttr(a)) if a.name == spec.tsCol =>
+          Some(IsNotNull(attr("bucket_ts")))
+        case GreaterThanOrEqual(TsAttr(a), l: Literal) if a.name == spec.tsCol =>
+          alignedBound(l).map(nl => GreaterThanOrEqual(attr("bucket_ts"), nl))
+        case LessThanOrEqual(l: Literal, TsAttr(a)) if a.name == spec.tsCol =>
+          alignedBound(l).map(nl => GreaterThanOrEqual(attr("bucket_ts"), nl))
+        case LessThan(TsAttr(a), l: Literal) if a.name == spec.tsCol =>
+          alignedBound(l).map(nl => LessThan(attr("bucket_ts"), nl))
+        case GreaterThan(l: Literal, TsAttr(a)) if a.name == spec.tsCol =>
+          alignedBound(l).map(nl => LessThan(attr("bucket_ts"), nl))
+        case _ => None
+      }
+    }
+    if (whereConds.exists(c => mapCondWith(c, n => byNameRollup(n)).isEmpty)) return None
 
     /** Real-time tail: the SAME five-partial rollup shape (buildRollup's
       * algebra — counts add, sums add, min/max nest) aggregated over ONLY
@@ -326,7 +399,17 @@ object RollupRewrite extends Rule[LogicalPlan] {
           Alias(Sum(m).toAggregateExpression(), "sum_e")(),
           Alias(Min(m).toAggregateExpression(), "min_e")(),
           Alias(Max(m).toAggregateExpression(), "max_e")()) ++ ohlcOutputs
-      Some(Aggregate((keyAttrs: Seq[Expression]) :+ bucketE, outputs, tailScan))
+      // the query's WHERE applies to the tail at ROW level (the served
+      // bucket-level form above the union is exact too, but row-level
+      // filtering here reaches the parquet scan as a pushed filter)
+      val tailChild: LogicalPlan =
+        if (whereConds.isEmpty) tailScan
+        else {
+          val rerooted = whereConds.map(c =>
+            reroot(deref(c, aliasMap)).getOrElse(return None))
+          Filter(rerooted.reduce(And), tailScan)
+        }
+      Some(Aggregate((keyAttrs: Seq[Expression]) :+ bucketE, outputs, tailChild))
     }
 
     // The plan the final aggregate reads: the rollup alone (exact) or
@@ -446,7 +529,18 @@ object RollupRewrite extends Rule[LogicalPlan] {
       }
     }
 
-    Some(Aggregate(newGroupings, newAggExprs, servePlan))
+    // re-apply the WHERE on the serve side (bucket-level: keys re-rooted,
+    // aligned ts bounds become bucket_ts bounds) — for the real-time
+    // union this also prunes ROLLUP rows outside the range, which the
+    // tail's row-level filter cannot do
+    val filteredServe: LogicalPlan =
+      if (whereConds.isEmpty) servePlan
+      else {
+        val served = whereConds.map(c => mapCondWith(c, rAttr).getOrElse(return None))
+        Filter(served.reduce(And), servePlan)
+      }
+
+    Some(Aggregate(newGroupings, newAggExprs, filteredServe))
   }
 
   private def stripAlias(e: Expression): Expression = e match {

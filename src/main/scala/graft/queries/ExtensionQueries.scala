@@ -1310,6 +1310,48 @@ object ExtensionQueries {
       } finally RollupRewrite.clear()
     },
 
+    // The dashboard shape THROUGH the rewrite: WHERE key-filter AND
+    // bucket-aligned half-open ts range, GROUP BY day — served from the
+    // hourly rollup (key predicates re-root onto rollup keys; aligned
+    // bounds become bucket_ts bounds, exact because bucket membership
+    // and row membership coincide at aligned boundaries). Oracle runs
+    // the identical filtered aggregate on raw events in DuckDB.
+    "x_rollup_where" -> { (s, dir) =>
+      import graft.plans.RollupRewrite
+      RollupRewrite.clear()
+      try {
+        val raw = events(s, dir)
+        val m = floor(col("value") * 10000 + 0.5).cast("long")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-where-rollup").toString
+        RollupRewrite.buildRollup(raw, Seq("event_type"), "ts", m, "hour")
+          .write.mode("overwrite").parquet(tmp)
+        val rollup = s.read.parquet(tmp)
+        RollupRewrite.register("events_hourly_where_gate", RollupRewrite.Spec(
+          raw.inputFiles.toSet, rollup.queryExecution.analyzed,
+          Seq("event_type"), "ts", "hour",
+          RollupRewrite.canonicalMeasure(raw, m)))
+        RollupRewrite.install(s)
+        val q = raw
+          .where(col("event_type").isin("click", "view", "purchase") &&
+            col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-25 00:00:00").cast("timestamp"))
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+          .agg(
+            count(lit(1)).as("n"), sum(m).as("sum_e4"),
+            min(m).as("min_e4"), max(m).as("max_e4"),
+            min_by(m, col("ts")).as("open_e4"))
+          .select(col("event_type"), expr("unix_seconds(d)").as("day_s"),
+            col("n"), col("sum_e4"), col("min_e4"), col("max_e4"), col("open_e4"))
+          .orderBy("event_type", "day_s")
+        require(q.queryExecution.executedPlan.toString
+          .contains(new java.io.File(tmp).getName),
+          "WHERE-filtered rollup rewrite did not fire for the gate query")
+        val out = java.nio.file.Files.createTempDirectory("graft-where-out").toString
+        q.write.mode("overwrite").parquet(out)
+        s.read.parquet(out).orderBy("event_type", "day_s")
+      } finally RollupRewrite.clear()
+    },
+
     // The FULL Timescale continuous-aggregate loop in one gate: a
     // structured stream incrementally maintains the hourly rollup state
     // table (CdcStream.rollupMaintain — replace-by-key upserts of the
@@ -2698,6 +2740,22 @@ object ExtensionQueries {
         |         / CAST(count(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
         |         * 1000000.0 + 0.5) AS BIGINT) AS avg_e4e6
         |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, day_s""".stripMargin,
+    "x_rollup_where" ->
+      // identical filtered aggregate over raw events — the engine
+      // answered it from the rollup with bucket_ts-mapped bounds
+      """SELECT event_type,
+        |       CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e4,
+        |       min(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS min_e4,
+        |       max(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS max_e4,
+        |       arg_min(CAST(floor(value * 10000 + 0.5) AS BIGINT), ts) AS open_e4
+        |FROM events
+        |WHERE event_type IN ('click', 'view', 'purchase')
+        |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-25 00:00:00'
         |GROUP BY 1, 2
         |ORDER BY event_type, day_s""".stripMargin,
     "x_rollup_serve_stream" ->

@@ -327,6 +327,72 @@ class RollupRewriteSpec extends SparkSpec {
       "real-time union open/close must equal the raw aggregate")
   }
 
+  test("WHERE on keys and bucket-aligned ts ranges is served; unaligned bounds refuse") {
+    RollupRewrite.clear()
+    val raw = Tables.load(spark, sf0001, "events")
+    def filteredAgg(df: DataFrame): DataFrame = df
+      .where(col("event_type") =!= "error" &&
+        col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-22 00:00:00").cast("timestamp"))
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(measure).as("s"),
+        min_by(measure, col("ts")).as("open"))
+    val expected = filteredAgg(raw).collect().toSet // registry empty → raw
+    val (raw2, dir) = registered()
+    val q = filteredAgg(raw2)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains(new java.io.File(dir).getName),
+      s"filtered rewrite did not fire:\n$physical")
+    assert(!physical.contains("events.parquet"),
+      "served filtered plan must not scan the raw events file")
+    assert(q.collect().toSet === expected,
+      "filtered rollup-served results must equal the raw aggregate")
+    // boundaries NOT aligned to the hourly rollup bucket → refuse
+    val unaligned = raw2
+      .where(col("ts") >= lit("2024-01-08 00:30:00").cast("timestamp"))
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    assert(!unaligned.queryExecution.executedPlan.toString
+      .contains(new java.io.File(dir).getName),
+      "a half-hour bound cannot be served from an hourly rollup")
+    // closed upper bound includes a mid-bucket row → refuse
+    val closedUpper = raw2
+      .where(col("ts") <= lit("2024-01-22 00:00:00").cast("timestamp"))
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    assert(!closedUpper.queryExecution.executedPlan.toString
+      .contains(new java.io.File(dir).getName),
+      "ts <= B is not bucket-expressible and must fall through")
+    // filter on a non-key, non-ts column → refuse
+    val nonKey = raw2
+      .where(col("value") > 500.0)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    assert(!nonKey.queryExecution.executedPlan.toString
+      .contains(new java.io.File(dir).getName),
+      "a measure-column filter must fall through to raw")
+    RollupRewrite.clear()
+  }
+
+  test("real-time: WHERE-filtered queries flow through rollup UNION tail exactly") {
+    val (rawAB, dir, tailFiles) = registeredRealtime(realtime = true)
+    assert(tailFiles.nonEmpty)
+    def filteredAgg(df: DataFrame): DataFrame = df
+      .where(col("event_type").isin("click", "view") &&
+        col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp"))
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(measure).as("s"), avg(measure).as("a"))
+    val q = filteredAgg(rawAB)
+    assert(q.queryExecution.executedPlan.toString
+      .contains(new java.io.File(dir).getName),
+      "real-time filtered rewrite did not fire")
+    RollupRewrite.clear()
+    val expected = filteredAgg(rawAB).collect().toSet
+    assert(expected.nonEmpty)
+    assert(q.collect().toSet === expected,
+      "real-time filtered union must equal the raw aggregate")
+  }
+
   test("real-time off (or no measureExpr): superset scans fall through to raw") {
     val (rawAB, dir, _) = registeredRealtime(realtime = false)
     val q = dailyAgg(rawAB)
