@@ -78,6 +78,128 @@ object TsAnalytics {
       )
   }
 
+  /** Per-(key, bucket) counter rollup — Timescale `counter_agg` over
+    * `time_bucket` with BOTH accessor flavors: the in-bucket `delta`
+    * (last-in-bucket − first-in-bucket on the reset-adjusted counter,
+    * points inside the bucket only) and the `interpolated_delta` /
+    * `interpolated_rate` pair (counter linearly interpolated at the
+    * bucket edges using the neighboring readings — the Prometheus `rate`
+    * semantics, so adjacent buckets partition the total increase with no
+    * double-counting at edges).
+    *
+    * Construction: one key-partitioned window computes the monotone
+    * reset-adjusted counter `adj = v + Σ prior-reset carry` (e4
+    * fixed-point longs — a decrease means reset, and the pre-reset
+    * reading is carried forward, [[counterAgg]]'s rule). Each
+    * consecutive-reading segment then SPLITS across the buckets it spans
+    * ([[timeWeightedBucketed]]'s explode): a segment with increase Δ and
+    * length L contributes `Δ·overlap div L` to each covered bucket —
+    * exact integer arithmetic (each term truncates at most one e-4 unit,
+    * the documented quantum), so the per-bucket sums are shuffle-order
+    * independent and oracle-exact. Interior edge contributions telescope
+    * to the interpolated edge difference. Overflow contract: Δ·overlap
+    * must fit int64 — with e4 values ≤ 1e7 that allows per-key reading
+    * gaps up to ~10 days; quantize coarser for sparser series.
+    *
+    * Output per (key, bucket_s): `n_points`/`n_resets` (readings and
+    * resets inside the bucket), `delta_in_e4` (in-bucket increase, null
+    * when the bucket has no point), `covered_us` (observed-span overlap),
+    * `delta_interp_e4`, and `rate_per_s` (interpolated increase over
+    * covered time). Buckets a long segment spans with NO interior
+    * readings still appear (n_points = 0) — the gap-bucket rows
+    * Prometheus-style dashboards expect.
+    *
+    * Plan shape — ONE pass, ONE exchange, NO join: each reading emits its
+    * own point marker AND its outgoing segment's covered-bucket entries
+    * from a single `explode(concat(point, segment-buckets))`, so the
+    * in-bucket accessors (conditional count / `max_by` over the point
+    * rows — null ordering keys are ignored, exactly `max(y)`'s null rule)
+    * and the interpolated sums land in the SAME (key, bucket) hash
+    * aggregate, which reuses the window's key partitioning. The
+    * two-aggregate ⟗-join alternative costs two extra full-key exchanges
+    * (`requireAllClusterKeysForCoPartition`) and a second window pass —
+    * measured, not guessed (PlanSpec pins ≤ 1 hash exchange here).
+    */
+  def counterAggBucketed(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      counterCol: String,
+      bucketSeconds: Long
+  ): DataFrame = {
+    require(bucketSeconds > 0, "bucket width must be positive")
+    val w = bucketSeconds * 1000000L
+    val k = keys.map(col)
+    val win = Window.partitionBy(k: _*).orderBy(col("__us"))
+    val cum = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = df
+      .where(col(counterCol).isNotNull)
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__v4", floor(col(counterCol) * 10000 + 0.5).cast(LongType))
+      .withColumn("__prev", lag(col("__v4"), 1).over(win))
+      .withColumn(
+        "__radd",
+        when(col("__v4") < col("__prev"), col("__prev")).otherwise(lit(0L))
+      )
+      .withColumn("__adj", col("__v4") + sum(col("__radd")).over(cum))
+      // second window stage, same partitioning and order — no new
+      // exchange, no re-sort; lead(adj) can't join the first stage
+      // because adj itself is a window result there
+      .withColumn("__nxt", lead(col("__us"), 1).over(win))
+      .withColumn("__nadj", lead(col("__adj"), 1).over(win))
+      .withColumn("__dd", col("__nadj") - col("__adj"))
+      .withColumn("__len", col("__nxt") - col("__us"))
+    // one row per reading (kind 'p') plus one per covered bucket of its
+    // outgoing segment (kind 's'); keys with no successor contribute the
+    // point alone (coalesce — concat(x, NULL) is NULL, not x)
+    val entries = pts
+      .withColumn(
+        "__e",
+        explode(
+          concat(
+            array(struct(lit("p").as("k"), expr(s"__us div ${w}L").as("b"))),
+            coalesce(
+              when(
+                col("__nxt") > col("__us"),
+                transform(
+                  sequence(expr(s"__us div ${w}L"), expr(s"(__nxt - 1) div ${w}L")),
+                  bb => struct(lit("s").as("k"), bb.as("b"))
+                )
+              ),
+              array().cast("array<struct<k:string,b:bigint>>")
+            )
+          )
+        )
+      )
+      .withColumn("__b", col("__e.b"))
+    val isP = col("__e.k") === "p"
+    val ov = when(
+      !isP,
+      least(col("__nxt"), (col("__b") + 1) * w) - greatest(col("__us"), col("__b") * w)
+    )
+    entries
+      .withColumn("__ov", ov)
+      .groupBy(k :+ col("__b"): _*)
+      .agg(
+        count(when(isP, lit(1))).as("n_points"),
+        count(when(isP && col("__radd") > 0, lit(1))).as("n_resets"),
+        (expr("max_by(CASE WHEN __e.k = 'p' THEN __adj END, CASE WHEN __e.k = 'p' THEN __us END)")
+          - expr("min_by(CASE WHEN __e.k = 'p' THEN __adj END, CASE WHEN __e.k = 'p' THEN __us END)"))
+          .as("delta_in_e4"),
+        sum(col("__ov")).as("covered_us"),
+        sum(expr("(__dd * __ov) div __len")).as("delta_interp_e4")
+      )
+      .withColumn("bucket_s", col("__b") * bucketSeconds)
+      .withColumn(
+        "rate_per_s",
+        when(
+          col("covered_us").isNotNull && col("covered_us") > 0,
+          col("delta_interp_e4").cast(DoubleType) / col("covered_us").cast(DoubleType) * 100.0
+        )
+      )
+      .drop("__b")
+  }
+
   /** Per-key gauge rollup — Timescale `gauge_agg` + accessors
     * (`delta`/`idelta_right`/`irate_right`): unlike [[counterAgg]] a gauge
     * may move freely in both directions, so there is no reset logic —
@@ -196,6 +318,83 @@ object TsAnalytics {
         )
       )
       .drop("__sxx", "__sxy", "__syy")
+  }
+
+  /** Per-key one-dimensional statistical rollup — Timescale
+    * `stats_agg(value)` + its accessor family `average`/`stddev`/
+    * `variance`/`skewness`/`kurtosis`/`sum`/`num_vals` (the 1-D sibling
+    * of [[statsRegr]]'s 2-D form).
+    *
+    * Fixed-point contract: y = value quantized to 1e-4 (long), and the
+    * five raw power sums `n, Σy, Σy², Σy³, Σy⁴` are exact integer sums —
+    * Σy and Σy² as longs, Σy³ and Σy⁴ as DECIMAL(38,0) (y ≤ ~1e7 on the
+    * corpus, so y⁴ ≤ ~1e28 and a million-row key stays under the 38-digit
+    * cap; DuckDB mirrors with HUGEINT). The derived moments come from ONE
+    * fixed double expression tree evaluated on those exact integers —
+    * both engines perform the identical IEEE operation sequence, so the
+    * doubles match bitwise and `floor(x·1e6 + 0.5)` fixed-point hashing
+    * is stable (decimal `round` is NOT — the statsRegr r8 lesson).
+    *
+    * Accessor definitions (population moments, matching Timescale's
+    * `method => 'population'`): m2 = Σy²/n − ȳ², m3/m4 by the binomial
+    * expansion around ȳ; `skewness = m3/m2^{3/2}`,
+    * `kurtosis = m4/m2²` (Pearson, NOT excess — Timescale's choice),
+    * `stddev = √m2`, all divided back to value units by the e4 scale.
+    * Sample stddev uses the n−1 denominator. Null when the moment is
+    * undefined (n < 2 for stddev, m2 = 0 for skew/kurtosis).
+    *
+    * One map-side-combinable hash aggregate — no window at all: the
+    * partial states are five numbers per key, so at 100 TB this is a
+    * single scan with a tiny shuffle (the mergeable-summaries property
+    * Timescale's `rollup(stats_agg)` relies on; re-aggregating these
+    * sums IS that rollup).
+    */
+  def statsAgg1d(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String
+  ): DataFrame = {
+    val k = keys.map(col)
+    // y as long for the int64-safe sums; y as DECIMAL(10,0) for the cubes
+    // and 4th powers (decimal multiply widens: 10→21→32→38 digits, so the
+    // product chain never overflows before the exact decimal sum).
+    val pts = df
+      .where(col(valueCol).isNotNull)
+      .withColumn("__y", floor(col(valueCol) * 10000 + 0.5).cast(LongType))
+      .withColumn("__yd", col("__y").cast("decimal(10,0)"))
+    val d = (c: String) => col(c).cast(DoubleType)
+    val agg = pts
+      .groupBy(k: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__y")).as("sum_y"),
+        sum(col("__y") * col("__y")).as("sum_y2"),
+        sum(col("__yd") * col("__yd") * col("__yd")).as("__s3"),
+        sum(col("__yd") * col("__yd") * col("__yd") * col("__yd")).as("__s4")
+      )
+      .withColumn("sum_y3", col("__s3").cast("decimal(38,0)"))
+      .withColumn("sum_y4", col("__s4").cast("decimal(38,0)"))
+      .drop("__s3", "__s4")
+    // One fixed double tree over the exact integers. Divisions by n happen
+    // FIRST (sum/n), keeping magnitudes near the data scale — the same
+    // operation order is spelled out in the DuckDB oracle.
+    val n = d("n")
+    val mean = d("sum_y") / n
+    val m2 = d("sum_y2") / n - mean * mean
+    val m3 = d("sum_y3") / n - lit(3.0) * mean * (d("sum_y2") / n) +
+      lit(2.0) * mean * mean * mean
+    val m4 = d("sum_y4") / n - lit(4.0) * mean * (d("sum_y3") / n) +
+      lit(6.0) * mean * mean * (d("sum_y2") / n) -
+      lit(3.0) * mean * mean * mean * mean
+    agg
+      .withColumn("average", mean / 10000.0)
+      .withColumn("stddev_pop", when(col("n") >= 1 && m2 >= 0, sqrt(m2) / 10000.0))
+      .withColumn(
+        "stddev_samp",
+        when(col("n") >= 2, sqrt((d("sum_y2") - d("sum_y") * mean) / (n - 1.0)) / 10000.0)
+      )
+      .withColumn("skewness", when(m2 > 0, m3 / sqrt(m2 * m2 * m2)))
+      .withColumn("kurtosis", when(m2 > 0, m4 / (m2 * m2)))
   }
 
   /** Per-key state-duration rollup — Timescale `state_agg`/

@@ -1119,6 +1119,43 @@ object ExtensionQueries {
         .orderBy("user_id")
     },
 
+    // Timescale counter_agg per time_bucket with both accessor flavors:
+    // in-bucket delta (arg_min/arg_max of the reset-adjusted counter) and
+    // interpolated delta/rate (segment increase apportioned to covered
+    // buckets by exact integer `Δ·overlap div len` terms — truncation is
+    // the defined e-4 quantum, so the sums are shuffle-order independent).
+    "x_counter_bucketed" -> { (s, dir) =>
+      val e6 = (c: String) =>
+        floor(col(c) * 1000000.0 + 0.5).cast("long").as(c + "_e6")
+      graft.operators.TsAnalytics
+        .counterAggBucketed(events(s, dir), Seq("user_id"), "ts", "value", 3600L)
+        .select(
+          col("user_id"), col("bucket_s"), col("n_points"), col("n_resets"),
+          col("delta_in_e4"), col("covered_us"), col("delta_interp_e4"),
+          e6("rate_per_s"))
+        .orderBy("user_id", "bucket_s")
+    },
+
+    // Timescale stats_agg(value) 1-D accessor family: the five exact
+    // integer power sums anchor the hash (Σy³/Σy⁴ as DECIMAL(38,0),
+    // stringified so the 28-digit integers compare textually — doubles
+    // would be exact-cast-identical but decimals hash engine-dependently);
+    // average/stddev/skewness/kurtosis re-derive through one fixed IEEE
+    // tree on both engines and gate as e6 fixed-point longs.
+    "x_stats_1d" -> { (s, dir) =>
+      val e6 = (c: String) =>
+        floor(col(c) * 1000000.0 + 0.5).cast("long").as(c + "_e6")
+      graft.operators.TsAnalytics
+        .statsAgg1d(events(s, dir), Seq("user_id"), "value")
+        .select(
+          col("user_id"), col("n"), col("sum_y"), col("sum_y2"),
+          col("sum_y3").cast("string").as("sum_y3_str"),
+          col("sum_y4").cast("string").as("sum_y4_str"),
+          e6("average"), e6("stddev_pop"), e6("stddev_samp"),
+          e6("skewness"), e6("kurtosis"))
+        .orderBy("user_id")
+    },
+
     // Timescale state_agg/duration_in over the event_type state machine:
     // LOCF holding times (exact ms longs), entry transitions counted once
     // per run.
@@ -2656,6 +2693,109 @@ object ExtensionQueries {
         |            THEN CAST(floor(sxy / sqrt(sxx) / sqrt(syy)
         |              * 1000000.0 + 0.5) AS BIGINT) END AS corr_e6
         |FROM dv ORDER BY user_id""".stripMargin,
+    // identical reset-adjusted cumulative counter, identical in-bucket
+    // arg picks and segment-split integer terms (// mirrors Spark's div on
+    // the non-negative operands), identical single rate division
+    "x_counter_bucketed" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+        |  FROM events WHERE value IS NOT NULL
+        |), l AS (
+        |  SELECT *, lag(v4) OVER (PARTITION BY user_id ORDER BY us) AS prev
+        |  FROM p
+        |), r AS (
+        |  SELECT *, CASE WHEN v4 < prev THEN prev ELSE 0 END AS radd FROM l
+        |), a AS (
+        |  SELECT *, v4 + sum(radd) OVER (PARTITION BY user_id ORDER BY us
+        |                                 ROWS UNBOUNDED PRECEDING) AS adj
+        |  FROM r
+        |), inb AS (
+        |  SELECT user_id, us // 3600000000 AS b, count(*) AS n_points,
+        |         count(CASE WHEN radd > 0 THEN 1 END) AS n_resets,
+        |         arg_max(adj, us) - arg_min(adj, us) AS delta_in_e4
+        |  FROM a GROUP BY user_id, us // 3600000000
+        |), seg AS (
+        |  SELECT user_id, us, adj,
+        |         lead(us)  OVER (PARTITION BY user_id ORDER BY us) AS nxt,
+        |         lead(adj) OVER (PARTITION BY user_id ORDER BY us) AS nadj
+        |  FROM a
+        |), sp AS (
+        |  SELECT user_id, us, nxt, nadj - adj AS dd, nxt - us AS len, gs.b
+        |  FROM seg, LATERAL (
+        |    SELECT unnest(generate_series(us // 3600000000,
+        |                                  (nxt - 1) // 3600000000)) AS b
+        |  ) gs
+        |  WHERE nxt > us
+        |), itp AS (
+        |  SELECT user_id, b,
+        |         CAST(sum(least(nxt, (b + 1) * 3600000000)
+        |               - greatest(us, b * 3600000000)) AS BIGINT) AS covered_us,
+        |         CAST(sum((dd * (least(nxt, (b + 1) * 3600000000)
+        |               - greatest(us, b * 3600000000))) // len) AS BIGINT)
+        |           AS delta_interp_e4
+        |  FROM sp GROUP BY user_id, b
+        |)
+        |SELECT coalesce(inb.user_id, itp.user_id) AS user_id,
+        |       coalesce(inb.b, itp.b) * 3600 AS bucket_s,
+        |       coalesce(n_points, 0) AS n_points,
+        |       coalesce(n_resets, 0) AS n_resets,
+        |       delta_in_e4, covered_us, delta_interp_e4,
+        |       CASE WHEN covered_us IS NOT NULL AND covered_us > 0
+        |            THEN CAST(floor(CAST(delta_interp_e4 AS DOUBLE)
+        |                   / CAST(covered_us AS DOUBLE) * 100.0
+        |                   * 1000000.0 + 0.5) AS BIGINT) END AS rate_per_s_e6
+        |FROM inb FULL JOIN itp
+        |  ON inb.user_id = itp.user_id AND inb.b = itp.b
+        |ORDER BY user_id, bucket_s""".stripMargin,
+    // identical exact integer power sums (Σy³/Σy⁴ via HUGEINT, stringified),
+    // identical single double tree for the derived moments — divisions by n
+    // first, left-associative products, same operand order as the Spark tree
+    "x_stats_1d" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(floor(value * 10000 + 0.5) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT user_id, count(*) AS n,
+        |         CAST(sum(y) AS BIGINT) AS sum_y,
+        |         CAST(sum(y * y) AS BIGINT) AS sum_y2,
+        |         sum(CAST(y AS HUGEINT) * y * y) AS s3,
+        |         sum(CAST(y AS HUGEINT) * y * y * y) AS s4
+        |  FROM p GROUP BY user_id
+        |), dv AS (
+        |  SELECT *,
+        |         CAST(n AS DOUBLE) AS nd,
+        |         CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |         CAST(sum_y2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        |  FROM g
+        |), m AS (
+        |  SELECT *,
+        |         r2 - mean * mean AS m2,
+        |         r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+        |         r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+        |            - 3.0 * mean * mean * mean * mean AS m4
+        |  FROM dv
+        |)
+        |SELECT user_id, n, sum_y, sum_y2,
+        |       CAST(s3 AS VARCHAR) AS sum_y3_str,
+        |       CAST(s4 AS VARCHAR) AS sum_y4_str,
+        |       CAST(floor(mean / 10000.0 * 1000000.0 + 0.5) AS BIGINT) AS average_e6,
+        |       CASE WHEN n >= 1 AND m2 >= 0
+        |            THEN CAST(floor(sqrt(m2) / 10000.0 * 1000000.0 + 0.5) AS BIGINT)
+        |            END AS stddev_pop_e6,
+        |       CASE WHEN n >= 2
+        |            THEN CAST(floor(sqrt((CAST(sum_y2 AS DOUBLE) - CAST(sum_y AS DOUBLE) * mean)
+        |                   / (nd - 1.0)) / 10000.0 * 1000000.0 + 0.5) AS BIGINT)
+        |            END AS stddev_samp_e6,
+        |       CASE WHEN m2 > 0
+        |            THEN CAST(floor(m3 / sqrt(m2 * m2 * m2) * 1000000.0 + 0.5) AS BIGINT)
+        |            END AS skewness_e6,
+        |       CASE WHEN m2 > 0
+        |            THEN CAST(floor(m4 / (m2 * m2) * 1000000.0 + 0.5) AS BIGINT)
+        |            END AS kurtosis_e6
+        |FROM m ORDER BY user_id""".stripMargin,
     // identical LOCF holding-time window (µs truncate to ms per segment),
     // identical run-entry detection via lag
     "x_state_agg" ->

@@ -111,6 +111,18 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian/nested-loop joins in: $offenders")
   }
 
+  test("bucketed counter is one pass: single key exchange, no self-join") {
+    // point markers and segment-bucket entries come out of ONE explode and
+    // land in ONE (user_id, bucket) hash aggregate that reuses the window's
+    // user_id partitioning. The two-aggregate full-outer-join formulation
+    // costs two extra full-key exchanges (requireAllClusterKeysForCoPartition)
+    // plus a second scan+window pass — this pin is what caught it.
+    val p = plan("x_counter_bucketed")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected ≤1 hash exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"self-join crept back into the bucketed counter:\n$p")
+  }
+
   test("range join plans as an equi-join on (key, bucket) — never a nested loop") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)

@@ -26,6 +26,45 @@ class TsAnalyticsSpec extends SparkSpec {
     assert(out.getAs[Double]("rate_per_s") === 0.8)
   }
 
+  test("counterAggBucketed: segment increase splits across bucket edges, resets carry") {
+    // 10 s buckets. 5.0@0s → 8.0@15s: Δ = 30000 e4 over 15 s, bucket 0
+    // gets 10/15 (= 20000), bucket 1 gets 5/15 (= 10000). Then a reset
+    // 8.0 → 2.0@20s: carry 80000, adjusted Δ = 20000 inside bucket 1's
+    // [15,20) remainder; the reset reading itself lands in bucket 2.
+    val df = series(Seq((1L, 0L, 5.0), (1L, 15L, 8.0), (1L, 20L, 2.0)))
+    val out = TsAnalytics
+      .counterAggBucketed(df, Seq("user_id"), "ts", "value", 10L)
+      .collect().map(r => r.getAs[Long]("bucket_s") -> r).toMap
+    assert(out.keySet === Set(0L, 10L, 20L))
+    assert(out(0L).getAs[Long]("n_points") === 1L)
+    assert(out(0L).getAs[Long]("covered_us") === 10000000L)
+    assert(out(0L).getAs[Long]("delta_interp_e4") === 20000L)
+    assert(out(0L).getAs[Double]("rate_per_s") === 0.2)
+    assert(out(10L).getAs[Long]("covered_us") === 10000000L)
+    assert(out(10L).getAs[Long]("delta_interp_e4") === 10000L + 20000L)
+    assert(out(10L).getAs[Long]("delta_in_e4") === 0L) // single interior point
+    assert(out(20L).getAs[Long]("n_resets") === 1L)
+    assert(out(20L).isNullAt(out(20L).fieldIndex("covered_us"))) // no outgoing segment
+    assert(out(20L).isNullAt(out(20L).fieldIndex("rate_per_s")))
+  }
+
+  test("counterAggBucketed: gap buckets spanned by one segment appear with n_points 0") {
+    // one segment 0s → 35s over 10 s buckets: buckets 1 and 2 have no
+    // readings but carry their apportioned share of the increase
+    val df = series(Seq((1L, 0L, 0.0), (1L, 35L, 7.0)))
+    val out = TsAnalytics
+      .counterAggBucketed(df, Seq("user_id"), "ts", "value", 10L)
+      .collect().map(r => r.getAs[Long]("bucket_s") -> r).toMap
+    assert(out.keySet === Set(0L, 10L, 20L, 30L))
+    assert(out(10L).getAs[Long]("n_points") === 0L)
+    assert(out(10L).getAs[Long]("delta_interp_e4") === 20000L) // 70000·10/35
+    assert(out(30L).getAs[Long]("n_points") === 1L)
+    assert(out(30L).getAs[Long]("covered_us") === 5000000L)
+    // total increase is conserved across the split (truncation ≤ 1 e-4/term)
+    assert(out.values.map(r => Option(r.getAs[Any]("delta_interp_e4"))
+      .fold(0L)(_.asInstanceOf[Long])).sum === 70000L)
+  }
+
   test("counterAgg: single-point key has zero delta and null rate") {
     val out = TsAnalytics.counterAgg(series(Seq((7L, 5L, 42.0))), Seq("user_id"), "ts", "value")
       .collect().head
@@ -142,6 +181,36 @@ class TsAnalyticsSpec extends SparkSpec {
     assert(out.getAs[Double]("slope") === 2.0)
     assert(out.getAs[Double]("intercept") === 3.0)
     assert(out.getAs[Double]("corr") === 1.0)
+  }
+
+  test("statsAgg1d: exact power sums and population moments on a known set") {
+    // values 1,2,3,4 → mean 2.5, pop var 1.25, skew 0, Pearson kurtosis
+    // m4/m2² = 2.5625/1.5625 = 1.64, sample stddev √(5/3)
+    val df = series(Seq((1L, 0L, 1.0), (1L, 10L, 2.0), (1L, 20L, 3.0), (1L, 30L, 4.0)))
+    val out = TsAnalytics.statsAgg1d(df, Seq("user_id"), "value").collect().head
+    assert(out.getAs[Long]("n") === 4L)
+    assert(out.getAs[Long]("sum_y") === 100000L)
+    assert(out.getAs[Long]("sum_y2") === (1L + 4 + 9 + 16) * 100000000L)
+    assert(out.getAs[java.math.BigDecimal]("sum_y3").longValueExact() ===
+      (1L + 8 + 27 + 64) * 1000000000000L)
+    assert(out.getAs[java.math.BigDecimal]("sum_y4").longValueExact() ===
+      (1L + 16 + 81 + 256) * 10000000000000000L)
+    assert(out.getAs[Double]("average") === 2.5)
+    assert(math.abs(out.getAs[Double]("stddev_pop") - math.sqrt(1.25)) < 1e-9)
+    assert(math.abs(out.getAs[Double]("stddev_samp") - math.sqrt(5.0 / 3.0)) < 1e-9)
+    assert(math.abs(out.getAs[Double]("skewness")) < 1e-9)
+    assert(math.abs(out.getAs[Double]("kurtosis") - 1.64) < 1e-9)
+  }
+
+  test("statsAgg1d: constant series → zero spread, null skew/kurtosis (not NaN)") {
+    val df = series(Seq((1L, 0L, 7.0), (1L, 10L, 7.0), (2L, 0L, 9.0)))
+    val out = TsAnalytics.statsAgg1d(df, Seq("user_id"), "value")
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Double]("stddev_pop") === 0.0)
+    assert(out(1L).isNullAt(out(1L).fieldIndex("skewness")))
+    assert(out(1L).isNullAt(out(1L).fieldIndex("kurtosis")))
+    assert(out(2L).getAs[Double]("average") === 9.0)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("stddev_samp")))
   }
 
   test("statsRegr: degenerate keys yield null slope/corr, not NaN") {
