@@ -164,7 +164,16 @@ object StressBench {
       Dedup.duplicateComponents(pairs).count()
     }),
     "embedding_lsh" -> (() =>
-      Dedup.embeddingNearDupPairsLsh(embs, "vec_id", "embedding", 0.9).count())
+      Dedup.embeddingNearDupPairsLsh(embs, "vec_id", "embedding", 0.9).count()),
+    "semantic_dedup" -> (() => {
+      // the documented scale dial in action: cells grow with the corpus
+      // (target ~1k vectors/cell), so the within-cell pair stage stays
+      // ~n·1000 instead of n²/constant
+      val n = embs.count()
+      val k = math.max(64L, n / 1000L).toInt
+      Dedup.semanticDedup(embs, "vec_id", "embedding", k, 0.9)
+        .where(!col("kept")).count()
+    })
   )
 
   /** Time-series family over the expanded events corpus — the custom

@@ -573,6 +573,84 @@ object Dedup {
 
   // ---- embedding cosine near-dup ------------------------------------------
 
+  /** SemDeDup — semantic deduplication by cluster-then-prune (Abbas et
+    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): partition the embedding space into
+    * `numClusters` cells, compute pairwise cosine ONLY within each cell,
+    * and drop every vector that has a semantic duplicate (cos ≥
+    * `threshold`) of higher keep-priority. Keep-priority here is lowest
+    * id (the keep-first rule every other dedup family in this file uses;
+    * the paper's centroid-distance priority is a one-line swap of the
+    * pair orientation). The drop rule is per-item, not per-component —
+    * item b is dropped iff SOME kept-or-not a < b in its cell matches it
+    * — which is the paper's implementation and needs no iteration.
+    *
+    * Clustering is deliberately DETERMINISTIC: the cells are nearest-seed
+    * (max cosine, ties to the lowest seed id) against the `numClusters`
+    * lowest-id vectors — one broadcast pass, exactly reproducible in the
+    * DuckDB oracle, unlike iterated k-means. Production swaps in
+    * [[Similarity.ivfIndex]]'s trained centroids through the same
+    * assignment shape; the prune stage is unchanged. Mis-clustered true
+    * pairs (the known SemDeDup recall trade) are mirrored by the oracle,
+    * so the gate pins the ALGORITHM, and ExtSpec pins planted-copy recall
+    * separately.
+    *
+    * Scale shape — the whole point of SemDeDup: the all-pairs stage is
+    * n²/numClusters, not n². Assignment is a broadcast nested-loop over
+    * `numClusters` seed rows (map-side, no shuffle); the prune self-join
+    * shuffles on the cell id, so `numClusters` must grow with the corpus
+    * (target ~1k vectors per cell, the paper's regime) — at small K the
+    * join is both under-parallel and quadratic per cell. With K ∝ n the
+    * flat assignment scan is itself n·K cosines — fine through ~10⁶
+    * vectors; past that, route the assignment through an ANN probe
+    * ([[Similarity.ivfTopK]] over the seed table, or nested cells) and
+    * keep the prune stage unchanged. Output: one row per input vector —
+    * (id, cluster, kept). StressBench's `semantic_dedup` probe exercises
+    * the K-scales-with-n dial.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numClusters: Int,
+      threshold: Double
+  ): DataFrame = {
+    require(numClusters >= 1, "need at least one cluster")
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val seeds = base
+      .orderBy("id")
+      .limit(numClusters)
+      .select(col("id").as("seed_id"), col("v").as("seed_v"))
+    // argmax cosine with deterministic ties: (cos, -seed_id) pairs are
+    // unique, so max(struct) picks the lowest seed id among equal cosines
+    val assigned = base
+      .join(broadcast(seeds))
+      .withColumn(
+        "__m",
+        struct(
+          graft.functions.GraftFunctions.cosine_similarity(col("v"), col("seed_v")).as("c"),
+          (-col("seed_id")).as("ns"))
+      )
+      .groupBy("id")
+      .agg(max(col("__m")).as("__best"))
+      .withColumn("cluster", -col("__best.ns"))
+      .select("id", "cluster")
+    val withV = base.join(assigned, "id")
+    val drops = withV.as("a")
+      .join(
+        withV.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .where(
+        graft.functions.GraftFunctions.cosine_similarity(col("a.v"), col("b.v")) >= threshold)
+      .select(col("b.id").as("id"))
+      .distinct()
+      .withColumn("__dropped", lit(true))
+    assigned
+      .join(drops, Seq("id"), "left_outer")
+      .withColumn("kept", col("__dropped").isNull)
+      .select("id", "cluster", "kept")
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`. Brute-force
     * all-pairs — the exact baseline and the oracle-checked form; at corpus
     * scale use [[embeddingNearDupPairsLsh]], which replaces the cross join

@@ -42,6 +42,7 @@ object GraftFunctions {
     "udd_sketch_agg" -> { es: Seq[Expression] => UddSketchAgg(es(0)) },
     "udd_merge_agg" -> { es: Seq[Expression] => UddMergeAgg(es(0)) },
     "udd_quantile" -> { es: Seq[Expression] => UddQuantile(es(0), es(1)) },
+    "udd_rank" -> { es: Seq[Expression] => UddRank(es(0), es(1)) },
     "srp_bucket" -> { es: Seq[Expression] => SrpBucket(es(0), intLit(es(1)), intLit(es(2))) },
     "count_in_set" -> { es: Seq[Expression] => CountInSet(es(0), stringSeqLit(es(1))) },
     "prefix_sum" -> { es: Seq[Expression] => PrefixSumLongs(es(0), es(1)) },
@@ -121,6 +122,9 @@ object GraftFunctions {
 
   def udd_quantile(sketch: Column, p: Double): Column =
     call_function("udd_quantile", sketch, org.apache.spark.sql.functions.lit(p))
+
+  def udd_rank(sketch: Column, x: Column): Column =
+    call_function("udd_rank", sketch, x.cast("double"))
 
   /** Timescale's saturating int32 arithmetic — overflow clamps to the
     * int32 bounds instead of wrapping (and the `_pos` forms additionally

@@ -78,6 +78,35 @@ object UddSketch {
       else valueOf(negs.last, gamma))
   }
 
+  /** Rank walk — the inverse accessor (Timescale
+    * `approx_percentile_rank`): the approximate fraction of sketched
+    * values ≤ x, counting every bucket at-or-before x's bucket in VALUE
+    * order (same order as [[quantile]]'s walk). All of x's own bucket is
+    * included, so the estimate is ≥ the true rank by at most that
+    * bucket's mass — one γ-window of values (~1% of the value's
+    * magnitude at γ = 1.02), the sketch's native resolution. Satisfies
+    * the round-trip `rank(quantile(p)) ≥ p` by construction (the
+    * quantile midpoint lands in the bucket the walk stopped at).
+    */
+  def rank(zero: Long, buckets: Map[Int, Long], x: Double, gamma: Double): Option[Double] = {
+    val n = zero + buckets.valuesIterator.sum
+    if (n == 0L) return None
+    var cum = 0L
+    if (x >= 0) {
+      buckets.foreach { case (k, c) => if ((k & 1) != 0) cum += c }
+      cum += zero
+      if (x > 0) {
+        val xi = bucketOf(x, gamma) >> 1
+        buckets.foreach { case (k, c) => if ((k & 1) == 0 && (k >> 1) <= xi) cum += c }
+      }
+    } else {
+      // negative v ≤ x < 0 ⇔ |v| ≥ |x| ⇔ bucket index ≥ x's index
+      val xi = (bucketOf(x, gamma) - 1) >> 1
+      buckets.foreach { case (k, c) => if ((k & 1) != 0 && ((k - 1) >> 1) >= xi) cum += c }
+    }
+    Some(cum.toDouble / n)
+  }
+
   private[functions] def serialize(zero: Long, m: java.util.HashMap[Integer, Array[Long]]): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 + 4 + m.size * 12)
     bb.putLong(zero)
@@ -286,6 +315,45 @@ case class UddQuantile(left: Expression, right: Expression)
         b.result()
       }
       UddSketch.quantile(zero, sm, p.asInstanceOf[Double], UddSketch.DefaultGamma)
+        .map(java.lang.Double.valueOf).orNull
+    }
+  }
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(left = cs(0), right = cs(1))
+}
+
+/** `udd_rank(sketch, x)` → double: Timescale's `approx_percentile_rank`
+  * accessor — the approximate fraction of sketched values ≤ x (the
+  * inverse of [[UddQuantile]]). Same off-hot-path CodegenFallback cost
+  * point: one scalar walk per output row.
+  */
+case class UddRank(left: Expression, right: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(left, right)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(s"udd_rank requires (binary, double), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "udd_rank"
+
+  override def eval(input: InternalRow): Any = {
+    val s = left.eval(input)
+    val x = right.eval(input)
+    if (s == null || x == null) null
+    else {
+      val (zero, m) = UddSketch.deserialize(s.asInstanceOf[Array[Byte]])
+      val sm = {
+        val b = Map.newBuilder[Int, Long]
+        val it = m.entrySet().iterator()
+        while (it.hasNext) { val e = it.next(); b += (e.getKey.intValue() -> e.getValue()(0)) }
+        b.result()
+      }
+      UddSketch.rank(zero, sm, x.asInstanceOf[Double], UddSketch.DefaultGamma)
         .map(java.lang.Double.valueOf).orNull
     }
   }

@@ -362,7 +362,6 @@ object TsAnalytics {
       .where(col(valueCol).isNotNull)
       .withColumn("__y", floor(col(valueCol) * 10000 + 0.5).cast(LongType))
       .withColumn("__yd", col("__y").cast("decimal(10,0)"))
-    val d = (c: String) => col(c).cast(DoubleType)
     val agg = pts
       .groupBy(k: _*)
       .agg(
@@ -375,9 +374,39 @@ object TsAnalytics {
       .withColumn("sum_y3", col("__s3").cast("decimal(38,0)"))
       .withColumn("sum_y4", col("__s4").cast("decimal(38,0)"))
       .drop("__s3", "__s4")
-    // One fixed double tree over the exact integers. Divisions by n happen
-    // FIRST (sum/n), keeping magnitudes near the data scale — the same
-    // operation order is spelled out in the DuckDB oracle.
+    deriveMoments1d(agg)
+  }
+
+  /** Timescale `rollup(stats_agg)` — the coarser statistical level
+    * re-aggregated from a finer [[statsAgg1d]] output, never from the raw
+    * stream: the five power sums are plain integer sums, so they add
+    * exactly across child groups and the re-derived accessors are
+    * BIT-IDENTICAL to a direct aggregate over the raw rows (the gate
+    * pins daily-from-hourly against daily-from-raw). `finer` must carry
+    * the [[statsAgg1d]] sum columns; `keys` are the coarser grouping
+    * (e.g. (user, day) over an (user, hour) input). At 100 TB the daily
+    * level re-aggregates ~24 tiny rows per key.
+    */
+  def statsRollup1d(finer: DataFrame, keys: Seq[String]): DataFrame = {
+    val agg = finer
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sum_y")).as("sum_y"),
+        sum(col("sum_y2")).as("sum_y2"),
+        sum(col("sum_y3")).cast("decimal(38,0)").as("sum_y3"),
+        sum(col("sum_y4")).cast("decimal(38,0)").as("sum_y4")
+      )
+    deriveMoments1d(agg)
+  }
+
+  /** The single fixed IEEE double tree shared by [[statsAgg1d]] and
+    * [[statsRollup1d]] — divisions by n happen FIRST (sum/n), keeping
+    * magnitudes near the data scale; the same operation order is spelled
+    * out in the DuckDB oracle so the doubles match bitwise.
+    */
+  private def deriveMoments1d(agg: DataFrame): DataFrame = {
+    val d = (c: String) => col(c).cast(DoubleType)
     val n = d("n")
     val mean = d("sum_y") / n
     val m2 = d("sum_y2") / n - mean * mean

@@ -476,6 +476,28 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // SemDeDup cluster-then-prune over the same planted-copy corpus: the
+    // oracle replicates the deterministic nearest-seed cells and the
+    // keep-lowest-id prune wholesale, so the gate hash-pins the full
+    // per-vector disposition (id, cell, kept) — including the paper's
+    // known recall trade when a true pair straddles two cells.
+    "x_semantic_dedup" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val e = embs(s, dir)
+      val copies = e
+        .where(col("vec_id") % 5 === 0)
+        .select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          concat(
+            array(element_at(col("embedding"), 1) * lit(1.05f)),
+            slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
+      val corpus = e.select("vec_id", "embedding").unionByName(copies)
+      Dedup
+        .semanticDedup(corpus, "vec_id", "embedding", numClusters = 64, threshold = 0.9)
+        .select(col("id").as("vec_id"), col("cluster"), col("kept"))
+        .orderBy("vec_id")
+    },
+
     // exact brute-force cosine top-k (the ANN baseline)
     "x_sim_bruteforce_topk" -> { (s, dir) =>
       GraftFunctions.register(s)
@@ -1156,6 +1178,30 @@ object ExtensionQueries {
         .orderBy("user_id")
     },
 
+    // Timescale rollup(stats_agg): daily moments re-aggregated from the
+    // hourly power sums, never the raw stream — integer sums add exactly,
+    // so this hash-matches the oracle's daily-from-raw aggregate (the
+    // exact-decomposition pin, same idiom as x_rollup_hierarchy).
+    "x_stats_rollup" -> { (s, dir) =>
+      val e6 = (c: String) =>
+        floor(col(c) * 1000000.0 + 0.5).cast("long").as(c + "_e6")
+      val ev = events(s, dir)
+        .withColumn("hour_s", expr("(unix_micros(ts) div 3600000000L) * 3600"))
+      val hourly = graft.operators.TsAnalytics
+        .statsAgg1d(ev, Seq("user_id", "hour_s"), "value")
+      val daily = graft.operators.TsAnalytics.statsRollup1d(
+        hourly.withColumn("day_s", expr("(hour_s div 86400) * 86400")),
+        Seq("user_id", "day_s"))
+      daily
+        .select(
+          col("user_id"), col("day_s"), col("n"), col("sum_y"), col("sum_y2"),
+          col("sum_y3").cast("string").as("sum_y3_str"),
+          col("sum_y4").cast("string").as("sum_y4_str"),
+          e6("average"), e6("stddev_pop"), e6("stddev_samp"),
+          e6("skewness"), e6("kurtosis"))
+        .orderBy("user_id", "day_s")
+    },
+
     // Timescale state_agg/duration_in over the event_type state machine:
     // LOCF holding times (exact ms longs), entry transitions counted once
     // per run.
@@ -1580,6 +1626,36 @@ object ExtensionQueries {
           (abs(col("m50") - col("e50d")) <= abs(col("e50d")) * 0.05 + 0.5).as("p50_close"),
           (abs(col("m95") - col("e95d")) <= abs(col("e95d")) * 0.05 + 0.5).as("p95_close"))
         .orderBy("event_type", "day_s")
+    },
+
+    // approx_percentile_rank — the UDDSketch inverse accessor: fraction
+    // of values ≤ x. The exact per-probe counts are the hash anchor
+    // (DuckDB recomputes them independently); the sketch's rank estimate
+    // gates as oracle-fixed TRUE booleans — within 5 % of the exact
+    // fraction at each probe (the γ-bucket-mass bound, generous for a
+    // smooth distribution), and the quantile→rank round trip covers ≥ p
+    // structurally (the rank walk includes the quantile's whole bucket).
+    "x_percentile_rank" -> { (s, dir) =>
+      import graft.functions.GraftFunctions._
+      val ev = events(s, dir).where(col("value").isNotNull)
+      val probes = Seq(10.0, 50.0, 100.0, 250.0)
+      val aggCols: Seq[Column] =
+        count(lit(1)).as("n") +: probes.map(p =>
+          sum(when(col("value") <= p, 1L).otherwise(0L)).as(s"le_${p.toInt}"))
+      val agg = ev
+        .groupBy(col("event_type"))
+        .agg(udd_sketch_agg(col("value")).as("sk"), aggCols: _*)
+      val checks = probes.flatMap { p =>
+        val exactFrac = col(s"le_${p.toInt}").cast("double") / col("n").cast("double")
+        Seq(
+          col(s"le_${p.toInt}"),
+          (abs(udd_rank(col("sk"), lit(p)) - exactFrac) <= 0.05).as(s"rank_${p.toInt}_close"))
+      }
+      agg
+        .select(
+          (col("event_type") +: col("n") +: checks) :+
+            (udd_rank(col("sk"), udd_quantile(col("sk"), 0.5)) >= 0.5).as("roundtrip_covers"): _*)
+        .orderBy("event_type")
     },
 
     // the continuous-aggregate form of time_weight: hourly buckets, LOCF
@@ -2045,6 +2121,45 @@ object ExtensionQueries {
         |  WHERE a.vec_id < b.vec_id
         |) WHERE cos >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    // SemDeDup oracle: identical seed set (lowest-64 ids), identical
+    // nearest-seed assignment (row_number mirrors max(struct(cos,-sid))
+    // — same ORDER BY cos DESC, seed_id ASC), identical within-cell
+    // keep-lowest-id prune; comparisons only touch doubles far from any
+    // boundary (copies ≥ 0.9997, organic ≤ ~0.65)
+    "x_semantic_dedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |         list_concat([embedding[1] * CAST(1.05 AS REAL)], embedding[2:])
+        |  FROM embeddings WHERE vec_id % 5 = 0
+        |), seeds AS (
+        |  SELECT vec_id AS seed_id, embedding AS seed_v
+        |  FROM corpus ORDER BY vec_id LIMIT 64
+        |), sc AS (
+        |  SELECT c.vec_id AS id, c.embedding, s.seed_id,
+        |         list_sum(list_transform(list_zip(c.embedding, s.seed_v),
+        |                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |         / sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |              * list_sum(list_transform(s.seed_v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cs
+        |  FROM corpus c, seeds s
+        |), asg AS (
+        |  SELECT id, embedding, seed_id AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id
+        |                                 ORDER BY cs DESC, seed_id ASC) AS rn
+        |    FROM sc)
+        |  WHERE rn = 1
+        |), dr AS (
+        |  SELECT DISTINCT b.id AS id
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.id < b.id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |        / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |             * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) >= 0.9
+        |)
+        |SELECT asg.id AS vec_id, cluster, dr.id IS NULL AS kept
+        |FROM asg LEFT JOIN dr ON asg.id = dr.id
+        |ORDER BY vec_id""".stripMargin,
     // planted-cluster ANN top-k gates: the oracle brute-forces the SAME
     // augmented corpus (source ∪ ×1.01…×1.05 copies, ×0.995 queries) in
     // exact double cosine — candidate coverage is the engine's job; once
@@ -2796,6 +2911,72 @@ object ExtensionQueries {
         |            THEN CAST(floor(m4 / (m2 * m2) * 1000000.0 + 0.5) AS BIGINT)
         |            END AS kurtosis_e6
         |FROM m ORDER BY user_id""".stripMargin,
+    // exact ≤-probe counts recomputed independently (the hash anchor);
+    // the sketch-rank closeness and quantile→rank coverage booleans are
+    // oracle-fixed TRUE (the x_rollup_distinct idiom)
+    "x_percentile_rank" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS le_10,
+        |       TRUE AS rank_10_close,
+        |       CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS le_50,
+        |       TRUE AS rank_50_close,
+        |       CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS le_100,
+        |       TRUE AS rank_100_close,
+        |       CAST(sum(CASE WHEN value <= 250 THEN 1 ELSE 0 END) AS BIGINT) AS le_250,
+        |       TRUE AS rank_250_close,
+        |       TRUE AS roundtrip_covers
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // daily-from-RAW — the rollup gate's whole point: the engine computes
+    // daily from the hourly sums, the oracle from the raw rows, and exact
+    // integer decomposition makes them hash-equal
+    "x_stats_rollup" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         ((epoch_us(ts) // 3600000000 * 3600) // 86400) * 86400 AS day_s,
+        |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT user_id, day_s, count(*) AS n,
+        |         CAST(sum(y) AS BIGINT) AS sum_y,
+        |         CAST(sum(y * y) AS BIGINT) AS sum_y2,
+        |         sum(CAST(y AS HUGEINT) * y * y) AS s3,
+        |         sum(CAST(y AS HUGEINT) * y * y * y) AS s4
+        |  FROM p GROUP BY user_id, day_s
+        |), dv AS (
+        |  SELECT *,
+        |         CAST(n AS DOUBLE) AS nd,
+        |         CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |         CAST(sum_y2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        |  FROM g
+        |), m AS (
+        |  SELECT *,
+        |         r2 - mean * mean AS m2,
+        |         r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+        |         r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+        |            - 3.0 * mean * mean * mean * mean AS m4
+        |  FROM dv
+        |)
+        |SELECT user_id, day_s, n, sum_y, sum_y2,
+        |       CAST(s3 AS VARCHAR) AS sum_y3_str,
+        |       CAST(s4 AS VARCHAR) AS sum_y4_str,
+        |       CAST(floor(mean / 10000.0 * 1000000.0 + 0.5) AS BIGINT) AS average_e6,
+        |       CASE WHEN n >= 1 AND m2 >= 0
+        |            THEN CAST(floor(sqrt(m2) / 10000.0 * 1000000.0 + 0.5) AS BIGINT)
+        |            END AS stddev_pop_e6,
+        |       CASE WHEN n >= 2
+        |            THEN CAST(floor(sqrt((CAST(sum_y2 AS DOUBLE) - CAST(sum_y AS DOUBLE) * mean)
+        |                   / (nd - 1.0)) / 10000.0 * 1000000.0 + 0.5) AS BIGINT)
+        |            END AS stddev_samp_e6,
+        |       CASE WHEN m2 > 0
+        |            THEN CAST(floor(m3 / sqrt(m2 * m2 * m2) * 1000000.0 + 0.5) AS BIGINT)
+        |            END AS skewness_e6,
+        |       CASE WHEN m2 > 0
+        |            THEN CAST(floor(m4 / (m2 * m2) * 1000000.0 + 0.5) AS BIGINT)
+        |            END AS kurtosis_e6
+        |FROM m ORDER BY user_id, day_s""".stripMargin,
     // identical LOCF holding-time window (µs truncate to ms per segment),
     // identical run-entry detection via lag
     "x_state_agg" ->

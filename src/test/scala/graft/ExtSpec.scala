@@ -365,6 +365,42 @@ class ExtSpec extends SparkSpec {
     assert(lsh == bf, s"lsh=${lsh.size} bf=${bf.size} missed=${(bf -- lsh).take(5)}")
   }
 
+  test("semanticDedup drops every planted copy into its source's cell, keeps sources") {
+    // SemDeDup recall on planted structure: a ×1.05 first-component copy
+    // sits at cos ≥ 0.9997 of its source, so whenever both land in the
+    // same nearest-seed cell (they must — their seed cosines are nearly
+    // identical and organic seed gaps dwarf the perturbation) the
+    // keep-lowest-id prune drops exactly the copy
+    val copies = embs.where($"vec_id" % 5 === 0).select(
+      ($"vec_id" + 1000000L).as("vec_id"),
+      concat(
+        array(element_at($"embedding", 1) * lit(1.05f)),
+        slice($"embedding", 2, 63)).as("embedding"))
+    val corpus = embs.select("vec_id", "embedding").unionByName(copies)
+    val out = Dedup.semanticDedup(corpus, "vec_id", "embedding", numClusters = 16, threshold = 0.9)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val copyIds = copies.select("vec_id").as[Long].collect()
+    assert(copyIds.nonEmpty)
+    // the exact contract: a copy is dropped IFF it shares its source's
+    // cell (cell-straddling pairs are SemDeDup's documented recall trade —
+    // the perturbation can flip the argmax when a source's top-two seed
+    // cosines are close); sources are never dropped (no higher-priority
+    // match exists for them at τ = 0.9)
+    val sameCell = copyIds.filter(c =>
+      out(c).getAs[Long]("cluster") == out(c - 1000000L).getAs[Long]("cluster"))
+    copyIds.foreach { c =>
+      assert(out(c).getAs[Boolean]("kept") === !sameCell.contains(c),
+        s"copy $c: kept must equal cell-straddling")
+      assert(out(c - 1000000L).getAs[Boolean]("kept"), s"source of $c should be kept")
+    }
+    // near-dup copies overwhelmingly follow their source's cell — pin the
+    // recall floor so a geometry regression can't silently zero it out
+    assert(sameCell.length >= copyIds.length * 8 / 10,
+      s"only ${sameCell.length}/${copyIds.length} copies kept their source's cell")
+    // organic corpus (max pair cos ≈ 0.6) survives untouched at τ = 0.9
+    assert(out.count(!_._2.getAs[Boolean]("kept")) === sameCell.length)
+  }
+
   test("embeddingLshCandidates is the pair functions' candidate stage") {
     // the stress harness prices candidate generation separately through
     // this API — it must be the SAME stage the pair function verifies
@@ -1019,6 +1055,42 @@ class ExtSpec extends SparkSpec {
       .agg(GraftFunctions.udd_quantile(GraftFunctions.udd_merge_agg($"sk"), 0.5))
       .head().getDouble(0)
     assert(direct === twoLevel, "two-level merge must reproduce the direct sketch exactly")
+  }
+
+  test("UDDSketch rank: inverse accessor brackets the exact rank, round-trips quantile") {
+    import graft.functions.{GraftFunctions, UddSketch}
+    val g = UddSketch.DefaultGamma
+    val vals = Seq.tabulate(200)(i => (i - 50).toDouble) // -50..149, one zero
+    val zero = vals.count(_ == 0.0).toLong
+    val m = vals.filter(_ != 0.0).groupBy(v => UddSketch.bucketOf(v, g))
+      .map { case (b, xs) => b -> xs.size.toLong }
+    // estimate ≥ exact fraction (x's whole bucket is counted) and within
+    // that bucket's mass of it — probes cover negatives, zero, positives
+    Seq(-20.0, 0.0, 1.0, 10.0, 75.0, 149.0).foreach { x =>
+      val est = UddSketch.rank(zero, m, x, g).get
+      val exact = vals.count(_ <= x).toDouble / vals.size
+      val bucketMass =
+        if (x == 0.0) 0.0
+        else m.getOrElse(UddSketch.bucketOf(x, g), 0L).toDouble / vals.size
+      assert(est >= exact - 1e-12, s"rank($x)=$est must cover exact=$exact")
+      assert(est - exact <= bucketMass + 1e-12,
+        s"rank($x)=$est overshoots exact=$exact by more than its bucket mass")
+    }
+    // rank(quantile(p)) ≥ p structurally, via the registered expressions
+    val df = spark.createDataset(vals)(org.apache.spark.sql.Encoders.scalaDouble).toDF("v")
+    Seq(0.05, 0.5, 0.95).foreach { p =>
+      val r = df
+        .agg(GraftFunctions.udd_sketch_agg($"v").as("sk"))
+        .select(GraftFunctions.udd_rank($"sk", GraftFunctions.udd_quantile($"sk", p)))
+        .head().getDouble(0)
+      assert(r >= p, s"rank(quantile($p)) = $r must cover p")
+    }
+    // empty sketch → null, not NaN
+    val empty = df.where($"v" > 1e9)
+      .agg(GraftFunctions.udd_sketch_agg($"v").as("sk"))
+      .select(GraftFunctions.udd_rank($"sk", lit(5.0)))
+      .head()
+    assert(empty.isNullAt(0))
   }
 
   test("gate pin: (user_id, ts) is unique at µs grain on the gate corpora") {

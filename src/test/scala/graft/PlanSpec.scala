@@ -101,7 +101,11 @@ class PlanSpec extends SparkSpec {
     // Anything new showing these operators is a join that lost its keys.
     val allowed = Set(
       "s2_retention_window", "x_dedup_exact", "x_dedup_embedding",
-      "x_sim_bruteforce_topk", "x_sim_ivf_topk", "x_sim_ivf_planted")
+      "x_sim_bruteforce_topk", "x_sim_ivf_topk", "x_sim_ivf_planted",
+      // SemDeDup's seed assignment: broadcast nested-loop over the
+      // numClusters seed rows only (a fixed small side by construction);
+      // the quadratic stage is the cluster-equi-joined prune, never n²
+      "x_semantic_dedup")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(allowed).flatMap { name =>
       val p = try plan(name) catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
       if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))

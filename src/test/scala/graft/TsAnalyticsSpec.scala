@@ -213,6 +213,26 @@ class TsAnalyticsSpec extends SparkSpec {
     assert(out(2L).isNullAt(out(2L).fieldIndex("stddev_samp")))
   }
 
+  test("statsRollup1d: daily-from-hourly equals daily-from-raw exactly") {
+    // integer power sums add exactly, so the re-derived moments must be
+    // bit-identical however the children are grouped
+    val rows = (0 until 50).map(i => (1L + i % 3, i * 977L, (i * 7 % 23) + 0.25 * (i % 5)))
+    val df = series(rows)
+      .withColumn("hour_s", expr("(unix_micros(ts) div 3600000000L) * 3600"))
+    val hourly = TsAnalytics.statsAgg1d(df, Seq("user_id", "hour_s"), "value")
+    val rolled = TsAnalytics
+      .statsRollup1d(hourly.withColumn("day_s", expr("(hour_s div 86400) * 86400")),
+        Seq("user_id", "day_s"))
+    val direct = TsAnalytics.statsAgg1d(
+      df.withColumn("day_s", expr("((hour_s div 86400) * 86400)")),
+      Seq("user_id", "day_s"), "value")
+    val cols = Seq("user_id", "day_s", "n", "sum_y", "sum_y2", "sum_y3", "sum_y4",
+      "average", "stddev_pop", "stddev_samp", "skewness", "kurtosis")
+    val a = rolled.select(cols.map(col): _*).orderBy("user_id", "day_s").collect().toSeq
+    val b = direct.select(cols.map(col): _*).orderBy("user_id", "day_s").collect().toSeq
+    assert(a === b)
+  }
+
   test("statsRegr: degenerate keys yield null slope/corr, not NaN") {
     // user 1: single point (sxx = 0); user 2: constant value (syy = 0)
     val df = series(Seq((1L, 0L, 5.0), (2L, 0L, 7.0), (2L, 10L, 7.0)))
