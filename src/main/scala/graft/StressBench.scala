@@ -165,6 +165,12 @@ object StressBench {
     }),
     "embedding_lsh" -> (() =>
       Dedup.embeddingNearDupPairsLsh(embs, "vec_id", "embedding", 0.9).count()),
+    "substring" -> (() =>
+      // production shuffle shape (8-byte gram hashes); work is one
+      // positional explode + gram hash agg + doc-keyed run merge — linear
+      // in total tokens whatever the duplication rate
+      Dedup.exactSubstringSpans(docs, "doc_id", "text", k = 10, hashKey = true)
+        .where(col("n_spans") > 0).count()),
     "semantic_dedup" -> (() => {
       // the documented scale dial in action: cells grow with the corpus
       // (target ~1k vectors/cell), so the within-cell pair stage stays

@@ -571,6 +571,93 @@ object Dedup {
     labels
   }
 
+  /** Exact-substring deduplication — the token-level analogue of Lee et
+    * al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better", the ExactSubstr dedup): any ≥ `k`-token substring that
+    * occurs more than once in the corpus (across documents OR repeated
+    * inside one) is a duplicated span, and every occurrence EXCEPT the
+    * first (lowest (doc_id, pos)) is reported for removal. The paper
+    * builds one suffix array over the byte corpus; the distributed
+    * re-expression uses positional k-gram matching, which finds exactly
+    * the duplicated substrings of length ≥ k (a shared span of length
+    * L ≥ k is covered by its L−k+1 shared k-grams; overlapping flagged
+    * grams merge back into maximal spans) — same output contract, no
+    * global suffix sort.
+    *
+    * Plan: one map-side positional k-gram explode (~n_tokens rows/doc) →
+    * gram-keyed hash aggregate (occurrence count + min-(doc,pos) first
+    * occurrence, the [[chunkDedupStats]] keep-first idiom) → join-back →
+    * per-doc flagged positions run-merged into maximal spans by one
+    * doc-keyed lag/cumsum window (adjacent-or-overlapping grams, `pos ≤
+    * prev + k`, fuse). All integer arithmetic — oracle-exact. With
+    * `hashKey` the gram string leaves the shuffle as an 8-byte xxhash64
+    * (the production setting at 100 TB — a collision needs ~2³² distinct
+    * grams per bucket; the raw-string default is the oracle-comparable
+    * form, the same dial [[chunkDedupStats]] exposes).
+    *
+    * Output per document: `n_tokens`, `n_spans`, `dup_tokens` (tokens
+    * inside removable spans), and `spans` — the sorted `start:end` list
+    * (token offsets, end exclusive) a downstream stripper applies.
+    */
+  def exactSubstringSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      hashKey: Boolean = false
+  ): DataFrame = {
+    require(k > 0, "need k > 0")
+    val words = split(trim(col(textCol)), "\\s+")
+    val base = df
+      .select(col(idCol).cast("long").as("doc_id"), words.as("ws"))
+      .withColumn("n_tokens", size(col("ws")))
+    val gram = concat_ws(" ", slice(col("ws"), col("pos") + 1, lit(k)))
+    val grams = base
+      .where(col("n_tokens") >= k)
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0), col("n_tokens") - k)).as("pos"),
+        col("ws"))
+      .select(
+        col("doc_id"),
+        col("pos"),
+        (if (hashKey) xxhash64(gram) else gram).as("g"))
+    val occ = grams
+      .groupBy("g")
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+    val flagged = grams
+      .join(occ.where(col("cnt") >= 2), Seq("g"))
+      .where(!(col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos")))
+      .select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = flagged
+      .withColumn("__prev", lag(col("pos"), 1).over(w))
+      .withColumn(
+        "__ns",
+        (col("__prev").isNull || col("pos") > col("__prev") + k).cast("long"))
+      .withColumn(
+        "__sid",
+        sum(col("__ns")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__sid"))
+      .agg(min(col("pos")).as("start"), (max(col("pos")) + k).as("end"))
+    val perDoc = spans
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("end") - col("start")).as("dup_tokens"),
+        array_join(
+          sort_array(collect_list(concat(col("start"), lit(":"), col("end")))), ",")
+          .as("spans"))
+    base
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("spans", coalesce(col("spans"), lit("")))
+  }
+
   // ---- embedding cosine near-dup ------------------------------------------
 
   /** SemDeDup — semantic deduplication by cluster-then-prune (Abbas et

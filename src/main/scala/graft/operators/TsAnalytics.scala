@@ -109,16 +109,21 @@ object TsAnalytics {
     * readings still appear (n_points = 0) — the gap-bucket rows
     * Prometheus-style dashboards expect.
     *
-    * Plan shape — ONE pass, ONE exchange, NO join: each reading emits its
-    * own point marker AND its outgoing segment's covered-bucket entries
-    * from a single `explode(concat(point, segment-buckets))`, so the
-    * in-bucket accessors (conditional count / `max_by` over the point
-    * rows — null ordering keys are ignored, exactly `max(y)`'s null rule)
-    * and the interpolated sums land in the SAME (key, bucket) hash
-    * aggregate, which reuses the window's key partitioning. The
-    * two-aggregate ⟗-join alternative costs two extra full-key exchanges
-    * (`requireAllClusterKeysForCoPartition`) and a second window pass —
-    * measured, not guessed (PlanSpec pins ≤ 1 hash exchange here).
+    * Plan shape — ONE pass, ONE exchange, NO join: each reading's
+    * covered-bucket range comes out of a single `posexplode` (a
+    * successor-less final reading degenerates to its own bucket alone),
+    * and position 0 — always the reading's own bucket — doubles as the
+    * POINT marker, so the in-bucket accessors (conditional count /
+    * `max_by` over position-0 rows — null ordering keys are ignored,
+    * exactly `max(y)`'s null rule) and the interpolated sums land in the
+    * SAME (key, bucket) hash aggregate, which reuses the window's key
+    * partitioning. Two alternatives measured worse: the two-aggregate
+    * ⟗-join costs two extra full-key exchanges
+    * (`requireAllClusterKeysForCoPartition`) plus a second scan+window
+    * pass (PlanSpec pins ≤ 1 hash exchange against it), and a separate
+    * point-marker array (`explode(concat(point, buckets))`) paid struct
+    * construction per row and an extra exploded row per reading — ~1.9×
+    * the sibling [[timeWeightedBucketed]]'s wall time at sf0.1.
     */
   def counterAggBucketed(
       df: DataFrame,
@@ -149,32 +154,24 @@ object TsAnalytics {
       .withColumn("__nadj", lead(col("__adj"), 1).over(win))
       .withColumn("__dd", col("__nadj") - col("__adj"))
       .withColumn("__len", col("__nxt") - col("__us"))
-    // one row per reading (kind 'p') plus one per covered bucket of its
-    // outgoing segment (kind 's'); keys with no successor contribute the
-    // point alone (coalesce — concat(x, NULL) is NULL, not x)
+    // one exploded row per covered bucket of the outgoing segment; a
+    // final reading with no successor degenerates to its own bucket.
+    // Position 0 is ALWAYS the reading's own bucket (`__us div w`), so it
+    // carries the point-side contributions — no separate marker rows.
+    val hasSeg = col("__nxt") > col("__us")
     val entries = pts
-      .withColumn(
-        "__e",
-        explode(
-          concat(
-            array(struct(lit("p").as("k"), expr(s"__us div ${w}L").as("b"))),
-            coalesce(
-              when(
-                col("__nxt") > col("__us"),
-                transform(
-                  sequence(expr(s"__us div ${w}L"), expr(s"(__nxt - 1) div ${w}L")),
-                  bb => struct(lit("s").as("k"), bb.as("b"))
-                )
-              ),
-              array().cast("array<struct<k:string,b:bigint>>")
-            )
+      .select(
+        col("*"),
+        posexplode(
+          coalesce(
+            when(hasSeg, sequence(expr(s"__us div ${w}L"), expr(s"(__nxt - 1) div ${w}L"))),
+            array(expr(s"__us div ${w}L"))
           )
-        )
+        ).as(Seq("__p", "__b"))
       )
-      .withColumn("__b", col("__e.b"))
-    val isP = col("__e.k") === "p"
+    val isP = col("__p") === 0
     val ov = when(
-      !isP,
+      hasSeg,
       least(col("__nxt"), (col("__b") + 1) * w) - greatest(col("__us"), col("__b") * w)
     )
     entries
@@ -183,8 +180,8 @@ object TsAnalytics {
       .agg(
         count(when(isP, lit(1))).as("n_points"),
         count(when(isP && col("__radd") > 0, lit(1))).as("n_resets"),
-        (expr("max_by(CASE WHEN __e.k = 'p' THEN __adj END, CASE WHEN __e.k = 'p' THEN __us END)")
-          - expr("min_by(CASE WHEN __e.k = 'p' THEN __adj END, CASE WHEN __e.k = 'p' THEN __us END)"))
+        (expr("max_by(CASE WHEN __p = 0 THEN __adj END, CASE WHEN __p = 0 THEN __us END)")
+          - expr("min_by(CASE WHEN __p = 0 THEN __adj END, CASE WHEN __p = 0 THEN __us END)"))
           .as("delta_in_e4"),
         sum(col("__ov")).as("covered_us"),
         sum(expr("(__dd * __ov) div __len")).as("delta_interp_e4")

@@ -181,6 +181,26 @@ object ExtensionQueries {
     // chunk-level (passage) dedup: consecutive 10-word chunks, keep-first
     // across the corpus, per-doc retention stats — the sub-document dedup
     // granularity between exact-doc and shingle near-dup
+    // exact-substring dedup (Lee et al. 2021 ExactSubstr, token-level):
+    // every ≥10-token substring occurring twice anywhere in the corpus is
+    // a duplicated span; all but the first occurrence are reported with
+    // their maximal merged [start:end) token offsets. Planted full-text
+    // copies (salt-PREFIXED, so the copy's span sits at shifted offsets)
+    // give the deterministic signal; the oracle replicates the whole
+    // k-gram → keep-first → run-merge pipeline in integer arithmetic.
+    "x_substring_dedup" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val copies = d
+        .where(col("doc_id") % 10 === 0)
+        .select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("xdupsalt "), col("text")).as("text"))
+      val corpus = d.select("doc_id", "text").unionByName(copies)
+      Dedup
+        .exactSubstringSpans(corpus, "doc_id", "text", k = 10)
+        .orderBy("doc_id")
+    },
+
     "x_chunk_dedup" -> { (s, dir) =>
       Dedup.chunkDedupStats(docs(s, dir), "doc_id", "text", chunkWords = 10)
         .orderBy("doc_id")
@@ -1809,6 +1829,62 @@ object ExtensionQueries {
   val oracles: Map[String, String] = Map(
     // chunk keep-first re-derived with a window rank over (doc_id, idx) —
     // the declarative spec of the engine's groupBy-min + join-back plan
+    // identical positional 10-gram pipeline: same tokenization, same
+    // keep-first key (doc_id·2^20 + pos — the integer encoding of Spark's
+    // min(struct(doc_id, pos)) ordering), same pos > prev + k run merge,
+    // same lexicographic span-string ordering
+    "x_substring_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'xdupsalt ' || text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+        |         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM corpus
+        |), grams AS (
+        |  SELECT doc_id, gs.pos,
+        |         array_to_string(ws[gs.pos + 1 : gs.pos + 10], ' ') AS g
+        |  FROM base, LATERAL (
+        |    SELECT unnest(generate_series(0, n_tokens - 10)) AS pos) gs
+        |  WHERE n_tokens >= 10
+        |), occ AS (
+        |  SELECT g, count(*) AS cnt,
+        |         min(doc_id * 1048576 + pos) AS firstkey
+        |  FROM grams GROUP BY g
+        |), fl AS (
+        |  SELECT grams.doc_id, grams.pos
+        |  FROM grams JOIN occ ON grams.g = occ.g
+        |  WHERE occ.cnt >= 2
+        |    AND grams.doc_id * 1048576 + grams.pos <> occ.firstkey
+        |), sp AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 10
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM fl
+        |), sp2 AS (
+        |  SELECT doc_id, pos,
+        |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM sp
+        |), spans AS (
+        |  SELECT doc_id, sid, min(pos) AS s, max(pos) + 10 AS e
+        |  FROM sp2 GROUP BY doc_id, sid
+        |), pd AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |         CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+        |         string_agg(CAST(s AS VARCHAR) || ':' || CAST(e AS VARCHAR), ','
+        |                    ORDER BY CAST(s AS VARCHAR) || ':' || CAST(e AS VARCHAR)) AS spans
+        |  FROM spans GROUP BY doc_id
+        |)
+        |SELECT base.doc_id AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       coalesce(n_spans, 0) AS n_spans,
+        |       coalesce(dup_tokens, 0) AS dup_tokens,
+        |       coalesce(pd.spans, '') AS spans
+        |FROM base LEFT JOIN pd ON base.doc_id = pd.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
     "x_chunk_dedup" ->
       """WITH words AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

@@ -365,6 +365,31 @@ class ExtSpec extends SparkSpec {
     assert(lsh == bf, s"lsh=${lsh.size} bf=${bf.size} missed=${(bf -- lsh).take(5)}")
   }
 
+  test("exactSubstringSpans: shared, copied, and self-repeated substrings, first kept") {
+    import spark.implicits._
+    val df = Seq(
+      1L -> "w1 w2 w3 w4 w5 w6",           // the first occurrence — never flagged
+      2L -> "z w3 w4 w5 w6 q",             // shares the 4-gram w3..w6 at pos 1
+      3L -> "w1 w2 w3 w4 w5 w6",           // full copy — one merged span [0,6)
+      4L -> "r1 r2 r3 r4 x r1 r2 r3 r4",   // intra-doc repeat — second copy flagged
+      5L -> "a b c"                        // shorter than k — untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringSpans(df, "doc_id", "text", k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_spans") === 0L)
+    assert(out(2L).getAs[String]("spans") === "1:5")
+    assert(out(2L).getAs[Long]("dup_tokens") === 4L)
+    assert(out(3L).getAs[String]("spans") === "0:6") // 3 flagged grams merge
+    assert(out(3L).getAs[Long]("dup_tokens") === 6L)
+    assert(out(4L).getAs[String]("spans") === "5:9") // keep-first is intra-doc too
+    assert(out(5L).getAs[Long]("n_spans") === 0L)
+    assert(out(5L).getAs[Long]("n_tokens") === 3L)
+    // hashKey form (the production shuffle shape) agrees exactly
+    val hashed = Dedup.exactSubstringSpans(df, "doc_id", "text", k = 4, hashKey = true)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("spans")).toMap
+    assert(hashed === out.view.mapValues(_.getAs[String]("spans")).toMap)
+  }
+
   test("semanticDedup drops every planted copy into its source's cell, keeps sources") {
     // SemDeDup recall on planted structure: a ×1.05 first-component copy
     // sits at cos ≥ 0.9997 of its source, so whenever both land in the
