@@ -197,6 +197,77 @@ object TsAnalytics {
       .drop("__b")
   }
 
+  /** Per-(key, bucket) gauge rollup — [[counterAggBucketed]]'s free-moving
+    * twin: Timescale `gauge_agg` per `time_bucket` with the in-bucket
+    * `delta` and the `interpolated_delta`/`interpolated_rate` pair. No
+    * reset logic — the series is the e4 reading itself, and per-bucket
+    * deltas may be NEGATIVE, which is where engine division semantics
+    * fork: Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors, so the segment-split term computes on |Δ| and re-applies
+    * the sign (`sign(Δ)·(|Δ|·overlap div len)`) — both engines then
+    * divide non-negative integers, where truncate ≡ floor. Same one-pass
+    * posexplode plan as the counter: one scan, one key exchange, no
+    * join.
+    */
+  def gaugeAggBucketed(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      bucketSeconds: Long
+  ): DataFrame = {
+    require(bucketSeconds > 0, "bucket width must be positive")
+    val w = bucketSeconds * 1000000L
+    val k = keys.map(col)
+    val win = Window.partitionBy(k: _*).orderBy(col("__us"))
+    val pts = df
+      .where(col(valueCol).isNotNull)
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__adj", floor(col(valueCol) * 10000 + 0.5).cast(LongType))
+      .withColumn("__nxt", lead(col("__us"), 1).over(win))
+      .withColumn("__nadj", lead(col("__adj"), 1).over(win))
+      .withColumn("__dd", col("__nadj") - col("__adj"))
+      .withColumn("__len", col("__nxt") - col("__us"))
+    val hasSeg = col("__nxt") > col("__us")
+    val entries = pts
+      .select(
+        col("*"),
+        posexplode(
+          coalesce(
+            when(hasSeg, sequence(expr(s"__us div ${w}L"), expr(s"(__nxt - 1) div ${w}L"))),
+            array(expr(s"__us div ${w}L"))
+          )
+        ).as(Seq("__p", "__b"))
+      )
+    val isP = col("__p") === 0
+    val ov = when(
+      hasSeg,
+      least(col("__nxt"), (col("__b") + 1) * w) - greatest(col("__us"), col("__b") * w)
+    )
+    entries
+      .withColumn("__ov", ov)
+      .groupBy(k :+ col("__b"): _*)
+      .agg(
+        count(when(isP, lit(1))).as("n_points"),
+        (expr("max_by(CASE WHEN __p = 0 THEN __adj END, CASE WHEN __p = 0 THEN __us END)")
+          - expr("min_by(CASE WHEN __p = 0 THEN __adj END, CASE WHEN __p = 0 THEN __us END)"))
+          .as("delta_in_e4"),
+        sum(col("__ov")).as("covered_us"),
+        sum(expr(
+          "CASE WHEN __dd >= 0 THEN (__dd * __ov) div __len" +
+            " ELSE -(((-__dd) * __ov) div __len) END")).as("delta_interp_e4")
+      )
+      .withColumn("bucket_s", col("__b") * bucketSeconds)
+      .withColumn(
+        "rate_per_s",
+        when(
+          col("covered_us").isNotNull && col("covered_us") > 0,
+          col("delta_interp_e4").cast(DoubleType) / col("covered_us").cast(DoubleType) * 100.0
+        )
+      )
+      .drop("__b")
+  }
+
   /** Per-key gauge rollup — Timescale `gauge_agg` + accessors
     * (`delta`/`idelta_right`/`irate_right`): unlike [[counterAgg]] a gauge
     * may move freely in both directions, so there is no reset logic —

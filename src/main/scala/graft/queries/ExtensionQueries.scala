@@ -1178,6 +1178,22 @@ object ExtensionQueries {
         .orderBy("user_id", "bucket_s")
     },
 
+    // gauge_agg per time_bucket — the counter's free-moving twin: deltas
+    // may be negative, so the split term runs on |Δ| with the sign
+    // re-applied (Spark div truncates toward zero, DuckDB // floors —
+    // identical only on non-negative operands).
+    "x_gauge_bucketed" -> { (s, dir) =>
+      val e6 = (c: String) =>
+        floor(col(c) * 1000000.0 + 0.5).cast("long").as(c + "_e6")
+      graft.operators.TsAnalytics
+        .gaugeAggBucketed(events(s, dir), Seq("user_id"), "ts", "value", 3600L)
+        .select(
+          col("user_id"), col("bucket_s"), col("n_points"),
+          col("delta_in_e4"), col("covered_us"), col("delta_interp_e4"),
+          e6("rate_per_s"))
+        .orderBy("user_id", "bucket_s")
+    },
+
     // Timescale stats_agg(value) 1-D accessor family: the five exact
     // integer power sums anchor the hash (Σy³/Σy⁴ as DECIMAL(38,0),
     // stringified so the 28-digit integers compare textually — doubles
@@ -2931,6 +2947,52 @@ object ExtensionQueries {
         |       coalesce(inb.b, itp.b) * 3600 AS bucket_s,
         |       coalesce(n_points, 0) AS n_points,
         |       coalesce(n_resets, 0) AS n_resets,
+        |       delta_in_e4, covered_us, delta_interp_e4,
+        |       CASE WHEN covered_us IS NOT NULL AND covered_us > 0
+        |            THEN CAST(floor(CAST(delta_interp_e4 AS DOUBLE)
+        |                   / CAST(covered_us AS DOUBLE) * 100.0
+        |                   * 1000000.0 + 0.5) AS BIGINT) END AS rate_per_s_e6
+        |FROM inb FULL JOIN itp
+        |  ON inb.user_id = itp.user_id AND inb.b = itp.b
+        |ORDER BY user_id, bucket_s""".stripMargin,
+    // gauge twin: no reset carry, same arg picks and posexplode split;
+    // the |Δ|-with-sign term keeps both engines on non-negative division
+    "x_gauge_bucketed" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS adj
+        |  FROM events WHERE value IS NOT NULL
+        |), inb AS (
+        |  SELECT user_id, us // 3600000000 AS b, count(*) AS n_points,
+        |         arg_max(adj, us) - arg_min(adj, us) AS delta_in_e4
+        |  FROM p GROUP BY user_id, us // 3600000000
+        |), seg AS (
+        |  SELECT user_id, us, adj,
+        |         lead(us)  OVER (PARTITION BY user_id ORDER BY us) AS nxt,
+        |         lead(adj) OVER (PARTITION BY user_id ORDER BY us) AS nadj
+        |  FROM p
+        |), sp AS (
+        |  SELECT user_id, us, nxt, nadj - adj AS dd, nxt - us AS len, gs.b
+        |  FROM seg, LATERAL (
+        |    SELECT unnest(generate_series(us // 3600000000,
+        |                                  (nxt - 1) // 3600000000)) AS b
+        |  ) gs
+        |  WHERE nxt > us
+        |), itp AS (
+        |  SELECT user_id, b,
+        |         CAST(sum(least(nxt, (b + 1) * 3600000000)
+        |               - greatest(us, b * 3600000000)) AS BIGINT) AS covered_us,
+        |         CAST(sum(CASE WHEN dd >= 0
+        |               THEN (dd * (least(nxt, (b + 1) * 3600000000)
+        |                     - greatest(us, b * 3600000000))) // len
+        |               ELSE -(((-dd) * (least(nxt, (b + 1) * 3600000000)
+        |                     - greatest(us, b * 3600000000))) // len)
+        |               END) AS BIGINT) AS delta_interp_e4
+        |  FROM sp GROUP BY user_id, b
+        |)
+        |SELECT coalesce(inb.user_id, itp.user_id) AS user_id,
+        |       coalesce(inb.b, itp.b) * 3600 AS bucket_s,
+        |       coalesce(n_points, 0) AS n_points,
         |       delta_in_e4, covered_us, delta_interp_e4,
         |       CASE WHEN covered_us IS NOT NULL AND covered_us > 0
         |            THEN CAST(floor(CAST(delta_interp_e4 AS DOUBLE)

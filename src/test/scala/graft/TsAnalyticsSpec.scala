@@ -65,6 +65,31 @@ class TsAnalyticsSpec extends SparkSpec {
       .fold(0L)(_.asInstanceOf[Long])).sum === 70000L)
   }
 
+  test("gaugeAggBucketed: negative deltas split with sign-safe truncation") {
+    // 10 s buckets, falling gauge 8.0@0s → 5.0@15s: Δ = −30000 e4 over
+    // 15 s; |Δ| splits 10/15 then 5/15 and the sign re-applies —
+    // bucket 0 gets −20000, bucket 1 −10000 (floor division on −Δ·ov
+    // would give −20001/−10001 on non-exact splits; this fixture's
+    // follow-up segment 5.0 → 6.0@20s lands +20000 in bucket 1)
+    val df = series(Seq((1L, 0L, 8.0), (1L, 15L, 5.0), (1L, 20L, 6.0)))
+    val out = TsAnalytics
+      .gaugeAggBucketed(df, Seq("user_id"), "ts", "value", 10L)
+      .collect().map(r => r.getAs[Long]("bucket_s") -> r).toMap
+    assert(out(0L).getAs[Long]("delta_interp_e4") === -20000L)
+    assert(out(0L).getAs[Double]("rate_per_s") === -0.2)
+    assert(out(10L).getAs[Long]("delta_interp_e4") === -10000L + 10000L)
+    assert(out(20L).getAs[Long]("n_points") === 1L)
+    assert(out(20L).isNullAt(out(20L).fieldIndex("covered_us")))
+    // truncation-toward-zero parity: a non-exact negative split must not
+    // overshoot — one-third of −10000 e4 over 3 covered buckets
+    val odd = series(Seq((2L, 0L, 1.0), (2L, 30L, 0.0)))
+    val o = TsAnalytics
+      .gaugeAggBucketed(odd, Seq("user_id"), "ts", "value", 9L)
+      .collect().map(r => r.getAs[Long]("bucket_s") -> r.getAs[Long]("delta_interp_e4")).toMap
+    // buckets [0,9) [9,18) [18,27) [27,30): 9/30, 9/30, 9/30, 3/30 of −10000
+    assert(o === Map(0L -> -3000L, 9L -> -3000L, 18L -> -3000L, 27L -> -1000L))
+  }
+
   test("counterAgg: single-point key has zero delta and null rate") {
     val out = TsAnalytics.counterAgg(series(Seq((7L, 5L, 42.0))), Seq("user_id"), "ts", "value")
       .collect().head
