@@ -136,11 +136,15 @@ object Bench {
       System.err.println(s"[bench] WARNING: json line ${out.length} chars may exceed the harness tail budget")
     println(out)
     // the stdout line is budgeted to the harness tail; the full-precision
-    // per-query numbers additionally land in a file reviewers can read
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-        (line(4, results, 0) + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    // per-query numbers additionally land in a file reviewers can read.
+    // Subset runs (SPARK_GRAFT_ONLY) never write it — a two-query probe
+    // must not clobber the full-inventory artifact (StressBench's rule)
+    if (SparkEntry.querySubset.isEmpty) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+          (line(4, results, 0) + "\n").getBytes("UTF-8"))
+      } catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    } else System.err.println("[bench] subset run — BENCH_FULL.json left untouched")
     spark.stop()
   }
 

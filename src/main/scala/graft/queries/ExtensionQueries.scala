@@ -256,6 +256,32 @@ object ExtensionQueries {
         .orderBy("split")
     },
 
+    // dedup-pipeline composition: substring-span detection feeding the
+    // drop rule + the post-strip token budget + the deterministic split —
+    // gates the COMPOSED dataflow (the RefinedWeb-ish recipe: drop docs
+    // that are mostly duplicated text, budget the rest by the tokens a
+    // span stripper would keep), where every stage is also gated alone.
+    "x_pipeline_dedup" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val copies = d
+        .where(col("doc_id") % 10 === 0)
+        .select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("xdupsalt "), col("text")).as("text"))
+      val corpus = d.select("doc_id", "text").unionByName(copies)
+      Dedup
+        .exactSubstringSpans(corpus, "doc_id", "text", k = 10)
+        .where(col("dup_tokens") * 2 < col("n_tokens")) // drop mostly-dup docs
+        .withColumn("kept_tokens", col("n_tokens") - col("dup_tokens"))
+        .withColumn("split", TextOps.hashSplit(col("doc_id"), "graft", trainFrac = 0.9, valFrac = 0.05))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("kept_tokens")).as("sum_kept_tokens"),
+          sum(col("dup_tokens")).as("sum_stripped_tokens"))
+        .orderBy("split")
+    },
+
     // unigram-frequency scoring: corpus-statistics quality signal (mean
     // corpus token frequency per doc — the integer-exact core of
     // unigram-LM/perplexity filtering)
@@ -1901,6 +1927,65 @@ object ExtensionQueries {
         |       coalesce(pd.spans, '') AS spans
         |FROM base LEFT JOIN pd ON base.doc_id = pd.doc_id
         |ORDER BY base.doc_id""".stripMargin,
+    // the composed pipeline re-derived end-to-end: same substring-span
+    // sub-pipeline, same mostly-dup drop rule, same md5 split thresholds
+    "x_pipeline_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'xdupsalt ' || text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+        |         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM corpus
+        |), grams AS (
+        |  SELECT doc_id, gs.pos,
+        |         array_to_string(ws[gs.pos + 1 : gs.pos + 10], ' ') AS g
+        |  FROM base, LATERAL (
+        |    SELECT unnest(generate_series(0, n_tokens - 10)) AS pos) gs
+        |  WHERE n_tokens >= 10
+        |), occ AS (
+        |  SELECT g, count(*) AS cnt,
+        |         min(doc_id * 1048576 + pos) AS firstkey
+        |  FROM grams GROUP BY g
+        |), fl AS (
+        |  SELECT grams.doc_id, grams.pos
+        |  FROM grams JOIN occ ON grams.g = occ.g
+        |  WHERE occ.cnt >= 2
+        |    AND grams.doc_id * 1048576 + grams.pos <> occ.firstkey
+        |), sp AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 10
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM fl
+        |), sp2 AS (
+        |  SELECT doc_id, pos,
+        |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM sp
+        |), spans AS (
+        |  SELECT doc_id, sid, min(pos) AS s, max(pos) + 10 AS e
+        |  FROM sp2 GROUP BY doc_id, sid
+        |), pd AS (
+        |  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS dup_tokens
+        |  FROM spans GROUP BY doc_id
+        |), d2 AS (
+        |  SELECT base.doc_id AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |         coalesce(dup_tokens, 0) AS dup_tokens
+        |  FROM base LEFT JOIN pd ON base.doc_id = pd.doc_id
+        |), f AS (
+        |  SELECT doc_id, n_tokens, dup_tokens, n_tokens - dup_tokens AS kept_tokens,
+        |         CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+        |              WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM d2 WHERE dup_tokens * 2 < n_tokens
+        |)
+        |SELECT split, count(*) AS n_docs,
+        |       CAST(sum(kept_tokens) AS BIGINT) AS sum_kept_tokens,
+        |       CAST(sum(dup_tokens) AS BIGINT) AS sum_stripped_tokens
+        |FROM f GROUP BY split ORDER BY split""".stripMargin,
     "x_chunk_dedup" ->
       """WITH words AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
