@@ -1304,6 +1304,20 @@ object ExtensionQueries {
         .orderBy("user_id", "state", "bucket_s")
     },
 
+    // rollup(state_agg): daily durations re-aggregated from the STORED
+    // hourly timeline (ms sums add; the oracle reproduces the same
+    // truncate-hourly-then-sum semantics a consumer of the stored rollup
+    // gets — hour edges nest inside day edges, so no re-splitting) plus
+    // the active-hours count per (key, state, day).
+    "x_state_rollup" -> { (s, dir) =>
+      graft.operators.TsAnalytics
+        .stateDurationBucketed(events(s, dir), Seq("user_id"), "ts", "event_type", bucketSeconds = 3600L)
+        .withColumn("day_s", expr("(bucket_s div 86400) * 86400"))
+        .groupBy("user_id", "state", "day_s")
+        .agg(sum(col("dur_ms")).as("dur_ms"), count(lit(1)).as("n_active_hours"))
+        .orderBy("user_id", "state", "day_s")
+    },
+
     // Timescale's transparent real-time-aggregate rewrite, computed
     // THROUGH the optimizer rule: the daily query is written against RAW
     // events, RollupRewrite serves it from the materialized hourly rollup
@@ -3381,6 +3395,29 @@ object ExtensionQueries {
         |       CAST(SUM(LEAST(nxt, (b + 1) * 3600000000) - GREATEST(us, b * 3600000000)) AS BIGINT) // 1000 AS dur_ms
         |FROM expl GROUP BY 1, 2, 3
         |ORDER BY user_id, state, bucket_s""".stripMargin,
+    // the same hourly derivation re-aggregated one level up — truncate
+    // per hour, then sum (the stored-rollup consumer's semantics)
+    "x_state_rollup" ->
+      """WITH obs AS (
+        |  SELECT user_id, event_type AS state, epoch_us(ts) AS us,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS nxt
+        |  FROM events WHERE event_type IS NOT NULL
+        |), seg AS (
+        |  SELECT * FROM obs WHERE nxt IS NOT NULL
+        |), expl AS (
+        |  SELECT user_id, state, us, nxt, b
+        |  FROM seg, unnest(generate_series(us // 3600000000, (nxt - 1) // 3600000000)) AS t(b)
+        |), hourly AS (
+        |  SELECT user_id, state, b,
+        |         CAST(SUM(LEAST(nxt, (b + 1) * 3600000000)
+        |               - GREATEST(us, b * 3600000000)) AS BIGINT) // 1000 AS dur_ms
+        |  FROM expl GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, state, (b * 3600 // 86400) * 86400 AS day_s,
+        |       CAST(sum(dur_ms) AS BIGINT) AS dur_ms,
+        |       count(*) AS n_active_hours
+        |FROM hourly GROUP BY 1, 2, 3
+        |ORDER BY user_id, state, day_s""".stripMargin,
     // identical LONG-clamp-narrow formula; ((x % m) + m) % m is DuckDB's
     // pmod, and i32×i32 products stay within BIGINT
     "x_saturating" ->
