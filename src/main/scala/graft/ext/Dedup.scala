@@ -596,8 +596,9 @@ object Dedup {
     * form, the same dial [[chunkDedupStats]] exposes).
     *
     * Output per document: `n_tokens`, `n_spans`, `dup_tokens` (tokens
-    * inside removable spans), and `spans` — the sorted `start:end` list
-    * (token offsets, end exclusive) a downstream stripper applies.
+    * inside removable spans), and `spans` — the `start:end` list in
+    * token-position (numeric) order (token offsets, end exclusive) that
+    * a downstream stripper ([[stripSpans]]) applies.
     */
   def exactSubstringSpans(
       df: DataFrame,
@@ -647,8 +648,15 @@ object Dedup {
       .agg(
         count(lit(1)).as("n_spans"),
         sum(col("end") - col("start")).as("dup_tokens"),
+        // sort the (start, end) structs NUMERICALLY before formatting —
+        // a lexicographic sort of the "start:end" strings would order
+        // "10:16" before "2:8" and break any consumer (stripSpans) that
+        // assumes token-position order.
         array_join(
-          sort_array(collect_list(concat(col("start"), lit(":"), col("end")))), ",")
+          transform(
+            sort_array(collect_list(struct(col("start"), col("end")))),
+            sp => concat(sp.getField("start"), lit(":"), sp.getField("end"))),
+          ",")
           .as("spans"))
     base
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))

@@ -101,6 +101,15 @@ object TsAnalytics {
     * must fit int64 — with e4 values ≤ 1e7 that allows per-key reading
     * gaps up to ~10 days; quantize coarser for sparser series.
     *
+    * Timestamp-domain contract (shared by every `time_bucket`-style
+    * operator here, [[gaugeAggBucketed]] included): ts ≥ 1970-01-01 UTC.
+    * Bucket indices and sequence bounds use integer `div`, which
+    * truncates toward zero while the DuckDB oracle's `//` floors — the
+    * two agree exactly on non-negative microseconds and diverge one
+    * bucket on pre-epoch rows. Timescale's own `time_bucket` origin
+    * anchors at 2000-01-03, so real telemetry corpora satisfy this;
+    * pre-epoch data needs a pmod-floor variant, not silent use.
+    *
     * Output per (key, bucket_s): `n_points`/`n_resets` (readings and
     * resets inside the bucket), `delta_in_e4` (in-bucket increase, null
     * when the bucket has no point), `covered_us` (observed-span overlap),
@@ -395,9 +404,13 @@ object TsAnalytics {
     *
     * Fixed-point contract: y = value quantized to 1e-4 (long), and the
     * five raw power sums `n, Σy, Σy², Σy³, Σy⁴` are exact integer sums —
-    * Σy and Σy² as longs, Σy³ and Σy⁴ as DECIMAL(38,0) (y ≤ ~1e7 on the
-    * corpus, so y⁴ ≤ ~1e28 and a million-row key stays under the 38-digit
-    * cap; DuckDB mirrors with HUGEINT). The derived moments come from ONE
+    * Σy as a long (y ≤ ~1e7 ⇒ a key needs ~1e11 rows to overflow), and
+    * Σy², Σy³, Σy⁴ all as DECIMAL(38,0): with y² ≈ 1e14 a long Σy² would
+    * silently wrap past ~10⁵ rows per hot key in non-ANSI mode while the
+    * DuckDB oracle auto-promotes to HUGEINT, so the squares go through
+    * the same exact decimal chain as the cubes (y⁴ ≤ ~1e28 keeps even a
+    * million-row key under the 38-digit cap; DuckDB mirrors with
+    * HUGEINT). The derived moments come from ONE
     * fixed double expression tree evaluated on those exact integers —
     * both engines perform the identical IEEE operation sequence, so the
     * doubles match bitwise and `floor(x·1e6 + 0.5)` fixed-point hashing
@@ -435,13 +448,14 @@ object TsAnalytics {
       .agg(
         count(lit(1)).as("n"),
         sum(col("__y")).as("sum_y"),
-        sum(col("__y") * col("__y")).as("sum_y2"),
+        sum(col("__yd") * col("__yd")).as("__s2"),
         sum(col("__yd") * col("__yd") * col("__yd")).as("__s3"),
         sum(col("__yd") * col("__yd") * col("__yd") * col("__yd")).as("__s4")
       )
+      .withColumn("sum_y2", col("__s2").cast("decimal(38,0)"))
       .withColumn("sum_y3", col("__s3").cast("decimal(38,0)"))
       .withColumn("sum_y4", col("__s4").cast("decimal(38,0)"))
-      .drop("__s3", "__s4")
+      .drop("__s2", "__s3", "__s4")
     deriveMoments1d(agg)
   }
 
@@ -461,7 +475,7 @@ object TsAnalytics {
       .agg(
         sum(col("n")).as("n"),
         sum(col("sum_y")).as("sum_y"),
-        sum(col("sum_y2")).as("sum_y2"),
+        sum(col("sum_y2")).cast("decimal(38,0)").as("sum_y2"),
         sum(col("sum_y3")).cast("decimal(38,0)").as("sum_y3"),
         sum(col("sum_y4")).cast("decimal(38,0)").as("sum_y4")
       )
@@ -487,8 +501,14 @@ object TsAnalytics {
       .withColumn("average", mean / 10000.0)
       .withColumn("stddev_pop", when(col("n") >= 1 && m2 >= 0, sqrt(m2) / 10000.0))
       .withColumn(
+        // radicand ≥ 0 guard mirrors stddev_pop's m2 ≥ 0: catastrophic
+        // cancellation on a near-constant large-magnitude key can push the
+        // difference slightly negative, and the contract is null-when-
+        // undefined, never NaN (a NaN would also cast engine-dependently).
         "stddev_samp",
-        when(col("n") >= 2, sqrt((d("sum_y2") - d("sum_y") * mean) / (n - 1.0)) / 10000.0)
+        when(
+          col("n") >= 2 && (d("sum_y2") - d("sum_y") * mean) >= 0,
+          sqrt((d("sum_y2") - d("sum_y") * mean) / (n - 1.0)) / 10000.0)
       )
       .withColumn("skewness", when(m2 > 0, m3 / sqrt(m2 * m2 * m2)))
       .withColumn("kurtosis", when(m2 > 0, m4 / (m2 * m2)))

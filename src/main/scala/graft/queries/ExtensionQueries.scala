@@ -1221,8 +1221,8 @@ object ExtensionQueries {
     },
 
     // Timescale stats_agg(value) 1-D accessor family: the five exact
-    // integer power sums anchor the hash (Σy³/Σy⁴ as DECIMAL(38,0),
-    // stringified so the 28-digit integers compare textually — doubles
+    // integer power sums anchor the hash (Σy²/Σy³/Σy⁴ as DECIMAL(38,0),
+    // stringified so the wide integers compare textually — doubles
     // would be exact-cast-identical but decimals hash engine-dependently);
     // average/stddev/skewness/kurtosis re-derive through one fixed IEEE
     // tree on both engines and gate as e6 fixed-point longs.
@@ -1232,7 +1232,8 @@ object ExtensionQueries {
       graft.operators.TsAnalytics
         .statsAgg1d(events(s, dir), Seq("user_id"), "value")
         .select(
-          col("user_id"), col("n"), col("sum_y"), col("sum_y2"),
+          col("user_id"), col("n"), col("sum_y"),
+          col("sum_y2").cast("string").as("sum_y2_str"),
           col("sum_y3").cast("string").as("sum_y3_str"),
           col("sum_y4").cast("string").as("sum_y4_str"),
           e6("average"), e6("stddev_pop"), e6("stddev_samp"),
@@ -1256,7 +1257,8 @@ object ExtensionQueries {
         Seq("user_id", "day_s"))
       daily
         .select(
-          col("user_id"), col("day_s"), col("n"), col("sum_y"), col("sum_y2"),
+          col("user_id"), col("day_s"), col("n"), col("sum_y"),
+          col("sum_y2").cast("string").as("sum_y2_str"),
           col("sum_y3").cast("string").as("sum_y3_str"),
           col("sum_y4").cast("string").as("sum_y4_str"),
           e6("average"), e6("stddev_pop"), e6("stddev_samp"),
@@ -1888,7 +1890,7 @@ object ExtensionQueries {
     // identical positional 10-gram pipeline: same tokenization, same
     // keep-first key (doc_id·2^20 + pos — the integer encoding of Spark's
     // min(struct(doc_id, pos)) ordering), same pos > prev + k run merge,
-    // same lexicographic span-string ordering
+    // same NUMERIC (start, end) span ordering
     "x_substring_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -1932,7 +1934,7 @@ object ExtensionQueries {
         |  SELECT doc_id, count(*) AS n_spans,
         |         CAST(sum(e - s) AS BIGINT) AS dup_tokens,
         |         string_agg(CAST(s AS VARCHAR) || ':' || CAST(e AS VARCHAR), ','
-        |                    ORDER BY CAST(s AS VARCHAR) || ':' || CAST(e AS VARCHAR)) AS spans
+        |                    ORDER BY s, e) AS spans
         |  FROM spans GROUP BY doc_id
         |)
         |SELECT base.doc_id AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -3110,7 +3112,7 @@ object ExtensionQueries {
         |), g AS (
         |  SELECT user_id, count(*) AS n,
         |         CAST(sum(y) AS BIGINT) AS sum_y,
-        |         CAST(sum(y * y) AS BIGINT) AS sum_y2,
+        |         sum(CAST(y AS HUGEINT) * y) AS sum_y2,
         |         sum(CAST(y AS HUGEINT) * y * y) AS s3,
         |         sum(CAST(y AS HUGEINT) * y * y * y) AS s4
         |  FROM p GROUP BY user_id
@@ -3130,7 +3132,8 @@ object ExtensionQueries {
         |            - 3.0 * mean * mean * mean * mean AS m4
         |  FROM dv
         |)
-        |SELECT user_id, n, sum_y, sum_y2,
+        |SELECT user_id, n, sum_y,
+        |       CAST(sum_y2 AS VARCHAR) AS sum_y2_str,
         |       CAST(s3 AS VARCHAR) AS sum_y3_str,
         |       CAST(s4 AS VARCHAR) AS sum_y4_str,
         |       CAST(floor(mean / 10000.0 * 1000000.0 + 0.5) AS BIGINT) AS average_e6,
@@ -3138,6 +3141,7 @@ object ExtensionQueries {
         |            THEN CAST(floor(sqrt(m2) / 10000.0 * 1000000.0 + 0.5) AS BIGINT)
         |            END AS stddev_pop_e6,
         |       CASE WHEN n >= 2
+        |             AND (CAST(sum_y2 AS DOUBLE) - CAST(sum_y AS DOUBLE) * mean) >= 0
         |            THEN CAST(floor(sqrt((CAST(sum_y2 AS DOUBLE) - CAST(sum_y AS DOUBLE) * mean)
         |                   / (nd - 1.0)) / 10000.0 * 1000000.0 + 0.5) AS BIGINT)
         |            END AS stddev_samp_e6,
@@ -3176,7 +3180,7 @@ object ExtensionQueries {
         |), g AS (
         |  SELECT user_id, day_s, count(*) AS n,
         |         CAST(sum(y) AS BIGINT) AS sum_y,
-        |         CAST(sum(y * y) AS BIGINT) AS sum_y2,
+        |         sum(CAST(y AS HUGEINT) * y) AS sum_y2,
         |         sum(CAST(y AS HUGEINT) * y * y) AS s3,
         |         sum(CAST(y AS HUGEINT) * y * y * y) AS s4
         |  FROM p GROUP BY user_id, day_s
@@ -3196,7 +3200,8 @@ object ExtensionQueries {
         |            - 3.0 * mean * mean * mean * mean AS m4
         |  FROM dv
         |)
-        |SELECT user_id, day_s, n, sum_y, sum_y2,
+        |SELECT user_id, day_s, n, sum_y,
+        |       CAST(sum_y2 AS VARCHAR) AS sum_y2_str,
         |       CAST(s3 AS VARCHAR) AS sum_y3_str,
         |       CAST(s4 AS VARCHAR) AS sum_y4_str,
         |       CAST(floor(mean / 10000.0 * 1000000.0 + 0.5) AS BIGINT) AS average_e6,
@@ -3204,6 +3209,7 @@ object ExtensionQueries {
         |            THEN CAST(floor(sqrt(m2) / 10000.0 * 1000000.0 + 0.5) AS BIGINT)
         |            END AS stddev_pop_e6,
         |       CASE WHEN n >= 2
+        |             AND (CAST(sum_y2 AS DOUBLE) - CAST(sum_y AS DOUBLE) * mean) >= 0
         |            THEN CAST(floor(sqrt((CAST(sum_y2 AS DOUBLE) - CAST(sum_y AS DOUBLE) * mean)
         |                   / (nd - 1.0)) / 10000.0 * 1000000.0 + 0.5) AS BIGINT)
         |            END AS stddev_samp_e6,

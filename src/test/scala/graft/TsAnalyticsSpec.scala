@@ -215,7 +215,8 @@ class TsAnalyticsSpec extends SparkSpec {
     val out = TsAnalytics.statsAgg1d(df, Seq("user_id"), "value").collect().head
     assert(out.getAs[Long]("n") === 4L)
     assert(out.getAs[Long]("sum_y") === 100000L)
-    assert(out.getAs[Long]("sum_y2") === (1L + 4 + 9 + 16) * 100000000L)
+    assert(out.getAs[java.math.BigDecimal]("sum_y2").longValueExact() ===
+      (1L + 4 + 9 + 16) * 100000000L)
     assert(out.getAs[java.math.BigDecimal]("sum_y3").longValueExact() ===
       (1L + 8 + 27 + 64) * 1000000000000L)
     assert(out.getAs[java.math.BigDecimal]("sum_y4").longValueExact() ===
