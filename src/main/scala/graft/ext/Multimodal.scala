@@ -150,6 +150,102 @@ object Multimodal {
       Some(Decoded(img.getWidth, img.getHeight, sum))
     }
 
+    /** Perceptual hashes over the decoded luma grid — dHash (gradient)
+      * and aHash (mean), the classic near-duplicate-image fingerprints.
+      * Every step is integer arithmetic on real decoded pixels, so the
+      * DuckDB oracle re-derives the exact same bits from the synthetic
+      * fixture's closed-form LCG pixel stream:
+      *
+      *  - luma = (299·R + 587·G + 114·B) / 1000 (ITU-R 601 integer form)
+      *  - 9×8 cell grid, pixel (x, y) → cell (x·9/w, y·8/h) — area
+      *    binning, NOT interpolated resampling, so cell means are exact
+      *    integer `sum/count` and shuffle-order independent
+      *  - dHash bit (gy, gx<8) at position gy·8+gx: cell mean > right
+      *    neighbor's mean (64 horizontal-gradient signs)
+      *  - aHash over the 8×8 left subgrid: cell mean > global mean of
+      *    those 64 cells
+      *
+      * Defined only for images at least as large as the grid (w ≥ 9,
+      * h ≥ 8): below grid resolution a "perceptual" hash of a sub-icon
+      * is noise, so those rows are excluded rather than padded.
+      */
+    final case class PHash(width: Int, height: Int, dhash: Long, ahash: Long)
+
+    def perceptualHash(payload: Array[Byte]): Option[PHash] = {
+      if (payload == null) return None
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w < 9 || h < 8) return None
+      val sum = new Array[Long](9 * 8)
+      val cnt = new Array[Long](9 * 8)
+      var y = 0
+      while (y < h) {
+        val gy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val gx = x * 9 / w
+          val rgb = img.getRGB(x, y) & 0xffffff
+          val luma =
+            (299 * ((rgb >> 16) & 255) + 587 * ((rgb >> 8) & 255) + 114 * (rgb & 255)) / 1000
+          sum(gy * 9 + gx) += luma
+          cnt(gy * 9 + gx) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      val mean = Array.tabulate(9 * 8)(i => sum(i) / cnt(i))
+      var dhash = 0L
+      var ahash = 0L
+      var total = 0L
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (mean(gy * 9 + gx) > mean(gy * 9 + gx + 1)) dhash |= 1L << (gy * 8 + gx)
+          total += mean(gy * 9 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      val global = total / 64
+      gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (mean(gy * 9 + gx) > global) ahash |= 1L << (gy * 8 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      Some(PHash(w, h, dhash, ahash))
+    }
+
+    /** Real pixel-space perturbation: decode, XOR every pixel's RGB with
+      * `rgbXor`, re-encode PNG (lossless, so the perturbed pixels
+      * round-trip exactly). `0x010101` flips each channel's low bit —
+      * luma moves by at most 1 per pixel, the canonical "imperceptible
+      * edit" a perceptual dedup must still catch.
+      */
+    def xorPixels(payload: Array[Byte], rgbXor: Int): Array[Byte] = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "xorPixels: undecodable payload")
+      val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          out.setRGB(x, y, (img.getRGB(x, y) & 0xffffff) ^ rgbXor)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
     /** Real resize: repaint into the target raster and re-encode PNG. */
     def resizePng(payload: Array[Byte], newWidth: Int, newHeight: Int): Array[Byte] = {
       val img = ImageIO.read(new ByteArrayInputStream(payload))
@@ -280,6 +376,52 @@ object Multimodal {
         ImageCodec.decode(r.payload).map { d =>
           ImageInfo(r.media_id, d.width, d.height, d.width.toLong * d.height, d.pixelSum)
         }
+      }
+    }
+  }
+
+  final case class ImageHash(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      dhash: Long,
+      ahash: Long
+  )
+
+  /** Batched perceptual-hash extraction over partitions — the image
+    * near-dup SKETCH stage: one partition-preserving decode pass (no
+    * shuffle), 16 bytes of hash per image out, payloads never leave the
+    * scan. At 100 TB the payload column stays columnar-pruned everywhere
+    * except this map stage; everything downstream ([[Dedup
+    * .hammingNearDupPairs]]) runs on the tiny hash frame. Images smaller
+    * than the 9×8 grid are excluded ([[ImageCodec.perceptualHash]]).
+    */
+  def perceptualHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.flatMap { r =>
+        ImageCodec.perceptualHash(r.payload).map { p =>
+          ImageHash(r.media_id, p.width, p.height, p.dhash, p.ahash)
+        }
+      }
+    }
+  }
+
+  /** Planted near-duplicate fixture: REAL pixel-perturbed PNG copies of
+    * `media` (decode → XOR RGB → re-encode) under offset ids — the ground
+    * truth for the perceptual-dedup gate and recall pins. Real pipeline
+    * analogue: re-encoded / slightly-retouched re-uploads of the same
+    * image.
+    */
+  def perturbedImageCopies(
+      media: Dataset[MediaRow],
+      idOffset: Long,
+      rgbXor: Int
+  ): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.map { r =>
+        r.copy(media_id = r.media_id + idOffset, payload = ImageCodec.xorPixels(r.payload, rgbXor))
       }
     }
   }

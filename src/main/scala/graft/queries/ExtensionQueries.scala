@@ -206,6 +206,32 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // perceptual-hash IMAGE near-dup dedup: REAL PNG decode → integer
+    // luma-grid dHash/aHash (9×8 area bins, ITU-601 integer luma) →
+    // pigeonhole Hamming-banded pair join (exact within radius 11) →
+    // keep-first drop rule. Planted duplicates are REAL pixel-perturbed
+    // re-encodes (RGB XOR 0x010101 flips each channel's low bit — luma
+    // moves ≤ 1), so detection must survive a genuinely imperceptible
+    // edit, not a byte-identical copy. The oracle re-derives the decoded
+    // pixels in closed form from the fixture's LCG (the
+    // x_multimodal_features idiom) and brute-forces ALL pairs — the
+    // banded join must reproduce the exact all-pairs Hamming result.
+    "x_dedup_image" -> { (s, dir) =>
+      val media = Multimodal.cachedSyntheticImages(s, docs(s, dir))
+      val copies = Multimodal.perturbedImageCopies(
+        media.filter(col("media_id") % 10 === 0), idOffset = 200000L, rgbXor = 0x010101)
+      val hashes = Multimodal.perceptualHashes(media.unionByName(copies)).toDF()
+      val pairs = Dedup.hammingNearDupPairs(hashes, "media_id", "dhash", radius = 11)
+      val dropped = pairs.groupBy(col("id_b").as("media_id")).agg(min(col("id_a")).as("dup_of"))
+      hashes
+        .join(dropped, Seq("media_id"), "left_outer")
+        .select(
+          col("media_id"), col("dhash"), col("ahash"),
+          when(col("dup_of").isNotNull, lit("dup")).otherwise(lit("kept")).as("status"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+        .orderBy("media_id")
+    },
+
     // incremental near-dup dedup: admit a new ingest batch (doc_id % 5 = 4)
     // against the already-ingested snapshot's fingerprint index — the
     // O(batch) admission check that replaces re-deduping the corpus
@@ -1891,6 +1917,83 @@ object ExtensionQueries {
     // keep-first key (doc_id·2^20 + pos — the integer encoding of Spark's
     // min(struct(doc_id, pos)) ordering), same pos > prev + k run merge,
     // same NUMERIC (start, end) span ordering
+    // decoded pixels re-derived in closed form from the fixture LCG
+    // (affine-map powers, the x_multimodal_features idiom), then the SAME
+    // integer luma→9×8-cell-mean→dHash/aHash pipeline, then brute-force
+    // all-pairs Hamming ≤ 11 — the engine's banded join must equal it
+    "x_dedup_image" ->
+      """WITH RECURSIVE aff(k, a, b) AS (
+        |  SELECT 1,
+        |         CAST(6364136223846793005 AS HUGEINT),
+        |         CAST(1442695040888963407 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT k + 1,
+        |         (a * 6364136223846793005) % 18446744073709551616,
+        |         (b * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM aff WHERE k < 3074
+        |), imgs AS (
+        |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS xm,
+        |         1 + n_chars % 64 AS w, 1 + n_chars % 48 AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, doc_id, 65793,
+        |         1 + n_chars % 64, 1 + n_chars % 48
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), hi AS (
+        |  SELECT * FROM imgs WHERE w >= 9 AND h >= 8
+        |), px AS (
+        |  SELECT media_id, w, h, xm,
+        |         (aff.k - 2) % w AS x, (aff.k - 2) // w AS y,
+        |         CAST(((aff.a * seed + aff.b) % 18446744073709551616
+        |               // 1099511627776) % 16777216 AS BIGINT) AS rgb0
+        |  FROM hi JOIN aff ON aff.k BETWEEN 2 AND w * h + 1
+        |), lum AS (
+        |  SELECT media_id, x * 9 // w AS gx, y * 8 // h AS gy,
+        |         (299 * ((xor(rgb0, xm) >> 16) & 255)
+        |        + 587 * ((xor(rgb0, xm) >> 8) & 255)
+        |        + 114 * (xor(rgb0, xm) & 255)) // 1000 AS luma
+        |  FROM px
+        |), cell AS (
+        |  SELECT media_id, gx, gy, sum(luma) // count(*) AS m
+        |  FROM lum GROUP BY media_id, gx, gy
+        |), dh AS (
+        |  SELECT c1.media_id,
+        |         SUM(CASE WHEN c1.m > c2.m
+        |             THEN CAST(1 AS HUGEINT) << (c1.gy * 8 + c1.gx)
+        |             ELSE CAST(0 AS HUGEINT) END) AS dhu
+        |  FROM cell c1 JOIN cell c2
+        |    ON c1.media_id = c2.media_id AND c2.gy = c1.gy AND c2.gx = c1.gx + 1
+        |  WHERE c1.gx < 8
+        |  GROUP BY c1.media_id
+        |), gm AS (
+        |  SELECT media_id, SUM(m) // 64 AS g FROM cell WHERE gx < 8 GROUP BY media_id
+        |), ah AS (
+        |  SELECT cell.media_id,
+        |         SUM(CASE WHEN m > g
+        |             THEN CAST(1 AS HUGEINT) << (gy * 8 + gx)
+        |             ELSE CAST(0 AS HUGEINT) END) AS ahu
+        |  FROM cell JOIN gm ON cell.media_id = gm.media_id
+        |  WHERE gx < 8
+        |  GROUP BY cell.media_id
+        |), hs AS (
+        |  SELECT dh.media_id,
+        |         CAST(CASE WHEN dhu >= 9223372036854775808
+        |              THEN dhu - 18446744073709551616 ELSE dhu END AS BIGINT) AS dhash,
+        |         CAST(CASE WHEN ahu >= 9223372036854775808
+        |              THEN ahu - 18446744073709551616 ELSE ahu END AS BIGINT) AS ahash
+        |  FROM dh JOIN ah ON dh.media_id = ah.media_id
+        |), pr AS (
+        |  SELECT a.media_id AS media_id, min(b.media_id) AS dup_of
+        |  FROM hs a JOIN hs b
+        |    ON b.media_id < a.media_id
+        |   AND bit_count(xor(a.dhash, b.dhash)) <= 11
+        |  GROUP BY a.media_id
+        |)
+        |SELECT hs.media_id, dhash, ahash,
+        |       CASE WHEN pr.dup_of IS NOT NULL THEN 'dup' ELSE 'kept' END AS status,
+        |       coalesce(pr.dup_of, -1) AS dup_of
+        |FROM hs LEFT JOIN pr ON hs.media_id = pr.media_id
+        |ORDER BY hs.media_id""".stripMargin,
     "x_substring_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -365,6 +365,41 @@ class ExtSpec extends SparkSpec {
     assert(lsh == bf, s"lsh=${lsh.size} bf=${bf.size} missed=${(bf -- lsh).take(5)}")
   }
 
+  test("image perceptual-hash dedup: banded pairs equal brute force; planted copies pinned in radius") {
+    val imgs = Multimodal.syntheticImages(spark, docs)
+    val copies = Multimodal.perturbedImageCopies(
+      imgs.filter($"media_id" % 4 === 0), idOffset = 100000L, rgbXor = 0x010101)
+    val hashes = Multimodal.perceptualHashes(imgs.unionByName(copies)).toDF().cache()
+    try {
+      // grid contract: only images at least grid-sized are hashed
+      val hashable = imgs.filter(r => r.width >= 9 && r.height >= 8).count() +
+        copies.filter(r => r.width >= 9 && r.height >= 8).count()
+      assert(hashes.count() === hashable)
+      // CORPUS PIN (the simhash idiom): every planted (orig, perturbed)
+      // pair must sit INSIDE the pigeonhole radius, or the gate's
+      // banded-equals-brute-force equality would rest on chance
+      val maxHam = hashes.as("a")
+        .join(hashes.as("b"), col("b.media_id") === col("a.media_id") + 100000L)
+        .select(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).cast("int").as("ham"))
+        .agg(max($"ham")).as[Int].head()
+      assert(maxHam <= 11,
+        s"planted perturbed copy at dHash hamming $maxHam > guaranteed radius 11 — " +
+          "x_dedup_image's recall would be partial; widen blocks/probes")
+      // exactness: pigeonhole-banded join ≡ brute-force all-pairs
+      val banded = Dedup.hammingNearDupPairs(hashes, "media_id", "dhash", radius = 11)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val bf = hashes.as("a")
+        .join(hashes.as("b"), col("a.media_id") < col("b.media_id"))
+        .where(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))) <= 11)
+        .select(col("a.media_id"), col("b.media_id")).as[(Long, Long)].collect().toSet
+      assert(banded === bf, s"banded=${banded.size} bf=${bf.size} missed=${(bf -- banded).take(5)}")
+      // recall on the planted ground truth: every hashable copy is found
+      val nCopies = hashes.where($"media_id" >= 100000L).count()
+      val recovered = banded.count { case (a, b) => b == a + 100000L }
+      assert(recovered === nCopies, s"recovered=$recovered of $nCopies planted copies")
+    } finally hashes.unpersist()
+  }
+
   test("exactSubstringSpans: shared, copied, and self-repeated substrings, first kept") {
     import spark.implicits._
     val df = Seq(
