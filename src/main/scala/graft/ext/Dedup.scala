@@ -742,6 +742,49 @@ object Dedup {
       .withColumn("spans", coalesce(col("spans"), lit("")))
   }
 
+  /** Span application — the STRIPPER that turns [[exactSubstringSpans]]'
+    * output into the actual training-data corpus: every token inside a
+    * removable `start:end` span is dropped, the survivors re-join with
+    * single spaces (the tokenizer's whitespace normal form — the
+    * contract is token-level, so the output is the kept token sequence,
+    * not a byte-preserving splice). Pure array expressions (positional
+    * `filter` + `exists` over the parsed span structs) — no UDF, map-side
+    * only after the one spans join, O(tokens·spans) per document with
+    * spans already run-merged maximal (typically a handful).
+    *
+    * `spans` must carry `doc_id` and the position-ordered `spans` string
+    * [[exactSubstringSpans]] emits; documents without a spans row (or
+    * with an empty list) pass through whole. Output: `doc_id`,
+    * `n_tokens`, `kept_tokens`, `stripped_text`.
+    */
+  def stripSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spans: DataFrame
+  ): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    val parsed = transform(
+      filter(split(coalesce(col("spans"), lit("")), ","), s => s =!= ""),
+      s =>
+        struct(
+          split(s, ":").getItem(0).cast("int").as("s"),
+          split(s, ":").getItem(1).cast("int").as("e")))
+    df.select(col(idCol).cast("long").as("doc_id"), ws.as("__ws"))
+      .join(spans.select(col("doc_id"), col("spans")), Seq("doc_id"), "left_outer")
+      .withColumn("__sp", parsed)
+      .withColumn(
+        "__kept",
+        filter(
+          col("__ws"),
+          (w, i) => !exists(col("__sp"), p => i >= p.getField("s") && i < p.getField("e"))))
+      .select(
+        col("doc_id"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("kept_tokens"),
+        array_join(col("__kept"), " ").as("stripped_text"))
+  }
+
   // ---- embedding cosine near-dup ------------------------------------------
 
   /** SemDeDup — semantic deduplication by cluster-then-prune (Abbas et
@@ -786,27 +829,8 @@ object Dedup {
       numClusters: Int,
       threshold: Double
   ): DataFrame = {
-    require(numClusters >= 1, "need at least one cluster")
-    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val seeds = base
-      .orderBy("id")
-      .limit(numClusters)
-      .select(col("id").as("seed_id"), col("v").as("seed_v"))
-    // argmax cosine with deterministic ties: (cos, -seed_id) pairs are
-    // unique, so max(struct) picks the lowest seed id among equal cosines
-    val assigned = base
-      .join(broadcast(seeds))
-      .withColumn(
-        "__m",
-        struct(
-          graft.functions.GraftFunctions.cosine_similarity(col("v"), col("seed_v")).as("c"),
-          (-col("seed_id")).as("ns"))
-      )
-      .groupBy("id")
-      .agg(max(col("__m")).as("__best"))
-      .withColumn("cluster", -col("__best.ns"))
-      .select("id", "cluster")
-    val withV = base.join(assigned, "id")
+    val withV = semanticIndex(df, idCol, vecCol, numClusters)
+    val assigned = withV.select("id", "cluster")
     val drops = withV.as("a")
       .join(
         withV.as("b"),
@@ -820,6 +844,114 @@ object Dedup {
       .join(drops, Seq("id"), "left_outer")
       .withColumn("kept", col("__dropped").isNull)
       .select("id", "cluster", "kept")
+  }
+
+  /** The stored SEMANTIC INDEX behind [[semanticDedup]] and
+    * [[semanticAdmit]]: every vector with its deterministic cell —
+    * `(id, cluster, v)`. This is the state a 100 TB ingestion pipeline
+    * persists (partitioned/bucketed by `cluster`, so admission probes
+    * prune to touched cells); seeds are the `numClusters` lowest-id
+    * vectors (see [[semanticDedup]] for why nearest-seed assignment is
+    * deliberately deterministic). One broadcast assignment pass — no
+    * self-join, no shuffle beyond the group-by-id argmax.
+    */
+  def semanticIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numClusters: Int
+  ): DataFrame = {
+    require(numClusters >= 1, "need at least one cluster")
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val seeds = base
+      .orderBy("id")
+      .limit(numClusters)
+      .select(col("id").as("seed_id"), col("v").as("seed_v"))
+    base.join(assignToSeeds(base, seeds), "id")
+  }
+
+  /** Nearest-seed cell assignment — argmax cosine with deterministic
+    * ties: (cos, -seed_id) pairs are unique, so max(struct) picks the
+    * lowest seed id among equal cosines. Broadcast over the seed table;
+    * input `(id, v)`, output `(id, cluster)`.
+    */
+  private def assignToSeeds(base: DataFrame, seeds: DataFrame): DataFrame =
+    base
+      .join(broadcast(seeds))
+      .withColumn(
+        "__m",
+        struct(
+          graft.functions.GraftFunctions.cosine_similarity(col("v"), col("seed_v")).as("c"),
+          (-col("seed_id")).as("ns"))
+      )
+      .groupBy("id")
+      .agg(max(col("__m")).as("__best"))
+      .withColumn("cluster", -col("__best.ns"))
+      .select("id", "cluster")
+
+  /** Streaming/ingestion-time SemDeDup ADMISSION — the O(batch) form a
+    * 100 TB pipeline actually runs: screen a new ingest batch against the
+    * stored [[semanticIndex]] without rescanning the corpus. The batch is
+    * assigned by the SAME seed rule (seeds re-derived as the index's
+    * `numClusters` lowest ids), probed against index members of its
+    * touched cells only (one join on `cluster` — with the index bucketed
+    * by cell this reads just those cells), and cross-checked within the
+    * batch by the keep-first rule.
+    *
+    * EQUIVALENCE CONTRACT (the property the gate pins): provided every
+    * batch id exceeds every index id (monotone ingestion ids) and the
+    * index holds ≥ `numClusters` vectors, the union's seeds equal the
+    * index's seeds, so a batch vector's status here is EXACTLY its fate
+    * under a full [[semanticDedup]] over index ∪ batch: `new` ⟺ kept.
+    * Statuses mirror [[incrementalDedup]]: `dup_snapshot` (a stored
+    * vector within `threshold` in its cell), `dup_batch` (only an
+    * earlier batch vector matches), `new`.
+    *
+    * Cost per batch: |batch|·K assignment cosines (broadcast, map-side)
+    * + |batch|·(touched-cell occupancy) probe cosines + n²/K within the
+    * batch — never a corpus rescan.
+    */
+  def semanticAdmit(
+      index: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numClusters: Int,
+      threshold: Double
+  ): DataFrame = {
+    require(numClusters >= 1, "need at least one cluster")
+    val idx = index.select(col("id"), col("cluster"), col("v"))
+    val seeds = idx
+      .orderBy("id")
+      .limit(numClusters)
+      .select(col("id").as("seed_id"), col("v").as("seed_v"))
+    val b = batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val assigned = b.join(assignToSeeds(b, seeds), "id")
+    val cos = (a: Column, bb: Column) => graft.functions.GraftFunctions.cosine_similarity(a, bb)
+    val snapHit = assigned.as("b")
+      .join(idx.as("a"), col("a.cluster") === col("b.cluster"))
+      .where(cos(col("a.v"), col("b.v")) >= threshold)
+      .select(col("b.id").as("id"))
+      .distinct()
+      .withColumn("__snap", lit(true))
+    val batchHit = assigned.as("b")
+      .join(
+        assigned.as("a"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .where(cos(col("a.v"), col("b.v")) >= threshold)
+      .select(col("b.id").as("id"))
+      .distinct()
+      .withColumn("__batch", lit(true))
+    assigned
+      .join(snapHit, Seq("id"), "left_outer")
+      .join(batchHit, Seq("id"), "left_outer")
+      .select(
+        col("id"),
+        col("cluster"),
+        when(col("__snap"), lit("dup_snapshot"))
+          .when(col("__batch"), lit("dup_batch"))
+          .otherwise(lit("new"))
+          .as("status"))
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`. Brute-force

@@ -206,6 +206,25 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // span application end-to-end: the STRIPPED corpus text a training
+    // run actually consumes — x_substring_dedup's spans applied by pure
+    // positional array ops (filter + exists, no UDF), survivors re-joined
+    // in token order. The oracle re-derives the whole detect→strip
+    // pipeline and re-assembles the kept tokens independently.
+    "x_substring_strip" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val copies = d
+        .where(col("doc_id") % 10 === 0)
+        .select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("xdupsalt "), col("text")).as("text"))
+      val corpus = d.select("doc_id", "text").unionByName(copies)
+      val spans = Dedup
+        .exactSubstringSpans(corpus, "doc_id", "text", k = 10)
+        .select("doc_id", "spans")
+      Dedup.stripSpans(corpus, "doc_id", "text", spans).orderBy("doc_id")
+    },
+
     // perceptual-hash IMAGE near-dup dedup: REAL PNG decode → integer
     // luma-grid dHash/aHash (9×8 area bins, ITU-601 integer luma) →
     // pigeonhole Hamming-banded pair join (exact within radius 11) →
@@ -567,6 +586,47 @@ object ExtensionQueries {
       Dedup
         .semanticDedup(corpus, "vec_id", "embedding", numClusters = 64, threshold = 0.9)
         .select(col("id").as("vec_id"), col("cluster"), col("kept"))
+        .orderBy("vec_id")
+    },
+
+    // streaming/ingestion-time SemDeDup ADMISSION: a new ingest batch
+    // screens against the stored semantic index in O(batch + touched
+    // cells) — no corpus rescan. Batch carries all three fates:
+    // ×1.05-perturbed copies of stored vectors (dup_snapshot), negated
+    // vectors (semantically novel — background cos ≤ ~0.65 flips sign,
+    // so nothing stored comes near 0.9 → new), and perturbed copies of
+    // those negated vectors (their only match is the earlier batch row →
+    // dup_batch). The oracle runs full SemDeDup over index ∪ batch and
+    // classifies from the same pair sets — the admission path must equal
+    // the from-scratch result (the equivalence ExtSpec also pins).
+    "x_semantic_incr" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val e = embs(s, dir)
+      val copies = e
+        .where(col("vec_id") % 5 === 0)
+        .select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          concat(
+            array(element_at(col("embedding"), 1) * lit(1.05f)),
+            slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
+      val negs = e
+        .where(col("vec_id") % 7 === 3)
+        .select(
+          (col("vec_id") + 3000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      val negCopies = e
+        .where(col("vec_id") % 7 === 3)
+        .select(
+          (col("vec_id") + 4000000L).as("vec_id"),
+          concat(
+            array(element_at(col("embedding"), 1) * lit(-1.05f)),
+            transform(slice(col("embedding"), lit(2), size(col("embedding")) - 1), x => -x))
+            .as("embedding"))
+      val batch = copies.unionByName(negs).unionByName(negCopies)
+      val index = Dedup.semanticIndex(e.select("vec_id", "embedding"), "vec_id", "embedding", 64)
+      Dedup
+        .semanticAdmit(index, batch, "vec_id", "embedding", numClusters = 64, threshold = 0.9)
+        .select(col("id").as("vec_id"), col("cluster"), col("status"))
         .orderBy("vec_id")
     },
 
@@ -2046,6 +2106,68 @@ object ExtensionQueries {
         |       coalesce(pd.spans, '') AS spans
         |FROM base LEFT JOIN pd ON base.doc_id = pd.doc_id
         |ORDER BY base.doc_id""".stripMargin,
+    // same k-gram → keep-first → run-merge span pipeline as
+    // x_substring_dedup, then the strip re-derived independently: kept
+    // token positions via an anti-join against the span ranges,
+    // re-assembled in position order
+    "x_substring_strip" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'xdupsalt ' || text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+        |         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM corpus
+        |), grams AS (
+        |  SELECT doc_id, gs.pos,
+        |         array_to_string(ws[gs.pos + 1 : gs.pos + 10], ' ') AS g
+        |  FROM base, LATERAL (
+        |    SELECT unnest(generate_series(0, n_tokens - 10)) AS pos) gs
+        |  WHERE n_tokens >= 10
+        |), occ AS (
+        |  SELECT g, count(*) AS cnt,
+        |         min(doc_id * 1048576 + pos) AS firstkey
+        |  FROM grams GROUP BY g
+        |), fl AS (
+        |  SELECT grams.doc_id, grams.pos
+        |  FROM grams JOIN occ ON grams.g = occ.g
+        |  WHERE occ.cnt >= 2
+        |    AND grams.doc_id * 1048576 + grams.pos <> occ.firstkey
+        |), sp AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 10
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM fl
+        |), sp2 AS (
+        |  SELECT doc_id, pos,
+        |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM sp
+        |), spans AS (
+        |  SELECT doc_id, sid, min(pos) AS s, max(pos) + 10 AS e
+        |  FROM sp2 GROUP BY doc_id, sid
+        |), toks AS (
+        |  SELECT doc_id, gs.pos, ws[gs.pos + 1] AS w
+        |  FROM base, LATERAL (
+        |    SELECT unnest(generate_series(0, n_tokens - 1)) AS pos) gs
+        |), keptt AS (
+        |  SELECT t.doc_id, t.pos, t.w
+        |  FROM toks t LEFT JOIN spans z
+        |    ON t.doc_id = z.doc_id AND t.pos >= z.s AND t.pos < z.e
+        |  WHERE z.doc_id IS NULL
+        |), outp AS (
+        |  SELECT doc_id, count(*) AS kept_tokens,
+        |         string_agg(w, ' ' ORDER BY pos) AS stripped_text
+        |  FROM keptt GROUP BY doc_id
+        |)
+        |SELECT base.doc_id AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       coalesce(kept_tokens, 0) AS kept_tokens,
+        |       coalesce(stripped_text, '') AS stripped_text
+        |FROM base LEFT JOIN outp ON base.doc_id = outp.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
     // the composed pipeline re-derived end-to-end: same substring-span
     // sub-pipeline, same mostly-dup drop rule, same md5 split thresholds
     "x_pipeline_dedup" ->
@@ -2455,6 +2577,62 @@ object ExtensionQueries {
         |)
         |SELECT asg.id AS vec_id, cluster, dr.id IS NULL AS kept
         |FROM asg LEFT JOIN dr ON asg.id = dr.id
+        |ORDER BY vec_id""".stripMargin,
+    // full SemDeDup over index ∪ batch, statuses classified from the
+    // same in-cell pair sets split by which side the earlier partner
+    // sits on — equals the engine's O(batch) admission path
+    "x_semantic_incr" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |         list_concat([embedding[1] * CAST(1.05 AS REAL)], embedding[2:])
+        |  FROM embeddings WHERE vec_id % 5 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 3000000,
+        |         list_transform(embedding, x -> -x)
+        |  FROM embeddings WHERE vec_id % 7 = 3
+        |  UNION ALL
+        |  SELECT vec_id + 4000000,
+        |         list_concat([embedding[1] * CAST(-1.05 AS REAL)],
+        |                     list_transform(embedding[2:], x -> -x))
+        |  FROM embeddings WHERE vec_id % 7 = 3
+        |), seeds AS (
+        |  SELECT vec_id AS seed_id, embedding AS seed_v
+        |  FROM corpus ORDER BY vec_id LIMIT 64
+        |), sc AS (
+        |  SELECT c.vec_id AS id, c.embedding, s.seed_id,
+        |         list_sum(list_transform(list_zip(c.embedding, s.seed_v),
+        |                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |         / sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |              * list_sum(list_transform(s.seed_v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cs
+        |  FROM corpus c, seeds s
+        |), asg AS (
+        |  SELECT id, embedding, seed_id AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id
+        |                                 ORDER BY cs DESC, seed_id ASC) AS rn
+        |    FROM sc)
+        |  WHERE rn = 1
+        |), pairs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.id < b.id
+        |  WHERE b.id >= 1000000
+        |    AND list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |        / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |             * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) >= 0.9
+        |), st AS (
+        |  SELECT b_id AS id,
+        |         max(CASE WHEN a_id < 1000000 THEN 1 ELSE 0 END) AS has_snap,
+        |         max(CASE WHEN a_id >= 1000000 THEN 1 ELSE 0 END) AS has_batch
+        |  FROM pairs GROUP BY b_id
+        |)
+        |SELECT asg.id AS vec_id, cluster,
+        |       CASE WHEN st.has_snap = 1 THEN 'dup_snapshot'
+        |            WHEN st.has_batch = 1 THEN 'dup_batch'
+        |            ELSE 'new' END AS status
+        |FROM asg LEFT JOIN st ON asg.id = st.id
+        |WHERE asg.id >= 1000000
         |ORDER BY vec_id""".stripMargin,
     // planted-cluster ANN top-k gates: the oracle brute-forces the SAME
     // augmented corpus (source ∪ ×1.01…×1.05 copies, ×0.995 queries) in

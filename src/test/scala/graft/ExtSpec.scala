@@ -425,6 +425,35 @@ class ExtSpec extends SparkSpec {
     assert(hashed === out.view.mapValues(_.getAs[String]("spans")).toMap)
   }
 
+  test("stripSpans applies the spans positionally and passes span-free docs through") {
+    import spark.implicits._
+    val df = Seq(
+      1L -> "w1 w2 w3 w4 w5 w6",
+      2L -> "z w3 w4 w5 w6 q",
+      3L -> "w1 w2 w3 w4 w5 w6",
+      4L -> "r1 r2 r3 r4 x r1 r2 r3 r4",
+      5L -> "a b c"
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(df, "doc_id", "text", k = 4).select("doc_id", "spans")
+    val out = Dedup.stripSpans(df, "doc_id", "text", spans)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("stripped_text") === "w1 w2 w3 w4 w5 w6")
+    assert(out(2L).getAs[String]("stripped_text") === "z q")
+    assert(out(2L).getAs[Long]("kept_tokens") === 2L)
+    assert(out(3L).getAs[String]("stripped_text") === "") // full copy stripped whole
+    assert(out(3L).getAs[Long]("kept_tokens") === 0L)
+    assert(out(4L).getAs[String]("stripped_text") === "r1 r2 r3 r4 x")
+    assert(out(5L).getAs[String]("stripped_text") === "a b c")
+    assert(out.values.forall(r =>
+      r.getAs[Long]("kept_tokens") <= r.getAs[Long]("n_tokens")))
+    // multi-span doc: two separated spans strip independently, numeric
+    // span order (10:14 after 2:6) applies correctly past one digit
+    val multi = Seq(6L -> "k0 d1 d2 d3 d4 k1 k2 k3 k4 k5 d1 d2 d3 d4 k6").toDF("doc_id", "text")
+    val ms = Seq((6L, "1:5,10:14")).toDF("doc_id", "spans")
+    val mo = Dedup.stripSpans(multi, "doc_id", "text", ms).collect().head
+    assert(mo.getAs[String]("stripped_text") === "k0 k1 k2 k3 k4 k5 k6")
+  }
+
   test("semanticDedup drops every planted copy into its source's cell, keeps sources") {
     // SemDeDup recall on planted structure: a ×1.05 first-component copy
     // sits at cos ≥ 0.9997 of its source, so whenever both land in the
@@ -459,6 +488,35 @@ class ExtSpec extends SparkSpec {
       s"only ${sameCell.length}/${copyIds.length} copies kept their source's cell")
     // organic corpus (max pair cos ≈ 0.6) survives untouched at τ = 0.9
     assert(out.count(!_._2.getAs[Boolean]("kept")) === sameCell.length)
+  }
+
+  test("semanticAdmit: batch admission equals full-corpus semanticDedup on the union") {
+    import spark.implicits._
+    val e = embs.select("vec_id", "embedding")
+    val copies = embs.where($"vec_id" % 5 === 0).select(
+      ($"vec_id" + 1000000L).as("vec_id"),
+      concat(
+        array(element_at($"embedding", 1) * lit(1.05f)),
+        slice($"embedding", lit(2), size($"embedding") - 1)).as("embedding"))
+    val negs = embs.where($"vec_id" % 7 === 3).select(
+      ($"vec_id" + 3000000L).as("vec_id"),
+      transform($"embedding", x => -x).as("embedding"))
+    val batch = copies.unionByName(negs)
+    val k = 16
+    // the O(batch) admission path
+    val index = Dedup.semanticIndex(e, "vec_id", "embedding", k)
+    val admit = Dedup.semanticAdmit(index, batch, "vec_id", "embedding", k, 0.9)
+      .select($"id", ($"status" === "new").as("kept"))
+      .as[(Long, Boolean)].collect().toMap
+    // the from-scratch path over the union
+    val full = Dedup.semanticDedup(e.unionByName(batch), "vec_id", "embedding", k, 0.9)
+      .where($"id" >= 1000000L)
+      .select($"id", $"kept").as[(Long, Boolean)].collect().toMap
+    assert(admit.keySet === full.keySet)
+    val diff = admit.keySet.filter(id => admit(id) != full(id))
+    assert(diff.isEmpty, s"admission diverges from full dedup at ${diff.take(5)}")
+    // and the batch really carries both fates
+    assert(admit.values.exists(identity) && admit.values.exists(!_))
   }
 
   test("embeddingLshCandidates is the pair functions' candidate stage") {
