@@ -154,27 +154,57 @@ object RollupRewrite extends Rule[LogicalPlan] {
         spark.experimental.extraOptimizations :+ RollupRewrite
     }
 
-  /** Calendar-nesting ranks. The registered rollup's own level is
-    * restricted to sub-day granularities (minute/hour/day), which nest
-    * into EVERY coarser calendar level — including week AND month, whose
-    * mutual non-nesting therefore never matters here:
-    * `date_trunc(coarse, date_trunc(fine, ts)) == date_trunc(coarse, ts)`
-    * holds for all served pairs.
+  /** Calendar-nesting ranks. The serve rule is NESTING, not mere
+    * coarseness: `date_trunc(coarse, date_trunc(fine, ts)) ==
+    * date_trunc(coarse, ts)` must hold. Sub-day levels (minute/hour/day)
+    * nest into EVERY coarser calendar level — week AND month included,
+    * whose mutual non-nesting therefore never matters when serving from
+    * them. Calendar-level rollups nest only upward along the calendar
+    * chain (month → quarter → year); WEEK nests into nothing coarser
+    * (ISO weeks cross month/quarter/year boundaries), so a week rollup
+    * serves only week dashboards.
     */
   private val levelRank = Map(
     "minute" -> 1, "hour" -> 2, "day" -> 3, "week" -> 4,
     "month" -> 5, "quarter" -> 6, "year" -> 7)
 
-  /** Fixed microsecond widths of the servable rollup levels in UTC (no
+  /** Fixed microsecond widths of the sub-day rollup levels in UTC (no
     * DST; a UTC day is always 86 400 s) — used to test whether a WHERE
-    * bound is aligned to a bucket boundary.
+    * bound is aligned to a bucket boundary. Calendar levels
+    * (week/month/quarter/year) have no fixed width; their alignment test
+    * is [[calendarAligned]].
     */
   private val levelWidthUs = Map(
     "minute" -> 60000000L, "hour" -> 3600000000L, "day" -> 86400000000L)
 
+  /** Whether instant `us` sits exactly on a UTC `level` boundary — the
+    * alignment test for the variable-width calendar levels: UTC midnight
+    * on an ISO Monday (week — Spark's `date_trunc('week')` is
+    * Monday-anchored), on day 1 of a month / of a quarter-starting month
+    * (Jan/Apr/Jul/Oct), or on Jan 1 (year). Pure integer-calendar
+    * arithmetic on the literal — evaluated once per bound at plan time.
+    */
+  private def calendarAligned(us: Long, level: String): Boolean = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L),
+      (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    val midnight = ldt.toLocalTime == java.time.LocalTime.MIDNIGHT
+    level match {
+      case "week"    => midnight && ldt.getDayOfWeek == java.time.DayOfWeek.MONDAY
+      case "month"   => midnight && ldt.getDayOfMonth == 1
+      case "quarter" => midnight && ldt.getDayOfMonth == 1 && (ldt.getMonthValue - 1) % 3 == 0
+      case "year"    => midnight && ldt.getDayOfYear == 1
+      case _         => false
+    }
+  }
+
   private def serves(finer: String, coarser: String): Boolean =
     (levelRank.get(finer.toLowerCase), levelRank.get(coarser.toLowerCase)) match {
-      case (Some(f), Some(c)) => f <= 3 && c >= f
+      case (Some(f), Some(c)) =>
+        if (f <= 3) c >= f // fixed sub-day widths divide every coarser level
+        else if (f == 4) c == 4 // week nests only into week
+        else c >= f // month/quarter/year nest up the calendar chain
       case _ => false
     }
 
@@ -304,11 +334,17 @@ object RollupRewrite extends Rule[LogicalPlan] {
     def alignedBound(l: Literal): Option[Literal] = l.dataType match {
       case org.apache.spark.sql.types.TimestampType |
           org.apache.spark.sql.types.TimestampNTZType =>
+        val level = spec.finerLevel.toLowerCase
         val ok = truncTz.forall(tz => tz == "UTC" || tz == "Etc/UTC" || tz == "Z") &&
           l.value != null &&
-          levelWidthUs.get(spec.finerLevel.toLowerCase).exists { w =>
-            Math.floorMod(l.value.asInstanceOf[Long], w) == 0L
-          }
+          (levelWidthUs.get(level) match {
+            // sub-day buckets: fixed-width divisibility in UTC µs
+            case Some(w) => Math.floorMod(l.value.asInstanceOf[Long], w) == 0L
+            // calendar buckets (week/month/quarter/year): boundary test
+            // on the UTC calendar — e.g. a month dashboard's
+            // `ts >= '2025-06-01'` is served, `>= '2025-06-15'` refuses
+            case None => calendarAligned(l.value.asInstanceOf[Long], level)
+          })
         if (ok) Some(Literal(l.value, org.apache.spark.sql.types.TimestampType)) else None
       case _ => None
     }

@@ -433,29 +433,29 @@ object CdcQueries {
         col("operation"), col("before"), col("after"), col("event_id"))
       val base = java.nio.file.Files.createTempDirectory("graft_scd2_stream").toString
       val logPath = s"$base/log"; val statePath = s"$base/hist"; val ckpt = s"$base/ckpt"
-      val cut = log.agg(
-        expr("percentile_approx(event_id, 0.34, 10000)").cast("long"),
-        expr("percentile_approx(event_id, 0.67, 10000)").cast("long")).head()
-      val (c1, c2) = (cut.getLong(0), cut.getLong(1))
+      val c1 = log.agg(
+        expr("percentile_approx(event_id, 0.5, 10000)").cast("long")).head().getLong(0)
       def runOnce(): Unit = {
         val q = CdcStream.scd2Maintain(
           CdcStream.readLogStream(s, logPath, CdcLog.read(s, logPath).schema),
           statePath, ckpt, Seq("rid"), payloadSchema, Trigger.AvailableNow())
         q.awaitTermination()
       }
-      // gate-scoped shuffle width: the three micro-batched runs pay
+      // gate-scoped shuffle width: the micro-batched runs pay
       // per-partition task/state setup on every batch, and the
       // ~60k-event fixture doesn't need 32-way shuffles (batch results
       // are partitioning-independent; restored in finally)
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", 8)
       try {
+        // two lifecycle runs, not three: run 2 both RESTARTS from the
+        // checkpoint and RE-DELIVERS the last slice of run 1 (must be a
+        // no-op), so restart recovery and at-least-once idempotence are
+        // still both exercised — at two-thirds of the per-run streaming
+        // setup cost (each AvailableNow run pays query start/stop and
+        // per-batch state-store instantiation)
         CdcLog.append(log.where(col("event_id") <= c1), logPath); runOnce()
-        // chunk 2 re-delivers the last slice of chunk 1 — must be a no-op
-        CdcLog.append(
-          log.where(col("event_id") > c1 - 50 && col("event_id") <= c2), logPath)
-        runOnce()
-        CdcLog.append(log.where(col("event_id") > c2), logPath); runOnce()
+        CdcLog.append(log.where(col("event_id") > c1 - 50), logPath); runOnce()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(statePath)
         .select(col("rid"), col("user_id"), col("cents"),
@@ -466,7 +466,7 @@ object CdcQueries {
     // Streaming interval join as a DRIVER GATE: clicks joined to the
     // same user's errors in the preceding four hours, both sides REAL file
     // streams consumed one file per micro-batch (maxFilesPerTrigger=1,
-    // three ts-ordered chunks each) through CdcStream.intervalJoin's
+    // two ts-ordered chunks each) through CdcStream.intervalJoin's
     // watermarked stream-stream range join, drained into a memory sink.
     // The watermark (90 days) exceeds the corpus span so nothing is
     // late-dropped and the streamed result must equal the batch interval
@@ -478,10 +478,14 @@ object CdcQueries {
       import graft.streaming.CdcStream
       val ev = events(s, dir)
       val base = java.nio.file.Files.createTempDirectory("graft_ivj").toString
+      // two ts-ordered files per side → two one-file-per-side micro-
+      // batches: still a genuine multi-batch incremental-state lifecycle
+      // (batch 2 joins against batch 1's buffered state), at two-thirds
+      // of the three-chunk harness's per-batch state/task setup cost
       def side(tpe: String, path: String): Unit = ev
         .where(col("event_type") === tpe)
         .select(col("ts"), col("user_id"), col("event_id"))
-        .repartitionByRange(3, col("ts"))
+        .repartitionByRange(2, col("ts"))
         .sortWithinPartitions("ts")
         .write.parquet(path)
       side("click", s"$base/l"); side("error", s"$base/r")
@@ -489,7 +493,7 @@ object CdcQueries {
       def stream(path: String) =
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
       // gate-scoped shuffle width: the stream-stream join instantiates a
-      // state store per shuffle partition per micro-batch (6 batches
+      // state store per shuffle partition per micro-batch (2 batches
       // here) — 8 wide is plenty for the sf0.1 corpus and cuts the
       // per-batch state/task setup 4× (restored in finally)
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -748,7 +752,7 @@ object CdcQueries {
     "d8_avro_envelope" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value AS val
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
-    // the streamed SCD2 state after three micro-batched runs (one
+    // the streamed SCD2 state after two micro-batched runs (one
     // re-delivering) must equal the one-shot batch derivation: every
     // event opens a version, lead() on the event_id axis closes it,
     // deletes close but emit no row. Same chain SQL as c9 minus the

@@ -105,7 +105,11 @@ class PlanSpec extends SparkSpec {
       // SemDeDup's seed assignment: broadcast nested-loop over the
       // numClusters seed rows only (a fixed small side by construction);
       // the quadratic stage is the cluster-equi-joined prune, never n²
-      "x_semantic_dedup")
+      "x_semantic_dedup",
+      // the admission form assigns BOTH the stored index and the ingest
+      // batch by the same broadcast-over-K-seeds pass; its probe joins
+      // are cluster-equi-joined
+      "x_semantic_incr")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(allowed).flatMap { name =>
       val p = try plan(name) catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
       if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))

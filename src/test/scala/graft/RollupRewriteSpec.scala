@@ -374,6 +374,61 @@ class RollupRewriteSpec extends SparkSpec {
     RollupRewrite.clear()
   }
 
+  test("calendar-level rollups: month serves month/quarter at month-aligned bounds; week serves only week") {
+    RollupRewrite.clear()
+    val raw = Tables.load(spark, sf0001, "events")
+    def registeredAt(level: String, name: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_rollup_$name").toString
+      RollupRewrite.buildRollup(raw, Seq("event_type"), "ts", measure, level)
+        .write.mode("overwrite").parquet(dir)
+      RollupRewrite.register(name, RollupRewrite.Spec(
+        raw.inputFiles.toSet,
+        spark.read.parquet(dir).queryExecution.analyzed,
+        Seq("event_type"), "ts", level,
+        RollupRewrite.canonicalMeasure(raw, measure)))
+      dir
+    }
+    def aggAt(df: DataFrame, level: String, bound: String): DataFrame = df
+      .where(col("ts") >= lit(bound).cast("timestamp"))
+      .groupBy(col("event_type"), date_trunc(level, col("ts")).as("b"))
+      .agg(count(lit(1)).as("n"), sum(measure).as("s"))
+    val expectedMonth = aggAt(raw, "month", "2024-01-01 00:00:00").collect().toSet
+    val expectedWeek = aggAt(raw, "week", "2024-01-08 00:00:00").collect().toSet
+    val monthDir = registeredAt("month", "events_monthly")
+    RollupRewrite.install(spark)
+    val monthName = new java.io.File(monthDir).getName
+    // month dashboard, month-boundary WHERE → served from the month rollup
+    val served = aggAt(raw, "month", "2024-01-01 00:00:00")
+    assert(served.queryExecution.executedPlan.toString.contains(monthName),
+      "month-aligned WHERE over a month rollup must serve")
+    assert(served.collect().toSet === expectedMonth)
+    // quarter nests over month → served too
+    assert(aggAt(raw, "quarter", "2024-01-01 00:00:00")
+      .queryExecution.executedPlan.toString.contains(monthName),
+      "quarter dashboard must be served from the month rollup")
+    // day-aligned but NOT month-aligned bound → refuse
+    assert(!aggAt(raw, "month", "2024-01-15 00:00:00")
+      .queryExecution.executedPlan.toString.contains(monthName),
+      "a mid-month (day-aligned) bound cannot be served from a month rollup")
+    RollupRewrite.clear()
+    val weekDir = registeredAt("week", "events_weekly")
+    val weekName = new java.io.File(weekDir).getName
+    // week dashboard at a Monday bound → served
+    val servedW = aggAt(raw, "week", "2024-01-08 00:00:00")
+    assert(servedW.queryExecution.executedPlan.toString.contains(weekName),
+      "Monday-aligned WHERE over a week rollup must serve")
+    assert(servedW.collect().toSet === expectedWeek)
+    // a Thursday (day-aligned) bound → refuse
+    assert(!aggAt(raw, "week", "2024-01-11 00:00:00")
+      .queryExecution.executedPlan.toString.contains(weekName),
+      "a non-Monday bound cannot be served from a week rollup")
+    // month dashboard over a WEEK rollup → refuse (weeks cross months)
+    assert(!aggAt(raw, "month", "2024-01-01 00:00:00")
+      .queryExecution.executedPlan.toString.contains(weekName),
+      "weeks do not nest into months; a week rollup must refuse a month dashboard")
+    RollupRewrite.clear()
+  }
+
   test("real-time: WHERE-filtered queries flow through rollup UNION tail exactly") {
     val (rawAB, dir, tailFiles) = registeredRealtime(realtime = true)
     assert(tailFiles.nonEmpty)
