@@ -350,6 +350,74 @@ object Multimodal {
       if (!sawData || sampleRate <= 0) None
       else Some(Decoded(nSamples, sampleRate, channels, sum))
     }
+
+    /** Locate the PCM data chunk by the same RIFF walk as [[decode]]:
+      * (byte offset of the first sample, sample count), None when the
+      * payload is not a valid PCM16-mono WAV.
+      */
+    private def dataChunk(payload: Array[Byte]): Option[(Int, Int)] = {
+      if (payload == null || payload.length < 44) return None
+      val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = { val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII") }
+      if (tag() != "RIFF") return None
+      buf.getInt
+      if (tag() != "WAVE") return None
+      var found: Option[(Int, Int)] = None
+      while (buf.remaining() >= 8 && found.isEmpty) {
+        val id = tag()
+        val len = buf.getInt
+        if (len < 0 || len > buf.remaining()) return None
+        if (id == "data") found = Some((buf.position(), len / 2))
+        else buf.position(math.min(buf.position() + len + (len & 1), buf.limit()))
+      }
+      found
+    }
+
+    /** Temporal perceptual fingerprint over the decoded PCM stream — the
+      * audio analogue of [[ImageCodec.perceptualHash]] (the
+      * energy-difference-sign idea of Haitsma & Kalker's robust audio
+      * fingerprint, integer-exact): the sample stream splits into 65
+      * equal time bins (sample i → bin i·65/n, the same area binning as
+      * the image grid), per-bin energy is the exact Σ|s| long, and bit
+      * w (0..63) at position w is E[w] > E[w+1] — 64 temporal-gradient
+      * signs. Defined for clips with ≥ 65 samples (below that the bins
+      * are not all occupied). Returns (nSamples, fingerprint).
+      */
+    def perceptualHash(payload: Array[Byte]): Option[(Int, Long)] =
+      dataChunk(payload).flatMap { case (off, n) =>
+        if (n < 65) None
+        else {
+          val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+          val energy = new Array[Long](65)
+          var i = 0
+          while (i < n) {
+            val s = buf.getShort(off + 2 * i).toInt
+            energy((i.toLong * 65L / n).toInt) += math.abs(s).toLong
+            i += 1
+          }
+          var fp = 0L
+          var w = 0
+          while (w < 64) {
+            if (energy(w) > energy(w + 1)) fp |= 1L << w
+            w += 1
+          }
+          Some((n, fp))
+        }
+      }
+
+    /** Real sample-space perturbation: flip the least-significant bit of
+      * EVERY 16-bit PCM sample in place (a byte-level edit of the raw
+      * PCM payload — |sample| moves by at most 1, the audio twin of
+      * [[ImageCodec.xorPixels]]'s low-bit channel flip).
+      */
+    def flipSampleLsb(payload: Array[Byte]): Array[Byte] = {
+      val (off, n) = dataChunk(payload)
+        .getOrElse(throw new IllegalArgumentException("flipSampleLsb: not a PCM16 WAV"))
+      val out = java.util.Arrays.copyOf(payload, payload.length)
+      var i = 0
+      while (i < n) { out(off + 2 * i) = (out(off + 2 * i) ^ 0x01).toByte; i += 1 }
+      out
+    }
   }
 
   /** Decoded-image projection (real codec output + the metadata the row
@@ -426,6 +494,74 @@ object Multimodal {
     }
   }
 
+  final case class AudioHash(media_id: Long, n_samples: Int, fp: Long)
+
+  /** Batched audio-fingerprint extraction — the audio near-dup sketch
+    * stage, mirroring [[perceptualHashes]]: one partition-preserving
+    * decode pass, 12 bytes of fingerprint per clip out, payloads never
+    * shuffled. Clips under 65 samples are excluded
+    * ([[AudioCodec.perceptualHash]]).
+    */
+  def audioFingerprints(media: Dataset[MediaRow]): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.flatMap { r =>
+        AudioCodec.perceptualHash(r.payload).map { case (n, fp) =>
+          AudioHash(r.media_id, n, fp)
+        }
+      }
+    }
+  }
+
+  /** Planted audio near-duplicates: REAL LSB-flipped PCM copies under
+    * offset ids — re-encoded re-uploads with sub-audible noise, the
+    * ground truth for the audio-dedup gate.
+    */
+  def perturbedAudioCopies(media: Dataset[MediaRow], idOffset: Long): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.map { r =>
+        r.copy(media_id = r.media_id + idOffset, payload = AudioCodec.flipSampleLsb(r.payload))
+      }
+    }
+  }
+
+  final case class VideoHash(media_id: Long, width: Int, height: Int, dhash: Long, ahash: Long)
+
+  /** Batched keyframe-hash extraction — the video near-dup sketch stage:
+    * frame 0 sliced structurally out of each container and hashed through
+    * the image path. Videos whose frames are below the 9×8 grid are
+    * excluded (same contract as [[perceptualHashes]]).
+    */
+  def videoKeyframeHashes(media: Dataset[MediaRow]): Dataset[VideoHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        VideoCodec.keyframeHash(r.payload).map { p =>
+          VideoHash(r.media_id, p.width, p.height, p.dhash, p.ahash)
+        }
+      }
+    }
+  }
+
+  /** Planted video near-duplicates: every frame REALLY re-encoded with
+    * XORed pixels, container rebuilt — the slightly-retouched re-upload.
+    */
+  def perturbedVideoCopies(
+      media: Dataset[MediaRow],
+      idOffset: Long,
+      rgbXor: Int
+  ): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      rows.map { r =>
+        r.copy(
+          media_id = r.media_id + idOffset,
+          payload = VideoCodec.xorPixelsAllFrames(r.payload, rgbXor))
+      }
+    }
+  }
+
   /** REAL video container codec: a minimal multi-frame format ("GRVI" —
     * fixed header + per-frame PNG payloads) with a real parser and real
     * per-frame pixel decode through [[ImageCodec]]. The JDK ships no
@@ -483,6 +619,41 @@ object Multimodal {
       val slice = java.util.Arrays.copyOfRange(
         payload, meta.frameOffsets(idx), meta.frameOffsets(idx) + meta.frameLengths(idx))
       ImageCodec.decode(slice)
+    }
+
+    /** Keyframe perceptual hash: frame 0's PNG sliced out of the
+      * container and run through [[ImageCodec.perceptualHash]] — the
+      * thumbnail heuristic video near-dup detection starts from (a full
+      * production pipeline hashes N sampled frames through the same
+      * path; the candidate machinery downstream is identical).
+      */
+    def keyframeHash(payload: Array[Byte]): Option[ImageCodec.PHash] =
+      decodeMeta(payload).flatMap { meta =>
+        val slice = java.util.Arrays.copyOfRange(
+          payload, meta.frameOffsets(0), meta.frameOffsets(0) + meta.frameLengths(0))
+        ImageCodec.perceptualHash(slice)
+      }
+
+    /** Real pixel-space perturbation of EVERY frame: decode the
+      * container structurally, XOR each frame's pixels through
+      * [[ImageCodec.xorPixels]], and reassemble the container (frame
+      * lengths re-derived from the re-encoded PNGs).
+      */
+    def xorPixelsAllFrames(payload: Array[Byte], rgbXor: Int): Array[Byte] = {
+      val meta = decodeMeta(payload)
+        .getOrElse(throw new IllegalArgumentException("xorPixelsAllFrames: not a GRVI payload"))
+      val frames = Array.tabulate(meta.nFrames) { i =>
+        ImageCodec.xorPixels(
+          java.util.Arrays.copyOfRange(
+            payload, meta.frameOffsets(i), meta.frameOffsets(i) + meta.frameLengths(i)),
+          rgbXor)
+      }
+      val buf = ByteBuffer.allocate(4 + 4 * 4 + 4 * meta.nFrames + frames.map(_.length).sum)
+      buf.put("GRVI".getBytes("US-ASCII")).putInt(1)
+        .putInt(meta.nFrames).putInt(meta.width).putInt(meta.height)
+      frames.foreach(f => buf.putInt(f.length))
+      frames.foreach(buf.put)
+      buf.array()
     }
   }
 

@@ -206,6 +206,51 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // AUDIO near-dup dedup — the temporal twin of x_dedup_image: REAL
+    // RIFF/PCM decode → 65-bin Σ|sample| energies → 64 energy-gradient
+    // signs (Haitsma-Kalker-style fingerprint, integer-exact) → the same
+    // pigeonhole Hamming-banded pair join + keep-first rule. Planted
+    // duplicates are REAL byte-level LSB flips of every PCM sample
+    // (sub-audible noise). Oracle: closed-form LCG samples + the same
+    // integer bin/sign pipeline + brute-force all pairs.
+    "x_dedup_audio" -> { (s, dir) =>
+      val media = Multimodal.cachedSyntheticAudio(s, docs(s, dir))
+      val copies = Multimodal.perturbedAudioCopies(
+        media.filter(col("media_id") % 10 === 0), idOffset = 200000L)
+      val hashes = Multimodal.audioFingerprints(media.unionByName(copies)).toDF()
+      val pairs = Dedup.hammingNearDupPairs(hashes, "media_id", "fp", radius = 11)
+      val dropped = pairs.groupBy(col("id_b").as("media_id")).agg(min(col("id_a")).as("dup_of"))
+      hashes
+        .join(dropped, Seq("media_id"), "left_outer")
+        .select(
+          col("media_id"), col("fp"),
+          when(col("dup_of").isNotNull, lit("dup")).otherwise(lit("kept")).as("status"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+        .orderBy("media_id")
+    },
+
+    // VIDEO near-dup dedup via the keyframe heuristic: frame 0 sliced
+    // structurally out of the GRVI container, hashed through the image
+    // dHash path, banded + verified exactly like x_dedup_image. Planted
+    // duplicates re-encode EVERY frame with XORed pixels (container
+    // rebuilt), so detection works on a genuinely retouched re-upload.
+    // Oracle: frame-0 pixels in closed form (seed = media_id·131).
+    "x_dedup_video" -> { (s, dir) =>
+      val media = Multimodal.cachedSyntheticVideo(s, docs(s, dir))
+      val copies = Multimodal.perturbedVideoCopies(
+        media.filter(col("media_id") % 10 === 0), idOffset = 200000L, rgbXor = 0x010101)
+      val hashes = Multimodal.videoKeyframeHashes(media.unionByName(copies)).toDF()
+      val pairs = Dedup.hammingNearDupPairs(hashes, "media_id", "dhash", radius = 11)
+      val dropped = pairs.groupBy(col("id_b").as("media_id")).agg(min(col("id_a")).as("dup_of"))
+      hashes
+        .join(dropped, Seq("media_id"), "left_outer")
+        .select(
+          col("media_id"), col("dhash"), col("ahash"),
+          when(col("dup_of").isNotNull, lit("dup")).otherwise(lit("kept")).as("status"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+        .orderBy("media_id")
+    },
+
     // span application end-to-end: the STRIPPED corpus text a training
     // run actually consumes — x_substring_dedup's spans applied by pure
     // positional array ops (filter + exists, no UDF), survivors re-joined
@@ -2106,6 +2151,138 @@ object ExtensionQueries {
         |       coalesce(pd.spans, '') AS spans
         |FROM base LEFT JOIN pd ON base.doc_id = pd.doc_id
         |ORDER BY base.doc_id""".stripMargin,
+    // closed-form LCG samples (signed 16-bit), same 65-bin |s| energy
+    // sums and gradient-sign fingerprint, brute-force all-pairs ≤ 11
+    "x_dedup_audio" ->
+      """WITH RECURSIVE aff(k, a, b) AS (
+        |  SELECT 1,
+        |         CAST(6364136223846793005 AS HUGEINT),
+        |         CAST(1442695040888963407 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT k + 1,
+        |         (a * 6364136223846793005) % 18446744073709551616,
+        |         (b * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM aff WHERE k < 4003
+        |), clips AS (
+        |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS xm,
+        |         1 + n_chars % 4001 AS n
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, doc_id, 1, 1 + n_chars % 4001
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), hc AS (
+        |  SELECT * FROM clips WHERE n >= 65
+        |), smp AS (
+        |  SELECT media_id, n, (aff.k - 2) AS i,
+        |         xor(CAST(((aff.a * seed + aff.b) % 18446744073709551616
+        |               // 1099511627776) % 65536 AS BIGINT), xm) AS v
+        |  FROM hc JOIN aff ON aff.k BETWEEN 2 AND n + 1
+        |), en AS (
+        |  SELECT media_id, i * 65 // n AS w,
+        |         sum(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)) AS e
+        |  FROM smp GROUP BY media_id, i * 65 // n
+        |), fh AS (
+        |  SELECT e1.media_id,
+        |         SUM(CASE WHEN e1.e > e2.e
+        |             THEN CAST(1 AS HUGEINT) << e1.w
+        |             ELSE CAST(0 AS HUGEINT) END) AS fpu
+        |  FROM en e1 JOIN en e2
+        |    ON e1.media_id = e2.media_id AND e2.w = e1.w + 1
+        |  WHERE e1.w < 64
+        |  GROUP BY e1.media_id
+        |), hs AS (
+        |  SELECT media_id,
+        |         CAST(CASE WHEN fpu >= 9223372036854775808
+        |              THEN fpu - 18446744073709551616 ELSE fpu END AS BIGINT) AS fp
+        |  FROM fh
+        |), pr AS (
+        |  SELECT a.media_id AS media_id, min(b.media_id) AS dup_of
+        |  FROM hs a JOIN hs b
+        |    ON b.media_id < a.media_id
+        |   AND bit_count(xor(a.fp, b.fp)) <= 11
+        |  GROUP BY a.media_id
+        |)
+        |SELECT hs.media_id, fp,
+        |       CASE WHEN pr.dup_of IS NOT NULL THEN 'dup' ELSE 'kept' END AS status,
+        |       coalesce(pr.dup_of, -1) AS dup_of
+        |FROM hs LEFT JOIN pr ON hs.media_id = pr.media_id
+        |ORDER BY hs.media_id""".stripMargin,
+    // frame-0 pixels in closed form (LCG seed media_id·131), then the
+    // identical luma/9×8-grid/dHash pipeline and brute-force pairs as
+    // the x_dedup_image oracle
+    "x_dedup_video" ->
+      """WITH RECURSIVE aff(k, a, b) AS (
+        |  SELECT 1,
+        |         CAST(6364136223846793005 AS HUGEINT),
+        |         CAST(1442695040888963407 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT k + 1,
+        |         (a * 6364136223846793005) % 18446744073709551616,
+        |         (b * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM aff WHERE k < 770
+        |), vids AS (
+        |  SELECT doc_id AS media_id, doc_id * 131 AS seed, 0 AS xm,
+        |         1 + n_chars % 32 AS w, 1 + n_chars % 24 AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, doc_id * 131, 65793,
+        |         1 + n_chars % 32, 1 + n_chars % 24
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), hi AS (
+        |  SELECT * FROM vids WHERE w >= 9 AND h >= 8
+        |), px AS (
+        |  SELECT media_id, w, h, xm,
+        |         (aff.k - 2) % w AS x, (aff.k - 2) // w AS y,
+        |         CAST(((aff.a * seed + aff.b) % 18446744073709551616
+        |               // 1099511627776) % 16777216 AS BIGINT) AS rgb0
+        |  FROM hi JOIN aff ON aff.k BETWEEN 2 AND w * h + 1
+        |), lum AS (
+        |  SELECT media_id, x * 9 // w AS gx, y * 8 // h AS gy,
+        |         (299 * ((xor(rgb0, xm) >> 16) & 255)
+        |        + 587 * ((xor(rgb0, xm) >> 8) & 255)
+        |        + 114 * (xor(rgb0, xm) & 255)) // 1000 AS luma
+        |  FROM px
+        |), cell AS (
+        |  SELECT media_id, gx, gy, sum(luma) // count(*) AS m
+        |  FROM lum GROUP BY media_id, gx, gy
+        |), dh AS (
+        |  SELECT c1.media_id,
+        |         SUM(CASE WHEN c1.m > c2.m
+        |             THEN CAST(1 AS HUGEINT) << (c1.gy * 8 + c1.gx)
+        |             ELSE CAST(0 AS HUGEINT) END) AS dhu
+        |  FROM cell c1 JOIN cell c2
+        |    ON c1.media_id = c2.media_id AND c2.gy = c1.gy AND c2.gx = c1.gx + 1
+        |  WHERE c1.gx < 8
+        |  GROUP BY c1.media_id
+        |), gm AS (
+        |  SELECT media_id, SUM(m) // 64 AS g FROM cell WHERE gx < 8 GROUP BY media_id
+        |), ah AS (
+        |  SELECT cell.media_id,
+        |         SUM(CASE WHEN m > g
+        |             THEN CAST(1 AS HUGEINT) << (gy * 8 + gx)
+        |             ELSE CAST(0 AS HUGEINT) END) AS ahu
+        |  FROM cell JOIN gm ON cell.media_id = gm.media_id
+        |  WHERE gx < 8
+        |  GROUP BY cell.media_id
+        |), hs AS (
+        |  SELECT dh.media_id,
+        |         CAST(CASE WHEN dhu >= 9223372036854775808
+        |              THEN dhu - 18446744073709551616 ELSE dhu END AS BIGINT) AS dhash,
+        |         CAST(CASE WHEN ahu >= 9223372036854775808
+        |              THEN ahu - 18446744073709551616 ELSE ahu END AS BIGINT) AS ahash
+        |  FROM dh JOIN ah ON dh.media_id = ah.media_id
+        |), pr AS (
+        |  SELECT a.media_id AS media_id, min(b.media_id) AS dup_of
+        |  FROM hs a JOIN hs b
+        |    ON b.media_id < a.media_id
+        |   AND bit_count(xor(a.dhash, b.dhash)) <= 11
+        |  GROUP BY a.media_id
+        |)
+        |SELECT hs.media_id, dhash, ahash,
+        |       CASE WHEN pr.dup_of IS NOT NULL THEN 'dup' ELSE 'kept' END AS status,
+        |       coalesce(pr.dup_of, -1) AS dup_of
+        |FROM hs LEFT JOIN pr ON hs.media_id = pr.media_id
+        |ORDER BY hs.media_id""".stripMargin,
     // same k-gram → keep-first → run-merge span pipeline as
     // x_substring_dedup, then the strip re-derived independently: kept
     // token positions via an anti-join against the span ranges,

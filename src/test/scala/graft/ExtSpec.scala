@@ -400,6 +400,37 @@ class ExtSpec extends SparkSpec {
     } finally hashes.unpersist()
   }
 
+  test("audio/video perceptual dedup: planted perturbed copies pinned inside the radius, banded = brute force") {
+    import spark.implicits._
+    // audio: LSB-flipped PCM copies
+    val aud = Multimodal.syntheticAudio(spark, docs)
+    val aCopies = Multimodal.perturbedAudioCopies(aud.filter($"media_id" % 3 === 0), 100000L)
+    val aHashes = Multimodal.audioFingerprints(aud.unionByName(aCopies)).toDF().cache()
+    // video: every frame pixel-XORed, container rebuilt
+    val vid = Multimodal.syntheticVideo(spark, docs)
+    val vCopies = Multimodal.perturbedVideoCopies(vid.filter($"media_id" % 3 === 0), 100000L, 0x010101)
+    val vHashes = Multimodal.videoKeyframeHashes(vid.unionByName(vCopies)).toDF().cache()
+    try {
+      for ((hashes, hcol, label) <- Seq((aHashes, "fp", "audio"), (vHashes, "dhash", "video"))) {
+        val maxHam = hashes.as("a")
+          .join(hashes.as("b"), col("b.media_id") === col("a.media_id") + 100000L)
+          .select(bit_count(col(s"a.$hcol").bitwiseXOR(col(s"b.$hcol"))).cast("int").as("ham"))
+          .agg(max($"ham")).as[Int].head()
+        assert(maxHam <= 11, s"$label planted copy at hamming $maxHam > radius 11")
+        val banded = Dedup.hammingNearDupPairs(hashes, "media_id", hcol, radius = 11)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        val bf = hashes.as("a")
+          .join(hashes.as("b"), col("a.media_id") < col("b.media_id"))
+          .where(bit_count(col(s"a.$hcol").bitwiseXOR(col(s"b.$hcol"))) <= 11)
+          .select(col("a.media_id"), col("b.media_id")).as[(Long, Long)].collect().toSet
+        assert(banded === bf, s"$label banded=${banded.size} bf=${bf.size}")
+        val nCopies = hashes.where($"media_id" >= 100000L).count()
+        assert(banded.count { case (a, b) => b == a + 100000L } === nCopies,
+          s"$label recall below 1.0 on planted copies")
+      }
+    } finally { aHashes.unpersist(); vHashes.unpersist() }
+  }
+
   test("exactSubstringSpans: shared, copied, and self-repeated substrings, first kept") {
     import spark.implicits._
     val df = Seq(
