@@ -224,6 +224,19 @@ object StressBench {
       graft.operators.TsAnalytics
         .timeWeightedBucketed(ev, Seq("user_id"), "ts", "value", bucketSeconds = 3600L)
         .count()),
+    // the other two members of the bucketed edge-split family: same
+    // one-window + bounded-posexplode + partitioning-reusing aggregate
+    // plan as time_weight_bucketed, with the reset-adjustment (counter)
+    // and in-bucket point accessors on top — user-axis growth must stay
+    // ~linear like the time-weight twin
+    "counter_bucketed" -> (() =>
+      graft.operators.TsAnalytics
+        .counterAggBucketed(ev, Seq("user_id"), "ts", "value", bucketSeconds = 3600L)
+        .count()),
+    "gauge_bucketed" -> (() =>
+      graft.operators.TsAnalytics
+        .gaugeAggBucketed(ev, Seq("user_id"), "ts", "value", bucketSeconds = 3600L)
+        .count()),
     "rollup_rewrite" -> (() => {
       // the rewrite's scale claim measured directly: the daily aggregate
       // is written against RAW events but served from the hourly rollup,
@@ -254,6 +267,52 @@ object StressBench {
         .agg(count(lit(1)).as("n"), sum(m).as("s"), min(m).as("mn"), max(m).as("mx"))
       require(q.queryExecution.executedPlan.toString.contains(new java.io.File(dir).getName),
         "stress rollup rewrite did not fire")
+      val n = q.count()
+      RollupRewrite.clear()
+      n
+    }),
+    "rollup_serve_tail" -> (() => {
+      // the REAL-TIME serve claim measured directly (RollupRewrite's
+      // tail contract: serve cost tracks TAIL size, not corpus size):
+      // register the rollup over all but ~1% of the corpus's files, then
+      // run the daily aggregate over the FULL table — the rewrite serves
+      // rollup UNION partial-aggregate(unregistered tail files only), so
+      // the timed work is rollup-rows + 1% of the corpus. x_vs_linear
+      // must stay ≤ ~0.05 at every expansion or the FilteredFileIndex
+      // stopped pruning. Rollup build memoized per corpus (the
+      // rollup_rewrite convention).
+      import graft.plans.RollupRewrite
+      val m = floor(col("value") * 10000 + 0.5).cast("long")
+      val spark = ev.sparkSession
+      // one-off per corpus (outside the steady-state min-of-runs): a
+      // 100-file ts-ranged copy of the corpus — so "the tail" is a real
+      // 1%-of-files suffix at every expansion — plus the rollup over the
+      // registered 99%
+      val (rawDir, dir, msql) = rollupMemo.synchronized {
+        rollupMemo.getOrElseUpdate(ev.inputFiles.toSet + "__tail", {
+          val d = java.nio.file.Files.createTempDirectory("graft-stress-serve").toString
+          ev.repartitionByRange(100, col("ts")).write.parquet(s"$d/raw")
+          val all = spark.read.parquet(s"$d/raw")
+          val regFiles = all.inputFiles.sorted.dropRight(1)
+          RollupRewrite.buildRollup(
+              spark.read.parquet(regFiles: _*), Seq("event_type"), "ts", m, "hour")
+            .write.parquet(s"$d/rollup")
+          (s"$d/raw", RollupRewrite.canonicalMeasure(all, m))
+        }) match { case (rd, ms) => (rd, rd.stripSuffix("/raw") + "/rollup", ms) }
+      }
+      val raw = spark.read.parquet(rawDir)
+      val regFiles = raw.inputFiles.sorted.dropRight(1)
+      val rollup = spark.read.parquet(dir)
+      RollupRewrite.clear()
+      RollupRewrite.register("stress_tail", RollupRewrite.Spec(
+        regFiles.toSet, rollup.queryExecution.analyzed, Seq("event_type"), "ts", "hour",
+        msql, measureExpr = Some(RollupRewrite.resolvedMeasure(raw, m))))
+      RollupRewrite.install(spark)
+      val q = raw
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"), sum(m).as("s"), min(m).as("mn"), max(m).as("mx"))
+      require(q.queryExecution.executedPlan.toString.contains(new java.io.File(dir).getName),
+        "stress rollup tail serve did not fire")
       val n = q.count()
       RollupRewrite.clear()
       n

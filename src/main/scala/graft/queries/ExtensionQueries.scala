@@ -206,6 +206,29 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // the composed MULTIMODAL pipeline (x_pipeline_e2e's image twin):
+    // real decode → perceptual hash → Hamming near-dup keep-first →
+    // deterministic hash split → per-split image/pixel accounting, as
+    // ONE plan. Every stage is gated alone (x_dedup_image,
+    // x_split_hash); this entry gates their composition.
+    "x_pipeline_multimodal" -> { (s, dir) =>
+      val media = Multimodal.cachedSyntheticImages(s, docs(s, dir))
+      val copies = Multimodal.perturbedImageCopies(
+        media.filter(col("media_id") % 10 === 0), idOffset = 200000L, rgbXor = 0x010101)
+      val hashes = Multimodal.perceptualHashes(media.unionByName(copies)).toDF()
+      val pairs = Dedup.hammingNearDupPairs(hashes, "media_id", "dhash", radius = 11)
+      val dropped = pairs.groupBy(col("id_b").as("media_id")).agg(min(col("id_a")).as("dup_of"))
+      hashes
+        .join(dropped, Seq("media_id"), "left_outer")
+        .where(col("dup_of").isNull)
+        .withColumn("split", TextOps.hashSplit(col("media_id"), "graft", trainFrac = 0.9, valFrac = 0.05))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_imgs"),
+          sum(col("width").cast("long") * col("height")).as("sum_px"))
+        .orderBy("split")
+    },
+
     // AUDIO near-dup dedup — the temporal twin of x_dedup_image: REAL
     // RIFF/PCM decode → 65-bin Σ|sample| energies → 64 energy-gradient
     // signs (Haitsma-Kalker-style fingerprint, integer-exact) → the same
@@ -2151,6 +2174,75 @@ object ExtensionQueries {
         |       coalesce(pd.spans, '') AS spans
         |FROM base LEFT JOIN pd ON base.doc_id = pd.doc_id
         |ORDER BY base.doc_id""".stripMargin,
+    // the x_dedup_image sub-pipeline (closed-form pixels → dHash →
+    // brute-force pairs) + keep-first survivors + the same md5 split
+    "x_pipeline_multimodal" ->
+      """WITH RECURSIVE aff(k, a, b) AS (
+        |  SELECT 1,
+        |         CAST(6364136223846793005 AS HUGEINT),
+        |         CAST(1442695040888963407 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT k + 1,
+        |         (a * 6364136223846793005) % 18446744073709551616,
+        |         (b * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM aff WHERE k < 3074
+        |), imgs AS (
+        |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS xm,
+        |         1 + n_chars % 64 AS w, 1 + n_chars % 48 AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, doc_id, 65793,
+        |         1 + n_chars % 64, 1 + n_chars % 48
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), hi AS (
+        |  SELECT * FROM imgs WHERE w >= 9 AND h >= 8
+        |), px AS (
+        |  SELECT media_id, w, h, xm,
+        |         (aff.k - 2) % w AS x, (aff.k - 2) // w AS y,
+        |         CAST(((aff.a * seed + aff.b) % 18446744073709551616
+        |               // 1099511627776) % 16777216 AS BIGINT) AS rgb0
+        |  FROM hi JOIN aff ON aff.k BETWEEN 2 AND w * h + 1
+        |), lum AS (
+        |  SELECT media_id, x * 9 // w AS gx, y * 8 // h AS gy,
+        |         (299 * ((xor(rgb0, xm) >> 16) & 255)
+        |        + 587 * ((xor(rgb0, xm) >> 8) & 255)
+        |        + 114 * (xor(rgb0, xm) & 255)) // 1000 AS luma
+        |  FROM px
+        |), cell AS (
+        |  SELECT media_id, gx, gy, sum(luma) // count(*) AS m
+        |  FROM lum GROUP BY media_id, gx, gy
+        |), dh AS (
+        |  SELECT c1.media_id,
+        |         SUM(CASE WHEN c1.m > c2.m
+        |             THEN CAST(1 AS HUGEINT) << (c1.gy * 8 + c1.gx)
+        |             ELSE CAST(0 AS HUGEINT) END) AS dhu
+        |  FROM cell c1 JOIN cell c2
+        |    ON c1.media_id = c2.media_id AND c2.gy = c1.gy AND c2.gx = c1.gx + 1
+        |  WHERE c1.gx < 8
+        |  GROUP BY c1.media_id
+        |), hs AS (
+        |  SELECT media_id,
+        |         CAST(CASE WHEN dhu >= 9223372036854775808
+        |              THEN dhu - 18446744073709551616 ELSE dhu END AS BIGINT) AS dhash
+        |  FROM dh
+        |), pr AS (
+        |  SELECT a.media_id AS media_id
+        |  FROM hs a JOIN hs b
+        |    ON b.media_id < a.media_id
+        |   AND bit_count(xor(a.dhash, b.dhash)) <= 11
+        |  GROUP BY a.media_id
+        |), kept AS (
+        |  SELECT hs.media_id, hi.w, hi.h
+        |  FROM hs JOIN hi ON hs.media_id = hi.media_id
+        |  LEFT JOIN pr ON hs.media_id = pr.media_id
+        |  WHERE pr.media_id IS NULL
+        |)
+        |SELECT CASE WHEN substr(md5('graft:' || CAST(media_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+        |            WHEN substr(md5('graft:' || CAST(media_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_imgs,
+        |       CAST(sum(w * h) AS BIGINT) AS sum_px
+        |FROM kept GROUP BY 1 ORDER BY split""".stripMargin,
     // closed-form LCG samples (signed 16-bit), same 65-bin |s| energy
     // sums and gradient-sign fingerprint, brute-force all-pairs ≤ 11
     "x_dedup_audio" ->

@@ -626,6 +626,68 @@ class StreamingSpec extends SparkSpec {
     assert(results.nonEmpty)
   }
 
+  test("streaming SemDeDup admission: per-trigger screen + index append equals full dedup on the union") {
+    // the ingestion-time form of Dedup.semanticAdmit run as a STREAM:
+    // each arriving micro-batch of embeddings screens against the stored
+    // semantic index (O(batch + touched cells)), and admitted-or-not the
+    // batch's assignments APPEND to the index so later triggers screen
+    // against earlier arrivals. With monotone ingestion ids, sequential
+    // admission must equal one from-scratch semanticDedup over
+    // snapshot ∪ all arrivals — the union-equivalence contract applied
+    // trigger by trigger.
+    import graft.ext.Dedup
+    val e = Tables.load(spark, sf0001, "embeddings").select($"vec_id", $"embedding")
+    val copies = e.where($"vec_id" % 5 === 0).select(
+      ($"vec_id" + 1000000L).as("vec_id"),
+      concat(
+        array(element_at($"embedding", 1) * lit(1.05f)),
+        slice($"embedding", lit(2), size($"embedding") - 1)).as("embedding"))
+    val negs = e.where($"vec_id" % 7 === 3).select(
+      ($"vec_id" + 3000000L).as("vec_id"),
+      transform($"embedding", x => -x).as("embedding"))
+    // arrive AFTER negs: their only match is a batch-1 arrival, so the
+    // cross-trigger index append is what detects them
+    val negCopies = e.where($"vec_id" % 7 === 3).select(
+      ($"vec_id" + 4000000L).as("vec_id"),
+      concat(
+        array(element_at($"embedding", 1) * lit(-1.05f)),
+        transform(slice($"embedding", lit(2), size($"embedding") - 1), x => -x)).as("embedding"))
+    val k = 16
+    val dir = tempDir("semadmit") + "/data"
+    val ckpt = tempDir("semadmitckpt")
+    copies.unionByName(negs).coalesce(1).write.parquet(dir)
+    Thread.sleep(1100) // distinct mtimes → deterministic trigger order
+    negCopies.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(copies.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    var index = Dedup.semanticIndex(e, "vec_id", "embedding", k)
+      .localCheckpoint(eager = true)
+    val dropped = scala.collection.mutable.Set[Long]()
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val admit = Dedup.semanticAdmit(index, b, "vec_id", "embedding", k, 0.9)
+        dropped ++= admit.where($"status" =!= "new").select("id").collect().map(_.getLong(0))
+        index = index.unionByName(
+          b.select($"vec_id".cast("long").as("id"), $"embedding".as("v"))
+            .join(admit.select($"id", $"cluster"), "id")
+            .select("id", "cluster", "v"))
+          .localCheckpoint(eager = true)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val full = Dedup.semanticDedup(
+        e.unionByName(copies).unionByName(negs).unionByName(negCopies),
+        "vec_id", "embedding", k, 0.9)
+      .where($"id" >= 1000000L && !$"kept").select("id").collect().map(_.getLong(0)).toSet
+    assert(dropped.toSet === full,
+      s"streamed drops ${dropped.size} != full-dedup drops ${full.size}")
+    assert(dropped.nonEmpty)
+  }
+
   test("foreachBatch sink sees every batch exactly once per run") {
     val logPath = tempDir("fblog")
     val ckpt = tempDir("fbckpt")
