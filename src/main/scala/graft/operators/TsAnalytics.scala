@@ -482,6 +482,42 @@ object TsAnalytics {
     deriveMoments1d(agg)
   }
 
+  /** Timescale `rolling(stats_agg)` — the TRAILING-WINDOW moments over a
+    * bucketed [[statsAgg1d]] series: for each (key, bucket) row, the five
+    * exact power sums re-aggregate over the trailing `windowSeconds` of
+    * buckets (a RANGE frame on the epoch-seconds bucket column, so
+    * gapped series weigh only observed buckets — the time-correct frame,
+    * not a row count), and the same fixed IEEE tree derives the moments.
+    * Exactly Timescale's `rolling()` over a continuous aggregate: the
+    * mergeable-summaries property again, this time under a sliding
+    * frame. One key-partitioned window — no self-join, no re-scan of the
+    * raw stream; at 100 TB the input is the tiny bucketed table.
+    *
+    * `finer` must carry [[statsAgg1d]]'s sum columns plus `bucketCol`
+    * (epoch seconds, long). The frame is `[bucket − windowSeconds + 1,
+    * bucket]` — inclusive current bucket, trailing window.
+    */
+  def statsRolling1d(
+      finer: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      windowSeconds: Long
+  ): DataFrame = {
+    require(windowSeconds > 0, "window must be positive")
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(bucketCol))
+      .rangeBetween(-(windowSeconds - 1), Window.currentRow)
+    val agg = finer
+      .withColumn("n", sum(col("n")).over(w))
+      .withColumn("sum_y", sum(col("sum_y")).over(w))
+      .withColumn("sum_y2", sum(col("sum_y2")).over(w).cast("decimal(38,0)"))
+      .withColumn("sum_y3", sum(col("sum_y3")).over(w).cast("decimal(38,0)"))
+      .withColumn("sum_y4", sum(col("sum_y4")).over(w).cast("decimal(38,0)"))
+      .drop("average", "stddev_pop", "stddev_samp", "skewness", "kurtosis")
+    deriveMoments1d(agg)
+  }
+
   /** The single fixed IEEE double tree shared by [[statsAgg1d]] and
     * [[statsRollup1d]] — divisions by n happen FIRST (sum/n), keeping
     * magnitudes near the data scale; the same operation order is spelled

@@ -1420,6 +1420,29 @@ object ExtensionQueries {
         .orderBy("user_id", "day_s")
     },
 
+    // Timescale rolling(stats_agg): trailing-24h moments re-aggregated
+    // over the hourly power sums via one key-partitioned RANGE-frame
+    // window (gapped hours weigh nothing — the time-correct frame), same
+    // exact-integer decomposition and fixed IEEE tree as x_stats_1d.
+    "x_stats_rolling" -> { (s, dir) =>
+      val e6 = (c: String) =>
+        floor(col(c) * 1000000.0 + 0.5).cast("long").as(c + "_e6")
+      val ev = events(s, dir)
+        .withColumn("hour_s", expr("(unix_micros(ts) div 3600000000L) * 3600"))
+      val hourly = graft.operators.TsAnalytics
+        .statsAgg1d(ev, Seq("user_id", "hour_s"), "value")
+      graft.operators.TsAnalytics
+        .statsRolling1d(hourly, Seq("user_id"), "hour_s", windowSeconds = 86400L)
+        .select(
+          col("user_id"), col("hour_s"), col("n"), col("sum_y"),
+          col("sum_y2").cast("string").as("sum_y2_str"),
+          col("sum_y3").cast("string").as("sum_y3_str"),
+          col("sum_y4").cast("string").as("sum_y4_str"),
+          e6("average"), e6("stddev_pop"), e6("stddev_samp"),
+          e6("skewness"), e6("kurtosis"))
+        .orderBy("user_id", "hour_s")
+    },
+
     // Timescale state_agg/duration_in over the event_type state machine:
     // LOCF holding times (exact ms longs), entry transitions counted once
     // per run.
@@ -3718,6 +3741,68 @@ object ExtensionQueries {
         |       TRUE AS roundtrip_covers
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // identical hourly power sums, identical RANGE trailing frame
+    // (86399 PRECEDING covers exactly 24 hourly buckets), identical
+    // double tree — the sliding mergeable-summaries pin
+    "x_stats_rolling" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         (epoch_us(ts) // 3600000000) * 3600 AS hour_s,
+        |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT user_id, hour_s, count(*) AS n,
+        |         CAST(sum(y) AS BIGINT) AS sum_y,
+        |         sum(CAST(y AS HUGEINT) * y) AS s2,
+        |         sum(CAST(y AS HUGEINT) * y * y) AS s3,
+        |         sum(CAST(y AS HUGEINT) * y * y * y) AS s4
+        |  FROM p GROUP BY user_id, hour_s
+        |), r AS (
+        |  SELECT user_id, hour_s,
+        |         CAST(sum(n) OVER win AS BIGINT) AS n,
+        |         CAST(sum(sum_y) OVER win AS BIGINT) AS sum_y,
+        |         sum(s2) OVER win AS sum_y2,
+        |         sum(s3) OVER win AS s3r,
+        |         sum(s4) OVER win AS s4r
+        |  FROM g
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY hour_s
+        |                 RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+        |), dv AS (
+        |  SELECT *,
+        |         CAST(n AS DOUBLE) AS nd,
+        |         CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |         CAST(sum_y2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |         CAST(s3r AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |         CAST(s4r AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        |  FROM r
+        |), m AS (
+        |  SELECT *,
+        |         r2 - mean * mean AS m2,
+        |         r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+        |         r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+        |            - 3.0 * mean * mean * mean * mean AS m4
+        |  FROM dv
+        |)
+        |SELECT user_id, hour_s, n, sum_y,
+        |       CAST(sum_y2 AS VARCHAR) AS sum_y2_str,
+        |       CAST(s3r AS VARCHAR) AS sum_y3_str,
+        |       CAST(s4r AS VARCHAR) AS sum_y4_str,
+        |       CAST(floor(mean / 10000.0 * 1000000.0 + 0.5) AS BIGINT) AS average_e6,
+        |       CASE WHEN n >= 1 AND m2 >= 0
+        |            THEN CAST(floor(sqrt(m2) / 10000.0 * 1000000.0 + 0.5) AS BIGINT)
+        |            END AS stddev_pop_e6,
+        |       CASE WHEN n >= 2
+        |             AND (CAST(sum_y2 AS DOUBLE) - CAST(sum_y AS DOUBLE) * mean) >= 0
+        |            THEN CAST(floor(sqrt((CAST(sum_y2 AS DOUBLE) - CAST(sum_y AS DOUBLE) * mean)
+        |                   / (nd - 1.0)) / 10000.0 * 1000000.0 + 0.5) AS BIGINT)
+        |            END AS stddev_samp_e6,
+        |       CASE WHEN m2 > 0
+        |            THEN CAST(floor(m3 / sqrt(m2 * m2 * m2) * 1000000.0 + 0.5) AS BIGINT)
+        |            END AS skewness_e6,
+        |       CASE WHEN m2 > 0
+        |            THEN CAST(floor(m4 / (m2 * m2) * 1000000.0 + 0.5) AS BIGINT)
+        |            END AS kurtosis_e6
+        |FROM m ORDER BY user_id, hour_s""".stripMargin,
     // daily-from-RAW — the rollup gate's whole point: the engine computes
     // daily from the hourly sums, the oracle from the raw rows, and exact
     // integer decomposition makes them hash-equal

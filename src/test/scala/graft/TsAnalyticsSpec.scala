@@ -259,6 +259,35 @@ class TsAnalyticsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("statsRolling1d: trailing RANGE frame covers observed buckets only, equals per-row direct aggregate") {
+    // hours 0, 1, 2, then a gap to hour 30: the 24 h frame at hour 30
+    // must contain ONLY hour 30 (time-correct RANGE, not 24 rows back)
+    val rows = Seq(
+      (1L, 0L, 1.0), (1L, 100L, 3.0), // hour 0
+      (1L, 3600L, 5.0),               // hour 1
+      (1L, 7200L, 7.0),               // hour 2
+      (1L, 108000L, 11.0)             // hour 30
+    )
+    val df = series(rows)
+      .withColumn("hour_s", expr("(unix_micros(ts) div 3600000000L) * 3600"))
+    val hourly = TsAnalytics.statsAgg1d(df, Seq("user_id", "hour_s"), "value")
+    val rolled = TsAnalytics.statsRolling1d(hourly, Seq("user_id"), "hour_s", 86400L)
+      .collect().map(r => r.getAs[Long]("hour_s") -> r).toMap
+    assert(rolled(0L).getAs[Long]("n") === 2L)      // hour 0: its own 2 points
+    assert(rolled(3600L).getAs[Long]("n") === 3L)   // hours 0-1
+    assert(rolled(7200L).getAs[Long]("n") === 4L)   // hours 0-2
+    assert(rolled(108000L).getAs[Long]("n") === 1L) // gap: hour 30 alone
+    assert(rolled(108000L).getAs[Double]("average") === 11.0)
+    assert(rolled(7200L).getAs[Double]("average") === 4.0) // (1+3+5+7)/4
+    // the frame's moments equal a direct aggregate over the frame's rows
+    val direct = TsAnalytics.statsAgg1d(
+        df.where(col("hour_s") <= 7200L), Seq("user_id"), "value")
+      .collect().head
+    val at2 = rolled(7200L)
+    for (c <- Seq("stddev_pop", "stddev_samp", "skewness", "kurtosis"))
+      assert(at2.getAs[Double](c) === direct.getAs[Double](c), c)
+  }
+
   test("statsRegr: degenerate keys yield null slope/corr, not NaN") {
     // user 1: single point (sxx = 0); user 2: constant value (syy = 0)
     val df = series(Seq((1L, 0L, 5.0), (2L, 0L, 7.0), (2L, 10L, 7.0)))
