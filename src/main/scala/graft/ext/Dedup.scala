@@ -475,6 +475,12 @@ object Dedup {
     *
     * Input: `df` with a long id and a long sketch. Output: `(id_a, id_b,
     * hamming)`, id_a < id_b, one row per pair within `radius`.
+    *
+    * The plan scans `df` twice (band side + probe side). When the sketch
+    * column is EXPENSIVE to produce (a decode pass — the perceptual-hash
+    * callers), cache or materialize the 16-byte-per-row hash frame first
+    * so the decode runs once; at 100 TB the hash table is the thing a
+    * pipeline persists, never re-derives per query (the gates do this).
     */
   def hammingNearDupPairs(
       df: DataFrame,

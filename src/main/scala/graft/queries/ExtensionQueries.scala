@@ -215,7 +215,7 @@ object ExtensionQueries {
       val media = Multimodal.cachedSyntheticImages(s, docs(s, dir))
       val copies = Multimodal.perturbedImageCopies(
         media.filter(col("media_id") % 10 === 0), idOffset = 200000L, rgbXor = 0x010101)
-      val hashes = Multimodal.perceptualHashes(media.unionByName(copies)).toDF()
+      val hashes = Multimodal.perceptualHashes(media.unionByName(copies)).toDF().cache()
       val pairs = Dedup.hammingNearDupPairs(hashes, "media_id", "dhash", radius = 11)
       val dropped = pairs.groupBy(col("id_b").as("media_id")).agg(min(col("id_a")).as("dup_of"))
       hashes
@@ -240,7 +240,7 @@ object ExtensionQueries {
       val media = Multimodal.cachedSyntheticAudio(s, docs(s, dir))
       val copies = Multimodal.perturbedAudioCopies(
         media.filter(col("media_id") % 10 === 0), idOffset = 200000L)
-      val hashes = Multimodal.audioFingerprints(media.unionByName(copies)).toDF()
+      val hashes = Multimodal.audioFingerprints(media.unionByName(copies)).toDF().cache()
       val pairs = Dedup.hammingNearDupPairs(hashes, "media_id", "fp", radius = 11)
       val dropped = pairs.groupBy(col("id_b").as("media_id")).agg(min(col("id_a")).as("dup_of"))
       hashes
@@ -262,7 +262,7 @@ object ExtensionQueries {
       val media = Multimodal.cachedSyntheticVideo(s, docs(s, dir))
       val copies = Multimodal.perturbedVideoCopies(
         media.filter(col("media_id") % 10 === 0), idOffset = 200000L, rgbXor = 0x010101)
-      val hashes = Multimodal.videoKeyframeHashes(media.unionByName(copies)).toDF()
+      val hashes = Multimodal.videoKeyframeHashes(media.unionByName(copies)).toDF().cache()
       val pairs = Dedup.hammingNearDupPairs(hashes, "media_id", "dhash", radius = 11)
       val dropped = pairs.groupBy(col("id_b").as("media_id")).agg(min(col("id_a")).as("dup_of"))
       hashes
@@ -307,7 +307,7 @@ object ExtensionQueries {
       val media = Multimodal.cachedSyntheticImages(s, docs(s, dir))
       val copies = Multimodal.perturbedImageCopies(
         media.filter(col("media_id") % 10 === 0), idOffset = 200000L, rgbXor = 0x010101)
-      val hashes = Multimodal.perceptualHashes(media.unionByName(copies)).toDF()
+      val hashes = Multimodal.perceptualHashes(media.unionByName(copies)).toDF().cache()
       val pairs = Dedup.hammingNearDupPairs(hashes, "media_id", "dhash", radius = 11)
       val dropped = pairs.groupBy(col("id_b").as("media_id")).agg(min(col("id_a")).as("dup_of"))
       hashes
