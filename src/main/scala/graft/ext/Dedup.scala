@@ -690,6 +690,30 @@ object Dedup {
       hashKey: Boolean = false
   ): DataFrame = {
     require(k > 0, "need k > 0")
+    val (base, grams) = positionalGrams(df, idCol, textCol, k, hashKey)
+    val occ = grams
+      .groupBy("g")
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+    val flagged = grams
+      .join(occ.where(col("cnt") >= 2), Seq("g"))
+      .where(!(col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos")))
+      .select("doc_id", "pos")
+    spansFromFlagged(base, flagged, k)
+  }
+
+  /** The positional k-gram stage shared by [[exactSubstringSpans]] and
+    * its incremental form: (base docs with token arrays, one row per
+    * (doc, pos, gram)).
+    */
+  private def positionalGrams(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      hashKey: Boolean
+  ): (DataFrame, DataFrame) = {
     val words = split(trim(col(textCol)), "\\s+")
     val base = df
       .select(col(idCol).cast("long").as("doc_id"), words.as("ws"))
@@ -705,15 +729,14 @@ object Dedup {
         col("doc_id"),
         col("pos"),
         (if (hashKey) xxhash64(gram) else gram).as("g"))
-    val occ = grams
-      .groupBy("g")
-      .agg(
-        count(lit(1)).as("cnt"),
-        min(struct(col("doc_id"), col("pos"))).as("first"))
-    val flagged = grams
-      .join(occ.where(col("cnt") >= 2), Seq("g"))
-      .where(!(col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos")))
-      .select("doc_id", "pos")
+    (base, grams)
+  }
+
+  /** The run-merge + per-doc rollup stage shared by
+    * [[exactSubstringSpans]] and its incremental form: flagged (doc,
+    * pos) rows fuse into maximal spans; every base doc gets a row.
+    */
+  private def spansFromFlagged(base: DataFrame, flagged: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val spans = flagged
       .withColumn("__prev", lag(col("pos"), 1).over(w))
@@ -746,6 +769,71 @@ object Dedup {
       .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
       .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
       .withColumn("spans", coalesce(col("spans"), lit("")))
+  }
+
+  /** The stored GRAM INDEX behind incremental exact-substring dedup: the
+    * DISTINCT k-gram keys of the ingested corpus (hashed 8-byte keys
+    * with `hashKey` — the production layout, bucketed by gram hash so
+    * admission probes prune). Presence is all admission needs: a gram
+    * already in the index means its first occurrence is stored, so every
+    * arriving occurrence is removable.
+    */
+  def substringGramIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      hashKey: Boolean = false
+  ): DataFrame = {
+    require(k > 0, "need k > 0")
+    positionalGrams(df, idCol, textCol, k, hashKey)._2.select("g").distinct()
+  }
+
+  /** Ingestion-time exact-substring dedup — [[exactSubstringSpans]]'
+    * O(batch) admission form (the [[semanticAdmit]]/[[incrementalDedup]]
+    * shape): a new document batch's positional k-grams probe the stored
+    * [[substringGramIndex]] plus the batch's own occurrence table; a
+    * position is flagged iff its gram is already stored (first
+    * occurrence lives in the snapshot) OR repeats within the batch
+    * beyond its first. Flagged positions run-merge to maximal spans
+    * exactly as in the batch operator.
+    *
+    * EQUIVALENCE CONTRACT (gate-pinned): provided every batch doc id
+    * exceeds every snapshot doc id, the output EQUALS the full-corpus
+    * [[exactSubstringSpans]] over snapshot ∪ batch restricted to the
+    * batch docs — the union's min-(doc,pos) for a stored gram is always
+    * a snapshot key, and for a batch-only gram the batch's own min.
+    * After admission the index advances by the batch's distinct grams
+    * (union — no rebuild).
+    *
+    * Cost per batch: one token-linear gram explode over the BATCH only
+    * + one presence join against the (bucket-pruned) index + the
+    * batch-internal occurrence aggregate. Never a corpus rescan.
+    */
+  def exactSubstringSpansIncremental(
+      index: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      hashKey: Boolean = false
+  ): DataFrame = {
+    require(k > 0, "need k > 0")
+    val (base, grams) = positionalGrams(batch, idCol, textCol, k, hashKey)
+    val occB = grams
+      .groupBy("g")
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+    val flagged = grams
+      .join(occB, Seq("g"))
+      .join(index.select(col("g")).withColumn("__snap", lit(1)), Seq("g"), "left_outer")
+      .where(
+        col("__snap").isNotNull ||
+          (col("cnt") >= 2 &&
+            !(col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos"))))
+      .select("doc_id", "pos")
+    spansFromFlagged(base, flagged, k)
   }
 
   /** Span application — the STRIPPER that turns [[exactSubstringSpans]]'

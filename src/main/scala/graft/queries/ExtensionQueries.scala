@@ -274,6 +274,29 @@ object ExtensionQueries {
         .orderBy("media_id")
     },
 
+    // ingestion-time exact-substring dedup: an arriving document batch
+    // probes the stored gram index (presence ⇒ first occurrence already
+    // stored ⇒ every arriving occurrence removable) plus its own
+    // occurrence table — O(batch) per ingest, never a corpus rescan.
+    // The oracle runs the FULL batch pipeline over snapshot ∪ batch and
+    // restricts to the batch docs: with monotone ingest ids the
+    // admission path must equal it exactly.
+    "x_substring_incr" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val snapshot = d.where(col("doc_id") % 5 =!= 4).select("doc_id", "text")
+      val arriving = d.where(col("doc_id") % 5 === 4)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val copies = d.where(col("doc_id") % 10 === 0)
+        .select(
+          (col("doc_id") + 200000L).as("doc_id"),
+          concat(lit("xdupsalt "), col("text")).as("text"))
+      val index = Dedup.substringGramIndex(snapshot, "doc_id", "text", k = 10)
+      Dedup
+        .exactSubstringSpansIncremental(
+          index, arriving.unionByName(copies), "doc_id", "text", k = 10)
+        .orderBy("doc_id")
+    },
+
     // span application end-to-end: the STRIPPED corpus text a training
     // run actually consumes — x_substring_dedup's spans applied by pure
     // positional array ops (filter + exists, no UDF), survivors re-joined
@@ -2398,6 +2421,64 @@ object ExtensionQueries {
         |       coalesce(pr.dup_of, -1) AS dup_of
         |FROM hs LEFT JOIN pr ON hs.media_id = pr.media_id
         |ORDER BY hs.media_id""".stripMargin,
+    // the FULL batch pipeline over snapshot ∪ batch, restricted to the
+    // arriving docs — the union's keep-first for a stored gram is always
+    // a snapshot key (monotone ids), so this equals the admission path
+    "x_substring_incr" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 4
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'xdupsalt ' || text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+        |         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM corpus
+        |), grams AS (
+        |  SELECT doc_id, gs.pos,
+        |         array_to_string(ws[gs.pos + 1 : gs.pos + 10], ' ') AS g
+        |  FROM base, LATERAL (
+        |    SELECT unnest(generate_series(0, n_tokens - 10)) AS pos) gs
+        |  WHERE n_tokens >= 10
+        |), occ AS (
+        |  SELECT g, count(*) AS cnt,
+        |         min(doc_id * 1048576 + pos) AS firstkey
+        |  FROM grams GROUP BY g
+        |), fl AS (
+        |  SELECT grams.doc_id, grams.pos
+        |  FROM grams JOIN occ ON grams.g = occ.g
+        |  WHERE occ.cnt >= 2
+        |    AND grams.doc_id * 1048576 + grams.pos <> occ.firstkey
+        |), sp AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 10
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM fl
+        |), sp2 AS (
+        |  SELECT doc_id, pos,
+        |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM sp
+        |), spans AS (
+        |  SELECT doc_id, sid, min(pos) AS s, max(pos) + 10 AS e
+        |  FROM sp2 GROUP BY doc_id, sid
+        |), pd AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |         CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+        |         string_agg(CAST(s AS VARCHAR) || ':' || CAST(e AS VARCHAR), ','
+        |                    ORDER BY s, e) AS spans
+        |  FROM spans GROUP BY doc_id
+        |)
+        |SELECT base.doc_id AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       coalesce(n_spans, 0) AS n_spans,
+        |       coalesce(dup_tokens, 0) AS dup_tokens,
+        |       coalesce(pd.spans, '') AS spans
+        |FROM base LEFT JOIN pd ON base.doc_id = pd.doc_id
+        |WHERE base.doc_id >= 100000
+        |ORDER BY base.doc_id""".stripMargin,
     // same k-gram → keep-first → run-merge span pipeline as
     // x_substring_dedup, then the strip re-derived independently: kept
     // token positions via an anti-join against the span ranges,

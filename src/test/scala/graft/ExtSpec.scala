@@ -456,6 +456,33 @@ class ExtSpec extends SparkSpec {
     assert(hashed === out.view.mapValues(_.getAs[String]("spans")).toMap)
   }
 
+  test("exactSubstringSpansIncremental: batch admission equals the full pipeline on the union") {
+    import spark.implicits._
+    val snapshot = docs.where($"doc_id" % 5 =!= 4).select($"doc_id", $"text")
+    val batch = docs.where($"doc_id" % 5 === 4)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+      .unionByName(docs.where($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 200000L).as("doc_id"),
+          concat(lit("xdupsalt "), $"text").as("text")))
+    for (hashKey <- Seq(false, true)) {
+      val index = Dedup.substringGramIndex(snapshot, "doc_id", "text", k = 10, hashKey)
+      val admit = Dedup
+        .exactSubstringSpansIncremental(index, batch, "doc_id", "text", k = 10, hashKey)
+        .select("doc_id", "n_tokens", "n_spans", "dup_tokens", "spans")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      val full = Dedup
+        .exactSubstringSpans(snapshot.unionByName(batch), "doc_id", "text", k = 10, hashKey)
+        .where($"doc_id" >= 100000L)
+        .select("doc_id", "n_tokens", "n_spans", "dup_tokens", "spans")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(admit === full, s"hashKey=$hashKey")
+      // the planted salt-prefixed copies must be near-fully duplicated
+      assert(admit.collect {
+        case (id, row) if id >= 200000L => row(3).asInstanceOf[Long]
+      }.forall(_ > 0), "planted copies must carry removable spans")
+    }
+  }
+
   test("stripSpans applies the spans positionally and passes span-free docs through") {
     import spark.implicits._
     val df = Seq(
