@@ -771,6 +771,82 @@ object Dedup {
       .withColumn("spans", coalesce(col("spans"), lit("")))
   }
 
+  /** Ingestion-time perceptual-hash admission — [[hammingNearDupPairs]]'
+    * O(batch) form (the [[semanticAdmit]] shape for the image/audio/
+    * video families): an arriving batch of 64-bit sketches probes the
+    * STORED hash index (at 100 TB the index is persisted banded —
+    * (block, key) bucketed — so the probe join prunes to touched
+    * buckets) and cross-checks within the batch. Statuses mirror
+    * [[incrementalDedup]]: `dup_snapshot` (a stored sketch within
+    * `radius`), `dup_batch` (only an earlier batch sketch matches),
+    * `new`. With monotone ingest ids, `status != new` ⟺ the item is
+    * dropped by keep-first [[hammingNearDupPairs]] dedup over
+    * index ∪ batch — recall is pigeonhole-complete, the verify exact.
+    *
+    * `index` carries the stored `(id, hash)` pairs (e.g. a persisted
+    * [[graft.ext.Multimodal.perceptualHashes]] table); after admission
+    * it advances by the batch's rows — no rebuild.
+    */
+  def hammingAdmit(
+      index: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      hashCol: String,
+      radius: Int = 11,
+      blocks: Int = 4,
+      probeBits: Int = 2
+  ): DataFrame = {
+    require(64 % blocks == 0, "blocks must divide 64")
+    require(probeBits >= 0 && probeBits <= 3, "probeBits in [0,3]")
+    require(
+      (probeBits + 1) * blocks - 1 >= radius,
+      s"radius $radius exceeds the pigeonhole guarantee of this layout")
+    val width = 64 / blocks
+    val mask = (1L << width) - 1L
+    def banded(df: DataFrame): DataFrame = df
+      .select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("hh"))
+      .select(
+        col("id"),
+        col("hh"),
+        explode(
+          array((0 until blocks).map { b =>
+            struct(lit(b).as("blk"), shiftrightunsigned(col("hh"), b * width).bitwiseAND(mask).as("key"))
+          }: _*)
+        ).as("bb")
+      ).select(col("id"), col("hh"), col("bb.blk"), col("bb.key"))
+    def flips(start: Int, remaining: Int): Seq[Long] =
+      if (remaining == 0) Seq(0L)
+      else (start until width).flatMap(i => flips(i + 1, remaining - 1).map(m => m | (1L << i)))
+    val probeMasks = (0 to probeBits).flatMap(p => flips(0, p))
+    val bBase = banded(batch)
+    val probes = bBase.select(
+      col("id"),
+      col("hh"),
+      col("blk"),
+      explode(array(probeMasks.map(m => col("key").bitwiseXOR(lit(m))): _*)).as("key"))
+    val snapHit = probes
+      .join(banded(index).select(col("blk"), col("key"), col("hh").as("hh2")), Seq("blk", "key"))
+      .where(bit_count(col("hh").bitwiseXOR(col("hh2"))) <= radius)
+      .select(col("id"))
+      .distinct()
+      .withColumn("__snap", lit(true))
+    val batchHit = hammingNearDupPairs(batch, idCol, hashCol, radius, blocks, probeBits)
+      .select(col("id_b").as("id"))
+      .distinct()
+      .withColumn("__batch", lit(true))
+    batch
+      .select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as(hashCol))
+      .join(snapHit, Seq("id"), "left_outer")
+      .join(batchHit, Seq("id"), "left_outer")
+      .select(
+        col("id"),
+        col(hashCol),
+        when(col("__snap"), lit("dup_snapshot"))
+          .when(col("__batch"), lit("dup_batch"))
+          .otherwise(lit("new"))
+          .as("status"))
+  }
+
   /** The stored GRAM INDEX behind incremental exact-substring dedup: the
     * DISTINCT k-gram keys of the ingested corpus (hashed 8-byte keys
     * with `hashKey` — the production layout, bucketed by gram hash so

@@ -229,6 +229,31 @@ object ExtensionQueries {
         .orderBy("split")
     },
 
+    // ingestion-time perceptual admission: an arriving image batch
+    // screens against the STORED hash index in O(batch + touched
+    // buckets). The batch carries all three fates: low-bit perturbed
+    // copies of stored images (dup_snapshot), high-bit XORed re-encodes
+    // (content re-randomized → new), and low-bit perturbations OF those
+    // (their only match is the earlier batch arrival → dup_batch). The
+    // oracle brute-forces Hamming over index ∪ batch in closed form and
+    // classifies by which side the earlier partner sits on.
+    "x_dedup_image_incr" -> { (s, dir) =>
+      val media = Multimodal.cachedSyntheticImages(s, docs(s, dir))
+      val index = Multimodal.perceptualHashes(media).toDF().select("media_id", "dhash")
+      val bCopies = Multimodal.perturbedImageCopies(
+        media.filter(col("media_id") % 10 === 0), idOffset = 200000L, rgbXor = 0x010101)
+      val bNew = Multimodal.perturbedImageCopies(
+        media.filter(col("media_id") % 7 === 3), idOffset = 300000L, rgbXor = 0x808080)
+      val bNewDup = Multimodal.perturbedImageCopies(
+        media.filter(col("media_id") % 7 === 3), idOffset = 400000L, rgbXor = 0x818181)
+      val batch = Multimodal
+        .perceptualHashes(bCopies.unionByName(bNew).unionByName(bNewDup)).toDF()
+        .select("media_id", "dhash").cache()
+      Dedup.hammingAdmit(index, batch, "media_id", "dhash", radius = 11)
+        .select(col("id").as("media_id"), col("dhash"), col("status"))
+        .orderBy("media_id")
+    },
+
     // AUDIO near-dup dedup — the temporal twin of x_dedup_image: REAL
     // RIFF/PCM decode → 65-bin Σ|sample| energies → 64 energy-gradient
     // signs (Haitsma-Kalker-style fingerprint, integer-exact) → the same
@@ -2289,6 +2314,83 @@ object ExtensionQueries {
         |       count(*) AS n_imgs,
         |       CAST(sum(w * h) AS BIGINT) AS sum_px
         |FROM kept GROUP BY 1 ORDER BY split""".stripMargin,
+    // same closed-form pixel → dHash pipeline over index ∪ the
+    // three-fate batch, statuses from brute-force pairs split by side
+    "x_dedup_image_incr" ->
+      """WITH RECURSIVE aff(k, a, b) AS (
+        |  SELECT 1,
+        |         CAST(6364136223846793005 AS HUGEINT),
+        |         CAST(1442695040888963407 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT k + 1,
+        |         (a * 6364136223846793005) % 18446744073709551616,
+        |         (b * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM aff WHERE k < 3074
+        |), imgs AS (
+        |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS xm,
+        |         1 + n_chars % 64 AS w, 1 + n_chars % 48 AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, doc_id, 65793,
+        |         1 + n_chars % 64, 1 + n_chars % 48
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, doc_id, 8421504,
+        |         1 + n_chars % 64, 1 + n_chars % 48
+        |  FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 400000, doc_id, 8487297,
+        |         1 + n_chars % 64, 1 + n_chars % 48
+        |  FROM documents WHERE doc_id % 7 = 3
+        |), hi AS (
+        |  SELECT * FROM imgs WHERE w >= 9 AND h >= 8
+        |), px AS (
+        |  SELECT media_id, w, h, xm,
+        |         (aff.k - 2) % w AS x, (aff.k - 2) // w AS y,
+        |         CAST(((aff.a * seed + aff.b) % 18446744073709551616
+        |               // 1099511627776) % 16777216 AS BIGINT) AS rgb0
+        |  FROM hi JOIN aff ON aff.k BETWEEN 2 AND w * h + 1
+        |), lum AS (
+        |  SELECT media_id, x * 9 // w AS gx, y * 8 // h AS gy,
+        |         (299 * ((xor(rgb0, xm) >> 16) & 255)
+        |        + 587 * ((xor(rgb0, xm) >> 8) & 255)
+        |        + 114 * (xor(rgb0, xm) & 255)) // 1000 AS luma
+        |  FROM px
+        |), cell AS (
+        |  SELECT media_id, gx, gy, sum(luma) // count(*) AS m
+        |  FROM lum GROUP BY media_id, gx, gy
+        |), dh AS (
+        |  SELECT c1.media_id,
+        |         SUM(CASE WHEN c1.m > c2.m
+        |             THEN CAST(1 AS HUGEINT) << (c1.gy * 8 + c1.gx)
+        |             ELSE CAST(0 AS HUGEINT) END) AS dhu
+        |  FROM cell c1 JOIN cell c2
+        |    ON c1.media_id = c2.media_id AND c2.gy = c1.gy AND c2.gx = c1.gx + 1
+        |  WHERE c1.gx < 8
+        |  GROUP BY c1.media_id
+        |), hs AS (
+        |  SELECT media_id,
+        |         CAST(CASE WHEN dhu >= 9223372036854775808
+        |              THEN dhu - 18446744073709551616 ELSE dhu END AS BIGINT) AS dhash
+        |  FROM dh
+        |), pairs AS (
+        |  SELECT a.media_id AS a_id, b.media_id AS b_id
+        |  FROM hs a JOIN hs b
+        |    ON a.media_id < b.media_id AND b.media_id >= 200000
+        |   AND bit_count(xor(a.dhash, b.dhash)) <= 11
+        |), st AS (
+        |  SELECT b_id AS media_id,
+        |         max(CASE WHEN a_id < 200000 THEN 1 ELSE 0 END) AS has_snap,
+        |         max(CASE WHEN a_id >= 200000 THEN 1 ELSE 0 END) AS has_batch
+        |  FROM pairs GROUP BY b_id
+        |)
+        |SELECT hs.media_id, dhash,
+        |       CASE WHEN st.has_snap = 1 THEN 'dup_snapshot'
+        |            WHEN st.has_batch = 1 THEN 'dup_batch'
+        |            ELSE 'new' END AS status
+        |FROM hs LEFT JOIN st ON hs.media_id = st.media_id
+        |WHERE hs.media_id >= 200000
+        |ORDER BY hs.media_id""".stripMargin,
     // closed-form LCG samples (signed 16-bit), same 65-bin |s| energy
     // sums and gradient-sign fingerprint, brute-force all-pairs ≤ 11
     "x_dedup_audio" ->

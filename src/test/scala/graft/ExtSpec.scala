@@ -431,6 +431,38 @@ class ExtSpec extends SparkSpec {
     } finally { aHashes.unpersist(); vHashes.unpersist() }
   }
 
+  test("hammingAdmit: admission statuses equal keep-first dedup over index union batch") {
+    import spark.implicits._
+    val imgs = Multimodal.syntheticImages(spark, docs)
+    val index = Multimodal.perceptualHashes(imgs).toDF().select("media_id", "dhash").cache()
+    val bCopies = Multimodal.perturbedImageCopies(
+      imgs.filter($"media_id" % 4 === 0), 100000L, 0x010101)
+    val bNew = Multimodal.perturbedImageCopies(
+      imgs.filter($"media_id" % 4 === 1), 300000L, 0x808080)
+    val bNewDup = Multimodal.perturbedImageCopies(
+      imgs.filter($"media_id" % 4 === 1), 400000L, 0x818181)
+    val batch = Multimodal
+      .perceptualHashes(bCopies.unionByName(bNew).unionByName(bNewDup)).toDF()
+      .select("media_id", "dhash").cache()
+    try {
+      val admit = Dedup.hammingAdmit(index, batch, "media_id", "dhash", radius = 11)
+        .select($"id", ($"status" =!= "new").as("dropped"))
+        .as[(Long, Boolean)].collect().toMap
+      // ground truth: keep-first over the union — b dropped iff some a < b
+      // within the radius
+      val union = index.unionByName(batch)
+      val droppedFull = Dedup.hammingNearDupPairs(union, "media_id", "dhash", radius = 11)
+        .where($"id_b" >= 100000L).select("id_b").as[Long].collect().toSet
+      assert(admit.keySet === batch.select("media_id").as[Long].collect().toSet)
+      val diff = admit.keySet.filter(id => admit(id) != droppedFull.contains(id))
+      assert(diff.isEmpty, s"admission diverges at ${diff.take(5)}")
+      // all three fates present
+      val statuses = Dedup.hammingAdmit(index, batch, "media_id", "dhash", radius = 11)
+        .select("status").distinct().as[String].collect().toSet
+      assert(statuses === Set("dup_snapshot", "dup_batch", "new"), statuses.toString)
+    } finally { index.unpersist(); batch.unpersist() }
+  }
+
   test("exactSubstringSpans: shared, copied, and self-repeated substrings, first kept") {
     import spark.implicits._
     val df = Seq(

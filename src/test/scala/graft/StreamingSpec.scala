@@ -688,6 +688,62 @@ class StreamingSpec extends SparkSpec {
     assert(dropped.nonEmpty)
   }
 
+  test("streaming exact-substring admission: per-trigger spans + gram-index append equal the full pipeline") {
+    // the ingestion-time ExactSubstr form run as a stream: each arriving
+    // micro-batch's k-grams probe the stored gram index, spans come out
+    // per trigger, and the batch's distinct grams APPEND to the index so
+    // later triggers catch duplicates of earlier arrivals. With monotone
+    // ids and id-ordered trigger files, the union of per-trigger outputs
+    // must equal the full-corpus batch pipeline restricted to arrivals.
+    import graft.ext.Dedup
+    val d = Tables.load(spark, sf0001, "documents")
+    val snapshot = d.where($"doc_id" % 5 =!= 4).select($"doc_id", $"text")
+    val fileA = d.where($"doc_id" % 5 === 4)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    // arrives AFTER fileA and duplicates it: only the cross-trigger
+    // index append can flag these spans
+    val fileB = d.where($"doc_id" % 5 === 4)
+      .select(($"doc_id" + 200000L).as("doc_id"),
+        concat(lit("latersalt "), $"text").as("text"))
+    val dir = tempDir("substrstream") + "/data"
+    val ckpt = tempDir("substrstreamckpt")
+    fileA.coalesce(1).write.parquet(dir)
+    Thread.sleep(1100)
+    fileB.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(fileA.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    var index = Dedup.substringGramIndex(snapshot, "doc_id", "text", k = 10)
+      .localCheckpoint(eager = true)
+    val results = scala.collection.mutable.Map[Long, (Long, String)]()
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val admitted = Dedup.exactSubstringSpansIncremental(index, b, "doc_id", "text", k = 10)
+        results ++= admitted.select("doc_id", "dup_tokens", "spans").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+        index = index
+          .unionByName(Dedup.substringGramIndex(b, "doc_id", "text", k = 10))
+          .distinct()
+          .localCheckpoint(eager = true)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val full = Dedup
+      .exactSubstringSpans(
+        snapshot.unionByName(fileA).unionByName(fileB), "doc_id", "text", k = 10)
+      .where($"doc_id" >= 100000L)
+      .select("doc_id", "dup_tokens", "spans").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(results.toMap === full)
+    // the second trigger's docs must actually have been flagged against
+    // the first trigger's appended grams (not just the snapshot)
+    assert(results.collect { case (id, (dt, _)) if id >= 200000L => dt }.exists(_ > 0),
+      "cross-trigger duplicates were not caught — index append broken")
+  }
+
   test("foreachBatch sink sees every batch exactly once per run") {
     val logPath = tempDir("fblog")
     val ckpt = tempDir("fbckpt")
