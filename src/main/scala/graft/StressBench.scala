@@ -148,6 +148,62 @@ object StressBench {
     * force a corpus its op family doesn't read (a 300× embedding-only
     * probe shouldn't build the 30M-event CDC log).
     */
+  /** Per-corpus admission-index materializations: corpus file-set →
+    * parquet dir (the gram / semantic index a pipeline persists; built
+    * one-off outside the steady-state min-of-runs, the rollup memo
+    * convention).
+    */
+  private val admitMemo = scala.collection.mutable.Map[(Set[String], String), String]()
+
+  private def memoIndex(key: Set[String], tag: String)(build: String => Unit): String =
+    admitMemo.synchronized {
+      admitMemo.getOrElseUpdate((key, tag), {
+        val d = java.nio.file.Files.createTempDirectory(s"graft-stress-$tag").toString + "/idx"
+        build(d)
+        d
+      })
+    }
+
+  /** The O(batch) claim of the ingestion-time admission forms, measured
+    * directly: the INDEX grows with the corpus, the arriving BATCH stays
+    * the fixed 1× slice (re-identified above every corpus id) — so
+    * admission wall time must stay ~flat and `x_vs_linear` must
+    * COLLAPSE toward 1/Replicas (the fixed-batch probe shape, like the
+    * ANN top-k ops). A ratio near 1 would mean admission secretly
+    * rescans the corpus.
+    */
+  private def admitOps(
+      docs: => DataFrame,
+      embs: => DataFrame,
+      batchDocs: => DataFrame,
+      batchEmbs: => DataFrame): Seq[(String, () => Long)] = Seq(
+    "substring_admit" -> (() => {
+      val spark = docs.sparkSession
+      val dir = memoIndex(docs.inputFiles.toSet, "gramidx") { d =>
+        Dedup.substringGramIndex(docs, "doc_id", "text", k = 10, hashKey = true)
+          .write.parquet(d)
+      }
+      Dedup.exactSubstringSpansIncremental(
+          spark.read.parquet(dir),
+          batchDocs.select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")),
+          "doc_id", "text", k = 10, hashKey = true)
+        .where(col("n_spans") > 0).count()
+    }),
+    "semantic_admit" -> (() => {
+      val spark = embs.sparkSession
+      val n = embs.count()
+      val k = math.max(64L, n / 1000L).toInt
+      val dir = memoIndex(embs.inputFiles.toSet, "semidx") { d =>
+        Dedup.semanticIndex(embs, "vec_id", "embedding", k).write.parquet(d)
+      }
+      Dedup.semanticAdmit(
+          spark.read.parquet(dir),
+          batchEmbs.select((col("vec_id") + 1000000000000L).as("vec_id"), col("embedding")),
+          "vec_id", "embedding", k, 0.9)
+        .where(col("status") =!= "new").count()
+    })
+  )
+
   private def ops(docs: => DataFrame, embs: => DataFrame): Seq[(String, () => Long)] = Seq(
     "ngram_jaccard" -> (() =>
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.4,
@@ -479,7 +535,8 @@ object StressBench {
     def opsAt(
         d: => DataFrame, e: => DataFrame, idx: => DataFrame, cen: => DataFrame,
         evs: => DataFrame, cur: => DataFrame, log0: => DataFrame, log: => DataFrame) =
-      (ops(d, e) ++ simOps(queries, e, idx, cen) ++ timeOps(evs) ++
+      (ops(d, e) ++ admitOps(d, e, docs1, embs1) ++
+        simOps(queries, e, idx, cen) ++ timeOps(evs) ++
         cdcOps(evs, cur, log0, log, evSchema))
         .filter { case (n, _) => OnlyOps.forall(_.contains(n)) }
 

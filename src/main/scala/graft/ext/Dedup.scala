@@ -771,6 +771,49 @@ object Dedup {
       .withColumn("spans", coalesce(col("spans"), lit("")))
   }
 
+  /** Embedding-space EVAL DECONTAMINATION — the semantic twin of
+    * [[graft.ext.TextOps.contamination]]'s n-gram overlap check: every
+    * eval vector is assigned to the TRAIN index's cells and is
+    * contaminated iff some train vector in its cell reaches `threshold`
+    * cosine — a train/eval leak an n-gram screen misses when the text
+    * was paraphrased but the embedding wasn't. Train reduces to its
+    * stored [[semanticIndex]]; the probe is one cluster-equi join
+    * against touched cells (O(eval + touched-cell occupancy), never
+    * train×eval). Same cell-approximation recall trade as
+    * [[semanticDedup]] (a cross-cell leak is missed; ExtSpec pins the
+    * planted-leak recall). No id-ordering contract — contamination is
+    * membership, not keep-first.
+    *
+    * Output per eval vector: `(id, cluster, contaminated)`.
+    */
+  def semanticContamination(
+      trainIndex: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numClusters: Int,
+      threshold: Double
+  ): DataFrame = {
+    require(numClusters >= 1, "need at least one cluster")
+    val idx = trainIndex.select(col("id"), col("cluster"), col("v"))
+    val seeds = idx
+      .orderBy("id")
+      .limit(numClusters)
+      .select(col("id").as("seed_id"), col("v").as("seed_v"))
+    val b = eval.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val assigned = b.join(assignToSeeds(b, seeds), "id")
+    val hit = assigned.as("b")
+      .join(idx.as("a"), col("a.cluster") === col("b.cluster"))
+      .where(
+        graft.functions.GraftFunctions.cosine_similarity(col("a.v"), col("b.v")) >= threshold)
+      .select(col("b.id").as("id"))
+      .distinct()
+      .withColumn("__hit", lit(true))
+    assigned
+      .join(hit, Seq("id"), "left_outer")
+      .select(col("id"), col("cluster"), col("__hit").isNotNull.as("contaminated"))
+  }
+
   /** Ingestion-time perceptual-hash admission — [[hammingNearDupPairs]]'
     * O(batch) form (the [[semanticAdmit]] shape for the image/audio/
     * video families): an arriving batch of 64-bit sketches probes the

@@ -705,6 +705,34 @@ object ExtensionQueries {
         .orderBy("vec_id")
     },
 
+    // embedding-space eval DECONTAMINATION — the semantic twin of
+    // x_decontam's n-gram screen: eval vectors probe the train split's
+    // semantic index; contaminated iff a same-cell train vector reaches
+    // cos ≥ 0.9. Planted leaks are ×1.05-perturbed copies of train
+    // vectors pushed into the eval side (the paraphrase-leak shape a
+    // text screen misses). The oracle re-derives the md5 split, the
+    // train-seed assignment of BOTH sides, and the cross-side cell
+    // probe.
+    "x_decontam_semantic" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val split = TextOps.hashSplit(col("vec_id"), "graft", trainFrac = 0.9, valFrac = 0.05)
+      val train = e.where(split === "train")
+      val leaks = train
+        .where(col("vec_id") % 7 === 0)
+        .select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          concat(
+            array(element_at(col("embedding"), 1) * lit(1.05f)),
+            slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
+      val evalSide = e.where(split =!= "train").unionByName(leaks)
+      val idx = Dedup.semanticIndex(train, "vec_id", "embedding", 64)
+      Dedup
+        .semanticContamination(idx, evalSide, "vec_id", "embedding", 64, 0.9)
+        .select(col("id").as("vec_id"), col("cluster"), col("contaminated"))
+        .orderBy("vec_id")
+    },
+
     // streaming/ingestion-time SemDeDup ADMISSION: a new ingest batch
     // screens against the stored semantic index in O(batch + touched
     // cells) — no corpus rescan. Batch carries all three fates:
@@ -3052,6 +3080,56 @@ object ExtensionQueries {
         |)
         |SELECT asg.id AS vec_id, cluster, dr.id IS NULL AS kept
         |FROM asg LEFT JOIN dr ON asg.id = dr.id
+        |ORDER BY vec_id""".stripMargin,
+    // same md5 split, both sides assigned against the TRAIN seeds, one
+    // cross-side in-cell cosine probe — equals the engine's index path
+    "x_decontam_semantic" ->
+      """WITH spl AS (
+        |  SELECT vec_id, embedding,
+        |         CASE WHEN substr(md5('graft:' || CAST(vec_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+        |              WHEN substr(md5('graft:' || CAST(vec_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM embeddings
+        |), train AS (
+        |  SELECT vec_id, embedding FROM spl WHERE split = 'train'
+        |), ev AS (
+        |  SELECT vec_id, embedding FROM spl WHERE split <> 'train'
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |         list_concat([embedding[1] * CAST(1.05 AS REAL)], embedding[2:])
+        |  FROM train WHERE vec_id % 7 = 0
+        |), allv AS (
+        |  SELECT 0 AS side, vec_id, embedding FROM train
+        |  UNION ALL
+        |  SELECT 1, vec_id, embedding FROM ev
+        |), seeds AS (
+        |  SELECT vec_id AS seed_id, embedding AS seed_v
+        |  FROM train ORDER BY vec_id LIMIT 64
+        |), sc AS (
+        |  SELECT c.side, c.vec_id AS id, c.embedding, s.seed_id,
+        |         list_sum(list_transform(list_zip(c.embedding, s.seed_v),
+        |                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |         / sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |              * list_sum(list_transform(s.seed_v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cs
+        |  FROM allv c, seeds s
+        |), asg AS (
+        |  SELECT side, id, embedding, seed_id AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY side, id
+        |                                 ORDER BY cs DESC, seed_id ASC) AS rn
+        |    FROM sc)
+        |  WHERE rn = 1
+        |), hit AS (
+        |  SELECT DISTINCT b.id
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster
+        |   AND a.side = 0 AND b.side = 1
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |        / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |             * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) >= 0.9
+        |)
+        |SELECT asg.id AS vec_id, cluster, hit.id IS NOT NULL AS contaminated
+        |FROM asg LEFT JOIN hit ON asg.id = hit.id
+        |WHERE asg.side = 1
         |ORDER BY vec_id""".stripMargin,
     // full SemDeDup over index ∪ batch, statuses classified from the
     // same in-cell pair sets split by which side the earlier partner

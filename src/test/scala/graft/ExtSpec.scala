@@ -609,6 +609,36 @@ class ExtSpec extends SparkSpec {
     assert(admit.values.exists(identity) && admit.values.exists(!_))
   }
 
+  test("semanticContamination flags planted embedding leaks and clears negated vectors") {
+    import spark.implicits._
+    val e = embs.select("vec_id", "embedding")
+    val train = e.where($"vec_id" % 3 =!= 0)
+    // planted leaks: perturbed copies of train vectors (must flag);
+    // negated vectors: semantically novel (must clear — background cos
+    // flips sign, nothing in train comes near 0.9)
+    val leaks = train.where($"vec_id" % 5 === 0).select(
+      ($"vec_id" + 1000000L).as("vec_id"),
+      concat(
+        array(element_at($"embedding", 1) * lit(1.05f)),
+        slice($"embedding", lit(2), size($"embedding") - 1)).as("embedding"))
+    val clean = train.where($"vec_id" % 5 === 1).select(
+      ($"vec_id" + 2000000L).as("vec_id"),
+      transform($"embedding", x => -x).as("embedding"))
+    val idx = Dedup.semanticIndex(train, "vec_id", "embedding", 16)
+    val out = Dedup.semanticContamination(
+        idx, leaks.unionByName(clean), "vec_id", "embedding", 16, 0.9)
+      .select($"id", $"contaminated").as[(Long, Boolean)].collect().toMap
+    val leakIds = leaks.select("vec_id").as[Long].collect().toSet
+    val cleanIds = clean.select("vec_id").as[Long].collect().toSet
+    // cell-approximation trade: a leak assigned off its source's cell is
+    // missed — pin a high floor rather than exactness (the semanticDedup
+    // recall idiom), and pin zero false positives on the negated side
+    val flagged = leakIds.count(out(_))
+    assert(flagged.toDouble / leakIds.size >= 0.8,
+      s"leak recall ${flagged}/${leakIds.size} below the 0.8 floor")
+    assert(cleanIds.forall(!out(_)), "a negated vector was falsely flagged")
+  }
+
   test("embeddingLshCandidates is the pair functions' candidate stage") {
     // the stress harness prices candidate generation separately through
     // this API — it must be the SAME stage the pair function verifies
