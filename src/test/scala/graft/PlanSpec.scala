@@ -109,7 +109,11 @@ class PlanSpec extends SparkSpec {
       // the admission form assigns BOTH the stored index and the ingest
       // batch by the same broadcast-over-K-seeds pass; its probe joins
       // are cluster-equi-joined
-      "x_semantic_incr")
+      "x_semantic_incr",
+      // eval decontamination assigns the eval side by the same
+      // broadcast-over-K-train-seeds pass; the leak probe is
+      // cluster-equi-joined
+      "x_decontam_semantic")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(allowed).flatMap { name =>
       val p = try plan(name) catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
       if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
