@@ -146,4 +146,88 @@ class RandomParitySpec extends SparkSpec {
       assert(naive.count() > 0, s"seed $seed: degenerate fixture")
     }
   }
+
+  test("exactSubstringSpans + stripSpans == driver-side reference on random high-collision corpora") {
+    import graft.ext.Dedup
+    val k = 4
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new scala.util.Random(seed)
+      // tiny vocabulary → organic k-gram collisions everywhere; plus a
+      // planted copy-paste: a slice of one doc embedded into a later one
+      val vocab = (0 until 18).map(i => s"w$i")
+      val base = (0L until 40L).map { id =>
+        id -> Array.fill(10 + rnd.nextInt(50))(vocab(rnd.nextInt(vocab.size)))
+      }
+      val docsArr = base.map { case (id, ws) =>
+        if (id >= 20 && rnd.nextInt(2) == 0) {
+          val (srcId, src) = base(rnd.nextInt(20))
+          val slice = src.slice(0, math.min(src.length, k + 2 + rnd.nextInt(6)))
+          id -> (ws.take(5) ++ slice ++ ws.drop(5))
+        } else id -> ws
+      }
+      // reference: brute-force occurrence table → keep-first → run-merge
+      val occ = scala.collection.mutable.Map[String, List[(Long, Int)]]().withDefaultValue(Nil)
+      for ((id, ws) <- docsArr; p <- 0 to ws.length - k)
+        occ(ws.slice(p, p + k).mkString(" ")) ::= (id, p)
+      val flagged = scala.collection.mutable.Map[Long, List[Int]]().withDefaultValue(Nil)
+      for ((_, os) <- occ if os.size >= 2) {
+        val first = os.minBy(o => (o._1, o._2))
+        for ((id, p) <- os if (id, p) != first) flagged(id) ::= p
+      }
+      val refSpans = docsArr.map { case (id, ws) =>
+        val ps = flagged(id).sorted
+        // new span iff p > prevPos + k; with e = prevPos + k that is p > e
+        val spans = ps.foldLeft(List.empty[(Int, Int)]) {
+          case (Nil, p) => List((p, p + k))
+          case ((s, e) :: rest, p) =>
+            if (p > e) (p, p + k) :: (s, e) :: rest
+            else (s, p + k) :: rest
+        }.reverse
+        val covered = spans.flatMap { case (s, e) => s until e }.toSet
+        val kept = ws.zipWithIndex.collect { case (w, i) if !covered(i) => w }
+        id -> (spans.map { case (s, e) => s"$s:$e" }.mkString(","), kept.mkString(" "))
+      }.toMap
+      val df = docsArr.map { case (id, ws) => (id, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+      val spansDf = Dedup.exactSubstringSpans(df, "doc_id", "text", k)
+      val got = spansDf.select("doc_id", "spans").as[(Long, String)].collect().toMap
+      val gotStrip = Dedup.stripSpans(df, "doc_id", "text", spansDf.select("doc_id", "spans"))
+        .select("doc_id", "stripped_text").as[(Long, String)].collect().toMap
+      for ((id, (refS, refT)) <- refSpans) {
+        assert(got(id) === refS, s"seed $seed doc $id spans")
+        assert(gotStrip(id) === refT, s"seed $seed doc $id strip")
+      }
+      assert(refSpans.values.exists(_._1.nonEmpty), s"seed $seed: degenerate fixture")
+    }
+  }
+
+  test("hammingNearDupPairs == driver brute force on random sketches with planted near-flips") {
+    import graft.ext.Dedup
+    for (seed <- Seq(21, 22)) {
+      val rnd = new scala.util.Random(seed)
+      val hashes = (0L until 150L).map { id =>
+        if (id >= 100 && rnd.nextInt(2) == 0) {
+          // flip up to `radius` random bits of an earlier hash — must be found
+          val srcId = rnd.nextInt(100).toLong
+          var h = seedHash(seed, srcId)
+          (0 until rnd.nextInt(12)).foreach(_ => h ^= 1L << rnd.nextInt(64))
+          id -> h
+        } else id -> seedHash(seed, id)
+      }
+      val bf = (for {
+        (a, ha) <- hashes; (b, hb) <- hashes if a < b
+        if java.lang.Long.bitCount(ha ^ hb) <= 11
+      } yield (a, b)).toSet
+      val got = Dedup
+        .hammingNearDupPairs(hashes.toDF("media_id", "hh"), "media_id", "hh", radius = 11)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got === bf, s"seed $seed: banded=${got.size} bf=${bf.size}")
+      assert(bf.nonEmpty, s"seed $seed: degenerate fixture")
+    }
+  }
+
+  private def seedHash(seed: Int, id: Long): Long = {
+    var h = id * 6364136223846793005L + seed * 1442695040888963407L
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    h
+  }
 }
