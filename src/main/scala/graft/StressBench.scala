@@ -581,10 +581,33 @@ object StressBench {
         Map("embedding_lsh" ->
           f""",\"probe_rows_1x\":$pw1,\"cand_1x\":$c1,\"probe_rows_$k\":$pwK,\"cand_$k\":$cK,\"x_vs_linear_work\":$ratio%.2f""")
       } else Map.empty
+    // Same work-normalization for semantic_dedup: its within-cell pair
+    // stage is output-driven (the replica corpus's duplication band grows
+    // quadratically in Replicas), so price assignment cosines (n·K) +
+    // the ACTUAL within-cell pair count (Σ C(cell,2), measured from the
+    // deterministic assignment) instead of reading wall/linear alone.
+    val extrasSem: Map[String, String] =
+      if (base.exists(_._1 == "semantic_dedup")) {
+        def work(e: DataFrame): (Long, Long) = {
+          val n = e.count()
+          val kk = math.max(64L, n / 1000L).toInt
+          val pairs = Dedup.semanticIndex(e, "vec_id", "embedding", kk)
+            .groupBy("cluster").count()
+            .agg(sum(col("count") * (col("count") - 1) / 2).cast("long")).head().getLong(0)
+          (n * kk, pairs)
+        }
+        val (aw1, p1) = work(embs1)
+        val (awK, pK) = work(embs10)
+        val s1 = base.find(_._1 == "semantic_dedup").get._3
+        val sK = big.find(_._1 == "semantic_dedup").get._3
+        val ratio = (sK / (awK + pK).toDouble) / math.max(s1 / (aw1 + p1).toDouble, 1e-12)
+        Map("semantic_dedup" ->
+          f""",\"assign_cos_1x\":$aw1,\"cell_pairs_1x\":$p1,\"assign_cos_$k\":$awK,\"cell_pairs_$k\":$pK,\"x_vs_linear_work\":$ratio%.2f""")
+      } else Map.empty
 
     val per = base.zip(big).map { case ((n, c1, s1), (_, c10, s10)) =>
       val ratio = s10 / math.max(s1, 1e-9)
-      f"""\"$n\":{\"rows_1x\":$c1,\"sec_1x\":${s1}%.2f,\"rows_$k\":$c10,\"sec_$k\":${s10}%.2f,\"x_vs_linear\":${ratio / Replicas}%.2f${extras.getOrElse(n, "")}}"""
+      f"""\"$n\":{\"rows_1x\":$c1,\"sec_1x\":${s1}%.2f,\"rows_$k\":$c10,\"sec_$k\":${s10}%.2f,\"x_vs_linear\":${ratio / Replicas}%.2f${extras.getOrElse(n, "")}${extrasSem.getOrElse(n, "")}}"""
     }
     val line =
       s"""{"metric":"dedup_stress","replicas":$Replicas,"docs_1x":$rows1,"docs_$k":$rows10,"ops":{${per.mkString(",")}}}"""
