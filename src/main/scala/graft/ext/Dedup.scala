@@ -383,7 +383,7 @@ object Dedup {
     require(64 % blocks == 0, "blocks must divide 64")
     require(probeBits >= 0 && probeBits <= 3, "probeBits in [0,3] (fan-out grows as C(width,probeBits))")
     val width = 64 / blocks
-    val mask = (1L << width) - 1L
+    val mask = blockMask(width)
     // same separate-cache + eager-sketch-materialization layout as
     // [[minhashNearDupPairs]] (see the rationale there): the plan below
     // scans `hashes` 3× and `sh` 2× inside one job
@@ -449,6 +449,84 @@ object Dedup {
     */
   val SimhashProbeCutover: Long = 20000L
 
+  // ---- shared Hamming banding layout (pair join + admission) ---------------
+
+  /** Parameter contract shared by every Hamming-banded entry point: the
+    * block-pigeonhole guarantee `(probeBits+1)·blocks − 1 ≥ radius` is what
+    * makes recall EXACT rather than probabilistic, so a layout that cannot
+    * cover the requested radius is a construction-time error.
+    */
+  private def requireHammingLayout(radius: Int, blocks: Int, probeBits: Int): Unit = {
+    require(64 % blocks == 0, "blocks must divide 64")
+    require(probeBits >= 0 && probeBits <= 3, "probeBits in [0,3]")
+    require(
+      (probeBits + 1) * blocks - 1 >= radius,
+      s"radius $radius exceeds the pigeonhole guarantee ${(probeBits + 1) * blocks - 1} " +
+        "of this block/probe layout — recall would be partial, not exact")
+  }
+
+  /** All-ones mask of `width` low bits. `1L << 64` wraps to 1 under JVM
+    * shift semantics (shift amount mod 64), so the width-64 case (blocks =
+    * 1 — one block spanning the whole sketch) is special-cased instead of
+    * silently collapsing every band key to 0 (which would keep output
+    * correct but degenerate banding to a single all-pairs bucket).
+    */
+  private def blockMask(width: Int): Long = if (width == 64) -1L else (1L << width) - 1L
+
+  /** Every XOR mask of popcount ≤ `probeBits` over `width` bits — the
+    * multiprobe fan-out, generated at plan time as literal masks.
+    */
+  private def hammingProbeMasks(width: Int, probeBits: Int): Seq[Long] = {
+    def flips(start: Int, remaining: Int): Seq[Long] =
+      if (remaining == 0) Seq(0L)
+      else (start until width).flatMap(i => flips(i + 1, remaining - 1).map(m => m | (1L << i)))
+    (0 to probeBits).flatMap(p => flips(0, p))
+  }
+
+  /** The BANDED layout of a 64-bit sketch table — `(blk, key, id, hh)`,
+    * one row per (sketch, block): block b's key is bits [b·width,
+    * (b+1)·width) of the hash. This is the stored artifact a 100 TB
+    * pipeline persists beside the raw hash frame (partitioned by `blk`,
+    * bucketed by `key`), so per-batch admission ([[hammingAdmitBanded]])
+    * probes prune to touched buckets instead of re-exploding the whole
+    * index on every call. Shared by [[hammingNearDupPairs]] and both
+    * admission forms — one layout definition, no drift between the batch
+    * and streaming paths.
+    */
+  def hammingIndexBanded(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      blocks: Int = 4
+  ): DataFrame = {
+    require(64 % blocks == 0, "blocks must divide 64")
+    val width = 64 / blocks
+    val mask = blockMask(width)
+    df.select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("hh"))
+      .select(
+        col("id"),
+        col("hh"),
+        explode(
+          array((0 until blocks).map { b =>
+            struct(lit(b).as("blk"), shiftrightunsigned(col("hh"), b * width).bitwiseAND(mask).as("key"))
+          }: _*)
+        ).as("bb"))
+      .select(col("bb.blk").as("blk"), col("bb.key").as("key"), col("id"), col("hh"))
+  }
+
+  /** The multiprobe side of the banded layout: each base band row fans out
+    * to its key XOR every ≤ `probeBits`-bit flip mask.
+    */
+  private def hammingProbes(banded: DataFrame, blocks: Int, probeBits: Int): DataFrame = {
+    val width = 64 / blocks
+    val probeMasks = hammingProbeMasks(width, probeBits)
+    banded.select(
+      col("id"),
+      col("hh"),
+      col("blk"),
+      explode(array(probeMasks.map(m => col("key").bitwiseXOR(lit(m))): _*)).as("key"))
+  }
+
   /** EXACT Hamming-radius self-join over any 64-bit sketch column — the
     * pair stage of perceptual-hash image dedup ([[Multimodal
     * .perceptualHashes]]' dHash), and generically of any fingerprint
@@ -490,35 +568,9 @@ object Dedup {
       blocks: Int = 4,
       probeBits: Int = 2
   ): DataFrame = {
-    require(64 % blocks == 0, "blocks must divide 64")
-    require(probeBits >= 0 && probeBits <= 3, "probeBits in [0,3]")
-    require(
-      (probeBits + 1) * blocks - 1 >= radius,
-      s"radius $radius exceeds the pigeonhole guarantee ${(probeBits + 1) * blocks - 1} " +
-        "of this block/probe layout — recall would be partial, not exact")
-    val width = 64 / blocks
-    val mask = (1L << width) - 1L
-    val hashes = df.select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("hh"))
-    val base = hashes.select(
-      col("id"),
-      col("hh"),
-      explode(
-        array((0 until blocks).map { b =>
-          struct(lit(b).as("blk"), shiftrightunsigned(col("hh"), b * width).bitwiseAND(mask).as("key"))
-        }: _*)
-      ).as("bb")
-    ).select(col("id"), col("hh"), col("bb.blk"), col("bb.key"))
-    def flips(start: Int, remaining: Int): Seq[Long] =
-      if (remaining == 0) Seq(0L)
-      else (start until width).flatMap(i => flips(i + 1, remaining - 1).map(m => m | (1L << i)))
-    val probeMasks = (0 to probeBits).flatMap(p => flips(0, p))
-    val probes = base.select(
-      col("id"),
-      col("hh"),
-      col("blk"),
-      explode(array(probeMasks.map(m => col("key").bitwiseXOR(lit(m))): _*)).as("key")
-    )
-    probes
+    requireHammingLayout(radius, blocks, probeBits)
+    val base = hammingIndexBanded(df, idCol, hashCol, blocks)
+    hammingProbes(base, blocks, probeBits)
       .join(
         base.select(col("blk"), col("key"), col("id").as("id2"), col("hh").as("hh2")),
         Seq("blk", "key"))
@@ -785,6 +837,17 @@ object Dedup {
     * membership, not keep-first.
     *
     * Output per eval vector: `(id, cluster, contaminated)`.
+    *
+    * CONVENIENCE FORM — re-derives the seeds from the index on every
+    * call (a TakeOrdered over the full stored index). `numClusters` MUST
+    * equal the K `trainIndex` was built with: a mismatch silently
+    * assigns the eval side with different seeds than the index's
+    * `cluster` labels, probing wrong cells and missing leaks with no
+    * error — the precondition is as load-bearing as the monotone-id
+    * contract elsewhere in this file. A recurring screen persists the
+    * seed table once ([[semanticSeeds]]) and calls the stored-seed
+    * overload, which has no K parameter to mismatch and no per-call
+    * index scan.
     */
   def semanticContamination(
       trainIndex: DataFrame,
@@ -795,11 +858,27 @@ object Dedup {
       threshold: Double
   ): DataFrame = {
     require(numClusters >= 1, "need at least one cluster")
-    val idx = trainIndex.select(col("id"), col("cluster"), col("v"))
-    val seeds = idx
+    val seeds = trainIndex
       .orderBy("id")
       .limit(numClusters)
       .select(col("id").as("seed_id"), col("v").as("seed_v"))
+    semanticContamination(trainIndex, seeds, eval, idCol, vecCol, threshold)
+  }
+
+  /** [[semanticContamination]] against the STORED seed table — seeds are
+    * fixed at index build, so the recurring form takes them as the
+    * persisted K-row artifact instead of re-scanning the index per call.
+    * Output and recall contract identical to the convenience form.
+    */
+  def semanticContamination(
+      trainIndex: DataFrame,
+      seeds: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val idx = trainIndex.select(col("id"), col("cluster"), col("v"))
     val b = eval.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val assigned = b.join(assignToSeeds(b, seeds), "id")
     val hit = assigned.as("b")
@@ -817,18 +896,21 @@ object Dedup {
   /** Ingestion-time perceptual-hash admission — [[hammingNearDupPairs]]'
     * O(batch) form (the [[semanticAdmit]] shape for the image/audio/
     * video families): an arriving batch of 64-bit sketches probes the
-    * STORED hash index (at 100 TB the index is persisted banded —
-    * (block, key) bucketed — so the probe join prunes to touched
-    * buckets) and cross-checks within the batch. Statuses mirror
+    * STORED hash index and cross-checks within the batch. Statuses mirror
     * [[incrementalDedup]]: `dup_snapshot` (a stored sketch within
     * `radius`), `dup_batch` (only an earlier batch sketch matches),
     * `new`. With monotone ingest ids, `status != new` ⟺ the item is
     * dropped by keep-first [[hammingNearDupPairs]] dedup over
     * index ∪ batch — recall is pigeonhole-complete, the verify exact.
     *
-    * `index` carries the stored `(id, hash)` pairs (e.g. a persisted
-    * [[graft.ext.Multimodal.perceptualHashes]] table); after admission
-    * it advances by the batch's rows — no rebuild.
+    * This convenience form takes the RAW `(id, hash)` index and re-bands
+    * it on every call — fine for one-shot screening, wrong for a
+    * streaming cadence: at a 5 s trigger over a 10⁹-row index the
+    * per-call explode dominates. Production persists the banded layout
+    * once ([[hammingIndexBanded]], partitioned by `blk` / bucketed by
+    * `key`) and calls [[hammingAdmitBanded]], which touches only probed
+    * buckets; this form is exactly that call after one inline banding
+    * pass, so the two are output-identical by construction.
     */
   def hammingAdmit(
       index: DataFrame,
@@ -838,37 +920,37 @@ object Dedup {
       radius: Int = 11,
       blocks: Int = 4,
       probeBits: Int = 2
+  ): DataFrame =
+    hammingAdmitBanded(
+      hammingIndexBanded(index, idCol, hashCol, blocks),
+      batch, idCol, hashCol, radius, blocks, probeBits)
+
+  /** [[hammingAdmit]] against the STORED banded index — the per-trigger
+    * form a 100 TB streaming deployment runs: `bandedIndex` is a
+    * persisted [[hammingIndexBanded]] table `(blk, key, id, hh)`
+    * (partitioned by `blk`, bucketed by `key`), so each admission call
+    * costs one batch-side banding explode + one probe join that prunes
+    * to touched buckets — never a whole-index scan or re-banding.
+    * `blocks` must equal the block count the index was banded with (the
+    * layout is visible: a mismatched `blocks` yields probe keys outside
+    * the stored key width and the `require` radius guarantee would be
+    * vacuous — band the index and probe with the same layout). After
+    * admission the index advances by appending the batch's banded rows
+    * (union — no rebuild).
+    */
+  def hammingAdmitBanded(
+      bandedIndex: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      hashCol: String,
+      radius: Int = 11,
+      blocks: Int = 4,
+      probeBits: Int = 2
   ): DataFrame = {
-    require(64 % blocks == 0, "blocks must divide 64")
-    require(probeBits >= 0 && probeBits <= 3, "probeBits in [0,3]")
-    require(
-      (probeBits + 1) * blocks - 1 >= radius,
-      s"radius $radius exceeds the pigeonhole guarantee of this layout")
-    val width = 64 / blocks
-    val mask = (1L << width) - 1L
-    def banded(df: DataFrame): DataFrame = df
-      .select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("hh"))
-      .select(
-        col("id"),
-        col("hh"),
-        explode(
-          array((0 until blocks).map { b =>
-            struct(lit(b).as("blk"), shiftrightunsigned(col("hh"), b * width).bitwiseAND(mask).as("key"))
-          }: _*)
-        ).as("bb")
-      ).select(col("id"), col("hh"), col("bb.blk"), col("bb.key"))
-    def flips(start: Int, remaining: Int): Seq[Long] =
-      if (remaining == 0) Seq(0L)
-      else (start until width).flatMap(i => flips(i + 1, remaining - 1).map(m => m | (1L << i)))
-    val probeMasks = (0 to probeBits).flatMap(p => flips(0, p))
-    val bBase = banded(batch)
-    val probes = bBase.select(
-      col("id"),
-      col("hh"),
-      col("blk"),
-      explode(array(probeMasks.map(m => col("key").bitwiseXOR(lit(m))): _*)).as("key"))
-    val snapHit = probes
-      .join(banded(index).select(col("blk"), col("key"), col("hh").as("hh2")), Seq("blk", "key"))
+    requireHammingLayout(radius, blocks, probeBits)
+    val bBase = hammingIndexBanded(batch, idCol, hashCol, blocks)
+    val snapHit = hammingProbes(bBase, blocks, probeBits)
+      .join(bandedIndex.select(col("blk"), col("key"), col("hh").as("hh2")), Seq("blk", "key"))
       .where(bit_count(col("hh").bitwiseXOR(col("hh2"))) <= radius)
       .select(col("id"))
       .distinct()
@@ -1074,13 +1156,29 @@ object Dedup {
       vecCol: String,
       numClusters: Int
   ): DataFrame = {
-    require(numClusters >= 1, "need at least one cluster")
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val seeds = base
+    base.join(assignToSeeds(base, semanticSeeds(df, idCol, vecCol, numClusters)), "id")
+  }
+
+  /** The SEED table beside [[semanticIndex]] — `(seed_id, seed_v)`, the
+    * `numClusters` lowest-id vectors of the corpus the index was built
+    * from. Seeds are FIXED at index build (they define the cell labels),
+    * so a pipeline persists this K-row table beside the index and hands
+    * it to [[semanticAdmit]]/[[semanticContamination]]'s stored-seed
+    * overloads: admission then costs O(batch + touched cells) with no
+    * per-call scan of the stored index to re-derive what never changes.
+    */
+  def semanticSeeds(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numClusters: Int
+  ): DataFrame = {
+    require(numClusters >= 1, "need at least one cluster")
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .orderBy("id")
       .limit(numClusters)
       .select(col("id").as("seed_id"), col("v").as("seed_v"))
-    base.join(assignToSeeds(base, seeds), "id")
   }
 
   /** Nearest-seed cell assignment — argmax cosine with deterministic
@@ -1123,6 +1221,18 @@ object Dedup {
     * Cost per batch: |batch|·K assignment cosines (broadcast, map-side)
     * + |batch|·(touched-cell occupancy) probe cosines + n²/K within the
     * batch — never a corpus rescan.
+    *
+    * CONVENIENCE FORM — re-derives the seeds as the index's
+    * `numClusters` lowest-id rows on every call, which is one
+    * TakeOrdered over the FULL stored index per admission; at a 5 s
+    * streaming cadence over a 10⁹-row index that scan dominates the
+    * batch work. `numClusters` MUST equal the K the index was built
+    * with: a mismatch silently assigns the batch with different seeds
+    * than the index's `cluster` labels, probing wrong cells and missing
+    * duplicates with no error — as load-bearing as the monotone-id
+    * contract above. The production path persists [[semanticSeeds]]
+    * beside the index and calls the stored-seed overload (no K to
+    * mismatch, no per-call index scan).
     */
   def semanticAdmit(
       index: DataFrame,
@@ -1133,11 +1243,30 @@ object Dedup {
       threshold: Double
   ): DataFrame = {
     require(numClusters >= 1, "need at least one cluster")
-    val idx = index.select(col("id"), col("cluster"), col("v"))
-    val seeds = idx
+    val seeds = index
       .orderBy("id")
       .limit(numClusters)
       .select(col("id").as("seed_id"), col("v").as("seed_v"))
+    semanticAdmit(index, seeds, batch, idCol, vecCol, threshold)
+  }
+
+  /** [[semanticAdmit]] against the STORED seed table — the per-trigger
+    * form a streaming deployment runs: `seeds` is the persisted
+    * [[semanticSeeds]] artifact (fixed at index build), so each
+    * admission call costs only the broadcast assignment + touched-cell
+    * probe + within-batch check — no scan of the stored index beyond
+    * the probed cells. Output and equivalence contract identical to the
+    * convenience form.
+    */
+  def semanticAdmit(
+      index: DataFrame,
+      seeds: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val idx = index.select(col("id"), col("cluster"), col("v"))
     val b = batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val assigned = b.join(assignToSeeds(b, seeds), "id")
     val cos = (a: Column, bb: Column) => graft.functions.GraftFunctions.cosine_similarity(a, bb)

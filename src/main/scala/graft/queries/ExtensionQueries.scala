@@ -249,7 +249,12 @@ object ExtensionQueries {
       val batch = Multimodal
         .perceptualHashes(bCopies.unionByName(bNew).unionByName(bNewDup)).toDF()
         .select("media_id", "dhash").cache()
-      Dedup.hammingAdmit(index, batch, "media_id", "dhash", radius = 11)
+      // gated through the STORED-banded-index path (the production
+      // per-trigger form): the banded layout is built once — in a real
+      // pipeline it is the persisted (blk, key, id, hh) table — and the
+      // admission call probes it without re-exploding the raw index
+      val banded = Dedup.hammingIndexBanded(index, "media_id", "dhash")
+      Dedup.hammingAdmitBanded(banded, batch, "media_id", "dhash", radius = 11)
         .select(col("id").as("media_id"), col("dhash"), col("status"))
         .orderBy("media_id")
     },
@@ -726,9 +731,12 @@ object ExtensionQueries {
             array(element_at(col("embedding"), 1) * lit(1.05f)),
             slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
       val evalSide = e.where(split =!= "train").unionByName(leaks)
+      // stored-seed path, same rationale as x_semantic_incr: the screen
+      // recurs per eval release, so seeds live beside the index
       val idx = Dedup.semanticIndex(train, "vec_id", "embedding", 64)
+      val seeds = Dedup.semanticSeeds(train, "vec_id", "embedding", 64)
       Dedup
-        .semanticContamination(idx, evalSide, "vec_id", "embedding", 64, 0.9)
+        .semanticContamination(idx, seeds, evalSide, "vec_id", "embedding", 0.9)
         .select(col("id").as("vec_id"), col("cluster"), col("contaminated"))
         .orderBy("vec_id")
     },
@@ -767,9 +775,15 @@ object ExtensionQueries {
             transform(slice(col("embedding"), lit(2), size(col("embedding")) - 1), x => -x))
             .as("embedding"))
       val batch = copies.unionByName(negs).unionByName(negCopies)
-      val index = Dedup.semanticIndex(e.select("vec_id", "embedding"), "vec_id", "embedding", 64)
+      // gated through the STORED-seed path (the production per-trigger
+      // form): seeds are fixed at index build, persisted beside the
+      // index, and handed to admission — no per-call TakeOrdered over
+      // the stored index to re-derive them
+      val corpus = e.select("vec_id", "embedding")
+      val index = Dedup.semanticIndex(corpus, "vec_id", "embedding", 64)
+      val seeds = Dedup.semanticSeeds(corpus, "vec_id", "embedding", 64)
       Dedup
-        .semanticAdmit(index, batch, "vec_id", "embedding", numClusters = 64, threshold = 0.9)
+        .semanticAdmit(index, seeds, batch, "vec_id", "embedding", threshold = 0.9)
         .select(col("id").as("vec_id"), col("cluster"), col("status"))
         .orderBy("vec_id")
     },
