@@ -410,12 +410,29 @@ object Multimodal {
       * PCM payload — |sample| moves by at most 1, the audio twin of
       * [[ImageCodec.xorPixels]]'s low-bit channel flip).
       */
-    def flipSampleLsb(payload: Array[Byte]): Array[Byte] = {
+    def flipSampleLsb(payload: Array[Byte]): Array[Byte] = xorSamples(payload, 0x0001)
+
+    /** General sample-space perturbation: XOR every 16-bit PCM sample
+      * with `sampleXor` in place (the little-endian byte pair is XORed
+      * bytewise — identical to XORing the 16-bit value). `0x0001` is the
+      * sub-audible LSB flip ([[flipSampleLsb]]); `0x8000` flips every
+      * sample's sign bit — |s| ↦ 32768 − |s|, which inverts the energy
+      * profile and re-randomizes the fingerprint (the audio analogue of
+      * [[ImageCodec.xorPixels]]' high-bit 0x808080 "new content" fate).
+      */
+    def xorSamples(payload: Array[Byte], sampleXor: Int): Array[Byte] = {
       val (off, n) = dataChunk(payload)
-        .getOrElse(throw new IllegalArgumentException("flipSampleLsb: not a PCM16 WAV"))
+        .getOrElse(throw new IllegalArgumentException("xorSamples: not a PCM16 WAV"))
       val out = java.util.Arrays.copyOf(payload, payload.length)
+      val lo = (sampleXor & 0xff).toByte
+      val hi = ((sampleXor >> 8) & 0xff).toByte
       var i = 0
-      while (i < n) { out(off + 2 * i) = (out(off + 2 * i) ^ 0x01).toByte; i += 1 }
+      while (i < n) {
+        val p = off + 2 * i
+        out(p) = (out(p) ^ lo).toByte
+        out(p + 1) = (out(p + 1) ^ hi).toByte
+        i += 1
+      }
       out
     }
   }
@@ -517,11 +534,23 @@ object Multimodal {
     * offset ids — re-encoded re-uploads with sub-audible noise, the
     * ground truth for the audio-dedup gate.
     */
-  def perturbedAudioCopies(media: Dataset[MediaRow], idOffset: Long): Dataset[MediaRow] = {
+  def perturbedAudioCopies(media: Dataset[MediaRow], idOffset: Long): Dataset[MediaRow] =
+    perturbedAudioCopies(media, idOffset, sampleXor = 0x0001)
+
+  /** [[perturbedAudioCopies]] with an explicit per-sample XOR mask — the
+    * audio twin of [[perturbedImageCopies]]' `rgbXor` dial: `0x0001`
+    * plants near-duplicates, `0x8000` (sign-bit flip) plants
+    * fingerprint-re-randomized "new content" for the admission gates.
+    */
+  def perturbedAudioCopies(
+      media: Dataset[MediaRow],
+      idOffset: Long,
+      sampleXor: Int
+  ): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "audio").mapPartitions { rows =>
       rows.map { r =>
-        r.copy(media_id = r.media_id + idOffset, payload = AudioCodec.flipSampleLsb(r.payload))
+        r.copy(media_id = r.media_id + idOffset, payload = AudioCodec.xorSamples(r.payload, sampleXor))
       }
     }
   }

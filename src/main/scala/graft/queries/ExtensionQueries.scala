@@ -282,6 +282,33 @@ object ExtensionQueries {
         .orderBy("media_id")
     },
 
+    // ingestion-time AUDIO admission — hammingAdmit is sketch-agnostic,
+    // so the x_dedup_image_incr three-fate batch shape runs unchanged
+    // over the Haitsma-Kalker energy-gradient fingerprint: LSB-flipped
+    // copies of stored clips (dup_snapshot), sign-bit-XORed re-encodes
+    // (|s| ↦ 32768−|s| inverts the energy profile → fingerprint
+    // re-randomized → new), and LSB flips OF those (their only match is
+    // the earlier batch arrival → dup_batch). Gated through the
+    // stored-banded-index path; oracle = closed-form LCG samples over
+    // index ∪ batch, brute-force pairs classified by side.
+    "x_dedup_audio_incr" -> { (s, dir) =>
+      val media = Multimodal.cachedSyntheticAudio(s, docs(s, dir))
+      val index = Multimodal.audioFingerprints(media).toDF().select("media_id", "fp")
+      val bCopies = Multimodal.perturbedAudioCopies(
+        media.filter(col("media_id") % 10 === 0), idOffset = 200000L)
+      val bNew = Multimodal.perturbedAudioCopies(
+        media.filter(col("media_id") % 7 === 3), idOffset = 300000L, sampleXor = 0x8000)
+      val bNewDup = Multimodal.perturbedAudioCopies(
+        media.filter(col("media_id") % 7 === 3), idOffset = 400000L, sampleXor = 0x8001)
+      val batch = Multimodal
+        .audioFingerprints(bCopies.unionByName(bNew).unionByName(bNewDup)).toDF()
+        .select("media_id", "fp").cache()
+      val banded = Dedup.hammingIndexBanded(index, "media_id", "fp")
+      Dedup.hammingAdmitBanded(banded, batch, "media_id", "fp", radius = 11)
+        .select(col("id").as("media_id"), col("fp"), col("status"))
+        .orderBy("media_id")
+    },
+
     // VIDEO near-dup dedup via the keyframe heuristic: frame 0 sliced
     // structurally out of the GRVI container, hashed through the image
     // dHash path, banded + verified exactly like x_dedup_image. Planted
@@ -301,6 +328,31 @@ object ExtensionQueries {
           col("media_id"), col("dhash"), col("ahash"),
           when(col("dup_of").isNotNull, lit("dup")).otherwise(lit("kept")).as("status"),
           coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+        .orderBy("media_id")
+    },
+
+    // ingestion-time VIDEO admission — the keyframe dHash through the
+    // same stored-banded-index path as x_dedup_image_incr: low-bit
+    // re-encodes of stored clips (dup_snapshot), high-bit 0x808080
+    // re-encodes (luma re-randomized → new), low-bit perturbations of
+    // those (dup_batch). Every frame is really re-encoded and the
+    // container rebuilt; the oracle re-derives frame 0 in closed form
+    // (seed media_id·131) over index ∪ batch.
+    "x_dedup_video_incr" -> { (s, dir) =>
+      val media = Multimodal.cachedSyntheticVideo(s, docs(s, dir))
+      val index = Multimodal.videoKeyframeHashes(media).toDF().select("media_id", "dhash")
+      val bCopies = Multimodal.perturbedVideoCopies(
+        media.filter(col("media_id") % 10 === 0), idOffset = 200000L, rgbXor = 0x010101)
+      val bNew = Multimodal.perturbedVideoCopies(
+        media.filter(col("media_id") % 7 === 3), idOffset = 300000L, rgbXor = 0x808080)
+      val bNewDup = Multimodal.perturbedVideoCopies(
+        media.filter(col("media_id") % 7 === 3), idOffset = 400000L, rgbXor = 0x818181)
+      val batch = Multimodal
+        .videoKeyframeHashes(bCopies.unionByName(bNew).unionByName(bNewDup)).toDF()
+        .select("media_id", "dhash").cache()
+      val banded = Dedup.hammingIndexBanded(index, "media_id", "dhash")
+      Dedup.hammingAdmitBanded(banded, batch, "media_id", "dhash", radius = 11)
+        .select(col("id").as("media_id"), col("dhash"), col("status"))
         .orderBy("media_id")
     },
 
@@ -2489,6 +2541,75 @@ object ExtensionQueries {
         |       coalesce(pr.dup_of, -1) AS dup_of
         |FROM hs LEFT JOIN pr ON hs.media_id = pr.media_id
         |ORDER BY hs.media_id""".stripMargin,
+    // the audio fingerprint pipeline over index ∪ the three-fate batch
+    // (xm = 1 LSB flip, 32768 sign flip, 32769 sign+LSB), statuses from
+    // brute-force pairs split by which side the earlier partner sits on
+    "x_dedup_audio_incr" ->
+      """WITH RECURSIVE aff(k, a, b) AS (
+        |  SELECT 1,
+        |         CAST(6364136223846793005 AS HUGEINT),
+        |         CAST(1442695040888963407 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT k + 1,
+        |         (a * 6364136223846793005) % 18446744073709551616,
+        |         (b * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM aff WHERE k < 4003
+        |), clips AS (
+        |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS xm,
+        |         1 + n_chars % 4001 AS n
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, doc_id, 1, 1 + n_chars % 4001
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, doc_id, 32768, 1 + n_chars % 4001
+        |  FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 400000, doc_id, 32769, 1 + n_chars % 4001
+        |  FROM documents WHERE doc_id % 7 = 3
+        |), hc AS (
+        |  SELECT * FROM clips WHERE n >= 65
+        |), smp AS (
+        |  SELECT media_id, n, (aff.k - 2) AS i,
+        |         xor(CAST(((aff.a * seed + aff.b) % 18446744073709551616
+        |               // 1099511627776) % 65536 AS BIGINT), xm) AS v
+        |  FROM hc JOIN aff ON aff.k BETWEEN 2 AND n + 1
+        |), en AS (
+        |  SELECT media_id, i * 65 // n AS w,
+        |         sum(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)) AS e
+        |  FROM smp GROUP BY media_id, i * 65 // n
+        |), fh AS (
+        |  SELECT e1.media_id,
+        |         SUM(CASE WHEN e1.e > e2.e
+        |             THEN CAST(1 AS HUGEINT) << e1.w
+        |             ELSE CAST(0 AS HUGEINT) END) AS fpu
+        |  FROM en e1 JOIN en e2
+        |    ON e1.media_id = e2.media_id AND e2.w = e1.w + 1
+        |  WHERE e1.w < 64
+        |  GROUP BY e1.media_id
+        |), hs AS (
+        |  SELECT media_id,
+        |         CAST(CASE WHEN fpu >= 9223372036854775808
+        |              THEN fpu - 18446744073709551616 ELSE fpu END AS BIGINT) AS fp
+        |  FROM fh
+        |), pairs AS (
+        |  SELECT a.media_id AS a_id, b.media_id AS b_id
+        |  FROM hs a JOIN hs b
+        |    ON a.media_id < b.media_id AND b.media_id >= 200000
+        |   AND bit_count(xor(a.fp, b.fp)) <= 11
+        |), st AS (
+        |  SELECT b_id AS media_id,
+        |         max(CASE WHEN a_id < 200000 THEN 1 ELSE 0 END) AS has_snap,
+        |         max(CASE WHEN a_id >= 200000 THEN 1 ELSE 0 END) AS has_batch
+        |  FROM pairs GROUP BY b_id
+        |)
+        |SELECT hs.media_id, fp,
+        |       CASE WHEN st.has_snap = 1 THEN 'dup_snapshot'
+        |            WHEN st.has_batch = 1 THEN 'dup_batch'
+        |            ELSE 'new' END AS status
+        |FROM hs LEFT JOIN st ON hs.media_id = st.media_id
+        |WHERE hs.media_id >= 200000
+        |ORDER BY hs.media_id""".stripMargin,
     // frame-0 pixels in closed form (LCG seed media_id·131), then the
     // identical luma/9×8-grid/dHash pipeline and brute-force pairs as
     // the x_dedup_image oracle
@@ -2564,6 +2685,85 @@ object ExtensionQueries {
         |       CASE WHEN pr.dup_of IS NOT NULL THEN 'dup' ELSE 'kept' END AS status,
         |       coalesce(pr.dup_of, -1) AS dup_of
         |FROM hs LEFT JOIN pr ON hs.media_id = pr.media_id
+        |ORDER BY hs.media_id""".stripMargin,
+    // frame-0 dHash over index ∪ the three-fate batch (xm = 65793 low
+    // bit, 8421504 high bit, 8487297 high+low), statuses from
+    // brute-force pairs split by side — the video twin of
+    // x_dedup_image_incr through the keyframe heuristic
+    "x_dedup_video_incr" ->
+      """WITH RECURSIVE aff(k, a, b) AS (
+        |  SELECT 1,
+        |         CAST(6364136223846793005 AS HUGEINT),
+        |         CAST(1442695040888963407 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT k + 1,
+        |         (a * 6364136223846793005) % 18446744073709551616,
+        |         (b * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM aff WHERE k < 770
+        |), vids AS (
+        |  SELECT doc_id AS media_id, doc_id * 131 AS seed, 0 AS xm,
+        |         1 + n_chars % 32 AS w, 1 + n_chars % 24 AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, doc_id * 131, 65793,
+        |         1 + n_chars % 32, 1 + n_chars % 24
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, doc_id * 131, 8421504,
+        |         1 + n_chars % 32, 1 + n_chars % 24
+        |  FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 400000, doc_id * 131, 8487297,
+        |         1 + n_chars % 32, 1 + n_chars % 24
+        |  FROM documents WHERE doc_id % 7 = 3
+        |), hi AS (
+        |  SELECT * FROM vids WHERE w >= 9 AND h >= 8
+        |), px AS (
+        |  SELECT media_id, w, h, xm,
+        |         (aff.k - 2) % w AS x, (aff.k - 2) // w AS y,
+        |         CAST(((aff.a * seed + aff.b) % 18446744073709551616
+        |               // 1099511627776) % 16777216 AS BIGINT) AS rgb0
+        |  FROM hi JOIN aff ON aff.k BETWEEN 2 AND w * h + 1
+        |), lum AS (
+        |  SELECT media_id, x * 9 // w AS gx, y * 8 // h AS gy,
+        |         (299 * ((xor(rgb0, xm) >> 16) & 255)
+        |        + 587 * ((xor(rgb0, xm) >> 8) & 255)
+        |        + 114 * (xor(rgb0, xm) & 255)) // 1000 AS luma
+        |  FROM px
+        |), cell AS (
+        |  SELECT media_id, gx, gy, sum(luma) // count(*) AS m
+        |  FROM lum GROUP BY media_id, gx, gy
+        |), dh AS (
+        |  SELECT c1.media_id,
+        |         SUM(CASE WHEN c1.m > c2.m
+        |             THEN CAST(1 AS HUGEINT) << (c1.gy * 8 + c1.gx)
+        |             ELSE CAST(0 AS HUGEINT) END) AS dhu
+        |  FROM cell c1 JOIN cell c2
+        |    ON c1.media_id = c2.media_id AND c2.gy = c1.gy AND c2.gx = c1.gx + 1
+        |  WHERE c1.gx < 8
+        |  GROUP BY c1.media_id
+        |), hs AS (
+        |  SELECT media_id,
+        |         CAST(CASE WHEN dhu >= 9223372036854775808
+        |              THEN dhu - 18446744073709551616 ELSE dhu END AS BIGINT) AS dhash
+        |  FROM dh
+        |), pairs AS (
+        |  SELECT a.media_id AS a_id, b.media_id AS b_id
+        |  FROM hs a JOIN hs b
+        |    ON a.media_id < b.media_id AND b.media_id >= 200000
+        |   AND bit_count(xor(a.dhash, b.dhash)) <= 11
+        |), st AS (
+        |  SELECT b_id AS media_id,
+        |         max(CASE WHEN a_id < 200000 THEN 1 ELSE 0 END) AS has_snap,
+        |         max(CASE WHEN a_id >= 200000 THEN 1 ELSE 0 END) AS has_batch
+        |  FROM pairs GROUP BY b_id
+        |)
+        |SELECT hs.media_id, dhash,
+        |       CASE WHEN st.has_snap = 1 THEN 'dup_snapshot'
+        |            WHEN st.has_batch = 1 THEN 'dup_batch'
+        |            ELSE 'new' END AS status
+        |FROM hs LEFT JOIN st ON hs.media_id = st.media_id
+        |WHERE hs.media_id >= 200000
         |ORDER BY hs.media_id""".stripMargin,
     // the FULL batch pipeline over snapshot ∪ batch, restricted to the
     // arriving docs — the union's keep-first for a stored gram is always
