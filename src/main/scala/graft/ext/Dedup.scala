@@ -583,6 +583,69 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** ANY-SLOT Hamming-radius join — [[hammingNearDupPairs]] over items
+    * that carry SEVERAL sketches each (one per temporal slot: the
+    * N-frame video hash, a multi-crop image hash): two items pair iff
+    * any SAME-slot sketch pair sits within `radius`. Same banded
+    * pigeonhole layout with the slot folded into the bucket key (only
+    * same-slot frames collide — cross-slot matches would pair the
+    * intro of one clip with the finale of another), same exact-recall
+    * guarantee per slot. Output `(id_a, id_b, hamming)` with id_a <
+    * id_b, one row per pair, `hamming` = the minimum matching-slot
+    * distance (deterministic, oracle-checkable).
+    *
+    * Input: `(idCol, slotCol, hashCol)` rows. Candidate volume is the
+    * per-slot banded bucket mass summed over slots — the slot key keeps
+    * buckets as selective as the single-sketch path.
+    */
+  def hammingNearDupPairsAnySlot(
+      df: DataFrame,
+      idCol: String,
+      slotCol: String,
+      hashCol: String,
+      radius: Int = 11,
+      blocks: Int = 4,
+      probeBits: Int = 2
+  ): DataFrame = {
+    requireHammingLayout(radius, blocks, probeBits)
+    val width = 64 / blocks
+    val mask = blockMask(width)
+    val base = df
+      .select(
+        col(idCol).cast("long").as("id"),
+        col(slotCol).cast("int").as("slot"),
+        col(hashCol).cast("long").as("hh"))
+      .select(
+        col("id"),
+        col("slot"),
+        col("hh"),
+        explode(
+          array((0 until blocks).map { b =>
+            struct(lit(b).as("blk"), shiftrightunsigned(col("hh"), b * width).bitwiseAND(mask).as("key"))
+          }: _*)
+        ).as("bb"))
+      .select(col("id"), col("slot"), col("hh"), col("bb.blk").as("blk"), col("bb.key").as("key"))
+    val probeMasks = hammingProbeMasks(width, probeBits)
+    val probes = base.select(
+      col("id"),
+      col("slot"),
+      col("hh"),
+      col("blk"),
+      explode(array(probeMasks.map(m => col("key").bitwiseXOR(lit(m))): _*)).as("key"))
+    probes
+      .join(
+        base.select(col("slot"), col("blk"), col("key"), col("id").as("id2"), col("hh").as("hh2")),
+        Seq("slot", "blk", "key"))
+      .where(col("id") < col("id2"))
+      .select(
+        col("id").as("id_a"),
+        col("id2").as("id_b"),
+        bit_count(col("hh").bitwiseXOR(col("hh2"))).as("hamming"))
+      .where(col("hamming") <= radius)
+      .groupBy("id_a", "id_b")
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
   // ---- duplicate clustering (connected components) -------------------------
 
   /** Connected components over a near-dup pair list — the dedup ENDGAME:

@@ -591,6 +591,56 @@ object Multimodal {
     }
   }
 
+  /** Planted FRAME-0-REPLACED re-uploads: frame 0 re-encoded with a
+    * heavy XOR (content re-randomized — a swapped thumbnail/intro), the
+    * remaining frames with a low-bit XOR (the body is the same video).
+    * This is exactly the duplicate the keyframe heuristic provably
+    * misses and [[videoSampledFrameHashes]]' mid/last slots catch.
+    */
+  def perturbedVideoCopiesFrame0(
+      media: Dataset[MediaRow],
+      idOffset: Long,
+      frame0Xor: Int,
+      restXor: Int
+  ): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      rows.map { r =>
+        r.copy(
+          media_id = r.media_id + idOffset,
+          payload = VideoCodec.xorPixelsPerFrame(
+            r.payload, i => if (i == 0) frame0Xor else restXor))
+      }
+    }
+  }
+
+  final case class VideoFrameSlotHash(
+      media_id: Long,
+      slot: Int,
+      frame_idx: Int,
+      dhash: Long,
+      ahash: Long
+  )
+
+  /** N-frame video hash extraction — the sketch stage of the sampled
+    * near-dup path ([[VideoCodec.sampledFrameHashes]]): three rows per
+    * clip (first/mid/last slots), 20 bytes each, payloads never
+    * shuffled. Same partition-preserving batched-decode shape as
+    * [[videoKeyframeHashes]]; the downstream pair join matches frames
+    * of the SAME slot ([[graft.ext.Dedup.hammingNearDupPairsAnySlot]]),
+    * so a clip is a duplicate iff ANY sampled slot matches.
+    */
+  def videoSampledFrameHashes(media: Dataset[MediaRow]): Dataset[VideoFrameSlotHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        VideoCodec.sampledFrameHashes(r.payload).map { case (slot, idx, p) =>
+          VideoFrameSlotHash(r.media_id, slot, idx, p.dhash, p.ahash)
+        }
+      }
+    }
+  }
+
   /** REAL video container codec: a minimal multi-frame format ("GRVI" —
     * fixed header + per-frame PNG payloads) with a real parser and real
     * per-frame pixel decode through [[ImageCodec]]. The JDK ships no
@@ -652,15 +702,44 @@ object Multimodal {
 
     /** Keyframe perceptual hash: frame 0's PNG sliced out of the
       * container and run through [[ImageCodec.perceptualHash]] — the
-      * thumbnail heuristic video near-dup detection starts from (a full
-      * production pipeline hashes N sampled frames through the same
-      * path; the candidate machinery downstream is identical).
+      * thumbnail heuristic video near-dup detection starts from. A
+      * re-upload that replaces frame 0 but keeps the rest is invisible
+      * to this hash; [[sampledFrameHashes]] is the N-frame form that
+      * catches it through the same candidate machinery.
       */
     def keyframeHash(payload: Array[Byte]): Option[ImageCodec.PHash] =
-      decodeMeta(payload).flatMap { meta =>
-        val slice = java.util.Arrays.copyOfRange(
-          payload, meta.frameOffsets(0), meta.frameOffsets(0) + meta.frameLengths(0))
-        ImageCodec.perceptualHash(slice)
+      decodeMeta(payload).flatMap(meta => frameHash(payload, meta, 0))
+
+    /** Perceptual hash of frame `idx`: structural slice +
+      * [[ImageCodec.perceptualHash]] on the real pixels.
+      */
+    def frameHash(payload: Array[Byte], meta: VideoMeta, idx: Int): Option[ImageCodec.PHash] = {
+      if (idx < 0 || idx >= meta.nFrames) return None
+      val slice = java.util.Arrays.copyOfRange(
+        payload, meta.frameOffsets(idx), meta.frameOffsets(idx) + meta.frameLengths(idx))
+      ImageCodec.perceptualHash(slice)
+    }
+
+    /** The temporal sampling rule of the N-frame video hash: slot 0 =
+      * first frame, slot 1 = middle (n/2), slot 2 = last (n−1). Short
+      * clips collapse slots onto the same frame index (n = 1 ⇒ all
+      * three are frame 0) — every video still emits all three slots, so
+      * the downstream same-slot join semantics are uniform.
+      */
+    def sampledSlots(nFrames: Int): Seq[(Int, Int)] =
+      Seq(0 -> 0, 1 -> nFrames / 2, 2 -> (nFrames - 1))
+
+    /** N-frame perceptual hashes — one (slot, frameIdx, hash) per
+      * [[sampledSlots]] entry. The production dial is the slot list
+      * (every k-th frame plugs into the same shape); three slots
+      * already close the keyframe heuristic's blind spot: an edit that
+      * replaces frame 0 but keeps the body still matches on mid/last.
+      */
+    def sampledFrameHashes(payload: Array[Byte]): Seq[(Int, Int, ImageCodec.PHash)] =
+      decodeMeta(payload).toSeq.flatMap { meta =>
+        sampledSlots(meta.nFrames).flatMap { case (slot, idx) =>
+          frameHash(payload, meta, idx).map(p => (slot, idx, p))
+        }
       }
 
     /** Real pixel-space perturbation of EVERY frame: decode the
@@ -668,14 +747,22 @@ object Multimodal {
       * [[ImageCodec.xorPixels]], and reassemble the container (frame
       * lengths re-derived from the re-encoded PNGs).
       */
-    def xorPixelsAllFrames(payload: Array[Byte], rgbXor: Int): Array[Byte] = {
+    def xorPixelsAllFrames(payload: Array[Byte], rgbXor: Int): Array[Byte] =
+      xorPixelsPerFrame(payload, _ => rgbXor)
+
+    /** Per-frame-index variant of [[xorPixelsAllFrames]]: each frame is
+      * XORed with `rgbXorOf(frameIdx)` — the fixture dial for the
+      * frame-0-replaced re-upload (heavy XOR on frame 0, low-bit on the
+      * rest) the N-frame dedup gate plants.
+      */
+    def xorPixelsPerFrame(payload: Array[Byte], rgbXorOf: Int => Int): Array[Byte] = {
       val meta = decodeMeta(payload)
-        .getOrElse(throw new IllegalArgumentException("xorPixelsAllFrames: not a GRVI payload"))
+        .getOrElse(throw new IllegalArgumentException("xorPixelsPerFrame: not a GRVI payload"))
       val frames = Array.tabulate(meta.nFrames) { i =>
         ImageCodec.xorPixels(
           java.util.Arrays.copyOfRange(
             payload, meta.frameOffsets(i), meta.frameOffsets(i) + meta.frameLengths(i)),
-          rgbXor)
+          rgbXorOf(i))
       }
       val buf = ByteBuffer.allocate(4 + 4 * 4 + 4 * meta.nFrames + frames.map(_.length).sum)
       buf.put("GRVI".getBytes("US-ASCII")).putInt(1)

@@ -356,6 +356,36 @@ object ExtensionQueries {
         .orderBy("media_id")
     },
 
+    // N-FRAME video near-dup dedup — closes the keyframe heuristic's
+    // blind spot: first/mid/last frames hashed, a pair is a duplicate
+    // iff ANY same-slot pair sits within radius. Planted copies REPLACE
+    // frame 0 (heavy 0x808080 XOR — a swapped thumbnail/intro) and keep
+    // the body at a low-bit XOR — exactly the re-upload the frame-0
+    // hash provably misses; mid/last slots catch it. Single-frame clips
+    // (all slots = the replaced frame) stay honest misses, mirrored by
+    // the oracle. Oracle: per-slot closed-form pixels (LCG seed
+    // media_id·131 + frame_idx), same-slot brute-force pairs.
+    "x_dedup_video_frames" -> { (s, dir) =>
+      val media = Multimodal.cachedSyntheticVideo(s, docs(s, dir))
+      val copies = Multimodal.perturbedVideoCopiesFrame0(
+        media.filter(col("media_id") % 10 === 0), idOffset = 200000L,
+        frame0Xor = 0x808080, restXor = 0x010101)
+      val fh = Multimodal.videoSampledFrameHashes(media.unionByName(copies)).toDF().cache()
+      val pairs = Dedup.hammingNearDupPairsAnySlot(fh, "media_id", "slot", "dhash", radius = 11)
+      val dropped = pairs.groupBy(col("id_b").as("media_id")).agg(min(col("id_a")).as("dup_of"))
+      fh.groupBy("media_id")
+        .agg(
+          max(when(col("slot") === 0, col("dhash"))).as("first_dhash"),
+          max(when(col("slot") === 1, col("dhash"))).as("mid_dhash"),
+          max(when(col("slot") === 2, col("dhash"))).as("last_dhash"))
+        .join(dropped, Seq("media_id"), "left_outer")
+        .select(
+          col("media_id"), col("first_dhash"), col("mid_dhash"), col("last_dhash"),
+          when(col("dup_of").isNotNull, lit("dup")).otherwise(lit("kept")).as("status"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+        .orderBy("media_id")
+    },
+
     // ingestion-time exact-substring dedup: an arriving document batch
     // probes the stored gram index (presence ⇒ first occurrence already
     // stored ⇒ every arriving occurrence removable) plus its own
@@ -2765,6 +2795,90 @@ object ExtensionQueries {
         |FROM hs LEFT JOIN st ON hs.media_id = st.media_id
         |WHERE hs.media_id >= 200000
         |ORDER BY hs.media_id""".stripMargin,
+    // first/mid/last frame pixels in closed form (LCG seed media_id·131
+    // + frame_idx; the copy's XOR mask is per-frame: heavy on frame 0,
+    // low-bit elsewhere), per-slot dHash, brute-force SAME-SLOT pairs,
+    // dup iff any slot matches
+    "x_dedup_video_frames" ->
+      """WITH RECURSIVE aff(k, a, b) AS (
+        |  SELECT 1,
+        |         CAST(6364136223846793005 AS HUGEINT),
+        |         CAST(1442695040888963407 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT k + 1,
+        |         (a * 6364136223846793005) % 18446744073709551616,
+        |         (b * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM aff WHERE k < 770
+        |), vids AS (
+        |  SELECT doc_id AS media_id, doc_id * 131 AS base_seed,
+        |         0 AS xm0, 0 AS xmr,
+        |         1 + n_chars % 32 AS w, 1 + n_chars % 24 AS h,
+        |         1 + n_chars % 8 AS nf
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, doc_id * 131, 8421504, 65793,
+        |         1 + n_chars % 32, 1 + n_chars % 24, 1 + n_chars % 8
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), hi AS (
+        |  SELECT * FROM vids WHERE w >= 9 AND h >= 8
+        |), fr AS (
+        |  SELECT media_id, w, h, sl.slot,
+        |         CASE WHEN sl.slot = 0 THEN 0
+        |              WHEN sl.slot = 1 THEN nf // 2
+        |              ELSE nf - 1 END AS fidx,
+        |         CASE WHEN (CASE WHEN sl.slot = 0 THEN 0
+        |                         WHEN sl.slot = 1 THEN nf // 2
+        |                         ELSE nf - 1 END) = 0 THEN xm0 ELSE xmr END AS xm,
+        |         base_seed
+        |  FROM hi CROSS JOIN (SELECT unnest([0, 1, 2]) AS slot) sl
+        |), px AS (
+        |  SELECT media_id, slot, w, h, xm,
+        |         (aff.k - 2) % w AS x, (aff.k - 2) // w AS y,
+        |         CAST(((aff.a * (base_seed + fidx) + aff.b) % 18446744073709551616
+        |               // 1099511627776) % 16777216 AS BIGINT) AS rgb0
+        |  FROM fr JOIN aff ON aff.k BETWEEN 2 AND w * h + 1
+        |), lum AS (
+        |  SELECT media_id, slot, x * 9 // w AS gx, y * 8 // h AS gy,
+        |         (299 * ((xor(rgb0, xm) >> 16) & 255)
+        |        + 587 * ((xor(rgb0, xm) >> 8) & 255)
+        |        + 114 * (xor(rgb0, xm) & 255)) // 1000 AS luma
+        |  FROM px
+        |), cell AS (
+        |  SELECT media_id, slot, gx, gy, sum(luma) // count(*) AS m
+        |  FROM lum GROUP BY media_id, slot, gx, gy
+        |), dh AS (
+        |  SELECT c1.media_id, c1.slot,
+        |         SUM(CASE WHEN c1.m > c2.m
+        |             THEN CAST(1 AS HUGEINT) << (c1.gy * 8 + c1.gx)
+        |             ELSE CAST(0 AS HUGEINT) END) AS dhu
+        |  FROM cell c1 JOIN cell c2
+        |    ON c1.media_id = c2.media_id AND c1.slot = c2.slot
+        |   AND c2.gy = c1.gy AND c2.gx = c1.gx + 1
+        |  WHERE c1.gx < 8
+        |  GROUP BY c1.media_id, c1.slot
+        |), hs AS (
+        |  SELECT media_id, slot,
+        |         CAST(CASE WHEN dhu >= 9223372036854775808
+        |              THEN dhu - 18446744073709551616 ELSE dhu END AS BIGINT) AS dhash
+        |  FROM dh
+        |), pr AS (
+        |  SELECT b.media_id AS media_id, min(a.media_id) AS dup_of
+        |  FROM hs a JOIN hs b
+        |    ON a.slot = b.slot AND a.media_id < b.media_id
+        |   AND bit_count(xor(a.dhash, b.dhash)) <= 11
+        |  GROUP BY b.media_id
+        |), pv AS (
+        |  SELECT media_id,
+        |         max(CASE WHEN slot = 0 THEN dhash END) AS first_dhash,
+        |         max(CASE WHEN slot = 1 THEN dhash END) AS mid_dhash,
+        |         max(CASE WHEN slot = 2 THEN dhash END) AS last_dhash
+        |  FROM hs GROUP BY media_id
+        |)
+        |SELECT pv.media_id, first_dhash, mid_dhash, last_dhash,
+        |       CASE WHEN pr.dup_of IS NOT NULL THEN 'dup' ELSE 'kept' END AS status,
+        |       coalesce(pr.dup_of, -1) AS dup_of
+        |FROM pv LEFT JOIN pr ON pv.media_id = pr.media_id
+        |ORDER BY pv.media_id""".stripMargin,
     // the FULL batch pipeline over snapshot ∪ batch, restricted to the
     // arriving docs — the union's keep-first for a stored gram is always
     // a snapshot key (monotone ids), so this equals the admission path

@@ -463,6 +463,75 @@ class ExtSpec extends SparkSpec {
     } finally { index.unpersist(); batch.unpersist() }
   }
 
+  test("hammingIndexBanded: persisted banded index reproduces inline admission; blocks=1 keys keep all 64 bits") {
+    import spark.implicits._
+    val imgs = Multimodal.syntheticImages(spark, docs)
+    val index = Multimodal.perceptualHashes(imgs).toDF().select("media_id", "dhash").cache()
+    val batch = Multimodal
+      .perceptualHashes(Multimodal.perturbedImageCopies(
+        imgs.filter($"media_id" % 4 === 0), 100000L, 0x010101)).toDF()
+      .select("media_id", "dhash").cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-banded-idx").toString
+    try {
+      // the persisted-artifact contract: banding → parquet → read-back →
+      // admission must equal admission over the raw index
+      Dedup.hammingIndexBanded(index, "media_id", "dhash").write
+        .mode("overwrite").partitionBy("blk").parquet(dir)
+      val stored = spark.read.parquet(dir)
+      val viaStored = Dedup.hammingAdmitBanded(stored, batch, "media_id", "dhash", radius = 11)
+        .select($"id", $"status").as[(Long, String)].collect().toMap
+      val inline = Dedup.hammingAdmit(index, batch, "media_id", "dhash", radius = 11)
+        .select($"id", $"status").as[(Long, String)].collect().toMap
+      assert(viaStored === inline)
+      // the width-64 mask regression: with blocks = 1 the single band key
+      // must BE the hash (the pre-fix mask wrapped to 0 and zeroed it)
+      val one = Dedup.hammingIndexBanded(index, "media_id", "dhash", blocks = 1)
+        .select(($"key" === $"hh").as("ok")).as[Boolean].collect()
+      assert(one.nonEmpty && one.forall(identity), "blocks=1 band key must equal the full hash")
+    } finally {
+      index.unpersist(); batch.unpersist()
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("video N-frame dedup: frame-0-replaced copies missed by the keyframe hash, caught via mid/last slots") {
+    import spark.implicits._
+    // multi-frame clips only (nf >= 2): the single-frame boundary case is
+    // asserted separately below
+    val vid = Multimodal.syntheticVideo(spark, docs.where($"n_chars" % 8 =!= 0))
+      .filter($"width" >= 9 && $"height" >= 8)
+    val copies = Multimodal.perturbedVideoCopiesFrame0(
+      vid, idOffset = 100000L, frame0Xor = 0x808080, restXor = 0x010101)
+    val all = vid.unionByName(copies)
+    val nSrc = vid.count()
+    // keyframe-only path: frame 0 is content-re-randomized, so NO planted
+    // pair may surface
+    val kf = Multimodal.videoKeyframeHashes(all).toDF()
+    val kfPairs = Dedup.hammingNearDupPairs(kf, "media_id", "dhash", radius = 11)
+      .where($"id_b" === $"id_a" + 100000L).count()
+    assert(kfPairs === 0L, s"keyframe hash unexpectedly caught $kfPairs frame-0-replaced copies")
+    // N-frame path: every planted copy pairs through a same-slot match
+    val fh = Multimodal.videoSampledFrameHashes(all).toDF()
+    val anyPairs = Dedup.hammingNearDupPairsAnySlot(fh, "media_id", "slot", "dhash", radius = 11)
+      .where($"id_b" === $"id_a" + 100000L).count()
+    assert(anyPairs === nSrc, s"N-frame caught $anyPairs of $nSrc frame-0-replaced copies")
+    // single-frame boundary: all three slots ARE the replaced frame — the
+    // miss is structural and must stay a miss (no false confidence)
+    val vid1 = Multimodal.syntheticVideo(spark, docs.where($"n_chars" % 8 === 0))
+      .filter($"width" >= 9 && $"height" >= 8)
+    if (vid1.count() > 0) {
+      val all1 = vid1.unionByName(Multimodal.perturbedVideoCopiesFrame0(
+        vid1, idOffset = 100000L, frame0Xor = 0x808080, restXor = 0x010101))
+      val fh1 = Multimodal.videoSampledFrameHashes(all1).toDF()
+      val caught1 = Dedup.hammingNearDupPairsAnySlot(fh1, "media_id", "slot", "dhash", radius = 11)
+        .where($"id_b" === $"id_a" + 100000L).count()
+      assert(caught1 === 0L, "single-frame frame-0-replaced copy cannot be catchable")
+    }
+  }
+
   test("exactSubstringSpans: shared, copied, and self-repeated substrings, first kept") {
     import spark.implicits._
     val df = Seq(
