@@ -550,6 +550,121 @@ object TsAnalytics {
       .withColumn("kurtosis", when(m2 > 0, m4 / (m2 * m2)))
   }
 
+  /** Per-key TWO-dimensional statistical rollup — Timescale
+    * `stats_agg(y, x)` over a (time, value) series, the bucketed/
+    * mergeable sibling of [[statsRegr]]: x is the ABSOLUTE epoch second
+    * (no per-key min subtraction — the sums must add across buckets and
+    * trailing frames, so the origin cannot depend on the frame), y the
+    * e4-quantized value, and the six power sums `n, Σx, Σy, Σx², Σxy,
+    * Σy²` are EXACT integer sums (x and y through DECIMAL products —
+    * x² ≈ 3·10¹⁸ would wrap a long; DuckDB mirrors with HUGEINT). The
+    * regression accessors come from exact decimal cross-terms
+    * `Sxx = n·Σx² − (Σx)²` etc. (values ≤ ~10²⁷ — safely inside
+    * DECIMAL(38,0)/HUGEINT; computing them in doubles would lose ~9
+    * digits to cancellation against absolute-epoch magnitudes) followed
+    * by ONE fixed IEEE double tree, so the doubles match DuckDB
+    * bitwise — the [[statsAgg1d]] contract in two dimensions.
+    *
+    * Accessors (nulls when undefined, `Sxx > 0` exact-integer-guarded):
+    * `slope` in value-units per second, `intercept` the regression value
+    * at epoch 0 of the absolute x-axis (shift x before aggregating if a
+    * local origin is wanted), `corr` Pearson's r. One map-side-
+    * combinable hash aggregate; keys normally include the time bucket.
+    */
+  def statsAgg2d(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val pts = df
+      .where(col(valueCol).isNotNull)
+      .withColumn("__x", expr(s"unix_micros($tsCol) div 1000000").cast("decimal(12,0)"))
+      .withColumn("__y",
+        floor(col(valueCol) * 10000 + 0.5).cast(LongType).cast("decimal(12,0)"))
+    val agg = pts
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__y").cast(LongType)).as("sum_y"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__y") * col("__y")).as("__syy")
+      )
+      .withColumn("sum_x", col("__sx").cast("decimal(38,0)"))
+      .withColumn("sum_xx", col("__sxx").cast("decimal(38,0)"))
+      .withColumn("sum_xy", col("__sxy").cast("decimal(38,0)"))
+      .withColumn("sum_yy", col("__syy").cast("decimal(38,0)"))
+      .drop("__sx", "__sxx", "__sxy", "__syy")
+    deriveMoments2d(agg)
+  }
+
+  /** Timescale `rolling(stats_agg(y, x))` — the trailing-window
+    * regression over a bucketed [[statsAgg2d]] series: the six exact
+    * power sums re-aggregate over the trailing `windowSeconds` of
+    * buckets via one key-partitioned RANGE frame (gapped buckets weigh
+    * nothing — the same time-correct frame as [[statsRolling1d]]), then
+    * the same exact-decimal cross-terms + fixed IEEE tree derive
+    * slope/intercept/corr. No re-scan of the raw stream; at 100 TB the
+    * input is the tiny bucketed table.
+    */
+  def statsRolling2d(
+      finer: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      windowSeconds: Long
+  ): DataFrame = {
+    require(windowSeconds > 0, "window must be positive")
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(bucketCol))
+      .rangeBetween(-(windowSeconds - 1), Window.currentRow)
+    val agg = finer
+      .withColumn("n", sum(col("n")).over(w))
+      .withColumn("sum_x", sum(col("sum_x")).over(w).cast("decimal(38,0)"))
+      .withColumn("sum_y", sum(col("sum_y")).over(w))
+      .withColumn("sum_xx", sum(col("sum_xx")).over(w).cast("decimal(38,0)"))
+      .withColumn("sum_xy", sum(col("sum_xy")).over(w).cast("decimal(38,0)"))
+      .withColumn("sum_yy", sum(col("sum_yy")).over(w).cast("decimal(38,0)"))
+      .drop("slope", "intercept", "corr")
+    deriveMoments2d(agg)
+  }
+
+  /** The fixed IEEE tree shared by [[statsAgg2d]] and [[statsRolling2d]]:
+    * cross-terms exact in DECIMAL first (no double cancellation), then
+    * divisions in a pinned operand order — spelled out identically in
+    * the DuckDB oracle so the doubles match bitwise.
+    */
+  private def deriveMoments2d(agg: DataFrame): DataFrame = {
+    val dN = col("n").cast("decimal(10,0)")
+    val dY = col("sum_y").cast("decimal(20,0)")
+    val sxx = dN * col("sum_xx") - col("sum_x") * col("sum_x")
+    val sxy = dN * col("sum_xy") - col("sum_x") * dY
+    val syy = dN * col("sum_yy") - dY * dY
+    val d = (c: Column) => c.cast(DoubleType)
+    val nd = d(col("n"))
+    agg
+      .withColumn("__cxx", sxx)
+      .withColumn("__cxy", sxy)
+      .withColumn("__cyy", syy)
+      .withColumn(
+        "slope",
+        when(col("__cxx") > 0, d(col("__cxy")) / d(col("__cxx")) / 10000.0))
+      .withColumn(
+        "intercept",
+        when(
+          col("__cxx") > 0,
+          (d(col("sum_y")) / nd -
+            d(col("__cxy")) / d(col("__cxx")) * (d(col("sum_x")) / nd)) / 10000.0))
+      .withColumn(
+        "corr",
+        when(
+          col("__cxx") > 0 && col("__cyy") > 0,
+          d(col("__cxy")) / sqrt(d(col("__cxx"))) / sqrt(d(col("__cyy")))))
+      .drop("__cxx", "__cxy", "__cyy")
+  }
+
   /** Per-key state-duration rollup — Timescale `state_agg`/
     * `duration_in`: `stateCol` is a discrete state that HOLDS until the
     * next observation (the same LOCF reading as [[timeWeightedAvg]]), so

@@ -1615,6 +1615,32 @@ object ExtensionQueries {
         .orderBy("user_id", "hour_s")
     },
 
+    // Timescale rolling(stats_agg(y, x)): trailing-6h REGRESSION
+    // re-aggregated over hourly exact power sums (x = absolute epoch
+    // seconds so sums add across frames; Σx/Σx²/Σxy/Σy² exact through
+    // DECIMAL ↔ HUGEINT), cross-terms Sxx/Sxy/Syy computed exact in
+    // integers BEFORE any double (absolute-epoch magnitudes would cost
+    // ~9 digits of double cancellation), then one fixed IEEE tree —
+    // the 2-D twin of x_stats_rolling.
+    "x_stats_regr_rolling" -> { (s, dir) =>
+      val e6 = (c: String) =>
+        floor(col(c) * 1000000.0 + 0.5).cast("long").as(c + "_e6")
+      val ev = events(s, dir)
+        .withColumn("hour_s", expr("(unix_micros(ts) div 3600000000L) * 3600"))
+      val hourly = graft.operators.TsAnalytics
+        .statsAgg2d(ev, Seq("user_id", "hour_s"), "ts", "value")
+      graft.operators.TsAnalytics
+        .statsRolling2d(hourly, Seq("user_id"), "hour_s", windowSeconds = 21600L)
+        .select(
+          col("user_id"), col("hour_s"), col("n"), col("sum_y"),
+          col("sum_x").cast("string").as("sum_x_str"),
+          col("sum_xx").cast("string").as("sum_xx_str"),
+          col("sum_xy").cast("string").as("sum_xy_str"),
+          col("sum_yy").cast("string").as("sum_yy_str"),
+          e6("slope"), e6("intercept"), e6("corr"))
+        .orderBy("user_id", "hour_s")
+    },
+
     // Timescale state_agg/duration_in over the event_type state machine:
     // LOCF holding times (exact ms longs), entry transitions counted once
     // per run.
@@ -4391,6 +4417,66 @@ object ExtensionQueries {
         |       CASE WHEN m2 > 0
         |            THEN CAST(floor(m4 / (m2 * m2) * 1000000.0 + 0.5) AS BIGINT)
         |            END AS kurtosis_e6
+        |FROM m ORDER BY user_id, hour_s""".stripMargin,
+    // trailing-6h regression re-derived from raw rows: identical hourly
+    // HUGEINT power sums, identical RANGE re-aggregation, cross-terms
+    // exact in HUGEINT, the same pinned double operand order
+    "x_stats_regr_rolling" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         (epoch_us(ts) // 3600000000) * 3600 AS hour_s,
+        |         epoch_us(ts) // 1000000 AS x,
+        |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT user_id, hour_s, count(*) AS n,
+        |         sum(CAST(x AS HUGEINT)) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sum_y,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM p GROUP BY user_id, hour_s
+        |), r AS (
+        |  SELECT user_id, hour_s,
+        |         CAST(sum(n) OVER win AS BIGINT) AS n,
+        |         sum(sx) OVER win AS sum_x,
+        |         CAST(sum(sum_y) OVER win AS BIGINT) AS sum_y,
+        |         sum(sxx) OVER win AS sum_xx,
+        |         sum(sxy) OVER win AS sum_xy,
+        |         sum(syy) OVER win AS sum_yy
+        |  FROM g
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY hour_s
+        |                 RANGE BETWEEN 21599 PRECEDING AND CURRENT ROW)
+        |), c AS (
+        |  SELECT *,
+        |         CAST(n AS HUGEINT) * sum_xx - sum_x * sum_x AS cxx,
+        |         CAST(n AS HUGEINT) * sum_xy - sum_x * sum_y AS cxy,
+        |         CAST(n AS HUGEINT) * sum_yy - CAST(sum_y AS HUGEINT) * sum_y AS cyy
+        |  FROM r
+        |), m AS (
+        |  SELECT *,
+        |         CASE WHEN cxx > 0
+        |              THEN CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE) / 10000.0
+        |              END AS slope,
+        |         CASE WHEN cxx > 0
+        |              THEN (CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE)
+        |                    - CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE)
+        |                      * (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE))) / 10000.0
+        |              END AS intercept,
+        |         CASE WHEN cxx > 0 AND cyy > 0
+        |              THEN CAST(cxy AS DOUBLE) / sqrt(CAST(cxx AS DOUBLE))
+        |                   / sqrt(CAST(cyy AS DOUBLE))
+        |              END AS corr
+        |  FROM c
+        |)
+        |SELECT user_id, hour_s, n, sum_y,
+        |       CAST(sum_x AS VARCHAR) AS sum_x_str,
+        |       CAST(sum_xx AS VARCHAR) AS sum_xx_str,
+        |       CAST(sum_xy AS VARCHAR) AS sum_xy_str,
+        |       CAST(sum_yy AS VARCHAR) AS sum_yy_str,
+        |       CAST(floor(slope * 1000000.0 + 0.5) AS BIGINT) AS slope_e6,
+        |       CAST(floor(intercept * 1000000.0 + 0.5) AS BIGINT) AS intercept_e6,
+        |       CAST(floor(corr * 1000000.0 + 0.5) AS BIGINT) AS corr_e6
         |FROM m ORDER BY user_id, hour_s""".stripMargin,
     // daily-from-RAW — the rollup gate's whole point: the engine computes
     // daily from the hourly sums, the oracle from the raw rows, and exact

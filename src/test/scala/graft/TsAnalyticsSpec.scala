@@ -288,6 +288,43 @@ class TsAnalyticsSpec extends SparkSpec {
       assert(at2.getAs[Double](c) === direct.getAs[Double](c), c)
   }
 
+  test("statsAgg2d/statsRolling2d: known line recovered; slope/corr agree with statsRegr; gapped RANGE frame time-correct") {
+    // y = 2x + 3 at x = 0,10,20,30 s (all inside hour 0)
+    val df = series(Seq((1L, 0L, 3.0), (1L, 10L, 23.0), (1L, 20L, 43.0), (1L, 30L, 63.0)))
+      .withColumn("hour_s", expr("(unix_micros(ts) div 3600000000L) * 3600"))
+    val hourly = TsAnalytics.statsAgg2d(df, Seq("user_id", "hour_s"), "ts", "value")
+    val rolled = TsAnalytics.statsRolling2d(hourly, Seq("user_id"), "hour_s", 86400L)
+      .collect().head
+    assert(rolled.getAs[Long]("n") === 4L)
+    assert(rolled.getAs[Double]("slope") === 2.0)
+    // x here IS the absolute epoch second, so the epoch-0 intercept is 3
+    assert(rolled.getAs[Double]("intercept") === 3.0)
+    assert(rolled.getAs[Double]("corr") === 1.0)
+    // shift invariance: statsRegr (x relative to the key min) must agree
+    // on slope and corr — the cross-terms are identical integers
+    val regr = TsAnalytics.statsRegr(df, Seq("user_id"), "ts", "value").collect().head
+    assert(regr.getAs[Double]("slope") === rolled.getAs[Double]("slope"))
+    assert(regr.getAs[Double]("corr") === rolled.getAs[Double]("corr"))
+    // time-correct frame: a point 30 h later must see ONLY its own bucket
+    // in a 24 h trailing window (RANGE, not 24 rows back)
+    val gapped = series(Seq(
+      (2L, 0L, 1.0), (2L, 10L, 2.0), (2L, 30L * 3600L, 9.0), (2L, 30L * 3600L + 10L, 11.0)))
+      .withColumn("hour_s", expr("(unix_micros(ts) div 3600000000L) * 3600"))
+    val g = TsAnalytics.statsRolling2d(
+      TsAnalytics.statsAgg2d(gapped, Seq("user_id", "hour_s"), "ts", "value"),
+      Seq("user_id"), "hour_s", 86400L)
+      .collect().map(r => r.getAs[Long]("hour_s") -> r).toMap
+    assert(g(30L * 3600L).getAs[Long]("n") === 2L)
+    // and the degenerate single-point frame yields nulls, not NaN
+    val one = TsAnalytics.statsRolling2d(
+      TsAnalytics.statsAgg2d(
+        series(Seq((3L, 0L, 5.0))).withColumn("hour_s", lit(0L)),
+        Seq("user_id", "hour_s"), "ts", "value"),
+      Seq("user_id"), "hour_s", 86400L).collect().head
+    assert(one.isNullAt(one.fieldIndex("slope")))
+    assert(one.isNullAt(one.fieldIndex("corr")))
+  }
+
   test("statsRegr: degenerate keys yield null slope/corr, not NaN") {
     // user 1: single point (sxx = 0); user 2: constant value (syy = 0)
     val df = series(Seq((1L, 0L, 5.0), (2L, 0L, 7.0), (2L, 10L, 7.0)))
