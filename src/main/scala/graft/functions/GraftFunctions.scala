@@ -43,6 +43,9 @@ object GraftFunctions {
     "udd_merge_agg" -> { es: Seq[Expression] => UddMergeAgg(es(0)) },
     "udd_quantile" -> { es: Seq[Expression] => UddQuantile(es(0), es(1)) },
     "udd_rank" -> { es: Seq[Expression] => UddRank(es(0), es(1)) },
+    "tdigest_agg" -> { es: Seq[Expression] => TDigestAgg(es(0)) },
+    "tdigest_merge_agg" -> { es: Seq[Expression] => TDigestMergeAgg(es(0)) },
+    "tdigest_quantile" -> { es: Seq[Expression] => TDigestQuantile(es(0), es(1)) },
     "srp_bucket" -> { es: Seq[Expression] => SrpBucket(es(0), intLit(es(1)), intLit(es(2))) },
     "count_in_set" -> { es: Seq[Expression] => CountInSet(es(0), stringSeqLit(es(1))) },
     "prefix_sum" -> { es: Seq[Expression] => PrefixSumLongs(es(0), es(1)) },
@@ -125,6 +128,19 @@ object GraftFunctions {
 
   def udd_rank(sketch: Column, x: Column): Column =
     call_function("udd_rank", sketch, x.cast("double"))
+
+  /** t-digest mergeable-quantile state of a double column (see
+    * [[TDigestAgg]]) — the rank-space twin of [[udd_sketch_agg]]; roll
+    * levels up with [[tdigest_merge_agg]], read with [[tdigest_quantile]].
+    */
+  def tdigest_agg(value: Column): Column =
+    call_function("tdigest_agg", value)
+
+  def tdigest_merge_agg(sketch: Column): Column =
+    call_function("tdigest_merge_agg", sketch)
+
+  def tdigest_quantile(sketch: Column, p: Double): Column =
+    call_function("tdigest_quantile", sketch, org.apache.spark.sql.functions.lit(p))
 
   /** Timescale's saturating int32 arithmetic — overflow clamps to the
     * int32 bounds instead of wrapping (and the `_pos` forms additionally

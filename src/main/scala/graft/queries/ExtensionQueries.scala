@@ -2081,6 +2081,70 @@ object ExtensionQueries {
         .orderBy("event_type", "day_s")
     },
 
+    // t-digest percentile twin — the OTHER quantile-sketch trade-off
+    // pinned beside x_percentile_rollup's UDDSketch (Timescale ships
+    // both): rank-space adaptive clusters, ≤ ~2δ centroids regardless
+    // of value range, merge order-DEPENDENT within the documented rank
+    // bound — never bit-exact, which is structural (cluster boundaries
+    // depend on merge history), so the gate pins exact anchors (n,
+    // interpolated p50/p95 — the x_quantiles bit-parity) plus
+    // oracle-fixed-TRUE rank-error booleans: the EXACT corpus rank of
+    // each estimate — merged hourly→daily AND direct daily — must sit
+    // within 3% + 2/n of the requested p (k1-scale worst case ≈ π/δ ≈
+    // 3.1% at the median; typical ≪ 1%). Ranks are exact integer
+    // counts from one broadcast of the tiny estimate table.
+    "x_percentile_tdigest" -> { (s, dir) =>
+      import graft.functions.GraftFunctions._
+      val ev = events(s, dir).where(col("value").isNotNull)
+      val hourly = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(tdigest_agg(col("value")).as("sk"))
+      val merged = hourly
+        .groupBy(col("event_type"), date_trunc("day", col("h")).as("d"))
+        .agg(tdigest_merge_agg(col("sk")).as("msk"))
+        .select(col("event_type"), col("d"),
+          tdigest_quantile(col("msk"), 0.5).as("m50"),
+          tdigest_quantile(col("msk"), 0.95).as("m95"))
+      val direct = ev
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(tdigest_agg(col("value")).as("dsk"))
+        .select(col("event_type"), col("d"),
+          tdigest_quantile(col("dsk"), 0.5).as("d50"),
+          tdigest_quantile(col("dsk"), 0.95).as("d95"))
+      val est = merged.join(direct, Seq("event_type", "d"))
+      val ranked = ev
+        .withColumn("d", date_trunc("day", col("ts")))
+        .join(broadcast(est), Seq("event_type", "d"))
+        .groupBy("event_type", "d")
+        .agg(
+          count(lit(1)).as("n"),
+          sum((col("value") <= col("m50")).cast("long")).as("le_m50"),
+          sum((col("value") <= col("m95")).cast("long")).as("le_m95"),
+          sum((col("value") <= col("d50")).cast("long")).as("le_d50"),
+          sum((col("value") <= col("d95")).cast("long")).as("le_d95"))
+      val exact = ev
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(
+          expr("percentile(value, 0.5)").as("e50"),
+          expr("percentile(value, 0.95)").as("e95"))
+      val rankOk = (le: String, p: Double) =>
+        abs(col(le).cast("double") / col("n").cast("double") - p) <=
+          lit(0.03) + lit(2.0) / col("n").cast("double")
+      exact
+        .join(ranked, Seq("event_type", "d"))
+        .select(
+          col("event_type"),
+          expr("unix_seconds(d)").as("day_s"),
+          col("n"),
+          round(col("e50"), 4).as("p50_exact"),
+          round(col("e95"), 4).as("p95_exact"),
+          rankOk("le_m50", 0.5).as("m50_rank_ok"),
+          rankOk("le_m95", 0.95).as("m95_rank_ok"),
+          rankOk("le_d50", 0.5).as("d50_rank_ok"),
+          rankOk("le_d95", 0.95).as("d95_rank_ok"))
+        .orderBy("event_type", "day_s")
+    },
+
     // approx_percentile_rank — the UDDSketch inverse accessor: fraction
     // of values ≤ x. The exact per-probe counts are the hash anchor
     // (DuckDB recomputes them independently); the sketch's rank estimate
@@ -4758,6 +4822,19 @@ object ExtensionQueries {
         |       round(quantile_cont(value, 0.5), 4) AS p50_exact,
         |       round(quantile_cont(value, 0.95), 4) AS p95_exact,
         |       TRUE AS merge_associative, TRUE AS p50_close, TRUE AS p95_close
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY event_type, day_s""".stripMargin,
+    // exact anchors recomputed; the four rank-error booleans are the
+    // sketch's contract and must all hold (oracle-fixed TRUE)
+    "x_percentile_tdigest" ->
+      """SELECT event_type,
+        |       CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+        |       count(*) AS n,
+        |       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+        |       round(quantile_cont(value, 0.95), 4) AS p95_exact,
+        |       TRUE AS m50_rank_ok, TRUE AS m95_rank_ok,
+        |       TRUE AS d50_rank_ok, TRUE AS d95_rank_ok
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY event_type, day_s""".stripMargin,

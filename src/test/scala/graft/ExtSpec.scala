@@ -1400,6 +1400,75 @@ class ExtSpec extends SparkSpec {
     assert(empty.isNullAt(0))
   }
 
+  test("t-digest: rank-error bound incl. tails, bounded size, merge within bound, Spark partials round-trip") {
+    import graft.functions.{GraftFunctions, TDigest}
+    val delta = TDigest.DefaultCompression
+    val n = 100000
+    var s = 12345L
+    val vals = Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) * 1000.0
+    }
+    val sorted = vals.sorted
+    def exactRank(x: Double): Double = {
+      var i = java.util.Arrays.binarySearch(sorted, x)
+      if (i < 0) i = -i - 1 else { while (i < n && sorted(i) <= x) i += 1 }
+      i.toDouble / n
+    }
+    // the aggregate's update loop, deterministically: singleton centroids
+    // compressed per BufferSize block
+    def digestOf(xs: Seq[Double]): Array[(Double, Long)] = {
+      var d = Array.empty[(Double, Long)]
+      xs.grouped(TDigest.BufferSize).foreach { blk =>
+        d = TDigest.compress(d ++ blk.map(v => (v, 1L)), delta)
+      }
+      d
+    }
+    val dg = digestOf(vals.toSeq)
+    // size bounded by the scale function (≤ ~2δ centroids at any n) and
+    // weight conserved exactly
+    assert(dg.length <= 2 * delta.toInt + 2, s"digest size ${dg.length}")
+    assert(dg.map(_._2).sum === n.toLong)
+    // rank error within the k1 bound (worst ≈ π/δ ≈ 3.1% at the median;
+    // 2% asserted — margin below the gate's 3%), across the q range
+    for (p <- Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)) {
+      val err = math.abs(exactRank(TDigest.quantile(dg, p).get) - p)
+      assert(err <= 0.02, s"p=$p rank error $err")
+    }
+    // tail accuracy is the t-digest's selling point: clusters shrink as
+    // q(1−q), so the 1%/99% estimates sit ~an order tighter
+    for (p <- Seq(0.01, 0.99)) {
+      val err = math.abs(exactRank(TDigest.quantile(dg, p).get) - p)
+      assert(err <= 0.004, s"tail p=$p rank error $err")
+    }
+    // merge: halves → concat → compress stays within the bound (order-
+    // DEPENDENT within it — the structural contrast to UDDSketch's
+    // bit-exact merge that the gate's booleans, not equality, pin)
+    val mergedD = TDigest.compress(
+      digestOf(vals.take(n / 2).toSeq) ++ digestOf(vals.drop(n / 2).toSeq), delta)
+    for (p <- Seq(0.05, 0.5, 0.95)) {
+      val err = math.abs(exactRank(TDigest.quantile(mergedD, p).get) - p)
+      assert(err <= 0.02, s"merged p=$p rank error $err")
+    }
+    // registered expressions through real shuffle partials, both levels
+    val df = spark.createDataset(vals.toSeq)(org.apache.spark.sql.Encoders.scalaDouble)
+      .toDF("v").repartition(7)
+    val direct = df
+      .agg(GraftFunctions.tdigest_quantile(GraftFunctions.tdigest_agg($"v"), 0.5))
+      .head().getDouble(0)
+    assert(math.abs(exactRank(direct) - 0.5) <= 0.02, s"spark direct p50 $direct")
+    val twoLevel = df
+      .withColumn("part", floor($"v" / 100.0))
+      .groupBy("part").agg(GraftFunctions.tdigest_agg($"v").as("sk"))
+      .agg(GraftFunctions.tdigest_quantile(GraftFunctions.tdigest_merge_agg($"sk"), 0.5))
+      .head().getDouble(0)
+    assert(math.abs(exactRank(twoLevel) - 0.5) <= 0.02, s"spark two-level p50 $twoLevel")
+    // empty input → null, not NaN
+    val empty = df.where($"v" > 1e9)
+      .agg(GraftFunctions.tdigest_quantile(GraftFunctions.tdigest_agg($"v"), 0.5)).head()
+    assert(empty.isNullAt(0))
+  }
+
   test("gate pin: (user_id, ts) is unique at µs grain on the gate corpora") {
     // x_time_bucket_agg's min_by/max_by determinism rests on this — a
     // data change that introduces per-user µs ties must fail HERE, not
