@@ -237,6 +237,71 @@ object CdcQueries {
         .orderBy(col("rid"), col("valid_from_id").asc_nulls_first)
     },
 
+    // C10: SCHEMA EVOLUTION across capture→log→apply — the ALTER TABLE
+    // ADD COLUMN shape a long-lived CDC deployment hits: events captured
+    // BEFORE the evolution carry neither the new envelope column
+    // (capture_ver) nor the new payload field (etype); events after the
+    // split carry both. Both legs land in ONE physical parquet log
+    // (separate appends → heterogeneous file schemas), readEvolved
+    // merges footers and applies the envelope default, and applyLog
+    // parses every payload with the WIDENED schema (old JSON → null
+    // etype). Output: the reconstructed widened snapshot plus each
+    // surviving row's winning capture version (0 = untouched seed).
+    "c10_schema_evolution" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val ev = events(s, dir)
+      val split = to_timestamp(lit("2024-01-15 00:00:00"))
+      // modulus prime ABOVE the sf0.01 corpus (10k events): each rid sees
+      // at most one event, so winners split across both capture versions
+      // and ~2k seeds stay untouched — all three evolution fates surface
+      val rid = (col("event_id") % 12007).as("rid")
+      val cents = round(col("value") * 100).cast("long").as("cents")
+      val payloadOld = to_json(struct(rid, col("user_id"), cents))
+      val payloadNew = to_json(struct(rid, col("user_id"), cents, col("event_type").as("etype")))
+      def leg(df: DataFrame, payload: org.apache.spark.sql.Column): DataFrame = df.select(
+        col("ts"),
+        col("event_id"),
+        lit("dataschema").as("schema_name"),
+        lit("events").as("table_name"),
+        when(col("event_type") === "signup", "INSERT")
+          .when(col("event_type") === "error", "DELETE")
+          .otherwise("UPDATE").as("operation"),
+        when(col("event_type") === "signup", lit(null).cast("string"))
+          .otherwise(payload).as("before"),
+        when(col("event_type") === "error", lit(null).cast("string"))
+          .otherwise(payload).as("after"))
+      val pre = leg(ev.where(col("ts") <= split), payloadOld)
+      val post = leg(ev.where(col("ts") > split), payloadNew)
+        .withColumn("capture_ver", lit(2L))
+      val path = java.nio.file.Files.createTempDirectory("graft-evolved-log").toString
+      graft.log.CdcLog.append(pre, path)
+      graft.log.CdcLog.append(post, path)
+      val log = graft.log.CdcLog.readEvolved(s, path, Map("capture_ver" -> lit(1L)))
+      val payloadSchema = StructType(Seq(
+        StructField("rid", LongType), StructField("user_id", LongType),
+        StructField("cents", LongType), StructField("etype", StringType)))
+      val snapshot = s.range(12007).select(
+        col("id").as("rid"), lit(-1L).as("user_id"), lit(0L).as("cents"),
+        lit(null).cast("string").as("etype"))
+      val applied = graft.capture.CdcApply.applyLog(snapshot, log, Seq("rid"), payloadSchema)
+      val wv = Window.partitionBy("rid").orderBy(col("event_id").desc)
+      val winningVer = log
+        .select(
+          col("event_id"),
+          get_json_object(coalesce(col("after"), col("before")), "$.rid")
+            .cast("long").as("rid"),
+          col("capture_ver"))
+        .withColumn("__rn", row_number().over(wv))
+        .where(col("__rn") === 1)
+        .select("rid", "capture_ver")
+      applied
+        .join(winningVer, Seq("rid"), "left_outer")
+        .select(
+          col("rid"), col("user_id"), col("cents"), col("etype"),
+          coalesce(col("capture_ver"), lit(0L)).as("capture_ver"))
+        .orderBy("rid")
+    },
+
     // the WHOLE reference loop in one gate: change log → envelope encode →
     // topic layout → TopicSource consume → decode → apply onto a replica
     // snapshot. Same oracle as c8_apply_log — the transport legs (with
@@ -682,6 +747,40 @@ object CdcQueries {
         |SELECT 'cdc-event_log_errors' AS topic, event_id FROM events WHERE event_type = 'error'
         |ORDER BY topic, event_id""".stripMargin,
     "c8_apply_log" -> applyLogSql,
+    // same latest-per-key replay, with the evolution split re-derived
+    // declaratively: etype exists only for post-split events (the widened
+    // payload), capture_ver defaults to 1 on pre-split rows (the merged
+    // envelope default) and 0 on untouched seeds
+    "c10_schema_evolution" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_id % 12007 AS rid, user_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CASE WHEN event_type = 'signup' THEN 'INSERT'
+        |              WHEN event_type = 'error' THEN 'DELETE'
+        |              ELSE 'UPDATE' END AS op,
+        |         CASE WHEN ts > TIMESTAMP '2024-01-15 00:00:00'
+        |              THEN event_type END AS etype,
+        |         CASE WHEN ts > TIMESTAMP '2024-01-15 00:00:00'
+        |              THEN 2 ELSE 1 END AS capture_ver
+        |  FROM events
+        |), latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY rid ORDER BY event_id DESC) AS rn
+        |  FROM ev
+        |), survivors AS (
+        |  SELECT rid, user_id, cents, etype, capture_ver
+        |  FROM latest WHERE rn = 1 AND op <> 'DELETE'
+        |), untouched AS (
+        |  SELECT t.rid, CAST(-1 AS BIGINT) AS user_id, CAST(0 AS BIGINT) AS cents,
+        |         CAST(NULL AS VARCHAR) AS etype, 0 AS capture_ver
+        |  FROM range(12007) t(rid)
+        |  WHERE t.rid NOT IN (SELECT rid FROM latest WHERE rn = 1)
+        |)
+        |SELECT rid, user_id, cents, etype, CAST(capture_ver AS BIGINT) AS capture_ver
+        |FROM untouched
+        |UNION ALL
+        |SELECT rid, user_id, cents, etype, CAST(capture_ver AS BIGINT) AS capture_ver
+        |FROM survivors
+        |ORDER BY rid""".stripMargin,
     // same ev classification as applyLogSql; DELETE closes the prior
     // version but emits no row, the snapshot seeds each key's first
     // version (valid_from_id NULL, open at log start)
