@@ -428,6 +428,42 @@ object ExtensionQueries {
       Dedup.stripSpans(corpus, "doc_id", "text", spans).orderBy("doc_id")
     },
 
+    // the streaming INGEST composition of admission + strip as a DRIVER
+    // GATE: the same corpus arrives in two doc_id-monotone chunks
+    // (originals, then the salted copies), each drained by a separate
+    // CdcStream.substringStripMaintain run (AvailableNow) against the
+    // same persisted gram index + checkpoint — per trigger: batch grams
+    // probe the stored index, spans strip, stripped text appends, index
+    // advances. With monotone ids the appended output over both batches
+    // equals the ONE-SHOT batch detect→strip pipeline (a later duplicate
+    // never flags its earlier first occurrence), so the gate shares
+    // x_substring_strip's oracle derivation.
+    "x_substring_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.CdcStream
+      val d = docs(s, dir)
+      val originals = d.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val copies = d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("xdupsalt "), col("text")).as("text"))
+      val base = java.nio.file.Files.createTempDirectory("graft_substr_stream").toString
+      val in = s"$base/in"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      def runOnce(): Unit = {
+        val q = CdcStream.substringStripMaintain(
+          s.readStream.schema(originals.schema).parquet(in),
+          s"$base/gramidx", s"$base/out", s"$base/ckpt",
+          k = 10, trigger = Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      try {
+        originals.coalesce(1).write.mode("append").parquet(in); runOnce()
+        copies.coalesce(1).write.mode("append").parquet(in); runOnce()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.read.parquet(s"$base/out").orderBy("doc_id")
+    },
+
     // perceptual-hash IMAGE near-dup dedup: REAL PNG decode → integer
     // luma-grid dHash/aHash (9×8 area bins, ITU-601 integer luma) →
     // pigeonhole Hamming-banded pair join (exact within radius 11) →
@@ -3032,6 +3068,67 @@ object ExtensionQueries {
     // token positions via an anti-join against the span ranges,
     // re-assembled in position order
     "x_substring_strip" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'xdupsalt ' || text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+        |         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM corpus
+        |), grams AS (
+        |  SELECT doc_id, gs.pos,
+        |         array_to_string(ws[gs.pos + 1 : gs.pos + 10], ' ') AS g
+        |  FROM base, LATERAL (
+        |    SELECT unnest(generate_series(0, n_tokens - 10)) AS pos) gs
+        |  WHERE n_tokens >= 10
+        |), occ AS (
+        |  SELECT g, count(*) AS cnt,
+        |         min(doc_id * 1048576 + pos) AS firstkey
+        |  FROM grams GROUP BY g
+        |), fl AS (
+        |  SELECT grams.doc_id, grams.pos
+        |  FROM grams JOIN occ ON grams.g = occ.g
+        |  WHERE occ.cnt >= 2
+        |    AND grams.doc_id * 1048576 + grams.pos <> occ.firstkey
+        |), sp AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 10
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM fl
+        |), sp2 AS (
+        |  SELECT doc_id, pos,
+        |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM sp
+        |), spans AS (
+        |  SELECT doc_id, sid, min(pos) AS s, max(pos) + 10 AS e
+        |  FROM sp2 GROUP BY doc_id, sid
+        |), toks AS (
+        |  SELECT doc_id, gs.pos, ws[gs.pos + 1] AS w
+        |  FROM base, LATERAL (
+        |    SELECT unnest(generate_series(0, n_tokens - 1)) AS pos) gs
+        |), keptt AS (
+        |  SELECT t.doc_id, t.pos, t.w
+        |  FROM toks t LEFT JOIN spans z
+        |    ON t.doc_id = z.doc_id AND t.pos >= z.s AND t.pos < z.e
+        |  WHERE z.doc_id IS NULL
+        |), outp AS (
+        |  SELECT doc_id, count(*) AS kept_tokens,
+        |         string_agg(w, ' ' ORDER BY pos) AS stripped_text
+        |  FROM keptt GROUP BY doc_id
+        |)
+        |SELECT base.doc_id AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       coalesce(kept_tokens, 0) AS kept_tokens,
+        |       coalesce(stripped_text, '') AS stripped_text
+        |FROM base LEFT JOIN outp ON base.doc_id = outp.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+    // the streamed two-batch ingest must union to the one-shot batch
+    // pipeline (monotone-id equivalence), so the oracle IS the
+    // x_substring_strip derivation over the same corpus
+    "x_substring_stream" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL

@@ -447,6 +447,69 @@ object CdcStream {
       .start()
   }
 
+  /** Streaming exact-substring dedup + strip — the INGEST composition of
+    * [[graft.ext.Dedup.exactSubstringSpansIncremental]] and
+    * [[graft.ext.Dedup.stripSpans]]: per micro-batch, arriving documents
+    * probe the persisted gram index (presence ⇒ the first occurrence is
+    * already stored ⇒ every arriving occurrence is removable), flagged
+    * spans run-merge and strip, the stripped text APPENDS to the output
+    * table, and the index advances by the batch's distinct grams (union —
+    * no rebuild). The training-data ingest path that emits deduplicated
+    * text per trigger.
+    *
+    * EQUIVALENCE (StreamingSpec-pinned): with monotone doc ids across
+    * batches, a position's flag depends only on documents at-or-before
+    * its own batch (a later duplicate never flags the EARLIER first
+    * occurrence), so the per-batch outputs union to EXACTLY the one-shot
+    * batch [[graft.ext.Dedup.exactSubstringSpans]]→stripSpans over the
+    * whole corpus — the driver gate hash-pins this against the
+    * x_substring_strip oracle.
+    *
+    * Work per trigger: one token-linear gram explode over the BATCH, one
+    * presence join against the (bucket-pruned at scale) index, one
+    * doc-keyed span window, one distinct-union index advance — never a
+    * corpus rescan. `hashKey = true` is the production layout (8-byte
+    * gram keys in both the index and the probe shuffle).
+    */
+  def substringStripMaintain(
+      docStream: DataFrame,
+      indexPath: String,
+      outPath: String,
+      checkpoint: String,
+      k: Int,
+      hashKey: Boolean = false,
+      trigger: Trigger = DefaultTrigger
+  ): StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().cache()
+        try {
+          import graft.ext.Dedup
+          val gramType =
+            if (hashKey) org.apache.spark.sql.types.LongType
+            else org.apache.spark.sql.types.StringType
+          val index = readState(spark, indexPath).getOrElse(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row],
+              StructType(Seq(org.apache.spark.sql.types.StructField("g", gramType)))))
+          val spans = Dedup
+            .exactSubstringSpansIncremental(index, b, "doc_id", "text", k, hashKey)
+          Dedup
+            .stripSpans(b, "doc_id", "text", spans.select("doc_id", "spans"))
+            .write.mode("append").parquet(outPath)
+          val nextIndex = index
+            .unionByName(Dedup.substringGramIndex(b, "doc_id", "text", k, hashKey))
+            .distinct()
+          swapState(spark, indexPath, nextIndex)
+        } finally { b.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode("append")
+      .start()
+
   /** Stream-stream inner join on `keys` with a bounded event-time
     * interval: right rows within `(left.ts - lookback, left.ts]`. Both
     * sides carry watermarks so Spark can evict join state — without the

@@ -744,6 +744,48 @@ class StreamingSpec extends SparkSpec {
       "cross-trigger duplicates were not caught — index append broken")
   }
 
+  test("substringStripMaintain: per-trigger strip + persisted gram index equal the one-shot batch pipeline") {
+    // the full ingest composition (admission → strip → append, index
+    // advanced as a PERSISTED parquet state table, hashKey production
+    // layout) across two streaming runs — the stripped corpus must equal
+    // the one-shot batch detect→strip over the union
+    import graft.ext.Dedup
+    val d = Tables.load(spark, sf0001, "documents")
+    val batch1 = d.select($"doc_id".cast("long").as("doc_id"), $"text")
+    val batch2 = d.where($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 100000L).as("doc_id"),
+        concat(lit("xdupsalt "), $"text").as("text"))
+    val base = tempDir("stripmaint")
+    val in = s"$base/in"
+    def runOnce(): Unit = {
+      val q = CdcStream.substringStripMaintain(
+        spark.readStream.schema(batch1.schema).parquet(in),
+        s"$base/idx", s"$base/out", s"$base/ckpt", k = 10, hashKey = true,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    batch1.coalesce(1).write.mode("append").parquet(in); runOnce()
+    batch2.coalesce(1).write.mode("append").parquet(in); runOnce()
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("doc_id", "n_tokens", "kept_tokens", "stripped_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    val corpus = batch1.unionByName(batch2)
+    val spans = Dedup
+      .exactSubstringSpans(corpus, "doc_id", "text", k = 10, hashKey = true)
+      .select("doc_id", "spans")
+    val full = Dedup.stripSpans(corpus, "doc_id", "text", spans)
+      .select("doc_id", "n_tokens", "kept_tokens", "stripped_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(streamed === full)
+    // the copies arrived in run 2 and must have been stripped against
+    // run 1's PERSISTED index (not just within-batch occurrences)
+    val copyRows = streamed.collect { case (id, (n, kept, _)) if id >= 100000L => (n, kept) }
+    assert(copyRows.nonEmpty && copyRows.forall { case (n, kept) => kept < n },
+      "batch-2 copies were not stripped against the persisted gram index")
+  }
+
   test("foreachBatch sink sees every batch exactly once per run") {
     val logPath = tempDir("fblog")
     val ckpt = tempDir("fbckpt")
