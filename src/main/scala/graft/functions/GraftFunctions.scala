@@ -46,6 +46,7 @@ object GraftFunctions {
     "tdigest_agg" -> { es: Seq[Expression] => TDigestAgg(es(0)) },
     "tdigest_merge_agg" -> { es: Seq[Expression] => TDigestMergeAgg(es(0)) },
     "tdigest_quantile" -> { es: Seq[Expression] => TDigestQuantile(es(0), es(1)) },
+    "tdigest_rank" -> { es: Seq[Expression] => TDigestRank(es(0), es(1)) },
     "srp_bucket" -> { es: Seq[Expression] => SrpBucket(es(0), intLit(es(1)), intLit(es(2))) },
     "count_in_set" -> { es: Seq[Expression] => CountInSet(es(0), stringSeqLit(es(1))) },
     "prefix_sum" -> { es: Seq[Expression] => PrefixSumLongs(es(0), es(1)) },
@@ -141,6 +142,9 @@ object GraftFunctions {
 
   def tdigest_quantile(sketch: Column, p: Double): Column =
     call_function("tdigest_quantile", sketch, org.apache.spark.sql.functions.lit(p))
+
+  def tdigest_rank(sketch: Column, x: Column): Column =
+    call_function("tdigest_rank", sketch, x.cast("double"))
 
   /** Timescale's saturating int32 arithmetic — overflow clamps to the
     * int32 bounds instead of wrapping (and the `_pos` forms additionally

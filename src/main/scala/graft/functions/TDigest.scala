@@ -125,6 +125,44 @@ object TDigest {
     Some(cents(cents.length - 1)._1)
   }
 
+  /** Rank (CDF) by the inverse of [[quantile]]'s midpoint interpolation:
+    * fraction of mass estimated ≤ x. Between adjacent centroid means the
+    * two accessors are exact linear inverses, so
+    * `rank(quantile(p)) == p` up to FP whenever `quantile(p)` lands
+    * strictly between two distinct means (the generic case); at the
+    * extremes the estimate clamps to 0/1 the same way quantile clamps to
+    * the extreme means. Timescale ships this as
+    * `approx_percentile_rank(tdigest)`.
+    */
+  def rank(cents: Array[(Double, Long)], x: Double): Option[Double] = {
+    if (cents.isEmpty) return None
+    var total = 0L
+    cents.foreach(total += _._2)
+    if (total == 0L) return None
+    if (x < cents(0)._1) return Some(0.0)
+    if (x > cents(cents.length - 1)._1) return Some(1.0)
+    var wSoFar = 0.0
+    var prevMid = 0.0
+    var prevMean = cents(0)._1
+    var i = 0
+    while (i < cents.length) {
+      val m = cents(i)._1
+      val w = cents(i)._2
+      val mid = wSoFar + w.toDouble / 2.0
+      if (x < m) {
+        // x strictly inside (prevMean, m): invert the quantile interpolation
+        val frac = (x - prevMean) / (m - prevMean)
+        return Some((prevMid + frac * (mid - prevMid)) / total.toDouble)
+      }
+      prevMid = mid
+      prevMean = m
+      wSoFar += w.toDouble
+      i += 1
+    }
+    // x equals the maximum mean: the last midpoint is the walk's estimate
+    Some(prevMid / total.toDouble)
+  }
+
   private[functions] def serialize(cents: Array[(Double, Long)]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + cents.length * 16)
     bb.putInt(cents.length)
@@ -301,6 +339,39 @@ case class TDigestQuantile(left: Expression, right: Expression)
     else
       TDigest
         .quantile(TDigest.deserialize(s.asInstanceOf[Array[Byte]]), p.asInstanceOf[Double])
+        .map(java.lang.Double.valueOf)
+        .orNull
+  }
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(left = cs(0), right = cs(1))
+}
+
+/** `tdigest_rank(sketch, x)` → double: Timescale's
+  * `approx_percentile_rank` through the t-digest — the CDF inverse of
+  * [[TDigestQuantile]] (see [[TDigest.rank]]). CodegenFallback like the
+  * other accessors: one scalar walk per output row, off the hot path.
+  */
+case class TDigestRank(left: Expression, right: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(left, right)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(s"tdigest_rank requires (binary, double), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "tdigest_rank"
+
+  override def eval(input: InternalRow): Any = {
+    val s = left.eval(input)
+    val x = right.eval(input)
+    if (s == null || x == null) null
+    else
+      TDigest
+        .rank(TDigest.deserialize(s.asInstanceOf[Array[Byte]]), x.asInstanceOf[Double])
         .map(java.lang.Double.valueOf)
         .orNull
   }

@@ -1011,6 +1011,35 @@ object ExtensionQueries {
         .orderBy("q_id")
     },
 
+    // the PQ (product-quantization) ANN path — the COMPRESSED-memory
+    // complement to LSH (bucket pruning) and IVF (partition pruning):
+    // 64-dim float32 → 4 codes (m=4 subspaces × 16-entry codebooks), a
+    // 64× smaller corpus representation scanned via ADC table lookups
+    // with no vector arithmetic, exact re-rank of the top candidates.
+    // Same planted-copy pinning as the LSH/IVF gates: the perturbed
+    // query's source must surface in the ADC candidate set (its ADC
+    // distance is the source's own quantization distortion — near the
+    // scan's minimum by construction, vs a ≤ ~0.65-cosine background)
+    // and the exact re-score must rank it first. Candidate coverage is
+    // corpus-pinned (candidates=16), verified green at sf0.01 AND sf0.1;
+    // a fixture change that breaks coverage fails as a missing row.
+    "x_sim_pq_planted" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val e = embs(s, dir)
+      val cb = Similarity.cachedPqCodebooks(e, "vec_id", "embedding", m = 4, ksub = 16)
+      val codes = Similarity.pqEncode(e, cb, "vec_id", "embedding", m = 4, ksub = 16)
+      val queries = e.where(col("vec_id") % 20 === 0).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) * lit(1.05f)),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
+      Similarity
+        .pqTopK(codes, cb, e, queries, "vec_id", "embedding",
+          k = 1, m = 4, ksub = 16, candidates = 16)
+        .select(col("q_id"), col("n_id"))
+        .orderBy("q_id")
+    },
+
     // token counting: whitespace + BPE-ish regex pre-tokenizer
     "x_text_tokens" -> { (s, dir) =>
       docs(s, dir)
@@ -2223,6 +2252,48 @@ object ExtensionQueries {
         .select(
           (col("event_type") +: col("n") +: checks) :+
             (udd_rank(col("sk"), udd_quantile(col("sk"), 0.5)) >= 0.5).as("roundtrip_covers"): _*)
+        .orderBy("event_type")
+    },
+
+    // approx_percentile_rank through the t-digest — the rank-space twin
+    // of x_percentile_rank, read through BOTH the direct digest and the
+    // hourly→merged rollup digest (rank must survive the re-compression
+    // merge is allowed to do). Exact per-probe counts are the hash
+    // anchor; the sketch ranks gate as oracle-fixed TRUE booleans within
+    // 0.05 of the exact fraction (generous vs the ~4·q(1−q)/δ rank
+    // bound at δ=100). The quantile→rank round trip pins the two
+    // accessors as linear inverses: between distinct centroid means the
+    // interpolations cancel exactly, so 0.01 absorbs only the
+    // equal-mean / extreme-clamp edges.
+    "x_tdigest_rank" -> { (s, dir) =>
+      import graft.functions.GraftFunctions._
+      GraftFunctions.register(s)
+      val ev = events(s, dir).where(col("value").isNotNull)
+      val probes = Seq(10.0, 50.0, 100.0, 250.0)
+      val aggCols: Seq[Column] =
+        count(lit(1)).as("n") +: probes.map(p =>
+          sum(when(col("value") <= p, 1L).otherwise(0L)).as(s"le_${p.toInt}"))
+      val direct = ev
+        .groupBy(col("event_type"))
+        .agg(tdigest_agg(col("value")).as("sk"), aggCols: _*)
+      val merged = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(tdigest_agg(col("value")).as("hsk"))
+        .groupBy(col("event_type"))
+        .agg(tdigest_merge_agg(col("hsk")).as("msk"))
+      val checks = probes.flatMap { p =>
+        val exactFrac = col(s"le_${p.toInt}").cast("double") / col("n").cast("double")
+        Seq(
+          col(s"le_${p.toInt}"),
+          (abs(tdigest_rank(col("sk"), lit(p)) - exactFrac) <= 0.05).as(s"rank_${p.toInt}_close"),
+          (abs(tdigest_rank(col("msk"), lit(p)) - exactFrac) <= 0.05).as(s"mrank_${p.toInt}_close"))
+      }
+      direct
+        .join(merged, Seq("event_type"))
+        .select(
+          (col("event_type") +: col("n") +: checks) :+
+            (abs(tdigest_rank(col("sk"), tdigest_quantile(col("sk"), 0.5)) - 0.5) <= 0.01)
+              .as("roundtrip_inverse"): _*)
         .orderBy("event_type")
     },
 
@@ -3782,6 +3853,9 @@ object ExtensionQueries {
     "x_sim_ivf_planted" ->
       """SELECT vec_id + 1000000 AS q_id, vec_id AS n_id
         |FROM embeddings WHERE vec_id % 20 = 0 ORDER BY q_id""".stripMargin,
+    "x_sim_pq_planted" ->
+      """SELECT vec_id + 1000000 AS q_id, vec_id AS n_id
+        |FROM embeddings WHERE vec_id % 20 = 0 ORDER BY q_id""".stripMargin,
     "x_video_decode" ->
       """SELECT doc_id AS media_id,
         |       CAST(1 + n_chars % 8 AS INT) AS n_frames,
@@ -4530,6 +4604,19 @@ object ExtensionQueries {
         |       CAST(sum(CASE WHEN value <= 250 THEN 1 ELSE 0 END) AS BIGINT) AS le_250,
         |       TRUE AS rank_250_close,
         |       TRUE AS roundtrip_covers
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x_tdigest_rank" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS le_10,
+        |       TRUE AS rank_10_close, TRUE AS mrank_10_close,
+        |       CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS le_50,
+        |       TRUE AS rank_50_close, TRUE AS mrank_50_close,
+        |       CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS le_100,
+        |       TRUE AS rank_100_close, TRUE AS mrank_100_close,
+        |       CAST(sum(CASE WHEN value <= 250 THEN 1 ELSE 0 END) AS BIGINT) AS le_250,
+        |       TRUE AS rank_250_close, TRUE AS mrank_250_close,
+        |       TRUE AS roundtrip_inverse
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // identical hourly power sums, identical RANGE trailing frame

@@ -1469,6 +1469,105 @@ class ExtSpec extends SparkSpec {
     assert(empty.isNullAt(0))
   }
 
+  test("t-digest rank: CDF inverse bounds, exact quantile round-trip, edge clamps") {
+    import graft.functions.{GraftFunctions, TDigest}
+    val delta = TDigest.DefaultCompression
+    val n = 100000
+    var s = 98765L
+    val vals = Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) * 1000.0
+    }
+    val sorted = vals.sorted
+    def exactFrac(x: Double): Double = sorted.count(_ <= x).toDouble / n
+    def digestOf(xs: Seq[Double]): Array[(Double, Long)] = {
+      var d = Array.empty[(Double, Long)]
+      xs.grouped(TDigest.BufferSize).foreach { blk =>
+        d = TDigest.compress(d ++ blk.map(v => (v, 1L)), delta)
+      }
+      d
+    }
+    val dg = digestOf(vals.toSeq)
+    // rank tracks the exact CDF within the same k1 bound as quantile
+    for (x <- Seq(10.0, 100.0, 250.0, 500.0, 750.0, 990.0)) {
+      val err = math.abs(TDigest.rank(dg, x).get - exactFrac(x))
+      assert(err <= 0.02, s"x=$x rank error $err")
+    }
+    // the two accessors are exact linear inverses between distinct means:
+    // rank(quantile(p)) == p up to FP in the generic interior case
+    for (p <- Seq(0.1, 0.25, 0.5, 0.75, 0.9)) {
+      val rt = TDigest.rank(dg, TDigest.quantile(dg, p).get).get
+      assert(math.abs(rt - p) <= 1e-9, s"roundtrip p=$p got $rt")
+    }
+    // edge clamps mirror quantile's extreme-mean clamps
+    assert(TDigest.rank(dg, sorted(0) - 1.0).contains(0.0))
+    assert(TDigest.rank(dg, sorted(n - 1) + 1.0).contains(1.0))
+    assert(TDigest.rank(Array.empty[(Double, Long)], 1.0).isEmpty)
+    // single-centroid digest: midpoint semantics
+    assert(TDigest.rank(Array((5.0, 10L)), 5.0).contains(0.5))
+    // registered expression: null sketch/probe → null, not NaN
+    GraftFunctions.register(spark)
+    val df = spark.createDataset(vals.take(1000).toSeq)(org.apache.spark.sql.Encoders.scalaDouble).toDF("v")
+    val viaSql = df
+      .agg(GraftFunctions.tdigest_rank(GraftFunctions.tdigest_agg($"v"), lit(500.0)))
+      .head().getDouble(0)
+    assert(math.abs(viaSql - vals.take(1000).count(_ <= 500.0) / 1000.0) <= 0.05)
+  }
+
+  test("PQ: codes are well-formed, ADC+rerank matches brute force on planted copies, compression is real") {
+    graft.functions.GraftFunctions.register(spark)
+    val m = 4
+    val ksub = 16
+    val cb = Similarity.pqCodebooks(embs, "vec_id", "embedding", m, ksub)
+    assert(cb.count() === (m * ksub).toLong)
+    val codes = Similarity.pqEncode(embs, cb, "vec_id", "embedding", m, ksub)
+    val rows = codes.collect()
+    assert(rows.length.toLong === embs.count())
+    // every vector yields exactly m codes, each a valid codebook entry —
+    // the compressed representation is m small ints per vector (the 100 TB
+    // memory story), never a partial or out-of-range assignment
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length === m)
+      assert(cs.forall(c => c >= 0 && c < ksub), s"codes out of range: $cs")
+    }
+    // encode is the per-subspace argmin: re-derive one row's codes on the
+    // driver from the collected codebook and compare exactly
+    val cbLocal = Array.fill(m, ksub)(Array.empty[Float])
+    cb.collect().foreach(r => cbLocal(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray)
+    val v0 = embs.orderBy("vec_id").select("embedding").head().getSeq[Float](0).toArray
+    val dsub = v0.length / m
+    val expect0 = (0 until m).map { sIdx =>
+      (0 until ksub).minBy { c =>
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = v0(sIdx * dsub + i).toDouble - cbLocal(sIdx)(c)(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        (d, c)
+      }
+    }
+    val got0 = codes.orderBy("n_id").head().getSeq[Int](1)
+    assert(got0 === expect0, "driver-side argmin re-derivation disagrees with the encode projection")
+    // planted-copy retrieval: PQ candidates + exact rerank must agree with
+    // brute force's rank-1 (the identity mapping) on every planted query
+    val queries = embs.where($"vec_id" % 20 === 0).select(
+      ($"vec_id" + 1000000L).as("vec_id"),
+      concat(
+        array(element_at($"embedding", 1) * lit(1.05f)),
+        slice($"embedding", lit(2), size($"embedding") - 1)).as("embedding"))
+    val pq = Similarity
+      .pqTopK(codes, cb, embs, queries, "vec_id", "embedding", k = 1, m = m, ksub = ksub, candidates = 16)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toMap
+    val brute = Similarity
+      .bruteForceTopK(embs, queries, "vec_id", "embedding", k = 1)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toMap
+    assert(pq === brute, "PQ+rerank disagrees with brute force on planted copies")
+    assert(pq.forall { case (q, nId) => q - 1000000L === nId }, "planted mapping is not the identity")
+  }
+
   test("gate pin: (user_id, ts) is unique at µs grain on the gate corpora") {
     // x_time_bucket_agg's min_by/max_by determinism rests on this — a
     // data change that introduces per-user µs ties must fail HERE, not

@@ -113,7 +113,12 @@ class PlanSpec extends SparkSpec {
       // eval decontamination assigns the eval side by the same
       // broadcast-over-K-train-seeds pass; the leak probe is
       // cluster-equi-joined
-      "x_decontam_semantic")
+      "x_decontam_semantic",
+      // the PQ ADC scan: codes corpus × broadcast of the bounded query
+      // set (each query carrying its m·ksub distance table) — the
+      // intended map-only nested loop, same shape as the brute-force and
+      // IVF probe stages; the exact re-rank leg is an equi-join on n_id
+      "x_sim_pq_planted")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(allowed).flatMap { name =>
       val p = try plan(name) catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
       if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
