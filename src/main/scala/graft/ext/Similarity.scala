@@ -535,6 +535,73 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cos")
   }
 
+  /** IVF-PQ probe — the composition the large-scale ANN literature ships
+    * as its default index (Jégou et al. 2011 §IV "IVFADC"): the coarse
+    * IVF quantizer prunes the corpus to `nProbe` cells, and within the
+    * probed cells only the PQ CODES are scanned via ADC — the two
+    * prunings multiply (cells-probed/cells × m-bytes/vector), so a
+    * 100 TB corpus costs `nProbe/nCells` of a few TB of codes per query
+    * batch, not a float scan of anything. Candidates are re-scored
+    * exactly (same contract as [[pqTopK]]/[[ivfTopK]]: approximation can
+    * reorder candidates, never fabricate a neighbor). The coded index is
+    * `codes ⋈ (n_id → centroid_id)` — at scale this join is the STORED
+    * layout (codes written `partitionBy(centroid_id)` beside the IVF
+    * index, so the probe prunes to the probed cells' partitions).
+    */
+  def ivfPqTopK(
+      indexed: DataFrame, // (n_id, n_vec, centroid_id) from ivfIndex
+      centroids: DataFrame, // (centroid_id, c_vec)
+      codes: DataFrame, // (n_id, codes) from pqEncode
+      codebooks: DataFrame, // (sub, code, c_vec) from pqCodebooks
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      m: Int,
+      ksub: Int,
+      candidates: Int = 32
+  ): DataFrame = {
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    val dim = queries.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide the embedding dim $dim")
+    val dsub = dim / m
+    val qtabExpr =
+      s"""flatten(transform(sequence(0, ${m - 1}), s ->
+         |  transform(sequence(0, ${ksub - 1}), c ->
+         |    ${pqSubDist("q_vec", "__cb", dsub, "s", "c")})))""".stripMargin
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("centroid_id").asc)
+    val probes = queries
+      .select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("__cb", pqLocal(codebooks, m, ksub))
+      .withColumn("qtab", expr(qtabExpr))
+      .drop("__cb")
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_cos", GraftFunctions.cosine_similarity(col("q_vec"), col("c_vec")))
+      .withColumn("c_rank", row_number().over(wq))
+      .where(col("c_rank") <= nProbe)
+      .select("q_id", "q_vec", "qtab", "centroid_id")
+    val codedIndex = codes.join(indexed.select("n_id", "centroid_id"), Seq("n_id"))
+    val adcExpr =
+      s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
+         |  (acc, s) -> acc + element_at(qtab, s * $ksub + element_at(codes, s + 1) + 1))""".stripMargin
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id").asc)
+    val cand = codedIndex
+      .join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("adc", expr(adcExpr))
+      .withColumn("__rn", row_number().over(wAdc))
+      .where(col("__rn") <= candidates)
+      .select("q_id", "q_vec", "n_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    indexed
+      .select(col("n_id"), col("n_vec"))
+      .join(broadcast(cand), Seq("n_id"))
+      .withColumn("cos", GraftFunctions.cosine_similarity(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
   /** Quantization round-trip summary: per-vector scale, quantized extrema
     * and checksum, and the worst-dimension dequantization error — the
     * columns a quality gate on an index build would watch. Integer parts

@@ -1040,6 +1040,31 @@ object ExtensionQueries {
         .orderBy("q_id")
     },
 
+    // IVF-PQ — the composed index (IVFADC): coarse cells prune the
+    // corpus to nProbe=4 of 16, PQ codes are ADC-scanned within the
+    // probed cells only, exact re-rank decides. Both prunings are the
+    // ones the standalone gates pin (x_sim_ivf_planted's cell coverage,
+    // x_sim_pq_planted's ADC coverage); the composition must still
+    // return the identity mapping — a cell miss OR a candidate miss
+    // fails loudly as a missing row.
+    "x_sim_ivfpq_planted" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val e = embs(s, dir)
+      val (indexed, centroids) = Similarity.cachedIvfIndex(e, "vec_id", "embedding", nCentroids = 16)
+      val cb = Similarity.cachedPqCodebooks(e, "vec_id", "embedding", m = 4, ksub = 16)
+      val codes = Similarity.pqEncode(e, cb, "vec_id", "embedding", m = 4, ksub = 16)
+      val queries = e.where(col("vec_id") % 20 === 0).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) * lit(1.05f)),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
+      Similarity
+        .ivfPqTopK(indexed, centroids, codes, cb, queries, "vec_id", "embedding",
+          k = 1, nProbe = 4, m = 4, ksub = 16, candidates = 16)
+        .select(col("q_id"), col("n_id"))
+        .orderBy("q_id")
+    },
+
     // token counting: whitespace + BPE-ish regex pre-tokenizer
     "x_text_tokens" -> { (s, dir) =>
       docs(s, dir)
@@ -3854,6 +3879,9 @@ object ExtensionQueries {
       """SELECT vec_id + 1000000 AS q_id, vec_id AS n_id
         |FROM embeddings WHERE vec_id % 20 = 0 ORDER BY q_id""".stripMargin,
     "x_sim_pq_planted" ->
+      """SELECT vec_id + 1000000 AS q_id, vec_id AS n_id
+        |FROM embeddings WHERE vec_id % 20 = 0 ORDER BY q_id""".stripMargin,
+    "x_sim_ivfpq_planted" ->
       """SELECT vec_id + 1000000 AS q_id, vec_id AS n_id
         |FROM embeddings WHERE vec_id % 20 = 0 ORDER BY q_id""".stripMargin,
     "x_video_decode" ->

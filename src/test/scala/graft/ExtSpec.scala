@@ -1568,6 +1568,42 @@ class ExtSpec extends SparkSpec {
     assert(pq.forall { case (q, nId) => q - 1000000L === nId }, "planted mapping is not the identity")
   }
 
+  test("IVF-PQ: composed pruning still matches brute force on planted copies") {
+    graft.functions.GraftFunctions.register(spark)
+    val m = 4
+    val ksub = 16
+    val (indexed, centroids) = Similarity.ivfIndex(embs, "vec_id", "embedding", nCentroids = 16)
+    val cb = Similarity.pqCodebooks(embs, "vec_id", "embedding", m, ksub)
+    val codes = Similarity.pqEncode(embs, cb, "vec_id", "embedding", m, ksub)
+    val queries = embs.where($"vec_id" % 20 === 0).select(
+      ($"vec_id" + 1000000L).as("vec_id"),
+      concat(
+        array(element_at($"embedding", 1) * lit(1.05f)),
+        slice($"embedding", lit(2), size($"embedding") - 1)).as("embedding"))
+    val ivfpq = Similarity
+      .ivfPqTopK(indexed, centroids, codes, cb, queries, "vec_id", "embedding",
+        k = 1, nProbe = 4, m = m, ksub = ksub, candidates = 16)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toMap
+    val brute = Similarity
+      .bruteForceTopK(embs, queries, "vec_id", "embedding", k = 1)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toMap
+    assert(ivfpq === brute, "IVF-PQ disagrees with brute force on planted copies")
+    // the cell pruning is real: with nProbe=1 the scan touches at most
+    // one cell's share of the corpus per query (candidate counts bound
+    // it observably — a query can surface no more rows than its single
+    // probed cell holds)
+    val cellSizes = indexed.groupBy("centroid_id").count()
+      .as[(Int, Long)].collect().toMap
+    val oneProbe = Similarity
+      .ivfPqTopK(indexed, centroids, codes, cb, queries, "vec_id", "embedding",
+        k = 1000, nProbe = 1, m = m, ksub = ksub, candidates = 1000)
+      .groupBy("q_id").count().as[(Long, Long)].collect()
+    val maxCell = cellSizes.values.max
+    oneProbe.foreach { case (q, n) =>
+      assert(n <= maxCell, s"query $q surfaced $n rows > largest cell $maxCell — pruning not applied")
+    }
+  }
+
   test("gate pin: (user_id, ts) is unique at µs grain on the gate corpora") {
     // x_time_bucket_agg's min_by/max_by determinism rests on this — a
     // data change that introduces per-user µs ties must fail HERE, not

@@ -118,7 +118,11 @@ class PlanSpec extends SparkSpec {
       // set (each query carrying its m·ksub distance table) — the
       // intended map-only nested loop, same shape as the brute-force and
       // IVF probe stages; the exact re-rank leg is an equi-join on n_id
-      "x_sim_pq_planted")
+      "x_sim_pq_planted",
+      // IVF-PQ: only the queries × 16 broadcast centroids probe is a
+      // nested loop (the ivfTopK shape); the ADC scan and re-rank are
+      // equi-joins on centroid_id / n_id
+      "x_sim_ivfpq_planted")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(allowed).flatMap { name =>
       val p = try plan(name) catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
       if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
