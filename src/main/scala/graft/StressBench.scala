@@ -469,7 +469,30 @@ object StressBench {
         numPlanes = 8, multiProbeBits = 1).count()),
     "sim_ivf_topk" -> (() =>
       Similarity.ivfTopK(ivfIndexed, ivfCentroids, queries, "vec_id", "embedding",
-        k = 5, nProbe = 4).count())
+        k = 5, nProbe = 4).count()),
+    // the PQ/ADC scan path: codebooks + codes are the pre-built stored
+    // artifact (memoized per corpus, untimed — training is amortized over
+    // every probe), the timed op is the ADC table-lookup scan of the
+    // codes table plus the exact re-rank. ADC is corpus-LINEAR by design
+    // (every code row is summed), so x_vs_linear reads ~1 here; the
+    // scale claim this probe pins is the CONSTANT — m integer lookups
+    // over m bytes/vector, no float arithmetic in the scan — visible as
+    // the absolute sec_Kx against the float-scan families at the same
+    // corpus size.
+    "sim_pq_adc" -> (() => {
+      val spark = embs.sparkSession
+      val dir = memoIndex(embs.inputFiles.toSet, "pqidx") { d =>
+        Similarity.pqCodebooks(embs, "vec_id", "embedding", m = 4, ksub = 16)
+          .write.parquet(s"$d/cb")
+        Similarity.pqEncode(
+            embs, spark.read.parquet(s"$d/cb"), "vec_id", "embedding", m = 4, ksub = 16)
+          .write.parquet(s"$d/codes")
+      }
+      Similarity.pqTopK(
+        spark.read.parquet(s"$dir/codes"), spark.read.parquet(s"$dir/cb"),
+        embs, queries, "vec_id", "embedding",
+        k = 5, m = 4, ksub = 16, candidates = 32).count()
+    })
   )
 
   def main(args: Array[String]): Unit = {

@@ -518,17 +518,24 @@ object Similarity {
     val adcExpr =
       s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
          |  (acc, s) -> acc + element_at(qtab, s * $ksub + element_at(codes, s + 1) + 1))""".stripMargin
-    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id").asc)
+    // partial top-candidates per query (negated ADC through the shared
+    // TopKAggregator: score desc ≡ distance asc, id-asc tie-break) — only
+    // `candidates` rows per (query × partition) reach the shuffle, the
+    // same reason bruteForceTopK is not a window (a window here would
+    // exchange the whole scored codes scan)
+    val topk = udaf(new graft.functions.TopKAggregator(candidates))
     val cand = codes
       .crossJoin(broadcast(q))
       .withColumn("adc", expr(adcExpr))
-      .withColumn("__rn", row_number().over(wAdc))
-      .where(col("__rn") <= candidates)
-      .select("q_id", "q_vec", "n_id")
+      .groupBy("q_id")
+      .agg(topk(-col("adc"), col("n_id")).as("nn"))
+      .select(col("q_id"), explode(col("nn")).as("c"))
+      .select(col("q_id"), col("c.id").as("n_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
     corpus
       .select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
       .join(broadcast(cand), Seq("n_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_vec"))), Seq("q_id"))
       .withColumn("cos", GraftFunctions.cosine_similarity(col("q_vec"), col("n_vec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -585,17 +592,22 @@ object Similarity {
     val adcExpr =
       s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
          |  (acc, s) -> acc + element_at(qtab, s * $ksub + element_at(codes, s + 1) + 1))""".stripMargin
-    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id").asc)
+    // same partial top-candidates shape as pqTopK: k rows per (query ×
+    // partition) to the shuffle, never the probed cells' full ADC scan
+    val topk = udaf(new graft.functions.TopKAggregator(candidates))
     val cand = codedIndex
       .join(broadcast(probes), Seq("centroid_id"))
       .withColumn("adc", expr(adcExpr))
-      .withColumn("__rn", row_number().over(wAdc))
-      .where(col("__rn") <= candidates)
-      .select("q_id", "q_vec", "n_id")
+      .groupBy("q_id")
+      .agg(topk(-col("adc"), col("n_id")).as("nn"))
+      .select(col("q_id"), explode(col("nn")).as("c"))
+      .select(col("q_id"), col("c.id").as("n_id"))
+    val qvecs = probes.select("q_id", "q_vec").dropDuplicates("q_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
     indexed
       .select(col("n_id"), col("n_vec"))
       .join(broadcast(cand), Seq("n_id"))
+      .join(broadcast(qvecs), Seq("q_id"))
       .withColumn("cos", GraftFunctions.cosine_similarity(col("q_vec"), col("n_vec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
