@@ -2062,6 +2062,78 @@ object ExtensionQueries {
       } finally RollupRewrite.clear()
     },
 
+    // Streaming continuous aggregate with MERGEABLE SKETCH state —
+    // percentile_agg inside a cagg: hourly t-digest partials maintained
+    // across micro-batches (multi-file first run, then a checkpoint
+    // RESTART folding a third chunk in), rolled to daily via
+    // tdigest_merge_agg at serve time. Counts are exact across any
+    // batching (n + the n_exact boolean pin streamed == raw); digest
+    // estimates gate as rank-bound booleans (3% + 2/n — the
+    // x_percentile_tdigest idiom), never digest bytes (t-digest merge is
+    // order-dependent within the bound by construction).
+    "x_sketch_rollup_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.CdcStream
+      import graft.functions.GraftFunctions._
+      GraftFunctions.register(s)
+      val ev = events(s, dir).where(col("value").isNotNull)
+        .select("event_id", "ts", "event_type", "value")
+      val base = java.nio.file.Files.createTempDirectory("graft-sketchcagg").toString
+      val rawDir = s"$base/raw"
+      ev.where(col("event_id") % 4 =!= 0).coalesce(2).write.parquet(rawDir)
+      val schema = s.read.parquet(rawDir).schema
+      def runOnce(): Unit = {
+        val q = CdcStream.sketchRollupMaintain(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(rawDir),
+          "ts", 3600L, Seq("event_type"), "value",
+          s"$base/state", s"$base/ckpt", Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      // gate-scoped shuffle width (the x_scd2_stream idiom): per-batch
+      // sketch merges over a few hundred buckets don't need 32-way tasks
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        runOnce()
+        ev.where(col("event_id") % 4 === 0).coalesce(1).write.mode("append").parquet(rawDir)
+        runOnce()
+        val state = s.read.parquet(s"$base/state")
+        val daily = state
+          .groupBy(col("event_type"), date_trunc("day", col("bucket_ts")).as("d"))
+          .agg(sum(col("n")).as("n_stream"), tdigest_merge_agg(col("sk")).as("msk"))
+          .select(col("event_type"), col("d"), col("n_stream"),
+            tdigest_quantile(col("msk"), 0.5).as("m50"),
+            tdigest_quantile(col("msk"), 0.95).as("m95"))
+        val ranked = ev.withColumn("d", date_trunc("day", col("ts")))
+          .join(broadcast(daily), Seq("event_type", "d"))
+          .groupBy("event_type", "d")
+          .agg(count(lit(1)).as("n"),
+            sum((col("value") <= col("m50")).cast("long")).as("le_m50"),
+            sum((col("value") <= col("m95")).cast("long")).as("le_m95"),
+            first(col("n_stream")).as("n_stream"))
+        val exact = ev
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+          .agg(expr("percentile(value, 0.5)").as("e50"),
+            expr("percentile(value, 0.95)").as("e95"))
+        val rankOk = (le: String, p: Double) =>
+          abs(col(le).cast("double") / col("n").cast("double") - p) <=
+            lit(0.03) + lit(2.0) / col("n").cast("double")
+        val out = java.nio.file.Files.createTempDirectory("graft-sketchcagg-out").toString
+        exact.join(ranked, Seq("event_type", "d"))
+          .select(
+            col("event_type"),
+            expr("unix_seconds(d)").as("day_s"),
+            col("n"),
+            (col("n_stream") === col("n")).as("n_exact"),
+            round(col("e50"), 4).as("p50_exact"),
+            round(col("e95"), 4).as("p95_exact"),
+            rankOk("le_m50", 0.5).as("m50_rank_ok"),
+            rankOk("le_m95", 0.95).as("m95_rank_ok"))
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out).orderBy("event_type", "day_s")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    },
+
     // Candlestick open/close THROUGH the transparent rewrite —
     // Timescale's first()/last() served from a continuous aggregate: the
     // daily min_by/max_by(measure, ts) and min/max(ts) over RAW events
@@ -4634,6 +4706,17 @@ object ExtensionQueries {
         |       TRUE AS roundtrip_covers
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x_sketch_rollup_stream" ->
+      """SELECT event_type,
+        |       CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+        |       count(*) AS n,
+        |       TRUE AS n_exact,
+        |       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+        |       round(quantile_cont(value, 0.95), 4) AS p95_exact,
+        |       TRUE AS m50_rank_ok, TRUE AS m95_rank_ok
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY event_type, day_s""".stripMargin,
     "x_tdigest_rank" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS le_10,

@@ -447,6 +447,85 @@ object CdcStream {
       .start()
   }
 
+  /** Streaming continuous aggregate with MERGEABLE SKETCH state — the
+    * `percentile_agg`-inside-a-continuous-aggregate form (Timescale's
+    * caggs carry sketch states, not just sums; [[rollupMaintain]] covers
+    * the sum/count/extrema family, this covers the sketch family).
+    *
+    * Per trigger: the batch aggregates to per-(bucket, keys) t-digest
+    * PARTIALS plus exact counts, and the stored state advances by SKETCH
+    * MERGE — touched buckets re-merge `stored ∪ batch` through
+    * `tdigest_merge_agg`, untouched buckets pass through untouched. Work
+    * per trigger is O(batch + touched buckets); the raw history is never
+    * rescanned, which is the whole point of mergeable sketch state (a
+    * windowed exact percentile would need every raw value kept).
+    *
+    * Contract surface: counts are EXACT across any batching (the gate's
+    * hash anchor); digest estimates are within the t-digest rank bound
+    * but merge-order-DEPENDENT (never bit-stable across batchings — the
+    * documented t-digest asymmetry vs UDDSketch), so correctness gates
+    * pin exact anchors + rank-bound booleans, not digest bytes.
+    *
+    * Replay safety: the state rows carry `applied_batch` (the batch id
+    * that produced this state version) ATOMICALLY inside the state swap.
+    * An incremental sketch merge is not naturally idempotent — replaying
+    * a micro-batch after a crash-before-checkpoint would double-merge
+    * and double-count — so a batch whose id is ≤ the stored
+    * `applied_batch` is skipped as already folded in.
+    */
+  def sketchRollupMaintain(
+      events: DataFrame,
+      tsCol: String,
+      widthSeconds: Long,
+      keys: Seq[String],
+      valueCol: String,
+      statePath: String,
+      checkpoint: String,
+      trigger: Trigger = DefaultTrigger
+  ): StreamingQuery = {
+    val upsertKeys = "bucket_ts" +: keys
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.GraftFunctions.register(spark)
+        verifyStateKeyFormat(spark, statePath, "bucket_ts:timestamp_us:v1")
+        import graft.functions.GraftFunctions.{tdigest_agg, tdigest_merge_agg}
+        val stored = readState(spark, statePath)
+        val alreadyApplied = stored.exists { st =>
+          st.columns.contains("applied_batch") &&
+            st.agg(max(col("applied_batch"))).head().getLong(0) >= batchId
+        }
+        if (!alreadyApplied) {
+          val b = batch.toDF()
+            .groupBy(graft.operators.TsAnalytics
+              .timeBucket(col(tsCol), widthSeconds).as("bucket_ts") +: keys.map(col): _*)
+            .agg(
+              count(lit(1)).as("n"),
+              tdigest_agg(col(valueCol).cast("double")).as("sk"))
+            .cache()
+          try {
+            val next = stored match {
+              case Some(current0) =>
+                val current = current0.drop("applied_batch")
+                val untouched = current.join(b, upsertKeys, "left_anti")
+                val touched = current.join(b.select(upsertKeys.map(col): _*), upsertKeys, "left_semi")
+                val remerged = touched.unionByName(b)
+                  .groupBy(upsertKeys.map(col): _*)
+                  .agg(sum(col("n")).as("n"), tdigest_merge_agg(col("sk")).as("sk"))
+                untouched.unionByName(remerged)
+              case None => b
+            }
+            swapState(spark, statePath, next.withColumn("applied_batch", lit(batchId)))
+          } finally { b.unpersist(); () }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode("append")
+      .start()
+  }
+
   /** Streaming exact-substring dedup + strip — the INGEST composition of
     * [[graft.ext.Dedup.exactSubstringSpansIncremental]] and
     * [[graft.ext.Dedup.stripSpans]]: per micro-batch, arriving documents

@@ -259,6 +259,59 @@ class StreamingSpec extends SparkSpec {
       "incrementally maintained rollup must equal the one-shot batch rollup")
   }
 
+  test("sketchRollupMaintain: exact counts across drains, rank-bounded digests, no-op idle drain") {
+    import graft.streaming.CdcStream
+    import graft.functions.GraftFunctions
+    import graft.functions.GraftFunctions.{tdigest_merge_agg, tdigest_quantile}
+    import org.apache.spark.sql.streaming.Trigger
+    GraftFunctions.register(spark)
+    val ev = Tables.load(spark, sf0001, "events")
+      .where($"value".isNotNull)
+      .select("event_id", "ts", "event_type", "value")
+    val base = tempDir("sketchmaint")
+    val dataDir = s"$base/d"; val statePath = s"$base/state"; val ckpt = s"$base/ckpt"
+    def drain(): Unit = {
+      val q = CdcStream.sketchRollupMaintain(
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(dataDir),
+        "ts", 3600L, Seq("event_type"), "value",
+        statePath, ckpt, Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    ev.where($"event_id" % 3 =!= 0).coalesce(2).write.mode("append").parquet(dataDir)
+    drain()
+    ev.where($"event_id" % 3 === 0).coalesce(1).write.mode("append").parquet(dataDir)
+    drain()
+    val state = spark.read.parquet(statePath)
+    // counts are EXACT per hourly bucket regardless of the batching
+    val gotCounts = state.select($"bucket_ts", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val expCounts = ev
+      .groupBy(graft.operators.TsAnalytics.timeBucket($"ts", 3600L).as("bucket_ts"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(gotCounts === expCounts, "streamed bucket counts must equal the batch aggregate")
+    // merged per-type digest: p50 within the rank bound of the exact corpus
+    val perType = state.groupBy($"event_type")
+      .agg(tdigest_quantile(tdigest_merge_agg($"sk"), 0.5).as("m50"))
+      .as[(String, Double)].collect().toMap
+    perType.foreach { case (et, m50) =>
+      val vs = ev.where($"event_type" === et).select($"value".cast("double"))
+        .as[Double].collect().sorted
+      val rank = vs.count(_ <= m50).toDouble / vs.length
+      assert(math.abs(rank - 0.5) <= 0.03 + 2.0 / vs.length,
+        s"$et: streamed+merged p50 rank $rank outside the bound")
+    }
+    // an idle drain (no new files) leaves the state byte-identical — and
+    // the applied_batch guard makes a REPLAYED batch a no-op, so a crash
+    // between checkpoint commit and the next trigger cannot double-merge
+    val before = state.orderBy("event_type", "bucket_ts").collect().toSeq
+    drain()
+    val after = spark.read.parquet(statePath).orderBy("event_type", "bucket_ts").collect().toSeq
+    assert(after === before, "idle drain must not disturb the sketch state")
+    val maxBatch = spark.read.parquet(statePath).agg(max($"applied_batch")).head().getLong(0)
+    assert(maxBatch >= 1L, "state must record the applied batch id")
+  }
+
   test("continuous aggregate: mid-stream stop + checkpoint restart converges to the batch oracle") {
     val ev = Tables.load(spark, sf0001, "events").limit(600).cache()
     try {
