@@ -356,6 +356,106 @@ object TextOps {
     }
   }
 
+  /** Canonicalize a URL for crawl-side dedup — the normalization a
+    * fetch/dedup frontier applies so trivially-distinct spellings of one
+    * resource collapse to one key before any content fetch:
+    *
+    *   1. scheme and host lowercase;
+    *   2. default ports stripped (`:80` for http, `:443` for https);
+    *   3. fragment dropped (never sent to the server);
+    *   4. tracking parameters dropped (`utm_*`, `gclid=`, `fbclid=`);
+    *   5. remaining query parameters sorted (param order is almost never
+    *      semantic; sorting makes `?a=1&b=2` ≡ `?b=2&a=1`);
+    *   6. path: trailing slashes trimmed, empty path → `/`.
+    *
+    * Pure codegen'd built-ins (regexp_extract / filter / array_sort /
+    * concat) in ONE projection — canonicalizing a 100 TB URL frontier is
+    * a map-only scan, and the rule set is exactly re-derivable in the SQL
+    * oracle (no engine URL parser, whose edge-case behavior would differ).
+    * Non-URL strings (no `scheme://`) pass through lowercased-scheme-free
+    * unchanged. Null-safe.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val u = url
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http" && hostPort.endsWith(":80"),
+        hostPort.substr(lit(1), length(hostPort) - 3))
+      .when(scheme === "https" && hostPort.endsWith(":443"),
+        hostPort.substr(lit(1), length(hostPort) - 4))
+      .otherwise(hostPort)
+    val rawPath = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(length(rtrim(rawPath, "/")) === 0, lit("/"))
+      .otherwise(rtrim(rawPath, "/"))
+    val rawQuery = regexp_extract(u, "\\?([^#]*)", 1)
+    val keptParams = filter(
+      split(rawQuery, "&"),
+      p => length(p) > 0 && !p.startsWith("utm_") &&
+        !p.startsWith("gclid=") && !p.startsWith("fbclid="))
+    val query = array_join(array_sort(keptParams), "&")
+    when(u.isNull, lit(null).cast("string"))
+      .when(scheme === "", u)
+      .otherwise(concat(
+        scheme, lit("://"), host, path,
+        when(length(query) > 0, concat(lit("?"), query)).otherwise(lit(""))))
+  }
+
+  /** Deterministic weighted sample WITHOUT replacement, n per stratum —
+    * the corpus-rebalancing step a mixture pipeline runs when "keep
+    * fraction f" ([[hashKeep]]) is too blunt and inclusion odds must
+    * scale with a per-document weight (quality tier, source priority,
+    * dedup-cluster mass).
+    *
+    * Algorithm: Efraimidis & Spirakis A-ES in its integer-weight
+    * MAX-UNIFORM form. A-ES ranks items by `u^(1/w)` (u uniform) and
+    * takes the top n; for integer w, `u^(1/w)` is distributed as the MAX
+    * of w independent uniforms, so ranking by `max(u_1..u_w)` draws the
+    * same sample — and needs NO transcendental math. The uniforms are
+    * md5(salt:id:copy) hex strings (fixed-width lowercase hex:
+    * lexicographic = numeric), so the whole draw is exactly
+    * re-derivable in any engine — the [[hashSplit]] portability
+    * contract, extended to weighted sampling. The ranking key is the
+    * max hex's first 13 chars (52 bits, exact in a double); ties break
+    * by id ascending.
+    *
+    * Scale shape: the per-item key is ONE map-side projection
+    * (`array_max` over a `transform(sequence(1, w), ...)` — no explode,
+    * no shuffle for the copies), and the per-stratum top-n is the
+    * partial [[graft.functions.TopKAggregator]] — n rows per
+    * (stratum × partition) reach the shuffle, never the corpus. Weights
+    * are capped by `maxW` (the per-row transform is O(w)): reweighting
+    * beyond ~100 should bucket the weight, not replicate uniforms.
+    *
+    * Returns (strataCol, id, rank) with rank 1..n by key descending.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weight: Column,
+      n: Int,
+      salt: String,
+      maxW: Int = 100
+  ): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    val w = least(greatest(weight.cast("int"), lit(1)), lit(maxW))
+    // key computed in ONE projection over the caller's frame (weight may
+    // reference any of its columns); copies never materialize as rows
+    val key = array_max(transform(
+      sequence(lit(1), w),
+      c => md5(concat_ws(":", lit(salt), col(idCol).cast("long").cast("string"), c.cast("string")))))
+    val score = expr(s"CAST(CAST(conv(substring(__k, 1, 13), 16, 10) AS BIGINT) AS DOUBLE)")
+    val topk = udaf(new graft.functions.TopKAggregator(n))
+    df.select(col(strataCol), col(idCol).cast("long").as("__id"), key.as("__k"))
+      .groupBy(col(strataCol))
+      .agg(topk(score, col("__id")).as("nn"))
+      .select(col(strataCol), posexplode(col("nn")))
+      .select(
+        col(strataCol),
+        col("col.id").as(idCol),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Train/eval decontamination: for every document NOT in the train split,
     * how much of it already appears in train — the n-gram-overlap check a
     * training pipeline runs before trusting an eval set (eval documents

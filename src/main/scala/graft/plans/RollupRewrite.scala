@@ -79,7 +79,17 @@ object RollupRewrite extends Rule[LogicalPlan] {
       finerLevel: String,
       measureSql: String,
       measureExpr: Option[Expression] = None,
-      realtime: Boolean = true
+      realtime: Boolean = true,
+      // canonical SQL of the SKETCH measure (usually the unscaled double,
+      // vs the exact-integer `measureSql` the sum/min/max partials use)
+      // when the rollup also carries mergeable sketch states (`sk_td` /
+      // `sk_udd` from [[buildSketchRollup]]) — enables serving
+      // `tdigest_agg` / `udd_sketch_agg` of that measure by SKETCH MERGE
+      // over the rollup (Timescale's percentile_agg-in-a-cagg read path).
+      // Exact-coverage serving only: the real-time union plan drops the
+      // sketch columns, so a tail-bearing scan refuses sketch queries
+      // back to the raw plan rather than serving a stale percentile.
+      sketchSql: Option[String] = None
   )
 
   private val specs = new java.util.concurrent.ConcurrentHashMap[String, Spec]()
@@ -147,6 +157,44 @@ object RollupRewrite extends Rule[LogicalPlan] {
         min_by(measure, col(tsCol)).as("open_e"),
         max(col(tsCol)).as("ts_close"),
         max_by(measure, col(tsCol)).as("close_e"))
+
+  /** [[buildRollup]] extended with per-bucket MERGEABLE SKETCH states —
+    * Timescale's `percentile_agg(value)` column inside a continuous
+    * aggregate, in both sketch flavors: `sk_td` (t-digest, rank-space,
+    * merge within the rank bound) and `sk_udd` (UDDSketch, value-space,
+    * merge bit-exact). `sketchMeasure` is typically the UNSCALED double
+    * (percentiles of the real value), distinct from the exact-integer
+    * `measure` the sum/min/max partials use; register its canonical form
+    * as [[Spec.sketchSql]] and the rewrite serves `tdigest_agg` /
+    * `udd_sketch_agg` of it by merge. Sketch columns are a few KB per
+    * bucket regardless of bucket row count — the whole point: a day
+    * percentile over 100 TB of raw rows reads hours × KB of state.
+    */
+  def buildSketchRollup(
+      raw: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      measure: Column,
+      sketchMeasure: Column,
+      level: String
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(raw.sparkSession)
+    import graft.functions.GraftFunctions.{tdigest_agg, udd_sketch_agg}
+    raw
+      .groupBy(keys.map(col) :+ date_trunc(level, col(tsCol)).as("bucket_ts"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        count(measure).as("cnt_e"),
+        sum(measure).as("sum_e"),
+        min(measure).as("min_e"),
+        max(measure).as("max_e"),
+        min(col(tsCol)).as("ts_open"),
+        min_by(measure, col(tsCol)).as("open_e"),
+        max(col(tsCol)).as("ts_close"),
+        max_by(measure, col(tsCol)).as("close_e"),
+        tdigest_agg(sketchMeasure.cast("double")).as("sk_td"),
+        udd_sketch_agg(sketchMeasure.cast("double")).as("sk_udd"))
+  }
 
   def install(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(RollupRewrite)) {
@@ -491,6 +539,11 @@ object RollupRewrite extends Rule[LogicalPlan] {
     def mapAgg(ae: AggregateExpression): Option[Expression] = ae.aggregateFunction match {
       case Count(children) if children.forall(_.isInstanceOf[Literal]) =>
         Some(Coalesce(Seq(ae.copy(aggregateFunction = Sum(nAttr)), Literal(0L))))
+      // count(measure) — the NON-NULL count — is exactly sum(cnt_e):
+      // cnt_e is count(measure) per bucket, and counts add across buckets
+      case Count(Seq(e)) if isMeasure(e) && byName.contains("cnt_e") =>
+        Some(Coalesce(Seq(
+          ae.copy(aggregateFunction = Sum(rAttr("cnt_e"))), Literal(0L))))
       case Sum(e, mode) if isMeasure(e) => Some(ae.copy(aggregateFunction = Sum(sumAttr, mode)))
       case Min(e) if isMeasure(e) => Some(ae.copy(aggregateFunction = Min(minAttr)))
       case Max(e) if isMeasure(e) => Some(ae.copy(aggregateFunction = Max(maxAttr)))
@@ -509,6 +562,20 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case Max(e) if hasOhlc && isTsColumn(e) &&
           e.dataType == rAttr("ts_close").dataType =>
         Some(ae.copy(aggregateFunction = Max(rAttr("ts_close"))))
+      // sketch-state serving (percentile_agg in a continuous aggregate):
+      // the raw query's sketch-build aggregate over the registered sketch
+      // measure becomes a sketch MERGE over the rollup's per-bucket
+      // states. t-digest merge re-compresses within the documented rank
+      // bound; UDDSketch merge is per-bucket count addition — bit-exact,
+      // so UDD serving is indistinguishable from the raw aggregate.
+      case graft.functions.TDigestAgg(e, _, _)
+          if byName.contains("sk_td") &&
+            spec.sketchSql.contains(canonical(deref(e, aliasMap))) =>
+        Some(ae.copy(aggregateFunction = graft.functions.TDigestMergeAgg(rAttr("sk_td"))))
+      case graft.functions.UddSketchAgg(e, _, _)
+          if byName.contains("sk_udd") &&
+            spec.sketchSql.contains(canonical(deref(e, aliasMap))) =>
+        Some(ae.copy(aggregateFunction = graft.functions.UddMergeAgg(rAttr("sk_udd"))))
       case Average(e, _) if isMeasure(e) && byName.contains("cnt_e") &&
           !deref(e, aliasMap).dataType.isInstanceOf[DecimalType] =>
         // Timescale's real-time-aggregate decomposition: avg(measure) =

@@ -609,6 +609,50 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // URL canonicalization — crawl-frontier dedup keying over a
+    // deterministic messy-URL corpus (mixed scheme/host case, default vs
+    // explicit vs missing ports, trailing-slash variants, tracking
+    // params, unordered params, fragments). Both engines construct the
+    // SAME url string from doc_id; canonicalization is independently
+    // re-derived in the oracle from the documented rule set (regexes,
+    // list filter/sort) — never an engine URL parser.
+    "x_url_canonical" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"))
+      val id = col("doc_id")
+      val scheme0 = when(id % 2 === 0, lit("HTTP")).otherwise(lit("https"))
+      val port = when(id % 3 === 0,
+          when(id % 2 === 0, lit(":80")).otherwise(lit(":443")))
+        .when(id % 3 === 1, lit(":8080"))
+        .otherwise(lit(""))
+      val path = when(id % 5 === 0, lit(""))
+        .when(id % 5 === 1, lit("/a/"))
+        .when(id % 5 === 2, lit("/a/b"))
+        .when(id % 5 === 3, lit("/a//"))
+        .otherwise(lit("/x"))
+      val qs = when(id % 4 === 0, lit("?b=2&utm_source=x&a=1"))
+        .when(id % 4 === 1, lit("?a=1&b=2"))
+        .when(id % 4 === 2, lit("?utm_campaign=z"))
+        .otherwise(lit(""))
+      val frag = when(id % 2 === 0, lit("#frag")).otherwise(lit(""))
+      val url = concat(scheme0, lit("://Ex"), (id % 7).cast("string"), lit(".COM"),
+        port, path, qs, frag)
+      d.select(col("doc_id"), url.as("url"), TextOps.canonicalUrl(url).as("canon"))
+        .orderBy("doc_id")
+    },
+
+    // weighted sample without replacement, 20 per source stratum, weight
+    // 1 + doc_id % 4 — A-ES in the integer-weight max-uniform form: rank
+    // by max of w md5(salt:id:copy) uniforms (no transcendentals, so the
+    // whole draw re-derives EXACTLY in DuckDB — the hashSplit
+    // portability contract extended to weighted sampling). Both engines
+    // rank by the max hex's 13-char prefix desc, id asc.
+    "x_sample_weighted" -> { (s, dir) =>
+      TextOps
+        .weightedSample(docs(s, dir), "doc_id", "source",
+          lit(1) + col("doc_id") % 4, n = 20, salt = "ws")
+        .orderBy("source", "rank")
+    },
+
     // train/eval decontamination: shingle overlap of every val/test doc
     // against the train split's distinct shingle vocabulary — the leakage
     // check run before trusting an eval set. Composes the deterministic
@@ -2178,6 +2222,84 @@ object ExtensionQueries {
       } finally RollupRewrite.clear()
     },
 
+    // percentile_agg SERVED FROM the continuous aggregate — the rewrite
+    // answers tdigest_agg/udd_sketch_agg of the registered sketch
+    // measure by MERGING the rollup's per-bucket states (sk_td/sk_udd)
+    // instead of rescanning raw rows; the require pins that the served
+    // plan reads the rollup files. UDDSketch merge is bit-exact, so the
+    // served quantile must EQUAL the direct raw-aggregate quantile
+    // (computed with the rule cleared) — an exact boolean; t-digest
+    // serve gates as rank-bound booleans vs the exact corpus ranks.
+    "x_rollup_sketch_serve" -> { (s, dir) =>
+      import graft.plans.RollupRewrite
+      import graft.functions.GraftFunctions._
+      GraftFunctions.register(s)
+      RollupRewrite.clear()
+      try {
+        val raw = events(s, dir)
+        val m = floor(col("value") * 10000 + 0.5).cast("long")
+        val sm = col("value").cast("double")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-sketch-rollup").toString
+        RollupRewrite.buildSketchRollup(raw, Seq("event_type"), "ts", m, sm, "hour")
+          .write.mode("overwrite").parquet(tmp)
+        val rollup = s.read.parquet(tmp)
+        RollupRewrite.register("events_sketch_serve_gate", RollupRewrite.Spec(
+          raw.inputFiles.toSet, rollup.queryExecution.analyzed,
+          Seq("event_type"), "ts", "hour",
+          RollupRewrite.canonicalMeasure(raw, m),
+          sketchSql = Some(RollupRewrite.canonicalMeasure(raw, sm))))
+        RollupRewrite.install(s)
+        def percentiles(df: DataFrame): DataFrame = df
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+          .agg(
+            count(lit(1)).as("n"),
+            // count of the registered MEASURE — served as sum(cnt_e);
+            // equals count(value) since the measure is null iff value is
+            count(m).as("n_nn"),
+            tdigest_quantile(tdigest_agg(col("value").cast("double")), 0.5).as("td50"),
+            tdigest_quantile(tdigest_agg(col("value").cast("double")), 0.95).as("td95"),
+            udd_quantile(udd_sketch_agg(col("value").cast("double")), 0.5).as("ud50"),
+            udd_quantile(udd_sketch_agg(col("value").cast("double")), 0.95).as("ud95"))
+        val servedQ = percentiles(raw)
+        require(servedQ.queryExecution.executedPlan.toString
+          .contains(new java.io.File(tmp).getName),
+          "sketch rollup rewrite did not fire for the gate query")
+        val outServed = java.nio.file.Files.createTempDirectory("graft-sketch-served").toString
+        servedQ.write.mode("overwrite").parquet(outServed)
+        RollupRewrite.clear()
+        val outDirect = java.nio.file.Files.createTempDirectory("graft-sketch-direct").toString
+        percentiles(raw).write.mode("overwrite").parquet(outDirect)
+        val served = s.read.parquet(outServed)
+        val direct = s.read.parquet(outDirect)
+          .select(col("event_type"), col("d"),
+            col("ud50").as("dud50"), col("ud95").as("dud95"))
+        val ranked = raw.where(col("value").isNotNull)
+          .withColumn("d", date_trunc("day", col("ts")))
+          .join(broadcast(served.select("event_type", "d", "td50", "td95")),
+            Seq("event_type", "d"))
+          .groupBy("event_type", "d")
+          .agg(
+            sum((col("value") <= col("td50")).cast("long")).as("le_td50"),
+            sum((col("value") <= col("td95")).cast("long")).as("le_td95"))
+        val rankOk = (le: String, p: Double) =>
+          abs(col(le).cast("double") / col("n_nn").cast("double") - p) <=
+            lit(0.03) + lit(2.0) / col("n_nn").cast("double")
+        served
+          .join(direct, Seq("event_type", "d"))
+          .join(ranked, Seq("event_type", "d"))
+          .select(
+            col("event_type"),
+            expr("unix_seconds(d)").as("day_s"),
+            col("n"),
+            col("n_nn"),
+            (col("ud50") === col("dud50")).as("udd50_served_exact"),
+            (col("ud95") === col("dud95")).as("udd95_served_exact"),
+            rankOk("le_td50", 0.5).as("td50_rank_ok"),
+            rankOk("le_td95", 0.95).as("td95_rank_ok"))
+          .orderBy("event_type", "day_s")
+      } finally RollupRewrite.clear()
+    },
+
     // Timescale saturating int32 arithmetic over deterministic full-range
     // operands (an LCG spread over the whole i32 domain, so add/sub/mul
     // genuinely overflow): clamp-at-bounds instead of wrap, _pos forms
@@ -3583,6 +3705,72 @@ object ExtensionQueries {
         |  WHEN lang = 'fr' THEN substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
         |  ELSE TRUE END
         |ORDER BY doc_id""".stripMargin,
+    "x_rollup_sketch_serve" ->
+      """SELECT event_type,
+        |       CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+        |       count(*) AS n,
+        |       count(value) AS n_nn,
+        |       TRUE AS udd50_served_exact, TRUE AS udd95_served_exact,
+        |       TRUE AS td50_rank_ok, TRUE AS td95_rank_ok
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, day_s""".stripMargin,
+    // same url construction; canonicalization re-derived with DuckDB's
+    // own regex/list primitives from the documented rule set
+    "x_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        |    || '://Ex' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+        |             WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+        |    || (CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN '/a/' WHEN 2 THEN '/a/b'
+        |             WHEN 3 THEN '/a//' ELSE '/x' END)
+        |    || (CASE doc_id % 4 WHEN 0 THEN '?b=2&utm_source=x&a=1' WHEN 1 THEN '?a=1&b=2'
+        |             WHEN 2 THEN '?utm_campaign=z' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+        |  FROM u
+        |), c2 AS (
+        |  SELECT doc_id, url, scheme,
+        |    CASE WHEN scheme = 'http' AND ends_with(hp, ':80') THEN substr(hp, 1, length(hp) - 3)
+        |         WHEN scheme = 'https' AND ends_with(hp, ':443') THEN substr(hp, 1, length(hp) - 4)
+        |         ELSE hp END AS host,
+        |    CASE WHEN length(rtrim(rawpath, '/')) = 0 THEN '/' ELSE rtrim(rawpath, '/') END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+        |      p -> length(p) > 0 AND NOT starts_with(p, 'utm_')
+        |           AND NOT starts_with(p, 'gclid=') AND NOT starts_with(p, 'fbclid='))), '&') AS q
+        |  FROM c
+        |)
+        |SELECT doc_id, url,
+        |       CASE WHEN scheme = '' THEN url
+        |            ELSE scheme || '://' || host || path
+        |                 || (CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END) END AS canon
+        |FROM c2 ORDER BY doc_id""".stripMargin,
+    // the A-ES max-uniform draw re-derived in full: the same md5 copies
+    // via list_transform/generate_series, the same 13-hex-char ranking
+    // key (fixed-width lowercase hex: string order = numeric order), the
+    // same id-asc tie-break
+    "x_sample_weighted" ->
+      """WITH keyed AS (
+        |  SELECT source, doc_id,
+        |         list_max(list_transform(generate_series(1, CAST(1 + doc_id % 4 AS INT)),
+        |                  c -> md5('ws:' || CAST(doc_id AS VARCHAR) || ':' || CAST(c AS VARCHAR)))) AS k
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY substr(k, 1, 13) DESC, doc_id ASC) AS rnk
+        |  FROM keyed
+        |)
+        |SELECT source, doc_id, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 20
+        |ORDER BY source, rank""".stripMargin,
     // split CASE = x_split_hash's thresholds; shingle CTE = the shared
     // shingleSql; counts cast to BIGINT to match Spark's long aggregates
     "x_decontam" -> decontamSql,

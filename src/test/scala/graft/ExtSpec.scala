@@ -1604,6 +1604,75 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample: explode-reference parity, per-stratum bounds, weight-monotone inclusion") {
+    val n = 15
+    val weight = lit(1) + $"doc_id" % 4
+    val got = TextOps.weightedSample(docs, "doc_id", "source", weight, n, "wspec")
+      .as[(String, Long, Int)].collect().toSeq.sortBy(r => (r._1, r._3))
+    // reference: the same draw via an EXPLODED copy table and a window —
+    // the composed form the map-only operator must match exactly
+    val ref = docs
+      .select($"source", $"doc_id", explode(sequence(lit(1), weight)).as("c"))
+      .select($"source", $"doc_id",
+        md5(concat_ws(":", lit("wspec"), $"doc_id".cast("string"), $"c".cast("string"))).as("u"))
+      .groupBy("source", "doc_id")
+      .agg(max($"u").as("k"))
+      .select($"source", $"doc_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(substring($"k", 1, 13).desc, $"doc_id".asc)).as("rank"))
+      .where($"rank" <= n)
+      .as[(String, Long, Int)].collect().toSeq.sortBy(r => (r._1, r._3))
+    assert(got === ref, "map-only weighted sample must equal the exploded-window reference")
+    // bounds: at most n per stratum, ids unique within a stratum
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.size <= n, s"$src oversampled")
+      assert(rows.map(_._2).distinct.size === rows.size, s"$src sampled an id twice")
+    }
+    // weight-monotone inclusion, pinned on the deterministic fixture
+    // draw: weight-4 docs (doc_id % 4 == 3) must be sampled strictly more
+    // often than weight-1 docs (doc_id % 4 == 0) across all strata — the
+    // corpus has them in equal proportion, so A-ES's 4× inclusion odds
+    // dominate any per-stratum noise at this sample size
+    val byW = got.groupBy(r => (r._2 % 4).toInt).view.mapValues(_.size).toMap
+    assert(byW.getOrElse(3, 0) > byW.getOrElse(0, 0),
+      s"weight-4 inclusion ${byW.getOrElse(3, 0)} not above weight-1 ${byW.getOrElse(0, 0)}")
+  }
+
+  test("canonicalUrl: rule set pinned on hand cases, null/non-URL safe, idempotent") {
+    val cases = Seq(
+      // case-folding, default port, tracking params, sort, fragment
+      "HTTP://A.COM:80/x/?utm_source=1&b=2&a=1#f" -> "http://a.com/x?a=1&b=2",
+      "https://B.com:443" -> "https://b.com/",
+      // explicit non-default port survives; :8080 is not :80
+      "http://a.com:8080/p" -> "http://a.com:8080/p",
+      // trailing slashes collapse; root stays root
+      "https://a.com///" -> "https://a.com/",
+      "https://a.com/a//" -> "https://a.com/a",
+      // only-tracking query drops the '?' entirely
+      "https://a.com/p?utm_campaign=z" -> "https://a.com/p",
+      "https://a.com/p?gclid=1&fbclid=2&z=9" -> "https://a.com/p?z=9",
+      // no scheme → passthrough
+      "not a url" -> "not a url",
+      "" -> ""
+    )
+    val df = spark.createDataFrame(cases.map(c => Tuple1(c._1))).toDF("u")
+      .select($"u", TextOps.canonicalUrl($"u").as("c"))
+    val got = df.as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) === want, s"canonicalUrl($in)")
+    }
+    // idempotent: canonicalizing a canonical url is a fixpoint
+    val twice = spark.createDataFrame(cases.map(c => Tuple1(c._2))).toDF("u")
+      .select($"u", TextOps.canonicalUrl($"u").as("c"))
+      .as[(String, String)].collect()
+    twice.foreach { case (in, out) => assert(out === in, s"not idempotent on $in") }
+    // null-safe
+    val n = spark.sql("SELECT CAST(NULL AS STRING) AS u")
+      .select(TextOps.canonicalUrl($"u")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("gate pin: (user_id, ts) is unique at µs grain on the gate corpora") {
     // x_time_bucket_agg's min_by/max_by determinism rests on this — a
     // data change that introduces per-user µs ties must fail HERE, not

@@ -142,6 +142,53 @@ class RollupRewriteSpec extends SparkSpec {
     assert(!distinctCount.queryExecution.executedPlan.toString.contains(rollupName))
   }
 
+  test("sketch aggregates are served by state merge; UDD bit-exact, t-digest in-bound, non-registered refuses") {
+    RollupRewrite.clear()
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions._
+    val raw = Tables.load(spark, sf0001, "events")
+    val sm = col("value").cast("double")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_sk").toString
+    RollupRewrite.buildSketchRollup(raw, Seq("event_type"), "ts", measure, sm, "hour")
+      .write.mode("overwrite").parquet(dir)
+    val rollup = spark.read.parquet(dir)
+    def q(r: DataFrame): DataFrame = r
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(
+        udd_quantile(udd_sketch_agg(col("value").cast("double")), 0.5).as("u50"),
+        tdigest_quantile(tdigest_agg(col("value").cast("double")), 0.5).as("t50"))
+    val direct = q(raw).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    RollupRewrite.register("events_hourly_sk", RollupRewrite.Spec(
+      raw.inputFiles.toSet, rollup.queryExecution.analyzed,
+      Seq("event_type"), "ts", "hour",
+      RollupRewrite.canonicalMeasure(raw, measure),
+      sketchSql = Some(RollupRewrite.canonicalMeasure(raw, sm))))
+    RollupRewrite.install(spark)
+    val served = q(raw)
+    val phys = served.queryExecution.executedPlan.toString
+    assert(phys.contains(new java.io.File(dir).getName),
+      s"sketch rewrite did not fire:\n$phys")
+    assert(!phys.contains("events.parquet"), "served plan must not scan raw")
+    served.collect().foreach { r =>
+      val (du, dt) = direct((r.getString(0), r.getTimestamp(1)))
+      // UDDSketch merge is per-bucket count addition — the served state is
+      // the SAME state the direct aggregate builds, so the quantile is
+      // bit-identical
+      assert(r.getDouble(2) === du, s"UDD served quantile must be exact (got ${r.getDouble(2)} vs $du)")
+      // t-digest merge re-compresses: same rank bound, not same bits
+      assert(math.abs(r.getDouble(3) - dt) <= 0.05 * (math.abs(dt) + 1.0),
+        s"t-digest served p50 ${r.getDouble(3)} drifted from direct $dt")
+    }
+    // a sketch over a NON-registered expression refuses back to raw
+    val other = raw
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(udd_quantile(udd_sketch_agg(col("value") * 2.0), 0.5).as("u"))
+    assert(!other.queryExecution.executedPlan.toString.contains(new java.io.File(dir).getName),
+      "non-registered sketch measure must not be served")
+    RollupRewrite.clear()
+  }
+
   // ---- real-time serving (Timescale materialized_only = false) -----------
 
   /** Write slice A of the events fixture as the raw table, register an
