@@ -470,7 +470,12 @@ object ExtensionQueries {
         originals.coalesce(1).write.mode("append").parquet(in); runOnce()
         copies.coalesce(1).write.mode("append").parquet(in); runOnce()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.read.parquet(s"$base/out").orderBy("doc_id")
+      // explicit projection: the output table is partitioned by
+      // ingest_batch (the per-batch idempotent-replay layout), which is
+      // lineage metadata, not part of the stripped-corpus contract
+      s.read.parquet(s"$base/out")
+        .select("doc_id", "n_tokens", "kept_tokens", "stripped_text")
+        .orderBy("doc_id")
     },
 
     // perceptual-hash IMAGE near-dup dedup: REAL PNG decode → integer

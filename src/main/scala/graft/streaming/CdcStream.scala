@@ -491,9 +491,14 @@ object CdcStream {
         verifyStateKeyFormat(spark, statePath, "bucket_ts:timestamp_us:v1")
         import graft.functions.GraftFunctions.{tdigest_agg, tdigest_merge_agg}
         val stored = readState(spark, statePath)
+        // null-safe high-water read: an EMPTY state table (a first batch
+        // with zero rows still swaps state in) makes max(applied_batch)
+        // NULL — coalesce to -1 so the stream treats it as "nothing
+        // applied yet" instead of NPE-ing on getLong
         val alreadyApplied = stored.exists { st =>
           st.columns.contains("applied_batch") &&
-            st.agg(max(col("applied_batch"))).head().getLong(0) >= batchId
+            st.agg(coalesce(max(col("applied_batch")), lit(-1L)))
+              .head().getLong(0) >= batchId
         }
         if (!alreadyApplied) {
           val b = batch.toDF()
@@ -529,12 +534,12 @@ object CdcStream {
   /** Streaming exact-substring dedup + strip — the INGEST composition of
     * [[graft.ext.Dedup.exactSubstringSpansIncremental]] and
     * [[graft.ext.Dedup.stripSpans]]: per micro-batch, arriving documents
-    * probe the persisted gram index (presence ⇒ the first occurrence is
+    * probe the persisted gram store (presence ⇒ the first occurrence is
     * already stored ⇒ every arriving occurrence is removable), flagged
-    * spans run-merge and strip, the stripped text APPENDS to the output
-    * table, and the index advances by the batch's distinct grams (union —
-    * no rebuild). The training-data ingest path that emits deduplicated
-    * text per trigger.
+    * spans run-merge and strip, the stripped text lands in the output
+    * table, and the store advances by APPENDING only the batch's NEW
+    * grams. The training-data ingest path that emits deduplicated text
+    * per trigger.
     *
     * EQUIVALENCE (StreamingSpec-pinned): with monotone doc ids across
     * batches, a position's flag depends only on documents at-or-before
@@ -544,11 +549,37 @@ object CdcStream {
     * whole corpus — the driver gate hash-pins this against the
     * x_substring_strip oracle.
     *
-    * Work per trigger: one token-linear gram explode over the BATCH, one
-    * presence join against the (bucket-pruned at scale) index, one
-    * doc-keyed span window, one distinct-union index advance — never a
-    * corpus rescan. `hashKey = true` is the production layout (8-byte
-    * gram keys in both the index and the probe shuffle).
+    * GRAM STORE LAYOUT — append-only, never rewritten: the store is a
+    * parquet table partitioned by `ingest_batch` (the micro-batch that
+    * contributed the grams) × `gb` (gram-hash bucket, `numBuckets`-way).
+    * Per trigger the batch's grams `left_anti` the store (the probe join
+    * already pays this shape) and ONLY the genuinely new grams are
+    * written, into the batch's own partition — per-trigger I/O is
+    * O(batch grams), not O(index), unlike a union+distinct+swap which
+    * would shuffle and rewrite the full corpus-sized store every 5 s.
+    * The bucket axis is the scale pruning: a probe only reads the `gb`
+    * partitions the batch's own grams hash into (at a 100 TB store a
+    * small batch touches a subset of a wide bucket space; the state the
+    * admission operators [[graft.ext.Dedup.hammingAdmitBanded]] /
+    * semanticAdmit pre-bucket for the same reason). Partition-count
+    * growth (one `ingest_batch=` dir per trigger) is the standard
+    * streaming-table compaction concern, solved by an offline
+    * re-partition that preserves the set of grams — correctness only
+    * needs set membership.
+    *
+    * REPLAY SAFETY — a crashed foreachBatch re-runs its LAST batch, so
+    * every step is idempotent per `batchId`: (1) the probe reads the
+    * store filtered to `ingest_batch < batchId`, so a replay sees
+    * exactly the pre-batch index even if the crashed attempt already
+    * appended this batch's grams (re-probing an index that contains the
+    * batch's own grams would wrongly strip first occurrences); (2) the
+    * stripped output OVERWRITES the batch's own `ingest_batch=<id>`
+    * output partition (never blind-appends to the table root); (3) the
+    * gram append overwrites the batch's own store partition. Batch ids
+    * are monotone per checkpoint, so the checkpoint, gram store and
+    * output dirs live and die together (stamped via the key-format
+    * marker). `hashKey = true` is the production layout (8-byte gram
+    * keys in the store and every probe shuffle).
     */
   def substringStripMaintain(
       docStream: DataFrame,
@@ -557,37 +588,79 @@ object CdcStream {
       checkpoint: String,
       k: Int,
       hashKey: Boolean = false,
+      numBuckets: Int = 16,
       trigger: Trigger = DefaultTrigger
   ): StreamingQuery =
     docStream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.toDF().cache()
-        try {
-          import graft.ext.Dedup
-          val gramType =
-            if (hashKey) org.apache.spark.sql.types.LongType
-            else org.apache.spark.sql.types.StringType
-          val index = readState(spark, indexPath).getOrElse(
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[Row],
-              StructType(Seq(org.apache.spark.sql.types.StructField("g", gramType)))))
-          val spans = Dedup
-            .exactSubstringSpansIncremental(index, b, "doc_id", "text", k, hashKey)
-          Dedup
-            .stripSpans(b, "doc_id", "text", spans.select("doc_id", "spans"))
-            .write.mode("append").parquet(outPath)
-          val nextIndex = index
-            .unionByName(Dedup.substringGramIndex(b, "doc_id", "text", k, hashKey))
-            .distinct()
-          swapState(spark, indexPath, nextIndex)
-        } finally { b.unpersist(); () }
-        ()
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        substringStripApplyBatch(
+          batch.toDF(), batchId, indexPath, outPath, k, hashKey, numBuckets)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .outputMode("append")
       .start()
+
+  /** One micro-batch of [[substringStripMaintain]] — package-visible so
+    * the crash-replay spec and the stress probe can drive a single
+    * trigger directly (the streaming query is just this applied per
+    * batch). Idempotent in `batchId` by construction (see the layout /
+    * replay notes on the public method).
+    */
+  private[graft] def substringStripApplyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      indexPath: String,
+      outPath: String,
+      k: Int,
+      hashKey: Boolean,
+      numBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
+    import graft.ext.Dedup
+    require(numBuckets >= 1, "need numBuckets >= 1")
+    val spark = batch.sparkSession
+    verifyStateKeyFormat(
+      spark, indexPath, s"substring_gram:k=$k:hash=$hashKey:buckets=$numBuckets:v2")
+    val gramType = if (hashKey) LongType else StringType
+    val storeSchema = StructType(Seq(
+      StructField("g", gramType),
+      StructField("gb", IntegerType),
+      StructField("ingest_batch", LongType)))
+    val b = batch.cache()
+    val batchGrams = Dedup.substringGramIndex(b, "doc_id", "text", k, hashKey)
+      .withColumn("gb", pmod(xxhash64(col("g")), lit(numBuckets)).cast("int"))
+      .cache()
+    try {
+      val live = new Path(indexPath)
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // replay filter: a re-run batch must probe the PRE-batch store even
+      // if the crashed attempt already wrote ingest_batch=<batchId>
+      val store =
+        if (fs.exists(live))
+          spark.read.schema(storeSchema).parquet(indexPath)
+            .where(col("ingest_batch") < batchId)
+        else
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storeSchema)
+      // bucket pruning: only the gb partitions the batch's grams hash
+      // into can hold a probe hit (bounded collect — ≤ numBuckets values)
+      val touched = batchGrams.select("gb").distinct().collect().map(_.getInt(0)).toSeq
+      val index =
+        if (touched.isEmpty) store.select("g").limit(0)
+        else store.where(col("gb").isin(touched: _*)).select("g")
+      val spans = Dedup
+        .exactSubstringSpansIncremental(index, b, "doc_id", "text", k, hashKey)
+      Dedup
+        .stripSpans(b, "doc_id", "text", spans.select("doc_id", "spans"))
+        .write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
+      batchGrams
+        .join(index, Seq("g"), "left_anti")
+        .select("g", "gb")
+        .write.mode("overwrite").partitionBy("gb")
+        .parquet(s"$indexPath/ingest_batch=$batchId")
+    } finally { batchGrams.unpersist(); b.unpersist(); () }
+    ()
+  }
 
   /** Stream-stream inner join on `keys` with a bounded event-time
     * interval: right rows within `(left.ts - lookback, left.ts]`. Both

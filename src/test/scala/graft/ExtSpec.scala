@@ -1606,7 +1606,14 @@ class ExtSpec extends SparkSpec {
 
   test("weightedSample: explode-reference parity, per-stratum bounds, weight-monotone inclusion") {
     val n = 15
-    val weight = lit(1) + $"doc_id" % 4
+    // weight must be DECORRELATED from the stratum striping: the fixture
+    // assigns doc_ids as source_index + 20*j, so `doc_id % 4` is CONSTANT
+    // per source (every stratum all-one-weight-class → inclusion counts
+    // between classes are fixed by the per-stratum n, not by the weights,
+    // and no monotonicity assert can bite). `doc_id div 20` recovers j,
+    // which cycles 0..24 within every source, so each stratum genuinely
+    // mixes all four weight classes (7/6/6/6 docs of weight 1/2/3/4).
+    val weight = lit(1) + floor($"doc_id" / 20) % 4
     val got = TextOps.weightedSample(docs, "doc_id", "source", weight, n, "wspec")
       .as[(String, Long, Int)].collect().toSeq.sortBy(r => (r._1, r._3))
     // reference: the same draw via an EXPLODED copy table and a window —
@@ -1630,11 +1637,12 @@ class ExtSpec extends SparkSpec {
       assert(rows.map(_._2).distinct.size === rows.size, s"$src sampled an id twice")
     }
     // weight-monotone inclusion, pinned on the deterministic fixture
-    // draw: weight-4 docs (doc_id % 4 == 3) must be sampled strictly more
-    // often than weight-1 docs (doc_id % 4 == 0) across all strata — the
-    // corpus has them in equal proportion, so A-ES's 4× inclusion odds
-    // dominate any per-stratum noise at this sample size
-    val byW = got.groupBy(r => (r._2 % 4).toInt).view.mapValues(_.size).toMap
+    // draw: weight-4 docs (doc_id div 20 % 4 == 3, 6 per stratum) must be
+    // sampled strictly more often than weight-1 docs (== 0, 7 per
+    // stratum) across all strata — every stratum mixes both classes, so
+    // A-ES's 4× inclusion odds dominate despite weight-1's larger share
+    // of the corpus (140 vs 120 docs) at this sample size (15 of 25)
+    val byW = got.groupBy(r => ((r._2 / 20) % 4).toInt).view.mapValues(_.size).toMap
     assert(byW.getOrElse(3, 0) > byW.getOrElse(0, 0),
       s"weight-4 inclusion ${byW.getOrElse(3, 0)} not above weight-1 ${byW.getOrElse(0, 0)}")
   }

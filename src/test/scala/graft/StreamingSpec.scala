@@ -839,6 +839,52 @@ class StreamingSpec extends SparkSpec {
       "batch-2 copies were not stripped against the persisted gram index")
   }
 
+  test("substringStripMaintain: replaying the last micro-batch is a no-op (crash-redelivery idempotence)") {
+    // foreachBatch replays its LAST batch after a crash before the
+    // checkpoint commit — the strip path must be idempotent per batchId:
+    // no duplicated output rows, and no re-strip of the replayed batch's
+    // own first occurrences (the gram store already holds the crashed
+    // attempt's grams, so a naive re-probe would wrongly flag them)
+    import graft.ext.Dedup
+    val d = Tables.load(spark, sf0001, "documents")
+    val batch1 = d.where($"doc_id" < 100)
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+    val batch2 = d.where($"doc_id" >= 100 && $"doc_id" < 160)
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+      .unionByName(
+        d.where($"doc_id" < 100 && $"doc_id" % 10 === 0)
+          .select(($"doc_id" + 100000L).as("doc_id"),
+            concat(lit("xdupsalt "), $"text").as("text")))
+    val base = tempDir("stripreplay")
+    def applyBatch(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CdcStream.substringStripApplyBatch(
+        b, id, s"$base/idx", s"$base/out", k = 10, hashKey = true, numBuckets = 16)
+    applyBatch(batch1, 0L)
+    applyBatch(batch2, 1L) // the crashed attempt (output + grams landed)
+    applyBatch(batch2, 1L) // the replay
+    val out = spark.read.parquet(s"$base/out")
+      .select("doc_id", "n_tokens", "kept_tokens", "stripped_text")
+    // no duplicated docs, count unchanged by the replay
+    assert(out.count() === batch1.count() + batch2.count())
+    assert(out.select("doc_id").distinct().count() === out.count())
+    // content equals the one-shot batch pipeline over the union — in
+    // particular batch 2's own first occurrences were NOT re-stripped
+    // against the crashed attempt's appended grams
+    val corpus = batch1.unionByName(batch2)
+    val spans = Dedup
+      .exactSubstringSpans(corpus, "doc_id", "text", k = 10, hashKey = true)
+      .select("doc_id", "spans")
+    val full = Dedup.stripSpans(corpus, "doc_id", "text", spans)
+      .select("doc_id", "n_tokens", "kept_tokens", "stripped_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out.as[(Long, Long, Long, String)].collect().toSet === full)
+    // the gram store stayed a SET across the replay (append-only dedup:
+    // replays overwrite their own partition, never duplicate grams)
+    val store = spark.read.parquet(s"$base/idx")
+    assert(store.select("g").distinct().count() === store.count(),
+      "replay duplicated grams in the store")
+  }
+
   test("foreachBatch sink sees every batch exactly once per run") {
     val logPath = tempDir("fblog")
     val ckpt = tempDir("fbckpt")
