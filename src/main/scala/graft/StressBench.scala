@@ -207,6 +207,25 @@ object StressBench {
           "vec_id", "embedding", 0.9)
         .where(col("status") =!= "new").count()
     }),
+    "substring_stream" -> (() => {
+      // the STREAMING ingest form's per-trigger cost against a gram
+      // store holding the whole corpus: one substringStripApplyBatch of
+      // the fixed 1× batch (probe + strip + left_anti + append — exactly
+      // one foreachBatch trigger). The store is built by ingesting the
+      // corpus as batch 0 (memoized, untimed — the artifact a deployment
+      // accumulates); the r11 design rewrote the full index per trigger,
+      // so this probe exists to keep per-trigger wall ~flat (ratio
+      // collapsing toward 1/Replicas) as the store grows 10×/100×.
+      val spark = docs.sparkSession
+      val dir = memoIndex(docs.inputFiles.toSet, "gramstream") { d =>
+        graft.streaming.CdcStream.substringStripApplyBatch(
+          docs, 0L, s"$d/store", s"$d/out", k = 10, hashKey = true, numBuckets = 16)
+      }
+      graft.streaming.CdcStream.substringStripApplyBatch(
+        batchDocs.select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")),
+        1L, s"$dir/store", s"$dir/out", k = 10, hashKey = true, numBuckets = 16)
+      spark.read.parquet(s"$dir/out/ingest_batch=1").count()
+    }),
     "hamming_admit" -> (() => {
       // the perceptual families' admission path (finding #2 of the r10
       // verdict: the pair stage was stressed via simhash but admission
@@ -492,6 +511,36 @@ object StressBench {
         spark.read.parquet(s"$dir/codes"), spark.read.parquet(s"$dir/cb"),
         embs, queries, "vec_id", "embedding",
         k = 5, m = 4, ksub = 16, candidates = 32).count()
+    }),
+    // the STORED IVFADC layout (materializeIvfPqIndex → ivfPqTopKStored):
+    // cells grow with the corpus (nCentroids ∝ n, the deployment rule),
+    // so a fixed-nProbe probe reads a ~constant number of rows from the
+    // probed cells' partitions — wall must stay ~flat (ratio collapsing
+    // toward 1/Replicas) while sim_pq_adc, the unpartitioned ADC scan,
+    // stays corpus-linear beside it. The build (KMeans + encode + the
+    // partitioned write) is the memoized untimed artifact.
+    "sim_ivfpq_stored" -> (() => {
+      val spark = embs.sparkSession
+      val n = embs.count()
+      val cells = math.max(16L, n / 500L).toInt
+      val dir = memoIndex(embs.inputFiles.toSet, "ivfpqstore") { d =>
+        val (indexed, centroids) =
+          Similarity.ivfIndex(embs, "vec_id", "embedding", nCentroids = cells)
+        indexed.write.parquet(s"$d/indexed")
+        centroids.write.parquet(s"$d/cen")
+        Similarity.pqCodebooks(embs, "vec_id", "embedding", m = 4, ksub = 16)
+          .write.parquet(s"$d/cb")
+        val codes = Similarity.pqEncode(
+          embs, spark.read.parquet(s"$d/cb"), "vec_id", "embedding", m = 4, ksub = 16)
+        Similarity.materializeIvfPqIndex(
+          spark.read.parquet(s"$d/indexed"), codes, s"$d/codes")
+      }
+      Similarity.ivfPqTopKStored(
+        spark, s"$dir/codes",
+        spark.read.parquet(s"$dir/indexed"), spark.read.parquet(s"$dir/cen"),
+        spark.read.parquet(s"$dir/cb"), queries,
+        "vec_id", "embedding", k = 5, nProbe = 4, m = 4, ksub = 16,
+        candidates = 32).count()
     })
   )
 

@@ -1739,4 +1739,91 @@ object Dedup {
           .otherwise(lit("new"))
           .as("status"))
   }
+
+  // ---- semantic index as a stored artifact ---------------------------------
+
+  /** Marker file inside a persisted semantic-index artifact recording the
+    * K it was built with. */
+  private val SemanticIndexMarker = "_GRAFT_SEMANTIC_INDEX"
+
+  /** Persist a [[semanticIndex]]/[[semanticSeeds]] pair as the stored
+    * admission artifact a production pipeline keeps beside the corpus:
+    * `path/index` (partitioned by `cluster`, so admission probes prune to
+    * touched cells), `path/seeds` (the K-row seed table), and a marker
+    * recording K. The marker is what makes the K contract ENFORCEABLE:
+    * [[semanticAdmitStored]] `require`s the caller's expected K against
+    * it, turning the silently-wrong-cells hazard of a mismatched
+    * `numClusters` (see [[semanticAdmit]]'s convenience form) into an
+    * immediate error. K is read off the seed table (a count of K rows —
+    * sketch-sized, never data-sized).
+    */
+  def writeSemanticIndex(index: DataFrame, seeds: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = index.sparkSession
+    val k = seeds.count()
+    require(k >= 1, "seed table is empty — nothing to persist")
+    index.select("id", "v", "cluster")
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/index")
+    seeds.write.mode("overwrite").parquet(s"$path/seeds")
+    val marker = new Path(s"$path/$SemanticIndexMarker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write(s"semantic_index:k=$k:v1".getBytes("UTF-8")) finally out.close()
+    ()
+  }
+
+  /** Read the stamped K of a [[writeSemanticIndex]] artifact. */
+  def semanticIndexK(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(s"$path/$SemanticIndexMarker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker),
+      s"no semantic-index marker at $path — the artifact was not written by " +
+        "writeSemanticIndex (or predates the K stamp); rebuild it rather than " +
+        "guessing K, a mismatch probes wrong cells silently")
+    val in = fs.open(marker)
+    val got =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    got match {
+      case s if s.startsWith("semantic_index:k=") && s.endsWith(":v1") =>
+        s.stripPrefix("semantic_index:k=").stripSuffix(":v1").toInt
+      case other =>
+        throw new IllegalArgumentException(
+          s"unrecognized semantic-index marker '$other' at $path")
+    }
+  }
+
+  /** [[semanticAdmit]] against the PERSISTED artifact — the form that
+    * closes the K-mismatch hazard: the artifact carries the K it was
+    * built with, and a caller declaring a different `expectedClusters`
+    * gets an exception instead of admissions probed against wrong cells.
+    * Passing `expectedClusters = None` trusts the artifact (the common
+    * case — stored seeds carry no K to mismatch; the validation exists
+    * for callers whose downstream contract bakes in a specific K).
+    */
+  def semanticAdmitStored(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      expectedClusters: Option[Int] = None
+  ): DataFrame = {
+    val k = semanticIndexK(spark, path)
+    expectedClusters.foreach { n =>
+      require(n == k,
+        s"semantic index at $path was built with K=$k clusters but the caller " +
+          s"expects K=$n — admission would assign the batch with different seeds " +
+          "than the index's cluster labels and probe wrong cells silently; " +
+          "rebuild the index or fix the caller")
+    }
+    // partition column comes back as the discovery type — restore the
+    // long the in-memory form carries so downstream unions line up
+    val index = spark.read.parquet(s"$path/index")
+      .withColumn("cluster", col("cluster").cast("long"))
+    val seeds = spark.read.parquet(s"$path/seeds")
+    semanticAdmit(index, seeds, batch, idCol, vecCol, threshold)
+  }
 }

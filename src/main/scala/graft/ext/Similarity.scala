@@ -328,9 +328,19 @@ object Similarity {
     * centroids with). Returns the codebook table
     * `(sub int, code int, c_vec array<float>)`, m·ksub rows / a few KB:
     * like the banded Hamming index and the semantic seed table, the
-    * codebook is a first-class STORED artifact — train once (on a sample
-    * at 100 TB; training cost is amortized over every encode), persist,
-    * and every encode/probe call reuses it without touching the corpus.
+    * codebook is a first-class STORED artifact — train once, persist, and
+    * every encode/probe call reuses it without touching the corpus.
+    *
+    * Training reads the corpus ONCE: a deterministic id-hash sample of at
+    * most `maxTrainRows` vectors is cached and all m sub-quantizers fit
+    * on it (k-means codebooks converge on ~10⁵ training vectors — Jégou
+    * et al. §V train on learning sets orders of magnitude below corpus
+    * size), so building codebooks for a 100 TB embedding table costs one
+    * sampled scan, not m full passes. Set `maxTrainRows = Long.MaxValue`
+    * to force full-corpus training (ExtSpec pins sampled-vs-full ADC
+    * agreement on planted copies). Subspaces with fewer distinct training
+    * points than `ksub` pad by repeating center 0 (ties in encode's
+    * argmin go to the lowest code, so pads are never selected).
     */
   def pqCodebooks(
       corpus: DataFrame,
@@ -338,25 +348,55 @@ object Similarity {
       vecCol: String,
       m: Int,
       ksub: Int,
-      seed: Long = 42L
+      seed: Long = 42L,
+      maxTrainRows: Long = 100000L
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(maxTrainRows >= 1, "need maxTrainRows >= 1")
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(m >= 1 && dim % m == 0, s"m=$m must divide the embedding dim $dim")
     val dsub = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
-    val perSub = (0 until m).flatMap { s =>
-      val sub = corpus.select(
-        array_to_vector(slice(col(vecCol), s * dsub + 1, dsub)).as("features"))
-      val km = new KMeans().setK(ksub).setSeed(seed + s).setMaxIter(10)
-      val model = km.fit(sub)
-      model.clusterCenters.zipWithIndex.map { case (v, c) =>
-        (s, c, v.toArray.map(_.toFloat).toSeq)
+    // train on a BOUNDED sample, cached once and fed to all m sub-fits —
+    // the paper's recipe (codebooks converge on ~10⁵ training vectors) as
+    // the coded default, instead of m full corpus passes. The sampler is
+    // deterministic by CONTENT (id-hash modulus, no RNG/partitioning
+    // dependence) so the same corpus always trains the same codebooks.
+    val n = corpus.select(col(idCol)).count()
+    val every = math.max(1L, (n + maxTrainRows - 1L) / maxTrainRows)
+    val train0 =
+      if (every == 1L) corpus.select(col(vecCol).as("__v"))
+      else corpus
+        .where(pmod(xxhash64(col(idCol).cast("long")), lit(every)) === 0)
+        .select(col(vecCol).as("__v"))
+    val train = train0.cache()
+    try {
+      // a training set smaller than ksub crashes the fit outright (and
+      // one with fewer DISTINCT points yields fewer centers) — cap the
+      // fitted k and pad below, instead of failing at build or probe time
+      val trainN = train.count()
+      require(trainN >= 1, "empty training set — corpus has no vectors")
+      val kEff = math.min(ksub.toLong, trainN).toInt
+      val perSub = (0 until m).flatMap { s =>
+        val sub = train.select(
+          array_to_vector(slice(col("__v"), s * dsub + 1, dsub)).as("features"))
+        val km = new KMeans().setK(kEff).setSeed(seed + s).setMaxIter(10)
+        val model = km.fit(sub)
+        val centers = model.clusterCenters
+        // a subspace with fewer distinct training points than ksub yields
+        // fewer centers — PAD by repeating center 0 up to ksub so the
+        // codebook stays rectangular (encode's argmin ties go to the
+        // lowest code, so pad entries are never chosen and probe-time
+        // shape checks hold) instead of aborting at probe time
+        val padded = centers ++ Array.fill(ksub - centers.length)(centers(0))
+        padded.zipWithIndex.map { case (v, c) =>
+          (s, c, v.toArray.map(_.toFloat).toSeq)
+        }
       }
-    }
-    perSub.toDF("sub", "code", "c_vec")
+      perSub.toDF("sub", "code", "c_vec")
+    } finally { train.unpersist(); () }
   }
 
   /** Conf key: directory holding pre-trained PQ codebooks (bench warmup
@@ -569,7 +609,25 @@ object Similarity {
       ksub: Int,
       candidates: Int = 32
   ): DataFrame = {
-    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    val probes = ivfPqProbes(centroids, codebooks, queries, idCol, vecCol, nProbe, m, ksub)
+    val codedIndex = codes.join(indexed.select("n_id", "centroid_id"), Seq("n_id"))
+    ivfPqProbeCore(codedIndex, indexed, probes, k, m, ksub, candidates)
+  }
+
+  /** Per-query probe rows for the IVF-PQ path: the `nProbe` nearest
+    * centroids per query, each row carrying the query's precomputed ADC
+    * table — shared by the per-call-join and stored-layout probe forms.
+    */
+  private def ivfPqProbes(
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nProbe: Int,
+      m: Int,
+      ksub: Int
+  ): DataFrame = {
     val dim = queries.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide the embedding dim $dim")
     val dsub = dim / m
@@ -578,7 +636,7 @@ object Similarity {
          |  transform(sequence(0, ${ksub - 1}), c ->
          |    ${pqSubDist("q_vec", "__cb", dsub, "s", "c")})))""".stripMargin
     val wq = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("centroid_id").asc)
-    val probes = queries
+    queries
       .select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("__cb", pqLocal(codebooks, m, ksub))
       .withColumn("qtab", expr(qtabExpr))
@@ -588,12 +646,28 @@ object Similarity {
       .withColumn("c_rank", row_number().over(wq))
       .where(col("c_rank") <= nProbe)
       .select("q_id", "q_vec", "qtab", "centroid_id")
-    val codedIndex = codes.join(indexed.select("n_id", "centroid_id"), Seq("n_id"))
+  }
+
+  /** ADC scan + exact re-rank shared by [[ivfPqTopK]] and
+    * [[ivfPqTopKStored]]: probe rows join the coded index on
+    * `centroid_id`, ADC distances aggregate to partial top-`candidates`
+    * per query (k rows per query × partition reach the shuffle, never the
+    * probed cells' full scored scan), and candidates re-rank exactly
+    * against the raw vectors.
+    */
+  private def ivfPqProbeCore(
+      codedIndex: DataFrame, // (n_id, codes, centroid_id)
+      indexed: DataFrame, // (n_id, n_vec, ...) for the exact re-rank
+      probes: DataFrame,
+      k: Int,
+      m: Int,
+      ksub: Int,
+      candidates: Int
+  ): DataFrame = {
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
     val adcExpr =
       s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
          |  (acc, s) -> acc + element_at(qtab, s * $ksub + element_at(codes, s + 1) + 1))""".stripMargin
-    // same partial top-candidates shape as pqTopK: k rows per (query ×
-    // partition) to the shuffle, never the probed cells' full ADC scan
     val topk = udaf(new graft.functions.TopKAggregator(candidates))
     val cand = codedIndex
       .join(broadcast(probes), Seq("centroid_id"))
@@ -612,6 +686,59 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("q_id", "n_id", "rank", "cos")
+  }
+
+  /** Persist the IVF-PQ coded index in its documented STORED layout:
+    * `(n_id, codes)` partitioned by `centroid_id` — the `codes ⋈
+    * (n_id → centroid_id)` join is paid ONCE at build, not per probe
+    * call, and the partition axis is what lets a probe read only its
+    * probed cells' files. This plus the codebook table and the centroid
+    * table is the complete on-disk IVFADC index (a few TB of codes for
+    * 100 TB of float vectors, laid out so each query batch touches
+    * `nProbe / nCells` of it).
+    */
+  def materializeIvfPqIndex(
+      indexed: DataFrame, // (n_id, n_vec, centroid_id) from ivfIndex
+      codes: DataFrame, // (n_id, codes) from pqEncode
+      path: String
+  ): Unit = {
+    codes
+      .join(indexed.select("n_id", "centroid_id"), Seq("n_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    ()
+  }
+
+  /** [[ivfPqTopK]] against the [[materializeIvfPqIndex]] STORED layout —
+    * the serving path: probed cells are collected (bounded by
+    * |queries|·nProbe — the query set is broadcast-small by contract)
+    * and pushed as a STATIC partition filter on the coded-index scan, so
+    * only the probed `centroid_id=` partitions' files are read
+    * (PlanSpec asserts the pruning). The exact re-rank still fetches the
+    * candidates' raw vectors from `indexed` (a broadcast-semi point
+    * lookup of q·candidates rows).
+    */
+  def ivfPqTopKStored(
+      spark: SparkSession,
+      path: String,
+      indexed: DataFrame, // (n_id, n_vec, ...) for the exact re-rank
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      m: Int,
+      ksub: Int,
+      candidates: Int = 32
+  ): DataFrame = {
+    val probes = ivfPqProbes(centroids, codebooks, queries, idCol, vecCol, nProbe, m, ksub)
+    val probedCells = probes.select("centroid_id").distinct()
+      .collect().map(_.get(0)).toSeq
+    val codedIndex = spark.read.parquet(path)
+      .where(col("centroid_id").isin(probedCells: _*))
+      .withColumn("centroid_id", col("centroid_id").cast("int"))
+    ivfPqProbeCore(codedIndex, indexed, probes, k, m, ksub, candidates)
   }
 
   /** Quantization round-trip summary: per-vector scale, quantized extrema

@@ -313,26 +313,39 @@ object CdcQueries {
     "e2e_topic_replica" -> { (s, dir) =>
       import org.apache.spark.sql.types._
       val (snapshot, log, payloadSchema) = applyFixture(s, dir)
-      val delivery = JsonEnvelope
-        .withKey(
-          JsonEnvelope.withTopic(JsonEnvelope.encode(log, "event_log"), "event_log"),
-          col("event_id"))
-        .select("topic", "key", "value")
-      val out = java.nio.file.Files.createTempDirectory("graft-topic-replica").toString
-      // 4-file topic layout: one file per input partition only adds
-      // file/task setup to the consume leg of a ≤100k-row round trip
-      delivery.coalesce(4).write.mode("overwrite").partitionBy("topic").parquet(out)
-      val messageSchema = StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("operation", StringType),
-        StructField("before", StringType),
-        StructField("after", StringType)))
-      val consumed = graft.sources.TopicSource.read(
-        s, graft.sources.TopicSource.Config(brokers = None, path = out), Seq("cdc-event_log"))
-      val replayed = graft.sources.TopicSource.decode(consumed, messageSchema)
-      graft.capture.CdcApply
-        .applyLog(snapshot, replayed, Seq("rid"), payloadSchema)
-        .orderBy("rid")
+      // gate-scoped shuffle width (the x_scd2_stream treatment): the
+      // apply leg is one PK join of ≤100k-row frames — 8-way cuts the
+      // fixed per-task setup 4× with no effect on the result (restored
+      // in finally)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        val delivery = JsonEnvelope
+          .withKey(
+            JsonEnvelope.withTopic(JsonEnvelope.encode(log, "event_log"), "event_log"),
+            col("event_id"))
+          .select("topic", "key", "value")
+        val out = java.nio.file.Files.createTempDirectory("graft-topic-replica").toString
+        // 4-file topic layout: one file per input partition only adds
+        // file/task setup to the consume leg of a ≤100k-row round trip
+        delivery.coalesce(4).write.mode("overwrite").partitionBy("topic").parquet(out)
+        val messageSchema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("operation", StringType),
+          StructField("before", StringType),
+          StructField("after", StringType)))
+        val consumed = graft.sources.TopicSource.read(
+          s, graft.sources.TopicSource.Config(brokers = None, path = out), Seq("cdc-event_log"))
+        val replayed = graft.sources.TopicSource.decode(consumed, messageSchema)
+        // materialize the applied replica inside the gate-scoped width so
+        // the timed plan (and the driver's hash read) sees a finished
+        // frame, not a lazy plan that re-runs after the conf is restored
+        val applied = graft.capture.CdcApply
+          .applyLog(snapshot, replayed, Seq("rid"), payloadSchema)
+        val outApplied = java.nio.file.Files.createTempDirectory("graft-topic-replica-out").toString
+        applied.write.mode("overwrite").parquet(outApplied)
+        s.read.parquet(outApplied).orderBy("rid")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     },
 
     // End-to-end: envelope mapping → id assignment → partitioned log

@@ -563,9 +563,9 @@ object CdcStream {
     * admission operators [[graft.ext.Dedup.hammingAdmitBanded]] /
     * semanticAdmit pre-bucket for the same reason). Partition-count
     * growth (one `ingest_batch=` dir per trigger) is the standard
-    * streaming-table compaction concern, solved by an offline
-    * re-partition that preserves the set of grams — correctness only
-    * needs set membership.
+    * streaming-table compaction concern — [[compactSubstringStore]] is
+    * the offline fold (set-preserving, crash-resumable, run while the
+    * stream is stopped).
     *
     * REPLAY SAFETY — a crashed foreachBatch re-runs its LAST batch, so
     * every step is idempotent per `batchId`: (1) the probe reads the
@@ -653,12 +653,73 @@ object CdcStream {
       Dedup
         .stripSpans(b, "doc_id", "text", spans.select("doc_id", "spans"))
         .write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
+      // one file per bucket dir: without the repartition every write task
+      // fans out across all numBuckets partition dirs (tasks × buckets
+      // small files per trigger — the small-file explosion that kills
+      // streaming tables); clustered by gb, each task owns whole buckets
       batchGrams
         .join(index, Seq("g"), "left_anti")
         .select("g", "gb")
+        .repartition(numBuckets, col("gb"))
         .write.mode("overwrite").partitionBy("gb")
         .parquet(s"$indexPath/ingest_batch=$batchId")
     } finally { batchGrams.unpersist(); b.unpersist(); () }
+    ()
+  }
+
+  /** Offline compaction for the [[substringStripMaintain]] gram store:
+    * fold every `ingest_batch ≤ upToBatch` partition into ONE partition
+    * labeled `ingest_batch=<upToBatch>`. The store is semantically a SET
+    * of grams, and any probing batch id is > upToBatch (only batches
+    * already committed to the checkpoint may be compacted), so relabeling
+    * old grams to `upToBatch` changes no probe's view — it just bounds
+    * the directory count the per-trigger appends grow (the standard
+    * streaming-table compaction chore).
+    *
+    * MUST run while the stream is stopped, with `upToBatch` STRICTLY
+    * below the next batch id the checkpoint will assign (a replayed last
+    * batch filters `ingest_batch < batchId`, so compacting anything it
+    * could replay-exclude would leak its own grams back into its probe).
+    *
+    * Crash-safe by staging + resume: the compacted set is first written
+    * OUTSIDE the store (`<indexPath>.compact`); only once that write has
+    * committed (_SUCCESS) are source partitions deleted and the staged
+    * dir renamed in. A re-run after a crash detects the committed staged
+    * dir and resumes the delete+rename phase instead of re-deriving the
+    * set from a store the crash may have left partially deleted.
+    */
+  def compactSubstringStore(
+      spark: SparkSession,
+      indexPath: String,
+      upToBatch: Long
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(indexPath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(live), s"no gram store at $indexPath")
+    val staged = new Path(s"$indexPath.compact")
+    val stagedCommitted = fs.exists(new Path(staged, "_SUCCESS"))
+    if (!stagedCommitted) {
+      spark.read.parquet(indexPath)
+        .where(col("ingest_batch") <= upToBatch)
+        .select("g", "gb")
+        .write.mode("overwrite").partitionBy("gb").parquet(staged.toString)
+    }
+    fs.listStatus(live)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("ingest_batch="))
+      .filter(_.getName.stripPrefix("ingest_batch=").toLong <= upToBatch)
+      .foreach(p => fs.delete(p, true))
+    // the staged _SUCCESS marker rides along into the store — Spark's
+    // file listing ignores underscore-prefixed metadata files, and
+    // DELETING it here would break resume (a crash between that delete
+    // and the rename would make a re-run re-derive the staged set from
+    // the partially-deleted store)
+    val target = new Path(s"$indexPath/ingest_batch=$upToBatch")
+    if (!fs.rename(staged, target))
+      throw new java.io.IOException(
+        s"gram-store compaction: could not move $staged into place at $target " +
+          "(staged set is intact — re-run to resume)")
     ()
   }
 

@@ -678,6 +678,46 @@ class ExtSpec extends SparkSpec {
     assert(admit.values.exists(identity) && admit.values.exists(!_))
   }
 
+  test("semanticAdmitStored: the persisted artifact validates K — a mismatch throws, a match equals the in-memory form") {
+    import spark.implicits._
+    val e = embs.select("vec_id", "embedding")
+    val batch = embs.where($"vec_id" % 5 === 0).select(
+      ($"vec_id" + 1000000L).as("vec_id"),
+      concat(
+        array(element_at($"embedding", 1) * lit(1.05f)),
+        slice($"embedding", lit(2), size($"embedding") - 1)).as("embedding"))
+    val k = 16
+    val index = Dedup.semanticIndex(e, "vec_id", "embedding", k)
+    val seeds = Dedup.semanticSeeds(e, "vec_id", "embedding", k)
+    val dir = tempDir("semart")
+    Dedup.writeSemanticIndex(index, seeds, dir)
+    assert(Dedup.semanticIndexK(spark, dir) === k)
+    // matching K (and the trust-the-artifact None form) reproduce the
+    // in-memory stored-seed admission exactly
+    val mem = Dedup.semanticAdmit(index, seeds, batch, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, String)].collect().toSet
+    val stored = Dedup
+      .semanticAdmitStored(spark, dir, batch, "vec_id", "embedding", 0.9, Some(k))
+      .as[(Long, Long, String)].collect().toSet
+    assert(stored === mem)
+    val trusted = Dedup
+      .semanticAdmitStored(spark, dir, batch, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, String)].collect().toSet
+    assert(trusted === mem)
+    // a mismatched K throws instead of probing wrong cells silently
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.semanticAdmitStored(spark, dir, batch, "vec_id", "embedding", 0.9, Some(k / 2))
+    }
+    assert(ex.getMessage.contains(s"K=$k") && ex.getMessage.contains(s"K=${k / 2}"))
+    // an unstamped directory is refused outright
+    val bare = tempDir("semartbare")
+    index.write.mode("overwrite").parquet(s"$bare/index")
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.semanticAdmitStored(spark, bare, batch, "vec_id", "embedding", 0.9)
+    }
+    assert(ex2.getMessage.contains("marker"))
+  }
+
   test("semanticContamination flags planted embedding leaks and clears negated vectors") {
     import spark.implicits._
     val e = embs.select("vec_id", "embedding")
@@ -1568,6 +1608,42 @@ class ExtSpec extends SparkSpec {
     assert(pq.forall { case (q, nId) => q - 1000000L === nId }, "planted mapping is not the identity")
   }
 
+  test("pqCodebooks: sampled training (coded default path) agrees with full-corpus training on planted copies; sub-ksub subspaces pad") {
+    graft.functions.GraftFunctions.register(spark)
+    val m = 4
+    val ksub = 16
+    val n = embs.count()
+    val cbFull = Similarity
+      .pqCodebooks(embs, "vec_id", "embedding", m, ksub, maxTrainRows = Long.MaxValue)
+    // force REAL sampling (a quarter of the corpus) — the 100 TB recipe
+    val cbSampled = Similarity
+      .pqCodebooks(embs, "vec_id", "embedding", m, ksub, maxTrainRows = math.max(1L, n / 4))
+    assert(cbSampled.count() === (m * ksub).toLong)
+    val queries = embs.where($"vec_id" % 20 === 0).select(
+      ($"vec_id" + 1000000L).as("vec_id"),
+      concat(
+        array(element_at($"embedding", 1) * lit(1.05f)),
+        slice($"embedding", lit(2), size($"embedding") - 1)).as("embedding"))
+    val brute = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 1)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toMap
+    def top1(cb: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val codes = Similarity.pqEncode(embs, cb, "vec_id", "embedding", m, ksub)
+      Similarity
+        .pqTopK(codes, cb, embs, queries, "vec_id", "embedding",
+          k = 1, m = m, ksub = ksub, candidates = 16)
+        .select($"q_id", $"n_id").as[(Long, Long)].collect().toMap
+    }
+    assert(top1(cbFull) === brute, "full-corpus codebooks lost planted copies")
+    assert(top1(cbSampled) === brute, "sampled codebooks lost planted copies")
+    // a corpus with fewer distinct subvectors than ksub pads the codebook
+    // to rectangular instead of aborting at probe time
+    val tiny = embs.where($"vec_id" < 8)
+    val cbTiny = Similarity.pqCodebooks(tiny, "vec_id", "embedding", m, ksub)
+    assert(cbTiny.count() === (m * ksub).toLong)
+    assert(Similarity.pqEncode(tiny, cbTiny, "vec_id", "embedding", m, ksub).count()
+      === tiny.count())
+  }
+
   test("IVF-PQ: composed pruning still matches brute force on planted copies") {
     graft.functions.GraftFunctions.register(spark)
     val m = 4
@@ -1602,6 +1678,15 @@ class ExtSpec extends SparkSpec {
     oneProbe.foreach { case (q, n) =>
       assert(n <= maxCell, s"query $q surfaced $n rows > largest cell $maxCell — pruning not applied")
     }
+    // the STORED layout (codes partitioned by centroid_id, probe reads
+    // only probed cells' partitions) returns the same result
+    val store = tempDir("ivfpqstore")
+    Similarity.materializeIvfPqIndex(indexed, codes, s"$store/codes")
+    val stored = Similarity
+      .ivfPqTopKStored(spark, s"$store/codes", indexed, centroids, cb, queries,
+        "vec_id", "embedding", k = 1, nProbe = 4, m = m, ksub = ksub, candidates = 16)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toMap
+    assert(stored === brute, "stored-layout IVF-PQ disagrees with brute force")
   }
 
   test("weightedSample: explode-reference parity, per-stratum bounds, weight-monotone inclusion") {

@@ -132,6 +132,15 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian/nested-loop joins in: $offenders")
   }
 
+  test("x_sim_ivfpq_planted probes the stored coded index with partition pruning") {
+    // the serving path's whole point: the coded-index scan must carry a
+    // PartitionFilter on centroid_id (only the probed cells' partitions
+    // are listed/read), not scan the store and filter rows after
+    val p = plan("x_sim_ivfpq_planted")
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
+      s"no centroid_id partition filter on the coded-index scan\n$p")
+  }
+
   test("bucketed counter is one pass: single key exchange, no self-join") {
     // point markers and segment-bucket entries come out of ONE explode and
     // land in ONE (user_id, bucket) hash aggregate that reuses the window's

@@ -885,6 +885,56 @@ class StreamingSpec extends SparkSpec {
       "replay duplicated grams in the store")
   }
 
+  test("compactSubstringStore: folds old partitions into one, preserves the gram set and downstream strips; resumes after a mid-compaction crash") {
+    import graft.ext.Dedup
+    val d = Tables.load(spark, sf0001, "documents")
+    def slice(lo: Int, hi: Int) = d.where($"doc_id" >= lo && $"doc_id" < hi)
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+    val base = tempDir("stripcompact")
+    val idx = s"$base/idx"
+    def applyBatch(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CdcStream.substringStripApplyBatch(
+        b, id, idx, s"$base/out", k = 10, hashKey = true, numBuckets = 16)
+    applyBatch(slice(0, 80), 0L)
+    applyBatch(slice(80, 160), 1L)
+    val before = spark.read.parquet(idx).select("g").as[Long].collect().toSet
+    CdcStream.compactSubstringStore(spark, idx, upToBatch = 1L)
+    assert(spark.read.parquet(idx).select("g").as[Long].collect().toSet === before)
+    val dirs = new java.io.File(idx).listFiles
+      .filter(_.getName.startsWith("ingest_batch=")).map(_.getName).toSet
+    assert(dirs === Set("ingest_batch=1"), s"compaction left $dirs")
+    // a later batch carrying copies of batch-0 docs still strips them
+    // against the compacted store exactly as the one-shot pipeline would
+    val copies = slice(0, 80).where($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 100000L).as("doc_id"),
+        concat(lit("xdupsalt "), $"text").as("text"))
+    applyBatch(copies, 2L)
+    val corpus = slice(0, 160).unionByName(copies)
+    val full = Dedup.stripSpans(corpus, "doc_id", "text",
+        Dedup.exactSubstringSpans(corpus, "doc_id", "text", k = 10, hashKey = true)
+          .select("doc_id", "spans"))
+      .select("doc_id", "n_tokens", "kept_tokens", "stripped_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("doc_id", "n_tokens", "kept_tokens", "stripped_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed === full, "post-compaction strip diverged from the one-shot pipeline")
+    // crash-resume: staged set committed, one source partition already
+    // deleted, rename never happened — a re-run must resume from the
+    // staged dir, not re-derive from the partially-deleted store
+    val expected = spark.read.parquet(idx).select("g").as[Long].collect().toSet
+    spark.read.parquet(idx).where($"ingest_batch" <= 2).select("g", "gb")
+      .write.mode("overwrite").partitionBy("gb").parquet(s"$idx.compact")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$idx/ingest_batch=1"))
+    CdcStream.compactSubstringStore(spark, idx, upToBatch = 2L)
+    assert(spark.read.parquet(idx).select("g").as[Long].collect().toSet === expected,
+      "resume after mid-compaction crash lost grams")
+  }
+
   test("foreachBatch sink sees every batch exactly once per run") {
     val logPath = tempDir("fblog")
     val ckpt = tempDir("fbckpt")
