@@ -259,6 +259,49 @@ object ExtensionQueries {
         .orderBy("media_id")
     },
 
+    // the STREAMING form of the perceptual admission above: the same
+    // (index corpus, three-fate batch) pair arrives as two id-monotone
+    // micro-batch chunks, each drained by a CdcStream.hammingAdmitMaintain
+    // AvailableNow run against the same persisted banded store +
+    // checkpoint — per trigger: sketches probe the store (filtered to
+    // prior batches), statuses land in the batch's own output partition,
+    // the store appends the batch's banded rows. The batch-1 admissions
+    // must equal the one-shot stored-banded admission, so the gate
+    // shares x_dedup_image_incr's oracle verbatim.
+    "x_dedup_image_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.CdcStream
+      val media = Multimodal.cachedSyntheticImages(s, docs(s, dir))
+      val index = Multimodal.perceptualHashes(media).toDF().select("media_id", "dhash")
+      val bCopies = Multimodal.perturbedImageCopies(
+        media.filter(col("media_id") % 10 === 0), idOffset = 200000L, rgbXor = 0x010101)
+      val bNew = Multimodal.perturbedImageCopies(
+        media.filter(col("media_id") % 7 === 3), idOffset = 300000L, rgbXor = 0x808080)
+      val bNewDup = Multimodal.perturbedImageCopies(
+        media.filter(col("media_id") % 7 === 3), idOffset = 400000L, rgbXor = 0x818181)
+      val batch = Multimodal
+        .perceptualHashes(bCopies.unionByName(bNew).unionByName(bNewDup)).toDF()
+        .select("media_id", "dhash")
+      val base = java.nio.file.Files.createTempDirectory("graft_hamstream").toString
+      val in = s"$base/in"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      def runOnce(): Unit = {
+        val q = CdcStream.hammingAdmitMaintain(
+          s.readStream.schema(index.schema).parquet(in),
+          s"$base/idx", s"$base/out", s"$base/ckpt",
+          "media_id", "dhash", radius = 11, trigger = Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      try {
+        index.coalesce(1).write.mode("append").parquet(in); runOnce()
+        batch.coalesce(1).write.mode("append").parquet(in); runOnce()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.read.parquet(s"$base/out/ingest_batch=1")
+        .select(col("id").as("media_id"), col("dhash"), col("status"))
+        .orderBy("media_id")
+    },
+
     // AUDIO near-dup dedup — the temporal twin of x_dedup_image: REAL
     // RIFF/PCM decode → 65-bin Σ|sample| energies → 64 energy-gradient
     // signs (Haitsma-Kalker-style fingerprint, integer-exact) → the same
@@ -1142,7 +1185,10 @@ object ExtensionQueries {
       val (indexed, centroids) =
         Similarity.cachedIvfIndex(e, "vec_id", "embedding", nCentroids = 16)
       val cb = Similarity.cachedPqCodebooks(e, "vec_id", "embedding", m = 4, ksub = 16)
+      // cache the encode once — three of the eight operating points scan
+      // the codes table, and without the cache each re-runs the encode
       val codes = Similarity.pqEncode(e, cb, "vec_id", "embedding", m = 4, ksub = 16)
+        .cache()
       def recall(approx: org.apache.spark.sql.DataFrame): Double =
         approx.select("q_id", "n_id")
           .join(exact, Seq("q_id", "n_id"), "left_semi").count() / total
@@ -1174,6 +1220,7 @@ object ExtensionQueries {
         ("pq_c16", 15, recall(pq(16))),
         ("pq_c64", 30, recall(pq(64))))
       exact.unpersist()
+      codes.unpersist()
       val byName = points.map(p => p._1 -> p._3).toMap
       val prevInFamily = Map(
         "ivf_np2" -> "ivf_np1", "ivf_np4" -> "ivf_np2",
@@ -2746,6 +2793,84 @@ object ExtensionQueries {
     // ASAP), so no expected table is needed.
   )
 
+  /** The x_dedup_image_incr derivation, shared verbatim by the
+    * streaming admission gate (see x_dedup_image_stream below). */
+  private val imageIncrOracle: String =
+      """WITH RECURSIVE aff(k, a, b) AS (
+        |  SELECT 1,
+        |         CAST(6364136223846793005 AS HUGEINT),
+        |         CAST(1442695040888963407 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT k + 1,
+        |         (a * 6364136223846793005) % 18446744073709551616,
+        |         (b * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM aff WHERE k < 3074
+        |), imgs AS (
+        |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS xm,
+        |         1 + n_chars % 64 AS w, 1 + n_chars % 48 AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, doc_id, 65793,
+        |         1 + n_chars % 64, 1 + n_chars % 48
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, doc_id, 8421504,
+        |         1 + n_chars % 64, 1 + n_chars % 48
+        |  FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 400000, doc_id, 8487297,
+        |         1 + n_chars % 64, 1 + n_chars % 48
+        |  FROM documents WHERE doc_id % 7 = 3
+        |), hi AS (
+        |  SELECT * FROM imgs WHERE w >= 9 AND h >= 8
+        |), px AS (
+        |  SELECT media_id, w, h, xm,
+        |         (aff.k - 2) % w AS x, (aff.k - 2) // w AS y,
+        |         CAST(((aff.a * seed + aff.b) % 18446744073709551616
+        |               // 1099511627776) % 16777216 AS BIGINT) AS rgb0
+        |  FROM hi JOIN aff ON aff.k BETWEEN 2 AND w * h + 1
+        |), lum AS (
+        |  SELECT media_id, x * 9 // w AS gx, y * 8 // h AS gy,
+        |         (299 * ((xor(rgb0, xm) >> 16) & 255)
+        |        + 587 * ((xor(rgb0, xm) >> 8) & 255)
+        |        + 114 * (xor(rgb0, xm) & 255)) // 1000 AS luma
+        |  FROM px
+        |), cell AS (
+        |  SELECT media_id, gx, gy, sum(luma) // count(*) AS m
+        |  FROM lum GROUP BY media_id, gx, gy
+        |), dh AS (
+        |  SELECT c1.media_id,
+        |         SUM(CASE WHEN c1.m > c2.m
+        |             THEN CAST(1 AS HUGEINT) << (c1.gy * 8 + c1.gx)
+        |             ELSE CAST(0 AS HUGEINT) END) AS dhu
+        |  FROM cell c1 JOIN cell c2
+        |    ON c1.media_id = c2.media_id AND c2.gy = c1.gy AND c2.gx = c1.gx + 1
+        |  WHERE c1.gx < 8
+        |  GROUP BY c1.media_id
+        |), hs AS (
+        |  SELECT media_id,
+        |         CAST(CASE WHEN dhu >= 9223372036854775808
+        |              THEN dhu - 18446744073709551616 ELSE dhu END AS BIGINT) AS dhash
+        |  FROM dh
+        |), pairs AS (
+        |  SELECT a.media_id AS a_id, b.media_id AS b_id
+        |  FROM hs a JOIN hs b
+        |    ON a.media_id < b.media_id AND b.media_id >= 200000
+        |   AND bit_count(xor(a.dhash, b.dhash)) <= 11
+        |), st AS (
+        |  SELECT b_id AS media_id,
+        |         max(CASE WHEN a_id < 200000 THEN 1 ELSE 0 END) AS has_snap,
+        |         max(CASE WHEN a_id >= 200000 THEN 1 ELSE 0 END) AS has_batch
+        |  FROM pairs GROUP BY b_id
+        |)
+        |SELECT hs.media_id, dhash,
+        |       CASE WHEN st.has_snap = 1 THEN 'dup_snapshot'
+        |            WHEN st.has_batch = 1 THEN 'dup_batch'
+        |            ELSE 'new' END AS status
+        |FROM hs LEFT JOIN st ON hs.media_id = st.media_id
+        |WHERE hs.media_id >= 200000
+        |ORDER BY hs.media_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // chunk keep-first re-derived with a window rank over (doc_id, idx) —
     // the declarative spec of the engine's groupBy-min + join-back plan
@@ -2953,81 +3078,7 @@ object ExtensionQueries {
         |FROM kept GROUP BY 1 ORDER BY split""".stripMargin,
     // same closed-form pixel → dHash pipeline over index ∪ the
     // three-fate batch, statuses from brute-force pairs split by side
-    "x_dedup_image_incr" ->
-      """WITH RECURSIVE aff(k, a, b) AS (
-        |  SELECT 1,
-        |         CAST(6364136223846793005 AS HUGEINT),
-        |         CAST(1442695040888963407 AS HUGEINT)
-        |  UNION ALL
-        |  SELECT k + 1,
-        |         (a * 6364136223846793005) % 18446744073709551616,
-        |         (b * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
-        |  FROM aff WHERE k < 3074
-        |), imgs AS (
-        |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS xm,
-        |         1 + n_chars % 64 AS w, 1 + n_chars % 48 AS h
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 200000, doc_id, 65793,
-        |         1 + n_chars % 64, 1 + n_chars % 48
-        |  FROM documents WHERE doc_id % 10 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 300000, doc_id, 8421504,
-        |         1 + n_chars % 64, 1 + n_chars % 48
-        |  FROM documents WHERE doc_id % 7 = 3
-        |  UNION ALL
-        |  SELECT doc_id + 400000, doc_id, 8487297,
-        |         1 + n_chars % 64, 1 + n_chars % 48
-        |  FROM documents WHERE doc_id % 7 = 3
-        |), hi AS (
-        |  SELECT * FROM imgs WHERE w >= 9 AND h >= 8
-        |), px AS (
-        |  SELECT media_id, w, h, xm,
-        |         (aff.k - 2) % w AS x, (aff.k - 2) // w AS y,
-        |         CAST(((aff.a * seed + aff.b) % 18446744073709551616
-        |               // 1099511627776) % 16777216 AS BIGINT) AS rgb0
-        |  FROM hi JOIN aff ON aff.k BETWEEN 2 AND w * h + 1
-        |), lum AS (
-        |  SELECT media_id, x * 9 // w AS gx, y * 8 // h AS gy,
-        |         (299 * ((xor(rgb0, xm) >> 16) & 255)
-        |        + 587 * ((xor(rgb0, xm) >> 8) & 255)
-        |        + 114 * (xor(rgb0, xm) & 255)) // 1000 AS luma
-        |  FROM px
-        |), cell AS (
-        |  SELECT media_id, gx, gy, sum(luma) // count(*) AS m
-        |  FROM lum GROUP BY media_id, gx, gy
-        |), dh AS (
-        |  SELECT c1.media_id,
-        |         SUM(CASE WHEN c1.m > c2.m
-        |             THEN CAST(1 AS HUGEINT) << (c1.gy * 8 + c1.gx)
-        |             ELSE CAST(0 AS HUGEINT) END) AS dhu
-        |  FROM cell c1 JOIN cell c2
-        |    ON c1.media_id = c2.media_id AND c2.gy = c1.gy AND c2.gx = c1.gx + 1
-        |  WHERE c1.gx < 8
-        |  GROUP BY c1.media_id
-        |), hs AS (
-        |  SELECT media_id,
-        |         CAST(CASE WHEN dhu >= 9223372036854775808
-        |              THEN dhu - 18446744073709551616 ELSE dhu END AS BIGINT) AS dhash
-        |  FROM dh
-        |), pairs AS (
-        |  SELECT a.media_id AS a_id, b.media_id AS b_id
-        |  FROM hs a JOIN hs b
-        |    ON a.media_id < b.media_id AND b.media_id >= 200000
-        |   AND bit_count(xor(a.dhash, b.dhash)) <= 11
-        |), st AS (
-        |  SELECT b_id AS media_id,
-        |         max(CASE WHEN a_id < 200000 THEN 1 ELSE 0 END) AS has_snap,
-        |         max(CASE WHEN a_id >= 200000 THEN 1 ELSE 0 END) AS has_batch
-        |  FROM pairs GROUP BY b_id
-        |)
-        |SELECT hs.media_id, dhash,
-        |       CASE WHEN st.has_snap = 1 THEN 'dup_snapshot'
-        |            WHEN st.has_batch = 1 THEN 'dup_batch'
-        |            ELSE 'new' END AS status
-        |FROM hs LEFT JOIN st ON hs.media_id = st.media_id
-        |WHERE hs.media_id >= 200000
-        |ORDER BY hs.media_id""".stripMargin,
+    "x_dedup_image_incr" -> imageIncrOracle,
     // closed-form LCG samples (signed 16-bit), same 65-bin |s| energy
     // sums and gradient-sign fingerprint, brute-force all-pairs ≤ 11
     "x_dedup_audio" ->
@@ -5502,5 +5553,12 @@ object ExtensionQueries {
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY event_type, bucket_s""".stripMargin
-  )
+  ) ++ Map(
+    // the streamed two-run perceptual admission must equal the one-shot
+    // stored-banded admission over the same (index, batch) pair — with
+    // monotone ids the per-trigger probe sees exactly the banded union
+    // of prior batches — so the gate shares x_dedup_image_incr's
+    // closed-form LCG derivation VERBATIM (same corpus, same batch,
+    // same three-fate statuses)
+    "x_dedup_image_stream" -> imageIncrOracle)
 }

@@ -667,6 +667,99 @@ object CdcStream {
     ()
   }
 
+  /** Streaming perceptual-hash admission — the INGEST composition of
+    * [[graft.ext.Dedup.hammingAdmitBanded]]: per micro-batch, arriving
+    * 64-bit sketches (any perceptual family — image dHash, audio energy
+    * signs, video keyframe/N-frame slots) probe the persisted BANDED
+    * Hamming index, their admission statuses (`new` / `dup_snapshot` /
+    * `dup_batch`) land in the batch's own output partition, and the
+    * index advances by APPENDING the batch's banded rows — the
+    * image/audio/video dedup-at-ingest path, sharing
+    * [[substringStripMaintain]]'s store discipline:
+    *
+    *   - store layout: parquet partitioned `ingest_batch` × `blk` (the
+    *     banded `(blk, key, id, hh)` artifact the batch admission form
+    *     probes — one layout, no drift), appended per trigger, never
+    *     rewritten;
+    *   - replay safety: probes filter `ingest_batch < batchId`, and both
+    *     the admissions output and the banded append overwrite the
+    *     batch's own partition, so foreachBatch redelivery is a no-op;
+    *   - equivalence: with monotone ids, batch statuses equal
+    *     [[graft.ext.Dedup.hammingAdmitBanded]] against the banded union
+    *     of all prior batches (StreamingSpec-pinned; the driver gate
+    *     shares `x_dedup_image_incr`'s closed-form oracle).
+    */
+  def hammingAdmitMaintain(
+      sketchStream: DataFrame, // (idCol, hashCol) per micro-batch
+      indexPath: String,
+      outPath: String,
+      checkpoint: String,
+      idCol: String,
+      hashCol: String,
+      radius: Int = 11,
+      blocks: Int = 4,
+      probeBits: Int = 2,
+      trigger: Trigger = DefaultTrigger
+  ): StreamingQuery =
+    sketchStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        hammingAdmitApplyBatch(
+          batch.toDF(), batchId, indexPath, outPath, idCol, hashCol,
+          radius, blocks, probeBits)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode("append")
+      .start()
+
+  /** One micro-batch of [[hammingAdmitMaintain]] — package-visible for
+    * the crash-replay spec and stress probes. Idempotent in `batchId`.
+    */
+  private[graft] def hammingAdmitApplyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      indexPath: String,
+      outPath: String,
+      idCol: String,
+      hashCol: String,
+      radius: Int,
+      blocks: Int,
+      probeBits: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
+    import graft.ext.Dedup
+    val spark = batch.sparkSession
+    verifyStateKeyFormat(spark, indexPath,
+      s"hamming_banded:radius=$radius:blocks=$blocks:probe=$probeBits:v1")
+    val storeSchema = StructType(Seq(
+      StructField("key", LongType),
+      StructField("id", LongType),
+      StructField("hh", LongType),
+      StructField("ingest_batch", LongType),
+      StructField("blk", IntegerType)))
+    val live = new Path(indexPath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bandedIndex =
+      if (fs.exists(live))
+        spark.read.schema(storeSchema).parquet(indexPath)
+          .where(col("ingest_batch") < batchId)
+          .select("blk", "key", "id", "hh")
+      else
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storeSchema)
+          .select("blk", "key", "id", "hh")
+    val b = batch.cache()
+    try {
+      Dedup
+        .hammingAdmitBanded(bandedIndex, b, idCol, hashCol, radius, blocks, probeBits)
+        .write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
+      Dedup.hammingIndexBanded(b, idCol, hashCol, blocks)
+        .repartition(col("blk"))
+        .write.mode("overwrite").partitionBy("blk")
+        .parquet(s"$indexPath/ingest_batch=$batchId")
+    } finally { b.unpersist(); () }
+    ()
+  }
+
   /** Offline compaction for the [[substringStripMaintain]] gram store:
     * fold every `ingest_batch ≤ upToBatch` partition into ONE partition
     * labeled `ingest_batch=<upToBatch>`. The store is semantically a SET

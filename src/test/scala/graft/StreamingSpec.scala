@@ -885,6 +885,46 @@ class StreamingSpec extends SparkSpec {
       "replay duplicated grams in the store")
   }
 
+  test("hammingAdmitMaintain: per-trigger admission equals the one-shot stored-banded form; replaying the last batch is a no-op") {
+    import graft.ext.Dedup
+    // synthetic 64-bit sketches: batch-2 carries exact copies of batch-1
+    // hashes (dup_snapshot), fresh hashes (new), and low-bit perturbations
+    // of the fresh ones arriving later in the same batch (dup_batch)
+    val d = Tables.load(spark, sf0001, "documents")
+    val b1 = d.where($"doc_id" < 200)
+      .select($"doc_id".cast("long").as("media_id"), xxhash64($"text").as("hh"))
+    val b2 = d.where($"doc_id" < 200 && $"doc_id" % 10 === 0)
+      .select(($"doc_id" + 200000L).as("media_id"), xxhash64($"text").as("hh"))
+      .unionByName(d.where($"doc_id" < 200 && $"doc_id" % 7 === 3)
+        .select(($"doc_id" + 300000L).as("media_id"),
+          xxhash64(concat($"text", lit("salt"))).as("hh")))
+      .unionByName(d.where($"doc_id" < 200 && $"doc_id" % 7 === 3)
+        .select(($"doc_id" + 400000L).as("media_id"),
+          xxhash64(concat($"text", lit("salt"))).bitwiseXOR(lit(1L)).as("hh")))
+    val base = tempDir("hammaint")
+    def applyBatch(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CdcStream.hammingAdmitApplyBatch(
+        b, id, s"$base/idx", s"$base/out", "media_id", "hh",
+        radius = 11, blocks = 4, probeBits = 2)
+    applyBatch(b1, 0L)
+    applyBatch(b2, 1L) // crashed attempt
+    applyBatch(b2, 1L) // replay
+    val streamed = spark.read.parquet(s"$base/out/ingest_batch=1")
+      .select($"id", $"status").as[(Long, String)].collect().toMap
+    val oneShot = Dedup
+      .hammingAdmitBanded(
+        Dedup.hammingIndexBanded(b1, "media_id", "hh"), b2, "media_id", "hh", radius = 11)
+      .select($"id", $"status").as[(Long, String)].collect().toMap
+    assert(streamed === oneShot,
+      "streamed admission diverges from the one-shot stored-banded form")
+    // all three fates are really present
+    assert(Set("dup_snapshot", "dup_batch", "new").subsetOf(streamed.values.toSet))
+    // the replay did not duplicate banded rows in the store
+    val store = spark.read.parquet(s"$base/idx")
+    assert(store.count() === store.dropDuplicates("blk", "key", "id").count(),
+      "replay duplicated banded rows")
+  }
+
   test("compactSubstringStore: folds old partitions into one, preserves the gram set and downstream strips; resumes after a mid-compaction crash") {
     import graft.ext.Dedup
     val d = Tables.load(spark, sf0001, "documents")
