@@ -687,4 +687,92 @@ object TextOps {
       .withColumn("quality", qualityScore(col(textCol)))
       .withColumn("lang_pred", langId(col(textCol)))
       .withColumn("fp", fingerprint(col(textCol)))
+
+  // ---- BM25 lexical retrieval ---------------------------------------------
+
+  /** Okapi BM25 top-k retrieval over the corpus (Robertson & Walker /
+    * the TREC-3 Okapi formulation with Lucene's +1 idf smoothing) — the
+    * LEXICAL complement to the embedding ANN family: decontamination
+    * screens, curation queries and eval-leak hunts over a 100 TB text
+    * corpus are keyword lookups before they are embedding lookups.
+    *
+    * score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
+    * b·dl/avgdl)), idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). Per-term
+    * scores are e6-quantized to LONGS and summed as integers, so the
+    * per-document total is summation-order-FREE (the one place IEEE
+    * addition order could leak engine dependence); ranking is (score_e6
+    * desc, doc_id asc), fully deterministic.
+    *
+    * Plan shape (the inverted-index dataflow, declared not hand-built):
+    * one token explode over the corpus → (doc, term, tf) hash aggregate
+    * (the postings) and a term-keyed df aggregate (the dictionary);
+    * query terms BROADCAST onto the postings (queries are small by
+    * contract), per-(query, doc) integer aggregation, then partial
+    * top-k via [[graft.functions.TopKAggregator]] — k rows per (query ×
+    * partition) reach the shuffle, never the scored postings scan. At
+    * scale the postings table is the stored artifact (bucketed by term,
+    * the substring gram-store discipline); corpus stats (N, avgdl) are
+    * one tiny aggregate (bounded 1-row collect).
+    *
+    * Output: `(q_id, doc_id, rank, score_e6, tf_sum, n_terms)` —
+    * `tf_sum`/`n_terms` are the exact-integer match diagnostics the
+    * driver gate anchors on.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame, // (queryIdCol, queryTextCol) — broadcast-small
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val toks = docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("__ws"))
+      .select(col("doc_id"), size(col("__ws")).as("dl"), explode(col("__ws")).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // corpus stats: one 1-row aggregate (documented bounded collect)
+    val statsRow = docs
+      .select(tokenCount(col(textCol)).cast("double").as("dl"))
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      .head()
+    val n = statsRow.getLong(0)
+    val avgdl = statsRow.getDouble(1)
+    require(n > 0, "empty corpus")
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = queries
+      .select(
+        col(queryIdCol).cast("long").as("q_id"),
+        explode(split(trim(col(queryTextCol)), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .distinct() // BM25 query terms are a set
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfPart = col("tf").cast("double") * (lit(k1) + 1.0) /
+      (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+    val perTerm = tf
+      .join(dfreq, Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .withColumn("score_e6", floor(idf * tfPart * 1e6 + 0.5).cast("long"))
+    val perDoc = perTerm
+      .groupBy("q_id", "doc_id")
+      .agg(
+        sum(col("score_e6")).as("score_e6"),
+        sum(col("tf")).as("tf_sum"),
+        count(lit(1)).as("n_terms"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    perDoc
+      .groupBy("q_id")
+      .agg(topk(col("score_e6").cast("double"), col("doc_id")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), col("col.id").as("doc_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").cast("long").as("score_e6"))
+      .join(perDoc.select("q_id", "doc_id", "tf_sum", "n_terms"), Seq("q_id", "doc_id"))
+      .select("q_id", "doc_id", "rank", "score_e6", "tf_sum", "n_terms")
+  }
 }

@@ -1238,6 +1238,33 @@ object ExtensionQueries {
         .orderBy("method")
     },
 
+    // BM25 lexical retrieval — the keyword complement to the embedding
+    // ANN gates (decontamination and curation lookups are keyword
+    // searches before they are embedding searches). Each queried doc
+    // carries one planted RARE tail token (df=1 → idf ≈ ln(N/1.5),
+    // ~1000× any common term's idf on this lexicon), so the top-1
+    // identity is decided by a margin far beyond any ln() last-ulp
+    // engine difference; the hashed columns are the top-1 doc identity
+    // plus EXACT integers (matched tf sum, matched distinct terms) —
+    // the e6-quantized score itself stays engine-internal (per-term
+    // scores are integer-summed, so ranking is order-free; see
+    // TextOps.bm25TopK).
+    "x_text_bm25" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val corpus = d.select(
+        col("doc_id"),
+        when(col("doc_id") % 50 === 7, concat(col("text"), lit(" zzq"), col("doc_id")))
+          .otherwise(col("text")).as("text"))
+      val queries = d.where(col("doc_id") % 50 === 7)
+        .select(
+          col("doc_id").as("q_id"),
+          concat(lit("zzq"), col("doc_id"), lit(" "),
+            array_join(slice(split(trim(col("text")), "\\s+"), 1, 4), " ")).as("qtext"))
+      TextOps.bm25TopK(corpus, "doc_id", "text", queries, "q_id", "qtext", k = 1)
+        .select(col("q_id"), col("doc_id"), col("tf_sum"), col("n_terms"))
+        .orderBy("q_id")
+    },
+
     // token counting: whitespace + BPE-ish regex pre-tokenizer
     "x_text_tokens" -> { (s, dir) =>
       docs(s, dir)
@@ -4393,6 +4420,58 @@ object ExtensionQueries {
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpeish_tokens,
         |       CAST(length(text) AS INT) AS n_chars_calc
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // full BM25 re-derivation: same tokenization, tf/df/dl/avgdl, the
+    // Okapi formula with ln — per-term e6 longs integer-summed, rank 1
+    // by (score desc, doc_id). Only integer columns are compared; the
+    // planted df=1 term makes rank-1 identity ln-ulp-proof.
+    "x_text_bm25" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 50 = 7 THEN text || ' zzq' || doc_id
+        |              ELSE text END AS text
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM corpus
+        |), toks AS (
+        |  SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM base
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM toks WHERE term <> '' GROUP BY 1, 2, 3
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(ws) AS DOUBLE)) AS avgdl
+        |  FROM base
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), q AS (
+        |  SELECT doc_id AS q_id,
+        |         'zzq' || doc_id || ' ' || array_to_string(ws[1:4], ' ') AS qtext
+        |  FROM base WHERE doc_id % 50 = 7
+        |), qterms AS (
+        |  SELECT DISTINCT q_id, t.term
+        |  FROM q, unnest(string_split_regex(trim(qtext), '\s+')) AS t(term)
+        |  WHERE t.term <> ''
+        |), perterm AS (
+        |  SELECT qt.q_id, tf.doc_id,
+        |         CAST(floor(
+        |           ln(1 + (s.n - df + 0.5) / (df + 0.5))
+        |             * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / s.avgdl))
+        |             * 1e6 + 0.5) AS BIGINT) AS score_e6,
+        |         tf.tf AS tf
+        |  FROM tf
+        |  JOIN dfreq USING (term)
+        |  JOIN qterms qt USING (term)
+        |  CROSS JOIN stats s
+        |), perdoc AS (
+        |  SELECT q_id, doc_id, sum(score_e6) AS score_e6,
+        |         CAST(sum(tf) AS BIGINT) AS tf_sum,
+        |         CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM perterm GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_e6 DESC, doc_id ASC) AS r
+        |  FROM perdoc
+        |)
+        |SELECT q_id, doc_id, tf_sum, n_terms FROM ranked WHERE r = 1
+        |ORDER BY q_id""".stripMargin,
     "x_text_quality" ->
       """WITH f AS (
         |  SELECT doc_id, text,

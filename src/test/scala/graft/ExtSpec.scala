@@ -1732,6 +1732,58 @@ class ExtSpec extends SparkSpec {
       s"weight-4 inclusion ${byW.getOrElse(3, 0)} not above weight-1 ${byW.getOrElse(0, 0)}")
   }
 
+  test("bm25TopK: exact e6 scores and ranking vs an independent reference on a hand fixture; planted rare-term top-1 on the corpus") {
+    import spark.implicits._
+    val texts = Map(
+      0L -> "apple banana apple",
+      1L -> "banana cherry",
+      2L -> "apple apple apple durian",
+      3L -> "cherry cherry banana banana")
+    val docsDf = texts.toSeq.toDF("doc_id", "text")
+    val queriesDf = Seq((100L, "apple banana")).toDF("q_id", "qtext")
+    val got = TextOps.bm25TopK(docsDf, "doc_id", "text", queriesDf, "q_id", "qtext", k = 4)
+      .orderBy("rank").as[(Long, Long, Int, Long, Long, Long)].collect().toSeq
+    // independent reference: plain-Scala BM25 with the same formula tree
+    val toks = texts.view.mapValues(_.split("\\s+").toSeq).toMap
+    val n = texts.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val qset = Seq("apple", "banana")
+    def dfOf(t: String) = toks.values.count(_.contains(t)).toDouble
+    def ref(d: Long): (Long, Long, Long) = {
+      var s = 0L; var tfs = 0L; var nt = 0L
+      for (t <- qset) {
+        val tf = toks(d).count(_ == t)
+        if (tf > 0) {
+          val idf = math.log(1 + (n - dfOf(t) + 0.5) / (dfOf(t) + 0.5))
+          val part = tf * (1.2 + 1) / (tf + 1.2 * ((1 - 0.75) + 0.75 * toks(d).size / avgdl))
+          s += math.floor(idf * part * 1e6 + 0.5).toLong; tfs += tf; nt += 1
+        }
+      }
+      (s, tfs, nt)
+    }
+    val exp = texts.keys.toSeq.map(d => (d, ref(d))).filter(_._2._3 > 0)
+      .sortBy { case (d, (s, _, _)) => (-s, d) }
+    assert(got.map(_._2) === exp.map(_._1), "ranking diverges from the reference")
+    got.zip(exp).zipWithIndex.foreach { case (((qid, did, rank, s, tfs, nt), (ed, (es, etfs, ent))), i) =>
+      assert(qid === 100L && did === ed && rank === i + 1)
+      assert(s === es, s"doc $did score_e6 $s != reference $es")
+      assert(tfs === etfs && nt === ent)
+    }
+    // corpus leg: a planted df=1 tail term must put the source doc at
+    // rank 1 for every query (the driver gate's margin argument)
+    val corpus = docs.select($"doc_id",
+      when($"doc_id" % 50 === 7, concat($"text", lit(" zzq"), $"doc_id"))
+        .otherwise($"text").as("text"))
+    val queries = docs.where($"doc_id" % 50 === 7)
+      .select($"doc_id".as("q_id"),
+        concat(lit("zzq"), $"doc_id", lit(" "),
+          array_join(slice(split(trim($"text"), "\\s+"), 1, 4), " ")).as("qtext"))
+    val top1 = TextOps.bm25TopK(corpus, "doc_id", "text", queries, "q_id", "qtext", k = 1)
+      .select($"q_id", $"doc_id").as[(Long, Long)].collect().toMap
+    assert(top1.nonEmpty && top1.forall { case (q, d) => q === d },
+      s"planted rare-term queries did not rank their source first: $top1")
+  }
+
   test("canonicalUrl: rule set pinned on hand cases, null/non-URL safe, idempotent") {
     val cases = Seq(
       // case-folding, default port, tracking params, sort, fragment
