@@ -688,6 +688,83 @@ object TextOps {
       .withColumn("lang_pred", langId(col(textCol)))
       .withColumn("fp", fingerprint(col(textCol)))
 
+  // ---- corpus-LM quality scoring ------------------------------------------
+
+  /** Bigram-LM quality scoring — the CCNet idea (score documents by how
+    * predictable their text is under a language model trained on a
+    * trusted reference slice; Wenzek et al. 2020 use a KenLM 5-gram and
+    * perplexity buckets) re-expressed INTEGER-EXACT: the model is the
+    * bigram/context count table of an md5-selected reference slice
+    * ([[hashKeep]] — deterministic, engine-portable), and a document's
+    * signal is the per-occurrence next-token probability
+    * `p = count_ref(w1, w2) / count_ref(w1 ·)` quantized to e6 in PURE
+    * LONG arithmetic — `p_e6 = (2·10⁶·c2 + c1) div (2·c1)` is
+    * round-half-up without ever touching a float, so sums and means are
+    * bit-reproducible on any engine (the log-perplexity form would hash
+    * differently across libm implementations; the mean-probability form
+    * carries the same ordering signal for filtering).
+    *
+    * Output per document: `n_bigrams` (scored occurrences), `n_ctx`
+    * (occurrences whose left context exists in the model), `n_hit`
+    * (occurrences whose full bigram exists), `sum_p_e6` (integer sum of
+    * per-occurrence e6 probabilities; unseen context or unseen
+    * continuation contribute 0 — the harshest backoff, documented).
+    * Consumers derive any ratio (mean probability = sum_p_e6 /
+    * (10⁶·n_bigrams), OOV rate = 1 − n_ctx/n_bigrams) without losing
+    * exactness.
+    *
+    * Plan shape: reference bigram counts are two hash aggregates over
+    * the (md5-pruned, map-side filtered) reference scan; document
+    * bigrams are a map-only `arrays_zip` of the token array with its
+    * tail (no positional self-join); scoring is two equi-joins against
+    * the model (broadcast when the model is small; at 100 TB the model
+    * is a stored artifact bucketed by `w1` — the gram-store discipline).
+    */
+  def bigramLmScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      refSalt: String = "lmref",
+      refFraction: Double = 0.25
+  ): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), ws.as("__ws"))
+      .where(size(col("__ws")) >= 2)
+      .select(col("doc_id"), explode(
+        arrays_zip(
+          slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+          slice(col("__ws"), lit(2), size(col("__ws")) - 1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val base = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol))
+    val ref = base.where(hashKeep(col("doc_id"), refSalt, refFraction))
+    val refBg = bigrams(ref)
+    val c2 = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = refBg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val scored = bigrams(base)
+      .join(c1, Seq("w1"), "left_outer")
+      .join(c2, Seq("w1", "w2"), "left_outer")
+      .withColumn("p_e6",
+        when(col("c1").isNull || col("c2").isNull, lit(0L))
+          .otherwise(expr("(2000000L * c2 + c1) div (2L * c1)")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("c1").isNotNull, 1L).otherwise(0L)).as("n_ctx"),
+        sum(when(col("c2").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(col("p_e6")).as("sum_p_e6"))
+    // documents with fewer than two tokens carry zero bigrams — emit
+    // them with zero counts rather than dropping them from the corpus
+    base.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_ctx"), lit(0L)).as("n_ctx"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("sum_p_e6"), lit(0L)).as("sum_p_e6"))
+  }
+
   // ---- BM25 lexical retrieval ---------------------------------------------
 
   /** Okapi BM25 top-k retrieval over the corpus (Robertson & Walker /

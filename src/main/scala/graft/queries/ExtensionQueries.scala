@@ -1265,6 +1265,16 @@ object ExtensionQueries {
         .orderBy("q_id")
     },
 
+    // corpus-bigram LM quality scoring (the CCNet signal, integer-exact):
+    // the model is the bigram count table of an md5-selected 25%
+    // reference slice; each document's next-token probabilities are e6
+    // rationals computed in pure long arithmetic (no float, no ln), so
+    // sums hash identically on any engine. Unseen context / unseen
+    // continuation score 0 (harshest backoff — documented).
+    "x_text_lm_score" -> { (s, dir) =>
+      TextOps.bigramLmScore(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+
     // token counting: whitespace + BPE-ish regex pre-tokenizer
     "x_text_tokens" -> { (s, dir) =>
       docs(s, dir)
@@ -4420,6 +4430,47 @@ object ExtensionQueries {
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpeish_tokens,
         |       CAST(length(text) AS INT) AS n_chars_calc
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // bigram-LM scoring re-derived end-to-end: same md5 reference
+    // selection, same bigram counts, the same pure-integer
+    // round-half-up e6 probability ((2e6·c2 + c1) // (2·c1) — `//`
+    // floors and `div` truncates, identical on these nonnegative
+    // operands)
+    "x_text_lm_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+        |), ref AS (
+        |  SELECT doc_id, ws FROM base
+        |  WHERE substr(md5('lmref:' || doc_id), 1, 4) < '4000'
+        |), refbg AS (
+        |  SELECT ws[gs.i] AS w1, ws[gs.i + 1] AS w2
+        |  FROM ref, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) gs
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM refbg GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS c1 FROM refbg GROUP BY 1
+        |), docbg AS (
+        |  SELECT doc_id, ws[gs.i] AS w1, ws[gs.i + 1] AS w2
+        |  FROM base, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) gs
+        |), sc AS (
+        |  SELECT d.doc_id,
+        |         count(*) AS n_bigrams,
+        |         sum(CASE WHEN c1.c1 IS NOT NULL THEN 1 ELSE 0 END) AS n_ctx,
+        |         sum(CASE WHEN c2.c2 IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+        |         sum(CASE WHEN c1.c1 IS NOT NULL AND c2.c2 IS NOT NULL
+        |                  THEN (2000000 * c2.c2 + c1.c1) // (2 * c1.c1)
+        |                  ELSE 0 END) AS sum_p_e6
+        |  FROM docbg d
+        |  LEFT JOIN c1 USING (w1)
+        |  LEFT JOIN c2 USING (w1, w2)
+        |  GROUP BY 1
+        |)
+        |SELECT b.doc_id,
+        |       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(coalesce(n_ctx, 0) AS BIGINT) AS n_ctx,
+        |       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+        |       CAST(coalesce(sum_p_e6, 0) AS BIGINT) AS sum_p_e6
+        |FROM base b LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // full BM25 re-derivation: same tokenization, tf/df/dl/avgdl, the
     // Okapi formula with ln — per-term e6 longs integer-summed, rank 1
     // by (score desc, doc_id). Only integer columns are compared; the

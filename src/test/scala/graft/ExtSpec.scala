@@ -1732,6 +1732,38 @@ class ExtSpec extends SparkSpec {
       s"weight-4 inclusion ${byW.getOrElse(3, 0)} not above weight-1 ${byW.getOrElse(0, 0)}")
   }
 
+  test("bigramLmScore: hand-computed integer probabilities; empty model scores zero; short docs emit zero rows") {
+    import spark.implicits._
+    val fixture = Seq(
+      (0L, "a b a b c"),
+      (1L, "a b x"),
+      (2L, "z")).toDF("doc_id", "text")
+    // refFraction = 1.0 → the model IS the corpus:
+    //   c1: a→3, b→3;  c2: (a,b)→3, (b,a)→1, (b,c)→1, (b,x)→1
+    // doc 0 bigrams (a,b)(b,a)(a,b)(b,c): p_e6 = 1e6, 333333, 1e6, 333333
+    // doc 1 bigrams (a,b)(b,x): p_e6 = 1e6, 333333
+    // doc 2: a single token — zero bigrams, all-zero row
+    val got = TextOps.bigramLmScore(fixture, "doc_id", "text", refFraction = 1.0)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (d, a, b2, c, s) => d -> ((a, b2, c, s)) }.toMap
+    assert(got(0L) === ((4L, 4L, 4L, 2666666L)))
+    assert(got(1L) === ((2L, 2L, 2L, 1333333L)))
+    assert(got(2L) === ((0L, 0L, 0L, 0L)))
+    // an EMPTY reference slice (fraction 0) scores every bigram 0 with
+    // zero context hits — the harshest-backoff contract, not an error
+    val none = TextOps.bigramLmScore(fixture, "doc_id", "text", refFraction = 0.0)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (d, a, b2, c, s) => d -> ((a, b2, c, s)) }.toMap
+    assert(none(0L) === ((4L, 0L, 0L, 0L)))
+    assert(none(2L) === ((0L, 0L, 0L, 0L)))
+    // corpus sanity: n_bigrams = tokenCount − 1, probabilities bounded
+    val corpus = TextOps.bigramLmScore(docs, "doc_id", "text")
+      .join(docs.select($"doc_id", TextOps.tokenCount($"text").cast("long").as("nt")), "doc_id")
+    assert(corpus.where($"n_bigrams" =!= $"nt" - 1).count() === 0)
+    assert(corpus.where($"sum_p_e6" > $"n_bigrams" * 1000000L).count() === 0)
+    assert(corpus.where($"n_hit" > $"n_ctx" || $"n_ctx" > $"n_bigrams").count() === 0)
+  }
+
   test("bm25TopK: exact e6 scores and ranking vs an independent reference on a hand fixture; planted rare-term top-1 on the corpus") {
     import spark.implicits._
     val texts = Map(
