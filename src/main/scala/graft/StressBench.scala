@@ -226,6 +226,34 @@ object StressBench {
         1L, s"$dir/store", s"$dir/out", k = 10, hashKey = true, numBuckets = 16)
       spark.read.parquet(s"$dir/out/ingest_batch=1").count()
     }),
+    "bm25_stored" -> (() => {
+      // the stored inverted index with bucket count ∝ corpus size (the
+      // deployment rule — same as IVF cells): RARE-term lookups (the
+      // needle workload bucket pruning exists for) must stay ~flat as
+      // the haystack grows. Queries take each selected doc's LAST token
+      // — on the expanded corpora that is the doc-unique `zq` sentinel
+      // (posting list of 1); at 1× the fixture's 30-word lexicon has no
+      // rare terms, so the baseline leg queries a common word whose
+      // posting list is already corpus-sized — an UPPER-bound baseline,
+      // making the measured collapse conservative. (Common-term queries
+      // are inherently posting-list-linear on any engine without
+      // impact-ordered skipping — a different workload, not this
+      // probe's claim.)
+      val spark = docs.sparkSession
+      val n = docs.count()
+      val buckets = math.max(64L, n / 100L).toInt
+      val dir = memoIndex(docs.inputFiles.toSet, "bm25idx") { d =>
+        graft.ext.TextOps.materializeBm25Index(
+          docs, "doc_id", "text", d, numBuckets = buckets)
+      }
+      val queries = docs.where(pmod(col("doc_id"), lit(Replicas)) === 1)
+        .orderBy("doc_id").limit(10)
+        .select(col("doc_id").as("q_id"),
+          element_at(split(trim(col("text")), "\\s+"), -1).as("qtext"))
+      graft.ext.TextOps
+        .bm25TopKStored(spark, dir, queries, "q_id", "qtext", k = 5)
+        .count()
+    }),
     "hamming_admit" -> (() => {
       // the perceptual families' admission path (finding #2 of the r10
       // verdict: the pair stage was stressed via simhash but admission

@@ -806,29 +806,53 @@ object TextOps {
       k1: Double = 1.2,
       b: Double = 0.75
   ): DataFrame = {
-    require(k >= 1, "need k >= 1")
-    val toks = docs
-      .select(
-        col(idCol).cast("long").as("doc_id"),
-        split(trim(col(textCol)), "\\s+").as("__ws"))
-      .select(col("doc_id"), size(col("__ws")).as("dl"), explode(col("__ws")).as("term"))
-      .where(col("term") =!= "")
-    val tf = toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val tf = bm25Postings(docs, idCol, textCol)
     // corpus stats: one 1-row aggregate (documented bounded collect)
     val statsRow = docs
       .select(tokenCount(col(textCol)).cast("double").as("dl"))
       .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
       .head()
-    val n = statsRow.getLong(0)
-    val avgdl = statsRow.getDouble(1)
-    require(n > 0, "empty corpus")
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val qterms = queries
+    bm25ScoreCore(
+      tf, dfreq, bm25QueryTerms(queries, queryIdCol, queryTextCol),
+      statsRow.getLong(0), statsRow.getDouble(1), k, k1, b)
+  }
+
+  /** The (doc_id, dl, term, tf) postings of a corpus — the inverted
+    * index's fact table. */
+  private def bm25Postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("__ws"))
+      .select(col("doc_id"), size(col("__ws")).as("dl"), explode(col("__ws")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+
+  /** Distinct (q_id, term) rows of a query table (BM25 query terms are a
+    * set). */
+  private def bm25QueryTerms(
+      queries: DataFrame, queryIdCol: String, queryTextCol: String): DataFrame =
+    queries
       .select(
         col(queryIdCol).cast("long").as("q_id"),
         explode(split(trim(col(queryTextCol)), "\\s+")).as("term"))
       .where(col("term") =!= "")
-      .distinct() // BM25 query terms are a set
+      .distinct()
+
+  /** Scoring + top-k shared by [[bm25TopK]] and [[bm25TopKStored]]. */
+  private def bm25ScoreCore(
+      tf: DataFrame, // (doc_id, dl, term, tf)
+      dfreq: DataFrame, // (term, df)
+      qterms: DataFrame, // (q_id, term)
+      n: Long,
+      avgdl: Double,
+      k: Int,
+      k1: Double,
+      b: Double
+  ): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(n > 0, "empty corpus")
     val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfPart = col("tf").cast("double") * (lit(k1) + 1.0) /
       (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
@@ -851,5 +875,94 @@ object TextOps {
         col("col.score").cast("long").as("score_e6"))
       .join(perDoc.select("q_id", "doc_id", "tf_sum", "n_terms"), Seq("q_id", "doc_id"))
       .select("q_id", "doc_id", "rank", "score_e6", "tf_sum", "n_terms")
+  }
+
+  /** Marker file inside a persisted BM25 index recording its bucket
+    * layout. */
+  private val Bm25Marker = "_GRAFT_BM25_INDEX"
+
+  /** Persist the BM25 inverted index as the STORED artifact a serving
+    * deployment reads: `path/postings` and `path/dict` partitioned by
+    * `tb` (term-hash bucket, `numBuckets`-way — the gram-store
+    * discipline), `path/stats` (the 1-row N/avgdl frame), and a marker
+    * stamping `numBuckets` so probes can never band with a different
+    * bucket function than the index was built with (the semantic-index
+    * K-stamp idiom). Build cost is one token explode + two hash
+    * aggregates — paid once, amortized over every query batch.
+    */
+  def materializeBm25Index(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      numBuckets: Int = 64
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(numBuckets >= 1, "need numBuckets >= 1")
+    val spark = docs.sparkSession
+    val tb = pmod(xxhash64(col("term")), lit(numBuckets)).cast("int").as("tb")
+    val tf = bm25Postings(docs, idCol, textCol).withColumn("tb", tb)
+    tf.repartition(numBuckets, col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+    spark.read.parquet(s"$path/postings")
+      .groupBy("term", "tb").agg(count(lit(1)).as("df"))
+      .repartition(numBuckets, col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/dict")
+    docs
+      .select(tokenCount(col(textCol)).cast("double").as("dl"))
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    val marker = new Path(s"$path/$Bm25Marker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write(s"bm25:buckets=$numBuckets:v1".getBytes("UTF-8")) finally out.close()
+    ()
+  }
+
+  /** [[bm25TopK]] against the [[materializeBm25Index]] STORED layout —
+    * the serving path: the query terms' hash buckets are collected
+    * (bounded by the query-term count; queries are broadcast-small by
+    * contract) and pushed as STATIC partition filters on the postings
+    * and dictionary scans, so a query batch reads only the `tb`
+    * partitions its terms hash into — at a 100 TB corpus that is a few
+    * buckets of postings, not the index. The bucket count comes from
+    * the artifact's marker, never from the caller.
+    */
+  def bm25TopKStored(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(s"$path/$Bm25Marker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker),
+      s"no BM25 index marker at $path — build it with materializeBm25Index")
+    val in = fs.open(marker)
+    val got =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    require(got.startsWith("bm25:buckets=") && got.endsWith(":v1"),
+      s"unrecognized BM25 index marker '$got' at $path")
+    val numBuckets = got.stripPrefix("bm25:buckets=").stripSuffix(":v1").toInt
+    val statsRow = spark.read.parquet(s"$path/stats").head()
+    val qterms = bm25QueryTerms(queries, queryIdCol, queryTextCol)
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(numBuckets)).cast("int"))
+    // bounded collect: one bucket id per distinct query term at most
+    val tbs = qterms.select("tb").distinct().collect().map(_.getInt(0)).toSeq
+    def pruned(sub: String): DataFrame = {
+      val t = spark.read.parquet(s"$path/$sub")
+      if (tbs.isEmpty) t.limit(0) else t.where(col("tb").isin(tbs: _*))
+    }
+    bm25ScoreCore(
+      pruned("postings").select("doc_id", "dl", "term", "tf"),
+      pruned("dict").select("term", "df"),
+      qterms.select("q_id", "term"),
+      statsRow.getLong(0), statsRow.getDouble(1), k, k1, b)
   }
 }

@@ -1260,7 +1260,12 @@ object ExtensionQueries {
           col("doc_id").as("q_id"),
           concat(lit("zzq"), col("doc_id"), lit(" "),
             array_join(slice(split(trim(col("text")), "\\s+"), 1, 4), " ")).as("qtext"))
-      TextOps.bm25TopK(corpus, "doc_id", "text", queries, "q_id", "qtext", k = 1)
+      // end-to-end through the STORED inverted index: postings + dict
+      // materialized partitionBy(term-hash bucket) once, the probe reads
+      // only the query terms' buckets (PlanSpec asserts the pruning)
+      val store = java.nio.file.Files.createTempDirectory("graft_bm25_store").toString
+      TextOps.materializeBm25Index(corpus, "doc_id", "text", store)
+      TextOps.bm25TopKStored(s, store, queries, "q_id", "qtext", k = 1)
         .select(col("q_id"), col("doc_id"), col("tf_sum"), col("n_terms"))
         .orderBy("q_id")
     },

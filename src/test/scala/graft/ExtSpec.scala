@@ -1814,6 +1814,21 @@ class ExtSpec extends SparkSpec {
       .select($"q_id", $"doc_id").as[(Long, Long)].collect().toMap
     assert(top1.nonEmpty && top1.forall { case (q, d) => q === d },
       s"planted rare-term queries did not rank their source first: $top1")
+    // the STORED inverted index (postings/dict partitioned by term-hash
+    // bucket, bucket count from the artifact marker) reproduces the
+    // inline result exactly — full rows, not just top-1 identity
+    val store = tempDir("bm25store")
+    TextOps.materializeBm25Index(corpus, "doc_id", "text", store, numBuckets = 8)
+    val inline = TextOps.bm25TopK(corpus, "doc_id", "text", queries, "q_id", "qtext", k = 3)
+      .as[(Long, Long, Int, Long, Long, Long)].collect().toSet
+    val stored = TextOps.bm25TopKStored(spark, store, queries, "q_id", "qtext", k = 3)
+      .as[(Long, Long, Int, Long, Long, Long)].collect().toSet
+    assert(stored === inline, "stored-index BM25 diverges from the inline form")
+    // an unstamped directory is refused
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.bm25TopKStored(spark, tempDir("bm25bare"), queries, "q_id", "qtext", k = 1)
+    }
+    assert(ex.getMessage.contains("marker"))
   }
 
   test("canonicalUrl: rule set pinned on hand cases, null/non-URL safe, idempotent") {

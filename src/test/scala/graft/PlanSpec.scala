@@ -141,6 +141,12 @@ class PlanSpec extends SparkSpec {
       s"no centroid_id partition filter on the coded-index scan\n$p")
   }
 
+  test("x_text_bm25 probes the stored postings with term-bucket partition pruning") {
+    val p = plan("x_text_bm25")
+    assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(p).isDefined,
+      s"no tb partition filter on the postings scan\n$p")
+  }
+
   test("bucketed counter is one pass: single key exchange, no self-join") {
     // point markers and segment-bucket entries come out of ONE explode and
     // land in ONE (user_id, bucket) hash aggregate that reuses the window's
