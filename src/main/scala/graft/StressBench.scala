@@ -226,6 +226,24 @@ object StressBench {
         1L, s"$dir/store", s"$dir/out", k = 10, hashKey = true, numBuckets = 16)
       spark.read.parquet(s"$dir/out/ingest_batch=1").count()
     }),
+    "bm25_stream" -> (() => {
+      // the STREAMING index maintainer's per-trigger cost against an
+      // index already holding the whole corpus: one bm25IndexApplyBatch
+      // of the fixed 1× batch. The maintainer performs NO cross-batch
+      // reads (postings append, df/stats land as mergeable partials), so
+      // per-trigger wall must stay ~flat (ratio collapsing toward
+      // 1/Replicas) as the indexed corpus grows 10×/100× — the
+      // O(batch)-by-construction claim, measured.
+      val spark = docs.sparkSession
+      val dir = memoIndex(docs.inputFiles.toSet, "bm25stream") { d =>
+        graft.streaming.CdcStream.bm25IndexApplyBatch(
+          docs, 0L, s"$d/idx", "doc_id", "text", numBuckets = 16)
+      }
+      graft.streaming.CdcStream.bm25IndexApplyBatch(
+        batchDocs.select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")),
+        1L, s"$dir/idx", "doc_id", "text", numBuckets = 16)
+      spark.read.parquet(s"$dir/idx/stats").agg(sum(col("n"))).head().getLong(0)
+    }),
     "bm25_stored" -> (() => {
       // the stored inverted index with bucket count ∝ corpus size (the
       // deployment rule — same as IVF cells): RARE-term lookups (the

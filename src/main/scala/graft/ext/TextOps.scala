@@ -819,8 +819,11 @@ object TextOps {
   }
 
   /** The (doc_id, dl, term, tf) postings of a corpus — the inverted
-    * index's fact table. */
-  private def bm25Postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * index's fact table. Package-visible so the streaming maintainer
+    * ([[graft.streaming.CdcStream.bm25IndexMaintain]]) derives each
+    * micro-batch's partial from the same definition the batch build and
+    * the inline scorer use. */
+  private[graft] def bm25Postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(
         col(idCol).cast("long").as("doc_id"),
@@ -881,14 +884,62 @@ object TextOps {
     * layout. */
   private val Bm25Marker = "_GRAFT_BM25_INDEX"
 
+  /** Stamp (or verify) a BM25 index directory's bucket count. Writing is
+    * idempotent; a directory already stamped with a DIFFERENT bucket
+    * count is refused — a probe or maintainer banding with a different
+    * bucket function than the index was built with would silently read
+    * the wrong partitions (the semantic-index K-stamp idiom). */
+  private[graft] def ensureBm25Marker(
+      spark: org.apache.spark.sql.SparkSession, path: String, numBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(numBuckets >= 1, "need numBuckets >= 1")
+    val marker = new Path(s"$path/$Bm25Marker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val stamped = readBm25NumBuckets(spark, path)
+      require(stamped == numBuckets,
+        s"BM25 index at $path was built with numBuckets=$stamped, got $numBuckets")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(s"bm25:buckets=$numBuckets:v2".getBytes("UTF-8")) finally out.close()
+    }
+    ()
+  }
+
+  /** Read the bucket count a BM25 index directory was stamped with. */
+  private[graft] def readBm25NumBuckets(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(s"$path/$Bm25Marker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker),
+      s"no BM25 index marker at $path — build it with materializeBm25Index " +
+        "or CdcStream.bm25IndexMaintain")
+    val in = fs.open(marker)
+    val got =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    require(got.startsWith("bm25:buckets=") && got.endsWith(":v2"),
+      s"unrecognized BM25 index marker '$got' at $path")
+    got.stripPrefix("bm25:buckets=").stripSuffix(":v2").toInt
+  }
+
   /** Persist the BM25 inverted index as the STORED artifact a serving
     * deployment reads: `path/postings` and `path/dict` partitioned by
     * `tb` (term-hash bucket, `numBuckets`-way — the gram-store
-    * discipline), `path/stats` (the 1-row N/avgdl frame), and a marker
-    * stamping `numBuckets` so probes can never band with a different
-    * bucket function than the index was built with (the semantic-index
-    * K-stamp idiom). Build cost is one token explode + two hash
-    * aggregates — paid once, amortized over every query batch.
+    * discipline), `path/stats`, and a marker stamping `numBuckets` so
+    * probes can never band with a different bucket function than the
+    * index was built with (the semantic-index K-stamp idiom). Build cost
+    * is one token explode + two hash aggregates — paid once, amortized
+    * over every query batch.
+    *
+    * Every sub-table is MERGEABLE: dict rows are (term, df) PARTIALS
+    * summed at probe time, stats rows are (n, sum_dl) partials — so the
+    * same layout accepts per-micro-batch appends from
+    * [[graft.streaming.CdcStream.bm25IndexMaintain]] (each batch's
+    * partials land in its own `ingest_batch=` partition) and a one-shot
+    * batch build is just the single-partial special case. Postings are
+    * per-document facts and need no merging at all.
     */
   def materializeBm25Index(
       docs: DataFrame,
@@ -897,9 +948,8 @@ object TextOps {
       path: String,
       numBuckets: Int = 64
   ): Unit = {
-    import org.apache.hadoop.fs.Path
-    require(numBuckets >= 1, "need numBuckets >= 1")
     val spark = docs.sparkSession
+    ensureBm25Marker(spark, path, numBuckets)
     val tb = pmod(xxhash64(col("term")), lit(numBuckets)).cast("int").as("tb")
     val tf = bm25Postings(docs, idCol, textCol).withColumn("tb", tb)
     tf.repartition(numBuckets, col("tb"))
@@ -908,16 +958,19 @@ object TextOps {
       .groupBy("term", "tb").agg(count(lit(1)).as("df"))
       .repartition(numBuckets, col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/dict")
-    docs
-      .select(tokenCount(col(textCol)).cast("double").as("dl"))
-      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    bm25StatsPartial(docs, textCol)
       .write.mode("overwrite").parquet(s"$path/stats")
-    val marker = new Path(s"$path/$Bm25Marker")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(marker, true)
-    try out.write(s"bm25:buckets=$numBuckets:v1".getBytes("UTF-8")) finally out.close()
     ()
   }
+
+  /** The mergeable (n, sum_dl) corpus-stats partial of a document set —
+    * dl summed as a LONG, so partials merge exactly and avgdl =
+    * sum(sum_dl) / sum(n) is bit-identical however the corpus was
+    * batched. */
+  private[graft] def bm25StatsPartial(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(tokenCount(col(textCol)).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
 
   /** [[bm25TopK]] against the [[materializeBm25Index]] STORED layout —
     * the serving path: the query terms' hash buckets are collected
@@ -927,6 +980,12 @@ object TextOps {
     * partitions its terms hash into — at a 100 TB corpus that is a few
     * buckets of postings, not the index. The bucket count comes from
     * the artifact's marker, never from the caller.
+    *
+    * Reads both producers of the layout identically: the one-shot
+    * [[materializeBm25Index]] build and the per-micro-batch partials of
+    * [[graft.streaming.CdcStream.bm25IndexMaintain]] — dict df partials
+    * are summed per term and stats partials merged before scoring, which
+    * is exact because every sub-table is mergeable by construction.
     */
   def bm25TopKStored(
       spark: org.apache.spark.sql.SparkSession,
@@ -938,19 +997,16 @@ object TextOps {
       k1: Double = 1.2,
       b: Double = 0.75
   ): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val marker = new Path(s"$path/$Bm25Marker")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(marker),
-      s"no BM25 index marker at $path — build it with materializeBm25Index")
-    val in = fs.open(marker)
-    val got =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    require(got.startsWith("bm25:buckets=") && got.endsWith(":v1"),
-      s"unrecognized BM25 index marker '$got' at $path")
-    val numBuckets = got.stripPrefix("bm25:buckets=").stripSuffix(":v1").toInt
-    val statsRow = spark.read.parquet(s"$path/stats").head()
+    val numBuckets = readBm25NumBuckets(spark, path)
+    // merge the (n, sum_dl) stats partials (a 1-row-per-batch table)
+    val statsRow = spark.read.parquet(s"$path/stats")
+      .agg(
+        coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
+      .head()
+    val n = statsRow.getLong(0)
+    require(n > 0, s"BM25 index at $path holds an empty corpus")
+    val avgdl = statsRow.getLong(1).toDouble / n.toDouble
     val qterms = bm25QueryTerms(queries, queryIdCol, queryTextCol)
       .withColumn("tb", pmod(xxhash64(col("term")), lit(numBuckets)).cast("int"))
     // bounded collect: one bucket id per distinct query term at most
@@ -961,8 +1017,9 @@ object TextOps {
     }
     bm25ScoreCore(
       pruned("postings").select("doc_id", "dl", "term", "tf"),
-      pruned("dict").select("term", "df"),
+      // df partials (one per contributing batch) merge to the global df
+      pruned("dict").groupBy("term").agg(sum(col("df")).as("df")),
       qterms.select("q_id", "term"),
-      statsRow.getLong(0), statsRow.getDouble(1), k, k1, b)
+      n, avgdl, k, k1, b)
   }
 }

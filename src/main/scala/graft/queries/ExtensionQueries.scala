@@ -1270,6 +1270,50 @@ object ExtensionQueries {
         .orderBy("q_id")
     },
 
+    // the STREAMING BM25 index maintainer as a DRIVER GATE: a one-third
+    // corpus (this gate pins the streaming lifecycle — the retrieval
+    // math itself is gated at full width by x_text_bm25) arrives in two
+    // chunks, each drained by a separate CdcStream.bm25IndexMaintain run
+    // (AvailableNow) against the same persisted index + checkpoint; the
+    // probe then merges the per-batch postings/df/stats partials. The
+    // merged index is a set union of partials, so the probe result is
+    // EXACTLY the one-shot build's — the oracle re-derives BM25 over the
+    // same filtered corpus in DuckDB, blind to the batching.
+    "x_bm25_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.CdcStream
+      val d = docs(s, dir).where(col("doc_id") % 3 === 0)
+      val corpus = d.select(
+        col("doc_id"),
+        when(col("doc_id") % 50 === 7, concat(col("text"), lit(" zzq"), col("doc_id")))
+          .otherwise(col("text")).as("text"))
+      val queries = d.where(col("doc_id") % 50 === 7)
+        .select(
+          col("doc_id").as("q_id"),
+          concat(lit("zzq"), col("doc_id"), lit(" "),
+            array_join(slice(split(trim(col("text")), "\\s+"), 1, 4), " ")).as("qtext"))
+      val base = java.nio.file.Files.createTempDirectory("graft_bm25_stream").toString
+      val in = s"$base/in"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      def runOnce(): Unit = {
+        val q = CdcStream.bm25IndexMaintain(
+          s.readStream.schema(corpus.schema).parquet(in),
+          s"$base/idx", s"$base/ckpt", "doc_id", "text",
+          numBuckets = 16, trigger = Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      try {
+        corpus.where(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+        corpus.where(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      TextOps.bm25TopKStored(s, s"$base/idx", queries, "q_id", "qtext", k = 1)
+        .select(col("q_id"), col("doc_id"), col("tf_sum"), col("n_terms"))
+        .orderBy("q_id")
+    },
+
     // corpus-bigram LM quality scoring (the CCNet signal, integer-exact):
     // the model is the bigram count table of an md5-selected 25%
     // reference slice; each document's next-token probabilities are e6
@@ -4495,6 +4539,58 @@ object ExtensionQueries {
         |  FROM toks WHERE term <> '' GROUP BY 1, 2, 3
         |), stats AS (
         |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(ws) AS DOUBLE)) AS avgdl
+        |  FROM base
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), q AS (
+        |  SELECT doc_id AS q_id,
+        |         'zzq' || doc_id || ' ' || array_to_string(ws[1:4], ' ') AS qtext
+        |  FROM base WHERE doc_id % 50 = 7
+        |), qterms AS (
+        |  SELECT DISTINCT q_id, t.term
+        |  FROM q, unnest(string_split_regex(trim(qtext), '\s+')) AS t(term)
+        |  WHERE t.term <> ''
+        |), perterm AS (
+        |  SELECT qt.q_id, tf.doc_id,
+        |         CAST(floor(
+        |           ln(1 + (s.n - df + 0.5) / (df + 0.5))
+        |             * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / s.avgdl))
+        |             * 1e6 + 0.5) AS BIGINT) AS score_e6,
+        |         tf.tf AS tf
+        |  FROM tf
+        |  JOIN dfreq USING (term)
+        |  JOIN qterms qt USING (term)
+        |  CROSS JOIN stats s
+        |), perdoc AS (
+        |  SELECT q_id, doc_id, sum(score_e6) AS score_e6,
+        |         CAST(sum(tf) AS BIGINT) AS tf_sum,
+        |         CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM perterm GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_e6 DESC, doc_id ASC) AS r
+        |  FROM perdoc
+        |)
+        |SELECT q_id, doc_id, tf_sum, n_terms FROM ranked WHERE r = 1
+        |ORDER BY q_id""".stripMargin,
+    // same BM25 derivation as x_text_bm25 over the gate's one-third
+    // corpus — the oracle is blind to the streamed batching because the
+    // merged index is a set union of per-batch partials
+    "x_bm25_stream" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 50 = 7 THEN text || ' zzq' || doc_id
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM corpus
+        |), toks AS (
+        |  SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM base
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM toks WHERE term <> '' GROUP BY 1, 2, 3
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl
         |  FROM base
         |), dfreq AS (
         |  SELECT term, count(*) AS df FROM tf GROUP BY 1

@@ -885,6 +885,48 @@ class StreamingSpec extends SparkSpec {
       "replay duplicated grams in the store")
   }
 
+  test("bm25IndexMaintain: batched partials probe exactly like the one-shot build; replay is a no-op; bucket mismatch refused") {
+    import graft.ext.TextOps
+    val d = Tables.load(spark, sf0001, "documents")
+    val corpus = d.select($"doc_id".cast("long").as("doc_id"), $"text")
+    val batch1 = corpus.where($"doc_id" % 2 === 0)
+    val batch2 = corpus.where($"doc_id" % 2 === 1)
+    val queries = corpus.where($"doc_id" % 25 === 3)
+      .select($"doc_id".as("q_id"),
+        array_join(slice(split(trim($"text"), "\\s+"), 3, 5), " ").as("qtext"))
+    val base = tempDir("bm25maint")
+    def applyBatch(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CdcStream.bm25IndexApplyBatch(b, id, s"$base/idx", "doc_id", "text", numBuckets = 8)
+    applyBatch(batch1, 0L)
+    applyBatch(batch2, 1L) // the crashed attempt
+    applyBatch(batch2, 1L) // the replay — must overwrite, never double-count
+    def probe(path: String) =
+      TextOps.bm25TopKStored(spark, path, queries, "q_id", "qtext", k = 3)
+        .as[(Long, Long, Int, Long, Long, Long)].collect().toSet
+    val streamed = probe(s"$base/idx")
+    // one-shot batch build over the union — the merged partials must
+    // reproduce it EXACTLY (scores included): df partials sum to the
+    // global df, (n, sum_dl) partials merge to the global stats
+    val oneShot = tempDir("bm25oneshot")
+    TextOps.materializeBm25Index(corpus, "doc_id", "text", oneShot, numBuckets = 8)
+    assert(streamed === probe(oneShot),
+      "streamed BM25 partials diverge from the one-shot build")
+    assert(streamed.nonEmpty)
+    // the replay never double-counted: every df in the store ≤ N docs
+    val n = corpus.count()
+    val maxDf = spark.read.parquet(s"$base/idx/dict")
+      .groupBy("term").agg(sum($"df").as("df"))
+      .agg(max($"df")).head().getLong(0)
+    assert(maxDf <= n, s"df $maxDf exceeds corpus size $n — replay double-counted")
+    // a later batch banding with a DIFFERENT bucket count is refused —
+    // the marker stamp makes the mismatch a hard error, not wrong reads
+    val ex = intercept[IllegalArgumentException] {
+      CdcStream.bm25IndexApplyBatch(
+        batch2, 2L, s"$base/idx", "doc_id", "text", numBuckets = 32)
+    }
+    assert(ex.getMessage.contains("numBuckets=8"))
+  }
+
   test("hammingAdmitMaintain: per-trigger admission equals the one-shot stored-banded form; replaying the last batch is a no-op") {
     import graft.ext.Dedup
     // synthetic 64-bit sketches: batch-2 carries exact copies of batch-1
