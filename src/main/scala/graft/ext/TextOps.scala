@@ -765,6 +765,146 @@ object TextOps {
         coalesce(col("sum_p_e6"), lit(0L)).as("sum_p_e6"))
   }
 
+  /** Supervised quality-classifier scoring — the role the fastText
+    * linear classifier plays in the GPT-3/LLaMA data pipelines (score
+    * every crawl document by similarity to a trusted positive reference
+    * vs a random negative reference, then filter/sample on the score) —
+    * re-expressed INTEGER-EXACT as an averaged naive-Bayes posterior:
+    * the model is the token count table of each reference slice, and a
+    * document's signal is the per-occurrence Laplace-smoothed posterior
+    * `P(pos|t) = (c_pos+1) / (c_pos+c_neg+2)` quantized to e6 in pure
+    * long arithmetic (`(2·10⁶·a + b) div (2·b)` — round-half-up, no
+    * float, no ln; the same sum-of-posteriors signal orders documents
+    * the way the log-linear score does, monotone per token in the
+    * likelihood ratio, and hashes identically on any engine). Tokens
+    * unseen in BOTH references score the neutral 500000 (P = 1/2), so
+    * out-of-vocabulary mass dilutes toward indifference instead of
+    * dominating.
+    *
+    * Output per document: `n_tokens` (scored occurrences), `n_known`
+    * (occurrences whose token exists in either reference), `sum_p_e6`
+    * (integer sum of per-occurrence e6 posteriors). Consumers derive the
+    * mean posterior (= sum_p_e6 / (10⁶·n_tokens)) and any filter band
+    * without losing exactness.
+    *
+    * Plan shape: two reference hash aggregates full-outer-joined into
+    * the model (vocabulary-sized — broadcast when small; at 100 TB the
+    * model is a stored artifact bucketed by token, the BM25 dictionary
+    * discipline), one token explode over the scored corpus, one model
+    * equi-join, one per-doc sum — map-side combinable end to end.
+    */
+  def nbQualityScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      positives: DataFrame, // reference slices — only textCol is read
+      negatives: DataFrame
+  ): DataFrame = {
+    def tokens(df: DataFrame): DataFrame = df
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+    val model = tokens(positives).groupBy("tok").agg(count(lit(1)).as("c_pos"))
+      .join(
+        tokens(negatives).groupBy("tok").agg(count(lit(1)).as("c_neg")),
+        Seq("tok"), "full_outer")
+      .select(
+        col("tok"),
+        coalesce(col("c_pos"), lit(0L)).as("c_pos"),
+        coalesce(col("c_neg"), lit(0L)).as("c_neg"))
+    val base = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol))
+    val scored = base
+      .select(col("doc_id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .join(model, Seq("tok"), "left_outer")
+      .select(
+        col("doc_id"),
+        when(col("c_pos").isNotNull, 1L).otherwise(0L).as("known"),
+        (coalesce(col("c_pos"), lit(0L)) + 1L).as("a"),
+        (coalesce(col("c_pos"), lit(0L)) + coalesce(col("c_neg"), lit(0L)) + 2L).as("b"))
+      .withColumn("p_e6", expr("(2000000L * a + b) div (2L * b)"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("known")).as("n_known"),
+        sum(col("p_e6")).as("sum_p_e6"))
+    // empty documents carry zero tokens — keep them in the corpus
+    base.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        coalesce(col("sum_p_e6"), lit(0L)).as("sum_p_e6"))
+  }
+
+  // ---- paragraph-granular boilerplate removal -----------------------------
+
+  /** Strip BOILERPLATE paragraphs — paragraphs appearing verbatim in at
+    * least `minDocs` DISTINCT documents — from every document (the
+    * CCNet/web-crawl cleaning step: cookie banners, nav bars and
+    * subscribe footers repeat across a crawl far more often than any
+    * organic paragraph, and paragraph-granular removal deletes them
+    * without touching the surrounding document the way whole-doc dedup
+    * would). The WITHIN-document complement of the substring-dedup
+    * family: [[graft.ext.Dedup.stripSpans]] removes long spans already
+    * seen in EARLIER documents; this removes short units whose corpus
+    * FREQUENCY marks them as template text, first occurrence included.
+    *
+    * Deterministic by construction — paragraph identity is the exact
+    * string (keyed by md5 for shuffle width), counts are exact integers,
+    * and reassembly preserves original paragraph order — so the result
+    * is engine-reproducible with no float anywhere.
+    *
+    * Plan shape (one pass + one small join, the word-count discipline):
+    * paragraph explode → exact distinct-doc count per paragraph hash
+    * (one hash-shuffle over corpus paragraphs); the boilerplate set —
+    * paragraphs clearing `minDocs` — is a tiny fraction of the corpus by
+    * construction (template text is what repeats; at crawl scale it is
+    * broadcast-sized and AQE picks the broadcast side automatically);
+    * flagged paragraphs re-aggregate per document (one doc_id shuffle)
+    * into the stripped text. Nothing rescans the corpus twice and no
+    * stage is quadratic.
+    *
+    * Output: `(doc_id, n_paras, kept_paras, stripped_text)` — stripped
+    * text joins kept paragraphs with `sep` in original order.
+    */
+  def boilerplateStrip(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int,
+      sep: String = "\n"
+  ): DataFrame = {
+    require(minDocs >= 2, "need minDocs >= 2 — minDocs=1 would strip everything")
+    val paras = docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .select(col("doc_id"), col("pos"), col("col").as("para"))
+      .withColumn("ph", md5(col("para")))
+    val boiler = paras
+      .groupBy("ph")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("ph"), lit(true).as("is_boiler"))
+    paras
+      .join(boiler, Seq("ph"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_paras"),
+        count(when(col("is_boiler").isNull, lit(1))).cast("int").as("kept_paras"),
+        // collect_list drops the nulls when() leaves for boilerplate rows;
+        // array_sort on (pos, para) structs restores document order
+        coalesce(
+          array_join(
+            transform(
+              array_sort(collect_list(
+                when(col("is_boiler").isNull, struct(col("pos"), col("para"))))),
+              x => x.getField("para")),
+            sep),
+          lit("")).as("stripped_text"))
+  }
+
   // ---- BM25 lexical retrieval ---------------------------------------------
 
   /** Okapi BM25 top-k retrieval over the corpus (Robertson & Walker /

@@ -1314,6 +1314,45 @@ object ExtensionQueries {
         .orderBy("q_id")
     },
 
+    // paragraph-granular boilerplate removal (the CCNet/web-crawl
+    // cleaning step): the fixture's single-line docs are recut into two
+    // organic paragraphs, every even doc gains a planted subscribe
+    // footer and every 7th a doc-unique notice — the footer (and the
+    // empty second paragraph of short docs) clears the minDocs=5
+    // frequency bar and is stripped everywhere, the unique notice and
+    // the organic paragraphs survive. Exact integer counts + verbatim
+    // reassembled text are hashed; the oracle re-derives the whole
+    // pipeline (corpus recut included) in DuckDB.
+    "x_boilerplate_strip" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val ws = split(trim(col("text")), "\\s+")
+      val corpus = d.select(
+        col("doc_id"),
+        concat_ws("\n",
+          array_join(slice(ws, 1, 12), " "),
+          array_join(slice(ws, 13, 100000), " "),
+          when(col("doc_id") % 2 === 0, lit("subscribe to our newsletter")),
+          when(col("doc_id") % 7 === 0, concat(lit("unique notice "), col("doc_id")))
+        ).as("text"))
+      TextOps.boilerplateStrip(corpus, "doc_id", "text", minDocs = 5)
+        .orderBy("doc_id")
+    },
+
+    // supervised quality-classifier scoring (the fastText-classifier
+    // role in the GPT-3/LLaMA pipelines), integer-exact: positives =
+    // doc_id%4==1 slice, negatives = doc_id%4==3 slice, every document
+    // scored by its summed e6-quantized Laplace NB posterior in pure
+    // long arithmetic — the oracle re-derives model counts and the
+    // div-rounding bit-for-bit in DuckDB.
+    "x_text_nb_score" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextOps.nbQualityScore(
+        d, "doc_id", "text",
+        positives = d.where(col("doc_id") % 4 === 1),
+        negatives = d.where(col("doc_id") % 4 === 3))
+        .orderBy("doc_id")
+    },
+
     // corpus-bigram LM quality scoring (the CCNet signal, integer-exact):
     // the model is the bigram count table of an md5-selected 25%
     // reference slice; each document's next-token probabilities are e6
@@ -4624,6 +4663,75 @@ object ExtensionQueries {
         |)
         |SELECT q_id, doc_id, tf_sum, n_terms FROM ranked WHERE r = 1
         |ORDER BY q_id""".stripMargin,
+    // full re-derivation of the boilerplate pipeline: same corpus recut,
+    // md5 paragraph keys, exact distinct-doc counts, order-preserving
+    // reassembly
+    "x_boilerplate_strip" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+        |), corpus AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    array_to_string(ws[1:12], ' '),
+        |    -- DuckDB array_to_string([]) is NULL (concat_ws would skip it);
+        |    -- Spark array_join([]) is '' — align on the empty paragraph
+        |    coalesce(array_to_string(ws[13:], ' '), ''),
+        |    CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'unique notice ' || doc_id END) AS text
+        |  FROM w
+        |), pl AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ps FROM corpus
+        |), paras AS (
+        |  SELECT doc_id, CAST(unnest(range(1, len(ps) + 1)) AS INT) AS pos, ps FROM pl
+        |), p2 AS (
+        |  SELECT doc_id, pos, ps[pos] AS para FROM paras
+        |), boiler AS (
+        |  SELECT md5(para) AS ph FROM p2
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5
+        |), flagged AS (
+        |  SELECT p.doc_id, p.pos, p.para, (b.ph IS NOT NULL) AS is_b
+        |  FROM p2 p LEFT JOIN boiler b ON md5(p.para) = b.ph
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) AS INT) AS n_paras,
+        |  CAST(sum(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS INT) AS kept_paras,
+        |  coalesce(string_agg(CASE WHEN NOT is_b THEN para END, chr(10) ORDER BY pos), '') AS stripped_text
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // full NB re-derivation: same reference slices, Laplace counts, and
+    // the integer round-half-up (`//` floors ≡ Spark `div` on nonneg)
+    "x_text_nb_score" ->
+      """WITH pc AS (
+        |  SELECT tok, count(*) AS c_pos FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |    FROM documents WHERE doc_id % 4 = 1) WHERE tok <> '' GROUP BY 1
+        |), nc AS (
+        |  SELECT tok, count(*) AS c_neg FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |    FROM documents WHERE doc_id % 4 = 3) WHERE tok <> '' GROUP BY 1
+        |), model AS (
+        |  SELECT coalesce(pc.tok, nc.tok) AS tok,
+        |         coalesce(c_pos, 0) AS c_pos, coalesce(c_neg, 0) AS c_neg
+        |  FROM pc FULL OUTER JOIN nc ON pc.tok = nc.tok
+        |), dtoks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), scored AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN m.tok IS NOT NULL THEN 1 ELSE 0 END AS known,
+        |         coalesce(m.c_pos, 0) + 1 AS a,
+        |         coalesce(m.c_pos, 0) + coalesce(m.c_neg, 0) + 2 AS b
+        |  FROM dtoks d LEFT JOIN model m ON d.tok = m.tok
+        |  WHERE d.tok <> ''
+        |), per AS (
+        |  SELECT doc_id, count(*) AS n_tokens, sum(known) AS n_known,
+        |         sum((2000000 * a + b) // (2 * b)) AS sum_p_e6
+        |  FROM scored GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(n_known, 0) AS BIGINT) AS n_known,
+        |  CAST(coalesce(sum_p_e6, 0) AS BIGINT) AS sum_p_e6
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "x_text_quality" ->
       """WITH f AS (
         |  SELECT doc_id, text,

@@ -1831,6 +1831,68 @@ class ExtSpec extends SparkSpec {
     assert(ex.getMessage.contains("marker"))
   }
 
+  test("boilerplateStrip: frequency-thresholded paragraph removal with order-preserving reassembly") {
+    val rows = Seq(
+      (1L, "alpha one\nCOMMON\nbeta one"),
+      (2L, "alpha two\nCOMMON\nbeta two"),
+      (3L, "COMMON\ngamma three"),
+      (4L, "delta four\nCOMMON"),
+      (5L, "COMMON"),
+      (6L, "epsilon six\nNEARLY\nzeta six"),
+      (7L, "NEARLY"),
+      (8L, "NEARLY"),
+      (9L, "NEARLY")
+    ).toDF("doc_id", "text")
+    val out = TextOps.boilerplateStrip(rows, "doc_id", "text", minDocs = 5)
+      .as[(Long, Int, Int, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // COMMON lives in 5 distinct docs -> boilerplate everywhere; organic
+    // paragraphs survive in original order
+    assert(out(1L) === ((3, 2, "alpha one\nbeta one")))
+    assert(out(4L) === ((2, 1, "delta four")))
+    // a document that was ALL boilerplate strips to empty
+    assert(out(5L) === ((1, 0, "")))
+    // NEARLY lives in only 4 docs (< minDocs) -> kept, even standalone
+    assert(out(6L) === ((3, 3, "epsilon six\nNEARLY\nzeta six")))
+    assert(out(9L) === ((1, 1, "NEARLY")))
+    // regex-special separators are taken literally
+    val piped = Seq((1L, "a|X|b"), (2L, "X"), (3L, "X|c")).toDF("doc_id", "text")
+    val pout = TextOps.boilerplateStrip(piped, "doc_id", "text", minDocs = 2, sep = "|")
+      .as[(Long, Int, Int, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(pout(1L) === ((3, 2, "a|b")) && pout(2L) === ((1, 0, "")) && pout(3L) === ((2, 1, "c")))
+    // minDocs=1 would strip every paragraph — refused
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.boilerplateStrip(rows, "doc_id", "text", minDocs = 1)
+    }
+    assert(ex.getMessage.contains("minDocs"))
+  }
+
+  test("nbQualityScore: hand-computed Laplace posteriors, neutral OOV, empty-doc retention") {
+    val positives = Seq((100L, "good good fine")).toDF("doc_id", "text")
+    val negatives = Seq((200L, "bad awful")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "good bad new"), // known-pos, known-neg, OOV
+      (2L, "good good"),
+      (3L, "")              // empty doc stays in the corpus with zeros
+    ).toDF("doc_id", "text")
+    val out = TextOps.nbQualityScore(docs, "doc_id", "text", positives, negatives)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // good: (2+1)/(2+0+2) = 3/4 -> 750000; bad: 1/3 -> 333333 (half-up);
+    // OOV: 1/2 -> neutral 500000, known=0
+    assert(out(1L) === ((3L, 2L, 750000L + 333333L + 500000L)))
+    assert(out(2L) === ((2L, 2L, 1500000L)))
+    assert(out(3L) === ((0L, 0L, 0L)))
+    // the posterior is monotone in the likelihood ratio: a pure-positive
+    // doc outranks a pure-negative one under the SAME model
+    val rank = TextOps.nbQualityScore(
+      Seq((1L, "good fine"), (2L, "bad awful")).toDF("doc_id", "text"),
+      "doc_id", "text", positives, negatives)
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t._4).toMap
+    assert(rank(1L) > rank(2L))
+  }
+
   test("canonicalUrl: rule set pinned on hand cases, null/non-URL safe, idempotent") {
     val cases = Seq(
       // case-folding, default port, tracking params, sort, fragment
