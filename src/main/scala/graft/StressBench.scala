@@ -226,6 +226,28 @@ object StressBench {
         1L, s"$dir/store", s"$dir/out", k = 10, hashKey = true, numBuckets = 16)
       spark.read.parquet(s"$dir/out/ingest_batch=1").count()
     }),
+    "boilerplate_admit" -> (() => {
+      // the streaming boilerplate maintainer's per-trigger cost against
+      // a count store holding the whole corpus: one boilerplateApplyBatch
+      // of the fixed 1× batch (paragraph explode + touched-bucket prior
+      // probe + partial append). Per-trigger wall must stay ~flat as the
+      // indexed corpus grows — the O(batch + touched buckets) claim.
+      val spark = docs.sparkSession
+      val paraDocs = docs.select(col("doc_id"),
+        regexp_replace(col("text"), " (the|a|and) ", "\n").as("text"))
+      val batchParas = batchDocs.select(col("doc_id"),
+        regexp_replace(col("text"), " (the|a|and) ", "\n").as("text"))
+      val dir = memoIndex(docs.inputFiles.toSet, "bpadmit") { d =>
+        graft.streaming.CdcStream.boilerplateApplyBatch(
+          paraDocs, 0L, s"$d/counts", s"$d/out", "doc_id", "text",
+          minDocs = 5, sep = "\n", numBuckets = 16)
+      }
+      graft.streaming.CdcStream.boilerplateApplyBatch(
+        batchParas.select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")),
+        1L, s"$dir/counts", s"$dir/out", "doc_id", "text",
+        minDocs = 5, sep = "\n", numBuckets = 16)
+      spark.read.parquet(s"$dir/out/ingest_batch=1").count()
+    }),
     "bm25_stream" -> (() => {
       // the STREAMING index maintainer's per-trigger cost against an
       // index already holding the whole corpus: one bm25IndexApplyBatch

@@ -876,19 +876,33 @@ object TextOps {
       sep: String = "\n"
   ): DataFrame = {
     require(minDocs >= 2, "need minDocs >= 2 — minDocs=1 would strip everything")
-    val paras = docs
-      .select(
-        col(idCol).cast("long").as("doc_id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
-      .select(col("doc_id"), col("pos"), col("col").as("para"))
-      .withColumn("ph", md5(col("para")))
+    val paras = paragraphs(docs, idCol, textCol, sep)
     val boiler = paras
       .groupBy("ph")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)
       .select(col("ph"), lit(true).as("is_boiler"))
-    paras
-      .join(boiler, Seq("ph"), "left")
+    reassembleStripped(paras.join(boiler, Seq("ph"), "left"), sep)
+  }
+
+  /** The exploded (doc_id, pos, para, ph) paragraph table of a corpus —
+    * shared by [[boilerplateStrip]] and the streaming maintainer
+    * ([[graft.streaming.CdcStream.boilerplateMaintain]]) so both split,
+    * key and reassemble identically. */
+  private[graft] def paragraphs(
+      docs: DataFrame, idCol: String, textCol: String, sep: String): DataFrame =
+    docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .select(col("doc_id"), col("pos"), col("col").as("para"))
+      .withColumn("ph", md5(col("para")))
+
+  /** Per-document reassembly of a flagged paragraph table — rows where
+    * `is_boiler` is non-null drop, the rest rejoin with `sep` in
+    * original order. */
+  private[graft] def reassembleStripped(flagged: DataFrame, sep: String): DataFrame =
+    flagged
       .groupBy("doc_id")
       .agg(
         count(lit(1)).cast("int").as("n_paras"),
@@ -903,7 +917,6 @@ object TextOps {
               x => x.getField("para")),
             sep),
           lit("")).as("stripped_text"))
-  }
 
   // ---- BM25 lexical retrieval ---------------------------------------------
 

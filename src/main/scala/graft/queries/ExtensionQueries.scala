@@ -1338,6 +1338,53 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // the STREAMING boilerplate maintainer as a DRIVER GATE: the same
+    // recut corpus as x_boilerplate_strip arrives in two batches (even
+    // doc_ids, then odd), each drained by a separate
+    // CdcStream.boilerplateMaintain run against the same persisted
+    // count store. Admission semantics, pinned in closed form: a batch-0
+    // paragraph strips iff its EVEN-doc frequency clears minDocs; a
+    // batch-1 paragraph iff its FULL-corpus frequency does (prior
+    // partial + own batch). The planted footer lives only on even docs,
+    // so it crosses in batch 0 and is stripped everywhere — while
+    // paragraphs that only cross with batch 1's arrivals keep their
+    // batch-0 occurrences (the straggler contract the batch operator
+    // re-cleans).
+    "x_boilerplate_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.CdcStream
+      val d = docs(s, dir)
+      val ws = split(trim(col("text")), "\\s+")
+      val corpus = d.select(
+        col("doc_id"),
+        concat_ws("\n",
+          array_join(slice(ws, 1, 12), " "),
+          array_join(slice(ws, 13, 100000), " "),
+          when(col("doc_id") % 2 === 0, lit("subscribe to our newsletter")),
+          when(col("doc_id") % 7 === 0, concat(lit("unique notice "), col("doc_id")))
+        ).as("text"))
+      val base = java.nio.file.Files.createTempDirectory("graft_bp_stream").toString
+      val in = s"$base/in"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      def runOnce(): Unit = {
+        val q = CdcStream.boilerplateMaintain(
+          s.readStream.schema(corpus.schema).parquet(in),
+          s"$base/counts", s"$base/out", s"$base/ckpt", "doc_id", "text",
+          minDocs = 5, numBuckets = 16, trigger = Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      try {
+        corpus.where(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+        corpus.where(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.read.parquet(s"$base/out")
+        .select("doc_id", "n_paras", "kept_paras", "stripped_text")
+        .orderBy("doc_id")
+    },
+
     // supervised quality-classifier scoring (the fastText-classifier
     // role in the GPT-3/LLaMA pipelines), integer-exact: positives =
     // doc_id%4==1 slice, negatives = doc_id%4==3 slice, every document
@@ -4690,6 +4737,40 @@ object ExtensionQueries {
         |), flagged AS (
         |  SELECT p.doc_id, p.pos, p.para, (b.ph IS NOT NULL) AS is_b
         |  FROM p2 p LEFT JOIN boiler b ON md5(p.para) = b.ph
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) AS INT) AS n_paras,
+        |  CAST(sum(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS INT) AS kept_paras,
+        |  coalesce(string_agg(CASE WHEN NOT is_b THEN para END, chr(10) ORDER BY pos), '') AS stripped_text
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the admission contract in closed form: even docs (batch 0) strip
+    // against even-doc counts, odd docs (batch 1) against full-corpus
+    // counts — same corpus recut as x_boilerplate_strip
+    "x_boilerplate_stream" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+        |), corpus AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    array_to_string(ws[1:12], ' '),
+        |    coalesce(array_to_string(ws[13:], ' '), ''),
+        |    CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'unique notice ' || doc_id END) AS text
+        |  FROM w
+        |), pl AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ps FROM corpus
+        |), paras AS (
+        |  SELECT doc_id, CAST(unnest(range(1, len(ps) + 1)) AS INT) AS pos, ps FROM pl
+        |), p2 AS (
+        |  SELECT doc_id, pos, ps[pos] AS para, md5(ps[pos]) AS ph FROM paras
+        |), counts AS (
+        |  SELECT ph,
+        |         count(DISTINCT CASE WHEN doc_id % 2 = 0 THEN doc_id END) AS c0,
+        |         count(DISTINCT doc_id) AS ctot
+        |  FROM p2 GROUP BY 1
+        |), flagged AS (
+        |  SELECT p.doc_id, p.pos, p.para,
+        |         CASE WHEN p.doc_id % 2 = 0 THEN c.c0 >= 5 ELSE c.ctot >= 5 END AS is_b
+        |  FROM p2 p JOIN counts c USING (ph)
         |)
         |SELECT doc_id,
         |  CAST(count(*) AS INT) AS n_paras,

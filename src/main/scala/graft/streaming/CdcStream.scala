@@ -844,6 +844,129 @@ object CdcStream {
     ()
   }
 
+  /** Streaming boilerplate removal at ingest — the ADMISSION form of
+    * [[graft.ext.TextOps.boilerplateStrip]]: per micro-batch, arriving
+    * documents' paragraphs are stripped when their CUMULATIVE distinct-
+    * document frequency (all batches through this one) has reached
+    * `minDocs`, and the frequency store advances by appending the
+    * batch's own count partial. A subscribe footer starts surviving the
+    * moment the crawl has seen it `minDocs` times and is stripped from
+    * everything ingested after that point.
+    *
+    * SEMANTICS (documented, admission-style): occurrences ingested in
+    * batches BEFORE a paragraph crossed the threshold stay — exactly
+    * like [[hammingAdmitMaintain]]'s dup-after-first contract — and the
+    * threshold test is BATCH-granular: if the crossing happens within a
+    * batch, all of that batch's occurrences strip (cumulative count =
+    * prior batches + the whole current batch). The one-shot
+    * [[graft.ext.TextOps.boilerplateStrip]] is the periodic full
+    * re-clean that also removes the pre-threshold stragglers. The
+    * driver gate pins the cumulative-count contract in closed form.
+    *
+    * STORE LAYOUT — the BM25-dictionary mergeable-partial discipline:
+    * `countsPath` holds one `(ph, n_docs)` partial per batch,
+    * partitioned `ingest_batch` × `pb` (paragraph-hash bucket); global
+    * counts are SUMS over partials (each document lives in exactly one
+    * batch), so the store is append-only and never rewritten. A trigger
+    * reads only the `pb` partitions its own paragraphs hash into
+    * (bounded collect of touched buckets — the substring-store pruning)
+    * and semi-joins its own paragraph keys, so per-trigger I/O is
+    * O(batch + touched buckets), not O(store).
+    *
+    * REPLAY SAFETY: the probe reads prior counts at `ingest_batch <
+    * batchId` and adds the batch's own partial computed fresh, so a
+    * replayed batch sees exactly the same cumulative counts even though
+    * the crashed attempt already wrote its partial; the partial and the
+    * stripped output both OVERWRITE the batch's own partition. Layout
+    * parameters (`minDocs`, separator, bucket count) are stamped in the
+    * state marker and verified every trigger — drifting any of them
+    * against an existing store is a hard error.
+    */
+  def boilerplateMaintain(
+      docStream: DataFrame, // (idCol, textCol) per micro-batch
+      countsPath: String,
+      outPath: String,
+      checkpoint: String,
+      idCol: String,
+      textCol: String,
+      minDocs: Int,
+      sep: String = "\n",
+      numBuckets: Int = 16,
+      trigger: Trigger = DefaultTrigger
+  ): StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        boilerplateApplyBatch(
+          batch.toDF(), batchId, countsPath, outPath, idCol, textCol,
+          minDocs, sep, numBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode("append")
+      .start()
+
+  /** One micro-batch of [[boilerplateMaintain]] — package-visible for
+    * the crash-replay spec and stress probes. Idempotent in `batchId`. */
+  private[graft] def boilerplateApplyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      countsPath: String,
+      outPath: String,
+      idCol: String,
+      textCol: String,
+      minDocs: Int,
+      sep: String,
+      numBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
+    import graft.ext.TextOps
+    require(minDocs >= 2, "need minDocs >= 2 — minDocs=1 would strip everything")
+    require(numBuckets >= 1, "need numBuckets >= 1")
+    val spark = batch.sparkSession
+    verifyStateKeyFormat(spark, countsPath,
+      s"boilerplate:minDocs=$minDocs:sep=${sep.##}:buckets=$numBuckets:v1")
+    val storeSchema = StructType(Seq(
+      StructField("ph", StringType),
+      StructField("n_docs", LongType),
+      StructField("ingest_batch", LongType),
+      StructField("pb", IntegerType)))
+    val paras = TextOps.paragraphs(batch, idCol, textCol, sep)
+      .withColumn("pb", pmod(xxhash64(col("ph")), lit(numBuckets)).cast("int"))
+      .cache()
+    try {
+      val own = paras.groupBy("ph", "pb").agg(countDistinct(col("doc_id")).as("n_docs"))
+      // bucket pruning: only the pb partitions the batch's paragraphs
+      // hash into can hold a prior count (bounded collect — ≤ numBuckets)
+      val touched = paras.select("pb").distinct().collect().map(_.getInt(0)).toSeq
+      val live = new Path(countsPath)
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prior =
+        if (fs.exists(live) && touched.nonEmpty)
+          spark.read.schema(storeSchema).parquet(countsPath)
+            // replay filter: a re-run batch must see the PRE-batch counts
+            // even if the crashed attempt already wrote its own partial
+            .where(col("ingest_batch") < batchId && col("pb").isin(touched: _*))
+            .join(paras.select("ph").distinct(), Seq("ph"), "left_semi")
+            .groupBy("ph").agg(sum(col("n_docs")).as("n_prior"))
+        else
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row],
+            StructType(Seq(StructField("ph", StringType), StructField("n_prior", LongType))))
+      val boiler = own
+        .join(prior, Seq("ph"), "left_outer")
+        .where(coalesce(col("n_prior"), lit(0L)) + col("n_docs") >= minDocs)
+        .select(col("ph"), lit(true).as("is_boiler"))
+      TextOps
+        .reassembleStripped(paras.join(boiler, Seq("ph"), "left"), sep)
+        .write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
+      own
+        .repartition(numBuckets, col("pb"))
+        .write.mode("overwrite").partitionBy("pb")
+        .parquet(s"$countsPath/ingest_batch=$batchId")
+    } finally { paras.unpersist(); () }
+    ()
+  }
+
   /** Offline compaction for the [[substringStripMaintain]] gram store:
     * fold every `ingest_batch ≤ upToBatch` partition into ONE partition
     * labeled `ingest_batch=<upToBatch>`. The store is semantically a SET

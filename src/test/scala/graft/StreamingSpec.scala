@@ -927,6 +927,43 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("numBuckets=8"))
   }
 
+  test("boilerplateMaintain: cumulative threshold crossing, straggler retention, replay never double-counts") {
+    // minDocs=5; EDGE arrives in one doc per batch after the first —
+    // chosen so a replay that double-counted batch 1's partial would
+    // flip batch 2's decision from keep to strip
+    val base = tempDir("bpmaint")
+    def doc(id: Long, para: String) = Seq((id, s"$para\nunique $id")).toDF("doc_id", "text")
+    def applyBatch(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CdcStream.boilerplateApplyBatch(
+        b, id, s"$base/counts", s"$base/out", "doc_id", "text",
+        minDocs = 5, sep = "\n", numBuckets = 8)
+    applyBatch(doc(1L, "EDGE").unionByName(doc(2L, "EDGE")), 0L) // cum 2 — kept
+    applyBatch(doc(3L, "EDGE"), 1L) // the crashed attempt (cum 3 — kept)
+    applyBatch(doc(3L, "EDGE"), 1L) // the replay — must not double-count
+    applyBatch(doc(4L, "EDGE"), 2L) // cum 4 < 5 ONLY if the replay was clean
+    applyBatch(doc(5L, "EDGE"), 3L) // cum 5 — crosses, strips
+    val out = spark.read.parquet(s"$base/out")
+      .select("doc_id", "n_paras", "kept_paras", "stripped_text")
+      .as[(Long, Int, Int, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // one row per doc — the replayed batch overwrote its own output
+    assert(out.size === 5)
+    // pre-crossing occurrences keep EDGE (stragglers stay)
+    assert(out(1L) === ((2, 2, "EDGE\nunique 1")))
+    assert(out(3L) === ((2, 2, "EDGE\nunique 3")))
+    assert(out(4L) === ((2, 2, "EDGE\nunique 4")),
+      "batch-2 stripped EDGE at cum 4 — the replayed batch-1 partial was double-counted")
+    // the crossing batch strips; doc-unique paragraphs always survive
+    assert(out(5L) === ((2, 1, "unique 5")))
+    // drifting a layout parameter against the existing store is refused
+    val ex = intercept[IllegalStateException] {
+      CdcStream.boilerplateApplyBatch(
+        doc(6L, "EDGE"), 4L, s"$base/counts", s"$base/out", "doc_id", "text",
+        minDocs = 3, sep = "\n", numBuckets = 8)
+    }
+    assert(ex.getMessage.contains("boilerplate"))
+  }
+
   test("hammingAdmitMaintain: per-trigger admission equals the one-shot stored-banded form; replaying the last batch is a no-op") {
     import graft.ext.Dedup
     // synthetic 64-bit sketches: batch-2 carries exact copies of batch-1
