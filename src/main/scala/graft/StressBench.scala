@@ -325,6 +325,13 @@ object StressBench {
     "ngram_jaccard" -> (() =>
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.4,
         maxShingleDf = 100L).count()),
+    "winnow_pairs" -> (() =>
+      // the MOSS sampled-fingerprint first pass (production xxhash64
+      // path): same candidate-funnel shape as ngram_jaccard on ~1/window
+      // of the postings — the cheap screen should scale strictly better
+      // than the full-shingle families above it
+      Dedup.winnowingNearDupPairs(docs, "doc_id", "text",
+        minShared = 3, maxDf = 100L).count()),
     "minhash" -> (() =>
       Dedup.minhashNearDupPairs(docs, "doc_id", "text",
         shingleN = 5, numHashes = 64, bands = 16, jaccardThreshold = 0.4).count()),

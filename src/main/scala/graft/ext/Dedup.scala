@@ -118,6 +118,100 @@ object Dedup {
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
   }
 
+  // ---- winnowing fingerprint pairs (MOSS) ----------------------------------
+
+  /** Winnowing near-duplicate candidate pairs — the MOSS scheme
+    * (Schleimer, Wilkerson & Aiken, SIGMOD 2003): each document keeps
+    * only its winnowing-selected shingle hashes
+    * ([[graft.ext.TextOps.winnowingFingerprints]] — the min of every
+    * `windowSize` consecutive shingle hashes, guaranteeing any shared
+    * run of ≥ w + windowSize − 1 tokens contributes a shared
+    * fingerprint), and documents sharing at least `minShared` selected
+    * fingerprints pair. The sampled-fingerprint complement to
+    * [[ngramJaccardPairs]]: winnowing retains ~1/windowSize of the
+    * shingles, so the posting explode, the frequency filter and the
+    * candidate join all shrink by the same factor — the cheap first
+    * pass of the near-dup funnel at crawl scale.
+    *
+    * Plan (the set-similarity-join discipline, never all-pairs):
+    * fingerprint explode → document-frequency filter dropping
+    * fingerprints with df > `maxDf` (winnowed boilerplate shingles
+    * generate quadratic candidates but no signal — same hash-agg +
+    * semi-join shape as [[ngramJaccardPairs]]' stop-shingle filter,
+    * skew-free) and df < 2 (unshared fingerprints cannot pair) →
+    * posting self-join bounded by maxDf² per fingerprint → per-pair
+    * shared count.
+    *
+    * `portable = true` swaps in the md5 winnowing twin
+    * ([[graft.ext.TextOps.winnowingFingerprintsPortable]]) so the
+    * driver gate re-derives every selected fingerprint and pair in
+    * DuckDB; xxhash64 is the production path (8-byte postings).
+    *
+    * Output: (id_a, id_b, shared) with id_a < id_b, shared ≥ minShared.
+    */
+  /** (id, fp) winnowing postings — the staged evaluation of
+    * [[graft.ext.TextOps.winnowingFingerprints]]. The single-Column
+    * convenience forms capture the shingle-hash array INSIDE the
+    * window-min lambda, and Catalyst re-evaluates a captured expression
+    * on every lambda invocation — O(tokens² · hash) per document. Here
+    * each stage's input is materialized as a projection attribute first
+    * (words → shingle hashes → window mins), so slicing inside the
+    * lambdas touches an already-computed array: O(tokens · w) hashing
+    * per document, once. CollapseProject keeps the stages separate
+    * because each array attribute is referenced more than once and is
+    * not cheap to duplicate.
+    */
+  private[graft] def winnowingPostings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int,
+      windowSize: Int,
+      portable: Boolean
+  ): DataFrame = {
+    val hashOf: Column => Column = if (portable) md5 else (c => xxhash64(c))
+    df.select(
+        col(idCol).cast("long").as("id"),
+        split(trim(col(textCol)), "\\s+").as("ws"))
+      .select(
+        col("id"),
+        transform(
+          sequence(lit(0), greatest(size(col("ws")) - w, lit(0))),
+          i => hashOf(concat_ws(" ", slice(col("ws"), i + 1, lit(w))))).as("hs"))
+      .select(
+        col("id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), greatest(size(col("hs")) - windowSize, lit(0))),
+          i => array_min(slice(col("hs"), i + 1, lit(windowSize)))))).as("fp"))
+  }
+
+  def winnowingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 5,
+      windowSize: Int = 4,
+      minShared: Int = 3,
+      maxDf: Long = 8L,
+      portable: Boolean = false
+  ): DataFrame = {
+    require(minShared >= 1, "need minShared >= 1")
+    require(maxDf >= 2, "need maxDf >= 2 — pairs need fingerprints in at least 2 docs")
+    val posts = winnowingPostings(df, idCol, textCol, w, windowSize, portable)
+    val shared = posts
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+      .select("fp")
+    val p = posts.join(shared, Seq("fp"), "left_semi")
+    p.select(col("id").as("id_a"), col("fp"))
+      .join(p.select(col("id").as("id_b"), col("fp")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   // ---- MinHash + LSH banding ----------------------------------------------
 
   /** MinHash signature of a shingle array: `numHashes` independent hash

@@ -299,12 +299,41 @@ object TextOps {
   /** Winnowing fingerprint set: per window of `windowSize` consecutive
     * shingle hashes keep the min, collect distinct — the Schleimer et al.
     * winnowing scheme, as an array column.
+    *
+    * Single-doc/test convenience ONLY: the shingle-hash array is
+    * captured inside the window-min lambda and Catalyst re-evaluates a
+    * captured expression on every lambda invocation — O(tokens² · hash)
+    * per document. The corpus-scale pair join goes through
+    * [[graft.ext.Dedup.winnowingPostings]], which stages each array as
+    * a projection attribute (same output, O(tokens · w)).
     */
   def winnowingFingerprints(text: Column, w: Int = 5, windowSize: Int = 4): Column = {
     val words = split(trim(text), "\\s+")
     val shingles = transform(
       sequence(lit(0), greatest(size(words) - w, lit(0))),
       i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(w))))
+    )
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(shingles) - windowSize, lit(0))),
+        i => array_min(slice(shingles, i + 1, lit(windowSize)))
+      )
+    )
+  }
+
+  /** Portable winnowing fingerprint set — the same window-min selection
+    * as [[winnowingFingerprints]] through md5 hex (the
+    * [[fingerprintPortable]] discipline: lexicographic min on fixed-width
+    * lowercase hex is identical in Spark and DuckDB), so the
+    * winnowing-based pair join can carry a full value oracle. xxhash64
+    * stays the production fingerprint. Same single-doc caveat as
+    * [[winnowingFingerprints]] — the pair join stages via
+    * [[graft.ext.Dedup.winnowingPostings]]. */
+  def winnowingFingerprintsPortable(text: Column, w: Int = 5, windowSize: Int = 4): Column = {
+    val words = split(trim(text), "\\s+")
+    val shingles = transform(
+      sequence(lit(0), greatest(size(words) - w, lit(0))),
+      i => md5(concat_ws(" ", slice(words, i + 1, lit(w))))
     )
     array_distinct(
       transform(

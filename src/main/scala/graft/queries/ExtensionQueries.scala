@@ -1496,6 +1496,29 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // MOSS winnowing near-dup pairs (portable md5 form — every selected
+    // fingerprint and pair re-derived in DuckDB): planted copies edit
+    // ONE mid-document token of every 5th long doc, so the pair join
+    // must recover (original, copy) through the winnowing selection —
+    // shared runs on both sides of the edit keep contributing selected
+    // fingerprints — while the df ∈ [2, maxDf] filter bounds candidate
+    // generation exactly as at crawl scale.
+    "x_winnow_pairs" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val ws = split(trim(col("text")), "\\s+")
+      val copies = d.where(col("doc_id") % 5 === 0 && size(ws) >= 30)
+        .select(
+          (col("doc_id") + 200000L).as("doc_id"),
+          array_join(
+            concat(slice(ws, 1, 19), array(lit("zzedit")), slice(ws, 21, 100000)),
+            " ").as("text"))
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(copies)
+      Dedup.winnowingNearDupPairs(
+        corpus, "doc_id", "text", w = 5, windowSize = 4,
+        minShared = 3, maxDf = 8, portable = true)
+        .orderBy("id_a", "id_b")
+    },
+
     // multimodal metadata through the batched decode stage — byte counts
     // and typed meta are SQL-derivable, so this entry is oracle-gated even
     // though the decode runs through the real mapPartitions plumbing
@@ -4160,6 +4183,42 @@ object ExtensionQueries {
          |       list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS fp,
          |       CAST(len(shingles) AS INT) AS n_shingles
          |FROM sh ORDER BY doc_id""".stripMargin,
+    // full winnowing re-derivation: same corpus edit, ordered shingles,
+    // md5 window-min selection (lexicographic min ≡ Spark array_min on
+    // fixed-width hex), df band, posting self-join
+    "x_winnow_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |         array_to_string(w[1:19], ' ') || ' zzedit ' || array_to_string(w[21:], ' ')
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |  WHERE doc_id % 5 = 0 AND len(w) >= 30
+        |), words AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM base
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) <= 5 THEN [md5(array_to_string(w, ' '))]
+        |         ELSE list_transform(range(0, len(w) - 4), i -> md5(array_to_string(w[i+1:i+5], ' ')))
+        |    END AS hs
+        |  FROM words
+        |), wf AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+        |         ELSE list_transform(range(0, len(hs) - 3), j -> list_aggregate(hs[j+1:j+4], 'min'))
+        |    END) AS fps
+        |  FROM sh
+        |), ex AS (
+        |  SELECT doc_id, unnest(fps) AS fp FROM wf
+        |), keep AS (
+        |  SELECT fp FROM ex GROUP BY fp HAVING count(*) BETWEEN 2 AND 8
+        |), p AS (
+        |  SELECT doc_id, fp FROM ex WHERE fp IN (SELECT fp FROM keep)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+        |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "x_dedup_minhash" -> allPairsJaccardSql,
     "x_dedup_simhash" -> allPairsJaccardSql,
     "x_dedup_exact" ->

@@ -1868,6 +1868,40 @@ class ExtSpec extends SparkSpec {
     assert(ex.getMessage.contains("minDocs"))
   }
 
+  test("winnowingNearDupPairs: one-token edit recovered, unrelated docs silent, hot-fingerprint cap bounds candidates") {
+    import graft.ext.Dedup
+    val words = (1 to 40).map(i => s"w$i")
+    val docA = words.mkString(" ")
+    val docB = words.updated(19, "EDIT").mkString(" ")
+    val docC = (1 to 40).map(i => s"z$i").mkString(" ")
+    val trio = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    for (portable <- Seq(false, true)) {
+      val pairs = Dedup.winnowingNearDupPairs(
+        trio, "doc_id", "text", minShared = 3, maxDf = 8, portable = portable)
+        .as[(Long, Long, Long)].collect().toSet
+      // the edit splits the doc into two long shared runs — winnowing
+      // guarantees shared fingerprints from both; the unrelated doc
+      // shares nothing
+      assert(pairs.map(p => (p._1, p._2)) === Set((1L, 2L)),
+        s"portable=$portable: expected exactly the edited pair, got $pairs")
+      assert(pairs.head._3 >= 3)
+    }
+    // identical docs share their ENTIRE fingerprint set...
+    val clones = (1L to 9L).map(i => (i, docA)).toDF("doc_id", "text")
+    val nFps = trio.where($"doc_id" === 1L)
+      .select(size(graft.ext.TextOps.winnowingFingerprints($"text")))
+      .head().getInt(0)
+    val open = Dedup.winnowingNearDupPairs(
+      clones, "doc_id", "text", minShared = 3, maxDf = 20, portable = false)
+      .as[(Long, Long, Long)].collect()
+    assert(open.length === 36 && open.forall(_._3 === nFps)) // C(9,2) pairs
+    // ...but at df=9 > maxDf=8 every fingerprint is non-discriminative
+    // boilerplate and the cap silences the quadratic candidate blowup
+    val capped = Dedup.winnowingNearDupPairs(
+      clones, "doc_id", "text", minShared = 1, maxDf = 8, portable = false)
+    assert(capped.count() === 0)
+  }
+
   test("nbQualityScore: hand-computed Laplace posteriors, neutral OOV, empty-doc retention") {
     val positives = Seq((100L, "good good fine")).toDF("doc_id", "text")
     val negatives = Seq((200L, "bad awful")).toDF("doc_id", "text")
