@@ -120,35 +120,6 @@ object Dedup {
 
   // ---- winnowing fingerprint pairs (MOSS) ----------------------------------
 
-  /** Winnowing near-duplicate candidate pairs — the MOSS scheme
-    * (Schleimer, Wilkerson & Aiken, SIGMOD 2003): each document keeps
-    * only its winnowing-selected shingle hashes
-    * ([[graft.ext.TextOps.winnowingFingerprints]] — the min of every
-    * `windowSize` consecutive shingle hashes, guaranteeing any shared
-    * run of ≥ w + windowSize − 1 tokens contributes a shared
-    * fingerprint), and documents sharing at least `minShared` selected
-    * fingerprints pair. The sampled-fingerprint complement to
-    * [[ngramJaccardPairs]]: winnowing retains ~1/windowSize of the
-    * shingles, so the posting explode, the frequency filter and the
-    * candidate join all shrink by the same factor — the cheap first
-    * pass of the near-dup funnel at crawl scale.
-    *
-    * Plan (the set-similarity-join discipline, never all-pairs):
-    * fingerprint explode → document-frequency filter dropping
-    * fingerprints with df > `maxDf` (winnowed boilerplate shingles
-    * generate quadratic candidates but no signal — same hash-agg +
-    * semi-join shape as [[ngramJaccardPairs]]' stop-shingle filter,
-    * skew-free) and df < 2 (unshared fingerprints cannot pair) →
-    * posting self-join bounded by maxDf² per fingerprint → per-pair
-    * shared count.
-    *
-    * `portable = true` swaps in the md5 winnowing twin
-    * ([[graft.ext.TextOps.winnowingFingerprintsPortable]]) so the
-    * driver gate re-derives every selected fingerprint and pair in
-    * DuckDB; xxhash64 is the production path (8-byte postings).
-    *
-    * Output: (id_a, id_b, shared) with id_a < id_b, shared ≥ minShared.
-    */
   /** (id, fp) winnowing postings — the staged evaluation of
     * [[graft.ext.TextOps.winnowingFingerprints]]. The single-Column
     * convenience forms capture the shingle-hash array INSIDE the
@@ -185,6 +156,35 @@ object Dedup {
           i => array_min(slice(col("hs"), i + 1, lit(windowSize)))))).as("fp"))
   }
 
+  /** Winnowing near-duplicate candidate pairs — the MOSS scheme
+    * (Schleimer, Wilkerson & Aiken, SIGMOD 2003): each document keeps
+    * only its winnowing-selected shingle hashes (the min of every
+    * `windowSize` consecutive shingle hashes, guaranteeing any shared
+    * run of ≥ w + windowSize − 1 tokens contributes a shared
+    * fingerprint — evaluated via the staged [[winnowingPostings]]), and
+    * documents sharing at least `minShared` selected fingerprints pair.
+    * The sampled-fingerprint complement to [[ngramJaccardPairs]]:
+    * winnowing retains ~1/windowSize of the shingles, so the posting
+    * explode, the frequency filter and the candidate join all shrink by
+    * the same factor — the cheap first pass of the near-dup funnel at
+    * crawl scale.
+    *
+    * Plan (the set-similarity-join discipline, never all-pairs):
+    * fingerprint explode → document-frequency filter dropping
+    * fingerprints with df > `maxDf` (winnowed boilerplate shingles
+    * generate quadratic candidates but no signal — same hash-agg +
+    * semi-join shape as [[ngramJaccardPairs]]' stop-shingle filter,
+    * skew-free) and df < 2 (unshared fingerprints cannot pair) →
+    * posting self-join bounded by maxDf² per fingerprint → per-pair
+    * shared count.
+    *
+    * `portable = true` swaps the fingerprint hash to md5 hex
+    * (lexicographic min ≡ numeric window-min on fixed-width hex) so the
+    * driver gate re-derives every selected fingerprint and pair in
+    * DuckDB; xxhash64 is the production path (8-byte postings).
+    *
+    * Output: (id_a, id_b, shared) with id_a < id_b, shared ≥ minShared.
+    */
   def winnowingNearDupPairs(
       df: DataFrame,
       idCol: String,
