@@ -1237,6 +1237,48 @@ object Dedup {
         array_join(col("__kept"), " ").as("stripped_text"))
   }
 
+  /** Quality-aware duplicate-cluster resolution — the retention step
+    * after [[duplicateComponents]]: real pipelines keep the BEST
+    * document per near-dup cluster (highest quality score; the min-id
+    * convention is only the degenerate scoreless case), not an arbitrary
+    * first occurrence. Every doc is annotated with its canonical cluster
+    * id (itself for singletons) and whether it is the cluster's kept
+    * representative: max `scoreCol`, ties broken toward the smallest id,
+    * so the decision is deterministic and replayable.
+    *
+    * Scale shape: the component table is DUPLICATE-band-sized (only ids
+    * appearing in `pairs`), so both corpus joins are equi-joins against
+    * a small relation (AQE broadcasts them at typical dup rates) and the
+    * argmax aggregate groups only clustered docs — singletons never
+    * shuffle on a cluster key. A null score loses to any non-null one
+    * (Spark's null-first struct ordering under max).
+    *
+    * Output: (id, canonical_id, kept) — one row per input doc; exactly
+    * one kept=true row per canonical_id. Pair ids absent from `docs`
+    * don't participate (they have no score to compete with).
+    */
+  def keepBestPerCluster(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      scoreCol: String
+  ): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__score"))
+    val comps = duplicateComponents(pairs) // (id, rep) — dup band only
+    val best = ids
+      .join(comps, Seq("id"))
+      .groupBy("rep")
+      .agg(max(struct(col("__score").as("s"), (-col("id")).as("nid"))).as("b"))
+      .select(col("rep"), (-col("b.nid")).as("keep_id"))
+    ids
+      .join(comps, Seq("id"), "left")
+      .join(best, Seq("rep"), "left")
+      .select(
+        col("id"),
+        coalesce(col("rep"), col("id")).as("canonical_id"),
+        coalesce(col("id") === col("keep_id"), lit(true)).as("kept"))
+  }
+
   // ---- embedding cosine near-dup ------------------------------------------
 
   /** SemDeDup — semantic deduplication by cluster-then-prune (Abbas et

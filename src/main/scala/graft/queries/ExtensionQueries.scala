@@ -178,6 +178,24 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // quality-aware cluster retention: the same pair derivation as
+    // x_dedup_components, resolved by keepBestPerCluster with token
+    // count as the quality score (max tokens wins, tie → min doc_id) —
+    // every doc annotated with its canonical id and the keep decision,
+    // singletons kept by construction
+    "x_dedup_keep_best" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup
+        .ngramJaccardPairs(d, "doc_id", "text", n = 5, threshold = 0.4, maxShingleDf = 100L)
+        .select("id_a", "id_b")
+      val scored = d.select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      Dedup.keepBestPerCluster(scored, pairs, "doc_id", "n_tokens")
+        .select(col("id").as("doc_id"), col("canonical_id"), col("kept"))
+        .orderBy("doc_id")
+    },
+
     // chunk-level (passage) dedup: consecutive 10-word chunks, keep-first
     // across the corpus, per-doc retention stats — the sub-document dedup
     // granularity between exact-doc and shingle near-dup
@@ -4024,6 +4042,48 @@ object ExtensionQueries {
          |)
          |SELECT id AS doc_id, min(rep) AS canonical_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // same recursive closure, then the keep-best resolution: token-count
+    // score, max score wins, tie → min doc_id; singletons are their own
+    // canonical and kept
+    "x_dedup_keep_best" ->
+      s"""${shingleSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, ex AS (
+         |  SELECT doc_id, CAST(len(shingles) AS INT) AS sz, unnest(shingles) AS sh FROM sh
+         |), rare AS (
+         |  SELECT doc_id, sz, sh FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY sh) AS df FROM ex
+         |  ) WHERE df <= 100
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.sz AS size_a, b.sz AS size_b, count(*) AS inter
+         |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |), jp AS (
+         |  SELECT id_a, id_b FROM pairs
+         |  WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.4
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM jp
+         |), reach(id, rep) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.rep FROM edges e JOIN reach r ON r.id = e.dst
+         |), comp AS (
+         |  SELECT id, min(rep) AS rep FROM reach GROUP BY id
+         |), scored AS (
+         |  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS score
+         |  FROM documents
+         |), ann AS (
+         |  SELECT s.doc_id, COALESCE(c.rep, s.doc_id) AS canonical_id, s.score
+         |  FROM scored s LEFT JOIN comp c ON c.id = s.doc_id
+         |), ranked AS (
+         |  SELECT doc_id, canonical_id,
+         |         row_number() OVER (PARTITION BY canonical_id
+         |                            ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM ann
+         |)
+         |SELECT doc_id, canonical_id, (rn = 1) AS kept
+         |FROM ranked ORDER BY doc_id""".stripMargin,
     // same md5-prefix decisions, re-derived: 0.25 → 16384 = '4000',
     // 0.5 → 32768 = '8000' (TextOps.hashKeep's 16-bit thresholds)
     "x_sample_stratified" ->

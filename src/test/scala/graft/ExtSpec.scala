@@ -817,6 +817,30 @@ class ExtSpec extends SparkSpec {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("keepBestPerCluster keeps the max-score doc, breaks ties to min id, retains singletons") {
+    // cluster {1,2,3}: scores 5, 9, 9 — 2 and 3 tie on score, 2 wins on id;
+    // cluster {10,11}: null score loses to any non-null; 20 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val scored = Seq(
+      (1L, Some(5L)), (2L, Some(9L)), (3L, Some(9L)),
+      (10L, None), (11L, Some(1L)), (20L, None)
+    ).toDF("doc_id", "score")
+    val got = Dedup.keepBestPerCluster(scored, pairs, "doc_id", "score")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (10L, 10L, false), (11L, 10L, true),
+      (20L, 20L, true)))
+    // exactly one kept per canonical, and pair ids absent from the corpus
+    // (no score to compete with) don't appear in the annotation
+    val partial = Dedup.keepBestPerCluster(
+      scored.where($"doc_id" =!= 2L), pairs, "doc_id", "score")
+      .as[(Long, Long, Boolean)].collect()
+    assert(partial.count(r => r._2 == 1L && r._3) === 1)
+    assert(partial.filter(r => r._2 == 1L && r._3).map(_._1).toSeq === Seq(3L))
+    assert(!partial.exists(_._1 == 2L))
+  }
+
   test("hashSplit is deterministic, salt-sensitive, and tracks its fractions") {
     val split = TextOps.hashSplit($"doc_id", "graft", 0.9, 0.05)
     val counts = docs.select(split.as("split")).groupBy("split").count()
