@@ -1962,4 +1962,176 @@ object Dedup {
     val seeds = spark.read.parquet(s"$path/seeds")
     semanticAdmit(index, seeds, batch, idCol, vecCol, threshold)
   }
+
+  // ---- winnowing fingerprint index as a stored artifact ---------------------
+
+  private val WinnowIndexMarker = "_GRAFT_WINNOW_INDEX"
+
+  /** Persist the fingerprint-posting index behind ingestion-time
+    * winnowing near-dup admission: the corpus's (fp, id) winnowing
+    * postings ([[winnowingPostings]]), written `partitionBy` a
+    * fingerprint-hash bucket (`fb = pmod(xxhash64(fp), buckets)`) so
+    * [[winnowAdmitStored]] prunes each probe to the batch's touched
+    * buckets — the substring-gram-store discipline. Fingerprints whose
+    * corpus document frequency exceeds `maxDf` are dropped AT BUILD:
+    * they are non-discriminative boilerplate that generates quadratic
+    * probe candidates and no signal (the df band of
+    * [[winnowingNearDupPairs]], applied index-side; df = 1 fingerprints
+    * STAY — a batch doc matching a unique stored fingerprint is exactly
+    * the admission signal). Every layout parameter is stamped in a
+    * marker and re-validated on probe: w/windowSize/hash change
+    * fingerprint identity, buckets changes placement, maxDf changes the
+    * candidate contract — drift is a hard error, never a silent
+    * wrong-admission.
+    */
+  def writeWinnowIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      w: Int = 5,
+      windowSize: Int = 4,
+      maxDf: Long = 8L,
+      buckets: Int = 64,
+      portable: Boolean = false
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(buckets >= 1, "need buckets >= 1")
+    require(maxDf >= 2, "need maxDf >= 2 — pairs need fingerprints in at least 2 docs")
+    val spark = docs.sparkSession
+    val posts = winnowingPostings(docs, idCol, textCol, w, windowSize, portable)
+    val keep = posts
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+      .select("fp")
+    // one file per bucket dir: clustered by fb so a write task owns whole
+    // buckets instead of fanning small files across every partition
+    posts
+      .join(keep, Seq("fp"), "left_semi")
+      .withColumn("fb", pmod(xxhash64(col("fp")), lit(buckets)).cast("int"))
+      .repartition(buckets, col("fb"))
+      .write.mode("overwrite").partitionBy("fb").parquet(s"$path/posts")
+    val marker = new Path(s"$path/$WinnowIndexMarker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    val h = if (portable) "md5" else "xx"
+    try out.write(
+      s"winnow_index:w=$w:ws=$windowSize:maxdf=$maxDf:b=$buckets:h=$h:v1".getBytes("UTF-8"))
+    finally out.close()
+    ()
+  }
+
+  /** Read and parse the stamped layout of a [[writeWinnowIndex]]
+    * artifact: (w, windowSize, maxDf, buckets, portable).
+    */
+  def winnowIndexLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): (Int, Int, Long, Int, Boolean) = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(s"$path/$WinnowIndexMarker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker),
+      s"no winnowing-index marker at $path — the artifact was not written by " +
+        "writeWinnowIndex; rebuild it rather than guessing the layout, a " +
+        "mismatched w/window/bucket count probes wrong fingerprints silently")
+    val in = fs.open(marker)
+    val got =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    val re = """winnow_index:w=(\d+):ws=(\d+):maxdf=(\d+):b=(\d+):h=(md5|xx):v1""".r
+    got match {
+      case re(w, ws, maxDf, b, h) =>
+        (w.toInt, ws.toInt, maxDf.toLong, b.toInt, h == "md5")
+      case other =>
+        throw new IllegalArgumentException(
+          s"unrecognized winnowing-index marker '$other' at $path")
+    }
+  }
+
+  /** Ingestion-time winnowing near-dup admission against the PERSISTED
+    * index — the fuzzy-text member of the admission matrix (exact
+    * spans: substring gram store; embeddings: [[semanticAdmitStored]];
+    * perceptual 64-bit sketches: [[hammingAdmitBanded]]). An arriving
+    * batch computes its winnowing postings ONCE (staged, O(tokens · w)
+    * per doc) and uses them for both stages:
+    *
+    *  - `dup_snapshot`: some STORED doc shares ≥ `minShared` selected
+    *    fingerprints with the batch doc. The probe reads only the fb
+    *    partitions the batch's fingerprints hash into (bounded collect
+    *    of ≤ buckets ids — the substring-store pruning) and every probed
+    *    fingerprint carries ≤ maxDf stored postings by construction, so
+    *    candidate fan-out is bounded per batch posting — never a
+    *    whole-index scan or an unbounded hot-key join.
+    *  - `dup_batch`: no stored match, but an EARLIER batch doc (smaller
+    *    id) pairs with it under [[winnowingNearDupPairs]]' in-batch df
+    *    band (df ∈ [2, maxDf] within the batch scope).
+    *  - `new`: neither.
+    *
+    * The two df scopes (index-side cap at build, batch-side band at
+    * probe) are the honest streaming form: a global df over
+    * index ∪ batch would require re-counting the full index per
+    * trigger. After admission the index advances by appending the
+    * admitted docs' postings to their fb partitions (append — no
+    * rebuild).
+    *
+    * Output: (id, status) — one row per batch doc.
+    */
+  def winnowAdmitStored(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Int = 3
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(minShared >= 1, "need minShared >= 1")
+    val (w, windowSize, maxDf, buckets, portable) = winnowIndexLayout(spark, path)
+    val posts = winnowingPostings(batch, idCol, textCol, w, windowSize, portable)
+    val fpType: DataType = if (portable) StringType else LongType
+    val storeSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("fp", fpType),
+      StructField("fb", IntegerType)))
+    val touched = posts
+      .select(pmod(xxhash64(col("fp")), lit(buckets)).cast("int").as("fb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val store = spark.read.schema(storeSchema).parquet(s"$path/posts")
+    val idx =
+      if (touched.isEmpty) store.select(col("id").as("a_id"), col("fp")).limit(0)
+      else store.where(col("fb").isin(touched: _*)).select(col("id").as("a_id"), col("fp"))
+    val snapHit = posts
+      .join(idx, Seq("fp"))
+      .groupBy(col("id"), col("a_id"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .select("id").distinct()
+      .withColumn("__snap", lit(true))
+    val bandInBatch = posts
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+      .select("fp")
+    val pb = posts.join(bandInBatch, Seq("fp"), "left_semi")
+    val batchHit = pb.select(col("id").as("id_a"), col("fp"))
+      .join(pb.select(col("id").as("id_b"), col("fp")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("__batch", lit(true))
+    batch
+      .select(col(idCol).cast("long").as("id"))
+      .join(snapHit, Seq("id"), "left_outer")
+      .join(batchHit, Seq("id"), "left_outer")
+      .select(
+        col("id"),
+        when(col("__snap"), lit("dup_snapshot"))
+          .when(col("__batch"), lit("dup_batch"))
+          .otherwise(lit("new"))
+          .as("status"))
+  }
 }

@@ -1537,6 +1537,37 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ingestion-time winnowing near-dup admission through the STORED
+    // fingerprint index (the fuzzy-text member of the admission
+    // matrix): even docs are the ingested corpus — df-capped postings
+    // written partitionBy fingerprint bucket with the layout stamped in
+    // a marker — and the batch is the odd docs plus one-token-edited
+    // copies of even docs (must come back dup_snapshot through the
+    // bucket-pruned probe) and of odd docs (no stored match; they pair
+    // in-batch with their source → dup_batch). The oracle re-derives
+    // every fingerprint, both df scopes and both stages in DuckDB.
+    "x_winnow_admit" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val ws = split(trim(col("text")), "\\s+")
+      val edited = array_join(
+        concat(slice(ws, 1, 19), array(lit("zzedit")), slice(ws, 21, 100000)),
+        " ")
+      val even = d.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+      val store = java.nio.file.Files.createTempDirectory("graft_winnow_index").toString
+      Dedup.writeWinnowIndex(even, "doc_id", "text", store,
+        w = 5, windowSize = 4, maxDf = 8, buckets = 16, portable = true)
+      val odd = d.where(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+      val snapCopies = d
+        .where(col("doc_id") % 10 === 4 && size(ws) >= 30)
+        .select((col("doc_id") + 200000L).as("doc_id"), edited.as("text"))
+      val batchCopies = d
+        .where(col("doc_id") % 10 === 1 && size(ws) >= 30)
+        .select((col("doc_id") + 300000L).as("doc_id"), edited.as("text"))
+      val batch = odd.unionByName(snapCopies).unionByName(batchCopies)
+      Dedup.winnowAdmitStored(s, store, batch, "doc_id", "text", minShared = 3)
+        .orderBy("id")
+    },
+
     // multimodal metadata through the batched decode stage — byte counts
     // and typed meta are SQL-derivable, so this entry is oracle-gated even
     // though the decode runs through the real mapPartitions plumbing
@@ -4279,6 +4310,81 @@ object ExtensionQueries {
         |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // stored-index winnowing admission fully re-derived: even-corpus
+    // postings with the build-time df cap, batch fingerprints, the
+    // bucket-pruned snapshot probe (pruning cannot change the result —
+    // the oracle joins the unpruned posting set) and the in-batch df
+    // band, composed into the same dup_snapshot > dup_batch > new
+    // precedence
+    "x_winnow_admit" ->
+      """WITH evenb AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |), batchb AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |         array_to_string(w[1:19], ' ') || ' zzedit ' || array_to_string(w[21:], ' ')
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |  WHERE doc_id % 10 = 4 AND len(w) >= 30
+        |  UNION ALL
+        |  SELECT doc_id + 300000,
+        |         array_to_string(w[1:19], ' ') || ' zzedit ' || array_to_string(w[21:], ' ')
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |  WHERE doc_id % 10 = 1 AND len(w) >= 30
+        |), iw AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM evenb
+        |), ish AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) <= 5 THEN [md5(array_to_string(w, ' '))]
+        |         ELSE list_transform(range(0, len(w) - 4), i -> md5(array_to_string(w[i+1:i+5], ' ')))
+        |    END AS hs
+        |  FROM iw
+        |), ifp AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+        |         ELSE list_transform(range(0, len(hs) - 3), j -> list_aggregate(hs[j+1:j+4], 'min'))
+        |    END)) AS fp
+        |  FROM ish
+        |), ipost AS (
+        |  SELECT doc_id AS a_id, fp FROM ifp
+        |  WHERE fp IN (SELECT fp FROM ifp GROUP BY fp HAVING count(*) <= 8)
+        |), bw AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM batchb
+        |), bsh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) <= 5 THEN [md5(array_to_string(w, ' '))]
+        |         ELSE list_transform(range(0, len(w) - 4), i -> md5(array_to_string(w[i+1:i+5], ' ')))
+        |    END AS hs
+        |  FROM bw
+        |), bfp AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+        |         ELSE list_transform(range(0, len(hs) - 3), j -> list_aggregate(hs[j+1:j+4], 'min'))
+        |    END)) AS fp
+        |  FROM bsh
+        |), snap AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT b.doc_id, a.a_id FROM bfp b JOIN ipost a ON a.fp = b.fp
+        |    GROUP BY b.doc_id, a.a_id HAVING count(*) >= 3
+        |  )
+        |), pb AS (
+        |  SELECT doc_id, fp FROM bfp
+        |  WHERE fp IN (SELECT fp FROM bfp GROUP BY fp HAVING count(*) BETWEEN 2 AND 8)
+        |), bpair AS (
+        |  SELECT DISTINCT id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |    FROM pb a JOIN pb b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2 HAVING count(*) >= 3
+        |  )
+        |)
+        |SELECT d.doc_id AS id,
+        |       CASE WHEN s.doc_id IS NOT NULL THEN 'dup_snapshot'
+        |            WHEN p.id_b IS NOT NULL THEN 'dup_batch'
+        |            ELSE 'new' END AS status
+        |FROM batchb d
+        |LEFT JOIN snap s ON s.doc_id = d.doc_id
+        |LEFT JOIN bpair p ON p.id_b = d.doc_id
+        |ORDER BY id""".stripMargin,
     "x_dedup_minhash" -> allPairsJaccardSql,
     "x_dedup_simhash" -> allPairsJaccardSql,
     "x_dedup_exact" ->

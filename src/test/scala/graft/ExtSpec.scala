@@ -1926,6 +1926,47 @@ class ExtSpec extends SparkSpec {
     assert(capped.count() === 0)
   }
 
+  test("winnowAdmitStored: statuses with snapshot precedence, stamped layout validated, build-time df cap") {
+    import graft.ext.Dedup
+    val words = (1 to 40).map(i => s"w$i")
+    val docA = words.mkString(" ")
+    val docAEdit = words.updated(19, "EDIT").mkString(" ")
+    val docNew = (1 to 40).map(i => s"n$i").mkString(" ")
+    val corpus = Seq((1L, docA)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow-idx").toString
+    Dedup.writeWinnowIndex(corpus, "doc_id", "text", dir, maxDf = 8, buckets = 4)
+    assert(Dedup.winnowIndexLayout(spark, dir) === ((5, 4, 8L, 4, false)))
+    // 10: edited copy of the stored doc → dup_snapshot; 11/12: in-batch
+    // clones of an unseen doc → first new, second dup_batch; 13:
+    // unrelated → new; 14: matches BOTH the store and batch doc 10 —
+    // snapshot wins the precedence
+    val batch = Seq(
+      (10L, docAEdit), (11L, docNew), (12L, docNew),
+      (13L, (1 to 40).map(i => s"z$i").mkString(" ")), (14L, docAEdit)
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowAdmitStored(spark, dir, batch, "doc_id", "text", minShared = 3)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      10L -> "dup_snapshot", 11L -> "new", 12L -> "dup_batch",
+      13L -> "new", 14L -> "dup_snapshot"))
+    // build-time df cap: an index of 9 clones has every fingerprint at
+    // df=9 > maxDf=8 — all postings dropped as boilerplate, so even an
+    // exact copy probes clean
+    val boiler = (1L to 9L).map(i => (i, docA)).toDF("doc_id", "text")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-winnow-idx2").toString
+    Dedup.writeWinnowIndex(boiler, "doc_id", "text", dir2, maxDf = 8, buckets = 4)
+    val got2 = Dedup.winnowAdmitStored(
+      spark, dir2, Seq((20L, docA)).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got2 === Map(20L -> "new"))
+    // no marker → hard refusal, never a guessed layout
+    val bare = java.nio.file.Files.createTempDirectory("graft-winnow-bare").toString
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.winnowAdmitStored(spark, bare, batch, "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("marker"))
+  }
+
   test("nbQualityScore: hand-computed Laplace posteriors, neutral OOV, empty-doc retention") {
     val positives = Seq((100L, "good good fine")).toDF("doc_id", "text")
     val negatives = Seq((200L, "bad awful")).toDF("doc_id", "text")
