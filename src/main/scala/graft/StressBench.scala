@@ -223,6 +223,25 @@ object StressBench {
           "doc_id", "text", minShared = 3)
         .where(col("status") =!= "new").count()
     }),
+    "winnow_stream" -> (() => {
+      // the STREAMING ingest form's per-trigger cost: the store is
+      // built by ingesting the corpus as batch 0 (memoized, untimed),
+      // the timed leg is one winnowAdmitApplyBatch of the fixed 1×
+      // batch — probe + append, wall must stay ~flat as the store grows
+      val spark = docs.sparkSession
+      val dir = memoIndex(docs.inputFiles.toSet, "winnowstream") { d =>
+        graft.streaming.CdcStream.winnowAdmitApplyBatch(
+          docs, 0L, s"$d/idx", s"$d/out", "doc_id", "text",
+          w = 5, windowSize = 4, minShared = 3, maxDf = 100L,
+          numBuckets = 64, portable = false)
+      }
+      graft.streaming.CdcStream.winnowAdmitApplyBatch(
+        batchDocs.select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")),
+        1L, s"$dir/idx", s"$dir/out", "doc_id", "text",
+        w = 5, windowSize = 4, minShared = 3, maxDf = 100L,
+        numBuckets = 64, portable = false)
+      spark.read.parquet(s"$dir/out/ingest_batch=1").count()
+    }),
     "substring_stream" -> (() => {
       // the STREAMING ingest form's per-trigger cost against a gram
       // store holding the whole corpus: one substringStripApplyBatch of

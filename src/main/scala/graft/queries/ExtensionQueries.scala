@@ -1568,6 +1568,50 @@ object ExtensionQueries {
         .orderBy("id")
     },
 
+    // the STREAMING winnowing admission maintainer as a DRIVER GATE: the
+    // even docs arrive as batch 0 (empty store — in-batch stage only,
+    // and their postings become the store), the x_winnow_admit batch
+    // arrives as batch 1 and must classify through the accumulated
+    // store under the cumulative-prior df cap; the oracle re-derives
+    // BOTH batches' decisions in DuckDB, knowing the batching
+    "x_winnow_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.CdcStream
+      val d = docs(s, dir)
+      val ws = split(trim(col("text")), "\\s+")
+      val edited = array_join(
+        concat(slice(ws, 1, 19), array(lit("zzedit")), slice(ws, 21, 100000)),
+        " ")
+      val even = d.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+      val odd = d.where(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+      val snapCopies = d
+        .where(col("doc_id") % 10 === 4 && size(ws) >= 30)
+        .select((col("doc_id") + 200000L).as("doc_id"), edited.as("text"))
+      val batchCopies = d
+        .where(col("doc_id") % 10 === 1 && size(ws) >= 30)
+        .select((col("doc_id") + 300000L).as("doc_id"), edited.as("text"))
+      val batch2 = odd.unionByName(snapCopies).unionByName(batchCopies)
+      val base = java.nio.file.Files.createTempDirectory("graft_winnow_stream").toString
+      val in = s"$base/in"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      def runOnce(): Unit = {
+        val q = CdcStream.winnowAdmitMaintain(
+          s.readStream.schema(even.schema).parquet(in),
+          s"$base/idx", s"$base/out", s"$base/ckpt", "doc_id", "text",
+          maxDf = 8L, numBuckets = 16, portable = true,
+          trigger = Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      try {
+        even.coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+        batch2.coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.read.parquet(s"$base/out").select("id", "status").orderBy("id")
+    },
+
     // multimodal metadata through the batched decode stage — byte counts
     // and typed meta are SQL-derivable, so this entry is oracle-gated even
     // though the decode runs through the real mapPartitions plumbing
@@ -4385,6 +4429,95 @@ object ExtensionQueries {
         |LEFT JOIN snap s ON s.doc_id = d.doc_id
         |LEFT JOIN bpair p ON p.id_b = d.doc_id
         |ORDER BY id""".stripMargin,
+    // the streamed two-batch lifecycle, batching-aware: batch 0 (even
+    // docs, empty store) runs the in-batch stage only; batch 1 probes
+    // the accumulated even postings under the cumulative-prior df cap
+    // (≡ the build-time HAVING on this store population)
+    "x_winnow_stream" ->
+      """WITH evenb AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |), batchb AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |         array_to_string(w[1:19], ' ') || ' zzedit ' || array_to_string(w[21:], ' ')
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |  WHERE doc_id % 10 = 4 AND len(w) >= 30
+        |  UNION ALL
+        |  SELECT doc_id + 300000,
+        |         array_to_string(w[1:19], ' ') || ' zzedit ' || array_to_string(w[21:], ' ')
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |  WHERE doc_id % 10 = 1 AND len(w) >= 30
+        |), iw AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM evenb
+        |), ish AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) <= 5 THEN [md5(array_to_string(w, ' '))]
+        |         ELSE list_transform(range(0, len(w) - 4), i -> md5(array_to_string(w[i+1:i+5], ' ')))
+        |    END AS hs
+        |  FROM iw
+        |), ifp AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+        |         ELSE list_transform(range(0, len(hs) - 3), j -> list_aggregate(hs[j+1:j+4], 'min'))
+        |    END)) AS fp
+        |  FROM ish
+        |), epb AS (
+        |  SELECT doc_id, fp FROM ifp
+        |  WHERE fp IN (SELECT fp FROM ifp GROUP BY fp HAVING count(*) BETWEEN 2 AND 8)
+        |), epair AS (
+        |  SELECT DISTINCT id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |    FROM epb a JOIN epb b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2 HAVING count(*) >= 3
+        |  )
+        |), dec1 AS (
+        |  SELECT e.doc_id AS id,
+        |         CASE WHEN p.id_b IS NOT NULL THEN 'dup_batch' ELSE 'new' END AS status
+        |  FROM evenb e LEFT JOIN epair p ON p.id_b = e.doc_id
+        |), ipost AS (
+        |  SELECT doc_id AS a_id, fp FROM ifp
+        |  WHERE fp IN (SELECT fp FROM ifp GROUP BY fp HAVING count(*) <= 8)
+        |), bw AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM batchb
+        |), bsh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) <= 5 THEN [md5(array_to_string(w, ' '))]
+        |         ELSE list_transform(range(0, len(w) - 4), i -> md5(array_to_string(w[i+1:i+5], ' ')))
+        |    END AS hs
+        |  FROM bw
+        |), bfp AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+        |         ELSE list_transform(range(0, len(hs) - 3), j -> list_aggregate(hs[j+1:j+4], 'min'))
+        |    END)) AS fp
+        |  FROM bsh
+        |), snap AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT b.doc_id, a.a_id FROM bfp b JOIN ipost a ON a.fp = b.fp
+        |    GROUP BY b.doc_id, a.a_id HAVING count(*) >= 3
+        |  )
+        |), pb AS (
+        |  SELECT doc_id, fp FROM bfp
+        |  WHERE fp IN (SELECT fp FROM bfp GROUP BY fp HAVING count(*) BETWEEN 2 AND 8)
+        |), bpair AS (
+        |  SELECT DISTINCT id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |    FROM pb a JOIN pb b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2 HAVING count(*) >= 3
+        |  )
+        |), dec2 AS (
+        |  SELECT d.doc_id AS id,
+        |         CASE WHEN s.doc_id IS NOT NULL THEN 'dup_snapshot'
+        |              WHEN p.id_b IS NOT NULL THEN 'dup_batch'
+        |              ELSE 'new' END AS status
+        |  FROM batchb d
+        |  LEFT JOIN snap s ON s.doc_id = d.doc_id
+        |  LEFT JOIN bpair p ON p.id_b = d.doc_id
+        |)
+        |SELECT id, status FROM (
+        |  SELECT id, status FROM dec1 UNION ALL SELECT id, status FROM dec2
+        |) ORDER BY id""".stripMargin,
     "x_dedup_minhash" -> allPairsJaccardSql,
     "x_dedup_simhash" -> allPairsJaccardSql,
     "x_dedup_exact" ->

@@ -760,6 +760,151 @@ object CdcStream {
     ()
   }
 
+  /** Streaming winnowing near-dup admission — the INGEST form of
+    * [[graft.ext.Dedup.winnowAdmitStored]] and the FUZZY-TEXT sibling of
+    * [[hammingAdmitMaintain]]: each micro-batch's documents are
+    * classified `dup_snapshot` / `dup_batch` / `new` against the stored
+    * fingerprint postings, then ALL of the batch's postings land in the
+    * batch's own `ingest_batch=` partition of the fb-bucketed store
+    * (dup-after-first: a later copy of a duplicate matches the stored
+    * duplicate — the [[hammingAdmitMaintain]] contract).
+    *
+    * The df cap is CUMULATIVE-PRIOR at probe time (the one divergence
+    * from the batch artifact, which drops capped fingerprints at build):
+    * a streaming store cannot re-count global df per trigger, so hot
+    * fingerprints are detected from the postings already read for the
+    * probe (prior rows for the batch's own fingerprints — no extra scan)
+    * and excluded BEFORE the pairing join, bounding candidate fan-out at
+    * maxDf postings per fingerprint. Per-trigger work is
+    * O(batch + touched buckets): bucket pruning via bounded collect, a
+    * semi-join on the batch's fingerprints, and append-only state
+    * advance — never a store rewrite.
+    *
+    * REPLAY SAFETY: the probe filters `ingest_batch < batchId`, so a
+    * replayed batch sees the PRE-batch store even though the crashed
+    * attempt already appended its postings, and both writes overwrite
+    * the batch's own partition — redelivery is a no-op. Layout
+    * parameters (w, windowSize, maxDf, buckets, hash) are stamped via
+    * the state marker; drift is a hard error.
+    */
+  def winnowAdmitMaintain(
+      docStream: DataFrame, // (idCol, textCol) per micro-batch
+      indexPath: String,
+      outPath: String,
+      checkpoint: String,
+      idCol: String,
+      textCol: String,
+      w: Int = 5,
+      windowSize: Int = 4,
+      minShared: Int = 3,
+      maxDf: Long = 8L,
+      numBuckets: Int = 16,
+      portable: Boolean = false,
+      trigger: Trigger = DefaultTrigger
+  ): StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        winnowAdmitApplyBatch(
+          batch.toDF(), batchId, indexPath, outPath, idCol, textCol,
+          w, windowSize, minShared, maxDf, numBuckets, portable)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode("append")
+      .start()
+
+  /** One micro-batch of [[winnowAdmitMaintain]] — package-visible for
+    * the crash-replay spec and stress probes. Idempotent in `batchId`.
+    */
+  private[graft] def winnowAdmitApplyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      indexPath: String,
+      outPath: String,
+      idCol: String,
+      textCol: String,
+      w: Int,
+      windowSize: Int,
+      minShared: Int,
+      maxDf: Long,
+      numBuckets: Int,
+      portable: Boolean): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField}
+    import graft.ext.Dedup
+    require(minShared >= 1, "need minShared >= 1")
+    require(maxDf >= 2, "need maxDf >= 2 — pairs need fingerprints in at least 2 docs")
+    require(numBuckets >= 1, "need numBuckets >= 1")
+    val spark = batch.sparkSession
+    val h = if (portable) "md5" else "xx"
+    verifyStateKeyFormat(spark, indexPath,
+      s"winnow_admit:w=$w:ws=$windowSize:maxdf=$maxDf:b=$numBuckets:h=$h:v1")
+    val fpType: DataType = if (portable) StringType else LongType
+    val storeSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("fp", fpType),
+      StructField("ingest_batch", LongType),
+      StructField("fb", IntegerType)))
+    val posts = Dedup.winnowingPostings(batch, idCol, textCol, w, windowSize, portable)
+      .withColumn("fb", pmod(xxhash64(col("fp")), lit(numBuckets)).cast("int"))
+      .cache()
+    try {
+      // bucket pruning: only the fb partitions the batch's fingerprints
+      // hash into can hold a probe hit (bounded collect — ≤ numBuckets)
+      val touched = posts.select("fb").distinct().collect().map(_.getInt(0)).toSeq
+      val live = new Path(indexPath)
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prior =
+        if (fs.exists(live) && touched.nonEmpty)
+          spark.read.schema(storeSchema).parquet(indexPath)
+            // replay filter: a re-run batch must probe the PRE-batch
+            // store even though the crashed attempt already appended
+            .where(col("ingest_batch") < batchId && col("fb").isin(touched: _*))
+            .join(posts.select("fp").distinct(), Seq("fp"), "left_semi")
+            .select(col("fp"), col("id").as("a_id"))
+        else
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storeSchema)
+            .select(col("fp"), col("id").as("a_id"))
+      // cumulative-prior df cap, computed on the rows already in hand
+      val hot = prior.groupBy("fp").agg(count(lit(1)).as("n"))
+        .where(col("n") > maxDf).select("fp")
+      val snapHit = posts
+        .join(prior.join(hot, Seq("fp"), "left_anti"), Seq("fp"))
+        .groupBy("id", "a_id").agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= minShared)
+        .select("id").distinct()
+        .withColumn("__snap", lit(true))
+      val band = posts.groupBy("fp").agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2 && col("df") <= maxDf).select("fp")
+      val pb = posts.join(band, Seq("fp"), "left_semi")
+      val batchHit = pb.select(col("id").as("id_a"), col("fp"))
+        .join(pb.select(col("id").as("id_b"), col("fp")), Seq("fp"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= minShared)
+        .select(col("id_b").as("id")).distinct()
+        .withColumn("__batch", lit(true))
+      batch
+        .select(col(idCol).cast("long").as("id"))
+        .join(snapHit, Seq("id"), "left_outer")
+        .join(batchHit, Seq("id"), "left_outer")
+        .select(
+          col("id"),
+          when(col("__snap"), lit("dup_snapshot"))
+            .when(col("__batch"), lit("dup_batch"))
+            .otherwise(lit("new"))
+            .as("status"))
+        .write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
+      // one file per bucket dir: clustered by fb so a write task owns
+      // whole buckets instead of fanning small files across partitions
+      posts.select("id", "fp", "fb")
+        .repartition(numBuckets, col("fb"))
+        .write.mode("overwrite").partitionBy("fb")
+        .parquet(s"$indexPath/ingest_batch=$batchId")
+    } finally { posts.unpersist(); () }
+    ()
+  }
+
   /** Streaming BM25 inverted-index maintenance — the INGEST form of
     * [[graft.ext.TextOps.materializeBm25Index]]: per micro-batch the
     * arriving documents' postings, dictionary partial and corpus-stats

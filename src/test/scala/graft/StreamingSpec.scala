@@ -885,6 +885,61 @@ class StreamingSpec extends SparkSpec {
       "replay duplicated grams in the store")
   }
 
+  test("winnowAdmitMaintain: streamed statuses match the stored-artifact probe; replay is a no-op; layout drift refused") {
+    import graft.ext.Dedup
+    val d = Tables.load(spark, sf0001, "documents")
+    val batch1 = d.where($"doc_id" < 100)
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+    // batch 2: fresh docs + an edited copy of a batch-1 doc (must come
+    // back dup_snapshot through the store) + two in-batch clones
+    val edited = d.where($"doc_id" === 20L)
+      .select(($"doc_id" + 100000L).as("doc_id"),
+        array_join(concat(
+          slice(split(trim($"text"), "\\s+"), 1, 19), array(lit("zzedit")),
+          slice(split(trim($"text"), "\\s+"), 21, 100000)), " ").as("text"))
+    val cloneSrc = d.where($"doc_id" === 101L).select($"text").head().getString(0)
+    val batch2 = d.where($"doc_id" >= 100 && $"doc_id" < 160)
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+      .unionByName(edited)
+      .unionByName(Seq((200001L, cloneSrc)).toDF("doc_id", "text"))
+    val base = tempDir("winnowadmit")
+    def applyBatch(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CdcStream.winnowAdmitApplyBatch(
+        b, id, s"$base/idx", s"$base/out", "doc_id", "text",
+        w = 5, windowSize = 4, minShared = 3, maxDf = 8L, numBuckets = 16,
+        portable = false)
+    applyBatch(batch1, 0L)
+    applyBatch(batch2, 1L) // the crashed attempt (decisions + postings landed)
+    val first = spark.read.parquet(s"$base/out/ingest_batch=1")
+      .as[(Long, String)].collect().toMap
+    applyBatch(batch2, 1L) // the replay — must probe the PRE-batch store
+    val replayed = spark.read.parquet(s"$base/out/ingest_batch=1")
+      .as[(Long, String)].collect().toMap
+    assert(replayed === first, "replay changed admission decisions")
+    assert(replayed(100020L) === "dup_snapshot")
+    assert(replayed(200001L) === "dup_batch") // clone of in-batch doc 101
+    assert(replayed(101L) === "new")
+    // no duplicated postings across the replay (overwrite-own-partition)
+    val store = spark.read.parquet(s"$base/idx")
+    assert(store.select("id", "fp").distinct().count() === store.count(),
+      "replay duplicated postings in the store")
+    // streamed batch-2 statuses ≡ the batch stored-artifact probe over
+    // the same prior corpus (cumulative-prior cap ≡ build-time cap when
+    // the store population is exactly the artifact's corpus)
+    val art = tempDir("winnowart")
+    Dedup.writeWinnowIndex(batch1, "doc_id", "text", art, maxDf = 8L, buckets = 16)
+    val stored = Dedup.winnowAdmitStored(spark, art, batch2, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(replayed === stored)
+    // drifting any layout param against the existing store is refused
+    intercept[IllegalStateException] {
+      CdcStream.winnowAdmitApplyBatch(
+        batch2, 2L, s"$base/idx", s"$base/out", "doc_id", "text",
+        w = 5, windowSize = 4, minShared = 3, maxDf = 9L, numBuckets = 16,
+        portable = false)
+    }
+  }
+
   test("bm25IndexMaintain: batched partials probe exactly like the one-shot build; replay is a no-op; bucket mismatch refused") {
     import graft.ext.TextOps
     val d = Tables.load(spark, sf0001, "documents")
