@@ -1137,35 +1137,140 @@ object CdcStream {
       spark: SparkSession,
       indexPath: String,
       upToBatch: Long
+  ): Unit =
+    compactBatchedTable(spark, indexPath, upToBatch, Seq("gb"),
+      _.select("g", "gb").repartition(col("gb")))
+
+  /** The staged, crash-resumable fold shared by every streaming store's
+    * compactor: read all `ingest_batch ≤ upToBatch` rows, apply the
+    * store's own `fold` (identity concatenation for per-document fact
+    * tables, partial-sum merges for mergeable-partial tables), and
+    * replace the source partitions with ONE `ingest_batch=<upToBatch>`
+    * partition. Because every probe either treats the store as a set /
+    * bag of rows filtered at `ingest_batch < batchId` or SUMS partials
+    * regardless of which batch wrote them, relabeling folded rows to
+    * `upToBatch` changes no probe's view — it just bounds the
+    * directory count the per-trigger appends grow (at the reference's
+    * 5 s cadence a store gains ~17k partitions/day; file listing
+    * dominates every probe long before data size does).
+    *
+    * MUST run while the stream is stopped, with `upToBatch` STRICTLY
+    * below the next batch id the checkpoint will assign (a replayed
+    * last batch filters `ingest_batch < batchId`, so compacting
+    * anything it could replay-exclude would leak that batch's own rows
+    * back into its probe).
+    *
+    * Crash-safe by staging + resume: the folded rows are first written
+    * OUTSIDE the store (`<tablePath>.compact`); only once that write
+    * has committed (_SUCCESS) are source partitions deleted and the
+    * staged dir renamed in. A re-run after a crash detects the
+    * committed staged dir and resumes the delete+rename phase instead
+    * of re-deriving the fold from a store the crash may have left
+    * partially deleted. The staged _SUCCESS marker rides along into
+    * the store — Spark's file listing ignores underscore-prefixed
+    * metadata files, and deleting it early would break resume.
+    */
+  private def compactBatchedTable(
+      spark: SparkSession,
+      tablePath: String,
+      upToBatch: Long,
+      partitionCols: Seq[String],
+      fold: DataFrame => DataFrame
   ): Unit = {
     import org.apache.hadoop.fs.Path
-    val live = new Path(indexPath)
+    val live = new Path(tablePath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(live), s"no gram store at $indexPath")
-    val staged = new Path(s"$indexPath.compact")
+    require(fs.exists(live), s"no batched store at $tablePath")
+    val staged = new Path(s"$tablePath.compact")
     val stagedCommitted = fs.exists(new Path(staged, "_SUCCESS"))
     if (!stagedCommitted) {
-      spark.read.parquet(indexPath)
-        .where(col("ingest_batch") <= upToBatch)
-        .select("g", "gb")
-        .write.mode("overwrite").partitionBy("gb").parquet(staged.toString)
+      val folded = fold(
+        spark.read.parquet(tablePath).where(col("ingest_batch") <= upToBatch))
+      val w = folded.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(staged.toString)
     }
     fs.listStatus(live)
       .map(_.getPath)
       .filter(_.getName.startsWith("ingest_batch="))
       .filter(_.getName.stripPrefix("ingest_batch=").toLong <= upToBatch)
       .foreach(p => fs.delete(p, true))
-    // the staged _SUCCESS marker rides along into the store — Spark's
-    // file listing ignores underscore-prefixed metadata files, and
-    // DELETING it here would break resume (a crash between that delete
-    // and the rename would make a re-run re-derive the staged set from
-    // the partially-deleted store)
-    val target = new Path(s"$indexPath/ingest_batch=$upToBatch")
+    val target = new Path(s"$tablePath/ingest_batch=$upToBatch")
     if (!fs.rename(staged, target))
       throw new java.io.IOException(
-        s"gram-store compaction: could not move $staged into place at $target " +
-          "(staged set is intact — re-run to resume)")
+        s"store compaction: could not move $staged into place at $target " +
+          "(staged fold is intact — re-run to resume)")
     ()
+  }
+
+  /** Offline compaction for the [[hammingAdmitMaintain]] banded store:
+    * banded rows are per-id facts (each id lives in exactly one batch),
+    * so the fold is pure concatenation clustered back onto the `blk`
+    * axis — set-preserving by construction. Same run-while-stopped /
+    * `upToBatch`-below-next-batch contract as [[compactBatchedTable]].
+    */
+  def compactHammingStore(
+      spark: SparkSession,
+      indexPath: String,
+      upToBatch: Long
+  ): Unit =
+    compactBatchedTable(spark, indexPath, upToBatch, Seq("blk"),
+      _.select("key", "id", "hh", "blk").repartition(col("blk")))
+
+  /** Offline compaction for the [[winnowAdmitMaintain]] fingerprint
+    * store: postings are per-id facts, so the fold is concatenation
+    * clustered onto the `fb` bucket axis. The cumulative-prior df cap
+    * is count-preserving under the fold (it counts posting ROWS per
+    * fingerprint, not batches), so probe decisions are unchanged.
+    */
+  def compactWinnowStore(
+      spark: SparkSession,
+      indexPath: String,
+      upToBatch: Long
+  ): Unit =
+    compactBatchedTable(spark, indexPath, upToBatch, Seq("fb"),
+      _.select("id", "fp", "fb").repartition(col("fb")))
+
+  /** Offline compaction for the [[boilerplateMaintain]] count store:
+    * the store holds per-batch `(ph, n_docs)` PARTIALS that probes SUM,
+    * so the fold merges partials per paragraph key — sum-preserving,
+    * and it also shrinks the row count (a paragraph seen in k batches
+    * folds from k rows to one), not just the directory count.
+    */
+  def compactBoilerplateStore(
+      spark: SparkSession,
+      countsPath: String,
+      upToBatch: Long
+  ): Unit =
+    compactBatchedTable(spark, countsPath, upToBatch, Seq("pb"),
+      _.groupBy("ph", "pb").agg(sum(col("n_docs")).as("n_docs"))
+        .select("ph", "n_docs", "pb").repartition(col("pb")))
+
+  /** Offline compaction for the [[bm25IndexMaintain]] index — all three
+    * sub-tables, each with its own staged fold (sequential and
+    * individually crash-resumable): postings are per-document facts
+    * (concatenation, clustered onto `tb`), dictionary rows are per-batch
+    * `(term, df)` partials the probe sums (fold = sum per term — this is
+    * the multiplicative win: a term seen in k batches folds from k dict
+    * rows to one), and stats are `(n, sum_dl)` partials (fold = one
+    * row). [[graft.ext.TextOps.bm25TopKStored]] sums partials wherever
+    * they came from, so probe results are bit-identical across any
+    * compaction schedule.
+    */
+  def compactBm25Index(
+      spark: SparkSession,
+      indexPath: String,
+      upToBatch: Long
+  ): Unit = {
+    compactBatchedTable(spark, s"$indexPath/postings", upToBatch, Seq("tb"),
+      _.select("doc_id", "dl", "term", "tf", "tb").repartition(col("tb")))
+    compactBatchedTable(spark, s"$indexPath/dict", upToBatch, Seq("tb"),
+      _.groupBy("term", "tb").agg(sum(col("df")).as("df"))
+        .select("term", "df", "tb").repartition(col("tb")))
+    compactBatchedTable(spark, s"$indexPath/stats", upToBatch, Seq.empty,
+      _.agg(
+        coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl")).coalesce(1))
   }
 
   /** Stream-stream inner join on `keys` with a bounded event-time

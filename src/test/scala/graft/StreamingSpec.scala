@@ -1109,6 +1109,143 @@ class StreamingSpec extends SparkSpec {
       "resume after mid-compaction crash lost grams")
   }
 
+  test("compactHammingStore / compactWinnowStore: fold-then-probe equals probe (concatenation folds)") {
+    import graft.ext.Dedup
+    val d = Tables.load(spark, sf0001, "documents")
+    def slice(lo: Int, hi: Int) = d.where($"doc_id" >= lo && $"doc_id" < hi)
+
+    // hamming: two batches of sketches, compact, then a third batch's
+    // admission must equal the one-shot stored-banded form over b1 ∪ b2
+    val hb = tempDir("hamcompact")
+    def hsk(df: org.apache.spark.sql.DataFrame, off: Long, salt: String) = df.select(
+      ($"doc_id" + off).cast("long").as("media_id"),
+      xxhash64(concat($"text", lit(salt))).as("hh"))
+    val h1 = hsk(slice(0, 100), 0L, "")
+    val h2 = hsk(slice(100, 200), 0L, "")
+    val h3 = hsk(slice(0, 200).where($"doc_id" % 10 === 0), 500000L, "") // copies
+      .unionByName(hsk(slice(0, 200).where($"doc_id" % 7 === 3), 600000L, "x")) // new
+    def hApply(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CdcStream.hammingAdmitApplyBatch(b, id, s"$hb/idx", s"$hb/out",
+        "media_id", "hh", radius = 11, blocks = 4, probeBits = 2)
+    hApply(h1, 0L); hApply(h2, 1L)
+    val hRows = spark.read.parquet(s"$hb/idx")
+      .select("blk", "key", "id", "hh").as[(Int, Long, Long, Long)].collect().toSet
+    CdcStream.compactHammingStore(spark, s"$hb/idx", upToBatch = 1L)
+    assert(spark.read.parquet(s"$hb/idx")
+      .select("blk", "key", "id", "hh").as[(Int, Long, Long, Long)].collect().toSet === hRows,
+      "hamming fold lost or duplicated banded rows")
+    assert(new java.io.File(s"$hb/idx").listFiles
+      .filter(_.getName.startsWith("ingest_batch=")).map(_.getName).toSet
+      === Set("ingest_batch=1"))
+    hApply(h3, 2L)
+    val hStreamed = spark.read.parquet(s"$hb/out/ingest_batch=2")
+      .select($"id", $"status").as[(Long, String)].collect().toMap
+    val hOneShot = Dedup.hammingAdmitBanded(
+        Dedup.hammingIndexBanded(h1.unionByName(h2), "media_id", "hh"),
+        h3, "media_id", "hh", radius = 11)
+      .select($"id", $"status").as[(Long, String)].collect().toMap
+    assert(hStreamed === hOneShot, "post-compaction hamming admission diverged")
+
+    // winnow: same lifecycle over the fingerprint store
+    val wb = tempDir("wincompact")
+    def wdoc(df: org.apache.spark.sql.DataFrame, off: Long, pre: String) = df.select(
+      ($"doc_id" + off).cast("long").as("doc_id"),
+      concat(lit(pre), $"text").as("text"))
+    val w1 = wdoc(slice(0, 100), 0L, "")
+    val w2 = wdoc(slice(100, 200), 0L, "")
+    val w3 = wdoc(slice(0, 200).where($"doc_id" % 10 === 0), 500000L, "xdupsalt ")
+    def wApply(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CdcStream.winnowAdmitApplyBatch(b, id, s"$wb/idx", s"$wb/out",
+        "doc_id", "text", w = 5, windowSize = 4, minShared = 3, maxDf = 8L,
+        numBuckets = 16, portable = false)
+    wApply(w1, 0L); wApply(w2, 1L)
+    val wRows = spark.read.parquet(s"$wb/idx")
+      .select("fb", "id", "fp").as[(Int, Long, Long)].collect().toSet
+    CdcStream.compactWinnowStore(spark, s"$wb/idx", upToBatch = 1L)
+    assert(spark.read.parquet(s"$wb/idx")
+      .select("fb", "id", "fp").as[(Int, Long, Long)].collect().toSet === wRows,
+      "winnow fold lost or duplicated postings")
+    // the third batch's probe against the compacted store must match a
+    // twin store that was never compacted
+    val wb2 = tempDir("wincompact_twin")
+    def wApply2(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CdcStream.winnowAdmitApplyBatch(b, id, s"$wb2/idx", s"$wb2/out",
+        "doc_id", "text", w = 5, windowSize = 4, minShared = 3, maxDf = 8L,
+        numBuckets = 16, portable = false)
+    wApply2(w1, 0L); wApply2(w2, 1L); wApply2(w3, 2L)
+    wApply(w3, 2L)
+    val wCompacted = spark.read.parquet(s"$wb/out/ingest_batch=2")
+      .as[(Long, String)].collect().toMap
+    val wTwin = spark.read.parquet(s"$wb2/out/ingest_batch=2")
+      .as[(Long, String)].collect().toMap
+    assert(wCompacted === wTwin, "post-compaction winnow admission diverged")
+    assert(wCompacted.values.exists(_ == "dup_snapshot"), "fixture lost its planted dups")
+  }
+
+  test("compactBoilerplateStore: partial-sum fold preserves cumulative counts and shrinks rows") {
+    def doc(id: Long, paras: String*) = Seq((id, paras.mkString("\n"))).toDF("doc_id", "text")
+    val base = tempDir("bpcompact")
+    def applyBatch(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CdcStream.boilerplateApplyBatch(b, id, s"$base/counts", s"$base/out",
+        "doc_id", "text", minDocs = 3, sep = "\n", numBuckets = 8)
+    // EDGE reaches cumulative df 2 over two batches (one doc each), so
+    // the merge fold MUST carry both partials for batch 2 to strip at 3
+    applyBatch(doc(1L, "EDGE", "unique 1"), 0L)
+    applyBatch(doc(2L, "EDGE", "unique 2"), 1L)
+    val before = spark.read.parquet(s"$base/counts")
+      .groupBy("ph").agg(sum($"n_docs").as("n")).as[(String, Long)].collect().toMap
+    CdcStream.compactBoilerplateStore(spark, s"$base/counts", upToBatch = 1L)
+    val after = spark.read.parquet(s"$base/counts")
+      .groupBy("ph").agg(sum($"n_docs").as("n")).as[(String, Long)].collect().toMap
+    assert(after === before, "fold changed cumulative paragraph counts")
+    // EDGE folded from two partial rows to one
+    val edgeRows = spark.read.parquet(s"$base/counts")
+      .groupBy("ph").agg(count(lit(1)).as("k"))
+      .as[(String, Long)].collect().toMap
+    assert(edgeRows.values.max === 1L, "merge fold left multiple partials per key")
+    // the crossing batch strips against the folded counts (2 prior + 1)
+    applyBatch(doc(3L, "EDGE", "unique 3"), 2L)
+    val out3 = spark.read.parquet(s"$base/out/ingest_batch=2")
+      .select("doc_id", "stripped_text").as[(Long, String)].collect().toMap
+    assert(out3(3L) === "unique 3",
+      "cumulative threshold missed after compaction — a partial was lost in the fold")
+  }
+
+  test("compactBm25Index: probe results bit-identical across the three-sub-table fold; dict partials merge") {
+    import graft.ext.TextOps
+    val d = Tables.load(spark, sf0001, "documents")
+    val corpus = d.where($"doc_id" < 300).select(
+      $"doc_id",
+      when($"doc_id" % 50 === 7, concat($"text", lit(" zzq"), $"doc_id"))
+        .otherwise($"text").as("text"))
+    val queries = corpus.where($"doc_id" % 50 === 7)
+      .select($"doc_id".as("q_id"),
+        concat(lit("zzq"), $"doc_id", lit(" "),
+          array_join(slice(split(trim($"text"), "\\s+"), 1, 4), " ")).as("qtext"))
+    val base = tempDir("bm25compact")
+    def applyBatch(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CdcStream.bm25IndexApplyBatch(b, id, s"$base/idx", "doc_id", "text", numBuckets = 16)
+    applyBatch(corpus.where($"doc_id" % 2 === 0), 0L)
+    applyBatch(corpus.where($"doc_id" % 2 === 1), 1L)
+    def probe() = TextOps.bm25TopKStored(spark, s"$base/idx", queries, "q_id", "qtext", k = 3)
+      .select("q_id", "doc_id", "rank", "score_e6", "tf_sum", "n_terms")
+      .as[(Long, Long, Int, Long, Long, Long)].collect().toSet
+    val before = probe()
+    CdcStream.compactBm25Index(spark, s"$base/idx", upToBatch = 1L)
+    assert(probe() === before, "BM25 probe changed across compaction")
+    // each sub-table folded to one ingest_batch dir; dict df partials
+    // merged to one row per (term, tb)
+    for (sub <- Seq("postings", "dict", "stats"))
+      assert(new java.io.File(s"$base/idx/$sub").listFiles
+        .filter(_.getName.startsWith("ingest_batch=")).map(_.getName).toSet
+        === Set("ingest_batch=1"), s"$sub not folded")
+    val dict = spark.read.parquet(s"$base/idx/dict")
+    assert(dict.count() === dict.dropDuplicates("term").count(),
+      "dict fold left multiple df partials per term")
+    assert(spark.read.parquet(s"$base/idx/stats").count() === 1L,
+      "stats fold left multiple partials")
+  }
+
   test("foreachBatch sink sees every batch exactly once per run") {
     val logPath = tempDir("fblog")
     val ckpt = tempDir("fbckpt")
