@@ -242,6 +242,8 @@ object StressBench {
         numBuckets = 64, portable = false)
       spark.read.parquet(s"$dir/out/ingest_batch=1").count()
     }),
+    "winnow_probe_frag" -> (() => winnowDirProbe(docs, batchDocs, compact = false)),
+    "winnow_probe_compacted" -> (() => winnowDirProbe(docs, batchDocs, compact = true)),
     "substring_stream" -> (() => {
       // the STREAMING ingest form's per-trigger cost against a gram
       // store holding the whole corpus: one substringStripApplyBatch of
@@ -355,6 +357,50 @@ object StressBench {
         .where(col("status") =!= "new").count()
     })
   )
+
+  /** The batch-DIRECTORY-count axis of the streaming stores, measured —
+    * the failure mode the compactors exist for: a maintainer at the
+    * reference's 5 s cadence accumulates one `ingest_batch=` partition
+    * per trigger (~17k/day), and probe wall then grows with FILE
+    * LISTING long before data size. Both probes hold the postings SET
+    * constant per corpus and vary only the layout: the store is the
+    * corpus's winnowing postings fragmented across ~100 (1×) → ~1000
+    * (10×) `ingest_batch=` partitions (each doc in exactly one batch —
+    * the maintainer's own invariant), probed by one fixed 1× batch.
+    * `winnow_probe_frag` probes the fragmented store directly — its
+    * wall carries the listing growth; `winnow_probe_compacted` runs
+    * [[graft.streaming.CdcStream.compactWinnowStore]] at build
+    * (untimed — the offline chore) and probes the folded
+    * single-partition store, whose wall must stay ~flat (x_vs_linear
+    * collapsing toward 1/Replicas). The dir count is capped at 2000:
+    * past that a deep-replica probe times parquet-writer file churn at
+    * build, not listing at probe.
+    */
+  private def winnowDirProbe(docs: DataFrame, batchDocs: DataFrame, compact: Boolean): Long = {
+    val spark = docs.sparkSession
+    val ratio = math.max(1L, docs.count() / math.max(1L, batchDocs.count()))
+    val nDirs = math.min(100L * ratio, 2000L).toInt
+    val tag = if (compact) "winfrag_c" else "winfrag"
+    val dir = memoIndex(docs.inputFiles.toSet, tag) { d =>
+      val idx = s"$d/store"
+      graft.streaming.CdcStream.stampWinnowLayout(
+        spark, idx, w = 5, windowSize = 4, maxDf = 100L, numBuckets = 16, portable = false)
+      Dedup.winnowingPostings(docs, "doc_id", "text", w = 5, windowSize = 4, portable = false)
+        .withColumn("fb", pmod(xxhash64(col("fp")), lit(16)).cast("int"))
+        .withColumn("ingest_batch", pmod(xxhash64(col("id")), lit(nDirs)))
+        .repartition(col("ingest_batch"), col("fb"))
+        .write.partitionBy("ingest_batch", "fb").parquet(idx)
+      if (compact)
+        graft.streaming.CdcStream.compactWinnowStore(spark, idx, upToBatch = nDirs - 1L)
+    }
+    graft.streaming.CdcStream.winnowAdmitApplyBatch(
+      batchDocs.select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")),
+      nDirs.toLong + 1L, s"$dir/store", s"$dir/out", "doc_id", "text",
+      w = 5, windowSize = 4, minShared = 3, maxDf = 100L,
+      numBuckets = 16, portable = false)
+    spark.read.parquet(s"$dir/out")
+      .where(col("ingest_batch") === nDirs.toLong + 1L).count()
+  }
 
   private def ops(docs: => DataFrame, embs: => DataFrame): Seq[(String, () => Long)] = Seq(
     "ngram_jaccard" -> (() =>

@@ -813,6 +813,28 @@ object CdcStream {
       .outputMode("append")
       .start()
 
+  /** Stamp a [[winnowAdmitMaintain]] store's layout marker without
+    * running a batch — the bulk-backfill entry point: a deployment
+    * seeding the store with a one-shot partitioned write of historical
+    * postings (rather than replaying history through the maintainer)
+    * stamps the layout it wrote so the first real trigger verifies
+    * instead of refusing. Also used by the stress harness's
+    * fragmented-store probes; the format string is the maintainer's
+    * own, so drift throws at the next trigger, never probes silently.
+    */
+  private[graft] def stampWinnowLayout(
+      spark: SparkSession,
+      indexPath: String,
+      w: Int,
+      windowSize: Int,
+      maxDf: Long,
+      numBuckets: Int,
+      portable: Boolean): Unit = {
+    val h = if (portable) "md5" else "xx"
+    verifyStateKeyFormat(spark, indexPath,
+      s"winnow_admit:w=$w:ws=$windowSize:maxdf=$maxDf:b=$numBuckets:h=$h:v1")
+  }
+
   /** One micro-batch of [[winnowAdmitMaintain]] — package-visible for
     * the crash-replay spec and stress probes. Idempotent in `batchId`.
     */
