@@ -2012,6 +2012,20 @@ object Dedup {
       .withColumn("fb", pmod(xxhash64(col("fp")), lit(buckets)).cast("int"))
       .repartition(buckets, col("fb"))
       .write.mode("overwrite").partitionBy("fb").parquet(s"$path/posts")
+    // the fingerprints the build DROPPED as boilerplate (df > maxDf),
+    // persisted beside the postings: [[appendWinnowIndex]] filters new
+    // postings against this set and [[winnowAdmitStored]] excludes it at
+    // probe, so a fingerprint hot at build time can never re-admit
+    // through appended postings (whose store-side count alone would look
+    // cold). Bucketed like the postings so probes prune identically;
+    // boilerplate-fp-sized, usually tiny.
+    posts
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+      .select(col("fp"), pmod(xxhash64(col("fp")), lit(buckets)).cast("int").as("fb"))
+      .repartition(buckets, col("fb"))
+      .write.mode("overwrite").partitionBy("fb").parquet(s"$path/hot")
     val marker = new Path(s"$path/$WinnowIndexMarker")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(marker, true)
@@ -2050,6 +2064,57 @@ object Dedup {
     }
   }
 
+  /** Advance a [[writeWinnowIndex]] artifact by ONE BATCH of documents
+    * — the O(batch) batch-pipeline form of the index append the
+    * streaming maintainer performs per trigger
+    * ([[graft.streaming.CdcStream.winnowAdmitMaintain]]), so an
+    * admit-then-append loop never pays a O(corpus) rebuild between
+    * batches. The batch's postings (computed under the artifact's own
+    * stamped layout — never caller-supplied parameters) are filtered
+    * against the persisted build-hot fingerprint set and APPENDED to
+    * their fb partitions; nothing existing is rewritten.
+    *
+    * df-cap semantics across appends (ExtSpec-pinned): the build drops
+    * hot fingerprints physically; appends cannot re-count global df, so
+    * a fingerprint that turns hot only AFTER build keeps its postings
+    * in the store and [[winnowAdmitStored]] excludes it at probe by the
+    * cumulative count of the very rows it reads — probe decisions equal
+    * a one-shot [[writeWinnowIndex]] over the union corpus. A periodic
+    * rebuild remains the physical re-drop that reclaims the hot
+    * fingerprints' storage.
+    *
+    * Caller contract: each document id is appended at most once (the
+    * admission loop appends a batch after screening it, and ids are
+    * unique across batches — the maintainer's own invariant).
+    */
+  def appendWinnowIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String
+  ): Unit = {
+    import org.apache.spark.sql.types._
+    val (w, windowSize, _, buckets, portable) = winnowIndexLayout(spark, path)
+    val fpType: DataType = if (portable) StringType else LongType
+    val posts = winnowingPostings(batch, idCol, textCol, w, windowSize, portable)
+      .withColumn("fb", pmod(xxhash64(col("fp")), lit(buckets)).cast("int"))
+    val hotDir = new org.apache.hadoop.fs.Path(s"$path/hot")
+    val fs = hotDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val kept =
+      if (fs.exists(hotDir)) {
+        val hot = spark.read.schema(StructType(Seq(
+          StructField("fp", fpType), StructField("fb", IntegerType)))).parquet(s"$path/hot")
+        posts.join(hot.select("fp"), Seq("fp"), "left_anti")
+      } else posts
+    // clustered by fb (the build's fan-out rule): one new file per
+    // touched bucket dir per append, not tasks × buckets
+    kept.select("id", "fp", "fb")
+      .repartition(buckets, col("fb"))
+      .write.mode("append").partitionBy("fb").parquet(s"$path/posts")
+    ()
+  }
+
   /** Ingestion-time winnowing near-dup admission against the PERSISTED
     * index — the fuzzy-text member of the admission matrix (exact
     * spans: substring gram store; embeddings: [[semanticAdmitStored]];
@@ -2072,9 +2137,10 @@ object Dedup {
     * The two df scopes (index-side cap at build, batch-side band at
     * probe) are the honest streaming form: a global df over
     * index ∪ batch would require re-counting the full index per
-    * trigger. After admission the index advances by appending the
-    * admitted docs' postings to their fb partitions (append — no
-    * rebuild).
+    * trigger. After admission the index advances O(batch) via
+    * [[appendWinnowIndex]] (postings appended to their fb partitions —
+    * no rebuild), and the probe-side cumulative df cap below keeps
+    * append-advanced stores probe-equivalent to a one-shot rebuild.
     *
     * Output: (id, status) — one row per batch doc.
     */
@@ -2102,8 +2168,31 @@ object Dedup {
     val idx =
       if (touched.isEmpty) store.select(col("id").as("a_id"), col("fp")).limit(0)
       else store.where(col("fb").isin(touched: _*)).select(col("id").as("a_id"), col("fp"))
+    // the df cap, enforced at PROBE time over the rows already read (a
+    // per-fp count on the probed postings — no extra scan): a pure
+    // writeWinnowIndex artifact never trips it (the build already
+    // dropped hot fingerprints), but an [[appendWinnowIndex]]-advanced
+    // store accumulates postings past maxDf for fingerprints that turn
+    // hot AFTER build, and excluding them here is exactly what a
+    // one-shot rebuild's build-side cap would have done — so
+    // admit-then-append stays probe-equivalent to rebuild-over-union.
+    // Fingerprints hot at BUILD time (postings absent, count invisible)
+    // come from the persisted hot set instead.
+    val prior = idx.join(posts.select("fp").distinct(), Seq("fp"), "left_semi")
+    val hotByCount = prior.groupBy("fp").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxDf).select("fp")
+    val hotDir = new org.apache.hadoop.fs.Path(s"$path/hot")
+    val hotFs = hotDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hotStored =
+      if (hotFs.exists(hotDir)) {
+        val hs = spark.read.schema(StructType(Seq(
+          StructField("fp", fpType), StructField("fb", IntegerType)))).parquet(s"$path/hot")
+        if (touched.isEmpty) hs.select("fp").limit(0)
+        else hs.where(col("fb").isin(touched: _*)).select("fp")
+      } else hotByCount.limit(0)
+    val hot = hotByCount.unionByName(hotStored).distinct()
     val snapHit = posts
-      .join(idx, Seq("fp"))
+      .join(prior.join(hot, Seq("fp"), "left_anti"), Seq("fp"))
       .groupBy(col("id"), col("a_id"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)

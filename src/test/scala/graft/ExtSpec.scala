@@ -1967,6 +1967,53 @@ class ExtSpec extends SparkSpec {
     assert(ex.getMessage.contains("marker"))
   }
 
+  test("appendWinnowIndex: admit-then-append equals one-shot rebuild over the union; hot fingerprints excluded on both paths") {
+    import graft.ext.Dedup
+    def mk(prefix: String) = (1 to 40).map(i => s"$prefix$i").mkString(" ")
+    val docP = mk("p"); val docQ = mk("q"); val docR = mk("r")
+    val docS = mk("s"); val docT = mk("t")
+    val docREdit = (1 to 40).map(i => s"r$i").updated(19, "EDIT").mkString(" ")
+    // initial corpus: P at df 2 (kept at maxDf=3), Q unique, S at df 5
+    // (dropped at build AND recorded in the persisted hot set)
+    val c0 = (Seq((1L, docP), (2L, docP), (3L, docQ)) ++
+      (4L to 8L).map(i => (i, docS))).toDF("doc_id", "text")
+    // appended batch: P crosses maxDf only cumulatively (2 stored + 2
+    // appended = 4 > 3 — the probe-side count must exclude it); S would
+    // sit at an innocent-looking df 2 in the store if the build-hot set
+    // did not block the append; R is fresh
+    val b1 = Seq((11L, docP), (12L, docP), (13L, docR), (14L, docS), (15L, docS))
+      .toDF("doc_id", "text")
+    // probe: copies of P (hot-after-build), R (live), S (hot-at-build),
+    // an unrelated doc, and an in-batch clone pair of unseen T
+    val b2 = Seq(
+      (21L, docP), (22L, docREdit), (23L, mk("z")), (24L, docS),
+      (25L, docT), (26L, docT)).toDF("doc_id", "text")
+    val appended = java.nio.file.Files.createTempDirectory("graft-winnow-app").toString
+    Dedup.writeWinnowIndex(c0, "doc_id", "text", appended, maxDf = 3, buckets = 4)
+    Dedup.appendWinnowIndex(spark, appended, b1, "doc_id", "text")
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-winnow-one").toString
+    Dedup.writeWinnowIndex(c0.unionByName(b1), "doc_id", "text", oneShot, maxDf = 3, buckets = 4)
+    def probe(dir: String) = Dedup
+      .winnowAdmitStored(spark, dir, b2, "doc_id", "text", minShared = 3)
+      .as[(Long, String)].collect().toMap
+    val viaAppend = probe(appended)
+    assert(viaAppend === probe(oneShot),
+      "append-advanced store diverged from the one-shot rebuild over the union")
+    assert(viaAppend === Map(
+      21L -> "new",          // P hot after build: cumulative probe count 4 > 3
+      22L -> "dup_snapshot", // R appended live, edited copy still pairs
+      23L -> "new",
+      24L -> "new",          // S hot at build: hot set blocked the append
+      25L -> "new", 26L -> "dup_batch"))
+    // the build-hot set really blocked S's appended postings (not just
+    // the probe count): the store holds zero S postings
+    val stored = spark.read.parquet(s"$appended/posts")
+      .join(Seq((0L, docS)).toDF("doc_id", "text")
+        .select(explode(graft.ext.TextOps.winnowingFingerprints($"text")).as("fp"))
+        .distinct(), Seq("fp"), "left_semi")
+    assert(stored.count() === 0L, "build-hot fingerprints leaked into the append")
+  }
+
   test("nbQualityScore: hand-computed Laplace posteriors, neutral OOV, empty-doc retention") {
     val positives = Seq((100L, "good good fine")).toDF("doc_id", "text")
     val negatives = Seq((200L, "bad awful")).toDF("doc_id", "text")
