@@ -331,6 +331,46 @@ object StressBench {
         .bm25TopKStored(spark, dir, queries, "q_id", "qtext", k = 5)
         .count()
     }),
+    "bm25_stored_guard" -> (() => {
+      // the stopword guard's scale claim: a query carrying the corpus's
+      // MOST COMMON token (posting list ∝ corpus size — the workload
+      // bucket pruning cannot help with, since the stopword's bucket IS
+      // huge) probes with maxQueryTermDfFrac set, which drops the term
+      // from the dictionary read alone — probe wall must stay ~flat as
+      // the stopword's posting list grows with the corpus.
+      val spark = docs.sparkSession
+      val n = docs.count()
+      val buckets = math.max(64L, n / 100L).toInt
+      val dir = memoIndex(docs.inputFiles.toSet, "bm25idx") { d =>
+        graft.ext.TextOps.materializeBm25Index(
+          docs, "doc_id", "text", d, numBuckets = buckets)
+      }
+      // the corpus's top token, derived once per corpus (untimed memo —
+      // probing it unguarded would time the posting-list scan this
+      // probe exists to avoid)
+      val tokDir = memoIndex(docs.inputFiles.toSet, "bm25stop") { d =>
+        val tok = docs
+          .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+          .where(col("t") =!= "")
+          .groupBy("t").count()
+          .orderBy(col("count").desc, col("t")).limit(1)
+          .head().getString(0)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+        java.nio.file.Files.write(java.nio.file.Paths.get(d, "tok"), tok.getBytes("UTF-8"))
+        ()
+      }
+      val stop = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tokDir, "tok")), "UTF-8")
+      val queries = docs.where(pmod(col("doc_id"), lit(Replicas)) === 1)
+        .orderBy("doc_id").limit(10)
+        .select(col("doc_id").as("q_id"),
+          concat(lit(stop), lit(" "),
+            element_at(split(trim(col("text")), "\\s+"), -1)).as("qtext"))
+      graft.ext.TextOps
+        .bm25TopKStored(spark, dir, queries, "q_id", "qtext", k = 5,
+          maxQueryTermDfFrac = Some(0.5))
+        .count()
+    }),
     "hamming_admit" -> (() => {
       // the perceptual families' admission path (finding #2 of the r10
       // verdict: the pair stage was stressed via simhash but admission

@@ -1169,6 +1169,25 @@ object TextOps {
     * are summed per term and stats partials merged before scoring, which
     * is exact because every sub-table is mergeable by construction.
     */
+  /** `maxQueryTermDfFrac`: the STOPWORD guard. A query containing "the"
+    * would otherwise drag a posting list the size of the corpus through
+    * the scoring join — bucket pruning cannot help, because the bucket
+    * holding a stopword's postings IS huge. With the guard set, query
+    * terms whose merged document frequency exceeds `frac · N` are
+    * dropped BEFORE the postings scan (their idf ≈ ln(1 + (N−df+0.5)/
+    * (df+0.5)) ≈ 0, so every candidate document's score moves by ≈
+    * nothing and top-k identity is near-invariant — the stop-list
+    * behavior of production engines). The df check reads only the
+    * DICTIONARY (one row per term per contributing batch — never the
+    * postings), and the collect is bounded by the distinct query-term
+    * count. A query whose terms ALL trip the guard returns no rows —
+    * a pure-stopword query has no discriminative signal to rank by.
+    *
+    * Independent of the guard, the final query-term set is pushed into
+    * the postings scan as a `term IN (…)` filter beside the `tb`
+    * partition filter, so parquet row-group stats skip forbidden terms'
+    * postings instead of surfacing them for the join to discard.
+    */
   def bm25TopKStored(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -1177,7 +1196,8 @@ object TextOps {
       queryTextCol: String,
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75
+      b: Double = 0.75,
+      maxQueryTermDfFrac: Option[Double] = None
   ): DataFrame = {
     val numBuckets = readBm25NumBuckets(spark, path)
     // merge the (n, sum_dl) stats partials (a 1-row-per-batch table)
@@ -1191,17 +1211,36 @@ object TextOps {
     val avgdl = statsRow.getLong(1).toDouble / n.toDouble
     val qterms = bm25QueryTerms(queries, queryIdCol, queryTextCol)
       .withColumn("tb", pmod(xxhash64(col("term")), lit(numBuckets)).cast("int"))
-    // bounded collect: one bucket id per distinct query term at most
-    val tbs = qterms.select("tb").distinct().collect().map(_.getInt(0)).toSeq
-    def pruned(sub: String): DataFrame = {
+    // bounded collect: one row per distinct query term at most (queries
+    // are broadcast-small by contract)
+    val qTerm = qterms.select("term", "tb").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    def pruned(sub: String, terms: Seq[(String, Int)]): DataFrame = {
       val t = spark.read.parquet(s"$path/$sub")
-      if (tbs.isEmpty) t.limit(0) else t.where(col("tb").isin(tbs: _*))
+      if (terms.isEmpty) t.limit(0)
+      else t.where(
+        col("tb").isin(terms.map(_._2).distinct: _*) &&
+          col("term").isin(terms.map(_._1): _*))
     }
+    // df partials (one per contributing batch) merge to the global df —
+    // read from the term-bucketed dictionary, never the postings
+    val dfreq = pruned("dict", qTerm).groupBy("term").agg(sum(col("df")).as("df"))
+    val dropped: Set[String] = maxQueryTermDfFrac match {
+      case Some(frac) =>
+        require(frac > 0.0 && frac <= 1.0, "need 0 < maxQueryTermDfFrac <= 1")
+        // bounded collect: at most one row per distinct query term
+        dfreq.where(col("df") > lit(frac) * lit(n.toDouble))
+          .select("term").collect().map(_.getString(0)).toSet
+      case None => Set.empty
+    }
+    val keep = qTerm.filterNot(t => dropped(t._1))
+    val qtermsKept =
+      if (dropped.isEmpty) qterms.select("q_id", "term")
+      else qterms.where(!col("term").isin(dropped.toSeq: _*)).select("q_id", "term")
     bm25ScoreCore(
-      pruned("postings").select("doc_id", "dl", "term", "tf"),
-      // df partials (one per contributing batch) merge to the global df
-      pruned("dict").groupBy("term").agg(sum(col("df")).as("df")),
-      qterms.select("q_id", "term"),
+      pruned("postings", keep).select("doc_id", "dl", "term", "tf"),
+      dfreq,
+      qtermsKept,
       n, avgdl, k, k1, b)
   }
 }

@@ -1855,6 +1855,49 @@ class ExtSpec extends SparkSpec {
     assert(ex.getMessage.contains("marker"))
   }
 
+  test("bm25TopKStored stopword guard: planted stopword dropped from the probe, top-1 identity preserved, pure-stopword query empty") {
+    // every doc carries the planted stopword (df = N), every 50th a df=1
+    // rare tail term; queries mix the stopword with the rare term
+    val corpus = docs.select($"doc_id",
+      concat($"text", lit(" xthe"),
+        when($"doc_id" % 50 === 7, concat(lit(" zzq"), $"doc_id")).otherwise(lit("")))
+        .as("text"))
+    val queries = docs.where($"doc_id" % 50 === 7)
+      .select($"doc_id".as("q_id"),
+        concat(lit("xthe zzq"), $"doc_id", lit(" "),
+          array_join(slice(split(trim($"text"), "\\s+"), 1, 4), " ")).as("qtext"))
+    val store = tempDir("bm25guard")
+    TextOps.materializeBm25Index(corpus, "doc_id", "text", store, numBuckets = 8)
+    val unguarded = TextOps.bm25TopKStored(spark, store, queries, "q_id", "qtext", k = 1)
+      .select($"q_id", $"doc_id").as[(Long, Long)].collect().toMap
+    val guarded = TextOps.bm25TopKStored(spark, store, queries, "q_id", "qtext", k = 1,
+        maxQueryTermDfFrac = Some(0.5))
+      .select($"q_id", $"doc_id").as[(Long, Long)].collect().toMap
+    // dropping the ≈0-idf stopword cannot move the rare-term-anchored
+    // top-1 (the driver gate's margin argument, guarded form)
+    assert(guarded.nonEmpty && guarded === unguarded,
+      "stopword guard changed top-1 identity")
+    // the guard really removed the stopword's contribution: matched-term
+    // diagnostics drop by exactly the stopword on the top hit
+    val ntUnguarded = TextOps.bm25TopKStored(spark, store, queries, "q_id", "qtext", k = 1)
+      .select($"q_id", $"n_terms").as[(Long, Long)].collect().toMap
+    val ntGuarded = TextOps.bm25TopKStored(spark, store, queries, "q_id", "qtext", k = 1,
+        maxQueryTermDfFrac = Some(0.5))
+      .select($"q_id", $"n_terms").as[(Long, Long)].collect().toMap
+    assert(ntGuarded.forall { case (q, nt) => nt < ntUnguarded(q) },
+      "stopword still matched under the guard")
+    // a pure-stopword query has nothing discriminative to rank by
+    val pure = Seq((999L, "xthe")).toDF("q_id", "qtext")
+    assert(TextOps.bm25TopKStored(spark, store, pure, "q_id", "qtext", k = 5,
+      maxQueryTermDfFrac = Some(0.5)).count() === 0L)
+    // a nonsense fraction is refused
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.bm25TopKStored(spark, store, queries, "q_id", "qtext", k = 1,
+        maxQueryTermDfFrac = Some(1.5))
+    }
+    assert(ex.getMessage.contains("maxQueryTermDfFrac"))
+  }
+
   test("boilerplateStrip: frequency-thresholded paragraph removal with order-preserving reassembly") {
     val rows = Seq(
       (1L, "alpha one\nCOMMON\nbeta one"),
