@@ -1612,6 +1612,149 @@ object ExtensionQueries {
       s.read.parquet(s"$base/out").select("id", "status").orderBy("id")
     },
 
+    // the WHOLE ingest recipe as ONE stream — the production composition
+    // of the five admission/cleaning stages, per micro-batch in one
+    // foreachBatch against five stored states: paragraph boilerplate
+    // strip (cumulative counts) → exact-substring strip (gram store) →
+    // winnowing fuzzy-text admission (fingerprint store) → perceptual
+    // Hamming admission of the survivors' sketches (banded store) →
+    // semantic screen of the survivors' embeddings against a FIXED
+    // reference index (the decontamination shape). Two id-monotone
+    // micro-batches (doc_id < 250, then the rest plus plants) drain in
+    // ONE AvailableNow run via maxFilesPerTrigger=1. Plants exercise
+    // every fate: substring dups of batch-0 docs (gutted at stage 2),
+    // every-8th-word edits (runs of 7 < k=10 survive stage 2, pair at
+    // winnow w=4/ws=3 whose guarantee window is 6), closed-form 64-bit
+    // sketches with low-bit flips (dup_snapshot / dup_batch at the
+    // perceptual stage), and ×1.05-perturbed / negated-pair embeddings
+    // (contaminated / dup_batch at the semantic stage). Footers plant
+    // the batch-granular cumulative contract: the %6 footer crosses
+    // minDocs=25 inside batch 0, the %15 footer only cumulatively in
+    // batch 1 (batch-0 stragglers keep it). The oracle re-derives the
+    // ENTIRE five-stage composition batching-aware in DuckDB — md5
+    // paragraphs and winnowing (portable forms), string 10-grams,
+    // closed-form sketch arithmetic + brute-force bit_count Hamming,
+    // exact cosine vs the same parquet embeddings.
+    "x_pipeline_ingest_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.CdcStream
+      GraftFunctions.register(s)
+      val d0 = docs(s, dir).where(col("doc_id") % 3 === 0)
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val ws = split(trim(col("text")), "\\s+")
+      val organic = d0.select(
+        col("doc_id"),
+        concat_ws("\n",
+          array_join(slice(ws, 1, 12), " "),
+          array_join(slice(ws, 13, 100000), " "),
+          when(col("doc_id") % 6 === 0, lit("subscribe to our newsletter")),
+          when(col("doc_id") % 15 === 0, lit("edge crossing notice"))).as("text"))
+      // closed-form 64-bit sketches: 4 LCG-derived 16-bit blocks (top
+      // block 15 bits keeps the composite positive) — pure integer
+      // arithmetic both engines evaluate identically
+      def blk(g: Column, i: Int, m: Long): Column =
+        pmod(pmod(g * lit(1103515245L) + lit(12345L) + lit(i.toLong * 2654435761L),
+          lit(2147483647L)), lit(m))
+      def sk(g: Column): Column =
+        ((blk(g, 3, 32768L) * 65536 + blk(g, 2, 65536L)) * 65536 +
+          blk(g, 1, 65536L)) * 65536 + blk(g, 0, 65536L)
+      def flip1(h: Column): Column = h + lit(1L) - lit(2L) * pmod(h, lit(2L))
+      def negv(v: Column): Column = transform(v, x => -x)
+      def perturb(v: Column): Column =
+        concat(array(element_at(v, 1) * lit(1.05f)), slice(v, lit(2), size(v) - 1))
+      def perturbNeg(v: Column): Column =
+        concat(array(element_at(v, 1) * lit(-1.05f)),
+          transform(slice(v, lit(2), size(v) - 1), x => -x))
+      def synthText(prefix: String): Column = array_join(
+        transform(sequence(lit(1), lit(12)),
+          j => concat(lit(prefix), col("doc_id"), lit("t"), j)), " ")
+      // organic rows: own sketch group, own embedding
+      val organicFull = organic.join(e, organic("doc_id") === e("vec_id"))
+        .select(organic("doc_id"), col("text"),
+          sk(organic("doc_id")).as("hh"), col("embedding").as("emb"))
+      // plant bases: organic batch-0 rows joined to their own and their
+      // +1 neighbors' embeddings
+      val ob = organic.where(col("doc_id") < 250)
+        .join(e, organic("doc_id") === e("vec_id"))
+        .select(organic("doc_id").as("bid"), col("text"), col("embedding").as("bemb"))
+        .join(e.select((col("vec_id") - 1).as("bid"), col("embedding").as("bemb1")),
+          Seq("bid"), "left_outer")
+      def plant(stripe: Int, off: Long)(sel: DataFrame => DataFrame): DataFrame =
+        sel(ob.where(col("bid") % 30 === stripe)
+          .withColumn("doc_id", col("bid") + off))
+      // A: exact-substring dups of batch-0 organic docs
+      val pA = plant(0, 100000L)(_.select(col("doc_id"),
+        concat(lit("xdupsalt "), col("text")).as("text"),
+        sk(col("doc_id")).as("hh"), negv(col("bemb")).as("emb")))
+      // B: every-8th-word edits — survive stage 2, pair at winnow
+      val pB = plant(6, 200000L)(p => p.select(col("doc_id"),
+        array_join(transform(split(trim(col("text")), "\\s+"),
+          (w, i) => when(pmod(i, lit(8)) === 7,
+            concat(lit("zed"), col("doc_id"), lit("x"), i)).otherwise(w)), " ").as("text"),
+        sk(col("doc_id")).as("hh"), negv(col("bemb")).as("emb")))
+      // C: unique text, low-bit-flipped copy of a stored sketch
+      val pC = plant(12, 400000L)(_.select(col("doc_id"),
+        synthText("cc").as("text"),
+        flip1(sk(col("bid"))).as("hh"), negv(col("bemb")).as("emb")))
+      // D: in-batch perceptual pair on an unseen sketch group
+      val pD1 = plant(18, 450000L)(_.select(col("doc_id"),
+        synthText("dd").as("text"),
+        sk(col("bid") + 10000000L).as("hh"), negv(col("bemb")).as("emb")))
+      val pD2 = plant(18, 460000L)(_.select(col("doc_id"),
+        synthText("de").as("text"),
+        flip1(sk(col("bid") + 10000000L)).as("hh"), negv(col("bemb")).as("emb")))
+      // E: semantic contamination — perturbed copy of a reference-index
+      // vector (vec_id = bid+1 ≡ 1 mod 3 lives in the index)
+      val pE = plant(24, 500000L)(_.select(col("doc_id"),
+        synthText("ee").as("text"),
+        sk(col("doc_id")).as("hh"), perturb(col("bemb1")).as("emb")))
+      // F: in-batch semantic pair — negated reference vector and its
+      // perturbed twin (far from the index, near each other)
+      val pF1 = plant(21, 550000L)(_.select(col("doc_id"),
+        synthText("ff").as("text"),
+        sk(col("doc_id")).as("hh"), negv(col("bemb1")).as("emb")))
+      val pF2 = plant(21, 560000L)(_.select(col("doc_id"),
+        synthText("fg").as("text"),
+        sk(col("doc_id")).as("hh"), perturbNeg(col("bemb1")).as("emb")))
+      val plants = pA.unionByName(pB).unionByName(pC).unionByName(pD1)
+        .unionByName(pD2).unionByName(pE).unionByName(pF1).unionByName(pF2)
+      val batch0 = organicFull.where(col("doc_id") < 250)
+      val batch1 = organicFull.where(col("doc_id") >= 250).unionByName(plants)
+      val base = java.nio.file.Files.createTempDirectory("graft_pipeline_stream").toString
+      // fixed semantic reference index: the vec_id ≡ 1 mod 3 embeddings
+      // (disjoint from the ingested ≡ 0 docs), K = 64 stored seeds
+      val ref = embs(s, dir).where(col("vec_id") % 3 === 1)
+        .select("vec_id", "embedding")
+      Dedup.writeSemanticIndex(
+        Dedup.semanticIndex(ref, "vec_id", "embedding", 64),
+        Dedup.semanticSeeds(ref, "vec_id", "embedding", 64),
+        s"$base/semidx")
+      val in = s"$base/in"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        // two id-monotone files, ONE AvailableNow run: maxFilesPerTrigger=1
+        // turns them into micro-batches 0 and 1 (oldest file first), at a
+        // single streaming-query start/stop
+        batch0.coalesce(1).write.mode("append").parquet(in)
+        batch1.coalesce(1).write.mode("append").parquet(in)
+        val q = CdcStream.ingestPipelineMaintain(
+          s.readStream.schema(batch0.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in),
+          s"$base/store", s"$base/semidx", s"$base/ckpt",
+          "doc_id", "text", "hh", "emb",
+          k = 10, minDocsBoiler = 25, w = 4, windowSize = 3, minShared = 3,
+          maxDf = 8L, radius = 11, threshold = 0.9, numBuckets = 16,
+          hashKey = false, portable = true,
+          trigger = Trigger.AvailableNow())
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.read.parquet(s"$base/store/admitted")
+        .select("doc_id", "final_text", "winnow_status",
+          "perceptual_status", "semantic_status", "admitted")
+        .orderBy("doc_id")
+    },
+
     // multimodal metadata through the batched decode stage — byte counts
     // and typed meta are SQL-derivable, so this entry is oracle-gated even
     // though the decode runs through the real mapPartitions plumbing
@@ -4518,6 +4661,315 @@ object ExtensionQueries {
         |SELECT id, status FROM (
         |  SELECT id, status FROM dec1 UNION ALL SELECT id, status FROM dec2
         |) ORDER BY id""".stripMargin,
+    // the composed five-stage ingest pipeline, re-derived end-to-end and
+    // BATCHING-AWARE: recut corpus + plants, md5-paragraph cumulative
+    // boilerplate (batch 0 vs cumulative), one-shot string-10-gram
+    // substring strip over the cleaned texts (valid because ids are
+    // monotone across batches), the portable md5 winnowing selection
+    // with both df scopes per batch, closed-form LCG-block sketches +
+    // brute-force bit_count Hamming over the winnow survivors, and
+    // exact double cosine vs the same parquet embeddings for the fixed
+    // reference-index screen over the perceptual survivors. CTEs are
+    // MATERIALIZED: the stage chain is deep and multiply-referenced,
+    // and inlining re-evaluates the whole upstream per reference.
+    "x_pipeline_ingest_stream" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |), w0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM d0
+        |), organic AS MATERIALIZED (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    array_to_string(ws[1:12], ' '),
+        |    coalesce(array_to_string(ws[13:], ' '), ''),
+        |    CASE WHEN doc_id % 6 = 0 THEN 'subscribe to our newsletter' END,
+        |    CASE WHEN doc_id % 15 = 0 THEN 'edge crossing notice' END) AS text
+        |  FROM w0
+        |), ob AS MATERIALIZED (
+        |  SELECT doc_id AS bid, text FROM organic WHERE doc_id < 250
+        |), pA AS (
+        |  SELECT bid + 100000 AS doc_id, 'xdupsalt ' || text AS text
+        |  FROM ob WHERE bid % 30 = 0
+        |), pB AS (
+        |  SELECT bid + 200000 AS doc_id,
+        |    array_to_string(list_transform(string_split_regex(trim(text), '\s+'),
+        |      (w, i) -> CASE WHEN (i - 1) % 8 = 7
+        |                THEN 'zed' || (bid + 200000) || 'x' || (i - 1) ELSE w END), ' ') AS text
+        |  FROM ob WHERE bid % 30 = 6
+        |), synth AS MATERIALIZED (
+        |  SELECT bid, stripe, off, pfx,
+        |    array_to_string(list_transform(range(1, 13),
+        |      j -> pfx || (bid + off) || 't' || j), ' ') AS text
+        |  FROM ob, (VALUES (12, 400000, 'cc'), (18, 450000, 'dd'), (18, 460000, 'de'),
+        |                   (24, 500000, 'ee'), (21, 550000, 'ff'), (21, 560000, 'fg'))
+        |            v(stripe, off, pfx)
+        |  WHERE bid % 30 = stripe
+        |), corpus AS MATERIALIZED (
+        |  SELECT doc_id, text FROM organic
+        |  UNION ALL SELECT doc_id, text FROM pA
+        |  UNION ALL SELECT doc_id, text FROM pB
+        |  UNION ALL SELECT bid + off AS doc_id, text FROM synth
+        |), pl AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ps FROM corpus
+        |), paras AS (
+        |  SELECT doc_id, CAST(unnest(range(1, len(ps) + 1)) AS INT) AS pos, ps FROM pl
+        |), p2 AS (
+        |  SELECT doc_id, pos, ps[pos] AS para, md5(ps[pos]) AS ph FROM paras
+        |), counts AS (
+        |  SELECT ph,
+        |         count(DISTINCT CASE WHEN doc_id < 250 THEN doc_id END) AS c0,
+        |         count(DISTINCT doc_id) AS ctot
+        |  FROM p2 GROUP BY 1
+        |), flag1 AS (
+        |  SELECT p.doc_id, p.pos, p.para,
+        |         CASE WHEN p.doc_id < 250 THEN c.c0 >= 25 ELSE c.ctot >= 25 END AS is_b
+        |  FROM p2 p JOIN counts c USING (ph)
+        |), clean1 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(CASE WHEN NOT is_b THEN para END, chr(10) ORDER BY pos), '') AS text
+        |  FROM flag1 GROUP BY doc_id
+        |), sbase AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+        |         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM clean1
+        |), grams AS (
+        |  SELECT doc_id, gs.pos,
+        |         array_to_string(ws[gs.pos + 1 : gs.pos + 10], ' ') AS g
+        |  FROM sbase, LATERAL (
+        |    SELECT unnest(generate_series(0, n_tokens - 10)) AS pos) gs
+        |  WHERE n_tokens >= 10
+        |), occ AS (
+        |  SELECT g, count(*) AS cnt,
+        |         min(doc_id * 1048576 + pos) AS firstkey
+        |  FROM grams GROUP BY g
+        |), fl AS (
+        |  SELECT grams.doc_id, grams.pos
+        |  FROM grams JOIN occ ON grams.g = occ.g
+        |  WHERE occ.cnt >= 2
+        |    AND grams.doc_id * 1048576 + grams.pos <> occ.firstkey
+        |), sp AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 10
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM fl
+        |), sp2 AS (
+        |  SELECT doc_id, pos,
+        |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM sp
+        |), spans AS (
+        |  SELECT doc_id, sid, min(pos) AS s, max(pos) + 10 AS e
+        |  FROM sp2 GROUP BY doc_id, sid
+        |), toks AS (
+        |  SELECT doc_id, gs.pos, ws[gs.pos + 1] AS w
+        |  FROM sbase, LATERAL (
+        |    SELECT unnest(generate_series(0, n_tokens - 1)) AS pos) gs
+        |), keptt AS (
+        |  SELECT t.doc_id, t.pos, t.w
+        |  FROM toks t LEFT JOIN spans z
+        |    ON t.doc_id = z.doc_id AND t.pos >= z.s AND t.pos < z.e
+        |  WHERE z.doc_id IS NULL
+        |), clean2 AS MATERIALIZED (
+        |  SELECT sbase.doc_id,
+        |         coalesce(o.stripped_text, '') AS text
+        |  FROM sbase LEFT JOIN (
+        |    SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS stripped_text
+        |    FROM keptt GROUP BY doc_id) o ON sbase.doc_id = o.doc_id
+        |), ww AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM clean2
+        |), wsh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) <= 4 THEN [md5(array_to_string(w, ' '))]
+        |         ELSE list_transform(range(0, len(w) - 3), i -> md5(array_to_string(w[i+1:i+4], ' ')))
+        |    END AS hs
+        |  FROM ww
+        |), wfp AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(hs) <= 3 THEN [list_aggregate(hs, 'min')]
+        |         ELSE list_transform(range(0, len(hs) - 2), j -> list_aggregate(hs[j+1:j+3], 'min'))
+        |    END)) AS fp
+        |  FROM wsh
+        |), fp0 AS MATERIALIZED (
+        |  SELECT doc_id, fp FROM wfp WHERE doc_id < 250
+        |), fp1 AS MATERIALIZED (
+        |  SELECT doc_id, fp FROM wfp WHERE doc_id >= 250
+        |), epb AS (
+        |  SELECT doc_id, fp FROM fp0
+        |  WHERE fp IN (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) BETWEEN 2 AND 8)
+        |), epair AS (
+        |  SELECT DISTINCT id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |    FROM epb a JOIN epb b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2 HAVING count(*) >= 3
+        |  )
+        |), wst0 AS (
+        |  SELECT c.doc_id,
+        |         CASE WHEN p.id_b IS NOT NULL THEN 'dup_batch' ELSE 'new' END AS winnow_status
+        |  FROM (SELECT doc_id FROM clean2 WHERE doc_id < 250) c
+        |  LEFT JOIN epair p ON p.id_b = c.doc_id
+        |), ipost AS (
+        |  SELECT doc_id AS a_id, fp FROM fp0
+        |  WHERE fp IN (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= 8)
+        |), wsnap AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT b.doc_id, a.a_id FROM fp1 b JOIN ipost a ON a.fp = b.fp
+        |    GROUP BY b.doc_id, a.a_id HAVING count(*) >= 3
+        |  )
+        |), pb1 AS (
+        |  SELECT doc_id, fp FROM fp1
+        |  WHERE fp IN (SELECT fp FROM fp1 GROUP BY fp HAVING count(*) BETWEEN 2 AND 8)
+        |), bpair AS (
+        |  SELECT DISTINCT id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |    FROM pb1 a JOIN pb1 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2 HAVING count(*) >= 3
+        |  )
+        |), wst1 AS (
+        |  SELECT c.doc_id,
+        |         CASE WHEN s.doc_id IS NOT NULL THEN 'dup_snapshot'
+        |              WHEN p.id_b IS NOT NULL THEN 'dup_batch'
+        |              ELSE 'new' END AS winnow_status
+        |  FROM (SELECT doc_id FROM clean2 WHERE doc_id >= 250) c
+        |  LEFT JOIN wsnap s ON s.doc_id = c.doc_id
+        |  LEFT JOIN bpair p ON p.id_b = c.doc_id
+        |), wstat AS MATERIALIZED (
+        |  SELECT * FROM wst0 UNION ALL SELECT * FROM wst1
+        |), skspec AS (
+        |  SELECT doc_id, doc_id AS g, 0 AS fl FROM organic
+        |  UNION ALL SELECT doc_id, doc_id, 0 FROM pA
+        |  UNION ALL SELECT doc_id, doc_id, 0 FROM pB
+        |  UNION ALL SELECT bid + off, CASE
+        |      WHEN off = 400000 THEN bid
+        |      WHEN off IN (450000, 460000) THEN bid + 10000000
+        |      ELSE bid + off END,
+        |    CASE WHEN off IN (400000, 460000) THEN 1 ELSE 0 END
+        |  FROM synth
+        |), skv AS (
+        |  SELECT doc_id, fl,
+        |    ((((g*1103515245 + 12345 + 3*2654435761) % 2147483647) % 32768 * 65536
+        |      + ((g*1103515245 + 12345 + 2*2654435761) % 2147483647) % 65536) * 65536
+        |      + ((g*1103515245 + 12345 + 1*2654435761) % 2147483647) % 65536) * 65536
+        |      + ((g*1103515245 + 12345 + 0*2654435761) % 2147483647) % 65536 AS hh0
+        |  FROM skspec
+        |), sk2 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         CASE WHEN fl = 1 THEN hh0 + 1 - 2 * (hh0 % 2) ELSE hh0 END AS hh
+        |  FROM skv
+        |), surv3 AS MATERIALIZED (
+        |  SELECT doc_id FROM wstat WHERE winnow_status = 'new'
+        |), h0 AS MATERIALIZED (
+        |  SELECT s.doc_id, s.hh FROM sk2 s JOIN surv3 USING (doc_id) WHERE s.doc_id < 250
+        |), h1 AS MATERIALIZED (
+        |  SELECT s.doc_id, s.hh FROM sk2 s JOIN surv3 USING (doc_id) WHERE s.doc_id >= 250
+        |), hb0 AS (
+        |  SELECT DISTINCT b.doc_id FROM h0 b JOIN h0 a
+        |    ON a.doc_id < b.doc_id AND bit_count(xor(a.hh, b.hh)) <= 11
+        |), hst0 AS (
+        |  SELECT h0.doc_id,
+        |         CASE WHEN hb0.doc_id IS NOT NULL THEN 'dup_batch' ELSE 'new' END AS perceptual_status
+        |  FROM h0 LEFT JOIN hb0 ON h0.doc_id = hb0.doc_id
+        |), hsnap1 AS (
+        |  SELECT DISTINCT b.doc_id FROM h1 b JOIN h0 a
+        |    ON bit_count(xor(a.hh, b.hh)) <= 11
+        |), hb1 AS (
+        |  SELECT DISTINCT b.doc_id FROM h1 b JOIN h1 a
+        |    ON a.doc_id < b.doc_id AND bit_count(xor(a.hh, b.hh)) <= 11
+        |), hst1 AS (
+        |  SELECT h1.doc_id,
+        |         CASE WHEN s.doc_id IS NOT NULL THEN 'dup_snapshot'
+        |              WHEN p.doc_id IS NOT NULL THEN 'dup_batch'
+        |              ELSE 'new' END AS perceptual_status
+        |  FROM h1 LEFT JOIN hsnap1 s ON h1.doc_id = s.doc_id
+        |  LEFT JOIN hb1 p ON h1.doc_id = p.doc_id
+        |), hstat AS MATERIALIZED (
+        |  SELECT * FROM hst0 UNION ALL SELECT * FROM hst1
+        |), embspec AS (
+        |  SELECT doc_id, doc_id AS src, 'id' AS kind FROM organic
+        |  UNION ALL SELECT doc_id, doc_id - 100000, 'neg' FROM pA
+        |  UNION ALL SELECT doc_id, doc_id - 200000, 'neg' FROM pB
+        |  UNION ALL SELECT bid + off,
+        |    CASE WHEN off IN (500000, 550000, 560000) THEN bid + 1 ELSE bid END,
+        |    CASE WHEN off = 500000 THEN 'pert'
+        |         WHEN off = 560000 THEN 'negpert'
+        |         ELSE 'neg' END
+        |  FROM synth
+        |), bemb AS MATERIALIZED (
+        |  SELECT es.doc_id,
+        |    CASE es.kind
+        |      WHEN 'id' THEN e.embedding
+        |      WHEN 'neg' THEN list_transform(e.embedding, x -> -x)
+        |      WHEN 'pert' THEN list_concat([e.embedding[1] * CAST(1.05 AS REAL)], e.embedding[2:])
+        |      WHEN 'negpert' THEN list_concat([e.embedding[1] * CAST(-1.05 AS REAL)],
+        |                                      list_transform(e.embedding[2:], x -> -x))
+        |    END AS v
+        |  FROM embspec es JOIN embeddings e ON e.vec_id = es.src
+        |), ref AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 1
+        |), seeds AS MATERIALIZED (
+        |  SELECT vec_id AS seed_id, embedding AS seed_v FROM ref ORDER BY vec_id LIMIT 64
+        |), iasg AS MATERIALIZED (
+        |  SELECT vec_id AS a_id, embedding, cluster FROM (
+        |    SELECT r.vec_id, r.embedding, s.seed_id AS cluster,
+        |           row_number() OVER (PARTITION BY r.vec_id ORDER BY
+        |             list_sum(list_transform(list_zip(r.embedding, s.seed_v),
+        |                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |             / sqrt(list_sum(list_transform(r.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |                  * list_sum(list_transform(s.seed_v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |             DESC, s.seed_id ASC) AS rn
+        |    FROM ref r, seeds s)
+        |  WHERE rn = 1
+        |), surv4 AS MATERIALIZED (
+        |  SELECT doc_id FROM hstat WHERE perceptual_status = 'new'
+        |), q5 AS MATERIALIZED (
+        |  SELECT b.doc_id, b.v FROM bemb b JOIN surv4 USING (doc_id)
+        |), qasg AS MATERIALIZED (
+        |  SELECT doc_id, v, cluster FROM (
+        |    SELECT q.doc_id, q.v, s.seed_id AS cluster,
+        |           row_number() OVER (PARTITION BY q.doc_id ORDER BY
+        |             list_sum(list_transform(list_zip(q.v, s.seed_v),
+        |                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |             / sqrt(list_sum(list_transform(q.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |                  * list_sum(list_transform(s.seed_v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |             DESC, s.seed_id ASC) AS rn
+        |    FROM q5 q, seeds s)
+        |  WHERE rn = 1
+        |), ssnap AS (
+        |  SELECT DISTINCT q.doc_id
+        |  FROM qasg q JOIN iasg i ON i.cluster = q.cluster
+        |  WHERE list_sum(list_transform(list_zip(q.v, i.embedding),
+        |                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |        / sqrt(list_sum(list_transform(q.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |             * list_sum(list_transform(i.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) >= 0.9
+        |), sbatch AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM qasg b JOIN qasg a ON a.cluster = b.cluster AND a.doc_id < b.doc_id
+        |    AND (a.doc_id < 250) = (b.doc_id < 250)
+        |  WHERE list_sum(list_transform(list_zip(a.v, b.v),
+        |                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |        / sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |             * list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) >= 0.9
+        |), sstat AS MATERIALIZED (
+        |  SELECT q.doc_id,
+        |         CASE WHEN s.doc_id IS NOT NULL THEN 'dup_snapshot'
+        |              WHEN b.doc_id IS NOT NULL THEN 'dup_batch'
+        |              ELSE 'new' END AS semantic_status
+        |  FROM qasg q LEFT JOIN ssnap s ON q.doc_id = s.doc_id
+        |  LEFT JOIN sbatch b ON q.doc_id = b.doc_id
+        |)
+        |SELECT c.doc_id,
+        |       cl2.text AS final_text,
+        |       w.winnow_status,
+        |       coalesce(h.perceptual_status, 'skipped') AS perceptual_status,
+        |       coalesce(s5.semantic_status, 'skipped') AS semantic_status,
+        |       (w.winnow_status = 'new'
+        |         AND coalesce(h.perceptual_status, 'x') = 'new'
+        |         AND coalesce(s5.semantic_status, 'x') = 'new') AS admitted
+        |FROM corpus c
+        |JOIN clean2 cl2 ON c.doc_id = cl2.doc_id
+        |JOIN wstat w ON c.doc_id = w.doc_id
+        |LEFT JOIN hstat h ON c.doc_id = h.doc_id
+        |LEFT JOIN sstat s5 ON c.doc_id = s5.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     "x_dedup_minhash" -> allPairsJaccardSql,
     "x_dedup_simhash" -> allPairsJaccardSql,
     "x_dedup_exact" ->

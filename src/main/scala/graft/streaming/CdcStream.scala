@@ -1134,6 +1134,169 @@ object CdcStream {
     ()
   }
 
+  /** The FULL ingest recipe as ONE stream — the production composition
+    * every stage maintainer exists for, per micro-batch, in one
+    * foreachBatch against five stored states:
+    *
+    *   1. paragraph boilerplate strip ([[boilerplateApplyBatch]] —
+    *      cumulative count store advances),
+    *   2. exact-substring dedup + strip on the cleaned text
+    *      ([[substringStripApplyBatch]] — gram store advances),
+    *   3. winnowing fuzzy-text admission on the fully cleaned text
+    *      ([[winnowAdmitApplyBatch]] — fingerprint store advances);
+    *      documents flagged `dup_snapshot`/`dup_batch` leave the
+    *      pipeline,
+    *   4. perceptual (Hamming) admission on the surviving documents'
+    *      64-bit sketches ([[hammingAdmitApplyBatch]] — banded store
+    *      advances with the fed survivors),
+    *   5. semantic admission of the survivors' embeddings against a
+    *      FIXED stored reference index
+    *      ([[graft.ext.Dedup.semanticAdmitStored]]) — the
+    *      decontamination-screen shape: the reference (eval) index does
+    *      NOT grow with ingest, so cross-batch semantic duplicates of
+    *      admitted rows stay `new` by design while within-batch pairs
+    *      still flag `dup_batch`.
+    *
+    * Boilerplate runs FIRST because the substring stripper reassembles
+    * kept tokens with single spaces (paragraph boundaries would not
+    * survive it). Output, one row per INPUT document in the batch's own
+    * `ingest_batch=` partition of `<storeRoot>/admitted`:
+    * `(doc_id, final_text, winnow_status, perceptual_status,
+    * semantic_status, admitted)` — later stages read `skipped` when an
+    * earlier stage dropped the document.
+    *
+    * Replay safety is inherited stage-wise: every sub-step is
+    * idempotent in `batchId` (probes filter `ingest_batch < batchId`,
+    * writes overwrite their own partition), the semantic screen is
+    * stateless, and the final admissions table overwrites the batch's
+    * own partition — so redelivering a crashed batch reproduces
+    * identical state and output. Per-trigger work is the SUM of the
+    * stages' own O(batch + touched buckets/cells) costs; no stage
+    * rescans a store.
+    */
+  def ingestPipelineMaintain(
+      docStream: DataFrame, // (idCol, textCol, sketchCol, embCol) per micro-batch
+      storeRoot: String,
+      semanticIndexPath: String,
+      checkpoint: String,
+      idCol: String,
+      textCol: String,
+      sketchCol: String,
+      embCol: String,
+      k: Int = 10,
+      minDocsBoiler: Int = 5,
+      w: Int = 4,
+      windowSize: Int = 3,
+      minShared: Int = 3,
+      maxDf: Long = 8L,
+      radius: Int = 11,
+      threshold: Double = 0.9,
+      numBuckets: Int = 16,
+      hashKey: Boolean = true,
+      portable: Boolean = false,
+      trigger: Trigger = DefaultTrigger
+  ): StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        ingestPipelineApplyBatch(
+          batch.toDF(), batchId, storeRoot, semanticIndexPath,
+          idCol, textCol, sketchCol, embCol,
+          k, minDocsBoiler, w, windowSize, minShared, maxDf,
+          radius, threshold, numBuckets, hashKey, portable)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode("append")
+      .start()
+
+  /** One micro-batch of [[ingestPipelineMaintain]] — package-visible for
+    * the crash-replay spec and stress probes. Idempotent in `batchId`
+    * because every composed sub-step is.
+    */
+  private[graft] def ingestPipelineApplyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      storeRoot: String,
+      semanticIndexPath: String,
+      idCol: String,
+      textCol: String,
+      sketchCol: String,
+      embCol: String,
+      k: Int,
+      minDocsBoiler: Int,
+      w: Int,
+      windowSize: Int,
+      minShared: Int,
+      maxDf: Long,
+      radius: Int,
+      threshold: Double,
+      numBuckets: Int,
+      hashKey: Boolean,
+      portable: Boolean): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"),
+      col(sketchCol).cast("long").as("__hh"),
+      col(embCol).as("__emb")).cache()
+    try {
+      // 1. boilerplate strip (cumulative count store)
+      boilerplateApplyBatch(
+        b.select("doc_id", "text"), batchId,
+        s"$storeRoot/counts", s"$storeRoot/clean1", "doc_id", "text",
+        minDocsBoiler, "\n", numBuckets)
+      val clean1 = spark.read.parquet(s"$storeRoot/clean1/ingest_batch=$batchId")
+        .select(col("doc_id"), col("stripped_text").as("text"))
+      // 2. exact-substring dedup + strip (gram store)
+      substringStripApplyBatch(
+        clean1, batchId, s"$storeRoot/gram", s"$storeRoot/clean2",
+        k, hashKey, numBuckets)
+      val clean2 = spark.read.parquet(s"$storeRoot/clean2/ingest_batch=$batchId")
+        .select(col("doc_id"), col("stripped_text"))
+      // 3. winnowing fuzzy-text admission (fingerprint store)
+      winnowAdmitApplyBatch(
+        clean2.select(col("doc_id"), col("stripped_text").as("text")), batchId,
+        s"$storeRoot/win", s"$storeRoot/wstat", "doc_id", "text",
+        w, windowSize, minShared, maxDf, numBuckets, portable)
+      val wstat = spark.read.parquet(s"$storeRoot/wstat/ingest_batch=$batchId")
+        .select(col("id").as("doc_id"), col("status").as("winnow_status"))
+      val surv3 = wstat.where(col("winnow_status") === "new").select("doc_id")
+      // 4. perceptual admission of the text-survivors' sketches
+      hammingAdmitApplyBatch(
+        b.join(surv3, Seq("doc_id"), "left_semi").select(col("doc_id"), col("__hh")),
+        batchId, s"$storeRoot/ham", s"$storeRoot/hstat", "doc_id", "__hh",
+        radius, blocks = 4, probeBits = 2)
+      val hstat = spark.read.parquet(s"$storeRoot/hstat/ingest_batch=$batchId")
+        .select(col("id").as("doc_id"), col("status").as("perceptual_status"))
+      val surv4 = hstat.where(col("perceptual_status") === "new").select("doc_id")
+      // 5. semantic screen against the FIXED reference index (stateless)
+      graft.ext.Dedup
+        .semanticAdmitStored(
+          spark, semanticIndexPath,
+          b.join(surv4, Seq("doc_id"), "left_semi").select(col("doc_id"), col("__emb")),
+          "doc_id", "__emb", threshold)
+        .select(col("id").as("doc_id"), col("status").as("semantic_status"))
+        .write.mode("overwrite").parquet(s"$storeRoot/sstat/ingest_batch=$batchId")
+      val sstat = spark.read.parquet(s"$storeRoot/sstat/ingest_batch=$batchId")
+      b.select("doc_id")
+        .join(clean2, Seq("doc_id"), "left_outer")
+        .join(wstat, Seq("doc_id"), "left_outer")
+        .join(hstat, Seq("doc_id"), "left_outer")
+        .join(sstat, Seq("doc_id"), "left_outer")
+        .select(
+          col("doc_id"),
+          coalesce(col("stripped_text"), lit("")).as("final_text"),
+          col("winnow_status"),
+          coalesce(col("perceptual_status"), lit("skipped")).as("perceptual_status"),
+          coalesce(col("semantic_status"), lit("skipped")).as("semantic_status"),
+          (col("winnow_status") === "new" &&
+            coalesce(col("perceptual_status"), lit("skipped")) === "new" &&
+            coalesce(col("semantic_status"), lit("skipped")) === "new").as("admitted"))
+        .write.mode("overwrite").parquet(s"$storeRoot/admitted/ingest_batch=$batchId")
+    } finally { b.unpersist(); () }
+    ()
+  }
+
   /** Offline compaction for the [[substringStripMaintain]] gram store:
     * fold every `ingest_batch ≤ upToBatch` partition into ONE partition
     * labeled `ingest_batch=<upToBatch>`. The store is semantically a SET
