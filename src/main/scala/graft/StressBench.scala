@@ -371,6 +371,46 @@ object StressBench {
           maxQueryTermDfFrac = Some(0.5))
         .count()
     }),
+    "pipeline_ingest" -> (() => {
+      // the COMPOSED five-stage ingest recipe's per-trigger cost: all
+      // four stateful stores (boilerplate counts, gram, winnow, banded
+      // Hamming) are built by ingesting the corpus as batch 0 through
+      // the pipeline itself (memoized, untimed — the accumulated
+      // deployment state), the semantic reference index is the fixed
+      // decontamination screen; the timed leg is ONE
+      // ingestPipelineApplyBatch of the fixed 1× batch. Per-trigger
+      // wall must stay ~flat as the stores grow — the composition adds
+      // the stages' O(batch + touched buckets) costs, it must not
+      // multiply them.
+      val spark = docs.sparkSession
+      val e = embs
+      val dir = memoIndex(docs.inputFiles.toSet ++ e.inputFiles.toSet, "pipeline") { d =>
+        val n = e.count()
+        val kk = math.max(64L, n / 1000L).toInt
+        val ref = e.where(col("vec_id") % 3 === 1)
+        Dedup.writeSemanticIndex(
+          Dedup.semanticIndex(ref, "vec_id", "embedding", kk),
+          Dedup.semanticSeeds(ref, "vec_id", "embedding", kk),
+          s"$d/semidx")
+        val corpus = docs.join(e, docs("doc_id") === e("vec_id"))
+          .select(docs("doc_id"), col("text"),
+            xxhash64(col("text")).as("hh"), col("embedding").as("emb"))
+        graft.streaming.CdcStream.ingestPipelineApplyBatch(
+          corpus, 0L, s"$d/store", s"$d/semidx", "doc_id", "text", "hh", "emb",
+          k = 10, minDocsBoiler = 5, w = 4, windowSize = 3, minShared = 3,
+          maxDf = 8L, radius = 11, threshold = 0.9, numBuckets = 16,
+          hashKey = true, portable = false)
+      }
+      val b = batchDocs.join(batchEmbs, batchDocs("doc_id") === batchEmbs("vec_id"))
+        .select((batchDocs("doc_id") + 1000000000000L).as("doc_id"), col("text"),
+          xxhash64(col("text")).as("hh"), col("embedding").as("emb"))
+      graft.streaming.CdcStream.ingestPipelineApplyBatch(
+        b, 1L, s"$dir/store", s"$dir/semidx", "doc_id", "text", "hh", "emb",
+        k = 10, minDocsBoiler = 5, w = 4, windowSize = 3, minShared = 3,
+        maxDf = 8L, radius = 11, threshold = 0.9, numBuckets = 16,
+        hashKey = true, portable = false)
+      spark.read.parquet(s"$dir/store/admitted/ingest_batch=1").count()
+    }),
     "hamming_admit" -> (() => {
       // the perceptual families' admission path (finding #2 of the r10
       // verdict: the pair stage was stressed via simhash but admission

@@ -1246,6 +1246,64 @@ class StreamingSpec extends SparkSpec {
       "stats fold left multiple partials")
   }
 
+  test("ingestPipelineApplyBatch: five-stage composition is replay-idempotent and stores stay sets") {
+    import graft.ext.Dedup
+    val d = Tables.load(spark, sf0001, "documents")
+    val e = Tables.load(spark, sf0001, "embeddings").select($"vec_id", $"embedding")
+    def rows(lo: Int, hi: Int) = d.where($"doc_id" >= lo && $"doc_id" < hi)
+      .join(e, d("doc_id") === e("vec_id"))
+      .select(d("doc_id"), $"text", xxhash64($"text").as("hh"), $"embedding".as("emb"))
+    val base = tempDir("pipemaint")
+    val ref = e.where($"vec_id" % 3 === 1)
+    Dedup.writeSemanticIndex(
+      Dedup.semanticIndex(ref, "vec_id", "embedding", 16),
+      Dedup.semanticSeeds(ref, "vec_id", "embedding", 16),
+      s"$base/semidx")
+    def applyBatch(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CdcStream.ingestPipelineApplyBatch(
+        b, id, s"$base/store", s"$base/semidx", "doc_id", "text", "hh", "emb",
+        k = 10, minDocsBoiler = 5, w = 4, windowSize = 3, minShared = 3,
+        maxDf = 8L, radius = 11, threshold = 0.9, numBuckets = 8,
+        hashKey = true, portable = false)
+    val b0 = rows(0, 100)
+    // batch 1: fresh docs + an exact text copy of a batch-0 doc (winnow
+    // dup_snapshot after the substring stage guts it — either way a
+    // non-admitted fate) + an exact sketch copy on a fresh text
+    val copyText = rows(0, 100).where($"doc_id" === 30)
+      .select(($"doc_id" + 9000L).as("doc_id"), $"text", ($"hh" + 12345L).as("hh"), $"emb")
+    val copySketch = rows(0, 100).where($"doc_id" === 40)
+      .select(($"doc_id" + 9100L).as("doc_id"),
+        concat(lit("fresh unique words one two three four five six seven eight nine "),
+          $"doc_id").as("text"),
+        $"hh", $"emb")
+    val b1 = rows(100, 200).unionByName(copyText).unionByName(copySketch)
+    applyBatch(b0, 0L)
+    applyBatch(b1, 1L) // crashed attempt
+    val first = spark.read.parquet(s"$base/store/admitted/ingest_batch=1")
+      .select("doc_id", "final_text", "winnow_status", "perceptual_status",
+        "semantic_status", "admitted")
+      .as[(Long, String, String, String, String, Boolean)].collect().toSet
+    applyBatch(b1, 1L) // replay
+    val replayed = spark.read.parquet(s"$base/store/admitted/ingest_batch=1")
+      .select("doc_id", "final_text", "winnow_status", "perceptual_status",
+        "semantic_status", "admitted")
+      .as[(Long, String, String, String, String, Boolean)].collect().toSet
+    assert(replayed === first, "replaying the composed batch changed its admissions")
+    // the planted fates really happened: the exact text copy is fully
+    // GUTTED by the substring stage (every gram already stored), the
+    // sketch copy is caught by the perceptual stage
+    val byId = replayed.map(t => t._1 -> ((t._2, t._4))).toMap
+    assert(byId(9030L)._1 === "", "text copy of doc 30 survived the substring stage")
+    assert(byId(9140L)._2 === "dup_snapshot", "sketch copy of doc 40 missed the hamming stage")
+    // every store stayed a set across the replay
+    val win = spark.read.parquet(s"$base/store/win")
+    assert(win.count() === win.dropDuplicates("id", "fp").count(), "winnow store duplicated")
+    val ham = spark.read.parquet(s"$base/store/ham")
+    assert(ham.count() === ham.dropDuplicates("blk", "key", "id").count(), "ham store duplicated")
+    val gram = spark.read.parquet(s"$base/store/gram")
+    assert(gram.count() === gram.dropDuplicates("g").count(), "gram store duplicated")
+  }
+
   test("foreachBatch sink sees every batch exactly once per run") {
     val logPath = tempDir("fblog")
     val ckpt = tempDir("fbckpt")
