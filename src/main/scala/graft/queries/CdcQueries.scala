@@ -338,13 +338,16 @@ object CdcQueries {
           s, graft.sources.TopicSource.Config(brokers = None, path = out), Seq("cdc-event_log"))
         val replayed = graft.sources.TopicSource.decode(consumed, messageSchema)
         // materialize the applied replica inside the gate-scoped width so
-        // the timed plan (and the driver's hash read) sees a finished
-        // frame, not a lazy plan that re-runs after the conf is restored
+        // later executions (the driver's hash read) see a finished frame,
+        // not a lazy plan that re-runs after the conf is restored — via
+        // cache + count rather than a parquet write + read-back, which
+        // paid a full extra disk round trip per gate run
         val applied = graft.capture.CdcApply
           .applyLog(snapshot, replayed, Seq("rid"), payloadSchema)
-        val outApplied = java.nio.file.Files.createTempDirectory("graft-topic-replica-out").toString
-        applied.write.mode("overwrite").parquet(outApplied)
-        s.read.parquet(outApplied).orderBy("rid")
+          .orderBy("rid")
+          .cache()
+        applied.count()
+        applied
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     },
 

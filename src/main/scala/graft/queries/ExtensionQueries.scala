@@ -304,16 +304,17 @@ object ExtensionQueries {
       val in = s"$base/in"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      def runOnce(): Unit = {
+      try {
+        // one AvailableNow run, two micro-batches via maxFilesPerTrigger
+        // (oldest file first) — half the query start/stop cost
+        index.coalesce(1).write.mode("append").parquet(in)
+        batch.coalesce(1).write.mode("append").parquet(in)
         val q = CdcStream.hammingAdmitMaintain(
-          s.readStream.schema(index.schema).parquet(in),
+          s.readStream.schema(index.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in),
           s"$base/idx", s"$base/out", s"$base/ckpt",
           "media_id", "dhash", radius = 11, trigger = Trigger.AvailableNow())
         q.awaitTermination()
-      }
-      try {
-        index.coalesce(1).write.mode("append").parquet(in); runOnce()
-        batch.coalesce(1).write.mode("append").parquet(in); runOnce()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(s"$base/out/ingest_batch=1")
         .select(col("id").as("media_id"), col("dhash"), col("status"))
@@ -516,20 +517,24 @@ object ExtensionQueries {
       val in = s"$base/in"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      def runOnce(): Unit = {
+      try {
+        // both files land before ONE AvailableNow run drains them as two
+        // micro-batches (maxFilesPerTrigger=1, oldest file first) — the
+        // same two-batch incremental lifecycle at HALF the streaming
+        // query start/stop cost of the former two-run harness (restart
+        // recovery is pinned by x_scd2_stream, not re-paid here)
+        originals.coalesce(1).write.mode("append").parquet(in)
+        copies.coalesce(1).write.mode("append").parquet(in)
         // hashKey production layout: the persisted index carries 8-byte
         // gram hashes (the operator's scale form); the stripped-text
         // OUTPUT is hash-independent, so the exact-string oracle still
         // applies (ExtSpec pins string/hash span parity)
         val q = CdcStream.substringStripMaintain(
-          s.readStream.schema(originals.schema).parquet(in),
+          s.readStream.schema(originals.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in),
           s"$base/gramidx", s"$base/out", s"$base/ckpt",
           k = 10, hashKey = true, trigger = Trigger.AvailableNow())
         q.awaitTermination()
-      }
-      try {
-        originals.coalesce(1).write.mode("append").parquet(in); runOnce()
-        copies.coalesce(1).write.mode("append").parquet(in); runOnce()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       // explicit projection: the output table is partitioned by
       // ingest_batch (the per-batch idempotent-replay layout), which is
@@ -1314,18 +1319,17 @@ object ExtensionQueries {
       val in = s"$base/in"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      def runOnce(): Unit = {
+      try {
+        // one AvailableNow run, two micro-batches via maxFilesPerTrigger
+        // (oldest file first) — half the query start/stop cost
+        corpus.where(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+        corpus.where(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
         val q = CdcStream.bm25IndexMaintain(
-          s.readStream.schema(corpus.schema).parquet(in),
+          s.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in),
           s"$base/idx", s"$base/ckpt", "doc_id", "text",
           numBuckets = 16, trigger = Trigger.AvailableNow())
         q.awaitTermination()
-      }
-      try {
-        corpus.where(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
-        runOnce()
-        corpus.where(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
-        runOnce()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       TextOps.bm25TopKStored(s, s"$base/idx", queries, "q_id", "qtext", k = 1)
         .select(col("q_id"), col("doc_id"), col("tf_sum"), col("n_terms"))
@@ -1385,18 +1389,17 @@ object ExtensionQueries {
       val in = s"$base/in"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      def runOnce(): Unit = {
+      try {
+        // one AvailableNow run, two micro-batches via maxFilesPerTrigger
+        // (oldest file first) — half the query start/stop cost
+        corpus.where(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+        corpus.where(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
         val q = CdcStream.boilerplateMaintain(
-          s.readStream.schema(corpus.schema).parquet(in),
+          s.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in),
           s"$base/counts", s"$base/out", s"$base/ckpt", "doc_id", "text",
           minDocs = 5, numBuckets = 16, trigger = Trigger.AvailableNow())
         q.awaitTermination()
-      }
-      try {
-        corpus.where(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
-        runOnce()
-        corpus.where(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
-        runOnce()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(s"$base/out")
         .select("doc_id", "n_paras", "kept_paras", "stripped_text")
@@ -1595,19 +1598,18 @@ object ExtensionQueries {
       val in = s"$base/in"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      def runOnce(): Unit = {
+      try {
+        // one AvailableNow run, two micro-batches via maxFilesPerTrigger
+        // (oldest file first) — half the query start/stop cost
+        even.coalesce(1).write.mode("append").parquet(in)
+        batch2.coalesce(1).write.mode("append").parquet(in)
         val q = CdcStream.winnowAdmitMaintain(
-          s.readStream.schema(even.schema).parquet(in),
+          s.readStream.schema(even.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in),
           s"$base/idx", s"$base/out", s"$base/ckpt", "doc_id", "text",
           maxDf = 8L, numBuckets = 16, portable = true,
           trigger = Trigger.AvailableNow())
         q.awaitTermination()
-      }
-      try {
-        even.coalesce(1).write.mode("append").parquet(in)
-        runOnce()
-        batch2.coalesce(1).write.mode("append").parquet(in)
-        runOnce()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(s"$base/out").select("id", "status").orderBy("id")
     },
