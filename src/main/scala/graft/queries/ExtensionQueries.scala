@@ -1198,7 +1198,26 @@ object ExtensionQueries {
     // floor measures the k=10 tail, not the trivial self-hit.
     "x_sim_recall_curve" -> { (s, dir) =>
       GraftFunctions.register(s)
-      val e = embs(s, dir)
+      // clustered mixture: each vector pulled 65% toward its (vec_id mod
+      // 64) representative — the synthetic organic embeddings are
+      // near-uniform, where NO ANN geometry can reach realistic recall
+      // (nearest neighbors are diffuse), so the floors were honest but
+      // low (11-66%). Real embedding corpora are clustered; the planted
+      // mixture restores that structure deterministically, separating
+      // the families at meaningful recall levels while keeping queries
+      // organic (corpus members re-keyed, k=10 tail measured). The
+      // derived corpus must NOT go through the file-fingerprinted
+      // index caches (same source files as the RAW corpus → a raw-built
+      // cache would be served silently) — indexes build inline.
+      val eRaw = embs(s, dir)
+      val reps = eRaw.where(col("vec_id") < 64)
+        .select(col("vec_id").as("cid"), col("embedding").as("rep"))
+      val e = eRaw.withColumn("cid", col("vec_id") % 64)
+        .join(broadcast(reps), Seq("cid"))
+        .select(col("vec_id"),
+          zip_with(col("embedding"), col("rep"),
+            (x, r) => x * lit(0.35f) + r * lit(0.65f)).as("embedding"))
+        .cache()
       val k = 10
       val queries = e.where(col("vec_id") % 25 === 7).select(
         (col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
@@ -1206,8 +1225,8 @@ object ExtensionQueries {
         .select("q_id", "n_id").cache()
       val total = exact.count().toDouble
       val (indexed, centroids) =
-        Similarity.cachedIvfIndex(e, "vec_id", "embedding", nCentroids = 16)
-      val cb = Similarity.cachedPqCodebooks(e, "vec_id", "embedding", m = 4, ksub = 16)
+        Similarity.ivfIndex(e, "vec_id", "embedding", nCentroids = 16)
+      val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", m = 4, ksub = 16)
       // cache the encode once — three of the eight operating points scan
       // the codes table, and without the cache each re-runs the encode
       val codes = Similarity.pqEncode(e, cb, "vec_id", "embedding", m = 4, ksub = 16)
@@ -1225,25 +1244,24 @@ object ExtensionQueries {
       def ivfpq(np: Int, cand: Int) = Similarity
         .ivfPqTopK(indexed, centroids, codes, cb, queries, "vec_id", "embedding",
           k, nProbe = np, m = 4, ksub = 16, candidates = cand)
-      // floors: ≥5pts under the measured min across sf0.01 (37/47/63,
-      // 47, 11/19, 36/66) and sf0.1 (33/43/59, 29, 11/20, 21/39) — low
-      // in absolute terms because the synthetic embeddings are near-
-      // uniform (organic ANN recall needs cluster structure), which is
-      // exactly why the MONOTONE booleans below carry the real contract:
-      // widening a probe/candidate budget enlarges the candidate SET, so
-      // recall must be non-decreasing along each family's curve — a
-      // banding/geometry regression breaks that structurally.
+      // floors: ≥5pts under the measured min across sf0.01
+      // (85/89/92, 88, 23/50, 86/94) and sf0.1 (98/100/100, 100, 27/59,
+      // 57/100) on the clustered mixture — the cell/bucket families now
+      // clear ≥80% floors (the realistic regime); LSH at 8 planes is
+      // structurally limited on 64 dims and carries its honest 15/40
+      // floors plus the family-monotone boolean
       val points: Seq[(String, Int, Double)] = Seq(
-        ("ivf_np1", 25, recall(ivf(1))),
-        ("ivf_np2", 35, recall(ivf(2))),
-        ("ivf_np4", 50, recall(ivf(4))),
-        ("ivfpq_np4_c32", 22, recall(ivfpq(4, 32))),
-        ("lsh_p8_mp0", 5, recall(lsh(0))),
-        ("lsh_p8_mp1", 12, recall(lsh(1))),
-        ("pq_c16", 15, recall(pq(16))),
-        ("pq_c64", 30, recall(pq(64))))
+        ("ivf_np1", 80, recall(ivf(1))),
+        ("ivf_np2", 84, recall(ivf(2))),
+        ("ivf_np4", 87, recall(ivf(4))),
+        ("ivfpq_np4_c32", 80, recall(ivfpq(4, 32))),
+        ("lsh_p8_mp0", 15, recall(lsh(0))),
+        ("lsh_p8_mp1", 40, recall(lsh(1))),
+        ("pq_c16", 45, recall(pq(16))),
+        ("pq_c64", 85, recall(pq(64))))
       exact.unpersist()
       codes.unpersist()
+      e.unpersist()
       val byName = points.map(p => p._1 -> p._3).toMap
       val prevInFamily = Map(
         "ivf_np2" -> "ivf_np1", "ivf_np4" -> "ivf_np2",
@@ -5268,14 +5286,14 @@ object ExtensionQueries {
     // candidate budget (a superset candidate set can't lose recall)
     "x_sim_recall_curve" ->
       """SELECT * FROM (VALUES
-        |  ('ivf_np1', 25, TRUE, TRUE),
-        |  ('ivf_np2', 35, TRUE, TRUE),
-        |  ('ivf_np4', 50, TRUE, TRUE),
-        |  ('ivfpq_np4_c32', 22, TRUE, TRUE),
-        |  ('lsh_p8_mp0', 5, TRUE, TRUE),
-        |  ('lsh_p8_mp1', 12, TRUE, TRUE),
-        |  ('pq_c16', 15, TRUE, TRUE),
-        |  ('pq_c64', 30, TRUE, TRUE))
+        |  ('ivf_np1', 80, TRUE, TRUE),
+        |  ('ivf_np2', 84, TRUE, TRUE),
+        |  ('ivf_np4', 87, TRUE, TRUE),
+        |  ('ivfpq_np4_c32', 80, TRUE, TRUE),
+        |  ('lsh_p8_mp0', 15, TRUE, TRUE),
+        |  ('lsh_p8_mp1', 40, TRUE, TRUE),
+        |  ('pq_c16', 45, TRUE, TRUE),
+        |  ('pq_c64', 85, TRUE, TRUE))
         |  AS t(method, floor_e2, ok, mono_ok)
         |ORDER BY method""".stripMargin,
     "x_video_decode" ->
