@@ -395,11 +395,28 @@ object StressBench {
         val corpus = docs.join(e, docs("doc_id") === e("vec_id"))
           .select(docs("doc_id"), col("text"),
             xxhash64(col("text")).as("hh"), col("embedding").as("emb"))
-        graft.streaming.CdcStream.ingestPipelineApplyBatch(
-          corpus, 0L, s"$d/store", s"$d/semidx", "doc_id", "text", "hh", "emb",
-          k = 10, minDocsBoiler = 5, w = 4, windowSize = 3, minShared = 3,
-          maxDf = 8L, radius = 11, threshold = 0.9, numBuckets = 16,
-          hashKey = true, portable = false)
+        // the seed build feeds the WHOLE corpus as one batch — far past
+        // the micro-batch contract every stage is sized for, so disable
+        // broadcast planning for it: at 100× the Hamming multiprobe side
+        // of the corpus-vs-itself in-batch check is ~12 GiB, and the
+        // static row estimate still picks broadcast (hard 8 GiB cap
+        // aborts). Sort-merge handles it; the TIMED 1× leg below keeps
+        // the production plan untouched.
+        val spark = docs.sparkSession
+        val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val prevA = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try
+          graft.streaming.CdcStream.ingestPipelineApplyBatch(
+            corpus, 0L, s"$d/store", s"$d/semidx", "doc_id", "text", "hh", "emb",
+            k = 10, minDocsBoiler = 5, w = 4, windowSize = 3, minShared = 3,
+            maxDf = 8L, radius = 11, threshold = 0.9, numBuckets = 16,
+            hashKey = true, portable = false)
+        finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+        }
       }
       val b = batchDocs.join(batchEmbs, batchDocs("doc_id") === batchEmbs("vec_id"))
         .select((batchDocs("doc_id") + 1000000000000L).as("doc_id"), col("text"),
