@@ -1348,6 +1348,14 @@ object Dedup {
     * vectors (see [[semanticDedup]] for why nearest-seed assignment is
     * deliberately deterministic). One broadcast assignment pass — no
     * self-join, no shuffle beyond the group-by-id argmax.
+    *
+    * SCALING CONTRACT (SemDeDup's own regime): `numClusters` MUST grow
+    * with the corpus — target ~1k vectors per cell, i.e. K ≈ n/1000. At
+    * fixed K the downstream within-cell pair stages
+    * ([[semanticDedup]]'s prune join, [[semanticAdmit]]'s cell probe)
+    * are quadratic in n BY CONSTRUCTION (cells hold n/K vectors each);
+    * the stress harness scales K with every expansion for exactly this
+    * reason.
     */
   def semanticIndex(
       df: DataFrame,
@@ -1642,7 +1650,8 @@ object Dedup {
     * denominator the stress artifacts normalize against.
     */
   def lshGeometry(n: Long): (Int, Int) =
-    if (n > LshWideBandCutover) (64, 20)
+    if (n > LshUltraWideBandCutover) (128, 24)
+    else if (n > LshWideBandCutover) (64, 20)
     else if (n > LshBandingCutover) (32, 16)
     else (8, 8)
 
@@ -1683,6 +1692,31 @@ object Dedup {
     * probes.
     */
   val LshWideBandCutover: Long = 200000L
+
+  /** Corpus size past which the banding geometry widens again, from
+    * 64×20-bit to 128×24-bit bands — the next decade's rung on the same
+    * ladder: random-collision candidate volume is
+    * bands·n²/2^(bitsPerBand+1), so 20-bit bands that carry ~7.6M random
+    * candidates at n = 500k carry ~190M by n = 2.5M, while 24 bits hold
+    * per-bucket load to n/2²⁴ (~12M at n = 2.5M, 16× less). Boundary
+    * recall at cos = 0.9 (flip rate 0.144/plane): per-band match
+    * 0.856²⁴ ≈ 0.024, any-of-128 ≈ 0.954 — ABOVE the 64×20 rung's
+    * 0.946; true near-dups (≤0.8% flip) match any-band with
+    * 1 − (1 − 0.992²⁴)¹²⁸ ≈ 1 − 10⁻¹¹. Projection cost doubles to 3072
+    * cached-matrix FMAs/row — map-side, codegen'd.
+    *
+    * The cutover sits ABOVE the sandbox's largest stress corpus
+    * (n = 200k embeddings at the 100× expansion) by design: there the
+    * r13-measured wall excess over linear (x_vs_linear 2.29,
+    * work-normalized 0.75) is OUTPUT-driven — the stress corpus's
+    * duplicate band grows quadratically in Replicas (429 841 true pairs
+    * at 100×, each necessarily generated in every matching band before
+    * the pair dedup and exact-verified once after it) — not
+    * random-collision-driven, so widening bands there was measured a
+    * tie (the [[LshWideBandCutover]] note). This rung is for corpora
+    * whose RANDOM term dominates again.
+    */
+  val LshUltraWideBandCutover: Long = 1000000L
 
   /** SRP banding — the large-corpus candidate generator: `bands`
     * INDEPENDENT `bitsPerBand`-plane signatures (seeded per band), a pair
@@ -2086,13 +2120,27 @@ object Dedup {
     * Caller contract: each document id is appended at most once (the
     * admission loop appends a batch after screening it, and ids are
     * unique across batches — the maintainer's own invariant).
+    *
+    * CRASH RETRY: pass a caller-stable `appendId` (the admission loop's
+    * own batch sequence number) and the append becomes IDEMPOTENT — the
+    * batch's postings land in their own `aseq=<appendId>` partition of a
+    * sibling `apost` table (mode overwrite, the streaming maintainer's
+    * own-partition discipline), so a crashed-then-retried append
+    * replaces its partition instead of double-writing `(id, fp)` rows
+    * into the shared `posts` dirs. Duplicated rows are not benign: the
+    * probe-side cumulative df cap counts posting ROWS per fingerprint,
+    * so a double-write can push a fingerprint past `maxDf` and flip a
+    * real duplicate to `new`. Without `appendId` the legacy blind
+    * append is kept for single-shot callers — but then a failed append
+    * requires a [[writeWinnowIndex]] rebuild, never a retry.
     */
   def appendWinnowIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       batch: DataFrame,
       idCol: String,
-      textCol: String
+      textCol: String,
+      appendId: Long = -1L
   ): Unit = {
     import org.apache.spark.sql.types._
     val (w, windowSize, _, buckets, portable) = winnowIndexLayout(spark, path)
@@ -2109,9 +2157,12 @@ object Dedup {
       } else posts
     // clustered by fb (the build's fan-out rule): one new file per
     // touched bucket dir per append, not tasks × buckets
-    kept.select("id", "fp", "fb")
-      .repartition(buckets, col("fb"))
-      .write.mode("append").partitionBy("fb").parquet(s"$path/posts")
+    val clustered = kept.select("id", "fp", "fb").repartition(buckets, col("fb"))
+    if (appendId >= 0L)
+      clustered.write.mode("overwrite").partitionBy("fb")
+        .parquet(s"$path/apost/aseq=$appendId")
+    else
+      clustered.write.mode("append").partitionBy("fb").parquet(s"$path/posts")
     ()
   }
 
@@ -2164,7 +2215,21 @@ object Dedup {
     val touched = posts
       .select(pmod(xxhash64(col("fp")), lit(buckets)).cast("int").as("fb"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val store = spark.read.schema(storeSchema).parquet(s"$path/posts")
+    // the store is posts ∪ apost: apost holds the idempotent
+    // per-appendId partitions of [[appendWinnowIndex]] retries (its
+    // extra aseq partition column is projected away); both sides carry
+    // the fb partition axis, so the touched-bucket pruning below pushes
+    // into each scan
+    val postsDf = spark.read.schema(storeSchema).parquet(s"$path/posts")
+      .select("id", "fp", "fb")
+    val apostDir = new org.apache.hadoop.fs.Path(s"$path/apost")
+    val apostFs = apostDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store =
+      if (apostFs.exists(apostDir))
+        postsDf.unionByName(
+          spark.read.schema(storeSchema).parquet(s"$path/apost")
+            .select("id", "fp", "fb"))
+      else postsDf
     val idx =
       if (touched.isEmpty) store.select(col("id").as("a_id"), col("fp")).limit(0)
       else store.where(col("fb").isin(touched: _*)).select(col("id").as("a_id"), col("fp"))

@@ -156,6 +156,12 @@ object Similarity {
     * centroid_id, centroids DF). At scale the assignment is a broadcast map
     * join (centroid count ≪ corpus) and the index is just a partitioning
     * column — write `partitionBy("centroid_id")` for pruned probes.
+    *
+    * SCALING CONTRACT: `nCentroids` MUST grow with the corpus (the
+    * classic √n-to-n/1000 IVF sizing; the stress probes use n/500). At
+    * fixed nCentroids each cell holds n/K vectors, so a fixed-nProbe
+    * query scans Θ(n) rows and the "probe reads a ~constant row count"
+    * claim only holds under the K ∝ n rule.
     */
   def ivfIndex(
       corpus: DataFrame,

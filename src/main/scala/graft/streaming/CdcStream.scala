@@ -595,6 +595,7 @@ object CdcStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         substringStripApplyBatch(
           batch.toDF(), batchId, indexPath, outPath, k, hashKey, numBuckets)
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -606,6 +607,17 @@ object CdcStream {
     * trigger directly (the streaming query is just this applied per
     * batch). Idempotent in `batchId` by construction (see the layout /
     * replay notes on the public method).
+    *
+    * Returns the stripped-output frame it wrote. With
+    * `keepOutput = true` the frame is LOCAL-CHECKPOINTED (eager) before
+    * the write, so a composing caller ([[ingestPipelineApplyBatch]])
+    * can feed the next stage from memory instead of re-reading the
+    * partition it just wrote — the write stays the replay-safe state,
+    * the read-back was pure per-trigger overhead. A checkpoint, not a
+    * cache, because only the checkpoint TRUNCATES lineage the way the
+    * read-back did — a cached handoff nests every prior stage's plan
+    * into the next and the composed pipeline's analysis cost explodes.
+    * Checkpoint blocks free with the trigger's frames (ContextCleaner).
     */
   private[graft] def substringStripApplyBatch(
       batch: DataFrame,
@@ -614,7 +626,8 @@ object CdcStream {
       outPath: String,
       k: Int,
       hashKey: Boolean,
-      numBuckets: Int): Unit = {
+      numBuckets: Int,
+      keepOutput: Boolean = false): DataFrame = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
     import graft.ext.Dedup
@@ -650,9 +663,9 @@ object CdcStream {
         else store.where(col("gb").isin(touched: _*)).select("g")
       val spans = Dedup
         .exactSubstringSpansIncremental(index, b, "doc_id", "text", k, hashKey)
-      Dedup
-        .stripSpans(b, "doc_id", "text", spans.select("doc_id", "spans"))
-        .write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
+      val out = Dedup.stripSpans(b, "doc_id", "text", spans.select("doc_id", "spans"))
+      val kept = if (keepOutput) out.localCheckpoint() else out
+      kept.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
       // one file per bucket dir: without the repartition every write task
       // fans out across all numBuckets partition dirs (tasks × buckets
       // small files per trigger — the small-file explosion that kills
@@ -663,8 +676,8 @@ object CdcStream {
         .repartition(numBuckets, col("gb"))
         .write.mode("overwrite").partitionBy("gb")
         .parquet(s"$indexPath/ingest_batch=$batchId")
+      kept
     } finally { batchGrams.unpersist(); b.unpersist(); () }
-    ()
   }
 
   /** Streaming perceptual-hash admission — the INGEST composition of
@@ -706,6 +719,7 @@ object CdcStream {
         hammingAdmitApplyBatch(
           batch.toDF(), batchId, indexPath, outPath, idCol, hashCol,
           radius, blocks, probeBits)
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -714,6 +728,8 @@ object CdcStream {
 
   /** One micro-batch of [[hammingAdmitMaintain]] — package-visible for
     * the crash-replay spec and stress probes. Idempotent in `batchId`.
+    * Returns the admission-status frame it wrote (local-checkpointed
+    * when `keepOutput` — the [[substringStripApplyBatch]] contract).
     */
   private[graft] def hammingAdmitApplyBatch(
       batch: DataFrame,
@@ -724,7 +740,8 @@ object CdcStream {
       hashCol: String,
       radius: Int,
       blocks: Int,
-      probeBits: Int): Unit = {
+      probeBits: Int,
+      keepOutput: Boolean = false): DataFrame = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
     import graft.ext.Dedup
@@ -749,15 +766,16 @@ object CdcStream {
           .select("blk", "key", "id", "hh")
     val b = batch.cache()
     try {
-      Dedup
+      val out = Dedup
         .hammingAdmitBanded(bandedIndex, b, idCol, hashCol, radius, blocks, probeBits)
-        .write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
+      val kept = if (keepOutput) out.localCheckpoint() else out
+      kept.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
       Dedup.hammingIndexBanded(b, idCol, hashCol, blocks)
         .repartition(col("blk"))
         .write.mode("overwrite").partitionBy("blk")
         .parquet(s"$indexPath/ingest_batch=$batchId")
+      kept
     } finally { b.unpersist(); () }
-    ()
   }
 
   /** Streaming winnowing near-dup admission — the INGEST form of
@@ -807,6 +825,7 @@ object CdcStream {
         winnowAdmitApplyBatch(
           batch.toDF(), batchId, indexPath, outPath, idCol, textCol,
           w, windowSize, minShared, maxDf, numBuckets, portable)
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -837,6 +856,8 @@ object CdcStream {
 
   /** One micro-batch of [[winnowAdmitMaintain]] — package-visible for
     * the crash-replay spec and stress probes. Idempotent in `batchId`.
+    * Returns the `(id, status)` frame it wrote (local-checkpointed
+    * when `keepOutput` — the [[substringStripApplyBatch]] contract).
     */
   private[graft] def winnowAdmitApplyBatch(
       batch: DataFrame,
@@ -850,7 +871,8 @@ object CdcStream {
       minShared: Int,
       maxDf: Long,
       numBuckets: Int,
-      portable: Boolean): Unit = {
+      portable: Boolean,
+      keepOutput: Boolean = false): DataFrame = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField}
     import graft.ext.Dedup
@@ -906,7 +928,7 @@ object CdcStream {
         .where(col("shared") >= minShared)
         .select(col("id_b").as("id")).distinct()
         .withColumn("__batch", lit(true))
-      batch
+      val out = batch
         .select(col(idCol).cast("long").as("id"))
         .join(snapHit, Seq("id"), "left_outer")
         .join(batchHit, Seq("id"), "left_outer")
@@ -916,15 +938,16 @@ object CdcStream {
             .when(col("__batch"), lit("dup_batch"))
             .otherwise(lit("new"))
             .as("status"))
-        .write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
+      val kept = if (keepOutput) out.localCheckpoint() else out
+      kept.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
       // one file per bucket dir: clustered by fb so a write task owns
       // whole buckets instead of fanning small files across partitions
       posts.select("id", "fp", "fb")
         .repartition(numBuckets, col("fb"))
         .write.mode("overwrite").partitionBy("fb")
         .parquet(s"$indexPath/ingest_batch=$batchId")
+      kept
     } finally { posts.unpersist(); () }
-    ()
   }
 
   /** Streaming BM25 inverted-index maintenance — the INGEST form of
@@ -1066,6 +1089,7 @@ object CdcStream {
         boilerplateApplyBatch(
           batch.toDF(), batchId, countsPath, outPath, idCol, textCol,
           minDocs, sep, numBuckets)
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -1073,7 +1097,9 @@ object CdcStream {
       .start()
 
   /** One micro-batch of [[boilerplateMaintain]] — package-visible for
-    * the crash-replay spec and stress probes. Idempotent in `batchId`. */
+    * the crash-replay spec and stress probes. Idempotent in `batchId`.
+    * Returns the stripped-output frame it wrote (local-checkpointed
+    * when `keepOutput` — the [[substringStripApplyBatch]] contract). */
   private[graft] def boilerplateApplyBatch(
       batch: DataFrame,
       batchId: Long,
@@ -1083,7 +1109,8 @@ object CdcStream {
       textCol: String,
       minDocs: Int,
       sep: String,
-      numBuckets: Int): Unit = {
+      numBuckets: Int,
+      keepOutput: Boolean = false): DataFrame = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
     import graft.ext.TextOps
@@ -1123,15 +1150,15 @@ object CdcStream {
         .join(prior, Seq("ph"), "left_outer")
         .where(coalesce(col("n_prior"), lit(0L)) + col("n_docs") >= minDocs)
         .select(col("ph"), lit(true).as("is_boiler"))
-      TextOps
-        .reassembleStripped(paras.join(boiler, Seq("ph"), "left"), sep)
-        .write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
+      val out = TextOps.reassembleStripped(paras.join(boiler, Seq("ph"), "left"), sep)
+      val kept = if (keepOutput) out.localCheckpoint() else out
+      kept.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
       own
         .repartition(numBuckets, col("pb"))
         .write.mode("overwrite").partitionBy("pb")
         .parquet(s"$countsPath/ingest_batch=$batchId")
+      kept
     } finally { paras.unpersist(); () }
-    ()
   }
 
   /** The FULL ingest recipe as ONE stream — the production composition
@@ -1239,45 +1266,57 @@ object CdcStream {
       col(textCol).as("text"),
       col(sketchCol).cast("long").as("__hh"),
       col(embCol).as("__emb")).cache()
+    // every stage WRITES its batch partition (that write IS the
+    // replay-safe state + lineage record) but the next stage consumes
+    // the LOCAL-CHECKPOINTED in-memory frame the write was produced
+    // from — the stage outputs are already in memory at write time, and
+    // re-reading each freshly written partition from parquet was five
+    // pure-overhead round-trips per trigger (the r13 per-trigger
+    // floor). localCheckpoint, NOT cache: a cache keeps the full
+    // logical plan, so each stage's plan would nest every prior
+    // stage's and the final five-way join's ANALYSIS cost explodes
+    // (measured: the composed gate went 15 s → 10+ min on cache);
+    // the checkpoint truncates lineage to the materialized blocks —
+    // exactly what the parquet read-back used to provide, without the
+    // round-trip. Blocks are reclaimed by the ContextCleaner when the
+    // trigger's frames go out of scope; a lost executor fails the
+    // trigger and foreachBatch redelivers it, which every stage absorbs
+    // idempotently (the replay contract above).
     try {
       // 1. boilerplate strip (cumulative count store)
-      boilerplateApplyBatch(
+      val clean1 = boilerplateApplyBatch(
         b.select("doc_id", "text"), batchId,
         s"$storeRoot/counts", s"$storeRoot/clean1", "doc_id", "text",
-        minDocsBoiler, "\n", numBuckets)
-      val clean1 = spark.read.parquet(s"$storeRoot/clean1/ingest_batch=$batchId")
+        minDocsBoiler, "\n", numBuckets, keepOutput = true)
         .select(col("doc_id"), col("stripped_text").as("text"))
       // 2. exact-substring dedup + strip (gram store)
-      substringStripApplyBatch(
+      val clean2 = substringStripApplyBatch(
         clean1, batchId, s"$storeRoot/gram", s"$storeRoot/clean2",
-        k, hashKey, numBuckets)
-      val clean2 = spark.read.parquet(s"$storeRoot/clean2/ingest_batch=$batchId")
+        k, hashKey, numBuckets, keepOutput = true)
         .select(col("doc_id"), col("stripped_text"))
       // 3. winnowing fuzzy-text admission (fingerprint store)
-      winnowAdmitApplyBatch(
+      val wstat = winnowAdmitApplyBatch(
         clean2.select(col("doc_id"), col("stripped_text").as("text")), batchId,
         s"$storeRoot/win", s"$storeRoot/wstat", "doc_id", "text",
-        w, windowSize, minShared, maxDf, numBuckets, portable)
-      val wstat = spark.read.parquet(s"$storeRoot/wstat/ingest_batch=$batchId")
+        w, windowSize, minShared, maxDf, numBuckets, portable, keepOutput = true)
         .select(col("id").as("doc_id"), col("status").as("winnow_status"))
       val surv3 = wstat.where(col("winnow_status") === "new").select("doc_id")
       // 4. perceptual admission of the text-survivors' sketches
-      hammingAdmitApplyBatch(
+      val hstat = hammingAdmitApplyBatch(
         b.join(surv3, Seq("doc_id"), "left_semi").select(col("doc_id"), col("__hh")),
         batchId, s"$storeRoot/ham", s"$storeRoot/hstat", "doc_id", "__hh",
-        radius, blocks = 4, probeBits = 2)
-      val hstat = spark.read.parquet(s"$storeRoot/hstat/ingest_batch=$batchId")
+        radius, blocks = 4, probeBits = 2, keepOutput = true)
         .select(col("id").as("doc_id"), col("status").as("perceptual_status"))
       val surv4 = hstat.where(col("perceptual_status") === "new").select("doc_id")
       // 5. semantic screen against the FIXED reference index (stateless)
-      graft.ext.Dedup
+      val sstat = graft.ext.Dedup
         .semanticAdmitStored(
           spark, semanticIndexPath,
           b.join(surv4, Seq("doc_id"), "left_semi").select(col("doc_id"), col("__emb")),
           "doc_id", "__emb", threshold)
         .select(col("id").as("doc_id"), col("status").as("semantic_status"))
-        .write.mode("overwrite").parquet(s"$storeRoot/sstat/ingest_batch=$batchId")
-      val sstat = spark.read.parquet(s"$storeRoot/sstat/ingest_batch=$batchId")
+        .localCheckpoint()
+      sstat.write.mode("overwrite").parquet(s"$storeRoot/sstat/ingest_batch=$batchId")
       b.select("doc_id")
         .join(clean2, Seq("doc_id"), "left_outer")
         .join(wstat, Seq("doc_id"), "left_outer")
@@ -1347,13 +1386,23 @@ object CdcStream {
     *
     * Crash-safe by staging + resume: the folded rows are first written
     * OUTSIDE the store (`<tablePath>.compact`); only once that write
-    * has committed (_SUCCESS) are source partitions deleted and the
+    * has committed (_SUCCESS) and its `_GRAFT_COMPACT_META` recorded
+    * WHICH `upToBatch` it folds are source partitions deleted and the
     * staged dir renamed in. A re-run after a crash detects the
     * committed staged dir and resumes the delete+rename phase instead
     * of re-deriving the fold from a store the crash may have left
-    * partially deleted. The staged _SUCCESS marker rides along into
-    * the store — Spark's file listing ignores underscore-prefixed
-    * metadata files, and deleting it early would break resume.
+    * partially deleted — but ONLY when the staged META matches the
+    * requested `upToBatch`: a crashed compaction to X resumed as a
+    * compaction to Y > X would otherwise skip the fold, delete
+    * partitions (X, Y] and rename the stale X-fold in as
+    * `ingest_batch=Y`, silently losing those batches' rows. A mismatch
+    * is a hard error telling the caller to finish the crashed
+    * compaction (re-run with its own `upToBatch`) first; re-deriving
+    * under the new target would read a store the crashed delete phase
+    * may have already damaged. The staged _SUCCESS and META markers
+    * ride along into the store — Spark's file listing ignores
+    * underscore-prefixed metadata files, and deleting them early would
+    * break resume.
     */
   private def compactBatchedTable(
       spark: SparkSession,
@@ -1367,13 +1416,33 @@ object CdcStream {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(live), s"no batched store at $tablePath")
     val staged = new Path(s"$tablePath.compact")
-    val stagedCommitted = fs.exists(new Path(staged, "_SUCCESS"))
+    val meta = new Path(staged, "_GRAFT_COMPACT_META")
+    val metaBody = s"compact:upTo=$upToBatch:v1"
+    // a committed stage is _SUCCESS (parquet fold intact) + META (we
+    // know which upToBatch it was staged for); _SUCCESS without META is
+    // a crash BETWEEN the fold and the stamp — no deletes have run yet
+    // (they only start below, after the stamp), so re-deriving is safe
+    val stagedCommitted =
+      if (fs.exists(new Path(staged, "_SUCCESS")) && fs.exists(meta)) {
+        val in = fs.open(meta)
+        val got =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        require(got == metaBody,
+          s"staged compaction at $staged was taken for '$got', not " +
+            s"'$metaBody' — a crashed compaction may already have deleted " +
+            "source partitions for its own target; re-run with the staged " +
+            "upToBatch to finish it before compacting further")
+        true
+      } else false
     if (!stagedCommitted) {
       val folded = fold(
         spark.read.parquet(tablePath).where(col("ingest_batch") <= upToBatch))
       val w = folded.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(staged.toString)
+      val out = fs.create(meta, true)
+      try out.write(metaBody.getBytes("UTF-8")) finally out.close()
     }
     fs.listStatus(live)
       .map(_.getPath)
@@ -1456,6 +1525,89 @@ object CdcStream {
       _.agg(
         coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl")).coalesce(1))
+  }
+
+  /** The maintenance entry point the per-store compactors plug into —
+    * the streaming analogue of the reference's scheduled
+    * `add_retention_policy` chore (carlospsikick/timescale-cdc
+    * init.sql:71): run every compactor whose store exists under the
+    * [[ingestPipelineMaintain]] `storeRoot` layout (`counts`, `gram`,
+    * `win`, `ham` — a partial layout, e.g. a standalone
+    * [[winnowAdmitMaintain]] deployment, compacts just what it has),
+    * plus an optional [[bm25IndexMaintain]] index. Returns the store
+    * names compacted, for the caller's maintenance log.
+    *
+    * The `checkpoint` overload derives the checkpoint-safe `upToBatch`
+    * itself: the newest batch id with a COMMIT in the stream's
+    * checkpoint. Everything at or below it is fully written state; the
+    * only batch a restart can replay is `last + 1`, whose probes filter
+    * `ingest_batch < last + 1` — a bound the relabel-to-`last` fold
+    * never crosses. Run it while the stream is STOPPED (between a
+    * `StreamingQuery.stop()` and the restart — the run-while-stopped
+    * contract of every compactor); a no-commit checkpoint is a no-op.
+    *
+    * Per-batch OUTPUT tables (`clean1`, `clean2`, `wstat`, `hstat`,
+    * `sstat`, `admitted`) are deliberately NOT folded: they are the
+    * pipeline's delivered facts, never probed as state, and their
+    * retention is the consumer's policy ([[graft.log.CdcLog]]-style
+    * expiry), not a probe-cost concern.
+    */
+  def maintainStores(
+      spark: SparkSession,
+      storeRoot: String,
+      upToBatch: Long,
+      bm25IndexPath: Option[String]): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(storeRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def has(sub: String) = fs.exists(new Path(s"$storeRoot/$sub"))
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (has("counts")) {
+      compactBoilerplateStore(spark, s"$storeRoot/counts", upToBatch); ran += "counts"
+    }
+    if (has("gram")) {
+      compactSubstringStore(spark, s"$storeRoot/gram", upToBatch); ran += "gram"
+    }
+    if (has("win")) {
+      compactWinnowStore(spark, s"$storeRoot/win", upToBatch); ran += "win"
+    }
+    if (has("ham")) {
+      compactHammingStore(spark, s"$storeRoot/ham", upToBatch); ran += "ham"
+    }
+    bm25IndexPath.foreach { p => compactBm25Index(spark, p, upToBatch); ran += "bm25" }
+    ran.toSeq
+  }
+
+  def maintainStores(spark: SparkSession, storeRoot: String, upToBatch: Long): Seq[String] =
+    maintainStores(spark, storeRoot, upToBatch, None)
+
+  /** Checkpoint-derived [[maintainStores]] — see the three-arg form. */
+  def maintainStores(
+      spark: SparkSession,
+      storeRoot: String,
+      checkpoint: String,
+      bm25IndexPath: Option[String] = None): Seq[String] =
+    lastCommittedBatch(spark, checkpoint) match {
+      case Some(upTo) => maintainStores(spark, storeRoot, upTo, bm25IndexPath)
+      case None       => Seq.empty
+    }
+
+  /** Newest batch id with a commit marker in a streaming checkpoint —
+    * the largest `upToBatch` the compactors may safely fold (see
+    * [[maintainStores]]). None when the checkpoint has no commits yet.
+    */
+  private[graft] def lastCommittedBatch(
+      spark: SparkSession, checkpoint: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val commits = new Path(s"$checkpoint/commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(commits)) None
+    else
+      fs.listStatus(commits)
+        .map(_.getPath.getName)
+        .filter(_.forall(_.isDigit))
+        .map(_.toLong)
+        .reduceOption(_ max _)
   }
 
   /** Stream-stream inner join on `keys` with a bounded event-time

@@ -1093,12 +1093,20 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id", "n_tokens", "kept_tokens", "stripped_text")
       .as[(Long, Long, Long, String)].collect().toSet
     assert(streamed === full, "post-compaction strip diverged from the one-shot pipeline")
-    // crash-resume: staged set committed, one source partition already
-    // deleted, rename never happened — a re-run must resume from the
-    // staged dir, not re-derive from the partially-deleted store
+    // crash-resume: staged set committed AND stamped for upToBatch=2,
+    // one source partition already deleted, rename never happened — a
+    // re-run must resume from the staged dir, not re-derive from the
+    // partially-deleted store
     val expected = spark.read.parquet(idx).select("g").as[Long].collect().toSet
-    spark.read.parquet(idx).where($"ingest_batch" <= 2).select("g", "gb")
-      .write.mode("overwrite").partitionBy("gb").parquet(s"$idx.compact")
+    def stage(upTo: Long): Unit = {
+      spark.read.parquet(idx).where($"ingest_batch" <= upTo).select("g", "gb")
+        .write.mode("overwrite").partitionBy("gb").parquet(s"$idx.compact")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$idx.compact/_GRAFT_COMPACT_META"),
+        s"compact:upTo=$upTo:v1".getBytes("UTF-8"))
+      ()
+    }
+    stage(2L)
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rmrf)
       f.delete(); ()
@@ -1107,6 +1115,33 @@ class StreamingSpec extends SparkSpec {
     CdcStream.compactSubstringStore(spark, idx, upToBatch = 2L)
     assert(spark.read.parquet(idx).select("g").as[Long].collect().toSet === expected,
       "resume after mid-compaction crash lost grams")
+    // a committed stage for one upToBatch must REFUSE a resume under a
+    // different one — skipping the fold would delete the extra batches'
+    // partitions and rename the stale fold over them
+    applyBatch(slice(160, 200), 3L)
+    applyBatch(slice(200, 240), 4L)
+    stage(3L)
+    val refused = intercept[IllegalArgumentException] {
+      CdcStream.compactSubstringStore(spark, idx, upToBatch = 4L)
+    }
+    assert(refused.getMessage.contains("upTo=3"),
+      s"refusal must name the staged target, got: ${refused.getMessage}")
+    // the refused store is untouched; finishing the staged compaction
+    // and then compacting to 4 converges to the same gram set
+    val expected2 = spark.read.parquet(idx).select("g").as[Long].collect().toSet
+    CdcStream.compactSubstringStore(spark, idx, upToBatch = 3L)
+    CdcStream.compactSubstringStore(spark, idx, upToBatch = 4L)
+    assert(spark.read.parquet(idx).select("g").as[Long].collect().toSet === expected2,
+      "finish-then-advance compaction changed the gram set")
+    // a stage that crashed BETWEEN the fold commit and the META stamp is
+    // re-derived (no deletes can have run yet — the store is intact)
+    applyBatch(slice(240, 280), 5L)
+    spark.read.parquet(idx).where($"ingest_batch" <= 5).select("g", "gb")
+      .write.mode("overwrite").partitionBy("gb").parquet(s"$idx.compact")
+    val expected3 = spark.read.parquet(idx).select("g").as[Long].collect().toSet
+    CdcStream.compactSubstringStore(spark, idx, upToBatch = 5L)
+    assert(spark.read.parquet(idx).select("g").as[Long].collect().toSet === expected3,
+      "unstamped stage (crash before META) must re-derive, not lose grams")
   }
 
   test("compactHammingStore / compactWinnowStore: fold-then-probe equals probe (concatenation folds)") {
@@ -1302,6 +1337,85 @@ class StreamingSpec extends SparkSpec {
     assert(ham.count() === ham.dropDuplicates("blk", "key", "id").count(), "ham store duplicated")
     val gram = spark.read.parquet(s"$base/store/gram")
     assert(gram.count() === gram.dropDuplicates("g").count(), "gram store duplicated")
+  }
+
+  test("maintainStores: maintain → stop → compact-from-checkpoint → resume equals the never-compacted twin") {
+    import graft.ext.Dedup
+    import org.apache.spark.sql.streaming.Trigger
+    val d = Tables.load(spark, sf0001, "documents")
+    val e = Tables.load(spark, sf0001, "embeddings").select($"vec_id", $"embedding")
+    def rows(lo: Int, hi: Int) = d.where($"doc_id" >= lo && $"doc_id" < hi)
+      .join(e, d("doc_id") === e("vec_id"))
+      .select(d("doc_id"), $"text", xxhash64($"text").as("hh"), $"embedding".as("emb"))
+    val ref = e.where($"vec_id" % 3 === 1)
+    val b0 = rows(0, 60)
+    val b1 = rows(60, 120)
+    // batch 2 carries a text copy of a batch-0 doc and a sketch copy —
+    // fates that PROBE the compacted stores, not just append to them
+    val copyText = rows(0, 60).where($"doc_id" === 30)
+      .select(($"doc_id" + 9000L).as("doc_id"), $"text", ($"hh" + 7L).as("hh"), $"emb")
+    val copySketch = rows(0, 60).where($"doc_id" === 40)
+      .select(($"doc_id" + 9100L).as("doc_id"),
+        concat(lit("fresh unique words one two three four five six seven "),
+          $"doc_id").as("text"),
+        $"hh", $"emb")
+    val b2 = rows(120, 180).unionByName(copyText).unionByName(copySketch)
+    def lifecycle(compactBetween: Boolean): Set[(Long, String, String, String, String, Boolean)] = {
+      val base = tempDir(if (compactBetween) "maintc" else "maintn")
+      Dedup.writeSemanticIndex(
+        Dedup.semanticIndex(ref, "vec_id", "embedding", 16),
+        Dedup.semanticSeeds(ref, "vec_id", "embedding", 16),
+        s"$base/semidx")
+      val in = s"$base/in"
+      def run(): Unit = {
+        val q = CdcStream.ingestPipelineMaintain(
+          spark.readStream.schema(b0.schema).option("maxFilesPerTrigger", 1).parquet(in),
+          s"$base/store", s"$base/semidx", s"$base/ckpt",
+          "doc_id", "text", "hh", "emb",
+          k = 10, minDocsBoiler = 5, w = 4, windowSize = 3, minShared = 3,
+          maxDf = 8L, radius = 11, threshold = 0.9, numBuckets = 8,
+          hashKey = true, portable = false, trigger = Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      // force strictly increasing mtimes so the two-batch drain order is
+      // deterministic (FileStreamSource breaks mtime ties by file name)
+      b0.coalesce(1).write.mode("append").parquet(in)
+      def dataFiles = new java.io.File(in).listFiles.toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val first = dataFiles.map(_.getName).toSet
+      b1.coalesce(1).write.mode("append").parquet(in)
+      val t0 = dataFiles.filter(f => first(f.getName)).map(_.lastModified).max
+      dataFiles.filterNot(f => first(f.getName)).foreach(_.setLastModified(t0 + 60000L))
+      run()
+      if (compactBetween) {
+        assert(CdcStream.lastCommittedBatch(spark, s"$base/ckpt") === Some(1L))
+        val ran = CdcStream.maintainStores(spark, s"$base/store", s"$base/ckpt")
+        assert(ran === Seq("counts", "gram", "win", "ham"), s"compacted $ran")
+        // the fold really landed: every store is a single batch-1 dir
+        Seq("counts", "gram", "win", "ham").foreach { sub =>
+          val dirs = new java.io.File(s"$base/store/$sub").listFiles
+            .filter(_.getName.startsWith("ingest_batch=")).map(_.getName).toSet
+          assert(dirs === Set("ingest_batch=1"), s"$sub left $dirs")
+        }
+      }
+      b2.coalesce(1).write.mode("append").parquet(in)
+      run() // the resumed stream's first trigger reads the (compacted) layout
+      spark.read.parquet(s"$base/store/admitted")
+        .select("doc_id", "final_text", "winnow_status", "perceptual_status",
+          "semantic_status", "admitted")
+        .as[(Long, String, String, String, String, Boolean)].collect().toSet
+    }
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val (compacted, plain) =
+      try (lifecycle(compactBetween = true), lifecycle(compactBetween = false))
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    assert(compacted === plain,
+      "compact-between-runs lifecycle diverged from the never-compacted twin")
+    // the planted cross-run fates really probed the compacted state
+    val byId = compacted.map(t => t._1 -> ((t._2, t._4))).toMap
+    assert(byId(9030L)._1 === "", "text copy of doc 30 survived the substring stage")
+    assert(byId(9140L)._2 === "dup_snapshot", "sketch copy of doc 40 missed the hamming stage")
   }
 
   test("foreachBatch sink sees every batch exactly once per run") {
