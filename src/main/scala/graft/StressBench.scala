@@ -312,10 +312,10 @@ object StressBench {
       // (posting list of 1); at 1× the fixture's 30-word lexicon has no
       // rare terms, so the baseline leg queries a common word whose
       // posting list is already corpus-sized — an UPPER-bound baseline,
-      // making the measured collapse conservative. (Common-term queries
-      // are inherently posting-list-linear on any engine without
-      // impact-ordered skipping — a different workload, not this
-      // probe's claim.)
+      // making the measured collapse conservative. (Since r14 the
+      // block-max sidecar early-terminates common-term queries too, so
+      // BOTH legs read a bounded impact prefix; bm25_stored_rare pins
+      // the fixed-df form of the same claim.)
       val spark = docs.sparkSession
       val n = docs.count()
       val buckets = math.max(64L, n / 100L).toInt
@@ -371,6 +371,33 @@ object StressBench {
           maxQueryTermDfFrac = Some(0.5))
         .count()
     }),
+    "bm25_stored_rare" -> (() => {
+      // the block-max done-criterion probe (r13 verdict #1): FIXED-df
+      // query terms while the corpus grows. The expansion's mutation
+      // tokens m<k>x<i> appear once per source doc at replica k (the
+      // i-th word of every ((k mod 5)+3)-stride replacement), so their
+      // df is bounded by the 1× doc count at EVERY expansion — a flat
+      // wall here means the probe reads the query's own posting mass
+      // (one or two impact blocks per term + dict/blockmax rows), never
+      // the corpus. At 1× the terms are absent and the probe measures
+      // the fixed floor (marker + stats + pruned dict reads) — the
+      // 0-mass limit of the same claim. Terms chosen on the stride
+      // grid so they EXIST at every expansion ≥ 5 replicas: k=2 strides
+      // 5, k=3 strides 6, k=4 strides 7.
+      val spark = docs.sparkSession
+      val n = docs.count()
+      val buckets = math.max(64L, n / 100L).toInt
+      val dir = memoIndex(docs.inputFiles.toSet, "bm25idx") { d =>
+        graft.ext.TextOps.materializeBm25Index(
+          docs, "doc_id", "text", d, numBuckets = buckets)
+      }
+      val queries = spark.createDataFrame(
+        (0 until 10).map(i => (i.toLong, s"m2x${5 * (i % 3 + 1)} m3x${6 * (i % 4 + 1)} m4x${7 * (i % 2 + 1)}")))
+        .toDF("q_id", "qtext")
+      graft.ext.TextOps
+        .bm25TopKStored(spark, dir, queries, "q_id", "qtext", k = 5)
+        .count()
+    }),
     "pipeline_ingest" -> (() => {
       // the COMPOSED five-stage ingest recipe's per-trigger cost: all
       // four stateful stores (boilerplate counts, gram, winnow, banded
@@ -403,19 +430,25 @@ object StressBench {
         // aborts). Sort-merge handles it; the TIMED 1× leg below keeps
         // the production plan untouched.
         val spark = docs.sparkSession
-        val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        val prevA = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        // restore-by-unset when a key was never set: fabricating a
+        // concrete default here (the r13 "64MB" bug) leaked a
+        // plan-affecting AQE conf into every probe timed after this
+        // memoized build — when unset, adaptive broadcast falls back to
+        // the non-adaptive threshold, and only unset restores that
+        val keys = Seq(
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        val prev = keys.map(k => k -> spark.conf.getOption(k))
+        keys.foreach(spark.conf.set(_, "-1"))
         try
           graft.streaming.CdcStream.ingestPipelineApplyBatch(
             corpus, 0L, s"$d/store", s"$d/semidx", "doc_id", "text", "hh", "emb",
             k = 10, minDocsBoiler = 5, w = 4, windowSize = 3, minShared = 3,
             maxDf = 8L, radius = 11, threshold = 0.9, numBuckets = 16,
             hashKey = true, portable = false)
-        finally {
-          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
-          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+        finally prev.foreach {
+          case (key, Some(v)) => spark.conf.set(key, v)
+          case (key, None)    => spark.conf.unset(key)
         }
       }
       val b = batchDocs.join(batchEmbs, batchDocs("doc_id") === batchEmbs("vec_id"))

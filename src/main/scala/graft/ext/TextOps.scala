@@ -1025,6 +1025,44 @@ object TextOps {
       .where(col("term") =!= "")
       .distinct()
 
+  /** The per-posting e6-quantized BM25 contribution — ONE definition
+    * shared by the inline scorer, the stored probe and the block-max
+    * early-termination path, so every path computes bit-identical
+    * doubles before the e6 floor. Expects columns (tf, dl, df). */
+  private def bm25ScoreE6(n: Long, avgdl: Double, k1: Double, b: Double): Column = {
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfPart = col("tf").cast("double") * (lit(k1) + 1.0) /
+      (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+    floor(idf * tfPart * 1e6 + 0.5).cast("long")
+  }
+
+  /** Per-(query, doc) integer aggregation of per-term contributions —
+    * shared by both scorer paths. Input needs (q_id, doc_id, score_e6,
+    * tf); extra columns pass through the groupBy untouched. */
+  private def bm25PerDoc(perTerm: DataFrame, extraAggs: Seq[Column] = Seq.empty): DataFrame =
+    perTerm
+      .groupBy("q_id", "doc_id")
+      .agg(
+        sum(col("score_e6")).as("score_e6"),
+        (Seq(sum(col("tf")).as("tf_sum"), count(lit(1)).as("n_terms")) ++ extraAggs): _*)
+
+  /** Partial top-k + output formatting over a scored (q_id, doc_id,
+    * score_e6, tf_sum, n_terms) frame — shared tail of both paths (the
+    * [[graft.functions.TopKAggregator]] keeps k rows per (query ×
+    * partition) ahead of the shuffle; ordering is score desc, doc_id
+    * asc on both paths). */
+  private def bm25TopKTail(perDoc: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    perDoc
+      .groupBy("q_id")
+      .agg(topk(col("score_e6").cast("double"), col("doc_id")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), col("col.id").as("doc_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").cast("long").as("score_e6"))
+      .join(perDoc.select("q_id", "doc_id", "tf_sum", "n_terms"), Seq("q_id", "doc_id"))
+      .select("q_id", "doc_id", "rank", "score_e6", "tf_sum", "n_terms")
+  }
+
   /** Scoring + top-k shared by [[bm25TopK]] and [[bm25TopKStored]]. */
   private def bm25ScoreCore(
       tf: DataFrame, // (doc_id, dl, term, tf)
@@ -1038,28 +1076,11 @@ object TextOps {
   ): DataFrame = {
     require(k >= 1, "need k >= 1")
     require(n > 0, "empty corpus")
-    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfPart = col("tf").cast("double") * (lit(k1) + 1.0) /
-      (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
     val perTerm = tf
       .join(dfreq, Seq("term"))
       .join(broadcast(qterms), Seq("term"))
-      .withColumn("score_e6", floor(idf * tfPart * 1e6 + 0.5).cast("long"))
-    val perDoc = perTerm
-      .groupBy("q_id", "doc_id")
-      .agg(
-        sum(col("score_e6")).as("score_e6"),
-        sum(col("tf")).as("tf_sum"),
-        count(lit(1)).as("n_terms"))
-    val topk = udaf(new graft.functions.TopKAggregator(k))
-    perDoc
-      .groupBy("q_id")
-      .agg(topk(col("score_e6").cast("double"), col("doc_id")).as("nn"))
-      .select(col("q_id"), posexplode(col("nn")))
-      .select(col("q_id"), col("col.id").as("doc_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.score").cast("long").as("score_e6"))
-      .join(perDoc.select("q_id", "doc_id", "tf_sum", "n_terms"), Seq("q_id", "doc_id"))
-      .select("q_id", "doc_id", "rank", "score_e6", "tf_sum", "n_terms")
+      .withColumn("score_e6", bm25ScoreE6(n, avgdl, k1, b))
+    bm25TopKTail(bm25PerDoc(perTerm), k)
   }
 
   /** Marker file inside a persisted BM25 index recording its bucket
@@ -1123,26 +1144,92 @@ object TextOps {
     * batch build is just the single-partial special case. Postings are
     * per-document facts and need no merging at all.
     */
+  /** `blockSize`: postings per impact block. Each term's postings are
+    * ranked by their BM25 tf-part at the build's own avgdl (descending
+    * — highest-impact first; ordering only steers how FAST the
+    * block-max probe terminates, validity comes from each block's
+    * `(max_tf, min_dl)` bounds) and cut into `blockSize`-posting blocks
+    * (`blk`), written sorted `(term, blk)` within each `tb` partition
+    * so parquet row-group stats prune both the term and the block
+    * filters. Beside the postings, `path/blockmax` records each
+    * block's `(max_tf, min_dl, n_rows)` — the per-block score upper
+    * bound [[bm25TopKStored]]'s early-termination probe stops against.
+    */
   def materializeBm25Index(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       path: String,
-      numBuckets: Int = 64
+      numBuckets: Int = 64,
+      blockSize: Int = 4096
   ): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    require(blockSize >= 1, "need blockSize >= 1")
     val spark = docs.sparkSession
     ensureBm25Marker(spark, path, numBuckets)
+    val statsRow = bm25StatsPartial(docs, textCol).head()
+    val buildN = statsRow.getLong(0)
+    val buildAvgdl =
+      if (buildN == 0L) 1.0 else statsRow.getLong(1).toDouble / buildN.toDouble
     val tb = pmod(xxhash64(col("term")), lit(numBuckets)).cast("int").as("tb")
-    val tf = bm25Postings(docs, idCol, textCol).withColumn("tb", tb)
+    // build-time impact order (k1/b defaults — see blockSize scaladoc):
+    // tf-part is monotone ↑ in tf and ↓ in dl, so the idf factor
+    // (constant within a term) cannot change the per-term order
+    val impact = col("tf").cast("double") /
+      (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+        col("dl").cast("double") / lit(buildAvgdl)))
+    val blkCol = ((row_number().over(
+      Window.partitionBy("term", "tb")
+        .orderBy(impact.desc, col("doc_id").asc)) - 1) / blockSize).cast("int")
+    val tf = bm25Postings(docs, idCol, textCol)
+      .withColumn("tb", tb)
+      .withColumn("blk", blkCol)
     tf.repartition(numBuckets, col("tb"))
+      .sortWithinPartitions("term", "blk")
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
     spark.read.parquet(s"$path/postings")
       .groupBy("term", "tb").agg(count(lit(1)).as("df"))
       .repartition(numBuckets, col("tb"))
+      .sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/dict")
+    spark.read.parquet(s"$path/postings")
+      .groupBy("term", "tb", "blk")
+      .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"),
+        count(lit(1)).as("n_rows"))
+      .repartition(numBuckets, col("tb"))
+      .sortWithinPartitions("term", "blk")
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/blockmax")
     bm25StatsPartial(docs, textCol)
       .write.mode("overwrite").parquet(s"$path/stats")
+    // marker LAST: a crashed build must not advertise a sidecar whose
+    // tables may be missing
+    writeBm25BlockMaxMarker(spark, path, blockSize)
     ()
+  }
+
+  /** Marker file recording that a BM25 index carries the block-max
+    * sidecar (and which blockSize built it). Streamed indexes
+    * ([[graft.streaming.CdcStream.bm25IndexMaintain]]) never write it —
+    * their probes take the full-scan path; a periodic
+    * [[materializeBm25Index]] rebuild is what re-arms early termination
+    * over a streamed corpus. */
+  private val Bm25BlockMaxMarker = "_GRAFT_BM25_BLOCKMAX"
+
+  private def writeBm25BlockMaxMarker(
+      spark: org.apache.spark.sql.SparkSession, path: String, blockSize: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(s"$path/$Bm25BlockMaxMarker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write(s"bm25bm:block=$blockSize:v1".getBytes("UTF-8")) finally out.close()
+    ()
+  }
+
+  private[graft] def hasBm25BlockMax(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(s"$path/$Bm25BlockMaxMarker")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker)
   }
 
   /** The mergeable (n, sum_dl) corpus-stats partial of a document set —
@@ -1215,16 +1302,10 @@ object TextOps {
     // are broadcast-small by contract)
     val qTerm = qterms.select("term", "tb").distinct().collect()
       .map(r => (r.getString(0), r.getInt(1))).toSeq
-    def pruned(sub: String, terms: Seq[(String, Int)]): DataFrame = {
-      val t = spark.read.parquet(s"$path/$sub")
-      if (terms.isEmpty) t.limit(0)
-      else t.where(
-        col("tb").isin(terms.map(_._2).distinct: _*) &&
-          col("term").isin(terms.map(_._1): _*))
-    }
     // df partials (one per contributing batch) merge to the global df —
     // read from the term-bucketed dictionary, never the postings
-    val dfreq = pruned("dict", qTerm).groupBy("term").agg(sum(col("df")).as("df"))
+    val dfreq = bm25PrunedRead(spark, path, "dict", qTerm)
+      .groupBy("term").agg(sum(col("df")).as("df"))
     val dropped: Set[String] = maxQueryTermDfFrac match {
       case Some(frac) =>
         require(frac > 0.0 && frac <= 1.0, "need 0 < maxQueryTermDfFrac <= 1")
@@ -1237,10 +1318,218 @@ object TextOps {
     val qtermsKept =
       if (dropped.isEmpty) qterms.select("q_id", "term")
       else qterms.where(!col("term").isin(dropped.toSeq: _*)).select("q_id", "term")
-    bm25ScoreCore(
-      pruned("postings", keep).select("doc_id", "dl", "term", "tf"),
-      dfreq,
-      qtermsKept,
-      n, avgdl, k, k1, b)
+    if (keep.nonEmpty && hasBm25BlockMax(spark, path))
+      bm25TopKStoredBlockMax(spark, path, keep, qtermsKept, dfreq, n, avgdl, k, k1, b)
+    else
+      bm25ScoreCore(
+        bm25PrunedRead(spark, path, "postings", keep).select("doc_id", "dl", "term", "tf"),
+        dfreq,
+        qtermsKept,
+        n, avgdl, k, k1, b)
+  }
+
+  /** Read `path/<sub>` pruned to the query terms' buckets AND the exact
+    * term set. When the one-shot layout (top-level `tb=` dirs) is
+    * present, the requested bucket dirs are opened DIRECTLY
+    * (basePath-anchored) so listing cost is O(touched buckets) — with
+    * the deployment rule bucket-count ∝ corpus-size, a full partition
+    * discovery would grow with the corpus even for a one-term probe.
+    * The streamed `ingest_batch=`/`tb=` layout keeps the normal pruned
+    * read: its bucket count is a fixed constant and compaction bounds
+    * its dir count. */
+  private def bm25PrunedRead(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      sub: String,
+      terms: Seq[(String, Int)]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val basePath = s"$path/$sub"
+    val base = new Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def termFilter(t: DataFrame): DataFrame =
+      if (terms.isEmpty) t.where(lit(false))
+      else t.where(
+        col("tb").isin(terms.map(_._2).distinct: _*) &&
+          col("term").isin(terms.map(_._1).distinct: _*))
+    val oneShot = fs.exists(base) &&
+      fs.listStatus(base).exists(_.getPath.getName.startsWith("tb="))
+    if (!oneShot) termFilter(spark.read.parquet(basePath))
+    else {
+      val dirs = terms.map(_._2).distinct.map(b => s"$basePath/tb=$b")
+        .filter(d => fs.exists(new Path(d)))
+      if (dirs.isEmpty) spark.read.parquet(basePath).where(lit(false))
+      else termFilter(spark.read.option("basePath", basePath).parquet(dirs: _*))
+    }
+  }
+
+  /** Bounded driver-side block metadata per query term: past this many
+    * blocks the tail folds to one (max-ub, whole-term) rung — driver
+    * memory stays O(queryTerms · MaxDriverBlocks) however hot a term
+    * is. */
+  private val MaxDriverBlocks = 8192
+
+  /** Integer-domain slack added to every block upper bound: tf-part is
+    * monotone in (tf, dl) in the reals, but the block bound and the
+    * posting score are two separate double evaluations — a sub-ulp
+    * asymmetry at the e6 floor could otherwise understate a bound by
+    * one. Slack only weakens pruning, never correctness. */
+  private val UbSlackE6 = 8L
+
+  /** [[bm25TopKStored]] with BLOCK-MAX EARLY TERMINATION — the
+    * impact-ordered-index answer to the one scale-weak plan left in
+    * r13: without it the probe scores EVERY posting of every query
+    * term, so a mid-frequency term's probe wall grows linearly with its
+    * corpus-side posting-list length (measured 0.74 s → 17.3 s at
+    * 1×→100× on the stress corpus). With the [[materializeBm25Index]]
+    * sidecar the probe instead:
+    *
+    *  1. admits each term's highest-impact block and scores it exactly
+    *     (the same [[bm25ScoreE6]] expression as the full path — the
+    *     e6-long partial sums are order-free, so accumulated scores of
+    *     fully-seen documents are bit-identical to a full scan);
+    *  2. checks an EXACTNESS CERTIFICATE per query against the unseen
+    *     mass, where `R_t` = max upper bound over term t's unadmitted
+    *     blocks and `totR = Σ R_t`:
+    *       - every top-k document's score is COMPLETE (each of the
+    *         query's terms is either exhausted or already contributed
+    *         to it: `totR − seenR(d) = 0`),
+    *       - no UNSEEN document can reach the top-k (`totR < θ`, the
+    *         k-th accumulated score — an unseen doc's postings all sit
+    *         in unadmitted blocks, so its score is ≤ totR),
+    *       - no PARTIALLY-seen document can cross θ
+    *         (`acc(d) + totR − seenR(d) < θ` for every rank > k);
+    *  3. on failure doubles each uncertified query's admitted blocks
+    *     (per term, highest-ub first; a term whose tail outgrows the
+    *     bounded driver list escalates to whole-term) and rescans —
+    *     geometric growth, so total scanned postings ≤ 2× the certified
+    *     prefix, and ≤ log₂(blocks) rounds degrade to the full scan in
+    *     the worst case.
+    *
+    * Strict `<` comparisons make ties conservative: an exactly-θ
+    * potential keeps scanning until the tie is resolved by real scores,
+    * so the (score desc, doc_id asc) tie-break always acts on exact
+    * values and the output is bit-identical to the full path's.
+    */
+  private def bm25TopKStoredBlockMax(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      keep: Seq[(String, Int)],
+      qtermsKept: DataFrame,
+      dfreq: DataFrame,
+      n: Long,
+      avgdl: Double,
+      k: Int,
+      k1: Double,
+      b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "need k >= 1")
+    val ranked = bm25PrunedRead(spark, path, "blockmax", keep)
+      .join(dfreq, Seq("term"))
+      .select(col("term"), col("blk"), col("max_tf").as("tf"),
+        col("min_dl").as("dl"), col("df"))
+      .withColumn("ub_e6", bm25ScoreE6(n, avgdl, k1, b) + lit(UbSlackE6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("term").orderBy(col("ub_e6").desc, col("blk").asc)))
+    // bounded collects: ≤ MaxDriverBlocks rows per query term + one
+    // tail row per term + one row per (query, term)
+    val top: Map[String, Vector[(Int, Long)]] = ranked
+      .where(col("rn") <= MaxDriverBlocks)
+      .select("term", "blk", "ub_e6").collect()
+      .map(r => (r.getString(0), (r.getInt(1), r.getLong(2))))
+      .groupBy(_._1).map { case (t, xs) =>
+        t -> xs.map(_._2).sortBy(x => (-x._2, x._1)).toVector
+      }
+    val restMax: Map[String, Long] = ranked.where(col("rn") > MaxDriverBlocks)
+      .groupBy("term").agg(max(col("ub_e6")).as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val termsOf: Map[Long, Seq[String]] = qtermsKept
+      .select("q_id", "term").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSeq }
+    // admission state per block-bearing term: Some(c) = its top-c
+    // blocks; None = the whole term (blk filter dropped)
+    val admit = scala.collection.mutable.Map[String, Option[Int]]()
+    top.keys.foreach(t => admit(t) = Some(1))
+    def rT(t: String): Long = admit.get(t) match {
+      case None | Some(None) => 0L
+      case Some(Some(c)) =>
+        if (c < top(t).size) top(t)(c)._2 else restMax.getOrElse(t, 0L)
+    }
+    def escalate(t: String): Unit = {
+      admit(t) = admit(t) match {
+        case Some(c) if 2 * c < top(t).size => Some(2 * c)
+        case Some(_) if restMax.contains(t) => None
+        case Some(_)                        => Some(top(t).size)
+        case None                           => None
+      }
+      ()
+    }
+    val keepTerms = keep.map(_._1).filter(top.contains)
+    if (keepTerms.isEmpty)
+      // no query term has any posting: the inner joins of the full path
+      // produce the empty result with the right shape, scanning nothing
+      // (keep's buckets exist but hold none of its terms' row groups)
+      return bm25ScoreCore(
+        bm25PrunedRead(spark, path, "postings", keep)
+          .select("doc_id", "dl", "term", "tf"),
+        dfreq, qtermsKept, n, avgdl, k, k1, b)
+    var rounds = 0
+    while (true) {
+      rounds += 1
+      val filt = keepTerms.map { t =>
+        admit(t) match {
+          case None    => col("term") === t
+          case Some(c) => col("term") === t && col("blk").isin(top(t).take(c).map(_._1): _*)
+        }
+      }.reduce(_ || _)
+      val rDf = spark.createDataFrame(keepTerms.map(t => (t, rT(t))))
+        .toDF("term", "r_e6")
+      val totR: Map[Long, Long] =
+        termsOf.map { case (q, ts) => q -> ts.map(rT).sum }
+      val perTerm = bm25PrunedRead(spark, path, "postings", keep)
+        .where(filt)
+        .select("doc_id", "dl", "term", "tf")
+        .join(dfreq, Seq("term"))
+        .join(broadcast(qtermsKept), Seq("term"))
+        .withColumn("score_e6", bm25ScoreE6(n, avgdl, k1, b))
+        .join(broadcast(rDf), Seq("term"))
+      val perDoc = bm25PerDoc(perTerm, Seq(sum(col("r_e6")).as("seen_r")))
+      if (totR.values.forall(_ == 0L))
+        // nothing unadmitted anywhere — the scan IS the full scan
+        return bm25TopKTail(perDoc.drop("seen_r"), k)
+      val totDf = spark.createDataFrame(totR.toSeq).toDF("q_id", "tot_r")
+      val cert = perDoc.join(broadcast(totDf), Seq("q_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("doc_id").asc)))
+        .groupBy("q_id")
+        .agg(
+          count(lit(1)).as("m"),
+          min(when(col("rn") <= k, col("score_e6"))).as("theta"),
+          max(when(col("rn") <= k, col("tot_r") - col("seen_r"))).as("top_gap"),
+          max(when(col("rn") > k, col("score_e6") + col("tot_r") - col("seen_r")))
+            .as("rest_pot"))
+        .collect()
+        .map(r => r.getLong(0) -> r).toMap
+      val uncertified = termsOf.keys.filter { q =>
+        val tot = totR(q)
+        cert.get(q) match {
+          case None => tot > 0L // no doc surfaced yet; unseen mass remains
+          case Some(r) =>
+            val m = r.getLong(1)
+            val theta = if (r.isNullAt(2)) Long.MinValue else r.getLong(2)
+            val topGap = if (r.isNullAt(3)) 0L else r.getLong(3)
+            val restPot = if (r.isNullAt(4)) Long.MinValue else r.getLong(4)
+            !(tot == 0L ||
+              (m >= k && topGap == 0L && tot < theta && restPot < theta))
+        }
+      }.toSeq
+      if (uncertified.isEmpty)
+        // certified: every top-k score is complete and nothing outside
+        // can cross it — the partial accs of non-top docs feed the same
+        // TopKAggregator tail and lose exactly as their true scores would
+        return bm25TopKTail(perDoc.drop("seen_r"), k)
+      uncertified.flatMap(termsOf).distinct.foreach(t => if (rT(t) > 0L) escalate(t))
+    }
+    sys.error(s"unreachable: block-max loop exited after $rounds rounds")
   }
 }

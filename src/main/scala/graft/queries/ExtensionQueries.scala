@@ -26,6 +26,31 @@ object ExtensionQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
+  /** Write `first` then `second` as one-file parquet appends into `dir`
+    * and force strictly increasing mtimes on the second write's files.
+    * The folded one-run streaming gates rely on FileStreamSource
+    * draining the two files oldest-first under `maxFilesPerTrigger=1`;
+    * local-FS mtime granularity is a millisecond, so two back-to-back
+    * writes can TIE — and FileStreamSource breaks mtime ties by listing
+    * order of the randomly-named part files, which would swap
+    * micro-batches 0/1 and flip order-sensitive outputs (cumulative
+    * boilerplate counts, `dup_snapshot` vs `dup_batch`), turning
+    * oracle-hashed gates flaky. Stamping the second batch's files one
+    * minute after the first makes the drain order deterministic
+    * without sleeping between writes.
+    */
+  private def writeOrderedBatches(first: DataFrame, second: DataFrame, dir: String): Unit = {
+    first.coalesce(1).write.mode("append").parquet(dir)
+    def dataFiles = new java.io.File(dir).listFiles().toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val batch0 = dataFiles.map(_.getName).toSet
+    second.coalesce(1).write.mode("append").parquet(dir)
+    val t0 = dataFiles.filter(f => batch0(f.getName)).map(_.lastModified).max
+    dataFiles.filterNot(f => batch0(f.getName)).foreach { f =>
+      require(f.setLastModified(t0 + 60000L), s"could not stamp mtime on $f")
+    }
+  }
+
   /** Planted-cluster fixture for the ANN top-k gates: for each source
     * vector (vec_id < 10) the corpus gains five copies with the first
     * component scaled ×1.01…×1.05 (ids +j·1,000,000), and the query set is
@@ -307,8 +332,7 @@ object ExtensionQueries {
       try {
         // one AvailableNow run, two micro-batches via maxFilesPerTrigger
         // (oldest file first) — half the query start/stop cost
-        index.coalesce(1).write.mode("append").parquet(in)
-        batch.coalesce(1).write.mode("append").parquet(in)
+        writeOrderedBatches(index, batch, in)
         val q = CdcStream.hammingAdmitMaintain(
           s.readStream.schema(index.schema)
             .option("maxFilesPerTrigger", 1).parquet(in),
@@ -523,8 +547,7 @@ object ExtensionQueries {
         // same two-batch incremental lifecycle at HALF the streaming
         // query start/stop cost of the former two-run harness (restart
         // recovery is pinned by x_scd2_stream, not re-paid here)
-        originals.coalesce(1).write.mode("append").parquet(in)
-        copies.coalesce(1).write.mode("append").parquet(in)
+        writeOrderedBatches(originals, copies, in)
         // hashKey production layout: the persisted index carries 8-byte
         // gram hashes (the operator's scale form); the stripped-text
         // OUTPUT is hash-independent, so the exact-string oracle still
@@ -1311,6 +1334,40 @@ object ExtensionQueries {
         .orderBy("q_id")
     },
 
+    // BM25 block-max early termination under a workload where it GENUINELY
+    // prunes and iterates: every 3rd doc plants two mid-df term families
+    // with CONTROLLED tf gradients (za<v> ×(1..4), zb<v> ×(1..3) — df ≈
+    // N/48 and N/21, idf ≈ ln 45/ln 20, so adjacent tf levels sit ≥ ~10⁵
+    // e6-units apart and rank order is ln-ulp-proof; the e6 score itself
+    // stays engine-internal, the x_text_bm25 discipline), blockSize=4
+    // cuts each family into many impact blocks, and k=10 exceeds the
+    // first block's yield — the certified loop must escalate across
+    // rounds and COMPLETE partially-seen docs (a doc can match both query
+    // terms through blocks of different impact ranks). The oracle is the
+    // same blind full-scan BM25 re-derivation in DuckDB: hash-equality IS
+    // the exactness proof of the early-terminated probe.
+    "x_bm25_blockmax" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val corpus = d.select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            expr("repeat(concat(' za', cast(doc_id % 16 as string)), cast(doc_id % 4 + 1 as int))"),
+            expr("repeat(concat(' zb', cast(doc_id % 7 as string)), cast(doc_id % 3 + 1 as int))")))
+          .otherwise(col("text")).as("text"))
+      val queries = d.where(col("doc_id") % 97 === 1)
+        .select(
+          col("doc_id").as("q_id"),
+          concat(lit("za"), (col("doc_id") % 16).cast("string"),
+            lit(" zb"), (col("doc_id") % 7).cast("string")).as("qtext"))
+      val store = java.nio.file.Files.createTempDirectory("graft_bm25_bm").toString
+      TextOps.materializeBm25Index(corpus, "doc_id", "text", store,
+        numBuckets = 8, blockSize = 4)
+      TextOps.bm25TopKStored(s, store, queries, "q_id", "qtext", k = 10)
+        .select(col("q_id"), col("doc_id"), col("rank"), col("tf_sum"), col("n_terms"))
+        .orderBy("q_id", "rank")
+    },
+
     // the STREAMING BM25 index maintainer as a DRIVER GATE: a one-third
     // corpus (this gate pins the streaming lifecycle — the retrieval
     // math itself is gated at full width by x_text_bm25) arrives in two
@@ -1340,8 +1397,9 @@ object ExtensionQueries {
       try {
         // one AvailableNow run, two micro-batches via maxFilesPerTrigger
         // (oldest file first) — half the query start/stop cost
-        corpus.where(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
-        corpus.where(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
+        writeOrderedBatches(
+          corpus.where(col("doc_id") % 2 === 0),
+          corpus.where(col("doc_id") % 2 === 1), in)
         val q = CdcStream.bm25IndexMaintain(
           s.readStream.schema(corpus.schema)
             .option("maxFilesPerTrigger", 1).parquet(in),
@@ -1410,8 +1468,9 @@ object ExtensionQueries {
       try {
         // one AvailableNow run, two micro-batches via maxFilesPerTrigger
         // (oldest file first) — half the query start/stop cost
-        corpus.where(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
-        corpus.where(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
+        writeOrderedBatches(
+          corpus.where(col("doc_id") % 2 === 0),
+          corpus.where(col("doc_id") % 2 === 1), in)
         val q = CdcStream.boilerplateMaintain(
           s.readStream.schema(corpus.schema)
             .option("maxFilesPerTrigger", 1).parquet(in),
@@ -1619,8 +1678,7 @@ object ExtensionQueries {
       try {
         // one AvailableNow run, two micro-batches via maxFilesPerTrigger
         // (oldest file first) — half the query start/stop cost
-        even.coalesce(1).write.mode("append").parquet(in)
-        batch2.coalesce(1).write.mode("append").parquet(in)
+        writeOrderedBatches(even, batch2, in)
         val q = CdcStream.winnowAdmitMaintain(
           s.readStream.schema(even.schema)
             .option("maxFilesPerTrigger", 1).parquet(in),
@@ -1756,8 +1814,7 @@ object ExtensionQueries {
         // two id-monotone files, ONE AvailableNow run: maxFilesPerTrigger=1
         // turns them into micro-batches 0 and 1 (oldest file first), at a
         // single streaming-query start/stop
-        batch0.coalesce(1).write.mode("append").parquet(in)
-        batch1.coalesce(1).write.mode("append").parquet(in)
+        writeOrderedBatches(batch0, batch1, in)
         val q = CdcStream.ingestPipelineMaintain(
           s.readStream.schema(batch0.schema)
             .option("maxFilesPerTrigger", 1).parquet(in),
@@ -5488,6 +5545,63 @@ object ExtensionQueries {
         |)
         |SELECT q_id, doc_id, tf_sum, n_terms FROM ranked WHERE r = 1
         |ORDER BY q_id""".stripMargin,
+    // the same blind full-scan BM25 re-derivation over the block-max
+    // gate's planted-gradient corpus: the oracle knows nothing of blocks,
+    // impact order or the certified loop — hash-equality proves the
+    // early-terminated probe exact. avgdl uses the long-sum/count form
+    // (the engine's mergeable stats partial), not avg().
+    "x_bm25_blockmax" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN text
+        |              || repeat(' za' || (doc_id % 16), CAST(doc_id % 4 + 1 AS INT))
+        |              || repeat(' zb' || (doc_id % 7), CAST(doc_id % 3 + 1 AS INT))
+        |              ELSE text END AS text
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM corpus
+        |), toks AS (
+        |  SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM base
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM toks WHERE term <> '' GROUP BY 1, 2, 3
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM base
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), q AS (
+        |  SELECT doc_id AS q_id,
+        |         'za' || (doc_id % 16) || ' zb' || (doc_id % 7) AS qtext
+        |  FROM documents WHERE doc_id % 97 = 1
+        |), qterms AS (
+        |  SELECT DISTINCT q_id, t.term
+        |  FROM q, unnest(string_split_regex(trim(qtext), '\s+')) AS t(term)
+        |  WHERE t.term <> ''
+        |), perterm AS (
+        |  SELECT qt.q_id, tf.doc_id,
+        |         CAST(floor(
+        |           ln(1 + (s.n - df + 0.5) / (df + 0.5))
+        |             * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / s.avgdl))
+        |             * 1e6 + 0.5) AS BIGINT) AS score_e6,
+        |         tf.tf AS tf
+        |  FROM tf
+        |  JOIN dfreq USING (term)
+        |  JOIN qterms qt USING (term)
+        |  CROSS JOIN stats s
+        |), perdoc AS (
+        |  SELECT q_id, doc_id, sum(score_e6) AS score_e6,
+        |         CAST(sum(tf) AS BIGINT) AS tf_sum,
+        |         CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM perterm GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_e6 DESC, doc_id ASC) AS r
+        |  FROM perdoc
+        |)
+        |SELECT q_id, doc_id, CAST(r AS INT) AS rank, tf_sum, n_terms
+        |FROM ranked WHERE r <= 10
+        |ORDER BY q_id, rank""".stripMargin,
     // same BM25 derivation as x_text_bm25 over the gate's one-third
     // corpus — the oracle is blind to the streamed batching because the
     // merged index is a set union of per-batch partials

@@ -147,9 +147,15 @@ class ExtSpec extends SparkSpec {
     // the 64×20 parameters' recall contract is not
     val wide = pairs(Dedup.embeddingNearDupPairsLshBanded(
       corpus, "vec_id", "embedding", threshold = 0.9, bands = 64, bitsPerBand = 20))
+    // the >1M-corpus rung (LshUltraWideBandCutover): same planted-recall
+    // contract at 128×24-bit — the cutover volume is out of unit-test
+    // reach, the parameters' recall is not
+    val ultra = pairs(Dedup.embeddingNearDupPairsLshBanded(
+      corpus, "vec_id", "embedding", threshold = 0.9, bands = 128, bitsPerBand = 24))
     assert(planted.subsetOf(banded), s"banded missed ${(planted -- banded).take(3)}")
     assert(banded == block, "exact-verified outputs must agree across generators")
     assert(wide == block, "wide-band geometry must agree with the block path")
+    assert(ultra == block, "ultra-wide geometry must agree with the block path")
   }
 
   test("SRP block-LSH boundary recall at cos=0.9 rises with numBlocks (docstring claim)") {
@@ -763,6 +769,8 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.lshGeometry(Dedup.LshBandingCutover + 1) === ((32, 16)))
     assert(Dedup.lshGeometry(Dedup.LshWideBandCutover) === ((32, 16)))
     assert(Dedup.lshGeometry(Dedup.LshWideBandCutover + 1) === ((64, 20)))
+    assert(Dedup.lshGeometry(Dedup.LshUltraWideBandCutover) === ((64, 20)))
+    assert(Dedup.lshGeometry(Dedup.LshUltraWideBandCutover + 1) === ((128, 24)))
   }
 
   test("custom functions are callable from SQL text") {
@@ -1855,6 +1863,48 @@ class ExtSpec extends SparkSpec {
     assert(ex.getMessage.contains("marker"))
   }
 
+  test("bm25TopKStored block-max early termination: bit-identical to the full scan across block sizes, ks and the guard") {
+    // skewed deterministic corpus: a df=N stopword-ish 'hot' term on even
+    // docs, a 7-way 'rare' family, a 17-word shared lexicon with varying
+    // doc lengths (so per-block (max_tf, min_dl) bounds actually vary),
+    // and MULTI-TERM queries whose top docs combine a high-impact block
+    // of one term with LOW-impact blocks of another — the completion
+    // case the exactness certificate exists for
+    val corpus = (1 to 150).map { i =>
+      val words = (0 until (i % 25 + 8)).map(j => s"w${(i * (j + 3) + j * j) % 17}") ++
+        Seq(s"rare${i % 7}") ++ (if (i % 2 == 0) Seq("hot", "hot") else Nil)
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val queries = Seq(
+      (1L, "hot rare3 w5"), (2L, "rare1 w2 w9"), (3L, "hot hot w0"),
+      (4L, "absentterm w4"), (5L, "absentonly"), (6L, "rare0 rare1 rare2 hot w1"))
+      .toDF("q_id", "qtext")
+    def run(store: String, k: Int, frac: Option[Double]) =
+      TextOps.bm25TopKStored(spark, store, queries, "q_id", "qtext", k, 1.2, 0.75, frac)
+        .as[(Long, Long, Int, Long, Long, Long)].collect().toSet
+    for (blockSize <- Seq(1, 2, 7, 4096); k <- Seq(1, 5, 500)) {
+      val store = tempDir(s"bm25bm_${blockSize}_$k")
+      TextOps.materializeBm25Index(corpus, "doc_id", "text", store,
+        numBuckets = 4, blockSize = blockSize)
+      // the full-path twin: SAME artifact, block-max sidecar disarmed
+      val full = tempDir(s"bm25bmf_${blockSize}_$k")
+      TextOps.materializeBm25Index(corpus, "doc_id", "text", full,
+        numBuckets = 4, blockSize = blockSize)
+      assert(new java.io.File(s"$full/_GRAFT_BM25_BLOCKMAX").delete())
+      assert(run(store, k, None) === run(full, k, None),
+        s"block-max diverged from the full scan at blockSize=$blockSize k=$k")
+      assert(run(store, k, Some(0.4)) === run(full, k, Some(0.4)),
+        s"guarded block-max diverged at blockSize=$blockSize k=$k")
+      // ... and from the inline scorer (k ≤ matches only: inline and
+      // stored agree on ALL matches, so k=500 returns every match)
+      val inline = TextOps
+        .bm25TopK(corpus, "doc_id", "text", queries, "q_id", "qtext", k)
+        .as[(Long, Long, Int, Long, Long, Long)].collect().toSet
+      assert(run(store, k, None) === inline,
+        s"block-max diverged from inline at blockSize=$blockSize k=$k")
+    }
+  }
+
   test("bm25TopKStored stopword guard: planted stopword dropped from the probe, top-1 identity preserved, pure-stopword query empty") {
     // every doc carries the planted stopword (df = N), every 50th a df=1
     // rare tail term; queries mix the stopword with the rare term
@@ -2055,6 +2105,33 @@ class ExtSpec extends SparkSpec {
         .select(explode(graft.ext.TextOps.winnowingFingerprints($"text")).as("fp"))
         .distinct(), Seq("fp"), "left_semi")
     assert(stored.count() === 0L, "build-hot fingerprints leaked into the append")
+  }
+
+  test("appendWinnowIndex: a crashed-then-retried append with an appendId is idempotent") {
+    import graft.ext.Dedup
+    def mk(prefix: String) = (1 to 40).map(i => s"$prefix$i").mkString(" ")
+    // P sits at df 2 in the store; one legitimate appended copy takes the
+    // cumulative probe count to 3 = maxDf (still live); a DOUBLE-written
+    // append would take it to 4 > maxDf and flip the probe to 'new'
+    val c0 = Seq((1L, mk("p")), (2L, mk("p")), (3L, mk("q"))).toDF("doc_id", "text")
+    val b1 = Seq((11L, mk("p")), (12L, mk("r"))).toDF("doc_id", "text")
+    val probeBatch = Seq((21L, mk("p")), (22L, mk("r"))).toDF("doc_id", "text")
+    def build(retry: Boolean, appendId: Long) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-winnow-retry").toString
+      Dedup.writeWinnowIndex(c0, "doc_id", "text", dir, maxDf = 3, buckets = 4)
+      Dedup.appendWinnowIndex(spark, dir, b1, "doc_id", "text", appendId)
+      if (retry) Dedup.appendWinnowIndex(spark, dir, b1, "doc_id", "text", appendId)
+      Dedup.winnowAdmitStored(spark, dir, probeBatch, "doc_id", "text", minShared = 3)
+        .as[(Long, String)].collect().toMap
+    }
+    val once = build(retry = false, appendId = 7L)
+    assert(once === Map(21L -> "dup_snapshot", 22L -> "dup_snapshot"))
+    assert(build(retry = true, appendId = 7L) === once,
+      "retried append with the same appendId changed probe decisions")
+    // the legacy blind append really does double-count — the failure
+    // mode the appendId partition exists to prevent
+    assert(build(retry = true, appendId = -1L)(21L) === "new",
+      "expected the legacy double-append to trip the df cap (test premise)")
   }
 
   test("nbQualityScore: hand-computed Laplace posteriors, neutral OOV, empty-doc retention") {

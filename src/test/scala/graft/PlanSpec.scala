@@ -147,6 +147,19 @@ class PlanSpec extends SparkSpec {
       s"no tb partition filter on the postings scan\n$p")
   }
 
+  test("x_bm25_blockmax final scan keeps the tb partition filter and pushes the block filter") {
+    // the certified early-termination probe's RETURNED plan is the last
+    // round's scan: term-bucket partition pruning must survive the
+    // direct-dir read, and the admitted (term, blk) disjunction must
+    // reach the parquet scan (row groups are sorted (term, blk) at
+    // build, so the pushed filter is what skips unadmitted blocks)
+    val p = plan("x_bm25_blockmax")
+    assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(p).isDefined,
+      s"no tb partition filter on the postings scan\n$p")
+    assert(p.contains("blk"),
+      s"the admitted-block filter never reached the postings scan\n$p")
+  }
+
   test("bucketed counter is one pass: single key exchange, no self-join") {
     // point markers and segment-bucket entries come out of ONE explode and
     // land in ONE (user_id, bucket) hash aggregate that reuses the window's
