@@ -1133,8 +1133,10 @@ object TextOps {
     * discipline), `path/stats`, and a marker stamping `numBuckets` so
     * probes can never band with a different bucket function than the
     * index was built with (the semantic-index K-stamp idiom). Build cost
-    * is one token explode + two hash aggregates — paid once, amortized
-    * over every query batch.
+    * is one token explode + one hash aggregate + one per-(term, bucket)
+    * window sort (the impact-block assignment) + the blockmax fold —
+    * paid once, amortized over every query batch; the dictionary folds
+    * out of the blockmax sidecar, never a second postings scan.
     *
     * Every sub-table is MERGEABLE: dict rows are (term, df) PARTIALS
     * summed at probe time, stats rows are (n, sum_dl) partials — so the
@@ -1188,17 +1190,20 @@ object TextOps {
       .sortWithinPartitions("term", "blk")
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
     spark.read.parquet(s"$path/postings")
-      .groupBy("term", "tb").agg(count(lit(1)).as("df"))
-      .repartition(numBuckets, col("tb"))
-      .sortWithinPartitions("term")
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/dict")
-    spark.read.parquet(s"$path/postings")
       .groupBy("term", "tb", "blk")
       .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"),
         count(lit(1)).as("n_rows"))
       .repartition(numBuckets, col("tb"))
       .sortWithinPartitions("term", "blk")
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/blockmax")
+    // the dictionary folds out of the (tiny) blockmax sidecar — df is
+    // the sum of a term's block sizes — instead of a second full
+    // postings scan
+    spark.read.parquet(s"$path/blockmax")
+      .groupBy("term", "tb").agg(sum(col("n_rows")).as("df"))
+      .repartition(numBuckets, col("tb"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/dict")
     bm25StatsPartial(docs, textCol)
       .write.mode("overwrite").parquet(s"$path/stats")
     // marker LAST: a crashed build must not advertise a sidecar whose
