@@ -609,8 +609,10 @@ object CdcStream {
     * replay notes on the public method).
     *
     * Returns the stripped-output frame it wrote. With
-    * `keepOutput = true` the frame is LOCAL-CHECKPOINTED (eager) before
-    * the write, so a composing caller ([[ingestPipelineApplyBatch]])
+    * `keepOutput = true` the frame is LOCAL-CHECKPOINTED (lazy — the
+    * stage's own partition write below is the materializing action, so
+    * the checkpoint costs no extra job), and a composing caller
+    * ([[ingestPipelineApplyBatch]])
     * can feed the next stage from memory instead of re-reading the
     * partition it just wrote — the write stays the replay-safe state,
     * the read-back was pure per-trigger overhead. A checkpoint, not a
@@ -664,7 +666,7 @@ object CdcStream {
       val spans = Dedup
         .exactSubstringSpansIncremental(index, b, "doc_id", "text", k, hashKey)
       val out = Dedup.stripSpans(b, "doc_id", "text", spans.select("doc_id", "spans"))
-      val kept = if (keepOutput) out.localCheckpoint() else out
+      val kept = if (keepOutput) out.localCheckpoint(eager = false) else out
       kept.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
       // one file per bucket dir: without the repartition every write task
       // fans out across all numBuckets partition dirs (tasks × buckets
@@ -768,7 +770,7 @@ object CdcStream {
     try {
       val out = Dedup
         .hammingAdmitBanded(bandedIndex, b, idCol, hashCol, radius, blocks, probeBits)
-      val kept = if (keepOutput) out.localCheckpoint() else out
+      val kept = if (keepOutput) out.localCheckpoint(eager = false) else out
       kept.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
       Dedup.hammingIndexBanded(b, idCol, hashCol, blocks)
         .repartition(col("blk"))
@@ -938,7 +940,7 @@ object CdcStream {
             .when(col("__batch"), lit("dup_batch"))
             .otherwise(lit("new"))
             .as("status"))
-      val kept = if (keepOutput) out.localCheckpoint() else out
+      val kept = if (keepOutput) out.localCheckpoint(eager = false) else out
       kept.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
       // one file per bucket dir: clustered by fb so a write task owns
       // whole buckets instead of fanning small files across partitions
@@ -1151,7 +1153,7 @@ object CdcStream {
         .where(coalesce(col("n_prior"), lit(0L)) + col("n_docs") >= minDocs)
         .select(col("ph"), lit(true).as("is_boiler"))
       val out = TextOps.reassembleStripped(paras.join(boiler, Seq("ph"), "left"), sep)
-      val kept = if (keepOutput) out.localCheckpoint() else out
+      val kept = if (keepOutput) out.localCheckpoint(eager = false) else out
       kept.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
       own
         .repartition(numBuckets, col("pb"))
@@ -1315,7 +1317,7 @@ object CdcStream {
           b.join(surv4, Seq("doc_id"), "left_semi").select(col("doc_id"), col("__emb")),
           "doc_id", "__emb", threshold)
         .select(col("id").as("doc_id"), col("status").as("semantic_status"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       sstat.write.mode("overwrite").parquet(s"$storeRoot/sstat/ingest_batch=$batchId")
       b.select("doc_id")
         .join(clean2, Seq("doc_id"), "left_outer")
