@@ -1271,10 +1271,13 @@ object CdcStream {
     // every stage WRITES its batch partition (that write IS the
     // replay-safe state + lineage record) but the next stage consumes
     // the LOCAL-CHECKPOINTED in-memory frame the write was produced
-    // from — the stage outputs are already in memory at write time, and
+    // from — the stage outputs are already in memory at write time, so
     // re-reading each freshly written partition from parquet was five
-    // pure-overhead round-trips per trigger (the r13 per-trigger
-    // floor). localCheckpoint, NOT cache: a cache keeps the full
+    // pure-overhead round-trips per trigger. (Measured: the per-trigger
+    // FLOOR is the stages' sequential micro-job count, not these
+    // round-trips — the removal pays at larger batch sizes and keeps
+    // plans shallow by construction, it does not change the small-batch
+    // floor.) localCheckpoint, NOT cache: a cache keeps the full
     // logical plan, so each stage's plan would nest every prior
     // stage's and the final five-way join's ANALYSIS cost explodes
     // (measured: the composed gate went 15 s → 10+ min on cache);
