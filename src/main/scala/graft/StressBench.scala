@@ -164,6 +164,19 @@ object StressBench {
       })
     }
 
+  /** Block-max escalation telemetry captured per (corpus, probe):
+    * (certification rounds, admitted blocks) of the probe's LAST run —
+    * emitted beside its stress row so a pathological term distribution
+    * forcing the geometric escalation toward the full scan is visible
+    * in the artifact, not silent. */
+  private val bmRounds =
+    scala.collection.mutable.Map[(Set[String], String), (Int, Long)]()
+
+  private def recordBmRounds(key: Set[String], probe: String): Unit =
+    graft.ext.TextOps.lastBlockMaxStats.foreach { s =>
+      bmRounds.synchronized { bmRounds((key, probe)) = s }
+    }
+
   /** The O(batch) claim of the ingestion-time admission forms, measured
     * directly: the INDEX grows with the corpus, the arriving BATCH stays
     * the fixed 1× slice (re-identified above every corpus id) — so
@@ -394,9 +407,35 @@ object StressBench {
       val queries = spark.createDataFrame(
         (0 until 10).map(i => (i.toLong, s"m2x${5 * (i % 3 + 1)} m3x${6 * (i % 4 + 1)} m4x${7 * (i % 2 + 1)}")))
         .toDF("q_id", "qtext")
-      graft.ext.TextOps
+      val c = graft.ext.TextOps
         .bm25TopKStored(spark, dir, queries, "q_id", "qtext", k = 5)
         .count()
+      recordBmRounds(docs.inputFiles.toSet, "bm25_stored_rare")
+      c
+    }),
+    "bm25_compacted_rare" -> (() => {
+      // the STREAMED-index twin of bm25_stored_rare: the index is built
+      // by the maintainer (one batch-0 append of the whole corpus —
+      // unblocked postings, full-scan probes) and then compacted, whose
+      // fold assigns impact blocks and re-arms the block-max sidecar in
+      // the same pass (compactBm25Index). Flat wall here = a long-running
+      // ingest deployment keeps needle-term latency after every
+      // maintenance window without an offline materializeBm25Index
+      // rebuild (which cannot share the maintainer's path).
+      val spark = docs.sparkSession
+      val dir = memoIndex(docs.inputFiles.toSet, "bm25cmp") { d =>
+        graft.streaming.CdcStream.bm25IndexApplyBatch(
+          docs, 0L, s"$d/idx", "doc_id", "text", numBuckets = 16)
+        graft.streaming.CdcStream.compactBm25Index(spark, s"$d/idx", upToBatch = 0L)
+      }
+      val queries = spark.createDataFrame(
+        (0 until 10).map(i => (i.toLong, s"m2x${5 * (i % 3 + 1)} m3x${6 * (i % 4 + 1)} m4x${7 * (i % 2 + 1)}")))
+        .toDF("q_id", "qtext")
+      val c = graft.ext.TextOps
+        .bm25TopKStored(spark, s"$dir/idx", queries, "q_id", "qtext", k = 5)
+        .count()
+      recordBmRounds(docs.inputFiles.toSet, "bm25_compacted_rare")
+      c
     }),
     "pipeline_ingest" -> (() => {
       // the COMPOSED five-stage ingest recipe's per-trigger cost: all
@@ -1003,10 +1042,28 @@ object StressBench {
         Map("semantic_dedup" ->
           f""",\"assign_cos_1x\":$aw1,\"cell_pairs_1x\":$p1,\"assign_cos_$k\":$awK,\"cell_pairs_$k\":$pK,\"x_vs_linear_work\":$ratio%.2f""")
       } else Map.empty
+    // Escalation telemetry for the block-max probes (captured by the
+    // probes' own closures): rounds > 1 or admitted blocks far above
+    // queryTerms flags a term distribution degrading toward the full
+    // scan — the observable the r14 verdict asked for.
+    val extrasBm: Map[String, String] =
+      Seq("bm25_stored_rare", "bm25_compacted_rare").flatMap { nm =>
+        // probe-ran guard first: touching docs10.inputFiles would force
+        // the lazy expansion in subset runs that never needed it
+        if (bmRounds.synchronized(!bmRounds.keys.exists(_._2 == nm))) None
+        else
+          (bmRounds.get((docs1.inputFiles.toSet, nm)),
+            bmRounds.get((docs10.inputFiles.toSet, nm))) match {
+            case (Some((r1, a1)), Some((rK, aK))) =>
+              Some(nm ->
+                s""","rounds_1x":$r1,"admitted_blocks_1x":$a1,"rounds_$k":$rK,"admitted_blocks_$k":$aK""")
+            case _ => None
+          }
+      }.toMap
 
     val per = base.zip(big).map { case ((n, c1, s1), (_, c10, s10)) =>
       val ratio = s10 / math.max(s1, 1e-9)
-      f"""\"$n\":{\"rows_1x\":$c1,\"sec_1x\":${s1}%.2f,\"rows_$k\":$c10,\"sec_$k\":${s10}%.2f,\"x_vs_linear\":${ratio / Replicas}%.2f${extras.getOrElse(n, "")}${extrasSem.getOrElse(n, "")}}"""
+      f"""\"$n\":{\"rows_1x\":$c1,\"sec_1x\":${s1}%.2f,\"rows_$k\":$c10,\"sec_$k\":${s10}%.2f,\"x_vs_linear\":${ratio / Replicas}%.2f${extras.getOrElse(n, "")}${extrasSem.getOrElse(n, "")}${extrasBm.getOrElse(n, "")}}"""
     }
     val line =
       s"""{"metric":"dedup_stress","replicas":$Replicas,"docs_1x":$rows1,"docs_$k":$rows10,"ops":{${per.mkString(",")}}}"""

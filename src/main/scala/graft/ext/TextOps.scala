@@ -1165,34 +1165,27 @@ object TextOps {
       numBuckets: Int = 64,
       blockSize: Int = 4096
   ): Unit = {
-    import org.apache.spark.sql.expressions.Window
     require(blockSize >= 1, "need blockSize >= 1")
     val spark = docs.sparkSession
     ensureBm25Marker(spark, path, numBuckets)
+    // DISARM FIRST: a crashed rebuild over an already-armed index must
+    // never leave the old marker advertising a sidecar whose blockmax /
+    // dict tables describe postings this build is about to overwrite —
+    // probes fall back to the (always-correct) full scan until the
+    // re-arm below lands as this build's last write
+    clearBm25BlockMax(spark, path)
     val statsRow = bm25StatsPartial(docs, textCol).head()
     val buildN = statsRow.getLong(0)
     val buildAvgdl =
       if (buildN == 0L) 1.0 else statsRow.getLong(1).toDouble / buildN.toDouble
     val tb = pmod(xxhash64(col("term")), lit(numBuckets)).cast("int").as("tb")
-    // build-time impact order (k1/b defaults — see blockSize scaladoc):
-    // tf-part is monotone ↑ in tf and ↓ in dl, so the idf factor
-    // (constant within a term) cannot change the per-term order
-    val impact = col("tf").cast("double") /
-      (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
-        col("dl").cast("double") / lit(buildAvgdl)))
-    val blkCol = ((row_number().over(
-      Window.partitionBy("term", "tb")
-        .orderBy(impact.desc, col("doc_id").asc)) - 1) / blockSize).cast("int")
-    val tf = bm25Postings(docs, idCol, textCol)
-      .withColumn("tb", tb)
-      .withColumn("blk", blkCol)
+    val tf = bm25AssignBlocks(
+      bm25Postings(docs, idCol, textCol).withColumn("tb", tb),
+      buildAvgdl, blockSize)
     tf.repartition(numBuckets, col("tb"))
       .sortWithinPartitions("term", "blk")
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
-    spark.read.parquet(s"$path/postings")
-      .groupBy("term", "tb", "blk")
-      .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"),
-        count(lit(1)).as("n_rows"))
+    bm25BlockSidecar(spark.read.parquet(s"$path/postings"))
       .repartition(numBuckets, col("tb"))
       .sortWithinPartitions("term", "blk")
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/blockmax")
@@ -1212,21 +1205,66 @@ object TextOps {
     ()
   }
 
+  /** Impact-block assignment shared by the one-shot build and the
+    * streamed compactor: rank each (term, tb)'s postings by their BM25
+    * tf-part at the given avgdl (descending — highest-impact first;
+    * ordering only steers how FAST the block-max probe terminates,
+    * validity comes from each block's `(max_tf, min_dl)` bounds) and cut
+    * them into `blockSize`-posting blocks. k1/b defaults are fine for
+    * the ordering: tf-part is monotone ↑ in tf and ↓ in dl, so the idf
+    * factor (constant within a term) cannot change the per-term order.
+    */
+  private[graft] def bm25AssignBlocks(
+      tf: DataFrame, avgdl: Double, blockSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val impact = col("tf").cast("double") /
+      (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+        col("dl").cast("double") / lit(avgdl)))
+    tf.withColumn("blk", ((row_number().over(
+      Window.partitionBy("term", "tb")
+        .orderBy(impact.desc, col("doc_id").asc)) - 1) / blockSize).cast("int"))
+  }
+
+  /** The per-block `(max_tf, min_dl, n_rows)` bound table folded from
+    * block-assigned postings — the score upper bounds the block-max
+    * probe terminates against. */
+  private[graft] def bm25BlockSidecar(postings: DataFrame): DataFrame =
+    postings
+      .groupBy("term", "tb", "blk")
+      .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"),
+        count(lit(1)).as("n_rows"))
+
   /** Marker file recording that a BM25 index carries the block-max
-    * sidecar (and which blockSize built it). Streamed indexes
-    * ([[graft.streaming.CdcStream.bm25IndexMaintain]]) never write it —
-    * their probes take the full-scan path; a periodic
-    * [[materializeBm25Index]] rebuild is what re-arms early termination
-    * over a streamed corpus. */
+    * sidecar (and which blockSize built it). Streamed appends
+    * ([[graft.streaming.CdcStream.bm25IndexMaintain]]) DISARM it — an
+    * appended batch's postings carry no block assignment, so a stale
+    * sidecar would silently hide them from the block filter;
+    * [[graft.streaming.CdcStream.compactBm25Index]] is what (re)arms
+    * early termination over a streamed corpus, as part of its fold. */
   private val Bm25BlockMaxMarker = "_GRAFT_BM25_BLOCKMAX"
 
-  private def writeBm25BlockMaxMarker(
+  private[graft] def writeBm25BlockMaxMarker(
       spark: org.apache.spark.sql.SparkSession, path: String, blockSize: Int): Unit = {
     import org.apache.hadoop.fs.Path
     val marker = new Path(s"$path/$Bm25BlockMaxMarker")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(marker, true)
     try out.write(s"bm25bm:block=$blockSize:v1".getBytes("UTF-8")) finally out.close()
+    ()
+  }
+
+  /** Disarm the block-max sidecar: marker FIRST (no window where an
+    * armed marker advertises a deleted or stale sidecar), then the
+    * bound table itself. Probes fall back to the full-scan path, which
+    * never needs the sidecar. */
+  private[graft] def clearBm25BlockMax(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(s"$path/$Bm25BlockMaxMarker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) { fs.delete(marker, false); () }
+    val sidecar = new Path(s"$path/blockmax")
+    if (fs.exists(sidecar)) { fs.delete(sidecar, true); () }
     ()
   }
 
@@ -1323,6 +1361,7 @@ object TextOps {
     val qtermsKept =
       if (dropped.isEmpty) qterms.select("q_id", "term")
       else qterms.where(!col("term").isin(dropped.toSeq: _*)).select("q_id", "term")
+    lastBlockMaxStats = None
     if (keep.nonEmpty && hasBm25BlockMax(spark, path))
       bm25TopKStoredBlockMax(spark, path, keep, qtermsKept, dfreq, n, avgdl, k, k1, b)
     else
@@ -1356,8 +1395,20 @@ object TextOps {
       else t.where(
         col("tb").isin(terms.map(_._2).distinct: _*) &&
           col("term").isin(terms.map(_._1).distinct: _*))
-    val oneShot = fs.exists(base) &&
-      fs.listStatus(base).exists(_.getPath.getName.startsWith("tb="))
+    val children =
+      if (fs.exists(base)) fs.listStatus(base).map(_.getPath.getName)
+      else Array.empty[String]
+    val oneShot = children.exists(_.startsWith("tb="))
+    // defense in depth behind the bm25IndexApplyBatch layout refusal: a
+    // one-shot (tb=) table that somehow gained streamed (ingest_batch=)
+    // children would have its streamed rows silently invisible to the
+    // direct-dir read below — fail loudly instead of pruning them away
+    require(!(oneShot && children.exists(_.startsWith("ingest_batch="))),
+      s"mixed BM25 layout at $basePath: both tb= and ingest_batch= " +
+        "children present — a one-shot materializeBm25Index build and " +
+        "streamed bm25IndexMaintain appends cannot share a table; " +
+        "rebuild the index at this path or point the maintainer at a " +
+        "fresh one")
     if (!oneShot) termFilter(spark.read.parquet(basePath))
     else {
       val dirs = terms.map(_._2).distinct.map(b => s"$basePath/tb=$b")
@@ -1372,6 +1423,15 @@ object TextOps {
     * memory stays O(queryTerms · MaxDriverBlocks) however hot a term
     * is. */
   private val MaxDriverBlocks = 8192
+
+  /** Escalation telemetry of the MOST RECENT block-max probe on this
+    * driver: (certification rounds, admitted blocks at certification).
+    * None when the last [[bm25TopKStored]] call took the full-scan path
+    * (no sidecar, empty term set, or all terms guarded off). Written so
+    * a production regression — pathological term distributions forcing
+    * the geometric escalation toward the full scan — is observable
+    * (the stress harness reports it per probe) rather than silent. */
+  @volatile private[graft] var lastBlockMaxStats: Option[(Int, Long)] = None
 
   /** Integer-domain slack added to every block upper bound: tf-part is
     * monotone in (tf, dl) in the reals, but the block bound and the
@@ -1478,6 +1538,12 @@ object TextOps {
         bm25PrunedRead(spark, path, "postings", keep)
           .select("doc_id", "dl", "term", "tf"),
         dfreq, qtermsKept, n, avgdl, k, k1, b)
+    def admittedBlocks: Long = keepTerms.map { t =>
+      admit(t) match {
+        case Some(c) => math.min(c, top(t).size).toLong
+        case None    => top(t).size.toLong // whole term: ≥ its driver-listed blocks
+      }
+    }.sum
     var rounds = 0
     while (true) {
       rounds += 1
@@ -1499,9 +1565,11 @@ object TextOps {
         .withColumn("score_e6", bm25ScoreE6(n, avgdl, k1, b))
         .join(broadcast(rDf), Seq("term"))
       val perDoc = bm25PerDoc(perTerm, Seq(sum(col("r_e6")).as("seen_r")))
-      if (totR.values.forall(_ == 0L))
+      if (totR.values.forall(_ == 0L)) {
         // nothing unadmitted anywhere — the scan IS the full scan
+        lastBlockMaxStats = Some((rounds, admittedBlocks))
         return bm25TopKTail(perDoc.drop("seen_r"), k)
+      }
       val totDf = spark.createDataFrame(totR.toSeq).toDF("q_id", "tot_r")
       val cert = perDoc.join(broadcast(totDf), Seq("q_id"))
         .withColumn("rn", row_number().over(
@@ -1528,11 +1596,13 @@ object TextOps {
               (m >= k && topGap == 0L && tot < theta && restPot < theta))
         }
       }.toSeq
-      if (uncertified.isEmpty)
+      if (uncertified.isEmpty) {
         // certified: every top-k score is complete and nothing outside
         // can cross it — the partial accs of non-top docs feed the same
         // TopKAggregator tail and lose exactly as their true scores would
+        lastBlockMaxStats = Some((rounds, admittedBlocks))
         return bm25TopKTail(perDoc.drop("seen_r"), k)
+      }
       uncertified.flatMap(termsOf).distinct.foreach(t => if (rT(t) > 0L) escalate(t))
     }
     sys.error(s"unreachable: block-max loop exited after $rounds rounds")

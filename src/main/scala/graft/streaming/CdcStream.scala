@@ -1011,9 +1011,29 @@ object CdcStream {
       idCol: String,
       textCol: String,
       numBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
     import graft.ext.TextOps
     val spark = batch.sparkSession
     TextOps.ensureBm25Marker(spark, indexPath, numBuckets)
+    // layout guard: a one-shot materializeBm25Index table (top-level tb=
+    // dirs) cannot absorb streamed ingest_batch= appends — the probe's
+    // direct-dir read would silently never see them, and mixed children
+    // break partition discovery. Refuse loudly instead of corrupting.
+    val postingsBase = new Path(s"$indexPath/postings")
+    val fs = postingsBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(
+      !(fs.exists(postingsBase) &&
+        fs.listStatus(postingsBase).exists(_.getPath.getName.startsWith("tb="))),
+      s"BM25 index at $indexPath has the one-shot (tb=) layout of " +
+        "materializeBm25Index — streamed maintenance cannot append to it. " +
+        "Point bm25IndexMaintain at a fresh indexPath (and seed it by " +
+        "replaying the corpus, or keep serving the one-shot artifact); " +
+        "compactBm25Index is what re-arms block-max early termination " +
+        "over a streamed index, never an in-place one-shot rebuild")
+    // appended postings carry no block assignment: a previously-armed
+    // sidecar (compactBm25Index) is stale the moment this batch lands —
+    // disarm so probes full-scan until the next compaction re-arms
+    TextOps.clearBm25BlockMax(spark, indexPath)
     val b = batch.cache()
     try {
       val tf = TextOps.bm25Postings(b, idCol, textCol)
@@ -1515,14 +1535,56 @@ object CdcStream {
     * row). [[graft.ext.TextOps.bm25TopKStored]] sums partials wherever
     * they came from, so probe results are bit-identical across any
     * compaction schedule.
+    *
+    * THE FOLD IS ALSO THE BLOCK-MAX RE-ARM: streamed appends carry no
+    * impact-block assignment, so a long-running ingest deployment would
+    * otherwise never get early termination without an offline
+    * [[graft.ext.TextOps.materializeBm25Index]] rebuild (which cannot
+    * share a path with the maintainer — its one-shot layout refuses
+    * further appends). The postings fold already rewrites every posting
+    * ≤ `upToBatch`, so assigning `blk` inside it is free of extra scans;
+    * the `(max_tf, min_dl, n_rows)` sidecar then folds off the compacted
+    * postings and the marker is armed LAST. The next streamed append
+    * DISARMS it again ([[bm25IndexApplyBatch]]) — armed between
+    * compaction and the stream's restart, every probe early-terminates
+    * with the certificate's bit-identical output; after appends resume,
+    * probes full-scan until the next maintenance window.
+    *
+    * The sidecar is armed only when NO partition above `upToBatch`
+    * remains (a crashed uncommitted batch's partial would carry
+    * unblocked postings the block filter would silently hide); such a
+    * leftover keeps the index on the full-scan path, and its replay
+    * disarms anyway.
     */
   def compactBm25Index(
       spark: SparkSession,
       indexPath: String,
-      upToBatch: Long
+      upToBatch: Long,
+      blockSize: Int = 4096
   ): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.ext.TextOps
+    require(blockSize >= 1, "need blockSize >= 1")
+    // disarm FIRST: the folds below rewrite the tables an armed sidecar
+    // describes; probes must full-scan from this point until the re-arm
+    TextOps.clearBm25BlockMax(spark, indexPath)
+    // build-time avgdl for the impact ORDER (validity is per-block
+    // bounds, not order) — folded from the same partials the stats fold
+    // below merges, so a crash-resumed fold re-derives the same value
+    val statsRow = spark.read.parquet(s"$indexPath/stats")
+      .where(col("ingest_batch") <= upToBatch)
+      .agg(
+        coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
+      .head()
+    val foldAvgdl =
+      if (statsRow.getLong(0) == 0L) 1.0
+      else statsRow.getLong(1).toDouble / statsRow.getLong(0).toDouble
     compactBatchedTable(spark, s"$indexPath/postings", upToBatch, Seq("tb"),
-      _.select("doc_id", "dl", "term", "tf", "tb").repartition(col("tb")))
+      df => TextOps.bm25AssignBlocks(
+          df.select("doc_id", "dl", "term", "tf", "tb"), foldAvgdl, blockSize)
+        .repartition(col("tb"))
+        .sortWithinPartitions("term", "blk"))
     compactBatchedTable(spark, s"$indexPath/dict", upToBatch, Seq("tb"),
       _.groupBy("term", "tb").agg(sum(col("df")).as("df"))
         .select("term", "df", "tb").repartition(col("tb")))
@@ -1530,6 +1592,21 @@ object CdcStream {
       _.agg(
         coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl")).coalesce(1))
+    val postingsBase = new Path(s"$indexPath/postings")
+    val fs = postingsBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftover = fs.listStatus(postingsBase)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("ingest_batch="))
+      .map(_.stripPrefix("ingest_batch=").toLong)
+      .exists(_ > upToBatch)
+    if (!leftover) {
+      TextOps.bm25BlockSidecar(spark.read.parquet(s"$indexPath/postings"))
+        .select("term", "blk", "max_tf", "min_dl", "n_rows", "tb")
+        .repartition(col("tb"))
+        .sortWithinPartitions("term", "blk")
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$indexPath/blockmax")
+      TextOps.writeBm25BlockMaxMarker(spark, indexPath, blockSize)
+    }
   }
 
   /** The maintenance entry point the per-store compactors plug into —

@@ -1267,7 +1267,14 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Int, Long, Long, Long)].collect().toSet
     val before = probe()
     CdcStream.compactBm25Index(spark, s"$base/idx", upToBatch = 1L)
+    // the fold is also the block-max re-arm: the marker is up and the
+    // post-compaction probe (now running the certified early-termination
+    // loop) must still be bit-identical
+    assert(TextOps.hasBm25BlockMax(spark, s"$base/idx"),
+      "compaction did not arm the block-max sidecar")
     assert(probe() === before, "BM25 probe changed across compaction")
+    assert(TextOps.lastBlockMaxStats.nonEmpty,
+      "post-compaction probe did not take the block-max path")
     // each sub-table folded to one ingest_batch dir; dict df partials
     // merged to one row per (term, tb)
     for (sub <- Seq("postings", "dict", "stats"))
@@ -1279,6 +1286,65 @@ class StreamingSpec extends SparkSpec {
       "dict fold left multiple df partials per term")
     assert(spark.read.parquet(s"$base/idx/stats").count() === 1L,
       "stats fold left multiple partials")
+  }
+
+  test("compactBm25Index block-max lifecycle: armed probes equal the full-scan twin; appends disarm; leftover partials skip arming; one-shot layout refused") {
+    import graft.ext.TextOps
+    val d = Tables.load(spark, sf0001, "documents")
+    // force multi-block terms (blockSize=2) so the armed probe genuinely
+    // certifies against unseen mass instead of admitting everything
+    val corpus = d.where($"doc_id" < 300).select($"doc_id", $"text")
+    val queries = corpus.where($"doc_id" % 40 === 3)
+      .select($"doc_id".as("q_id"),
+        array_join(slice(split(trim($"text"), "\\s+"), 2, 4), " ").as("qtext"))
+    val base = tempDir("bm25bmlife")
+    def applyBatch(b: org.apache.spark.sql.DataFrame, id: Long, path: String): Unit =
+      CdcStream.bm25IndexApplyBatch(b, id, path, "doc_id", "text", numBuckets = 16)
+    def probe(path: String) =
+      TextOps.bm25TopKStored(spark, path, queries, "q_id", "qtext", k = 3)
+        .select("q_id", "doc_id", "rank", "score_e6", "tf_sum", "n_terms")
+        .as[(Long, Long, Int, Long, Long, Long)].collect().toSet
+    // twin A: maintained then compacted with the sidecar armed
+    applyBatch(corpus.where($"doc_id" % 2 === 0), 0L, s"$base/idx")
+    applyBatch(corpus.where($"doc_id" % 2 === 1), 1L, s"$base/idx")
+    CdcStream.compactBm25Index(spark, s"$base/idx", upToBatch = 1L, blockSize = 2)
+    // twin B: same corpus, same fold, marker disarmed — the always-safe
+    // full scan the certificate claims to reproduce
+    applyBatch(corpus.where($"doc_id" % 2 === 0), 0L, s"$base/twin")
+    applyBatch(corpus.where($"doc_id" % 2 === 1), 1L, s"$base/twin")
+    CdcStream.compactBm25Index(spark, s"$base/twin", upToBatch = 1L, blockSize = 2)
+    TextOps.clearBm25BlockMax(spark, s"$base/twin")
+    assert(TextOps.hasBm25BlockMax(spark, s"$base/idx"))
+    assert(!TextOps.hasBm25BlockMax(spark, s"$base/twin"))
+    val armed = probe(s"$base/idx")
+    assert(TextOps.lastBlockMaxStats.nonEmpty, "armed probe skipped the block-max path")
+    val full = probe(s"$base/twin")
+    assert(TextOps.lastBlockMaxStats.isEmpty, "disarmed twin took the block-max path")
+    assert(armed === full, "block-max probe diverges from the full-scan twin")
+    assert(armed.nonEmpty)
+    // the next streamed append DISARMS: its unblocked postings would be
+    // invisible to the stale sidecar's block filter
+    applyBatch(
+      corpus.where($"doc_id" === 0).select(($"doc_id" + 9000L).as("doc_id"), $"text"),
+      2L, s"$base/idx")
+    assert(!TextOps.hasBm25BlockMax(spark, s"$base/idx"),
+      "append over an armed index left the stale sidecar armed")
+    assert(!new java.io.File(s"$base/idx/blockmax").exists(),
+      "append left the stale blockmax table behind")
+    // compacting BELOW a leftover (uncommitted/crashed) batch folds but
+    // must NOT arm — the leftover's postings carry no block assignment
+    CdcStream.compactBm25Index(spark, s"$base/idx", upToBatch = 1L, blockSize = 2)
+    assert(!TextOps.hasBm25BlockMax(spark, s"$base/idx"),
+      "compaction armed the sidecar over a leftover unblocked partition")
+    assert(probe(s"$base/idx").nonEmpty)
+    // a one-shot materializeBm25Index table refuses streamed appends —
+    // its tb= layout cannot absorb ingest_batch= partials
+    val oneShot = tempDir("bm25oneshotrefuse")
+    TextOps.materializeBm25Index(corpus, "doc_id", "text", oneShot, numBuckets = 16)
+    val ex = intercept[IllegalArgumentException] {
+      applyBatch(corpus.where($"doc_id" === 1), 0L, oneShot)
+    }
+    assert(ex.getMessage.contains("one-shot"))
   }
 
   test("ingestPipelineApplyBatch: five-stage composition is replay-idempotent and stores stay sets") {
