@@ -33,6 +33,31 @@ object CdcStream {
 
   val DefaultTrigger: Trigger = Trigger.ProcessingTime("5 seconds")
 
+  /** Bucket count at or below which the per-trigger touched-bucket
+    * collect is SKIPPED and the store probe reads every bucket
+    * partition: the collect exists to prune `ingest-batch × bucket`
+    * partition dirs when the deployment rule (buckets ∝ corpus) makes
+    * the store's bucket count vastly exceed a batch's distinct keys —
+    * at ≤ 32 buckets any real batch touches essentially all of them, so
+    * the collect is a pure extra job on the trigger's critical path
+    * buying no pruning. Results are identical either way (the bucket
+    * filter was always an optimization over the key semi-join). */
+  private val PruneCollectMinBuckets = 33
+
+  /** Daemon pool the composed pipeline parks its deferred store appends
+    * and tail writes on — each submitted thunk runs one Spark action, so
+    * concurrency is bounded by the handful of stages per trigger; the
+    * scheduler interleaves their tasks across the executor cores like
+    * any multi-session workload. Daemon threads: an exiting application
+    * must not hang on an idle pool. */
+  private lazy val appendPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-pipeline-append")
+        t.setDaemon(true)
+        t
+      }))
+
   /** Open the log directory as a micro-batch stream. */
   def readLogStream(spark: SparkSession, logPath: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(logPath)
@@ -630,6 +655,31 @@ object CdcStream {
       hashKey: Boolean,
       numBuckets: Int,
       keepOutput: Boolean = false): DataFrame = {
+    val (kept, append) = substringStripApplyBatchStaged(
+      batch, batchId, indexPath, outPath, k, hashKey, numBuckets, keepOutput)
+    append()
+    kept
+  }
+
+  /** [[substringStripApplyBatch]] with the store append STAGED: returns
+    * the written output frame plus the append as an unrun thunk. The
+    * composed pipeline ([[ingestPipelineApplyBatch]]) runs the four
+    * stages' appends CONCURRENTLY off the doc-flow critical path — they
+    * touch four disjoint stores and nothing downstream reads them this
+    * trigger (probes filter `ingest_batch < batchId`), so only the
+    * per-stage probe + output writes remain sequential. The thunk owns
+    * the stage's cache releases; it MUST be invoked exactly once, and
+    * the trigger must not commit before it completes (replay safety —
+    * the caller awaits before returning to foreachBatch). */
+  private[graft] def substringStripApplyBatchStaged(
+      batch: DataFrame,
+      batchId: Long,
+      indexPath: String,
+      outPath: String,
+      k: Int,
+      hashKey: Boolean,
+      numBuckets: Int,
+      keepOutput: Boolean): (DataFrame, () => Unit) = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
     import graft.ext.Dedup
@@ -646,6 +696,7 @@ object CdcStream {
     val batchGrams = Dedup.substringGramIndex(b, "doc_id", "text", k, hashKey)
       .withColumn("gb", pmod(xxhash64(col("g")), lit(numBuckets)).cast("int"))
       .cache()
+    def cleanup(): Unit = { batchGrams.unpersist(); b.unpersist(); () }
     try {
       val live = new Path(indexPath)
       val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -658,28 +709,39 @@ object CdcStream {
         else
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storeSchema)
       // bucket pruning: only the gb partitions the batch's grams hash
-      // into can hold a probe hit (bounded collect — ≤ numBuckets values)
-      val touched = batchGrams.select("gb").distinct().collect().map(_.getInt(0)).toSeq
-      val index =
-        if (touched.isEmpty) store.select("g").limit(0)
-        else store.where(col("gb").isin(touched: _*)).select("g")
+      // into can hold a probe hit (bounded collect — ≤ numBuckets
+      // values). Skipped at small bucket counts, where every bucket is
+      // touched anyway and the collect is a pure critical-path job —
+      // see [[PruneCollectMinBuckets]].
+      val touched: Option[Seq[Int]] =
+        if (numBuckets < PruneCollectMinBuckets) None
+        else Some(batchGrams.select("gb").distinct().collect().map(_.getInt(0)).toSeq)
+      val index = touched match {
+        case Some(t) if t.isEmpty => store.select("g").limit(0)
+        case Some(t)              => store.where(col("gb").isin(t: _*)).select("g")
+        case None                 => store.select("g")
+      }
       val spans = Dedup
         .exactSubstringSpansIncremental(index, b, "doc_id", "text", k, hashKey)
       val out = Dedup.stripSpans(b, "doc_id", "text", spans.select("doc_id", "spans"))
-      val kept = if (keepOutput) out.localCheckpoint(eager = false) else out
-      kept.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
+      // eager under keepOutput — the boilerplateApplyBatchStaged note
+      val kept = if (keepOutput) out.localCheckpoint(eager = true) else out
       // one file per bucket dir: without the repartition every write task
       // fans out across all numBuckets partition dirs (tasks × buckets
       // small files per trigger — the small-file explosion that kills
       // streaming tables); clustered by gb, each task owns whole buckets
-      batchGrams
-        .join(index, Seq("g"), "left_anti")
-        .select("g", "gb")
-        .repartition(numBuckets, col("gb"))
-        .write.mode("overwrite").partitionBy("gb")
-        .parquet(s"$indexPath/ingest_batch=$batchId")
-      kept
-    } finally { batchGrams.unpersist(); b.unpersist(); () }
+      val append = () =>
+        try {
+          kept.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
+          batchGrams
+            .join(index, Seq("g"), "left_anti")
+            .select("g", "gb")
+            .repartition(numBuckets, col("gb"))
+            .write.mode("overwrite").partitionBy("gb")
+            .parquet(s"$indexPath/ingest_batch=$batchId")
+        } finally cleanup()
+      (kept, append)
+    } catch { case e: Throwable => cleanup(); throw e }
   }
 
   /** Streaming perceptual-hash admission — the INGEST composition of
@@ -744,6 +806,26 @@ object CdcStream {
       blocks: Int,
       probeBits: Int,
       keepOutput: Boolean = false): DataFrame = {
+    val (kept, append) = hammingAdmitApplyBatchStaged(
+      batch, batchId, indexPath, outPath, idCol, hashCol, radius, blocks,
+      probeBits, keepOutput)
+    append()
+    kept
+  }
+
+  /** [[hammingAdmitApplyBatch]] with the banded append staged — the
+    * [[substringStripApplyBatchStaged]] contract. */
+  private[graft] def hammingAdmitApplyBatchStaged(
+      batch: DataFrame,
+      batchId: Long,
+      indexPath: String,
+      outPath: String,
+      idCol: String,
+      hashCol: String,
+      radius: Int,
+      blocks: Int,
+      probeBits: Int,
+      keepOutput: Boolean): (DataFrame, () => Unit) = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
     import graft.ext.Dedup
@@ -767,17 +849,22 @@ object CdcStream {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storeSchema)
           .select("blk", "key", "id", "hh")
     val b = batch.cache()
+    def cleanup(): Unit = { b.unpersist(); () }
     try {
       val out = Dedup
         .hammingAdmitBanded(bandedIndex, b, idCol, hashCol, radius, blocks, probeBits)
-      val kept = if (keepOutput) out.localCheckpoint(eager = false) else out
-      kept.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
-      Dedup.hammingIndexBanded(b, idCol, hashCol, blocks)
-        .repartition(col("blk"))
-        .write.mode("overwrite").partitionBy("blk")
-        .parquet(s"$indexPath/ingest_batch=$batchId")
-      kept
-    } finally { b.unpersist(); () }
+      // eager under keepOutput — the boilerplateApplyBatchStaged note
+      val kept = if (keepOutput) out.localCheckpoint(eager = true) else out
+      val append = () =>
+        try {
+          kept.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
+          Dedup.hammingIndexBanded(b, idCol, hashCol, blocks)
+            .repartition(col("blk"))
+            .write.mode("overwrite").partitionBy("blk")
+            .parquet(s"$indexPath/ingest_batch=$batchId")
+        } finally cleanup()
+      (kept, append)
+    } catch { case e: Throwable => cleanup(); throw e }
   }
 
   /** Streaming winnowing near-dup admission — the INGEST form of
@@ -875,6 +962,29 @@ object CdcStream {
       numBuckets: Int,
       portable: Boolean,
       keepOutput: Boolean = false): DataFrame = {
+    val (kept, append) = winnowAdmitApplyBatchStaged(
+      batch, batchId, indexPath, outPath, idCol, textCol,
+      w, windowSize, minShared, maxDf, numBuckets, portable, keepOutput)
+    append()
+    kept
+  }
+
+  /** [[winnowAdmitApplyBatch]] with the postings append staged — the
+    * [[substringStripApplyBatchStaged]] contract. */
+  private[graft] def winnowAdmitApplyBatchStaged(
+      batch: DataFrame,
+      batchId: Long,
+      indexPath: String,
+      outPath: String,
+      idCol: String,
+      textCol: String,
+      w: Int,
+      windowSize: Int,
+      minShared: Int,
+      maxDf: Long,
+      numBuckets: Int,
+      portable: Boolean,
+      keepOutput: Boolean): (DataFrame, () => Unit) = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField}
     import graft.ext.Dedup
@@ -894,18 +1004,23 @@ object CdcStream {
     val posts = Dedup.winnowingPostings(batch, idCol, textCol, w, windowSize, portable)
       .withColumn("fb", pmod(xxhash64(col("fp")), lit(numBuckets)).cast("int"))
       .cache()
+    def cleanup(): Unit = { posts.unpersist(); () }
     try {
       // bucket pruning: only the fb partitions the batch's fingerprints
-      // hash into can hold a probe hit (bounded collect — ≤ numBuckets)
-      val touched = posts.select("fb").distinct().collect().map(_.getInt(0)).toSeq
+      // hash into can hold a probe hit (bounded collect — ≤ numBuckets;
+      // skipped at small bucket counts, [[PruneCollectMinBuckets]])
+      val touched: Option[Seq[Int]] =
+        if (numBuckets < PruneCollectMinBuckets) None
+        else Some(posts.select("fb").distinct().collect().map(_.getInt(0)).toSeq)
       val live = new Path(indexPath)
       val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val prior =
-        if (fs.exists(live) && touched.nonEmpty)
+        if (fs.exists(live) && !touched.exists(_.isEmpty))
           spark.read.schema(storeSchema).parquet(indexPath)
             // replay filter: a re-run batch must probe the PRE-batch
             // store even though the crashed attempt already appended
-            .where(col("ingest_batch") < batchId && col("fb").isin(touched: _*))
+            .where(col("ingest_batch") < batchId &&
+              touched.map(t => col("fb").isin(t: _*)).getOrElse(lit(true)))
             .join(posts.select("fp").distinct(), Seq("fp"), "left_semi")
             .select(col("fp"), col("id").as("a_id"))
         else
@@ -940,16 +1055,20 @@ object CdcStream {
             .when(col("__batch"), lit("dup_batch"))
             .otherwise(lit("new"))
             .as("status"))
-      val kept = if (keepOutput) out.localCheckpoint(eager = false) else out
-      kept.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
+      // eager under keepOutput — the boilerplateApplyBatchStaged note
+      val kept = if (keepOutput) out.localCheckpoint(eager = true) else out
       // one file per bucket dir: clustered by fb so a write task owns
       // whole buckets instead of fanning small files across partitions
-      posts.select("id", "fp", "fb")
-        .repartition(numBuckets, col("fb"))
-        .write.mode("overwrite").partitionBy("fb")
-        .parquet(s"$indexPath/ingest_batch=$batchId")
-      kept
-    } finally { posts.unpersist(); () }
+      val append = () =>
+        try {
+          kept.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
+          posts.select("id", "fp", "fb")
+            .repartition(numBuckets, col("fb"))
+            .write.mode("overwrite").partitionBy("fb")
+            .parquet(s"$indexPath/ingest_batch=$batchId")
+        } finally cleanup()
+      (kept, append)
+    } catch { case e: Throwable => cleanup(); throw e }
   }
 
   /** Streaming BM25 inverted-index maintenance — the INGEST form of
@@ -1133,6 +1252,26 @@ object CdcStream {
       sep: String,
       numBuckets: Int,
       keepOutput: Boolean = false): DataFrame = {
+    val (kept, append) = boilerplateApplyBatchStaged(
+      batch, batchId, countsPath, outPath, idCol, textCol,
+      minDocs, sep, numBuckets, keepOutput)
+    append()
+    kept
+  }
+
+  /** [[boilerplateApplyBatch]] with the count-partial append staged —
+    * the [[substringStripApplyBatchStaged]] contract. */
+  private[graft] def boilerplateApplyBatchStaged(
+      batch: DataFrame,
+      batchId: Long,
+      countsPath: String,
+      outPath: String,
+      idCol: String,
+      textCol: String,
+      minDocs: Int,
+      sep: String,
+      numBuckets: Int,
+      keepOutput: Boolean): (DataFrame, () => Unit) = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
     import graft.ext.TextOps
@@ -1149,19 +1288,24 @@ object CdcStream {
     val paras = TextOps.paragraphs(batch, idCol, textCol, sep)
       .withColumn("pb", pmod(xxhash64(col("ph")), lit(numBuckets)).cast("int"))
       .cache()
+    def cleanup(): Unit = { paras.unpersist(); () }
     try {
       val own = paras.groupBy("ph", "pb").agg(countDistinct(col("doc_id")).as("n_docs"))
       // bucket pruning: only the pb partitions the batch's paragraphs
-      // hash into can hold a prior count (bounded collect — ≤ numBuckets)
-      val touched = paras.select("pb").distinct().collect().map(_.getInt(0)).toSeq
+      // hash into can hold a prior count (bounded collect — ≤ numBuckets;
+      // skipped at small bucket counts, [[PruneCollectMinBuckets]])
+      val touched: Option[Seq[Int]] =
+        if (numBuckets < PruneCollectMinBuckets) None
+        else Some(paras.select("pb").distinct().collect().map(_.getInt(0)).toSeq)
       val live = new Path(countsPath)
       val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val prior =
-        if (fs.exists(live) && touched.nonEmpty)
+        if (fs.exists(live) && !touched.exists(_.isEmpty))
           spark.read.schema(storeSchema).parquet(countsPath)
             // replay filter: a re-run batch must see the PRE-batch counts
             // even if the crashed attempt already wrote its own partial
-            .where(col("ingest_batch") < batchId && col("pb").isin(touched: _*))
+            .where(col("ingest_batch") < batchId &&
+              touched.map(t => col("pb").isin(t: _*)).getOrElse(lit(true)))
             .join(paras.select("ph").distinct(), Seq("ph"), "left_semi")
             .groupBy("ph").agg(sum(col("n_docs")).as("n_prior"))
         else
@@ -1173,14 +1317,21 @@ object CdcStream {
         .where(coalesce(col("n_prior"), lit(0L)) + col("n_docs") >= minDocs)
         .select(col("ph"), lit(true).as("is_boiler"))
       val out = TextOps.reassembleStripped(paras.join(boiler, Seq("ph"), "left"), sep)
-      val kept = if (keepOutput) out.localCheckpoint(eager = false) else out
-      kept.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
-      own
-        .repartition(numBuckets, col("pb"))
-        .write.mode("overwrite").partitionBy("pb")
-        .parquet(s"$countsPath/ingest_batch=$batchId")
-      kept
-    } finally { paras.unpersist(); () }
+      // keepOutput (the composed pipeline): EAGER checkpoint — the
+      // stage's compute runs here, once, and BOTH parquet writes (output
+      // partition + store append) leave the critical path as deferred
+      // I/O over the materialized blocks
+      val kept = if (keepOutput) out.localCheckpoint(eager = true) else out
+      val append = () =>
+        try {
+          kept.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
+          own
+            .repartition(numBuckets, col("pb"))
+            .write.mode("overwrite").partitionBy("pb")
+            .parquet(s"$countsPath/ingest_batch=$batchId")
+        } finally cleanup()
+      (kept, append)
+    } catch { case e: Throwable => cleanup(); throw e }
   }
 
   /** The FULL ingest recipe as ONE stream — the production composition
@@ -1282,6 +1433,8 @@ object CdcStream {
       numBuckets: Int,
       hashKey: Boolean,
       portable: Boolean): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
     val spark = batch.sparkSession
     val b = batch.select(
       col(idCol).cast("long").as("doc_id"),
@@ -1293,56 +1446,80 @@ object CdcStream {
     // the LOCAL-CHECKPOINTED in-memory frame the write was produced
     // from — the stage outputs are already in memory at write time, so
     // re-reading each freshly written partition from parquet was five
-    // pure-overhead round-trips per trigger. (Measured: the per-trigger
-    // FLOOR is the stages' sequential micro-job count, not these
-    // round-trips — the removal pays at larger batch sizes and keeps
-    // plans shallow by construction, it does not change the small-batch
-    // floor.) localCheckpoint, NOT cache: a cache keeps the full
-    // logical plan, so each stage's plan would nest every prior
-    // stage's and the final five-way join's ANALYSIS cost explodes
-    // (measured: the composed gate went 15 s → 10+ min on cache);
-    // the checkpoint truncates lineage to the materialized blocks —
-    // exactly what the parquet read-back used to provide, without the
-    // round-trip. Blocks are reclaimed by the ContextCleaner when the
-    // trigger's frames go out of scope; a lost executor fails the
-    // trigger and foreachBatch redelivers it, which every stage absorbs
-    // idempotently (the replay contract above).
+    // pure-overhead round-trips per trigger. localCheckpoint, NOT
+    // cache: a cache keeps the full logical plan, so each stage's plan
+    // would nest every prior stage's and the final five-way join's
+    // ANALYSIS cost explodes (measured: the composed gate went
+    // 15 s → 10+ min on cache); the checkpoint truncates lineage to the
+    // materialized blocks — exactly what the parquet read-back used to
+    // provide, without the round-trip. Blocks are reclaimed by the
+    // ContextCleaner when the trigger's frames go out of scope; a lost
+    // executor fails the trigger and foreachBatch redelivers it, which
+    // every stage absorbs idempotently (the replay contract above).
+    //
+    // PER-TRIGGER FLOOR = the critical path's sequential micro-job
+    // count (measured r14: ~15 jobs ≈ 6.9 s at a 1× batch, not I/O).
+    // Only the DOC FLOW is genuinely sequential (stage N+1's input is
+    // stage N's checkpointed output), so everything else leaves the
+    // critical path: each stage EAGERLY checkpoints its output (its
+    // compute runs once, there) and then EVERY parquet write — the four
+    // stage outputs, the four store appends (disjoint stores; nothing
+    // this trigger reads them — probes filter ingest_batch < batchId),
+    // sstat and the final admitted table — is deferred to the append
+    // pool as I/O over materialized blocks, all mutually concurrent.
+    // The trigger still commits only after EVERY future completes —
+    // Await below rethrows the first failure so foreachBatch fails and
+    // redelivers, which each stage absorbs idempotently. Critical path:
+    // 4 × (touched-collect + checkpoint-compute) + the semantic screen
+    // + the slowest deferred write.
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Future[Unit]]
+    def defer(a: () => Unit): Unit = pending += Future(a())(appendPool)
     try {
       // 1. boilerplate strip (cumulative count store)
-      val clean1 = boilerplateApplyBatch(
+      val (clean1Raw, bpAppend) = boilerplateApplyBatchStaged(
         b.select("doc_id", "text"), batchId,
         s"$storeRoot/counts", s"$storeRoot/clean1", "doc_id", "text",
         minDocsBoiler, "\n", numBuckets, keepOutput = true)
-        .select(col("doc_id"), col("stripped_text").as("text"))
+      defer(bpAppend)
+      val clean1 = clean1Raw.select(col("doc_id"), col("stripped_text").as("text"))
       // 2. exact-substring dedup + strip (gram store)
-      val clean2 = substringStripApplyBatch(
+      val (clean2Raw, gramAppend) = substringStripApplyBatchStaged(
         clean1, batchId, s"$storeRoot/gram", s"$storeRoot/clean2",
         k, hashKey, numBuckets, keepOutput = true)
-        .select(col("doc_id"), col("stripped_text"))
+      defer(gramAppend)
+      val clean2 = clean2Raw.select(col("doc_id"), col("stripped_text"))
       // 3. winnowing fuzzy-text admission (fingerprint store)
-      val wstat = winnowAdmitApplyBatch(
+      val (wstatRaw, winAppend) = winnowAdmitApplyBatchStaged(
         clean2.select(col("doc_id"), col("stripped_text").as("text")), batchId,
         s"$storeRoot/win", s"$storeRoot/wstat", "doc_id", "text",
         w, windowSize, minShared, maxDf, numBuckets, portable, keepOutput = true)
-        .select(col("id").as("doc_id"), col("status").as("winnow_status"))
+      defer(winAppend)
+      val wstat = wstatRaw.select(col("id").as("doc_id"), col("status").as("winnow_status"))
       val surv3 = wstat.where(col("winnow_status") === "new").select("doc_id")
       // 4. perceptual admission of the text-survivors' sketches
-      val hstat = hammingAdmitApplyBatch(
+      val (hstatRaw, hamAppend) = hammingAdmitApplyBatchStaged(
         b.join(surv3, Seq("doc_id"), "left_semi").select(col("doc_id"), col("__hh")),
         batchId, s"$storeRoot/ham", s"$storeRoot/hstat", "doc_id", "__hh",
         radius, blocks = 4, probeBits = 2, keepOutput = true)
+      defer(hamAppend)
+      val hstat = hstatRaw
         .select(col("id").as("doc_id"), col("status").as("perceptual_status"))
       val surv4 = hstat.where(col("perceptual_status") === "new").select("doc_id")
-      // 5. semantic screen against the FIXED reference index (stateless)
+      // 5. semantic screen against the FIXED reference index (stateless).
+      // EAGER checkpoint — the probe runs exactly once, here — so the two
+      // tail writes below can run CONCURRENTLY over its materialized
+      // blocks instead of serializing (or racing a lazy materialization)
       val sstat = graft.ext.Dedup
         .semanticAdmitStored(
           spark, semanticIndexPath,
           b.join(surv4, Seq("doc_id"), "left_semi").select(col("doc_id"), col("__emb")),
           "doc_id", "__emb", threshold)
         .select(col("id").as("doc_id"), col("status").as("semantic_status"))
-        .localCheckpoint(eager = false)
-      sstat.write.mode("overwrite").parquet(s"$storeRoot/sstat/ingest_batch=$batchId")
-      b.select("doc_id")
+        .localCheckpoint(eager = true)
+      pending += Future(
+        sstat.write.mode("overwrite").parquet(s"$storeRoot/sstat/ingest_batch=$batchId")
+      )(appendPool)
+      val admitted = b.select("doc_id")
         .join(clean2, Seq("doc_id"), "left_outer")
         .join(wstat, Seq("doc_id"), "left_outer")
         .join(hstat, Seq("doc_id"), "left_outer")
@@ -1356,8 +1533,20 @@ object CdcStream {
           (col("winnow_status") === "new" &&
             coalesce(col("perceptual_status"), lit("skipped")) === "new" &&
             coalesce(col("semantic_status"), lit("skipped")) === "new").as("admitted"))
-        .write.mode("overwrite").parquet(s"$storeRoot/admitted/ingest_batch=$batchId")
-    } finally { b.unpersist(); () }
+      pending += Future(
+        admitted.write.mode("overwrite")
+          .parquet(s"$storeRoot/admitted/ingest_batch=$batchId")
+      )(appendPool)
+      // the commit barrier: every deferred write must be durable before
+      // foreachBatch returns, or a "committed" batch could be missing
+      // store partitions or outputs its probes and consumers assume
+      pending.foreach(f => Await.result(f, Duration.Inf))
+    } finally {
+      // a failed stage can leave deferred appends in flight — let them
+      // drain before dropping the batch cache they read
+      pending.foreach(f => try { Await.result(f, Duration.Inf); () } catch { case _: Throwable => () })
+      b.unpersist(); ()
+    }
     ()
   }
 
