@@ -998,26 +998,32 @@ object StressBench {
     // scaladoc) — so wall/linear alone conflates data-driven output
     // growth with engine growth. Price the engine's actual work instead:
     // probe rows (n · bands, the geometry the adaptive cutover picks at
-    // each n) plus measured candidate pairs (each one costs the dedup +
-    // two verify joins). `x_vs_linear_work` is (sec_K/work_K)/(sec_1/
-    // work_1); the 1× leg is mostly fixed job overhead, so the honest
-    // cross-scale read is sec ratio vs work ratio BETWEEN the 10×/30×/
-    // 100× artifacts — the raw cand/probe fields are emitted for exactly
-    // that comparison.
+    // each n), PRE-DEDUP candidate rows (the banded join's real output —
+    // a planted duplicate pair matches in up to `bands` bands and each
+    // occurrence is generated, shuffled and partially aggregated before
+    // the pair dedup collapses it; pricing only deduped pairs was the
+    // r14 30× anomaly, 1.76× "excess" that was this uncounted term) and
+    // deduped candidates (each costs the two verify joins + cosine).
+    // `x_vs_linear_work` is (sec_K/work_K)/(sec_1/work_1); the 1× leg is
+    // mostly fixed job overhead, so the honest cross-scale read is sec
+    // ratio vs work ratio BETWEEN the 10×/30×/100× artifacts — the raw
+    // cand/probe fields are emitted for exactly that comparison.
     val extras: Map[String, String] =
       if (base.exists(_._1 == "embedding_lsh")) {
-        def work(e: DataFrame): (Long, Long) = {
+        def work(e: DataFrame): (Long, Long, Long) = {
           val n = e.count()
+          val raw = Dedup.embeddingLshCandidateRawCount(e, "vec_id", "embedding")
           val cand = Dedup.embeddingLshCandidates(e, "vec_id", "embedding").count()
-          (Dedup.lshGeometry(n)._1.toLong * n, cand)
+          (Dedup.lshGeometry(n)._1.toLong * n, raw, cand)
         }
-        val (pw1, c1) = work(embs1)
-        val (pwK, cK) = work(embs10)
+        val (pw1, r1, c1) = work(embs1)
+        val (pwK, rK, cK) = work(embs10)
         val s1 = base.find(_._1 == "embedding_lsh").get._3
         val sK = big.find(_._1 == "embedding_lsh").get._3
-        val ratio = (sK / (pwK + cK).toDouble) / math.max(s1 / (pw1 + c1).toDouble, 1e-12)
+        val ratio = (sK / (pwK + rK + cK).toDouble) /
+          math.max(s1 / (pw1 + r1 + c1).toDouble, 1e-12)
         Map("embedding_lsh" ->
-          f""",\"probe_rows_1x\":$pw1,\"cand_1x\":$c1,\"probe_rows_$k\":$pwK,\"cand_$k\":$cK,\"x_vs_linear_work\":$ratio%.2f""")
+          f""",\"probe_rows_1x\":$pw1,\"cand_raw_1x\":$r1,\"cand_1x\":$c1,\"probe_rows_$k\":$pwK,\"cand_raw_$k\":$rK,\"cand_$k\":$cK,\"x_vs_linear_work\":$ratio%.2f""")
       } else Map.empty
     // Same work-normalization for semantic_dedup: its within-cell pair
     // stage is output-driven (the replica corpus's duplication band grows

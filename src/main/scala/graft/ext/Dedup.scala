@@ -1617,15 +1617,22 @@ object Dedup {
       numBlocks >= 1 && numPlanes % numBlocks == 0,
       s"numBlocks ($numBlocks) must divide numPlanes ($numPlanes)")
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    // adaptive cutover (the duplicateComponents precedent): the id-only
-    // count is one cheap columnar pass; past it, 8-bit block buckets
-    // saturate quadratically and banding is the right generator. The
-    // band geometry widens with the corpus for the same reason — see
-    // [[LshWideBandCutover]].
+    candidatePairs(adaptiveLshProbes(base, numPlanes, seed, numBlocks))
+  }
+
+  /** The adaptive probe stage shared by [[embeddingLshCandidates]] and
+    * the stress harness's raw-work counter: the id-only count is one
+    * cheap columnar pass (the duplicateComponents precedent); past
+    * [[LshBandingCutover]] 8-bit block buckets saturate quadratically
+    * and banding is the right generator, with the band geometry
+    * widening with the corpus ([[lshGeometry]]). */
+  private def adaptiveLshProbes(
+      base: DataFrame, numPlanes: Int, seed: Int, numBlocks: Int): DataFrame = {
+    import graft.ext.Similarity
     val n = base.count()
     if (n > LshBandingCutover) {
       val (bands, bits) = lshGeometry(n)
-      return bandedCandidates(base, bands, bits, seed)
+      return bandedProbes(base, bands, bits, seed)
     }
     val blockBits = numPlanes / numBlocks
     // blockBits == 64 only when numBlocks == 1 (one block = the whole signature)
@@ -1633,14 +1640,13 @@ object Dedup {
     val signed = base.withColumn("sig", Similarity.srpBucket(col("v"), numPlanes, seed))
     // posexplode → (block index, block value); the join key is the pair,
     // so block i of one vector never matches block j≠i of another
-    val probes = signed.select(
+    signed.select(
       col("id"),
       posexplode(
         array((0 until numBlocks).map(b =>
           shiftrightunsigned(col("sig"), b * blockBits).bitwiseAND(lit(mask))): _*)
       ).as(Seq("block", "bval"))
     )
-    candidatePairs(probes)
   }
 
   /** Candidate geometry the adaptive generator picks at corpus size `n`:
@@ -1759,29 +1765,60 @@ object Dedup {
     * adaptive cutover in [[embeddingLshCandidates]]).
     */
   private def bandedCandidates(
+      base: DataFrame, bands: Int, bitsPerBand: Int, seed: Int): DataFrame =
+    candidatePairs(bandedProbes(base, bands, bitsPerBand, seed))
+
+  private def bandedProbes(
       base: DataFrame, bands: Int, bitsPerBand: Int, seed: Int): DataFrame = {
     import graft.ext.Similarity
-    val probes = base.select(
+    base.select(
       col("id"),
       posexplode(
         array((0 until bands).map(b =>
           Similarity.srpBucket(col("v"), bitsPerBand, seed + 1 + b)): _*)
       ).as(Seq("block", "bval"))
     )
-    candidatePairs(probes)
   }
 
   /** Shared candidate join for the LSH paths: equi-join on
     * (block/band, value), id pairs only — payloads never ride the
     * candidate shuffle (measured 3.6× over linear when they did).
     */
-  private def candidatePairs(probes: DataFrame): DataFrame = {
+  private def candidatePairs(probes: DataFrame): DataFrame =
+    rawCandidatePairs(probes).dropDuplicates("id_a", "id_b")
+
+  /** [[candidatePairs]] BEFORE the pair dedup — one row per matching
+    * (band, pair) occurrence. This is the join's real output volume:
+    * a pair matching in m bands costs m shuffled rows (map-side partial
+    * aggregation combines them, but they were still generated and
+    * hashed), so honest engine-work accounting prices these rows, not
+    * just the deduped pair count ([[embeddingLshCandidateRawCount]]).
+    */
+  private def rawCandidatePairs(probes: DataFrame): DataFrame = {
     val l = probes.select(col("block"), col("bval"), col("id").as("id_a"))
     val r = probes.select(col("block"), col("bval"), col("id").as("id_b"))
     l.join(r, Seq("block", "bval"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Pre-dedup candidate row count under the SAME adaptive geometry as
+    * [[embeddingLshCandidates]] — the stress harness's work denominator
+    * term for the banded join stage. A corpus whose planted duplicate
+    * band matches in many bands per pair (the expanded stress corpora:
+    * quadratic-in-Replicas true pairs × up to `bands` matching bands
+    * each) does that work whether or not the deduped pair count shows
+    * it. */
+  private[graft] def embeddingLshCandidateRawCount(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numPlanes: Int = 64,
+      seed: Int = 42,
+      numBlocks: Int = 8
+  ): Long = {
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    rawCandidatePairs(adaptiveLshProbes(base, numPlanes, seed, numBlocks)).count()
   }
 
   /** Shared exact-verify tail: re-attach vectors to the deduped id pairs
