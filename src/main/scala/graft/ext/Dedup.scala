@@ -2170,6 +2170,15 @@ object Dedup {
     * real duplicate to `new`. Without `appendId` the legacy blind
     * append is kept for single-shot callers — but then a failed append
     * requires a [[writeWinnowIndex]] rebuild, never a retry.
+    *
+    * DIRECTORY RECLAIM: idempotent appends accumulate one
+    * `apost/aseq=<id>` partition each, regrowing the per-append listing
+    * cost on every probe.
+    * [[graft.streaming.CdcStream.compactWinnowAppendStore]] folds
+    * `aseq ≤ upToSeq` into one partition between appends (probe-
+    * invisible — the probe reads apost as a bag); a periodic
+    * [[writeWinnowIndex]] rebuild is the heavier reclaim that also
+    * re-drops hot fingerprints physically.
     */
   def appendWinnowIndex(
       spark: org.apache.spark.sql.SparkSession,

@@ -1623,7 +1623,8 @@ object CdcStream {
       tablePath: String,
       upToBatch: Long,
       partitionCols: Seq[String],
-      fold: DataFrame => DataFrame
+      fold: DataFrame => DataFrame,
+      batchCol: String = "ingest_batch"
   ): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(tablePath)
@@ -1651,7 +1652,7 @@ object CdcStream {
       } else false
     if (!stagedCommitted) {
       val folded = fold(
-        spark.read.parquet(tablePath).where(col("ingest_batch") <= upToBatch))
+        spark.read.parquet(tablePath).where(col(batchCol) <= upToBatch))
       val w = folded.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(staged.toString)
@@ -1660,10 +1661,10 @@ object CdcStream {
     }
     fs.listStatus(live)
       .map(_.getPath)
-      .filter(_.getName.startsWith("ingest_batch="))
-      .filter(_.getName.stripPrefix("ingest_batch=").toLong <= upToBatch)
+      .filter(_.getName.startsWith(s"$batchCol="))
+      .filter(_.getName.stripPrefix(s"$batchCol=").toLong <= upToBatch)
       .foreach(p => fs.delete(p, true))
-    val target = new Path(s"$tablePath/ingest_batch=$upToBatch")
+    val target = new Path(s"$tablePath/$batchCol=$upToBatch")
     if (!fs.rename(staged, target))
       throw new java.io.IOException(
         s"store compaction: could not move $staged into place at $target " +
@@ -1698,6 +1699,32 @@ object CdcStream {
   ): Unit =
     compactBatchedTable(spark, indexPath, upToBatch, Seq("fb"),
       _.select("id", "fp", "fb").repartition(col("fb")))
+
+  /** Offline compaction for the BATCH-pipeline winnowing artifact's
+    * append table ([[graft.ext.Dedup.appendWinnowIndex]] with a stable
+    * `appendId`): fold every `apost/aseq ≤ upToSeq` partition into ONE
+    * `aseq=<upToSeq>` partition, fb-clustered. The probe
+    * ([[graft.ext.Dedup.winnowAdmitStored]]) reads posts ∪ apost as a
+    * bag with `aseq` projected away, so the relabel changes no
+    * decision — it reclaims exactly the one-directory-per-append
+    * listing growth a long-running admission loop accumulates (the
+    * `winnow_probe_frag` wall story, on the apost axis). Same staged /
+    * crash-resume / run-between-appends contract as every compactor:
+    * `upToSeq` must be STRICTLY below the next appendId the loop will
+    * use (a retried append overwrites its own `aseq` partition — one
+    * folded INTO the compaction target would instead double its rows,
+    * and the probe-side df cap counts rows). A periodic
+    * [[graft.ext.Dedup.writeWinnowIndex]] rebuild remains the heavier
+    * reclaim that also re-drops hot fingerprints physically.
+    */
+  def compactWinnowAppendStore(
+      spark: SparkSession,
+      indexPath: String,
+      upToSeq: Long
+  ): Unit =
+    compactBatchedTable(spark, s"$indexPath/apost", upToSeq, Seq("fb"),
+      _.select("id", "fp", "fb").repartition(col("fb")),
+      batchCol = "aseq")
 
   /** Offline compaction for the [[boilerplateMaintain]] count store:
     * the store holds per-batch `(ph, n_docs)` PARTIALS that probes SUM,

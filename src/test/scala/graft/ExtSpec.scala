@@ -2134,6 +2134,42 @@ class ExtSpec extends SparkSpec {
       "expected the legacy double-append to trip the df cap (test premise)")
   }
 
+  test("compactWinnowAppendStore: aseq fold is probe-invisible, bounds the per-append dirs, and later appends resume") {
+    import graft.ext.Dedup
+    import graft.streaming.CdcStream
+    def mk(prefix: String) = (1 to 40).map(i => s"$prefix$i").mkString(" ")
+    val c0 = Seq((1L, mk("p")), (2L, mk("q"))).toDF("doc_id", "text")
+    val probeBatch = Seq((21L, mk("p")), (22L, mk("r")), (23L, mk("s")))
+      .toDF("doc_id", "text")
+    def probe(dir: String) =
+      Dedup.winnowAdmitStored(spark, dir, probeBatch, "doc_id", "text", minShared = 3)
+        .as[(Long, String)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow-apfold").toString
+    Dedup.writeWinnowIndex(c0, "doc_id", "text", dir, maxDf = 5, buckets = 4)
+    // ten appends = ten aseq dirs (the admission-loop growth pattern);
+    // distinct texts so no fingerprint crosses the probe-side df cap
+    for (i <- 0 until 10)
+      Dedup.appendWinnowIndex(
+        spark, dir,
+        Seq((100L + i, if (i == 0) mk("r") else mk(s"u${i}x"))).toDF("doc_id", "text"),
+        "doc_id", "text", appendId = i.toLong)
+    val before = probe(dir)
+    assert(before(22L) === "dup_snapshot", "appended postings not probed (premise)")
+    CdcStream.compactWinnowAppendStore(spark, dir, upToSeq = 9L)
+    assert(new java.io.File(s"$dir/apost").listFiles
+      .filter(_.getName.startsWith("aseq=")).map(_.getName).toSet === Set("aseq=9"),
+      "apost not folded to one aseq partition")
+    assert(probe(dir) === before, "apost fold changed probe decisions")
+    // the loop resumes past the fold: a later append lands in its own
+    // partition and is probed together with the folded rows
+    Dedup.appendWinnowIndex(
+      spark, dir, Seq((200L, mk("s"))).toDF("doc_id", "text"),
+      "doc_id", "text", appendId = 10L)
+    val after = probe(dir)
+    assert(after(23L) === "dup_snapshot", "post-fold append not probed")
+    assert(after(21L) === before(21L) && after(22L) === before(22L))
+  }
+
   test("nbQualityScore: hand-computed Laplace posteriors, neutral OOV, empty-doc retention") {
     val positives = Seq((100L, "good good fine")).toDF("doc_id", "text")
     val negatives = Seq((200L, "bad awful")).toDF("doc_id", "text")
