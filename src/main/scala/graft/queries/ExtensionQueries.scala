@@ -1368,6 +1368,42 @@ object ExtensionQueries {
         .orderBy("q_id", "rank")
     },
 
+    // the COMPACTION-ARMED form of the block-max path (round 15): the
+    // same planted-gradient corpus arrives as two streamed
+    // bm25IndexApplyBatch partials (unblocked postings — full-scan
+    // probes), then compactBm25Index folds them AND assigns impact
+    // blocks + emits the blockmax sidecar + arms the marker in the same
+    // pass; the probe below runs the certified early-termination loop
+    // over the streamed-then-compacted artifact. The oracle is the SAME
+    // blind full-scan BM25 re-derivation — blind to batching, blocks
+    // and the certificate — so hash-equality proves the maintenance
+    // path's early termination exact, not just the one-shot build's.
+    "x_bm25_compact_blockmax" -> { (s, dir) =>
+      import graft.streaming.CdcStream
+      val d = docs(s, dir)
+      val corpus = d.select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            expr("repeat(concat(' za', cast(doc_id % 16 as string)), cast(doc_id % 4 + 1 as int))"),
+            expr("repeat(concat(' zb', cast(doc_id % 7 as string)), cast(doc_id % 3 + 1 as int))")))
+          .otherwise(col("text")).as("text"))
+      val queries = d.where(col("doc_id") % 97 === 1)
+        .select(
+          col("doc_id").as("q_id"),
+          concat(lit("za"), (col("doc_id") % 16).cast("string"),
+            lit(" zb"), (col("doc_id") % 7).cast("string")).as("qtext"))
+      val store = java.nio.file.Files.createTempDirectory("graft_bm25_cbm").toString
+      CdcStream.bm25IndexApplyBatch(
+        corpus.where(col("doc_id") % 2 === 0), 0L, store, "doc_id", "text", numBuckets = 8)
+      CdcStream.bm25IndexApplyBatch(
+        corpus.where(col("doc_id") % 2 === 1), 1L, store, "doc_id", "text", numBuckets = 8)
+      CdcStream.compactBm25Index(s, store, upToBatch = 1L, blockSize = 4)
+      TextOps.bm25TopKStored(s, store, queries, "q_id", "qtext", k = 10)
+        .select(col("q_id"), col("doc_id"), col("rank"), col("tf_sum"), col("n_terms"))
+        .orderBy("q_id", "rank")
+    },
+
     // the STREAMING BM25 index maintainer as a DRIVER GATE: a one-third
     // corpus (this gate pins the streaming lifecycle — the retrieval
     // math itself is gated at full width by x_text_bm25) arrives in two
@@ -6924,5 +6960,11 @@ object ExtensionQueries {
     // of prior batches — so the gate shares x_dedup_image_incr's
     // closed-form LCG derivation VERBATIM (same corpus, same batch,
     // same three-fate statuses)
-    "x_dedup_image_stream" -> imageIncrOracle)
+    "x_dedup_image_stream" -> imageIncrOracle) match {
+    // the compaction-armed block-max gate shares the one-shot gate's
+    // oracle VERBATIM: the DuckDB re-derivation is blind to batching,
+    // impact blocks and the certificate, and both gates plant the same
+    // corpus and queries — only the index LIFECYCLE differs
+    case m => m + ("x_bm25_compact_blockmax" -> m("x_bm25_blockmax"))
+  }
 }
