@@ -1057,14 +1057,16 @@ object StressBench {
         // probe-ran guard first: touching docs10.inputFiles would force
         // the lazy expansion in subset runs that never needed it
         if (bmRounds.synchronized(!bmRounds.keys.exists(_._2 == nm))) None
-        else
-          (bmRounds.get((docs1.inputFiles.toSet, nm)),
-            bmRounds.get((docs10.inputFiles.toSet, nm))) match {
-            case (Some((r1, a1)), Some((rK, aK))) =>
-              Some(nm ->
-                s""","rounds_1x":$r1,"admitted_blocks_1x":$a1,"rounds_$k":$rK,"admitted_blocks_$k":$aK""")
-            case _ => None
-          }
+        else {
+          val legs =
+            bmRounds.get((docs1.inputFiles.toSet, nm)).map { case (r, a) =>
+              s""","rounds_1x":$r,"admitted_blocks_1x":$a"""
+            }.toSeq ++
+              bmRounds.get((docs10.inputFiles.toSet, nm)).map { case (r, a) =>
+                s""","rounds_$k":$r,"admitted_blocks_$k":$a"""
+              }
+          if (legs.isEmpty) None else Some(nm -> legs.mkString)
+        }
       }.toMap
 
     val per = base.zip(big).map { case ((n, c1, s1), (_, c10, s10)) =>

@@ -1530,14 +1530,18 @@ object TextOps {
       ()
     }
     val keepTerms = keep.map(_._1).filter(top.contains)
-    if (keepTerms.isEmpty)
+    if (keepTerms.isEmpty) {
       // no query term has any posting: the inner joins of the full path
       // produce the empty result with the right shape, scanning nothing
-      // (keep's buckets exist but hold none of its terms' row groups)
+      // (keep's buckets exist but hold none of its terms' row groups).
+      // Telemetry: the armed path WAS taken — zero rounds, zero blocks
+      // (the 0-mass limit a needle probe hits before its term exists)
+      lastBlockMaxStats = Some((0, 0L))
       return bm25ScoreCore(
         bm25PrunedRead(spark, path, "postings", keep)
           .select("doc_id", "dl", "term", "tf"),
         dfreq, qtermsKept, n, avgdl, k, k1, b)
+    }
     def admittedBlocks: Long = keepTerms.map { t =>
       admit(t) match {
         case Some(c) => math.min(c, top(t).size).toLong
