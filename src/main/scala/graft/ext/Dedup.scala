@@ -1768,17 +1768,35 @@ object Dedup {
       base: DataFrame, bands: Int, bitsPerBand: Int, seed: Int): DataFrame =
     candidatePairs(bandedProbes(base, bands, bitsPerBand, seed))
 
-  private def bandedProbes(
-      base: DataFrame, bands: Int, bitsPerBand: Int, seed: Int): DataFrame = {
-    import graft.ext.Similarity
-    base.select(
-      col("id"),
-      posexplode(
-        array((0 until bands).map(b =>
-          Similarity.srpBucket(col("v"), bitsPerBand, seed + 1 + b)): _*)
-      ).as(Seq("block", "bval"))
-    )
+  /** Spread a vector frame across the session's cores before a
+    * projection-heavy map stage. The banded signature pass is
+    * bands·bitsPerBand·dim FMAs per row — pure map-side compute whose
+    * parallelism Spark inherits from the INPUT's file splits, so a
+    * low-split input (one coalesced parquet file, a single-partition
+    * kafka dump) silently serializes it: measured 6.97 s single-file vs
+    * 1.46 s at 32 partitions for the same 60k×64-dim corpus. The guard
+    * only fires when splits < cores — a production many-split corpus
+    * never pays the (linear, vectors-only) balancing shuffle; an
+    * explicit numPartitions keeps AQE from re-coalescing the small
+    * frame back to one partition.
+    */
+  private def spreadForProjection(base: DataFrame): DataFrame = {
+    val want = base.sparkSession.sparkContext.defaultParallelism
+    if (base.rdd.getNumPartitions < want) base.repartition(want) else base
   }
+
+  private def bandedProbes(
+      base: DataFrame, bands: Int, bitsPerBand: Int, seed: Int): DataFrame =
+    // one-pass signature row (array element b ≡ srpBucket(v, bits,
+    // seed+1+b) bit-for-bit — the SrpBands contract): per-band srpBucket
+    // calls re-read the vector and re-enter their own generated loop per
+    // band, measured ~11 s per pass at 60k×64-dim under the 32×16
+    // geometry — the r14 30× embedding_lsh wall anomaly
+    spreadForProjection(base).select(
+      col("id"),
+      posexplode(GraftFunctions.srp_bands(col("v"), bands, bitsPerBand, seed))
+        .as(Seq("block", "bval"))
+    )
 
   /** Shared candidate join for the LSH paths: equi-join on
     * (block/band, value), id pairs only — payloads never ride the
@@ -1795,8 +1813,13 @@ object Dedup {
     * just the deduped pair count ([[embeddingLshCandidateRawCount]]).
     */
   private def rawCandidatePairs(probes: DataFrame): DataFrame = {
-    val l = probes.select(col("block"), col("bval"), col("id").as("id_a"))
-    val r = probes.select(col("block"), col("bval"), col("id").as("id_b"))
+    // cache: both self-join sides read the SAME probe frame — uncached,
+    // each side recomputes the full projection pass (the in-file .cache()
+    // convention for multi-scan sketch frames; the frame is
+    // (id, block, bval) — 24 bytes/row, n·bands rows)
+    val p = probes.cache()
+    val l = p.select(col("block"), col("bval"), col("id").as("id_a"))
+    val r = p.select(col("block"), col("bval"), col("id").as("id_b"))
     l.join(r, Seq("block", "bval"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")

@@ -48,6 +48,9 @@ object GraftFunctions {
     "tdigest_quantile" -> { es: Seq[Expression] => TDigestQuantile(es(0), es(1)) },
     "tdigest_rank" -> { es: Seq[Expression] => TDigestRank(es(0), es(1)) },
     "srp_bucket" -> { es: Seq[Expression] => SrpBucket(es(0), intLit(es(1)), intLit(es(2))) },
+    "srp_bands" -> { es: Seq[Expression] =>
+      SrpBands(es(0), intLit(es(1)), intLit(es(2)), intLit(es(3)))
+    },
     "count_in_set" -> { es: Seq[Expression] => CountInSet(es(0), stringSeqLit(es(1))) },
     "prefix_sum" -> { es: Seq[Expression] => PrefixSumLongs(es(0), es(1)) },
     "top_shingle_count" -> { es: Seq[Expression] => TopShingleCount(es(0), intLit(es(1))) },
@@ -178,6 +181,19 @@ object GraftFunctions {
       "srp_bucket",
       vec,
       org.apache.spark.sql.functions.lit(numPlanes),
+      org.apache.spark.sql.functions.lit(seed)
+    )
+
+  /** All `bands` SRP band signatures in one vector pass — element `b` is
+    * bit-identical to `srp_bucket(vec, bitsPerBand, seed + 1 + b)`
+    * (codegen'd; see [[SrpBands]]).
+    */
+  def srp_bands(vec: Column, bands: Int, bitsPerBand: Int, seed: Int): Column =
+    call_function(
+      "srp_bands",
+      vec,
+      org.apache.spark.sql.functions.lit(bands),
+      org.apache.spark.sql.functions.lit(bitsPerBand),
       org.apache.spark.sql.functions.lit(seed)
     )
 

@@ -180,6 +180,115 @@ final class SrpPlaneWeights(planeSeeds: Array[Long]) extends Serializable {
   }
 }
 
+/** All `bands` SRP band signatures of a vector in ONE pass — the banded
+  * near-dup generator's projection stage ([[graft.ext.Dedup]] SRP banding).
+  * Band `b`'s value is bit-identical to
+  * `srp_bucket(vec, bitsPerBand, seed + 1 + b)` (same per-band xxhash64
+  * seed chain, same weight derivation, same sequential double
+  * accumulation per plane), so swapping the per-band column composition
+  * for this expression cannot move a single candidate pair.
+  *
+  * Why one expression instead of `array(srp_bucket × bands)`: each
+  * SrpBucket call re-reads the UnsafeArrayData vector and carries its own
+  * reference object + codegen block — at the wide-band geometries
+  * (64×20-bit = 1 280 planes) that is 64 generated loops per row and was
+  * measured at ~11 s per signature pass over a 60k×64-dim corpus (the
+  * r14 30× `embedding_lsh` wall anomaly). This form hoists one flattened
+  * (bands·bitsPerBand)-row plane matrix and runs a single tight loop
+  * emitting the whole `array<long>` signature row.
+  */
+case class SrpBands(child: Expression, bands: Int, bitsPerBand: Int, seed: Int)
+    extends UnaryExpression {
+
+  require(bands >= 1, "bands must be >= 1")
+  require(bitsPerBand >= 1 && bitsPerBand <= 64, "bitsPerBand must be in [1, 64]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $dt")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_bands"
+
+  // flattened (band, plane) seed layout: row b*bitsPerBand+p carries the
+  // seed SrpBucket(vec, bitsPerBand, seed+1+b) would derive for plane p —
+  // the bit-identity contract above
+  @transient private lazy val planeSeeds: Array[Long] = {
+    val out = new Array[Long](bands * bitsPerBand)
+    var b = 0
+    while (b < bands) {
+      val h0 = XXH64.hashInt(seed + 1 + b, 42L)
+      var p = 0
+      while (p < bitsPerBand) {
+        out(b * bitsPerBand + p) = XXH64.hashInt(p, h0)
+        p += 1
+      }
+      b += 1
+    }
+    out
+  }
+
+  @transient private lazy val weights: SrpPlaneWeights = new SrpPlaneWeights(planeSeeds)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val w = weights.forDim(n)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0L
+      var p = 0
+      while (p < bitsPerBand) {
+        val wp = w(b * bitsPerBand + p)
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          dot += v.getFloat(i).toDouble * wp(i)
+          i += 1
+        }
+        if (dot > 0.0) sig |= (1L << p)
+        p += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wref = ctx.addReferenceObj("srpBandWeights", weights, classOf[SrpPlaneWeights].getName)
+    // fresh locals — see CosineSimilarity.doGenCode
+    val n = ctx.freshName("n"); val w = ctx.freshName("w"); val out = ctx.freshName("out")
+    val b = ctx.freshName("b"); val sig = ctx.freshName("sig"); val p = ctx.freshName("p")
+    val wp = ctx.freshName("wp"); val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      v => s"""
+        |int $n = $v.numElements();
+        |double[][] $w = $wref.forDim($n);
+        |long[] $out = new long[$bands];
+        |for (int $b = 0; $b < $bands; $b++) {
+        |  long $sig = 0L;
+        |  for (int $p = 0; $p < $bitsPerBand; $p++) {
+        |    double[] $wp = $w[$b * $bitsPerBand + $p];
+        |    double $dot = 0.0;
+        |    for (int $i = 0; $i < $n; $i++) {
+        |      $dot += (double) $v.getFloat($i) * $wp[$i];
+        |    }
+        |    if ($dot > 0.0) $sig |= (1L << $p);
+        |  }
+        |  $out[$b] = $sig;
+        |}
+        |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+      """.stripMargin
+    )
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Dot product over `array<float>` — same codegen rationale as
   * [[CosineSimilarity]].
   */

@@ -37,6 +37,27 @@ class ExtSpec extends SparkSpec {
     assert(viaExpr.values.toSet.size > 1, "buckets should spread across values")
   }
 
+  test("SrpBands one-pass signature row matches per-band SrpBucket bit-for-bit") {
+    // the banded candidate generator's projection stage: element b of
+    // srp_bands(v, bands, bits, seed) must equal
+    // srp_bucket(v, bits, seed + 1 + b) exactly — the swap that killed the
+    // 30× wall anomaly must not be able to move a single candidate pair
+    graft.functions.GraftFunctions.register(spark)
+    val bands = 32; val bits = 16; val seed = 42
+    val viaBands = embs.select(
+      $"vec_id".cast("long").as("id"),
+      graft.functions.GraftFunctions.srp_bands($"embedding", bands, bits, seed).as("s")
+    ).as[(Long, Seq[Long])].collect().toMap
+    val viaBuckets = embs.select(
+      $"vec_id".cast("long").as("id"),
+      array((0 until bands).map(b =>
+        Similarity.srpBucket($"embedding", bits, seed + 1 + b)): _*).as("s")
+    ).as[(Long, Seq[Long])].collect().toMap
+    assert(viaBands == viaBuckets)
+    assert(viaBands.values.flatten.toSet.size > bands,
+      "band signatures should spread across values")
+  }
+
   test("SrpBucket plane-weight cache recomputes across ragged dims in one column") {
     // SrpPlaneWeights holds a single (dim, matrix) entry; interleaved dims
     // force the recompute path every row and must still match the
@@ -80,13 +101,14 @@ class ExtSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.BoundReference
     import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
     import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
-    import graft.functions.{CosineSimilarity, CountInSet, DotProduct, SrpBucket}
+    import graft.functions.{CosineSimilarity, CountInSet, DotProduct, SrpBands, SrpBucket}
     val vec = BoundReference(0, ArrayType(FloatType), nullable = true)
     val words = BoundReference(1, ArrayType(StringType), nullable = true)
     val proj = GenerateUnsafeProjection.generate(Seq(
       CosineSimilarity(vec, vec), CosineSimilarity(vec, vec),
       DotProduct(vec, vec), DotProduct(vec, vec),
       SrpBucket(vec, 8, 42), SrpBucket(vec, 8, 43),
+      SrpBands(vec, 4, 8, 42), SrpBands(vec, 4, 8, 43),
       CountInSet(words, Seq("a", "b")), CountInSet(words, Seq("c"))))
     assert(proj != null)
   }
