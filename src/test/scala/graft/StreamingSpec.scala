@@ -1347,6 +1347,45 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("one-shot"))
   }
 
+  test("ingestPipelineApplyBatch: batch-scoped shuffle width is restored after the trigger") {
+    // the micro-batch width override (shuffleWidth=8 by default) must
+    // never leak past the trigger's commit barrier — on success OR on a
+    // failed stage (the conf-leak class the r13 stress harness hit)
+    import graft.ext.Dedup
+    val d = Tables.load(spark, sf0001, "documents")
+    val e = Tables.load(spark, sf0001, "embeddings").select($"vec_id", $"embedding")
+    val b = d.where($"doc_id" < 40)
+      .join(e, d("doc_id") === e("vec_id"))
+      .select(d("doc_id"), $"text", xxhash64($"text").as("hh"), $"embedding".as("emb"))
+    val base = tempDir("pipewidth")
+    val ref = e.where($"vec_id" % 3 === 1)
+    Dedup.writeSemanticIndex(
+      Dedup.semanticIndex(ref, "vec_id", "embedding", 16),
+      Dedup.semanticSeeds(ref, "vec_id", "embedding", 16),
+      s"$base/semidx")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "17")
+      CdcStream.ingestPipelineApplyBatch(
+        b, 0L, s"$base/store", s"$base/semidx", "doc_id", "text", "hh", "emb",
+        k = 10, minDocsBoiler = 5, w = 4, windowSize = 3, minShared = 3,
+        maxDf = 8L, radius = 11, threshold = 0.9, numBuckets = 8,
+        hashKey = true, portable = false)
+      assert(spark.conf.get(key) == "17", "width override leaked past a committed trigger")
+      // failed trigger: a drifted gram-store layout param is a hard
+      // error inside stage 2 — the restore must still run
+      intercept[Exception] {
+        CdcStream.ingestPipelineApplyBatch(
+          b, 1L, s"$base/store", s"$base/semidx", "doc_id", "text", "hh", "emb",
+          k = 11, minDocsBoiler = 5, w = 4, windowSize = 3, minShared = 3,
+          maxDf = 8L, radius = 11, threshold = 0.9, numBuckets = 8,
+          hashKey = true, portable = false)
+      }
+      assert(spark.conf.get(key) == "17", "width override leaked past a failed trigger")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("ingestPipelineApplyBatch: five-stage composition is replay-idempotent and stores stay sets") {
     import graft.ext.Dedup
     val d = Tables.load(spark, sf0001, "documents")
