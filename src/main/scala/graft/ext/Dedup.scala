@@ -1475,7 +1475,10 @@ object Dedup {
   ): DataFrame = {
     val idx = index.select(col("id"), col("cluster"), col("v"))
     val b = batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val assigned = b.join(assignToSeeds(b, seeds), "id")
+    // cache: the assignment (n·K broadcast cosines) feeds four scans —
+    // the snapshot probe, both sides of the within-batch check, and the
+    // final status join (the in-file .cache() convention)
+    val assigned = b.join(assignToSeeds(b, seeds), "id").cache()
     val cos = (a: Column, bb: Column) => graft.functions.GraftFunctions.cosine_similarity(a, bb)
     val snapHit = assigned.as("b")
       .join(idx.as("a"), col("a.cluster") === col("b.cluster"))
@@ -2275,7 +2278,13 @@ object Dedup {
     import org.apache.spark.sql.types._
     require(minShared >= 1, "need minShared >= 1")
     val (w, windowSize, maxDf, buckets, portable) = winnowIndexLayout(spark, path)
-    val posts = winnowingPostings(batch, idCol, textCol, w, windowSize, portable)
+    // cache: the probe plan scans the batch's fingerprint frame ~7 times
+    // (touched-bucket collect, prior semi-join, snapshot hit, in-batch
+    // band df, band self-join twice, final status join) — uncached,
+    // each scan recomputes the explode + window-min fingerprint pass
+    // (the in-file .cache() convention; the streamed twin
+    // winnowAdmitApplyBatchStaged already caches its posts)
+    val posts = winnowingPostings(batch, idCol, textCol, w, windowSize, portable).cache()
     val fpType: DataType = if (portable) StringType else LongType
     val storeSchema = StructType(Seq(
       StructField("id", LongType),
