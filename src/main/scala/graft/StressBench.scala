@@ -1029,28 +1029,72 @@ object StressBench {
         Map("embedding_lsh" ->
           f""",\"probe_rows_1x\":$pw1,\"cand_raw_1x\":$r1,\"cand_1x\":$c1,\"probe_rows_$k\":$pwK,\"cand_raw_$k\":$rK,\"cand_$k\":$cK,\"x_vs_linear_work\":$ratio%.2f""")
       } else Map.empty
-    // Same work-normalization for semantic_dedup: its within-cell pair
-    // stage is output-driven (the replica corpus's duplication band grows
-    // quadratically in Replicas), so price assignment cosines (n·K) +
-    // the ACTUAL within-cell pair count (Σ C(cell,2), measured from the
-    // deterministic assignment) instead of reading wall/linear alone.
+    // Same work-normalization for semantic_dedup — and here the work
+    // ratio is the PRIMARY metric, with the wall ratio explicitly
+    // demoted: the op's K dial (max(64, n/1000)) FLOORS at 64 on the 1×
+    // corpus (n/1000 ≈ 5-6), so the 1× baseline does ~K_contract/K_floor
+    // LESS within-cell pair work per row than the scaled runs whose K
+    // rides the n/1000 contract — wall/linear across that floor
+    // compares two different per-row workloads and is structurally
+    // meaningless (the r15 verdict's 1.39× reading). The honest pins
+    // emitted instead: (a) `x_vs_linear_work` — wall per unit of
+    // measured work (assignment cosines n·K + Σ C(cell,2) within-cell
+    // pairs), the engine-scaling claim; (b) `cell_pairs_vs_contract` —
+    // measured pairs against the K-contract's n²/2K, asserting the
+    // within-cell volume sits ON the contract (≈1-2× — cell skew and
+    // the planted-duplicate band account for the excess) rather than
+    // quietly quadratic.
     val extrasSem: Map[String, String] =
       if (base.exists(_._1 == "semantic_dedup")) {
-        def work(e: DataFrame): (Long, Long) = {
+        def work(e: DataFrame): (Long, Long, Long, Double) = {
           val n = e.count()
           val kk = math.max(64L, n / 1000L).toInt
           val pairs = Dedup.semanticIndex(e, "vec_id", "embedding", kk)
             .groupBy("cluster").count()
             .agg(sum(col("count") * (col("count") - 1) / 2).cast("long")).head().getLong(0)
-          (n * kk, pairs)
+          val contract = n.toDouble * n.toDouble / (2.0 * kk)
+          (n * kk, pairs, kk.toLong, pairs / math.max(contract, 1.0))
         }
-        val (aw1, p1) = work(embs1)
-        val (awK, pK) = work(embs10)
+        val (aw1, p1, k1, c1) = work(embs1)
+        val (awK, pK, kK, cK) = work(embs10)
         val s1 = base.find(_._1 == "semantic_dedup").get._3
         val sK = big.find(_._1 == "semantic_dedup").get._3
         val ratio = (sK / (awK + pK).toDouble) / math.max(s1 / (aw1 + p1).toDouble, 1e-12)
         Map("semantic_dedup" ->
-          f""",\"assign_cos_1x\":$aw1,\"cell_pairs_1x\":$p1,\"assign_cos_$k\":$awK,\"cell_pairs_$k\":$pK,\"x_vs_linear_work\":$ratio%.2f""")
+          (f""",\"assign_cos_1x\":$aw1,\"cell_pairs_1x\":$p1,\"k_1x\":$k1,\"cell_pairs_vs_contract_1x\":$c1%.2f""" +
+            f""",\"assign_cos_$k\":$awK,\"cell_pairs_$k\":$pK,\"k_$k\":$kK,\"cell_pairs_vs_contract_$k\":$cK%.2f""" +
+            f""",\"x_vs_linear_work\":$ratio%.2f,\"primary_metric\":\"x_vs_linear_work\"""" +
+            s""",\"wall_ratio_note\":\"1x K floors at 64 (contract n/1000 < 64), so 1x per-row within-cell work (cell_pairs_1x over n_1x) is far below the scaled runs' contract ~500/row - read x_vs_linear_work, not x_vs_linear\""""))
+      } else Map.empty
+    // Work-normalization for winnow_pairs (the r15 verdict's
+    // non-monotone-ratio item): its wall ratio rode the planted-clone
+    // corpus's QUADRATIC output band (0.94× at 30×, 0.36× at 100× — the
+    // denominator missed the output term). Price the engine's real
+    // candidate work instead: total postings (the linear explode +
+    // df-aggregate term) + candidate OCCURRENCES (Σ C(df,2) over the
+    // df∈[2,maxDf] band — every one of these rows is generated, shuffled
+    // and partially aggregated by the band self-join, whether or not the
+    // pair survives minShared).
+    val extrasWin: Map[String, String] =
+      if (base.exists(_._1 == "winnow_pairs")) {
+        def work(d: DataFrame): (Long, Long) = {
+          // same (w, windowSize, maxDf) as the timed probe above
+          val r = Dedup.winnowingPostings(d, "doc_id", "text", 5, 4, portable = false)
+            .groupBy("fp").agg(count(lit(1)).as("df"))
+            .agg(
+              sum(col("df")).cast("long"),
+              sum(when(col("df") >= 2 && col("df") <= 100L,
+                col("df") * (col("df") - 1) / 2).otherwise(lit(0L))).cast("long"))
+            .head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val (po1, co1) = work(docs1)
+        val (poK, coK) = work(docs10)
+        val s1 = base.find(_._1 == "winnow_pairs").get._3
+        val sK = big.find(_._1 == "winnow_pairs").get._3
+        val ratio = (sK / (poK + coK).toDouble) / math.max(s1 / (po1 + co1).toDouble, 1e-12)
+        Map("winnow_pairs" ->
+          f""",\"postings_1x\":$po1,\"cand_occ_1x\":$co1,\"postings_$k\":$poK,\"cand_occ_$k\":$coK,\"x_vs_linear_work\":$ratio%.2f""")
       } else Map.empty
     // Escalation telemetry for the block-max probes (captured by the
     // probes' own closures): rounds > 1 or admitted blocks far above

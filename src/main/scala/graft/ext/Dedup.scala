@@ -257,17 +257,19 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    // shingles and signatures cached SEPARATELY, and the signature table
-    // eagerly materialized before the bucket fan-out: the downstream plan
-    // consumes each of them several times in one job, and concurrent scans
-    // of a not-yet-materialized cache all recompute its lineage (Spark
-    // caches fill lazily per partition, first writer wins, racers redo the
-    // work). One tiny blocking count turns 4 concurrent rebuilds of the
-    // sketch aggregation into 1 — at warehouse scale this intermediate
-    // would be a persisted sketch table for exactly the same reason.
-    val sh = shingled(df, idCol, textCol, shingleN).cache()
-    val sigs = minhashSignatures(sh, numHashes).cache()
-    sigs.count()
+    // shingles and signatures EAGERLY localCheckpointed, SEPARATELY: the
+    // downstream plan consumes each of them several times in one job, and
+    // unmaterialized each scan recomputes its lineage. Checkpoint, not
+    // cache: this is a one-shot entry point returning a lazy result — a
+    // cache() had no release point and pinned a CacheManager entry per
+    // call for the session's lifetime, while checkpoint blocks are
+    // reference-counted away by the ContextCleaner once the result goes
+    // out of scope (and the eager materialization also removes the
+    // cache-fill race where concurrent scans all recompute). At
+    // warehouse scale this intermediate would be a persisted sketch
+    // table for exactly the same reasons.
+    val sh = shingled(df, idCol, textCol, shingleN).localCheckpoint(true)
+    val sigs = minhashSignatures(sh, numHashes).localCheckpoint(true)
 
     // banding rows carry only (id, bucket) — signature and shingle arrays
     // are joined back for the (small) candidate set, never shuffled with
@@ -478,11 +480,11 @@ object Dedup {
     require(probeBits >= 0 && probeBits <= 3, "probeBits in [0,3] (fan-out grows as C(width,probeBits))")
     val width = 64 / blocks
     val mask = blockMask(width)
-    // same separate-cache + eager-sketch-materialization layout as
-    // [[minhashNearDupPairs]] (see the rationale there): the plan below
-    // scans `hashes` 3× and `sh` 2× inside one job
-    val sh = shingled(df, idCol, textCol, shingleN).cache()
-    val hashes = simhashes(sh).cache()
+    // same separate eager-localCheckpoint layout as
+    // [[minhashNearDupPairs]] (see the release rationale there): the
+    // plan below scans `hashes` 3× and `sh` 2× inside one job
+    val sh = shingled(df, idCol, textCol, shingleN).localCheckpoint(true)
+    val hashes = simhashes(sh).localCheckpoint(true)
     val n = hashes.count()
     // adaptive probe budget (the LshBandingCutover pattern): probe
     // fan-out multiplies candidate volume by 1 + width + C(width,2) + …
@@ -1473,11 +1475,37 @@ object Dedup {
       vecCol: String,
       threshold: Double
   ): DataFrame = {
+    // eager-materialize + release: the public form returns a
+    // localCheckpointed status frame (one small row per batch doc) so
+    // the cached assignment frame the probe scans four times is
+    // unpersisted BEFORE returning — a long-running caller probing per
+    // batch must not accumulate CacheManager entries (checkpoint blocks
+    // are reference-counted by the ContextCleaner, cache entries are
+    // pinned until explicit unpersist). Per-trigger composition uses
+    // the staged form and releases at its own commit barrier.
+    val (res, cleanup) = semanticAdmitStaged(index, seeds, batch, idCol, vecCol, threshold)
+    try res.localCheckpoint(eager = true) finally cleanup()
+  }
+
+  /** [[semanticAdmit]] with the multi-scanned assignment cache's
+    * lifetime handed to the caller: returns the LAZY status frame plus
+    * a cleanup thunk that must run after the result is consumed (the
+    * streamed maintainers' staged `(result, cleanup)` convention).
+    */
+  private[graft] def semanticAdmitStaged(
+      index: DataFrame,
+      seeds: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): (DataFrame, () => Unit) = {
     val idx = index.select(col("id"), col("cluster"), col("v"))
     val b = batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     // cache: the assignment (n·K broadcast cosines) feeds four scans —
     // the snapshot probe, both sides of the within-batch check, and the
-    // final status join (the in-file .cache() convention)
+    // final status join (the in-file .cache() convention; released by
+    // the returned cleanup)
     val assigned = b.join(assignToSeeds(b, seeds), "id").cache()
     val cos = (a: Column, bb: Column) => graft.functions.GraftFunctions.cosine_similarity(a, bb)
     val snapHit = assigned.as("b")
@@ -1494,7 +1522,7 @@ object Dedup {
       .select(col("b.id").as("id"))
       .distinct()
       .withColumn("__batch", lit(true))
-    assigned
+    val res = assigned
       .join(snapHit, Seq("id"), "left_outer")
       .join(batchHit, Seq("id"), "left_outer")
       .select(
@@ -1504,6 +1532,7 @@ object Dedup {
           .when(col("__batch"), lit("dup_batch"))
           .otherwise(lit("new"))
           .as("status"))
+    (res, () => { assigned.unpersist(); () })
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`. Brute-force
@@ -1785,7 +1814,24 @@ object Dedup {
     */
   private def spreadForProjection(base: DataFrame): DataFrame = {
     val want = base.sparkSession.sparkContext.defaultParallelism
-    if (base.rdd.getNumPartitions < want) base.repartition(want) else base
+    // consulting .rdd for the split count FINALIZES the adaptive plan —
+    // under AQE any upstream shuffle stages execute right there, and
+    // that work is not reused by the subsequent projection query (no
+    // cross-query exchange reuse) — so only ask the RDD when the
+    // lineage is narrow (scan/project/filter/union/checkpoint, where
+    // .rdd is pure planning, no job); a shuffling lineage takes the
+    // spread unconditionally: one linear vectors-only exchange beats
+    // executing its shuffles twice just to read a partition count
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    val shuffling = base.queryExecution.logical.find {
+      case _: lp.Aggregate | _: lp.Join | _: lp.Window | _: lp.Sort |
+          _: lp.Distinct | _: lp.RepartitionOperation | _: lp.Except |
+          _: lp.Intersect => true
+      case _ => false
+    }.isDefined
+    if (shuffling) base.repartition(want)
+    else if (base.rdd.getNumPartitions < want) base.repartition(want)
+    else base
   }
 
   private def bandedProbes(
@@ -1816,11 +1862,15 @@ object Dedup {
     * just the deduped pair count ([[embeddingLshCandidateRawCount]]).
     */
   private def rawCandidatePairs(probes: DataFrame): DataFrame = {
-    // cache: both self-join sides read the SAME probe frame — uncached,
-    // each side recomputes the full projection pass (the in-file .cache()
-    // convention for multi-scan sketch frames; the frame is
-    // (id, block, bval) — 24 bytes/row, n·bands rows)
-    val p = probes.cache()
+    // eager localCheckpoint, NOT cache: both self-join sides read the
+    // SAME probe frame — unmaterialized, each side recomputes the full
+    // projection pass. The frame is (id, block, bval) — 24 bytes/row,
+    // n·bands rows — and this is a one-shot library entry point that
+    // returns a lazy result, so a cache() here had no release point and
+    // pinned a CacheManager entry per call for the life of the session;
+    // checkpoint blocks are reference-counted by the ContextCleaner and
+    // vanish when the returned frame goes out of scope.
+    val p = probes.localCheckpoint(true)
     val l = p.select(col("block"), col("bval"), col("id").as("id_a"))
     val r = p.select(col("block"), col("bval"), col("id").as("id_b"))
     l.join(r, Seq("block", "bval"))
@@ -2044,6 +2094,26 @@ object Dedup {
       threshold: Double,
       expectedClusters: Option[Int] = None
   ): DataFrame = {
+    val (res, cleanup) =
+      semanticAdmitStoredStaged(spark, path, batch, idCol, vecCol, threshold, expectedClusters)
+    try res.localCheckpoint(eager = true) finally cleanup()
+  }
+
+  /** [[semanticAdmitStored]] in the staged `(lazy result, cleanup)`
+    * shape — the per-trigger composition form: the composed ingest
+    * pipeline checkpoints the status frame itself at its commit
+    * barrier, so the one-shot public form's extra checkpoint would be
+    * pure duplicate materialization there.
+    */
+  private[graft] def semanticAdmitStoredStaged(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      expectedClusters: Option[Int] = None
+  ): (DataFrame, () => Unit) = {
     val k = semanticIndexK(spark, path)
     expectedClusters.foreach { n =>
       require(n == k,
@@ -2057,7 +2127,7 @@ object Dedup {
     val index = spark.read.parquet(s"$path/index")
       .withColumn("cluster", col("cluster").cast("long"))
     val seeds = spark.read.parquet(s"$path/seeds")
-    semanticAdmit(index, seeds, batch, idCol, vecCol, threshold)
+    semanticAdmitStaged(index, seeds, batch, idCol, vecCol, threshold)
   }
 
   // ---- winnowing fingerprint index as a stored artifact ---------------------
@@ -2275,6 +2345,27 @@ object Dedup {
       textCol: String,
       minShared: Int = 3
   ): DataFrame = {
+    // eager-materialize + release (the semanticAdmit convention): the
+    // status frame is one small row per batch doc; checkpointing it
+    // here lets the multi-scanned fingerprint cache be unpersisted
+    // before returning instead of leaking a CacheManager entry per
+    // admission call
+    val (res, cleanup) =
+      winnowAdmitStoredStaged(spark, path, batch, idCol, textCol, minShared)
+    try res.localCheckpoint(eager = true) finally cleanup()
+  }
+
+  /** [[winnowAdmitStored]] in the staged `(lazy result, cleanup)` shape
+    * for callers that compose the probe into their own barrier.
+    */
+  private[graft] def winnowAdmitStoredStaged(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Int = 3
+  ): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.types._
     require(minShared >= 1, "need minShared >= 1")
     val (w, windowSize, maxDf, buckets, portable) = winnowIndexLayout(spark, path)
@@ -2355,7 +2446,7 @@ object Dedup {
       .where(col("shared") >= minShared)
       .select(col("id_b").as("id")).distinct()
       .withColumn("__batch", lit(true))
-    batch
+    val res = batch
       .select(col(idCol).cast("long").as("id"))
       .join(snapHit, Seq("id"), "left_outer")
       .join(batchHit, Seq("id"), "left_outer")
@@ -2365,5 +2456,6 @@ object Dedup {
           .when(col("__batch"), lit("dup_batch"))
           .otherwise(lit("new"))
           .as("status"))
+    (res, () => { posts.unpersist(); () })
   }
 }

@@ -1410,6 +1410,25 @@ object CdcStream {
       .outputMode("append")
       .start()
 
+  /** Micro-batch row threshold above which [[ingestPipelineApplyBatch]]
+    * keeps the SESSION's shuffle width instead of the `shuffleWidth`
+    * micro-batch override: at ~2 KB/doc this is ~200 MB of batch text —
+    * the point where 8-task shuffles stop being scheduling savings and
+    * start being a parallelism cap (and per-task spill risk) for
+    * backlog/backfill triggers.
+    */
+  private[graft] val MicroBatchWidthRows = 100000L
+
+  /** The trigger's effective shuffle width: the micro-batch override for
+    * cadence-sized batches, the session's own width for backlog-sized
+    * ones (never below the override — a session narrower than the
+    * override gains nothing by shrinking further).
+    */
+  private[graft] def pipelineWidthFor(
+      batchRows: Long, shuffleWidth: Int, sessionWidth: Int): Int =
+    if (batchRows > MicroBatchWidthRows) math.max(shuffleWidth, sessionWidth)
+    else shuffleWidth
+
   /** One micro-batch of [[ingestPipelineMaintain]] — package-visible for
     * the crash-replay spec and stress probes. Idempotent in `batchId`
     * because every composed sub-step is.
@@ -1491,8 +1510,19 @@ object CdcStream {
     // stream's own cloned session, so the override never leaks into
     // concurrent queries; the deferred writes all run inside the
     // barrier, under the override.
+    // ... but the override is scaled by the batch's ACTUAL volume: a
+    // genuinely large trigger (Trigger.AvailableNow draining a backlog,
+    // a bursty source, a backfill replay) through 8 tasks is capped
+    // parallelism and per-task OOM risk, so past the micro-batch row
+    // threshold the trigger keeps the session's own width. The count
+    // below is ~free: it is the cached batch's FIRST materialization —
+    // the scan work moves out of stage 1, leaving one job of overhead.
+    val sessionWidth =
+      spark.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt)
+        .getOrElse(spark.sparkContext.defaultParallelism)
+    val effectiveWidth = pipelineWidthFor(b.count(), shuffleWidth, sessionWidth)
     val prevConf = Seq(
-      "spark.sql.shuffle.partitions" -> shuffleWidth.toString
+      "spark.sql.shuffle.partitions" -> effectiveWidth.toString
     ).map { case (key, v) =>
       val prev = spark.conf.getOption(key); spark.conf.set(key, v); key -> prev
     }
@@ -1532,14 +1562,20 @@ object CdcStream {
       // 5. semantic screen against the FIXED reference index (stateless).
       // EAGER checkpoint — the probe runs exactly once, here — so the two
       // tail writes below can run CONCURRENTLY over its materialized
-      // blocks instead of serializing (or racing a lazy materialization)
-      val sstat = graft.ext.Dedup
-        .semanticAdmitStored(
+      // blocks instead of serializing (or racing a lazy materialization).
+      // Staged form: the probe's internal assignment cache is released
+      // right after the checkpoint materializes (the one-shot public
+      // form would checkpoint a second time for nothing here).
+      val (sstatRaw, semCleanup) = graft.ext.Dedup
+        .semanticAdmitStoredStaged(
           spark, semanticIndexPath,
           b.join(surv4, Seq("doc_id"), "left_semi").select(col("doc_id"), col("__emb")),
           "doc_id", "__emb", threshold)
-        .select(col("id").as("doc_id"), col("status").as("semantic_status"))
-        .localCheckpoint(eager = true)
+      val sstat =
+        try sstatRaw
+          .select(col("id").as("doc_id"), col("status").as("semantic_status"))
+          .localCheckpoint(eager = true)
+        finally semCleanup()
       pending += Future(
         sstat.write.mode("overwrite").parquet(s"$storeRoot/sstat/ingest_batch=$batchId")
       )(appendPool)

@@ -1347,6 +1347,18 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("one-shot"))
   }
 
+  test("pipelineWidthFor: micro-batches take the override, backlog-sized batches keep the session width") {
+    // cadence-sized trigger: the 8-task override wins
+    assert(CdcStream.pipelineWidthFor(5000L, 8, 32) == 8)
+    assert(CdcStream.pipelineWidthFor(CdcStream.MicroBatchWidthRows, 8, 32) == 8)
+    // backlog/backfill trigger (AvailableNow drain, bursty source): the
+    // session's own width wins — capped 8-task parallelism on a large
+    // batch is the OOM/stragggler shape the override must not impose
+    assert(CdcStream.pipelineWidthFor(CdcStream.MicroBatchWidthRows + 1, 8, 32) == 32)
+    // a session narrower than the override never shrinks further
+    assert(CdcStream.pipelineWidthFor(1000000L, 8, 4) == 8)
+  }
+
   test("ingestPipelineApplyBatch: batch-scoped shuffle width is restored after the trigger") {
     // the micro-batch width override (shuffleWidth=8 by default) must
     // never leak past the trigger's commit barrier — on success OR on a
