@@ -1107,12 +1107,7 @@ object Dedup {
       probeBits: Int = 2
   ): DataFrame = {
     requireHammingLayout(radius, blocks, probeBits)
-    val bBase = hammingIndexBanded(batch, idCol, hashCol, blocks)
-    val snapHit = hammingProbes(bBase, blocks, probeBits)
-      .join(bandedIndex.select(col("blk"), col("key"), col("hh").as("hh2")), Seq("blk", "key"))
-      .where(bit_count(col("hh").bitwiseXOR(col("hh2"))) <= radius)
-      .select(col("id"))
-      .distinct()
+    val snapHit = hammingSnapshotHitIds(bandedIndex, batch, idCol, hashCol, radius, blocks, probeBits)
       .withColumn("__snap", lit(true))
     val batchHit = hammingNearDupPairs(batch, idCol, hashCol, radius, blocks, probeBits)
       .select(col("id_b").as("id"))
@@ -1129,6 +1124,30 @@ object Dedup {
           .when(col("__batch"), lit("dup_batch"))
           .otherwise(lit("new"))
           .as("status"))
+  }
+
+  /** The stored-index leg of [[hammingAdmitBanded]] alone: ids of batch
+    * rows within `radius` of ANY stored sketch. Factored out so the
+    * composed ingest pipeline can run it (and the in-batch pair leg)
+    * SPECULATIVELY on the full batch, concurrent with the text stages —
+    * the hit predicate is pointwise, so restricting the result to the
+    * text stages' survivors afterward is exact.
+    */
+  private[graft] def hammingSnapshotHitIds(
+      bandedIndex: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      hashCol: String,
+      radius: Int,
+      blocks: Int,
+      probeBits: Int
+  ): DataFrame = {
+    val bBase = hammingIndexBanded(batch, idCol, hashCol, blocks)
+    hammingProbes(bBase, blocks, probeBits)
+      .join(bandedIndex.select(col("blk"), col("key"), col("hh").as("hh2")), Seq("blk", "key"))
+      .where(bit_count(col("hh").bitwiseXOR(col("hh2"))) <= radius)
+      .select(col("id"))
+      .distinct()
   }
 
   /** The stored GRAM INDEX behind incremental exact-substring dedup: the
@@ -1500,26 +1519,11 @@ object Dedup {
       vecCol: String,
       threshold: Double
   ): (DataFrame, () => Unit) = {
-    val idx = index.select(col("id"), col("cluster"), col("v"))
-    val b = batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    // cache: the assignment (n·K broadcast cosines) feeds four scans —
-    // the snapshot probe, both sides of the within-batch check, and the
-    // final status join (the in-file .cache() convention; released by
-    // the returned cleanup)
-    val assigned = b.join(assignToSeeds(b, seeds), "id").cache()
-    val cos = (a: Column, bb: Column) => graft.functions.GraftFunctions.cosine_similarity(a, bb)
-    val snapHit = assigned.as("b")
-      .join(idx.as("a"), col("a.cluster") === col("b.cluster"))
-      .where(cos(col("a.v"), col("b.v")) >= threshold)
-      .select(col("b.id").as("id"))
-      .distinct()
-      .withColumn("__snap", lit(true))
-    val batchHit = assigned.as("b")
-      .join(
-        assigned.as("a"),
-        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
-      .where(cos(col("a.v"), col("b.v")) >= threshold)
-      .select(col("b.id").as("id"))
+    val (assigned, snapIds, pairIds, cleanup) =
+      semanticProbePhase(index, seeds, batch, idCol, vecCol, threshold)
+    val snapHit = snapIds.withColumn("__snap", lit(true))
+    val batchHit = pairIds
+      .select(col("id_b").as("id"))
       .distinct()
       .withColumn("__batch", lit(true))
     val res = assigned
@@ -1532,7 +1536,47 @@ object Dedup {
           .when(col("__batch"), lit("dup_batch"))
           .otherwise(lit("new"))
           .as("status"))
-    (res, () => { assigned.unpersist(); () })
+    (res, cleanup)
+  }
+
+  /** The probe legs of [[semanticAdmit]] factored apart: the assignment
+    * frame (id, cluster), the stored-index hit ids, and the raw
+    * within-batch duplicate PAIRS (id_a < id_b). Both hit predicates
+    * are pointwise/pairwise in the batch rows, so the composed ingest
+    * pipeline runs this phase speculatively on the FULL batch
+    * (concurrent with the text stages) and restricts to the survivor
+    * set afterward — exactly equivalent to probing the survivors alone.
+    * The returned cleanup releases the multi-scanned assignment cache
+    * and must run once the consumer's result is materialized.
+    */
+  private[graft] def semanticProbePhase(
+      index: DataFrame,
+      seeds: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): (DataFrame, DataFrame, DataFrame, () => Unit) = {
+    val idx = index.select(col("id"), col("cluster"), col("v"))
+    val b = batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // cache: the assignment (n·K broadcast cosines) feeds four scans —
+    // the snapshot probe, both sides of the within-batch check, and the
+    // final status join (the in-file .cache() convention; released by
+    // the returned cleanup)
+    val assigned = b.join(assignToSeeds(b, seeds), "id").cache()
+    val cos = (a: Column, bb: Column) => graft.functions.GraftFunctions.cosine_similarity(a, bb)
+    val snapIds = assigned.as("b")
+      .join(idx.as("a"), col("a.cluster") === col("b.cluster"))
+      .where(cos(col("a.v"), col("b.v")) >= threshold)
+      .select(col("b.id").as("id"))
+      .distinct()
+    val pairIds = assigned.as("b")
+      .join(
+        assigned.as("a"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .where(cos(col("a.v"), col("b.v")) >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    (assigned, snapIds, pairIds, () => { assigned.unpersist(); () })
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`. Brute-force
@@ -2114,6 +2158,31 @@ object Dedup {
       threshold: Double,
       expectedClusters: Option[Int] = None
   ): (DataFrame, () => Unit) = {
+    val (index, seeds) = readSemanticIndex(spark, path, expectedClusters)
+    semanticAdmitStaged(index, seeds, batch, idCol, vecCol, threshold)
+  }
+
+  /** [[semanticProbePhase]] against the PERSISTED artifact — the
+    * composed pipeline's speculative probe leg (marker-validated like
+    * [[semanticAdmitStored]]).
+    */
+  private[graft] def semanticProbePhaseStored(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): (DataFrame, DataFrame, DataFrame, () => Unit) = {
+    val (index, seeds) = readSemanticIndex(spark, path, None)
+    semanticProbePhase(index, seeds, batch, idCol, vecCol, threshold)
+  }
+
+  /** Marker-validated read of the persisted semantic index + seed table. */
+  private def readSemanticIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      expectedClusters: Option[Int]): (DataFrame, DataFrame) = {
     val k = semanticIndexK(spark, path)
     expectedClusters.foreach { n =>
       require(n == k,
@@ -2127,7 +2196,7 @@ object Dedup {
     val index = spark.read.parquet(s"$path/index")
       .withColumn("cluster", col("cluster").cast("long"))
     val seeds = spark.read.parquet(s"$path/seeds")
-    semanticAdmitStaged(index, seeds, batch, idCol, vecCol, threshold)
+    (index, seeds)
   }
 
   // ---- winnowing fingerprint index as a stored artifact ---------------------

@@ -815,6 +815,38 @@ object CdcStream {
 
   /** [[hammingAdmitApplyBatch]] with the banded append staged — the
     * [[substringStripApplyBatchStaged]] contract. */
+  /** Layout-verified, replay-filtered read of the banded Hamming store —
+    * shared by the standalone staged stage and the composed pipeline's
+    * speculative probe leg (one store-read implementation, no drift).
+    */
+  private[graft] def readHammingStore(
+      spark: SparkSession,
+      indexPath: String,
+      batchId: Long,
+      radius: Int,
+      blocks: Int,
+      probeBits: Int): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
+    verifyStateKeyFormat(spark, indexPath,
+      s"hamming_banded:radius=$radius:blocks=$blocks:probe=$probeBits:v1")
+    val storeSchema = StructType(Seq(
+      StructField("key", LongType),
+      StructField("id", LongType),
+      StructField("hh", LongType),
+      StructField("ingest_batch", LongType),
+      StructField("blk", IntegerType)))
+    val live = new Path(indexPath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(live))
+      spark.read.schema(storeSchema).parquet(indexPath)
+        .where(col("ingest_batch") < batchId)
+        .select("blk", "key", "id", "hh")
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storeSchema)
+        .select("blk", "key", "id", "hh")
+  }
+
   private[graft] def hammingAdmitApplyBatchStaged(
       batch: DataFrame,
       batchId: Long,
@@ -826,28 +858,9 @@ object CdcStream {
       blocks: Int,
       probeBits: Int,
       keepOutput: Boolean): (DataFrame, () => Unit) = {
-    import org.apache.hadoop.fs.Path
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
     import graft.ext.Dedup
     val spark = batch.sparkSession
-    verifyStateKeyFormat(spark, indexPath,
-      s"hamming_banded:radius=$radius:blocks=$blocks:probe=$probeBits:v1")
-    val storeSchema = StructType(Seq(
-      StructField("key", LongType),
-      StructField("id", LongType),
-      StructField("hh", LongType),
-      StructField("ingest_batch", LongType),
-      StructField("blk", IntegerType)))
-    val live = new Path(indexPath)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bandedIndex =
-      if (fs.exists(live))
-        spark.read.schema(storeSchema).parquet(indexPath)
-          .where(col("ingest_batch") < batchId)
-          .select("blk", "key", "id", "hh")
-      else
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storeSchema)
-          .select("blk", "key", "id", "hh")
+    val bandedIndex = readHammingStore(spark, indexPath, batchId, radius, blocks, probeBits)
     val b = batch.cache()
     def cleanup(): Unit = { b.unpersist(); () }
     try {
@@ -1528,19 +1541,81 @@ object CdcStream {
     }
     val pending = scala.collection.mutable.ArrayBuffer.empty[Future[Unit]]
     def defer(a: () => Unit): Unit = pending += Future(a())(appendPool)
+    val probeFutures = scala.collection.mutable.ArrayBuffer.empty[Future[_]]
+    val probeCleanups = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+    // opt-in per-stage wall profiling (spark.graft.pipeline.profile=true)
+    val profile = spark.conf.getOption("spark.graft.pipeline.profile").contains("true")
+    var lapT0 = System.nanoTime()
+    def lap(tag: String): Unit =
+      if (profile) {
+        val t = System.nanoTime()
+        println(f"[pipeline] batch=$batchId $tag ${(t - lapT0) / 1e9}%.2f s")
+        lapT0 = t
+      }
     try {
-      // 1. boilerplate strip (cumulative count store)
+      // Stages 4 and 5 probe SPECULATIVELY on the FULL batch, launched
+      // here so they run concurrent with the boiler→gram→winnow doc
+      // flow: the perceptual and semantic probes read b's sketch and
+      // embedding columns directly — nothing in their expensive work
+      // (stored-index probe, within-batch pairing, seed assignment)
+      // depends on the text stages' survivor set; only the RESTRICTION
+      // of their outputs does, and both hit predicates are pointwise
+      // (snapshot hits) or pairwise (in-batch pairs), so probing the
+      // full batch and post-filtering both pair endpoints to survivors
+      // is exactly the survivors-only probe (Dedup.semanticProbePhase /
+      // hammingSnapshotHitIds scaladoc). Wall-clock the concurrency is
+      // ~free: the width-8 text stages leave most of the executor idle.
+      // The critical path drops from five sequential stage constants to
+      // three plus two cheap post-join checkpoints.
+      val hamFut = Future {
+        val bandedIndex = readHammingStore(
+          spark, s"$storeRoot/ham", batchId, radius, blocks = 4, probeBits = 2)
+        val bb = b.select(col("doc_id"), col("__hh"))
+        val snap = graft.ext.Dedup
+          .hammingSnapshotHitIds(bandedIndex, bb, "doc_id", "__hh", radius, 4, 2)
+          .localCheckpoint(true)
+        val pairs = graft.ext.Dedup
+          .hammingNearDupPairs(bb, "doc_id", "__hh", radius, 4, 2)
+          .select("id_a", "id_b")
+          .localCheckpoint(true)
+        (snap, pairs)
+      }(appendPool)
+      probeFutures += hamFut
+      val semFut = Future {
+        val (assigned, snapIds, pairIds, cleanup) = graft.ext.Dedup
+          .semanticProbePhaseStored(
+            spark, semanticIndexPath,
+            b.select(col("doc_id"), col("__emb")), "doc_id", "__emb", threshold)
+        probeCleanups.add(cleanup)
+        val snap = snapIds.localCheckpoint(true)
+        val pairs = pairIds.localCheckpoint(true)
+        (assigned, snap, pairs)
+      }(appendPool)
+      probeFutures += semFut
+      // 1. boilerplate strip (cumulative count store). keepOutput=false —
+      // the FUSION that removes one sequential job from the critical
+      // path: the boiler output is handed to stage 2 LAZILY, so stage
+      // 2's eager checkpoint computes boiler-strip + gram-probe in ONE
+      // job (the paragraph frame stays cached across both consumers),
+      // while the deferred clean1 write materializes the same
+      // deterministic plan off-path. One fewer job + checkpoint
+      // round-trip ≈ the whole stage-1 constant.
       val (clean1Raw, bpAppend) = boilerplateApplyBatchStaged(
         b.select("doc_id", "text"), batchId,
         s"$storeRoot/counts", s"$storeRoot/clean1", "doc_id", "text",
-        minDocsBoiler, "\n", numBuckets, keepOutput = true)
-      defer(bpAppend)
+        minDocsBoiler, "\n", numBuckets, keepOutput = false)
+      lap("boiler")
       val clean1 = clean1Raw.select(col("doc_id"), col("stripped_text").as("text"))
       // 2. exact-substring dedup + strip (gram store)
       val (clean2Raw, gramAppend) = substringStripApplyBatchStaged(
         clean1, batchId, s"$storeRoot/gram", s"$storeRoot/clean2",
         k, hashKey, numBuckets, keepOutput = true)
+      // the boiler append is deferred only HERE — after stage 2's eager
+      // checkpoint has consumed the lazy boiler output — because its
+      // finally releases the paragraph cache that checkpoint scans
+      defer(bpAppend)
       defer(gramAppend)
+      lap("gram")
       val clean2 = clean2Raw.select(col("doc_id"), col("stripped_text"))
       // 3. winnowing fuzzy-text admission (fingerprint store)
       val (wstatRaw, winAppend) = winnowAdmitApplyBatchStaged(
@@ -1550,32 +1625,77 @@ object CdcStream {
       defer(winAppend)
       val wstat = wstatRaw.select(col("id").as("doc_id"), col("status").as("winnow_status"))
       val surv3 = wstat.where(col("winnow_status") === "new").select("doc_id")
-      // 4. perceptual admission of the text-survivors' sketches
-      val (hstatRaw, hamAppend) = hammingAdmitApplyBatchStaged(
-        b.join(surv3, Seq("doc_id"), "left_semi").select(col("doc_id"), col("__hh")),
-        batchId, s"$storeRoot/ham", s"$storeRoot/hstat", "doc_id", "__hh",
-        radius, blocks = 4, probeBits = 2, keepOutput = true)
-      defer(hamAppend)
+      lap("winnow")
+      // 4. perceptual admission FINALIZE: restrict the speculative
+      // full-batch artifacts to the winnow survivors — snapshot hits are
+      // pointwise (filter the rows), in-batch pairs need BOTH endpoints
+      // surviving (a pair whose earlier doc was winnow-killed never
+      // existed in the survivors-only probe). Output rows, statuses and
+      // the store append are bit-identical to running the staged stage
+      // on the survivor set.
+      val (hamSnap, hamPairs) = Await.result(hamFut, Duration.Inf)
+      lap("await_ham")
+      val hamBatchHit = hamPairs
+        .join(surv3.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(surv3.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+        .select(col("id_b").as("id"))
+        .distinct()
+        .withColumn("__batch", lit(true))
+      val hstatRaw = b.join(surv3, Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("id"), col("__hh"))
+        .join(hamSnap.withColumn("__snap", lit(true)), Seq("id"), "left_outer")
+        .join(hamBatchHit, Seq("id"), "left_outer")
+        .select(
+          col("id"),
+          col("__hh"),
+          when(col("__snap"), lit("dup_snapshot"))
+            .when(col("__batch"), lit("dup_batch"))
+            .otherwise(lit("new"))
+            .as("status"))
+        .localCheckpoint(eager = true)
+      defer { () =>
+        hstatRaw.write.mode("overwrite").parquet(s"$storeRoot/hstat/ingest_batch=$batchId")
+        // index advance: the SURVIVORS' banded rows (the staged stage's
+        // append contract — non-survivors never reach the store)
+        graft.ext.Dedup
+          .hammingIndexBanded(
+            b.join(surv3, Seq("doc_id"), "left_semi").select(col("doc_id"), col("__hh")),
+            "doc_id", "__hh", blocks = 4)
+          .repartition(col("blk"))
+          .write.mode("overwrite").partitionBy("blk")
+          .parquet(s"$storeRoot/ham/ingest_batch=$batchId")
+      }
       val hstat = hstatRaw
         .select(col("id").as("doc_id"), col("status").as("perceptual_status"))
       val surv4 = hstat.where(col("perceptual_status") === "new").select("doc_id")
-      // 5. semantic screen against the FIXED reference index (stateless).
-      // EAGER checkpoint — the probe runs exactly once, here — so the two
-      // tail writes below can run CONCURRENTLY over its materialized
-      // blocks instead of serializing (or racing a lazy materialization).
-      // Staged form: the probe's internal assignment cache is released
-      // right after the checkpoint materializes (the one-shot public
-      // form would checkpoint a second time for nothing here).
-      val (sstatRaw, semCleanup) = graft.ext.Dedup
-        .semanticAdmitStoredStaged(
-          spark, semanticIndexPath,
-          b.join(surv4, Seq("doc_id"), "left_semi").select(col("doc_id"), col("__emb")),
-          "doc_id", "__emb", threshold)
-      val sstat =
-        try sstatRaw
-          .select(col("id").as("doc_id"), col("status").as("semantic_status"))
-          .localCheckpoint(eager = true)
-        finally semCleanup()
+      lap("finalize_ham")
+      // 5. semantic screen FINALIZE — same restriction, against the
+      // stage-4 survivors. EAGER checkpoint so the two tail writes below
+      // run CONCURRENTLY over materialized blocks; the probe leg's
+      // assignment cache is released right after.
+      val (semAssigned, semSnap, semPairs) = Await.result(semFut, Duration.Inf)
+      lap("await_sem")
+      val semBatchHit = semPairs
+        .join(surv4.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(surv4.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+        .select(col("id_b").as("id"))
+        .distinct()
+        .withColumn("__batch", lit(true))
+      val sstat = semAssigned
+        .join(surv4.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+        .join(semSnap.withColumn("__snap", lit(true)), Seq("id"), "left_outer")
+        .join(semBatchHit, Seq("id"), "left_outer")
+        .select(
+          col("id").as("doc_id"),
+          when(col("__snap"), lit("dup_snapshot"))
+            .when(col("__batch"), lit("dup_batch"))
+            .otherwise(lit("new"))
+            .as("semantic_status"))
+        .localCheckpoint(eager = true)
+      // assignment cache no longer referenced — sstat is materialized
+      probeCleanups.forEach(c => c())
+      probeCleanups.clear()
+      lap("finalize_sem")
       pending += Future(
         sstat.write.mode("overwrite").parquet(s"$storeRoot/sstat/ingest_batch=$batchId")
       )(appendPool)
@@ -1601,10 +1721,16 @@ object CdcStream {
       // foreachBatch returns, or a "committed" batch could be missing
       // store partitions or outputs its probes and consumers assume
       pending.foreach(f => Await.result(f, Duration.Inf))
+      lap("barrier")
     } finally {
-      // a failed stage can leave deferred appends in flight — let them
-      // drain before dropping the batch cache they read
+      // a failed stage can leave deferred appends AND speculative probe
+      // legs in flight — let them drain before dropping the batch cache
+      // they read, then release any probe-leg caches the success path
+      // never got to (on success the queue is already empty)
       pending.foreach(f => try { Await.result(f, Duration.Inf); () } catch { case _: Throwable => () })
+      probeFutures.foreach(f => try { Await.result(f, Duration.Inf); () } catch { case _: Throwable => () })
+      probeCleanups.forEach(c => try c() catch { case _: Throwable => () })
+      probeCleanups.clear()
       b.unpersist()
       // restore-by-unset when a key was never set (the r13 conf-leak
       // lesson): every query this trigger ran — deferred writes
