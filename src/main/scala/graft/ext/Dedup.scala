@@ -98,12 +98,26 @@ object Dedup {
     // giant sorted partition; groupBy is map-side-combined and skew-free,
     // and the post-filter df table (rare shingles only) joins back on the
     // same shuffle key
+    // df band [2, maxShingleDf]: the upper bound is the stop-shingle
+    // filter; the LOWER bound is output-neutral work elimination — a
+    // df=1 shingle's only join partner is itself (killed by id_a <
+    // id_b) and a SHARED shingle has df >= 2 by definition, so `inter`
+    // is unchanged while the unique-shingle bulk (most of a natural
+    // corpus) never enters the candidate join at all
     val rareShingles = exploded
       .groupBy("sh")
       .agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxShingleDf)
+      .where(col("df") >= 2 && col("df") <= maxShingleDf)
       .select("sh")
-    val rare = exploded.join(rareShingles, Seq("sh"))
+    // ONE explicit shingle-keyed exchange feeding BOTH self-join sides:
+    // without it each side recomputes the whole explode + df-aggregate +
+    // semi-join subtree (measured: two full Generate trees in the
+    // executed plan); with it the sides differ only in their aliasing
+    // Projects ABOVE the exchange, the two exchanges canonicalize
+    // identically, and ReuseExchange / AQE stage reuse computes the
+    // posting pass once. The join's (sh) requirement is satisfied by
+    // the same partitioning, so no further exchange is inserted.
+    val rare = exploded.join(rareShingles, Seq("sh")).repartition(col("sh"))
     val a = rare.select(col("id").as("id_a"), col("sz").as("size_a"), col("sh"))
     val b = rare.select(col("id").as("id_b"), col("sz").as("size_b"), col("sh"))
     a.join(b, Seq("sh"))
@@ -203,7 +217,10 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= maxDf)
       .select("fp")
-    val p = posts.join(shared, Seq("fp"), "left_semi")
+    // one fp-keyed exchange reused by both self-join sides (the
+    // ngramJaccardPairs note): uncoalesced, each side recomputed the
+    // fingerprint explode + band semi-join subtree
+    val p = posts.join(shared, Seq("fp"), "left_semi").repartition(col("fp"))
     p.select(col("id").as("id_a"), col("fp"))
       .join(p.select(col("id").as("id_b"), col("fp")), Seq("fp"))
       .where(col("id_a") < col("id_b"))
