@@ -918,7 +918,11 @@ object Dedup {
       hashKey: Boolean = false
   ): DataFrame = {
     require(k > 0, "need k > 0")
-    val (base, grams) = positionalGrams(df, idCol, textCol, k, hashKey)
+    val (base, grams0) = positionalGrams(df, idCol, textCol, k, hashKey)
+    // one gram-keyed exchange feeding BOTH the occurrence aggregate and
+    // the flag join-back (the ngramJaccardPairs reuse note): without it
+    // the positional explode runs once per consumer
+    val grams = grams0.repartition(col("g"))
     val occ = grams
       .groupBy("g")
       .agg(
@@ -1215,6 +1219,11 @@ object Dedup {
       hashKey: Boolean = false
   ): DataFrame = {
     require(k > 0, "need k > 0")
+    // no forced gram exchange here, unlike [[exactSubstringSpans]]: this
+    // is the MICRO-BATCH form — at trigger-sized inputs the planner
+    // broadcasts the occurrence aggregate and streams the positional
+    // grams without any shuffle, which a forced repartition would
+    // destroy (measured +0.3 s per trigger in the composed pipeline)
     val (base, grams) = positionalGrams(batch, idCol, textCol, k, hashKey)
     val occB = grams
       .groupBy("g")

@@ -1530,15 +1530,7 @@ object CdcStream {
     // threshold the trigger keeps the session's own width. The count
     // below is ~free: it is the cached batch's FIRST materialization —
     // the scan work moves out of stage 1, leaving one job of overhead.
-    val sessionWidth =
-      spark.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt)
-        .getOrElse(spark.sparkContext.defaultParallelism)
-    val effectiveWidth = pipelineWidthFor(b.count(), shuffleWidth, sessionWidth)
-    val prevConf = Seq(
-      "spark.sql.shuffle.partitions" -> effectiveWidth.toString
-    ).map { case (key, v) =>
-      val prev = spark.conf.getOption(key); spark.conf.set(key, v); key -> prev
-    }
+    var prevConf: Seq[(String, Option[String])] = Nil
     val pending = scala.collection.mutable.ArrayBuffer.empty[Future[Unit]]
     def defer(a: () => Unit): Unit = pending += Future(a())(appendPool)
     val probeFutures = scala.collection.mutable.ArrayBuffer.empty[Future[_]]
@@ -1592,6 +1584,20 @@ object CdcStream {
         (assigned, snap, pairs)
       }(appendPool)
       probeFutures += semFut
+      // width decision AFTER the probe legs launch: the count job (the
+      // cached batch's first materialization) overlaps their probe jobs
+      // instead of preceding everything; the probe legs themselves are
+      // width-indifferent (off the critical path, batch-sized shuffles)
+      val sessionWidth =
+        spark.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt)
+          .getOrElse(spark.sparkContext.defaultParallelism)
+      val effectiveWidth = pipelineWidthFor(b.count(), shuffleWidth, sessionWidth)
+      prevConf = Seq(
+        "spark.sql.shuffle.partitions" -> effectiveWidth.toString
+      ).map { case (key, v) =>
+        val prev = spark.conf.getOption(key); spark.conf.set(key, v); key -> prev
+      }
+      lap("width")
       // 1. boilerplate strip (cumulative count store). keepOutput=false —
       // the FUSION that removes one sequential job from the critical
       // path: the boiler output is handed to stage 2 LAZILY, so stage
@@ -1641,6 +1647,10 @@ object CdcStream {
         .select(col("id_b").as("id"))
         .distinct()
         .withColumn("__batch", lit(true))
+      // eager checkpoint: three consumers (deferred hstat write, the
+      // sstat compose, the deferred admitted join) — measured, letting
+      // each recompute these joins lazily cost MORE than the one
+      // checkpoint job (sem finalize 0.07→0.45 s, barrier 0.3→0.5 s)
       val hstatRaw = b.join(surv3, Seq("doc_id"), "left_semi")
         .select(col("doc_id").as("id"), col("__hh"))
         .join(hamSnap.withColumn("__snap", lit(true)), Seq("id"), "left_outer")
