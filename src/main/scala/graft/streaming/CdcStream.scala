@@ -1528,8 +1528,10 @@ object CdcStream {
     // a bursty source, a backfill replay) through 8 tasks is capped
     // parallelism and per-task OOM risk, so past the micro-batch row
     // threshold the trigger keeps the session's own width. The count
-    // below is ~free: it is the cached batch's FIRST materialization —
-    // the scan work moves out of stage 1, leaving one job of overhead.
+    // that decides it runs AFTER the speculative probe legs launch (it
+    // overlaps their jobs and doubles as the batch cache's first
+    // materialization), and the probe legs themselves are
+    // width-indifferent — off the critical path, batch-sized shuffles.
     var prevConf: Seq[(String, Option[String])] = Nil
     val pending = scala.collection.mutable.ArrayBuffer.empty[Future[Unit]]
     def defer(a: () => Unit): Unit = pending += Future(a())(appendPool)

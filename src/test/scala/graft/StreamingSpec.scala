@@ -1456,6 +1456,71 @@ class StreamingSpec extends SparkSpec {
     assert(gram.count() === gram.dropDuplicates("g").count(), "gram store duplicated")
   }
 
+  test("ingestPipelineApplyBatch: a duplicate partner killed upstream never marks the survivor (speculative post-filter)") {
+    // THE regression pin for the speculative probe legs: stages 4/5
+    // probe the FULL batch concurrently with the text stages, so their
+    // in-batch pairs must be post-filtered to survivors on BOTH
+    // endpoints — a pair whose earlier doc was killed upstream never
+    // existed in the survivors-only semantics.
+    import graft.ext.Dedup
+    val d = Tables.load(spark, sf0001, "documents")
+    val e = Tables.load(spark, sf0001, "embeddings").select($"vec_id", $"embedding")
+    def rows(lo: Int, hi: Int) = d.where($"doc_id" >= lo && $"doc_id" < hi)
+      .join(e, d("doc_id") === e("vec_id"))
+      .select(d("doc_id"), $"text", xxhash64($"text").as("hh"), $"embedding".as("emb"))
+    val base = tempDir("pipespecfilter")
+    val ref = e.where($"vec_id" % 3 === 1)
+    Dedup.writeSemanticIndex(
+      Dedup.semanticIndex(ref, "vec_id", "embedding", 16),
+      Dedup.semanticSeeds(ref, "vec_id", "embedding", 16),
+      s"$base/semidx")
+    def applyBatch(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CdcStream.ingestPipelineApplyBatch(
+        b, id, s"$base/store", s"$base/semidx", "doc_id", "text", "hh", "emb",
+        k = 10, minDocsBoiler = 5, w = 4, windowSize = 3, minShared = 3,
+        maxDf = 8L, radius = 11, threshold = 0.9, numBuckets = 8,
+        hashKey = true, portable = false)
+    applyBatch(rows(0, 100), 0L)
+    // corner 1 (hamming): aPrime/a are winnow near-dups (shared 6-8
+    // token runs — BELOW the k=10 substring gram so the text is not
+    // gutted, ABOVE w+windowSize-1=6 so fingerprints are shared); a and
+    // bSurv share a sketch. a dies at winnow (dup_batch after aPrime),
+    // so bSurv must stay perceptual "new" — its only hamming partner
+    // never survived to stage 4.
+    val words = (1 to 24).map(i => s"zqword$i")
+    val aPrimeText = words.mkString(" ")
+    val aText = words.updated(7, "zqmutA").updated(15, "zqmutB").mkString(" ")
+    val bText = (1 to 14).map(i => s"zqother$i").mkString(" ")
+    // corner 2 (semantic): cDoc carries a STORED doc's sketch (dies
+    // dup_snapshot at stage 4) and shares an embedding with dDoc; dDoc
+    // must stay semantic "new" — its only semantic partner never
+    // survived to stage 5.
+    val cText = (1 to 14).map(i => s"zqc$i").mkString(" ")
+    val dText = (1 to 14).map(i => s"zqd$i").mkString(" ")
+    val hh40 = d.where($"doc_id" === 40).select(xxhash64($"text")).head.getLong(0)
+    def emb(hot: Int): Array[Float] = Array.tabulate(64)(i => if (i == hot) 1.0f else 0.0f)
+    val pairEmb = Array.tabulate(64)(i => if (i == 50) 0.6f else if (i == 51) 0.8f else 0.0f)
+    val batch1 = Seq(
+      (5000L, aPrimeText, 0L, emb(2)),
+      (5001L, aText, -0x5555555555555556L, emb(3)), // 0xAAAA...
+      (5002L, bText, -0x5555555555555556L, emb(4)),
+      (5003L, cText, hh40, pairEmb),
+      (5004L, dText, 0x5555555555555555L, pairEmb)
+    ).toDF("doc_id", "text", "hh", "emb")
+    applyBatch(batch1, 1L)
+    val adm = spark.read.parquet(s"$base/store/admitted/ingest_batch=1")
+      .select("doc_id", "winnow_status", "perceptual_status", "semantic_status")
+      .as[(Long, String, String, String)].collect().map(t => t._1 -> t).toMap
+    // the planted fates happened
+    assert(adm(5001L)._2 === "dup_batch", s"a should die at winnow: ${adm(5001L)}")
+    assert(adm(5003L)._3 === "dup_snapshot", s"c should die at hamming: ${adm(5003L)}")
+    // the pins: surviving partners stay clean
+    assert(adm(5002L)._2 === "new" && adm(5002L)._3 === "new",
+      s"b's only hamming partner was winnow-killed — must be perceptual new: ${adm(5002L)}")
+    assert(adm(5004L)._2 === "new" && adm(5004L)._3 === "new" && adm(5004L)._4 === "new",
+      s"d's only semantic partner was hamming-killed — must be semantic new: ${adm(5004L)}")
+  }
+
   test("maintainStores: maintain → stop → compact-from-checkpoint → resume equals the never-compacted twin") {
     import graft.ext.Dedup
     import org.apache.spark.sql.streaming.Trigger
