@@ -229,6 +229,62 @@ object Dedup {
       .where(col("shared") >= minShared)
   }
 
+  /** Fuzzy-lexical train/eval decontamination via winnowing
+    * fingerprints — the paraphrase-adjacent complement of the exact
+    * n-gram decontam ([[graft.ext.TextOps.contamination]] and its bloom
+    * form) and the embedding-space form ([[semanticContamination]]): an
+    * eval document is contaminated when it shares ≥ `minShared`
+    * winnowing-selected fingerprints with SOME single training document
+    * — i.e. when a train doc would pair with it under
+    * [[winnowingNearDupPairs]]. The MOSS guarantee (any shared run of
+    * ≥ w + windowSize − 1 tokens contributes a shared fingerprint)
+    * makes this robust to the light edits, re-punctuation and splices
+    * that break exact 13-gram matching, at ~1/windowSize of the n-gram
+    * posting volume. The df cap applies to TRAIN fingerprints only
+    * (boilerplate selected-shingles pair with everything and carry no
+    * signal; an eval fingerprint then meets ≤ maxDf train postings —
+    * the candidate bound) — there is no ≥2 lower band here, unlike the
+    * pair join: a train-unique fingerprint is exactly the evidence
+    * decontamination wants.
+    *
+    * Output: one row per eval doc — (id, matched_train_docs,
+    * max_shared, contaminated), deterministic.
+    */
+  def winnowContamination(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 5,
+      windowSize: Int = 4,
+      minShared: Int = 3,
+      maxDf: Long = 8L,
+      portable: Boolean = false
+  ): DataFrame = {
+    require(minShared >= 1, "need minShared >= 1")
+    require(maxDf >= 1, "need maxDf >= 1")
+    val tp = winnowingPostings(train, idCol, textCol, w, windowSize, portable)
+    val ep = winnowingPostings(eval, idCol, textCol, w, windowSize, portable)
+    val tKeep = tp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("fp")
+    val hits = ep.select(col("id").as("eval_id"), col("fp"))
+      .join(
+        tp.join(tKeep, Seq("fp"), "left_semi").select(col("id").as("train_id"), col("fp")),
+        Seq("fp"))
+      .groupBy("eval_id", "train_id").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+    val per = hits.groupBy("eval_id").agg(
+      count(lit(1)).as("matched_train_docs"),
+      max(col("shared")).as("max_shared"))
+    eval.select(col(idCol).cast("long").as("id"))
+      .join(per.withColumnRenamed("eval_id", "id"), Seq("id"), "left_outer")
+      .select(
+        col("id"),
+        coalesce(col("matched_train_docs"), lit(0L)).as("matched_train_docs"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+        (coalesce(col("matched_train_docs"), lit(0L)) > 0).as("contaminated"))
+  }
+
   // ---- MinHash + LSH banding ----------------------------------------------
 
   /** MinHash signature of a shingle array: `numHashes` independent hash

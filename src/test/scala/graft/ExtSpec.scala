@@ -2007,6 +2007,33 @@ class ExtSpec extends SparkSpec {
     assert(ex.getMessage.contains("minDocs"))
   }
 
+  test("winnowContamination: edited train leak flagged, unrelated eval clean, train df cap silences boilerplate") {
+    val train = Seq(
+      (0L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november"),
+      // boilerplate: identical text across >maxDf train docs — its
+      // fingerprints must be capped out of the evidence set
+      (2L, "common header line repeated across many documents every time exactly the same words here"),
+      (4L, "common header line repeated across many documents every time exactly the same words here"),
+      (6L, "common header line repeated across many documents every time exactly the same words here")
+    ).toDF("doc_id", "text")
+    val evalSplit = Seq(
+      // light-edit leak of train doc 0: the shared 13-token prefix run
+      // is ≥ w + windowSize − 1, so fingerprints are guaranteed shared
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike zzedited"),
+      (3L, "totally different unique words nothing shared with training corpus at all whatsoever right"),
+      // overlaps train ONLY through the boilerplate text
+      (5L, "common header line repeated across many documents every time exactly the same words here")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup
+      .winnowContamination(train, evalSplit, "doc_id", "text",
+        w = 4, windowSize = 3, minShared = 2, maxDf = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(got(1L)._2, s"edited train copy must be contaminated: $got")
+    assert(got(1L)._1 === 1L, s"exactly one matching train doc expected: $got")
+    assert(!got(3L)._2, s"unrelated eval doc must be clean: $got")
+    assert(!got(5L)._2, s"boilerplate-only overlap must be silenced by the train df cap: $got")
+  }
+
   test("winnowingNearDupPairs: one-token edit recovered, unrelated docs silent, hot-fingerprint cap bounds candidates") {
     import graft.ext.Dedup
     val words = (1 to 40).map(i => s"w$i")
