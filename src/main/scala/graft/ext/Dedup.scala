@@ -330,19 +330,21 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    // shingles and signatures EAGERLY localCheckpointed, SEPARATELY: the
-    // downstream plan consumes each of them several times in one job, and
-    // unmaterialized each scan recomputes its lineage. Checkpoint, not
-    // cache: this is a one-shot entry point returning a lazy result — a
-    // cache() had no release point and pinned a CacheManager entry per
-    // call for the session's lifetime, while checkpoint blocks are
-    // reference-counted away by the ContextCleaner once the result goes
-    // out of scope (and the eager materialization also removes the
-    // cache-fill race where concurrent scans all recompute). At
-    // warehouse scale this intermediate would be a persisted sketch
-    // table for exactly the same reasons.
-    val sh = shingled(df, idCol, textCol, shingleN).localCheckpoint(true)
-    val sigs = minhashSignatures(sh, numHashes).localCheckpoint(true)
+    // shingles and signatures cached SEPARATELY and released below: the
+    // downstream plan consumes each several times in one job
+    // (unmaterialized, every scan recomputes its lineage), and the
+    // sketch-aggregate count materializes both in ONE pipelined job (an
+    // eager per-frame localCheckpoint here measured +0.7 s — two
+    // sequential serialization passes where the cache fill rides the
+    // signature job). The caches are unpersisted before returning — the
+    // RESULT is eagerly checkpointed at the tail, so this one-shot
+    // entry point pins no CacheManager entry past its own call (the
+    // semanticAdmit release convention). At warehouse scale this
+    // intermediate would be a persisted sketch table for the same
+    // multi-scan reasons.
+    val sh = shingled(df, idCol, textCol, shingleN).cache()
+    val sigs = minhashSignatures(sh, numHashes).cache()
+    sigs.count()
 
     // banding rows carry only (id, bucket) — signature and shingle arrays
     // are joined back for the (small) candidate set, never shuffled with
@@ -371,7 +373,7 @@ object Dedup {
 
     // verify candidates with the exact Jaccard on the shingle sets (the
     // banding estimate from signature agreement is kept as est_jaccard)
-    cand
+    val res = cand
       .withColumn(
         "est_jaccard",
         aggregate(
@@ -387,6 +389,10 @@ object Dedup {
       )
       .where(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard", "est_jaccard")
+    // eager-materialize the (small) verified pair list, then release the
+    // sketch caches — no CacheManager entry survives the call
+    try res.localCheckpoint(eager = true)
+    finally { sigs.unpersist(); sh.unpersist(); () }
   }
 
   /** ml.feature variant: HashingTF (binary) over shingles → MinHashLSH →
@@ -553,11 +559,12 @@ object Dedup {
     require(probeBits >= 0 && probeBits <= 3, "probeBits in [0,3] (fan-out grows as C(width,probeBits))")
     val width = 64 / blocks
     val mask = blockMask(width)
-    // same separate eager-localCheckpoint layout as
-    // [[minhashNearDupPairs]] (see the release rationale there): the
-    // plan below scans `hashes` 3× and `sh` 2× inside one job
-    val sh = shingled(df, idCol, textCol, shingleN).localCheckpoint(true)
-    val hashes = simhashes(sh).localCheckpoint(true)
+    // same cache-then-release layout as [[minhashNearDupPairs]] (see the
+    // rationale there): the plan below scans `hashes` 3× and `sh` 2×
+    // inside one job; the count fills both caches in one pipelined job
+    // and the tail releases them after the eager result checkpoint
+    val sh = shingled(df, idCol, textCol, shingleN).cache()
+    val hashes = simhashes(sh).cache()
     val n = hashes.count()
     // adaptive probe budget (the LshBandingCutover pattern): probe
     // fan-out multiplies candidate volume by 1 + width + C(width,2) + …
@@ -591,7 +598,7 @@ object Dedup {
       ).as("key")
     )
     val radius = (effProbeBits + 1) * blocks - 1
-    probes
+    val res = probes
       .join(base.select(col("blk"), col("key"), col("id").as("id2")), Seq("blk", "key"))
       .where(col("id") =!= col("id2"))
       .select(least(col("id"), col("id2")).as("id_a"), greatest(col("id"), col("id2")).as("id_b"))
@@ -611,6 +618,9 @@ object Dedup {
       )
       .where(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
+    // eager-materialize the verified pair list, then release the caches
+    try res.localCheckpoint(eager = true)
+    finally { hashes.unpersist(); sh.unpersist(); () }
   }
 
   /** Corpus size past which [[simhashNearDupPairsVerified]] tightens its
