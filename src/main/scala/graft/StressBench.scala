@@ -1119,7 +1119,7 @@ object StressBench {
 
     val per = base.zip(big).map { case ((n, c1, s1), (_, c10, s10)) =>
       val ratio = s10 / math.max(s1, 1e-9)
-      f"""\"$n\":{\"rows_1x\":$c1,\"sec_1x\":${s1}%.2f,\"rows_$k\":$c10,\"sec_$k\":${s10}%.2f,\"x_vs_linear\":${ratio / Replicas}%.2f${extras.getOrElse(n, "")}${extrasSem.getOrElse(n, "")}${extrasBm.getOrElse(n, "")}}"""
+      f"""\"$n\":{\"rows_1x\":$c1,\"sec_1x\":${s1}%.2f,\"rows_$k\":$c10,\"sec_$k\":${s10}%.2f,\"x_vs_linear\":${ratio / Replicas}%.2f${extras.getOrElse(n, "")}${extrasSem.getOrElse(n, "")}${extrasWin.getOrElse(n, "")}${extrasBm.getOrElse(n, "")}}"""
     }
     val line =
       s"""{"metric":"dedup_stress","replicas":$Replicas,"docs_1x":$rows1,"docs_$k":$rows10,"ops":{${per.mkString(",")}}}"""
