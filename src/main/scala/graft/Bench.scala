@@ -8,6 +8,33 @@ import org.apache.spark.sql.SparkSession
   * column pruning cannot skip the projected work.
   */
 object Bench {
+
+  /** Fixed-work machine-speed probe: a constant-size pure-codegen
+    * workload (range → xxhash64 → sum; no I/O, no shuffle payload)
+    * timed as min-of-2 after one untimed warm run. Emitted as
+    * `calibration_sec` in every BENCH/STRESS artifact so cross-round
+    * total comparisons can divide out host drift MECHANICALLY — r16
+    * needed a prose caveat ("+21.8 % on untouched gates — environment,
+    * not regression") to reconcile 182.4 → 209.4 → 182.5 s totals;
+    * this field turns that caveat into a number any reader can apply.
+    * The work size (4 B hashes over 32 fixed partitions) is ~1 s on
+    * the reference host — large enough to dominate job-launch
+    * overhead, small enough to not move the artifact's own wall.
+    */
+  private[graft] def calibrationSec(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: ANSI mode (Spark 4 default) faults the long
+      // overflow a 2B-hash sum is guaranteed to hit
+      spark.range(0L, 4000000000L, 1L, 32)
+        .select(bit_xor(xxhash64(col("id"))).as("s")).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // untimed: codegen + JIT for the probe plan itself
+    math.min(once(), once())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -54,6 +81,9 @@ object Bench {
       spark,
       Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding", m = 4, ksub = 16,
       java.nio.file.Files.createTempDirectory("graft_bench_pq").toString)
+    // fixed-work host-speed probe, timed before the suite so it reads
+    // the same machine state the queries are about to see
+    val calSec = calibrationSec(spark)
     // optional comma-separated subset for local iteration (shared knob)
     val only = SparkEntry.querySubset
     // x_dedup_embedding is the documented all-pairs ORACLE BASELINE — a
@@ -127,7 +157,7 @@ object Bench {
       def fmt(v: Double): String = String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
       val qs = keep.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""""q_omitted":$omitted,""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,$om"queries":$qs,$cadence"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"calibration_sec":${fmt(calSec)},$om"queries":$qs,$cadence"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     System.err.println(s"[bench] full precision: " +
       results.map { case (k, v) => s"$k=$v" }.mkString(" "))

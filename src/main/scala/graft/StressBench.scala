@@ -54,6 +54,22 @@ object StressBench {
   val OnlyOps: Option[Set[String]] =
     sys.env.get("SPARK_GRAFT_STRESS_OPS").map(_.split(",").map(_.trim).toSet)
 
+  // Shared near-dup probe parameters, hoisted into ONE set of vals used
+  // by both the timed closures and the work-denominator probes below —
+  // the r16 advice finding: winnow_pairs' work normalization duplicated
+  // the probe's parameters as literals, so a probe-side change would
+  // have silently computed x_vs_linear_work (the documented primary
+  // metric) against the wrong candidate band.
+  private val ShingleN = 5
+  private val JaccardThr = 0.4
+  private val NgramMaxDf = 100L
+  private val MinhashNumHashes = 64
+  private val MinhashBands = 16
+  private val WinnowW = 5
+  private val WinnowWindow = 4
+  private val WinnowMinShared = 3
+  private val WinnowMaxDf = 100L
+
   def expandDocs(docs: DataFrame): DataFrame = {
     val k = explode(sequence(lit(0), lit(Replicas - 1))).as("k")
     docs
@@ -228,12 +244,13 @@ object StressBench {
       // as the index grows
       val spark = docs.sparkSession
       val dir = memoIndex(docs.inputFiles.toSet, "winnowidx") { d =>
-        Dedup.writeWinnowIndex(docs, "doc_id", "text", d, maxDf = 100L, buckets = 64)
+        Dedup.writeWinnowIndex(docs, "doc_id", "text", d,
+          w = WinnowW, windowSize = WinnowWindow, maxDf = WinnowMaxDf, buckets = 64)
       }
       Dedup.winnowAdmitStored(
           spark, dir,
           batchDocs.select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")),
-          "doc_id", "text", minShared = 3)
+          "doc_id", "text", minShared = WinnowMinShared)
         .where(col("status") =!= "new").count()
     }),
     "winnow_stream" -> (() => {
@@ -245,14 +262,14 @@ object StressBench {
       val dir = memoIndex(docs.inputFiles.toSet, "winnowstream") { d =>
         graft.streaming.CdcStream.winnowAdmitApplyBatch(
           docs, 0L, s"$d/idx", s"$d/out", "doc_id", "text",
-          w = 5, windowSize = 4, minShared = 3, maxDf = 100L,
-          numBuckets = 64, portable = false)
+          w = WinnowW, windowSize = WinnowWindow, minShared = WinnowMinShared,
+          maxDf = WinnowMaxDf, numBuckets = 64, portable = false)
       }
       graft.streaming.CdcStream.winnowAdmitApplyBatch(
         batchDocs.select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")),
         1L, s"$dir/idx", s"$dir/out", "doc_id", "text",
-        w = 5, windowSize = 4, minShared = 3, maxDf = 100L,
-        numBuckets = 64, portable = false)
+        w = WinnowW, windowSize = WinnowWindow, minShared = WinnowMinShared,
+        maxDf = WinnowMaxDf, numBuckets = 64, portable = false)
       spark.read.parquet(s"$dir/out/ingest_batch=1").count()
     }),
     "winnow_probe_frag" -> (() => winnowDirProbe(docs, batchDocs, compact = false)),
@@ -557,8 +574,10 @@ object StressBench {
     val dir = memoIndex(docs.inputFiles.toSet, tag) { d =>
       val idx = s"$d/store"
       graft.streaming.CdcStream.stampWinnowLayout(
-        spark, idx, w = 5, windowSize = 4, maxDf = 100L, numBuckets = 16, portable = false)
-      Dedup.winnowingPostings(docs, "doc_id", "text", w = 5, windowSize = 4, portable = false)
+        spark, idx, w = WinnowW, windowSize = WinnowWindow, maxDf = WinnowMaxDf,
+        numBuckets = 16, portable = false)
+      Dedup.winnowingPostings(docs, "doc_id", "text",
+        w = WinnowW, windowSize = WinnowWindow, portable = false)
         .withColumn("fb", pmod(xxhash64(col("fp")), lit(16)).cast("int"))
         .withColumn("ingest_batch", pmod(xxhash64(col("id")), lit(nDirs)))
         .repartition(col("ingest_batch"), col("fb"))
@@ -569,16 +588,16 @@ object StressBench {
     graft.streaming.CdcStream.winnowAdmitApplyBatch(
       batchDocs.select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")),
       nDirs.toLong + 1L, s"$dir/store", s"$dir/out", "doc_id", "text",
-      w = 5, windowSize = 4, minShared = 3, maxDf = 100L,
-      numBuckets = 16, portable = false)
+      w = WinnowW, windowSize = WinnowWindow, minShared = WinnowMinShared,
+      maxDf = WinnowMaxDf, numBuckets = 16, portable = false)
     spark.read.parquet(s"$dir/out")
       .where(col("ingest_batch") === nDirs.toLong + 1L).count()
   }
 
   private def ops(docs: => DataFrame, embs: => DataFrame): Seq[(String, () => Long)] = Seq(
     "ngram_jaccard" -> (() =>
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.4,
-        maxShingleDf = 100L).count()),
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = ShingleN, threshold = JaccardThr,
+        maxShingleDf = NgramMaxDf).count()),
     "winnow_pairs" -> (() =>
       // the MOSS sampled-fingerprint first pass (production xxhash64
       // path): same candidate-funnel shape as ngram_jaccard on ~1/window
@@ -588,16 +607,18 @@ object StressBench {
       // rides the stress corpus's quadratic duplication band — the
       // measured x_vs_linear stays sublinear, but on wider output
       Dedup.winnowingNearDupPairs(docs, "doc_id", "text",
-        minShared = 3, maxDf = 100L).count()),
+        w = WinnowW, windowSize = WinnowWindow,
+        minShared = WinnowMinShared, maxDf = WinnowMaxDf).count()),
     "minhash" -> (() =>
       Dedup.minhashNearDupPairs(docs, "doc_id", "text",
-        shingleN = 5, numHashes = 64, bands = 16, jaccardThreshold = 0.4).count()),
+        shingleN = ShingleN, numHashes = MinhashNumHashes, bands = MinhashBands,
+        jaccardThreshold = JaccardThr).count()),
     "simhash" -> (() =>
       Dedup.simhashNearDupPairsVerified(docs, "doc_id", "text",
-        shingleN = 5, jaccardThreshold = 0.4).count()),
+        shingleN = ShingleN, jaccardThreshold = JaccardThr).count()),
     "components" -> (() => {
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5,
-        threshold = 0.4, maxShingleDf = 100L).select("id_a", "id_b")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = ShingleN,
+        threshold = JaccardThr, maxShingleDf = NgramMaxDf).select("id_a", "id_b")
       Dedup.duplicateComponents(pairs).count()
     }),
     "embedding_lsh" -> (() =>
@@ -892,6 +913,11 @@ object StressBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    // fixed-work host-speed probe ([[graft.Bench.calibrationSec]]):
+    // emitted in the artifact so cross-round / cross-artifact wall
+    // comparisons divide out host drift mechanically — the r16 round
+    // needed a prose caveat to reconcile totals measured ~20 % apart
+    val calSec = Bench.calibrationSec(spark)
 
     val work = java.nio.file.Files.createTempDirectory("graft-stress").toString
     // 1× table loads are cheap and always materialize; the EXPANSIONS are
@@ -961,9 +987,9 @@ object StressBench {
     // swung 22-92 s single-shot), and the minimum is the steady-state
     // cost the scaling claim is about
     val Runs = 2
-    def runAll(opList: Seq[(String, () => Long)]): Seq[(String, Long, Double)] =
+    def runAll(opList: Seq[(String, () => Long)], runs: Int): Seq[(String, Long, Double)] =
       opList.map { case (name, f) =>
-        val timings = (1 to Runs).map { _ =>
+        val timings = (1 to runs).map { _ =>
           // the dedup ops cache sketch/shingle frames internally for
           // their own multi-scan plans; dropping them between runs keeps
           // each measurement cold-cache and stops earlier ops' storage
@@ -986,8 +1012,14 @@ object StressBench {
     opsAt(docs1, embs1, ivfIdx1, ivfCen1, ev1, cur1, log01, logA1)
       .foreach { case (_, f) => f(); () }
 
-    val base = runAll(opsAt(docs1, embs1, ivfIdx1, ivfCen1, ev1, cur1, log01, logA1))
-    val big = runAll(opsAt(docs10, embs10, ivfIdx10, ivfCen10, ev10, cur10, log010, logA10))
+    // 1× legs get one extra run: they seed EVERY ratio denominator, and
+    // a single cold or noisy-neighbor measurement there distorts the
+    // whole artifact (the r16 100× cut recorded substring_stream
+    // sec_1x 6.26 vs 2.0/2.72 in the sibling artifacts while the op
+    // itself was flat at scale). The 1× ops are cheap; the Kx legs keep
+    // min-of-Runs.
+    val base = runAll(opsAt(docs1, embs1, ivfIdx1, ivfCen1, ev1, cur1, log01, logA1), Runs + 1)
+    val big = runAll(opsAt(docs10, embs10, ivfIdx10, ivfCen10, ev10, cur10, log010, logA10), Runs)
     // rows_k = rows_1 · Replicas exactly (expandDocs emits one row per
     // (doc, k)) — computed, not counted, so a docs-free subset probe
     // never forces the docs expansion
@@ -1040,10 +1072,20 @@ object StressBench {
     // emitted instead: (a) `x_vs_linear_work` — wall per unit of
     // measured work (assignment cosines n·K + Σ C(cell,2) within-cell
     // pairs), the engine-scaling claim; (b) `cell_pairs_vs_contract` —
-    // measured pairs against the K-contract's n²/2K, asserting the
-    // within-cell volume sits ON the contract (≈1-2× — cell skew and
-    // the planted-duplicate band account for the excess) rather than
-    // quietly quadratic.
+    // measured pairs against the K-contract's even-split n²/2K,
+    // HARNESS-ASSERTED inside [0.8, 8] (the r16 verdict finding: the
+    // shipped 100× artifact read 4.4 against a documented ≈1-2 band
+    // and nothing failed). The band's floor is convexity — even split
+    // MINIMIZES Σ C(cell,2), so a ratio well under 1 means the
+    // denominator is wrong, not the engine fast. The ceiling prices
+    // the measured skew mechanism on this corpus: seeds are the K
+    // lowest-id vectors, and at deep replica counts those ids span
+    // only ~K/Replicas source families, so the seed set loses
+    // diversity and cell sizes skew (measured 1.18 / 1.57 / 4.4 at
+    // 10/30/100×). A silently quadratic regression — the failure this
+    // guard exists for — reads ~K (50-200), an order of magnitude past
+    // the ceiling, and now fails the run instead of shipping.
+    val SemCellPairsBand = (0.8, 8.0)
     val extrasSem: Map[String, String] =
       if (base.exists(_._1 == "semantic_dedup")) {
         def work(e: DataFrame): (Long, Long, Long, Double) = {
@@ -1057,6 +1099,15 @@ object StressBench {
         }
         val (aw1, p1, k1, c1) = work(embs1)
         val (awK, pK, kK, cK) = work(embs10)
+        Seq(("1x", c1), (k, cK)).foreach { case (leg, c) =>
+          require(c >= SemCellPairsBand._1 && c <= SemCellPairsBand._2,
+            f"semantic_dedup cell-pair volume off the contract band at $leg: " +
+              f"cell_pairs_vs_contract = $c%.2f outside [${SemCellPairsBand._1}, " +
+              f"${SemCellPairsBand._2}] — a ratio near K means the within-cell " +
+              "stage went quadratic (K stopped scaling with n, or assignment " +
+              "collapsed into few cells); well under 1 means the contract " +
+              "denominator itself is wrong")
+        }
         val s1 = base.find(_._1 == "semantic_dedup").get._3
         val sK = big.find(_._1 == "semantic_dedup").get._3
         val ratio = (sK / (awK + pK).toDouble) / math.max(s1 / (aw1 + p1).toDouble, 1e-12)
@@ -1064,6 +1115,7 @@ object StressBench {
           (f""",\"assign_cos_1x\":$aw1,\"cell_pairs_1x\":$p1,\"k_1x\":$k1,\"cell_pairs_vs_contract_1x\":$c1%.2f""" +
             f""",\"assign_cos_$k\":$awK,\"cell_pairs_$k\":$pK,\"k_$k\":$kK,\"cell_pairs_vs_contract_$k\":$cK%.2f""" +
             f""",\"x_vs_linear_work\":$ratio%.2f,\"primary_metric\":\"x_vs_linear_work\"""" +
+            s""",\"cell_pairs_band\":\"[${SemCellPairsBand._1},${SemCellPairsBand._2}] harness-asserted; >1 = cell skew (lowest-id seeds lose family diversity at deep replica counts), ~K = quadratic regression\"""" +
             s""",\"wall_ratio_note\":\"1x K floors at 64 (contract n/1000 < 64), so 1x per-row within-cell work (cell_pairs_1x over n_1x) is far below the scaled runs' contract ~500/row - read x_vs_linear_work, not x_vs_linear\""""))
       } else Map.empty
     // Work-normalization for winnow_pairs (the r15 verdict's
@@ -1078,12 +1130,14 @@ object StressBench {
     val extrasWin: Map[String, String] =
       if (base.exists(_._1 == "winnow_pairs")) {
         def work(d: DataFrame): (Long, Long) = {
-          // same (w, windowSize, maxDf) as the timed probe above
-          val r = Dedup.winnowingPostings(d, "doc_id", "text", 5, 4, portable = false)
+          // the hoisted probe parameters — shared vals, not re-typed
+          // literals, so the denominator tracks the timed closure
+          val r = Dedup.winnowingPostings(d, "doc_id", "text",
+              WinnowW, WinnowWindow, portable = false)
             .groupBy("fp").agg(count(lit(1)).as("df"))
             .agg(
               sum(col("df")).cast("long"),
-              sum(when(col("df") >= 2 && col("df") <= 100L,
+              sum(when(col("df") >= 2 && col("df") <= WinnowMaxDf,
                 col("df") * (col("df") - 1) / 2).otherwise(lit(0L))).cast("long"))
             .head()
           (r.getLong(0), r.getLong(1))
@@ -1096,6 +1150,81 @@ object StressBench {
         Map("winnow_pairs" ->
           f""",\"postings_1x\":$po1,\"cand_occ_1x\":$co1,\"postings_$k\":$poK,\"cand_occ_$k\":$coK,\"x_vs_linear_work\":$ratio%.2f""")
       } else Map.empty
+    // Same recipe for the remaining large-wall candidate families (the
+    // r16 directive: ngram 53 s / minhash 67 s / simhash 65 s /
+    // components 59 s were the top 100× absolute walls, all with
+    // wall-only ratios, so planted-clone output quadratics and host
+    // drift produced non-monotone headline numbers — ngram read
+    // 0.66/0.82/0.38 across the three artifacts). ngram_jaccard and
+    // components share one posting probe (components runs the ngram
+    // pair pipeline as its edge source); minhash/simhash price their
+    // banded fan-out via the shared builders in Dedup, so the
+    // denominator is computed by the SAME banding code the timed op
+    // executes.
+    val extrasNgramFam: Map[String, String] = {
+      val needN = base.exists(_._1 == "ngram_jaccard")
+      val needC = base.exists(_._1 == "components")
+      if (!needN && !needC) Map.empty
+      else {
+        def work(d: DataFrame): (Long, Long) = {
+          val r = Dedup.shingled(d, "doc_id", "text", ShingleN)
+            .select(explode(col("shingles")).as("sh"))
+            .groupBy("sh").agg(count(lit(1)).as("df"))
+            .agg(
+              coalesce(sum(col("df")), lit(0L)).cast("long"),
+              coalesce(sum(when(col("df") >= 2 && col("df") <= NgramMaxDf,
+                col("df") * (col("df") - 1) / 2).otherwise(lit(0L))), lit(0L)).cast("long"))
+            .head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val (po1, co1) = work(docs1)
+        val (poK, coK) = work(docs10)
+        val m = scala.collection.mutable.Map.empty[String, String]
+        if (needN) {
+          val s1 = base.find(_._1 == "ngram_jaccard").get._3
+          val sK = big.find(_._1 == "ngram_jaccard").get._3
+          val ratio = (sK / (poK + coK).toDouble) / math.max(s1 / (po1 + co1).toDouble, 1e-12)
+          m += "ngram_jaccard" ->
+            f""",\"postings_1x\":$po1,\"cand_occ_1x\":$co1,\"postings_$k\":$poK,\"cand_occ_$k\":$coK,\"x_vs_linear_work\":$ratio%.2f"""
+        }
+        if (needC) {
+          // the component stage's own input is the ngram EDGE list —
+          // the pair count the ngram_jaccard rows field already holds
+          // when that op ran in this subset; recomputed only when not
+          def edges(d: DataFrame, recorded: Option[Long]): Long =
+            recorded.getOrElse(
+              Dedup.ngramJaccardPairs(d, "doc_id", "text", n = ShingleN,
+                threshold = JaccardThr, maxShingleDf = NgramMaxDf).count())
+          val e1 = edges(docs1, base.find(_._1 == "ngram_jaccard").map(_._2))
+          val eK = edges(docs10, big.find(_._1 == "ngram_jaccard").map(_._2))
+          val s1 = base.find(_._1 == "components").get._3
+          val sK = big.find(_._1 == "components").get._3
+          val ratio = (sK / (poK + coK + eK).toDouble) /
+            math.max(s1 / (po1 + co1 + e1).toDouble, 1e-12)
+          m += "components" ->
+            f""",\"postings_1x\":$po1,\"cand_occ_1x\":$co1,\"edges_1x\":$e1,\"postings_$k\":$poK,\"cand_occ_$k\":$coK,\"edges_$k\":$eK,\"x_vs_linear_work\":$ratio%.2f"""
+        }
+        m.toMap
+      }
+    }
+    def bandedSketchExtras(
+        name: String, stats: DataFrame => (Long, Long, Long)): Map[String, String] =
+      if (!base.exists(_._1 == name)) Map.empty
+      else {
+        val (po1, pr1, co1) = stats(docs1)
+        val (poK, prK, coK) = stats(docs10)
+        val s1 = base.find(_._1 == name).get._3
+        val sK = big.find(_._1 == name).get._3
+        val ratio = (sK / (poK + prK + coK).toDouble) /
+          math.max(s1 / (po1 + pr1 + co1).toDouble, 1e-12)
+        Map(name ->
+          f""",\"postings_1x\":$po1,\"probe_rows_1x\":$pr1,\"cand_occ_1x\":$co1,\"postings_$k\":$poK,\"probe_rows_$k\":$prK,\"cand_occ_$k\":$coK,\"x_vs_linear_work\":$ratio%.2f""")
+      }
+    val extrasMinhash = bandedSketchExtras("minhash", d =>
+      Dedup.minhashCandidateStats(
+        d, "doc_id", "text", ShingleN, MinhashNumHashes, MinhashBands))
+    val extrasSimhash = bandedSketchExtras("simhash", d =>
+      Dedup.simhashCandidateStats(d, "doc_id", "text", ShingleN))
     // Escalation telemetry for the block-max probes (captured by the
     // probes' own closures): rounds > 1 or admitted blocks far above
     // queryTerms flags a term distribution degrading toward the full
@@ -1117,12 +1246,14 @@ object StressBench {
         }
       }.toMap
 
+    val allExtras = extras ++ extrasSem ++ extrasWin ++ extrasNgramFam ++
+      extrasMinhash ++ extrasSimhash ++ extrasBm
     val per = base.zip(big).map { case ((n, c1, s1), (_, c10, s10)) =>
       val ratio = s10 / math.max(s1, 1e-9)
-      f"""\"$n\":{\"rows_1x\":$c1,\"sec_1x\":${s1}%.2f,\"rows_$k\":$c10,\"sec_$k\":${s10}%.2f,\"x_vs_linear\":${ratio / Replicas}%.2f${extras.getOrElse(n, "")}${extrasSem.getOrElse(n, "")}${extrasWin.getOrElse(n, "")}${extrasBm.getOrElse(n, "")}}"""
+      f"""\"$n\":{\"rows_1x\":$c1,\"sec_1x\":${s1}%.2f,\"rows_$k\":$c10,\"sec_$k\":${s10}%.2f,\"x_vs_linear\":${ratio / Replicas}%.2f${allExtras.getOrElse(n, "")}}"""
     }
     val line =
-      s"""{"metric":"dedup_stress","replicas":$Replicas,"docs_1x":$rows1,"docs_$k":$rows10,"ops":{${per.mkString(",")}}}"""
+      f"""{"metric":"dedup_stress","replicas":$Replicas,"calibration_sec":$calSec%.2f,"docs_1x":$rows1,"docs_$k":$rows10,"ops":{${per.mkString(",")}}}"""
     println(line)
     if (OnlyOps.isEmpty) {
       val outFile =

@@ -313,6 +313,62 @@ object Dedup {
       .agg(GraftFunctions.minhash_agg(col("s"), numHashes).as("sig"))
   }
 
+  /** The (id, bucket) banding rows of a signature frame — ONE banding
+    * definition shared by [[minhashNearDupPairs]] and the stress
+    * harness's work accounting ([[minhashCandidateStats]]), so the
+    * work denominator can never drift from the timed plan. Band index
+    * is folded into the bucket hash so equal band values from
+    * different bands cannot collide.
+    */
+  private[graft] def minhashBandBuckets(
+      sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    sigs.select(
+      col("id"),
+      explode(
+        array((0 until bands).map { b =>
+          xxhash64(lit(b), slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))
+        }: _*)
+      ).as("bucket"))
+  }
+
+  /** Candidate-volume accounting for [[minhashNearDupPairs]] — the
+    * work denominator the stress harness normalizes wall-clock by
+    * (the winnow_pairs recipe): on a planted-clone corpus the OUTPUT
+    * pair band grows quadratically in the replica count, so wall/linear
+    * alone conflates data-driven output growth with engine growth.
+    * Returns (postings, probeRows, candOcc):
+    *   - postings: total exploded shingle occurrences — the linear
+    *     sketch-build term (shingling + the 64-slot signature agg);
+    *   - probeRows: n · bands banding rows — the bucket fan-out volume;
+    *   - candOcc: Σ C(bucket, 2) over band buckets — the banded
+    *     self-join's PRE-dedup output, every row of which is generated,
+    *     shuffled and aggregated whether or not the pair survives
+    *     verification.
+    */
+  private[graft] def minhashCandidateStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int): (Long, Long, Long) = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = shingled(df, idCol, textCol, shingleN).cache()
+    try {
+      val postings = sh
+        .select(size(col("shingles")).cast("long").as("s"))
+        .agg(coalesce(sum(col("s")), lit(0L))).head().getLong(0)
+      val r = minhashBandBuckets(minhashSignatures(sh, numHashes), numHashes, bands)
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .agg(
+          coalesce(sum(col("n")), lit(0L)).cast("long"),
+          coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L)).cast("long"))
+        .head()
+      (postings, r.getLong(0), r.getLong(1))
+    } finally { sh.unpersist(); () }
+  }
+
   /** LSH banding candidates: split the signature into `bands` bands of
     * `rowsPerBand` hashes, hash each band, and emit (band_idx, band_hash)
     * bucket keys. Pairs sharing ≥1 bucket are candidates — the classic
@@ -329,7 +385,6 @@ object Dedup {
       jaccardThreshold: Double = 0.5
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     // shingles and signatures cached SEPARATELY and released below: the
     // downstream plan consumes each several times in one job
     // (unmaterialized, every scan recomputes its lineage), and the
@@ -348,16 +403,8 @@ object Dedup {
 
     // banding rows carry only (id, bucket) — signature and shingle arrays
     // are joined back for the (small) candidate set, never shuffled with
-    // the bucket fan-out. Band index is folded into the bucket hash so
-    // equal band values from different bands cannot collide.
-    val banded = sigs.select(
-      col("id"),
-      explode(
-        array((0 until bands).map { b =>
-          xxhash64(lit(b), slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))
-        }: _*)
-      ).as("bucket")
-    )
+    // the bucket fan-out (shared builder: [[minhashBandBuckets]])
+    val banded = minhashBandBuckets(sigs, numHashes, bands)
 
     val l = banded.select(col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("bucket"), col("id").as("id_b"))
@@ -557,8 +604,6 @@ object Dedup {
   ): DataFrame = {
     require(64 % blocks == 0, "blocks must divide 64")
     require(probeBits >= 0 && probeBits <= 3, "probeBits in [0,3] (fan-out grows as C(width,probeBits))")
-    val width = 64 / blocks
-    val mask = blockMask(width)
     // same cache-then-release layout as [[minhashNearDupPairs]] (see the
     // rationale there): the plan below scans `hashes` 3× and `sh` 2×
     // inside one job; the count fills both caches in one pipelined job
@@ -575,28 +620,11 @@ object Dedup {
     // stress corpora pin true-pair hamming ≈ 0-3) — the Manku-style
     // small-radius-at-scale trade the docstring above describes.
     val effProbeBits = if (n > SimhashProbeCutover) math.min(probeBits, 1) else probeBits
-    val base = hashes.select(
-      col("id"),
-      explode(
-        array((0 until blocks).map { b =>
-          struct(lit(b).as("blk"), shiftrightunsigned(col("sh"), b * width).bitwiseAND(mask).as("key"))
-        }: _*)
-      ).as("bb")
-    ).select(col("id"), col("bb.blk"), col("bb.key"))
+    val base = simhashBandedBase(hashes, blocks)
     // multiprobe side: the key XOR every mask of popcount ≤ probeBits —
     // plan-time literal masks, so the fan-out is one explode of a constant-
     // shape array (1 + width + C(width,2) + ... elements)
-    def flips(start: Int, remaining: Int): Seq[Long] =
-      if (remaining == 0) Seq(0L)
-      else (start until width).flatMap(i => flips(i + 1, remaining - 1).map(m => m | (1L << i)))
-    val probeMasks = (0 to effProbeBits).flatMap(p => flips(0, p))
-    val probes = base.select(
-      col("id"),
-      col("blk"),
-      explode(
-        array(probeMasks.map(m => col("key").bitwiseXOR(lit(m))): _*)
-      ).as("key")
-    )
+    val probes = simhashProbeSide(base, blocks, effProbeBits)
     val radius = (effProbeBits + 1) * blocks - 1
     val res = probes
       .join(base.select(col("blk"), col("key"), col("id").as("id2")), Seq("blk", "key"))
@@ -627,6 +655,79 @@ object Dedup {
     * probe budget to 1 bit — same rationale as [[LshBandingCutover]].
     */
   val SimhashProbeCutover: Long = 20000L
+
+  /** The (id, blk, key) banded base rows of a simhash frame — ONE
+    * banding definition shared by [[simhashNearDupPairsVerified]] and
+    * the stress harness's work accounting ([[simhashCandidateStats]]).
+    */
+  private[graft] def simhashBandedBase(hashes: DataFrame, blocks: Int): DataFrame = {
+    val width = 64 / blocks
+    val mask = blockMask(width)
+    hashes.select(
+      col("id"),
+      explode(
+        array((0 until blocks).map { b =>
+          struct(lit(b).as("blk"), shiftrightunsigned(col("sh"), b * width).bitwiseAND(mask).as("key"))
+        }: _*)
+      ).as("bb")
+    ).select(col("id"), col("bb.blk"), col("bb.key"))
+  }
+
+  /** The multiprobe side of the simhash banded base: each row fans out
+    * to its key XOR every ≤ `effProbeBits`-bit flip mask (plan-time
+    * literal masks — [[hammingProbeMasks]], the same generator the
+    * Hamming admission family uses).
+    */
+  private[graft] def simhashProbeSide(
+      base: DataFrame, blocks: Int, effProbeBits: Int): DataFrame = {
+    val width = 64 / blocks
+    val probeMasks = hammingProbeMasks(width, effProbeBits)
+    base.select(
+      col("id"),
+      col("blk"),
+      explode(
+        array(probeMasks.map(m => col("key").bitwiseXOR(lit(m))): _*)
+      ).as("key"))
+  }
+
+  /** Candidate-volume accounting for [[simhashNearDupPairsVerified]] —
+    * the stress work denominator (the [[minhashCandidateStats]] twin).
+    * Returns (postings, probeRows, candOcc): total exploded shingle
+    * occurrences (the linear sketch-build term), n · blocks · probe
+    * masks (the multiprobe fan-out volume, under the SAME adaptive
+    * probe-budget cutover the timed op applies), and the banded
+    * probe-vs-base join's PRE-filter output volume — computed from the
+    * two sides' per-(blk, key) counts (a bucket-count join, never the
+    * candidate join itself).
+    */
+  private[graft] def simhashCandidateStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      blocks: Int = 4,
+      probeBits: Int = 2): (Long, Long, Long) = {
+    require(64 % blocks == 0, "blocks must divide 64")
+    val width = 64 / blocks
+    val sh = shingled(df, idCol, textCol, shingleN).cache()
+    val hashes = simhashes(sh).cache()
+    try {
+      val n = hashes.count()
+      val effProbeBits = if (n > SimhashProbeCutover) math.min(probeBits, 1) else probeBits
+      val nMasks = hammingProbeMasks(width, effProbeBits).size
+      val postings = sh
+        .select(size(col("shingles")).cast("long").as("s"))
+        .agg(coalesce(sum(col("s")), lit(0L))).head().getLong(0)
+      val base = simhashBandedBase(hashes, blocks)
+      val bc = base.groupBy("blk", "key").agg(count(lit(1)).as("nb"))
+      val pc = simhashProbeSide(base, blocks, effProbeBits)
+        .groupBy("blk", "key").agg(count(lit(1)).as("np"))
+      val candOcc = pc.join(bc, Seq("blk", "key"))
+        .agg(coalesce(sum(col("np") * col("nb")), lit(0L)).cast("long"))
+        .head().getLong(0)
+      (postings, n * blocks * nMasks, candOcc)
+    } finally { hashes.unpersist(); sh.unpersist(); () }
+  }
 
   // ---- shared Hamming banding layout (pair join + admission) ---------------
 
