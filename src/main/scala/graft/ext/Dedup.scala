@@ -15,6 +15,24 @@ import graft.functions.GraftFunctions
   * (shared-band / shared-shingle / LSH bucket), which is the published
   * technique for bounding pair generation (MinHash banding; prefix-filter
   * family — see PAPERS.md set-similarity-join entries).
+  *
+  * RELIABILITY NOTE — the eager-localCheckpoint release convention: the
+  * one-shot entry points (minhash/simhash pair joins, the admit family,
+  * semanticDedup) materialize their small RESULT via
+  * `localCheckpoint(eager = true)` so the corpus-sized sketch caches
+  * they scan multiple times can be unpersisted before returning —
+  * no CacheManager entry outlives a call. localCheckpoint blocks are
+  * executor-local and NON-replicated: on a multi-executor cluster with
+  * dynamic allocation or preemption, losing an executor after the
+  * checkpoint makes the result unrecoverable and fails the query
+  * (lineage is truncated — there is nothing to recompute), where a
+  * plain cache() would have recomputed. That is the deliberate trade
+  * for the driver's single-JVM deployment; a cluster deployment that
+  * cannot simply re-run a failed one-shot call should either swap in
+  * reliable checkpointing (`SparkContext.setCheckpointDir` +
+  * `Dataset.checkpoint`, one durable write) or persist the returned
+  * frame to its own table — both slot in at the single checkpoint
+  * site per entry point.
   */
 object Dedup {
 
@@ -1536,73 +1554,141 @@ object Dedup {
       vecCol: String,
       numClusters: Int,
       threshold: Double
+  ): DataFrame =
+    semanticDedupImpl(df, idCol, vecCol, numClusters, threshold, SemanticDedupMaxGroupRows)
+
+  /** [[semanticDedup]] with the group-pass cell bound as a parameter —
+    * package-visible so ExtSpec can force the join-form fallback on a
+    * small corpus and pin its output identical to the group pass.
+    */
+  private[graft] def semanticDedupImpl(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numClusters: Int,
+      threshold: Double,
+      maxGroupRows: Long
   ): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val spark = df.sparkSession
     import spark.implicits._
-    val withV = semanticIndex(df, idCol, vecCol, numClusters)
-    // Within-cell prune as ONE cluster-sorted group pass instead of the
-    // cluster self-join: the join form enumerated every within-cell
-    // pair as a constructed row carrying BOTH 256-byte vectors before
-    // the cosine filter — ~520 B of row assembly per candidate pair,
-    // measured 61 s for 440M pairs at the 100× stress scale where the
-    // arithmetic itself is ~30 GFLOP. Here each cell's vectors stream
-    // through one task in id order over primitive float arrays: a doc
-    // is dropped on its FIRST prior hit (early exit — prior hits are
-    // the COMMON case in a duplicate-heavy corpus), priors accumulate
-    // in a growable array, and the cosine replicates
-    // [[graft.functions.CosineSimilarity]] bit-for-bit (min-length
-    // prefix, double accumulation in element order, dot/sqrt(na*nb) —
-    // per-vector norms are only cached when lengths match, because the
-    // expression's na/nb are PREFIX sums when they differ).
-    // Memory: O(cell × dim) floats per task — the K ∝ n/1000 dial is
-    // what bounds cells, same contract as the join form's output.
-    val cells = withV
-      .select(col("cluster"), col("id"), col("v").cast(ArrayType(FloatType)).as("v"))
-      .as[(Long, Long, Array[Float])]
-    cells
-      .groupByKey(_._1)
-      .flatMapSortedGroups($"id") { (cluster: Long, it: Iterator[(Long, Long, Array[Float])]) =>
-        val priors = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-        val norms = scala.collection.mutable.ArrayBuffer.empty[Double]
-        def fullNorm(v: Array[Float]): Double = {
-          var s = 0.0; var i = 0
-          while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
-          s
-        }
-        it.map { case (_, id, v) =>
-          val nv = fullNorm(v)
-          var dropped = false
-          var p = 0
-          while (!dropped && p < priors.length) {
-            val a = priors(p)
-            val n = math.min(a.length, v.length)
-            var dot = 0.0; var i = 0
-            val (na, nb) =
-              if (a.length == v.length) {
-                while (i < n) { dot += a(i).toDouble * v(i).toDouble; i += 1 }
-                (norms(p), nv)
-              } else {
-                // unequal lengths: the expression's norms are prefix
-                // sums over min(len) — recompute exactly
-                var sa = 0.0; var sb = 0.0
-                while (i < n) {
-                  val x = a(i).toDouble; val y = v(i).toDouble
-                  dot += x * y; sa += x * x; sb += y * y; i += 1
-                }
-                (sa, sb)
+    // cached for the two consumers below (cell-size precheck + prune
+    // pass); released after the eager result checkpoint — the
+    // minhashNearDupPairs release convention
+    val withV = semanticIndex(df, idCol, vecCol, numClusters).cache()
+    try {
+      // null vectors: the join form's CosineSimilarity returns null
+      // against anything, so a null vector is always KEPT and never
+      // drops a neighbor — routed around the prune pass here (the
+      // group-pass iterator would NPE on the norm dereference), with
+      // exactly those semantics
+      val nonNull = withV.where(col("v").isNotNull)
+      val nullKept = withV.where(col("v").isNull)
+        .select(col("id"), col("cluster"), lit(true).as("kept"))
+      // Within-cell prune as ONE cluster-sorted group pass instead of the
+      // cluster self-join: the join form enumerated every within-cell
+      // pair as a constructed row carrying BOTH 256-byte vectors before
+      // the cosine filter — ~520 B of row assembly per candidate pair,
+      // measured 61 s for 440M pairs at the 100× stress scale where the
+      // arithmetic itself is ~30 GFLOP. Here each cell's vectors stream
+      // through one task in id order over primitive float arrays: a doc
+      // is dropped on its FIRST prior hit (early exit — prior hits are
+      // the COMMON case in a duplicate-heavy corpus), priors accumulate
+      // in a growable array, and the cosine replicates
+      // [[graft.functions.CosineSimilarity]] bit-for-bit (min-length
+      // prefix, double accumulation in element order, dot/sqrt(na*nb) —
+      // per-vector norms are only cached when lengths match, because the
+      // expression's na/nb are PREFIX sums when they differ).
+      // Memory: O(cell × dim) floats per ACTIVE TASK heap — the
+      // K ∝ n/1000 dial is what bounds cells (same contract as the join
+      // form's candidate volume), and the precheck below enforces it: a
+      // cell past [[SemanticDedupMaxGroupRows]] (a skew-collapsed
+      // assignment, or a caller holding K fixed while n grew) would
+      // buffer the whole cell in one executor heap, so those corpora
+      // fall back to the shuffle-based, SPILLABLE self-join instead of
+      // OOMing mid-task.
+      val maxCell = nonNull.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+      val pruned =
+        if (maxCell > maxGroupRows) {
+          val a = nonNull.select(
+            col("cluster"), col("id").as("a_id"), col("v").as("a_v"))
+          val b = nonNull.select(
+            col("cluster"), col("id").as("b_id"), col("v").as("b_v"))
+          val hit = a.join(b, Seq("cluster"))
+            .where(col("a_id") < col("b_id") &&
+              graft.functions.GraftFunctions
+                .cosine_similarity(col("a_v"), col("b_v")) >= threshold)
+            .select(col("b_id").as("id")).distinct()
+            .withColumn("__hit", lit(true))
+          nonNull.select("id", "cluster")
+            .join(hit, Seq("id"), "left_outer")
+            .select(col("id"), col("cluster"),
+              coalesce(!col("__hit"), lit(true)).as("kept"))
+        } else {
+          val cells = nonNull
+            .select(col("cluster"), col("id"), col("v").cast(ArrayType(FloatType)).as("v"))
+            .as[(Long, Long, Array[Float])]
+          cells
+            .groupByKey(_._1)
+            .flatMapSortedGroups($"id") { (cluster: Long, it: Iterator[(Long, Long, Array[Float])]) =>
+              val priors = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+              val norms = scala.collection.mutable.ArrayBuffer.empty[Double]
+              def fullNorm(v: Array[Float]): Double = {
+                var s = 0.0; var i = 0
+                while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
+                s
               }
-            val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
-            if (cos >= threshold) dropped = true
-            p += 1
-          }
-          priors += v
-          norms += nv
-          (id, cluster, !dropped)
+              it.map { case (_, id, v) =>
+                val nv = fullNorm(v)
+                var dropped = false
+                var p = 0
+                while (!dropped && p < priors.length) {
+                  val a = priors(p)
+                  val n = math.min(a.length, v.length)
+                  var dot = 0.0; var i = 0
+                  val (na, nb) =
+                    if (a.length == v.length) {
+                      while (i < n) { dot += a(i).toDouble * v(i).toDouble; i += 1 }
+                      (norms(p), nv)
+                    } else {
+                      // unequal lengths: the expression's norms are prefix
+                      // sums over min(len) — recompute exactly
+                      var sa = 0.0; var sb = 0.0
+                      while (i < n) {
+                        val x = a(i).toDouble; val y = v(i).toDouble
+                        dot += x * y; sa += x * x; sb += y * y; i += 1
+                      }
+                      (sa, sb)
+                    }
+                  val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+                  if (cos >= threshold) dropped = true
+                  p += 1
+                }
+                priors += v
+                norms += nv
+                (id, cluster, !dropped)
+              }
+            }
+            .toDF("id", "cluster", "kept")
         }
-      }
-      .toDF("id", "cluster", "kept")
+      // eager-materialize (small: one row per vector), then release the
+      // assignment cache — no CacheManager entry survives the call
+      pruned.unionByName(nullKept).localCheckpoint(eager = true)
+    } finally { withV.unpersist(); () }
   }
+
+  /** Per-cell row bound past which [[semanticDedup]] abandons the
+    * heap-buffered group pass for the shuffle-based (spillable)
+    * within-cell self-join. The group pass holds one cell's vectors in
+    * one task's heap — at the documented ~1k-vectors/cell contract that
+    * is ~256 KB, but a skew-collapsed assignment or a fixed-K caller on
+    * a grown corpus can produce million-row cells, which should degrade
+    * to shuffle spill, not an executor OOM. 500k rows × 64-dim floats
+    * ≈ 130 MB of primitive arrays per task — well inside a normal
+    * executor heap while far past any on-contract cell.
+    */
+  val SemanticDedupMaxGroupRows: Long = 500000L
 
   /** The stored SEMANTIC INDEX behind [[semanticDedup]] and
     * [[semanticAdmit]]: every vector with its deterministic cell —

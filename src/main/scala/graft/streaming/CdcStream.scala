@@ -1547,6 +1547,26 @@ object CdcStream {
         lapT0 = t
       }
     try {
+      // micro-batch width override BEFORE the probe legs launch: the
+      // legs run queries on the shared session, and setting the
+      // override after they start meant a probe plan picked up EITHER
+      // the session width or the override depending on thread timing
+      // (results unaffected — batch-sized shuffles — but probe wall and
+      // the width story were nondeterministic). Setting it here makes
+      // every probe plan deterministically a micro-batch plan; the
+      // backlog escalation below can only RAISE the width for the
+      // doc-flow stages once the overlapped count lands (a backlog
+      // trigger's probe legs keep the micro-batch width — AQE re-splits
+      // their oversized shuffles, and the legs are off the critical
+      // path either way).
+      val sessionWidth =
+        spark.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt)
+          .getOrElse(spark.sparkContext.defaultParallelism)
+      prevConf = Seq(
+        "spark.sql.shuffle.partitions" -> shuffleWidth.toString
+      ).map { case (key, v) =>
+        val prev = spark.conf.getOption(key); spark.conf.set(key, v); key -> prev
+      }
       // Stages 4 and 5 probe SPECULATIVELY on the FULL batch, launched
       // here so they run concurrent with the boiler→gram→winnow doc
       // flow: the perceptual and semantic probes read b's sketch and
@@ -1586,19 +1606,13 @@ object CdcStream {
         (assigned, snap, pairs)
       }(appendPool)
       probeFutures += semFut
-      // width decision AFTER the probe legs launch: the count job (the
-      // cached batch's first materialization) overlaps their probe jobs
-      // instead of preceding everything; the probe legs themselves are
-      // width-indifferent (off the critical path, batch-sized shuffles)
-      val sessionWidth =
-        spark.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt)
-          .getOrElse(spark.sparkContext.defaultParallelism)
+      // backlog escalation AFTER the probe legs launch: the count job
+      // (the cached batch's first materialization) overlaps their probe
+      // jobs instead of preceding everything. Only the doc-flow stages
+      // planned from here on see a raised width.
       val effectiveWidth = pipelineWidthFor(b.count(), shuffleWidth, sessionWidth)
-      prevConf = Seq(
-        "spark.sql.shuffle.partitions" -> effectiveWidth.toString
-      ).map { case (key, v) =>
-        val prev = spark.conf.getOption(key); spark.conf.set(key, v); key -> prev
-      }
+      if (effectiveWidth != shuffleWidth)
+        spark.conf.set("spark.sql.shuffle.partitions", effectiveWidth.toString)
       lap("width")
       // 1. boilerplate strip (cumulative count store). keepOutput=false —
       // the FUSION that removes one sequential job from the critical

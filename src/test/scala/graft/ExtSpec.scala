@@ -677,6 +677,34 @@ class ExtSpec extends SparkSpec {
     assert(out.count(!_._2.getAs[Boolean]("kept")) === sameCell.length)
   }
 
+  test("semanticDedup: join-form fallback is bit-identical to the group pass; null vectors are kept, never priors") {
+    val copies = embs.where($"vec_id" % 5 === 0).select(
+      ($"vec_id" + 1000000L).as("vec_id"),
+      concat(
+        array(element_at($"embedding", 1) * lit(1.05f)),
+        slice($"embedding", 2, 63)).as("embedding"))
+    val corpus = embs.select("vec_id", "embedding").unionByName(copies)
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Boolean]("kept"))).toMap
+    // maxGroupRows = 0 forces the spillable self-join path (the
+    // oversized-cell degradation); its per-item drop rule and cosine
+    // (the CosineSimilarity expression itself) must match the group
+    // pass row for row
+    val grp = asMap(Dedup.semanticDedup(corpus, "vec_id", "embedding", 16, 0.9))
+    val joinForm = asMap(Dedup.semanticDedupImpl(corpus, "vec_id", "embedding", 16, 0.9, 0L))
+    assert(grp === joinForm)
+    // a null vector must come back kept (null cosine never crosses the
+    // threshold) and must not change any other row's fate — the group
+    // pass dereferences vectors, so this pins the null routing
+    val withNull = corpus.unionByName(
+      Seq(9000000L).toDF("vec_id")
+        .select($"vec_id", lit(null).cast("array<float>").as("embedding")))
+    val out = asMap(Dedup.semanticDedup(withNull, "vec_id", "embedding", 16, 0.9))
+    assert(out(9000000L)._2 === true)
+    assert(out.view.filterKeys(_ != 9000000L).toMap === grp)
+  }
+
   test("semanticAdmit: batch admission equals full-corpus semanticDedup on the union") {
     import spark.implicits._
     val e = embs.select("vec_id", "embedding")
