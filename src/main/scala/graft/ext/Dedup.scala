@@ -303,6 +303,96 @@ object Dedup {
         (coalesce(col("matched_train_docs"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** [[winnowContamination]] against the PERSISTED train-side index —
+    * the shape a real decontamination sweep runs: the training corpus
+    * is fixed and large, so its df-capped winnowing postings are
+    * exactly the [[writeWinnowIndex]] artifact (built once, bucketed by
+    * fingerprint hash, layout-stamped), and each eval set probes it at
+    * O(eval + touched buckets) instead of recomputing train postings
+    * per call. Probe mechanics are [[winnowAdmitStored]]'s: the eval
+    * batch's fingerprints prune the read to their own fb partitions,
+    * the persisted build-hot set plus the cumulative probe-side df cap
+    * exclude fingerprints hot at build or turned hot through
+    * [[appendWinnowIndex]] appends — so probing an append-advanced
+    * store equals rebuilding over the union corpus (the store family's
+    * contract, ExtSpec-pinned). All layout parameters come from the
+    * artifact's marker; only `minShared` (a pure probe threshold) is
+    * caller-supplied. Output schema and semantics match the inline
+    * form: (id, matched_train_docs, max_shared, contaminated), one row
+    * per eval doc.
+    */
+  def winnowContaminationStored(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Int = 3
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(minShared >= 1, "need minShared >= 1")
+    val (w, windowSize, maxDf, buckets, portable) = winnowIndexLayout(spark, path)
+    // cached: scanned by the touched-bucket collect, the prior
+    // semi-join and the hit join; released after the eager result
+    // checkpoint (the winnowAdmitStored convention)
+    val posts = winnowingPostings(eval, idCol, textCol, w, windowSize, portable).cache()
+    try {
+      val fpType: DataType = if (portable) StringType else LongType
+      val storeSchema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("fp", fpType),
+        StructField("fb", IntegerType)))
+      val touched = posts
+        .select(pmod(xxhash64(col("fp")), lit(buckets)).cast("int").as("fb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val postsDf = spark.read.schema(storeSchema).parquet(s"$path/posts")
+        .select("id", "fp", "fb")
+      val apostDir = new org.apache.hadoop.fs.Path(s"$path/apost")
+      val apostFs = apostDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val store =
+        if (apostFs.exists(apostDir))
+          postsDf.unionByName(
+            spark.read.schema(storeSchema).parquet(s"$path/apost")
+              .select("id", "fp", "fb"))
+        else postsDf
+      val idx =
+        if (touched.isEmpty) store.select(col("id").as("train_id"), col("fp")).limit(0)
+        else store.where(col("fb").isin(touched: _*)).select(col("id").as("train_id"), col("fp"))
+      // probe-side cumulative df cap + persisted hot set — the
+      // append-equivalence machinery (see winnowAdmitStoredStaged):
+      // a pure build never trips the count cap (hot fps were dropped
+      // physically), an appended store gets re-capped here
+      val prior = idx.join(posts.select("fp").distinct(), Seq("fp"), "left_semi")
+      val hotByCount = prior.groupBy("fp").agg(count(lit(1)).as("n"))
+        .where(col("n") > maxDf).select("fp")
+      val hotDir = new org.apache.hadoop.fs.Path(s"$path/hot")
+      val hotFs = hotDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hotStored =
+        if (hotFs.exists(hotDir)) {
+          val hs = spark.read.schema(StructType(Seq(
+            StructField("fp", fpType), StructField("fb", IntegerType)))).parquet(s"$path/hot")
+          if (touched.isEmpty) hs.select("fp").limit(0)
+          else hs.where(col("fb").isin(touched: _*)).select("fp")
+        } else hotByCount.limit(0)
+      val hot = hotByCount.unionByName(hotStored).distinct()
+      val hits = posts.select(col("id").as("eval_id"), col("fp"))
+        .join(prior.join(hot, Seq("fp"), "left_anti"), Seq("fp"))
+        .groupBy("eval_id", "train_id").agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= minShared)
+      val per = hits.groupBy("eval_id").agg(
+        count(lit(1)).as("matched_train_docs"),
+        max(col("shared")).as("max_shared"))
+      val res = eval.select(col(idCol).cast("long").as("id"))
+        .join(per.withColumnRenamed("eval_id", "id"), Seq("id"), "left_outer")
+        .select(
+          col("id"),
+          coalesce(col("matched_train_docs"), lit(0L)).as("matched_train_docs"),
+          coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+          (coalesce(col("matched_train_docs"), lit(0L)) > 0).as("contaminated"))
+      res.localCheckpoint(eager = true)
+    } finally { posts.unpersist(); () }
+  }
+
   // ---- MinHash + LSH banding ----------------------------------------------
 
   /** MinHash signature of a shingle array: `numHashes` independent hash

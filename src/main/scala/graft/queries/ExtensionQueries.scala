@@ -1681,6 +1681,36 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // the same fuzzy decontamination through the PERSISTED train index
+    // — the form a real sweep over a fixed training corpus runs: train
+    // postings are the writeWinnowIndex artifact (df-capped at build,
+    // bucketed, layout-stamped), eval probes it bucket-pruned at
+    // O(eval + touched buckets). Shares x_decontam_winnow's oracle —
+    // stored ≡ inline on a fresh build is the operator's contract
+    // (ExtSpec additionally pins append-advanced ≡ inline-over-union).
+    "x_decontam_winnow_stored" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val ws = split(trim(col("text")), "\\s+")
+      val edited = array_join(
+        concat(slice(ws, 1, 19), array(lit("zzedit")), slice(ws, 21, 100000)),
+        " ")
+      val train = d.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+      val store = java.nio.file.Files.createTempDirectory("graft_decontam_widx").toString
+      Dedup.writeWinnowIndex(train, "doc_id", "text", store,
+        w = 5, windowSize = 4, maxDf = 8, buckets = 16, portable = true)
+      val leaks = d.where(col("doc_id") % 10 === 4 && size(ws) >= 30)
+        .select((col("doc_id") + 200000L).as("doc_id"), edited.as("text"))
+      val evalSplit = d.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(leaks)
+      Dedup.winnowContaminationStored(s, store, evalSplit, "doc_id", "text",
+        minShared = 3)
+        .select(
+          col("id").as("doc_id"), col("matched_train_docs"),
+          col("max_shared"), col("contaminated"))
+        .orderBy("doc_id")
+    },
+
     // ingestion-time winnowing near-dup admission through the STORED
     // fingerprint index (the fuzzy-text member of the admission
     // matrix): even docs are the ingested corpus — df-capped postings
@@ -3313,6 +3343,68 @@ object ExtensionQueries {
     * (minhash banding, simhash blocks) must reproduce after their exact
     * verify stage. No df filter: the sketches see every shingle.
     */
+  // fuzzy decontamination fully re-derived: train (even) winnowing
+  // postings under the train-side df cap, eval (odd + planted edited
+  // train copies) fingerprints, per-(eval, train) shared counts at
+  // the pairing threshold, per-eval rollup with zero-filled
+  // uncontaminated rows. Shared by the inline and stored-index gates.
+  private val decontamWinnowSql =
+    """WITH trainb AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      |), evalb AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 200000,
+      |         array_to_string(w[1:19], ' ') || ' zzedit ' || array_to_string(w[21:], ' ')
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+      |  WHERE doc_id % 10 = 4 AND len(w) >= 30
+      |), tw AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM trainb
+      |), tsh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) <= 5 THEN [md5(array_to_string(w, ' '))]
+      |         ELSE list_transform(range(0, len(w) - 4), i -> md5(array_to_string(w[i+1:i+5], ' ')))
+      |    END AS hs
+      |  FROM tw
+      |), tfp AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+      |         ELSE list_transform(range(0, len(hs) - 3), j -> list_aggregate(hs[j+1:j+4], 'min'))
+      |    END)) AS fp
+      |  FROM tsh
+      |), tpost AS (
+      |  SELECT doc_id AS train_id, fp FROM tfp
+      |  WHERE fp IN (SELECT fp FROM tfp GROUP BY fp HAVING count(*) <= 8)
+      |), ew AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM evalb
+      |), esh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) <= 5 THEN [md5(array_to_string(w, ' '))]
+      |         ELSE list_transform(range(0, len(w) - 4), i -> md5(array_to_string(w[i+1:i+5], ' ')))
+      |    END AS hs
+      |  FROM ew
+      |), efp AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+      |         ELSE list_transform(range(0, len(hs) - 3), j -> list_aggregate(hs[j+1:j+4], 'min'))
+      |    END)) AS fp
+      |  FROM esh
+      |), hits AS (
+      |  SELECT e.doc_id AS eval_id, t.train_id, count(*) AS shared
+      |  FROM efp e JOIN tpost t ON e.fp = t.fp
+      |  GROUP BY 1, 2 HAVING count(*) >= 3
+      |), per AS (
+      |  SELECT eval_id, CAST(count(*) AS BIGINT) AS matched_train_docs,
+      |         CAST(max(shared) AS BIGINT) AS max_shared
+      |  FROM hits GROUP BY 1
+      |)
+      |SELECT b.doc_id,
+      |       CAST(COALESCE(p.matched_train_docs, 0) AS BIGINT) AS matched_train_docs,
+      |       CAST(COALESCE(p.max_shared, 0) AS BIGINT) AS max_shared,
+      |       COALESCE(p.matched_train_docs, 0) > 0 AS contaminated
+      |FROM evalb b LEFT JOIN per p ON b.doc_id = p.eval_id
+      |ORDER BY doc_id""".stripMargin
+
   private val allPairsJaccardSql =
     s"""$shingleSql, ex AS (
        |  SELECT doc_id, CAST(len(shingles) AS INT) AS sz, unnest(shingles) AS sh FROM sh
@@ -4644,62 +4736,11 @@ object ExtensionQueries {
     // train copies) fingerprints, per-(eval, train) shared counts at
     // the pairing threshold, per-eval rollup with zero-filled
     // uncontaminated rows
-    "x_decontam_winnow" ->
-      """WITH trainb AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
-        |), evalb AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
-        |  UNION ALL
-        |  SELECT doc_id + 200000,
-        |         array_to_string(w[1:19], ' ') || ' zzedit ' || array_to_string(w[21:], ' ')
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
-        |  WHERE doc_id % 10 = 4 AND len(w) >= 30
-        |), tw AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM trainb
-        |), tsh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(w) <= 5 THEN [md5(array_to_string(w, ' '))]
-        |         ELSE list_transform(range(0, len(w) - 4), i -> md5(array_to_string(w[i+1:i+5], ' ')))
-        |    END AS hs
-        |  FROM tw
-        |), tfp AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
-        |         ELSE list_transform(range(0, len(hs) - 3), j -> list_aggregate(hs[j+1:j+4], 'min'))
-        |    END)) AS fp
-        |  FROM tsh
-        |), tpost AS (
-        |  SELECT doc_id AS train_id, fp FROM tfp
-        |  WHERE fp IN (SELECT fp FROM tfp GROUP BY fp HAVING count(*) <= 8)
-        |), ew AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM evalb
-        |), esh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(w) <= 5 THEN [md5(array_to_string(w, ' '))]
-        |         ELSE list_transform(range(0, len(w) - 4), i -> md5(array_to_string(w[i+1:i+5], ' ')))
-        |    END AS hs
-        |  FROM ew
-        |), efp AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
-        |         ELSE list_transform(range(0, len(hs) - 3), j -> list_aggregate(hs[j+1:j+4], 'min'))
-        |    END)) AS fp
-        |  FROM esh
-        |), hits AS (
-        |  SELECT e.doc_id AS eval_id, t.train_id, count(*) AS shared
-        |  FROM efp e JOIN tpost t ON e.fp = t.fp
-        |  GROUP BY 1, 2 HAVING count(*) >= 3
-        |), per AS (
-        |  SELECT eval_id, CAST(count(*) AS BIGINT) AS matched_train_docs,
-        |         CAST(max(shared) AS BIGINT) AS max_shared
-        |  FROM hits GROUP BY 1
-        |)
-        |SELECT b.doc_id,
-        |       CAST(COALESCE(p.matched_train_docs, 0) AS BIGINT) AS matched_train_docs,
-        |       CAST(COALESCE(p.max_shared, 0) AS BIGINT) AS max_shared,
-        |       COALESCE(p.matched_train_docs, 0) > 0 AS contaminated
-        |FROM evalb b LEFT JOIN per p ON b.doc_id = p.eval_id
-        |ORDER BY doc_id""".stripMargin,
+    "x_decontam_winnow" -> decontamWinnowSql,
+    // the stored-index form computes the identical answer on a fresh
+    // build (df-capped postings ARE the artifact), so it shares the
+    // full re-derivation oracle verbatim
+    "x_decontam_winnow_stored" -> decontamWinnowSql,
     // stored-index winnowing admission fully re-derived: even-corpus
     // postings with the build-time df cap, batch fingerprints, the
     // bucket-pruned snapshot probe (pruning cannot change the result —

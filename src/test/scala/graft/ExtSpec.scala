@@ -2062,6 +2062,44 @@ class ExtSpec extends SparkSpec {
     assert(!got(5L)._2, s"boilerplate-only overlap must be silenced by the train df cap: $got")
   }
 
+  test("winnowContaminationStored: fresh build equals inline; append-advanced equals inline over the union") {
+    import graft.ext.Dedup
+    val boiler = "common header line repeated across many documents every time exactly the same words here"
+    val leakSrc = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november"
+    val train1 = Seq(
+      (0L, leakSrc), (2L, boiler), (4L, boiler), (6L, boiler)
+    ).toDF("doc_id", "text")
+    val evalSplit = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike zzedited"),
+      (3L, "totally different unique words nothing shared with training corpus at all whatsoever right"),
+      (5L, boiler)
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow_decontam_idx").toString
+    Dedup.writeWinnowIndex(train1, "doc_id", "text", dir,
+      w = 4, windowSize = 3, maxDf = 2L, buckets = 8, portable = false)
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    def inline(train: org.apache.spark.sql.DataFrame) =
+      asMap(Dedup.winnowContamination(train, evalSplit, "doc_id", "text",
+        w = 4, windowSize = 3, minShared = 2, maxDf = 2L))
+    val stored1 = asMap(Dedup.winnowContaminationStored(
+      spark, dir, evalSplit, "doc_id", "text", minShared = 2))
+    assert(stored1 === inline(train1), "fresh stored build must equal the inline form")
+    assert(stored1(1L)._3 && !stored1(3L)._3 && !stored1(5L)._3)
+    // two appended copies of the leak source push its fingerprints to
+    // df = 3 > maxDf = 2 ACROSS the append: the probe-side cumulative
+    // cap must silence them exactly as a rebuild over the union would —
+    // the leak flips to clean on both paths
+    val train2 = Seq((8L, leakSrc), (10L, leakSrc)).toDF("doc_id", "text")
+    Dedup.appendWinnowIndex(spark, dir, train2, "doc_id", "text")
+    val storedU = asMap(Dedup.winnowContaminationStored(
+      spark, dir, evalSplit, "doc_id", "text", minShared = 2))
+    assert(storedU === inline(train1.unionByName(train2)),
+      "append-advanced store must equal inline over the union corpus")
+    assert(!storedU(1L)._3, "fingerprints turned hot across the append must be re-capped at probe")
+  }
+
   test("winnowingNearDupPairs: one-token edit recovered, unrelated docs silent, hot-fingerprint cap bounds candidates") {
     import graft.ext.Dedup
     val words = (1 to 40).map(i => s"w$i")
