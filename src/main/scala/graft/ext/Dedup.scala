@@ -36,6 +36,26 @@ import graft.functions.GraftFunctions
   */
 object Dedup {
 
+  /** Widen a CPU-heavy one-shot scan to the session's parallelism when
+    * the source's own split count is coarser. Spark sizes file splits by
+    * BYTES (`files.maxPartitionBytes` / bytes-per-core), and a text or
+    * embedding table with a hostile compression ratio (replicated crawl
+    * corpora compress 10-20×) plans arbitrarily few partitions for an
+    * arbitrarily large CPU workload — the r17 profile caught a 150k-doc
+    * corpus scanning on FOUR partitions of a 32-core session, starving
+    * every downstream sketch/hash/shingle pass pinned to scan
+    * parallelism (map stages inherit it; AQE only re-splits after a
+    * shuffle). One round-robin pass over the raw (id, payload) rows is
+    * far cheaper than running the sketch stage 8× under-parallel.
+    * Applied at the ONE-SHOT corpus entry points only — micro-batch /
+    * per-trigger forms keep their exchange-free plans (a 5 s cadence
+    * must not pay a shuffle per trigger for this).
+    */
+  private def widenScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   // ---- exact ---------------------------------------------------------------
 
   /** Exact dedup on key columns (hash-shuffle on the keys; map-side partial
@@ -77,13 +97,18 @@ object Dedup {
     )
   }
 
-  /** (id, shingles) projection via the native one-pass shingler. */
+  /** (id, shingles) projection via the native one-pass shingler.
+    * Scan-widened ([[widenScan]]): every caller is a one-shot corpus
+    * operator whose downstream sketch passes run at this frame's
+    * parallelism, and the shuffle moves raw text, not shingle arrays.
+    */
   def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    df.select(
-      col(idCol).cast("long").as("id"),
-      GraftFunctions.word_shingles(col(textCol), n).as("shingles")
-    )
+    widenScan(df.select(col(idCol).cast("long").as("id"), col(textCol).as("__t")))
+      .select(
+        col("id"),
+        GraftFunctions.word_shingles(col("__t"), n).as("shingles")
+      )
   }
 
   // ---- n-gram Jaccard ------------------------------------------------------
@@ -172,20 +197,34 @@ object Dedup {
       windowSize: Int,
       portable: Boolean
   ): DataFrame = {
-    val hashOf: Column => Column = if (portable) md5 else (c => xxhash64(c))
-    df.select(
-        col(idCol).cast("long").as("id"),
-        split(trim(col(textCol)), "\\s+").as("ws"))
-      .select(
-        col("id"),
-        transform(
-          sequence(lit(0), greatest(size(col("ws")) - w, lit(0))),
-          i => hashOf(concat_ws(" ", slice(col("ws"), i + 1, lit(w))))).as("hs"))
-      .select(
-        col("id"),
-        explode(array_distinct(transform(
-          sequence(lit(0), greatest(size(col("hs")) - windowSize, lit(0))),
-          i => array_min(slice(col("hs"), i + 1, lit(windowSize)))))).as("fp"))
+    if (!portable) {
+      // production xxhash64 path: ONE native scalar pass per document
+      // (byte-level word scan, reused gram buffer, inline window mins —
+      // graft.functions.WinnowedFingerprints, value-identical to the
+      // staged Column form below and spec-pinned so). The staged form's
+      // per-shingle slice+concat+hash churn was the center of the
+      // composed pipeline's winnow stage (~1.5-2 s per 5k-doc trigger).
+      GraftFunctions.register(df.sparkSession)
+      df.select(
+          col(idCol).cast("long").as("id"),
+          GraftFunctions.winnowed_fingerprints(col(textCol), w, windowSize).as("fps"))
+        .select(col("id"), explode(col("fps")).as("fp"))
+    } else {
+      val hashOf: Column => Column = c => md5(c)
+      df.select(
+          col(idCol).cast("long").as("id"),
+          split(trim(col(textCol)), "\\s+").as("ws"))
+        .select(
+          col("id"),
+          transform(
+            sequence(lit(0), greatest(size(col("ws")) - w, lit(0))),
+            i => hashOf(concat_ws(" ", slice(col("ws"), i + 1, lit(w))))).as("hs"))
+        .select(
+          col("id"),
+          explode(array_distinct(transform(
+            sequence(lit(0), greatest(size(col("hs")) - windowSize, lit(0))),
+            i => array_min(slice(col("hs"), i + 1, lit(windowSize)))))).as("fp"))
+    }
   }
 
   /** Winnowing near-duplicate candidate pairs — the MOSS scheme
@@ -229,7 +268,10 @@ object Dedup {
   ): DataFrame = {
     require(minShared >= 1, "need minShared >= 1")
     require(maxDf >= 2, "need maxDf >= 2 — pairs need fingerprints in at least 2 docs")
-    val posts = winnowingPostings(df, idCol, textCol, w, windowSize, portable)
+    // one-shot corpus scan — widened ([[widenScan]]); the per-trigger
+    // winnowAdmit forms keep their exchange-free micro-batch plans
+    val posts = winnowingPostings(
+      widenScan(df.select(col(idCol), col(textCol))), idCol, textCol, w, windowSize, portable)
     val shared = posts
       .groupBy("fp")
       .agg(count(lit(1)).as("df"))
@@ -281,8 +323,11 @@ object Dedup {
   ): DataFrame = {
     require(minShared >= 1, "need minShared >= 1")
     require(maxDf >= 1, "need maxDf >= 1")
-    val tp = winnowingPostings(train, idCol, textCol, w, windowSize, portable)
-    val ep = winnowingPostings(eval, idCol, textCol, w, windowSize, portable)
+    // one-shot sweep — both sides scan-widened (train is corpus-sized)
+    val tp = winnowingPostings(
+      widenScan(train.select(col(idCol), col(textCol))), idCol, textCol, w, windowSize, portable)
+    val ep = winnowingPostings(
+      widenScan(eval.select(col(idCol), col(textCol))), idCol, textCol, w, windowSize, portable)
     val tKeep = tp.groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select("fp")
     val hits = ep.select(col("id").as("eval_id"), col("fp"))
@@ -406,19 +451,26 @@ object Dedup {
       array_min(transform(shingles, s => xxhash64(lit(i), s)))
     }: _*)
 
-  /** MinHash signatures via one [[graft.functions.MinHashAgg]] imperative
-    * aggregate over exploded shingles: one shuffle on id, a primitive
-    * long[numHashes] buffer, map-side partial merge — and a narrow plan
-    * (the previous 64-separate-`min(xxhash64)`-columns form was
-    * semantically identical but spent 10-15 s per session in Janino/JIT on
-    * the generated wide-aggregate class). Returns (id, sig).
+  /** MinHash signatures via the [[graft.functions.MinHashShingles]]
+    * scalar expression — one MAP-ONLY pass over the shingle frame, no
+    * explode, no aggregate buffers, no shuffle, and one strong string
+    * hash + numHashes derived 8-byte mixes per shingle instead of the
+    * aggregate layout's 64 full string hashes (see the expression's
+    * scaladoc for the family and the recall argument; every consumer
+    * verifies candidates with the exact shingle Jaccard, so the sketch
+    * family only moves banding collisions). The r17 profile: the
+    * explode + aggregate layout spent ~7 µs of row machinery per
+    * posting, and after removing that the 64 string passes were the
+    * remaining wall — together ~10 s → ~1 s at a 150k-doc stress
+    * corpus. The `size > 0` filter keeps the aggregate form's contract
+    * (an id with no shingles emitted no group, so it must emit no
+    * signature row). Returns (id, sig).
     */
   def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
     GraftFunctions.register(shingled.sparkSession)
     shingled
-      .select(col("id"), explode(col("shingles")).as("s"))
-      .groupBy("id")
-      .agg(GraftFunctions.minhash_agg(col("s"), numHashes).as("sig"))
+      .where(size(col("shingles")) > 0)
+      .select(col("id"), GraftFunctions.minhash_shingles(col("shingles"), numHashes).as("sig"))
   }
 
   /** The (id, bucket) banding rows of a signature frame — ONE banding
@@ -592,18 +644,18 @@ object Dedup {
     * array ops only — the per-bit loop is a `transform` over a 64-element
     * sequence, evaluated once per row.
     */
-  /** SimHash sketches via one [[graft.functions.SimHashAgg]] imperative
-    * aggregate over exploded shingles (identical output to the per-bit
-    * column form — same builtin xxhash64 seed — with a 64-int primitive
-    * buffer instead of 64 aggregate columns; same Janino/JIT rationale as
-    * [[minhashSignatures]]). Returns (id, sh).
+  /** SimHash sketches via the [[graft.functions.SimHashShingles]] scalar
+    * expression — one MAP-ONLY pass, bit-identical to the previous
+    * explode + [[graft.functions.SimHashAgg]] layout (same element hash
+    * and sign rule; both identical to the per-bit column form). Same
+    * row-machinery rationale and empty-array contract as
+    * [[minhashSignatures]]. Returns (id, sh).
     */
   def simhashes(shingled: DataFrame): DataFrame = {
     GraftFunctions.register(shingled.sparkSession)
     shingled
-      .select(col("id"), explode(col("shingles")).as("s"))
-      .groupBy("id")
-      .agg(GraftFunctions.simhash_agg(col("s")).as("sh"))
+      .where(size(col("shingles")) > 0)
+      .select(col("id"), GraftFunctions.simhash_shingles(col("shingles")).as("sh"))
   }
 
   def simhash64(shingles: Column): Column = {
@@ -734,17 +786,22 @@ object Dedup {
     // shape array (1 + width + C(width,2) + ... elements)
     val probes = simhashProbeSide(base, blocks, effProbeBits)
     val radius = (effProbeBits + 1) * blocks - 1
+    // cost filter on the 8-byte sketches INLINE in the bucket-collision
+    // join — BEFORE the pair dedup, not after it: the sketches ride the
+    // banding rows (simhashBandedBase), so the near-random-hamming
+    // candidate mass (99%+ of bucket collisions once the 16-bit keys
+    // saturate, ~150k docs) dies in the join stage and the dedup
+    // shuffles only plausible pairs. The r17 profile measured the
+    // post-dedup ordering at 30.6 s of pair-dedup against 1.1 s of
+    // screening at a 150k-doc corpus; this ordering removes the two
+    // hashes join-backs entirely.
     val res = probes
-      .join(base.select(col("blk"), col("key"), col("id").as("id2")), Seq("blk", "key"))
-      .where(col("id") =!= col("id2"))
+      .join(base.select(col("blk"), col("key"), col("id").as("id2"), col("sh").as("sh2")),
+        Seq("blk", "key"))
+      .where(col("id") =!= col("id2") &&
+        bit_count(col("sh").bitwiseXOR(col("sh2"))) <= 2 * radius + 1)
       .select(least(col("id"), col("id2")).as("id_a"), greatest(col("id"), col("id2")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      // cost filter on the 8-byte sketches BEFORE the shingle join-back:
-      // drops the near-random-hamming candidate mass so the exact verify
-      // (and the wide shingle-array shuffle) only sees plausible pairs
-      .join(hashes.select(col("id").as("id_a"), col("sh").as("sim_a")), Seq("id_a"))
-      .join(hashes.select(col("id").as("id_b"), col("sh").as("sim_b")), Seq("id_b"))
-      .where(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 2 * radius + 1)
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -764,21 +821,29 @@ object Dedup {
     */
   val SimhashProbeCutover: Long = 20000L
 
-  /** The (id, blk, key) banded base rows of a simhash frame — ONE
+  /** The (id, blk, key, sh) banded base rows of a simhash frame — ONE
     * banding definition shared by [[simhashNearDupPairsVerified]] and
     * the stress harness's work accounting ([[simhashCandidateStats]]).
+    * The 8-byte sketch RIDES the banding rows deliberately: the r17
+    * profile showed the pair dedup over the raw bucket-collision output
+    * (12.5M distinct pairs at a 150k-doc corpus — 16-bit block keys
+    * saturate there) costing 3× the rest of the op combined, while the
+    * bit_count cost screen kills 99.6 % of those pairs; with the sketch
+    * on the row the screen runs INLINE in the join stage, before
+    * anything is shuffled for dedup.
     */
   private[graft] def simhashBandedBase(hashes: DataFrame, blocks: Int): DataFrame = {
     val width = 64 / blocks
     val mask = blockMask(width)
     hashes.select(
       col("id"),
+      col("sh"),
       explode(
         array((0 until blocks).map { b =>
           struct(lit(b).as("blk"), shiftrightunsigned(col("sh"), b * width).bitwiseAND(mask).as("key"))
         }: _*)
       ).as("bb")
-    ).select(col("id"), col("bb.blk"), col("bb.key"))
+    ).select(col("id"), col("bb.blk"), col("bb.key"), col("sh"))
   }
 
   /** The multiprobe side of the simhash banded base: each row fans out
@@ -795,7 +860,8 @@ object Dedup {
       col("blk"),
       explode(
         array(probeMasks.map(m => col("key").bitwiseXOR(lit(m))): _*)
-      ).as("key"))
+      ).as("key"),
+      col("sh"))
   }
 
   /** Candidate-volume accounting for [[simhashNearDupPairsVerified]] —
@@ -1193,7 +1259,10 @@ object Dedup {
       hashKey: Boolean = false
   ): DataFrame = {
     require(k > 0, "need k > 0")
-    val (base, grams0) = positionalGrams(df, idCol, textCol, k, hashKey)
+    // one-shot corpus scan — widened ([[widenScan]]); the incremental
+    // micro-batch form keeps its exchange-free plan
+    val (base, grams0) = positionalGrams(
+      widenScan(df.select(col(idCol), col(textCol))), idCol, textCol, k, hashKey)
     // one gram-keyed exchange feeding BOTH the occurrence aggregate and
     // the flag join-back (the ngramJaccardPairs reuse note): without it
     // the positional explode runs once per consumer
@@ -1225,17 +1294,30 @@ object Dedup {
     val base = df
       .select(col(idCol).cast("long").as("doc_id"), words.as("ws"))
       .withColumn("n_tokens", size(col("ws")))
-    val gram = concat_ws(" ", slice(col("ws"), col("pos") + 1, lit(k)))
-    val grams = base
-      .where(col("n_tokens") >= k)
-      .select(
-        col("doc_id"),
-        explode(sequence(lit(0), col("n_tokens") - k)).as("pos"),
-        col("ws"))
-      .select(
-        col("doc_id"),
-        col("pos"),
-        (if (hashKey) xxhash64(gram) else gram).as("g"))
+    val grams =
+      if (hashKey) {
+        // production path: one native pass builds every positional gram
+        // hash (graft.functions.WordGramHashes — value-identical to the
+        // slice+concat+xxhash64 form below, spec-pinned); posexplode
+        // recovers (pos, g). The per-position slice copy + string
+        // concat was the gram stage's center in the composed pipeline
+        // profile (the explode also dragged the full token array
+        // through every exploded row).
+        GraftFunctions.register(df.sparkSession)
+        df.select(
+            col(idCol).cast("long").as("doc_id"),
+            GraftFunctions.word_gram_hashes(col(textCol), k).as("gs"))
+          .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "g")))
+      } else {
+        val gram = concat_ws(" ", slice(col("ws"), col("pos") + 1, lit(k)))
+        base
+          .where(col("n_tokens") >= k)
+          .select(
+            col("doc_id"),
+            explode(sequence(lit(0), col("n_tokens") - k)).as("pos"),
+            col("ws"))
+          .select(col("doc_id"), col("pos"), gram.as("g"))
+      }
     (base, grams)
   }
 
@@ -1803,7 +1885,11 @@ object Dedup {
       vecCol: String,
       numClusters: Int
   ): DataFrame = {
-    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // scan-widened: embedding parquet compresses well under the byte-
+    // sized split rule, and the broadcast n·K assignment cosines run at
+    // scan parallelism ([[widenScan]])
+    val base = widenScan(
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
     base.join(assignToSeeds(base, semanticSeeds(df, idCol, vecCol, numClusters)), "id")
   }
 
@@ -2111,7 +2197,8 @@ object Dedup {
     require(
       numBlocks >= 1 && numPlanes % numBlocks == 0,
       s"numBlocks ($numBlocks) must divide numPlanes ($numPlanes)")
-    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val base = widenScan(
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
     candidatePairs(adaptiveLshProbes(base, numPlanes, seed, numBlocks))
   }
 
@@ -2654,7 +2741,9 @@ object Dedup {
     require(buckets >= 1, "need buckets >= 1")
     require(maxDf >= 2, "need maxDf >= 2 — pairs need fingerprints in at least 2 docs")
     val spark = docs.sparkSession
-    val posts = winnowingPostings(docs, idCol, textCol, w, windowSize, portable)
+    // corpus-sized build — scan-widened ([[widenScan]])
+    val posts = winnowingPostings(
+      widenScan(docs.select(col(idCol), col(textCol))), idCol, textCol, w, windowSize, portable)
     val keep = posts
       .groupBy("fp")
       .agg(count(lit(1)).as("df"))

@@ -38,6 +38,10 @@ object GraftFunctions {
     "hashed_array" -> { es: Seq[Expression] => HashedArray(es(0)) },
     "minhash_agg" -> { es: Seq[Expression] => MinHashAgg(es(0), intLit(es(1))) },
     "simhash_agg" -> { es: Seq[Expression] => SimHashAgg(es(0)) },
+    "minhash_shingles" -> { es: Seq[Expression] => MinHashShingles(es(0), intLit(es(1))) },
+    "simhash_shingles" -> { es: Seq[Expression] => SimHashShingles(es(0)) },
+    "word_gram_hashes" -> { es: Seq[Expression] => WordGramHashes(es(0), intLit(es(1))) },
+    "winnowed_fingerprints" -> { es: Seq[Expression] => WinnowedFingerprints(es(0), intLit(es(1)), intLit(es(2))) },
     "space_saving_agg" -> { es: Seq[Expression] => SpaceSavingAgg(es(0), intLit(es(1))) },
     "udd_sketch_agg" -> { es: Seq[Expression] => UddSketchAgg(es(0)) },
     "udd_merge_agg" -> { es: Seq[Expression] => UddMergeAgg(es(0)) },
@@ -109,6 +113,34 @@ object GraftFunctions {
   /** SimHash sketch aggregate over exploded shingle strings. */
   def simhash_agg(shingle: Column): Column =
     call_function("simhash_agg", shingle)
+
+  /** MinHash signature of a whole shingle array in one scalar map pass
+    * — bit-identical to [[minhash_agg]] over the exploded array (see
+    * [[MinHashShingles]]).
+    */
+  def minhash_shingles(shingles: Column, numHashes: Int): Column =
+    call_function("minhash_shingles", shingles, org.apache.spark.sql.functions.lit(numHashes))
+
+  /** SimHash of a whole shingle array in one scalar map pass —
+    * bit-identical to [[simhash_agg]] over the exploded array (see
+    * [[SimHashShingles]]).
+    */
+  def simhash_shingles(shingles: Column): Column =
+    call_function("simhash_shingles", shingles)
+
+  /** Positional k-word gram hashes in one pass (see [[WordGramHashes]]):
+    * element i = the builtin xxhash64 of the k-word gram at token i.
+    */
+  def word_gram_hashes(text: Column, k: Int): Column =
+    call_function("word_gram_hashes", text, org.apache.spark.sql.functions.lit(k))
+
+  /** Winnowing-selected fingerprints in one pass (see
+    * [[WinnowedFingerprints]]) — the production xxhash64 layout of
+    * Dedup.winnowingPostings as a single scalar expression.
+    */
+  def winnowed_fingerprints(text: Column, w: Int, windowSize: Int): Column =
+    call_function("winnowed_fingerprints", text,
+      org.apache.spark.sql.functions.lit(w), org.apache.spark.sql.functions.lit(windowSize))
 
   /** Space-saving heavy-hitter summary of a string column (see
     * [[SpaceSavingAgg]]): fixed-k counters with no-undercount /

@@ -156,6 +156,114 @@ case class SimHashAgg(
     copy(child = cs.head)
 }
 
+/** MinHash signature of a shingle ARRAY as one scalar map pass — no
+  * explode, no aggregate buffers, no groupBy shuffle (the r17 profile
+  * measured the explode + [[MinHashAgg]] layout at ~7 µs of row
+  * machinery per (doc, shingle) posting against < 1 µs of hashing).
+  *
+  * Hash family: ONE strong pass over the shingle bytes
+  * (xxhash64(bytes, seed = 0)), then slot i = xxhash64_long(base, i) —
+  * the standard "one strong hash + k derived mixes" MinHash
+  * construction (Broder's min-wise family in practice; each derived
+  * slot is an independent-behaving permutation of the base hash). The
+  * aggregate form re-hashed the full shingle STRING per slot — 64
+  * string passes per posting — which was the remaining wall once the
+  * row machinery was gone; the derived mixes hash 8 bytes instead.
+  * Slot VALUES therefore differ from [[MinHashAgg]]'s, which only
+  * moves banding collisions: every consumer verifies candidates with
+  * the exact shingle Jaccard, so outputs are identical whenever recall
+  * is (gate corpora pin true pairs at one-token-edit similarity, where
+  * a 16-band miss has probability ~1e-12 under ANY sane family).
+  *
+  * Equivalence note: the aggregate form silently DROPPED ids whose
+  * shingle array was empty (explode emits no rows); callers that need
+  * that contract filter `size(shingles) > 0` — [[graft.ext.Dedup
+  * .minhashSignatures]] does.
+  */
+case class MinHashShingles(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(numHashes >= 1, "need numHashes >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt =>
+      TypeCheckResult.TypeCheckFailure(s"minhash_shingles requires array<string>, got $dt")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val buf = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0L)
+        var i = 0
+        while (i < numHashes) {
+          val h = XXH64.hashLong(base, i.toLong)
+          if (h < buf(i)) buf(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(buf.map(x => x: Any))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** SimHash of a shingle ARRAY as one scalar map pass — bit-identical to
+  * [[SimHashAgg]] over the exploded array (same element hash, seed 42;
+  * same ±1 bit counting; same `count > 0` sign rule), for the same
+  * reason as [[MinHashShingles]]: the aggregate form's cost was row
+  * machinery, not hashing. Same empty-array note.
+  */
+case class SimHashShingles(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt =>
+      TypeCheckResult.TypeCheckFailure(s"simhash_shingles requires array<string>, got $dt")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val counts = new Array[Int](64)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Space-saving heavy hitters (Metwally, Agrawal & El Abbadi, ICDT 2005) —
   * the Timescale `freq_agg`/`topn_agg` family: a fixed-`k` counter summary
   * with the classic guarantees — estimates never undercount

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -243,4 +243,190 @@ case class HashedArray(child: Expression, seed: Long = 42L)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Positional k-word gram hashes of a text column in ONE pass —
+  * bit-identical to `transform(positions, i => xxhash64(concat_ws(" ",
+  * slice(split(trim(text), "\\s+"), i+1, k))))` (the
+  * Dedup.positionalGrams hashKey layout), without the per-position
+  * array-slice copy, string concat allocation and interpreted lambda
+  * frame: word boundaries are found once at the BYTE level (ASCII
+  * whitespace never occurs inside a UTF-8 multibyte sequence, so the
+  * byte scan equals [[WordSplit]]'s char rule), each gram's bytes are
+  * assembled into one REUSED buffer, and the hash is the builtin
+  * xxhash64's (seed 42 over the same bytes). Output: array<long>,
+  * element i = hash of the gram starting at token i; EMPTY when the
+  * text has fewer than k tokens (positionalGrams' `n_tokens >= k`
+  * filter — callers posexplode, so emptiness is the filter). The
+  * r17 pipeline profile put this string churn at the center of the
+  * composed trigger's gram stage (~2 s of a ~4 s floor at a 5k-doc
+  * batch probing a 10x store).
+  */
+case class WordGramHashes(child: Expression, k: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(k >= 1, "gram width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"word_gram_hashes requires string input, got $dt")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_gram_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val (starts, ends, nWords) = WordBytes.boundaries(bytes)
+    if (nWords < k) return new GenericArrayData(Array.empty[Any])
+    val n = nWords - k + 1
+    val out = new Array[Any](n)
+    // reusable gram buffer sized to the widest gram
+    var maxLen = 0
+    var i = 0
+    while (i <= nWords - k) {
+      var len = k - 1 // separators
+      var j = i
+      while (j < i + k) { len += ends(j) - starts(j); j += 1 }
+      if (len > maxLen) maxLen = len
+      i += 1
+    }
+    val buf = new Array[Byte](maxLen)
+    i = 0
+    while (i < n) {
+      var p = 0
+      var j = i
+      while (j < i + k) {
+        if (j > i) { buf(p) = ' '; p += 1 }
+        val wl = ends(j) - starts(j)
+        System.arraycopy(bytes, starts(j), buf, p, wl)
+        p += wl
+        j += 1
+      }
+      out(i) = XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, p, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Winnowing-selected fingerprints of a text column in ONE pass —
+  * bit-identical to the staged production layout in
+  * Dedup.winnowingPostings (portable = false): w-word shingle hashes
+  * (the builtin xxhash64 of each shingle string — [[WordGramHashes]]'
+  * byte assembly, with the `< w` fallback hashing the whole text, the
+  * `split("")` = [""] empty-word convention included), then the
+  * distinct mins of every `windowSize`-wide window (windows truncate
+  * at the tail exactly as `slice` does). Output: array<long>, distinct,
+  * first-occurrence order — always non-empty (a short text selects the
+  * min of its single-window shingles, as the Column form does).
+  */
+case class WinnowedFingerprints(child: Expression, w: Int, windowSize: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(w >= 1, "shingle width must be >= 1")
+  require(windowSize >= 1, "window size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"winnowed_fingerprints requires string input, got $dt")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnowed_fingerprints"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val (starts, ends, nWords0) = WordBytes.boundaries(bytes)
+    // split(trim("")) = [""]: one empty word, one empty shingle
+    val nWords = if (nWords0 == 0) 1 else nWords0
+    val nSh = math.max(nWords - w, 0) + 1
+    val hs = new Array[Long](nSh)
+    val bufLen = {
+      var maxLen = 0
+      var i = 0
+      while (i < nSh) {
+        val hi = math.min(i + w, nWords0)
+        var len = math.max(hi - i - 1, 0)
+        var j = i
+        while (j < hi) { len += ends(j) - starts(j); j += 1 }
+        if (len > maxLen) maxLen = len
+        i += 1
+      }
+      maxLen
+    }
+    val buf = new Array[Byte](bufLen)
+    var i = 0
+    while (i < nSh) {
+      var p = 0
+      val hi = math.min(i + w, nWords0)
+      var j = i
+      while (j < hi) {
+        if (j > i) { buf(p) = ' '; p += 1 }
+        val wl = ends(j) - starts(j)
+        System.arraycopy(bytes, starts(j), buf, p, wl)
+        p += wl
+        j += 1
+      }
+      hs(i) = XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, p, 42L)
+      i += 1
+    }
+    val nWin = math.max(nSh - windowSize, 0) + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i < nWin) {
+      var m = hs(i)
+      var j = i + 1
+      val hi = math.min(i + windowSize, nSh)
+      while (j < hi) { if (hs(j) < m) m = hs(j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var z = 0
+    while (it.hasNext) { out(z) = it.next().longValue(); z += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Byte-level word-boundary scan shared by [[WordGramHashes]] and
+  * [[WinnowedFingerprints]]: the [[WordSplit]] whitespace class applied
+  * to raw UTF-8 (ASCII whitespace bytes cannot occur inside a multibyte
+  * sequence, so byte positions equal char-rule word boundaries).
+  */
+private[functions] object WordBytes {
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** (starts, ends, count) of the words in `bytes`. */
+  def boundaries(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
+    val n = bytes.length
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        if (cnt == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(cnt) = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        ends(cnt) = i
+        cnt += 1
+      }
+    }
+    (starts, ends, cnt)
+  }
 }

@@ -841,6 +841,66 @@ class ExtSpec extends SparkSpec {
     assert(!agg.isNullAt(0) && agg.getSeq[Long](1).length == 16)
   }
 
+  test("native one-pass sketch expressions match their Column-form definitions bit for bit") {
+    import graft.functions.GraftFunctions
+    // a texts fixture with the nasty corners: multi-space runs, tabs,
+    // leading/trailing ws, short texts (< k / < w words), empty, and a
+    // real document
+    val texts = Seq(
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      "  one   two\tthree  ",
+      "single",
+      "",
+      "   ",
+      docs.select("text").head().getString(0)
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    // word_gram_hashes ≡ xxhash64(concat_ws(slice(split)))) per position
+    val k = 3
+    val ws = split(trim($"text"), "\\s+")
+    val colForm = when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k),
+        i => xxhash64(concat_ws(" ", slice(ws, i + 1, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+    val gramRows = texts.select(
+      GraftFunctions.word_gram_hashes($"text", k).as("native"), colForm.as("col"))
+      .collect()
+    gramRows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"gram hash divergence: $r")
+    }
+    // winnowed_fingerprints ≡ the staged window-min selection (xxhash64)
+    val w = 4; val win = 3
+    val hs = transform(sequence(lit(0), greatest(size(ws) - w, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(ws, i + 1, lit(w)))))
+    val stagedFps = array_distinct(transform(
+      sequence(lit(0), greatest(size(hs) - win, lit(0))),
+      i => array_min(slice(hs, i + 1, lit(win)))))
+    val winRows = texts.select(
+      GraftFunctions.winnowed_fingerprints($"text", w, win).as("native"),
+      stagedFps.as("col")).collect()
+    winRows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"winnow fp divergence: $r")
+    }
+    // simhash_shingles ≡ simhash_agg over the exploded shingle array
+    val sh = docs.limit(50).select($"doc_id",
+      GraftFunctions.word_shingles($"text", 5).as("shingles"))
+    val viaScalar = sh.select($"doc_id", GraftFunctions.simhash_shingles($"shingles").as("h"))
+      .as[(Long, Long)].collect().toMap
+    val viaAgg = sh.select($"doc_id", explode($"shingles").as("s"))
+      .groupBy("doc_id").agg(GraftFunctions.simhash_agg($"s").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaScalar === viaAgg)
+    // minhash_shingles: deliberately a DIFFERENT family than minhash_agg
+    // (one strong hash + derived mixes) — pin shape + the MinHash
+    // identical-set property instead of value equality
+    val m = sh.select(GraftFunctions.minhash_shingles($"shingles", 16).as("m")).head().getSeq[Long](0)
+    assert(m.length === 16)
+    val dup = sh.limit(1)
+    val two = dup.unionByName(dup)
+      .select(GraftFunctions.minhash_shingles($"shingles", 16).as("m"))
+      .collect().map(_.getSeq[Long](0))
+    assert(two(0) === two(1))
+  }
+
   test("winnowing fingerprints are stable and shrink with window size") {
     val text = lit("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi")
     val row = spark.range(1).select(
