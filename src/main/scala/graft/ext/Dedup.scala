@@ -53,7 +53,11 @@ object Dedup {
     */
   private def widenScan(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // queryExecution.toRdd plans the query but skips df.rdd's extra
+    // row-deserializer RDD layer; tolerate up to 2× under-parallel —
+    // a scan at half the session's cores is near-full throughput and
+    // not worth a corpus shuffle (the r17 catch was 8× under: 4/32)
+    if (df.queryExecution.toRdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 
   // ---- exact ---------------------------------------------------------------
@@ -442,10 +446,17 @@ object Dedup {
 
   /** MinHash signature of a shingle array: `numHashes` independent hash
     * slots, slot i = min over shingles of xxhash64(shingle, seed=i).
-    * Column form (transform + array_min) — prefer [[minhashSignatures]] in
-    * plans: higher-order lambdas are interpreted per element, while the
-    * explode→hash-aggregate layout below stays in whole-stage codegen.
+    * Column form (transform + array_min) — prefer [[minhashSignatures]]
+    * in plans: higher-order lambdas are interpreted per element.
+    *
+    * INCOMPATIBLE FAMILY WARNING: this helper keeps the original
+    * numHashes-independent-string-hash family, while
+    * [[minhashSignatures]] uses the one-strong-hash + derived-mix
+    * family of [[graft.functions.MinHashShingles]]. Signatures from
+    * the two NEVER band-match each other — do not mix them within one
+    * store or candidate join; pick one family per corpus artifact.
     */
+  @deprecated("use minhashSignatures — different (incompatible) hash family, ~10× cheaper", "r18")
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(shingles, s => xxhash64(lit(i), s)))
@@ -2774,6 +2785,12 @@ object Dedup {
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(marker, true)
     val h = if (portable) "md5" else "xx"
+    // h=xx:v1 fingerprints are defined by the STAGED contract — w-word
+    // xxhash64 shingles over split(trim(text), "\s+") tokens (empty
+    // edge tokens included), window-min selection. The native
+    // WinnowedFingerprints pass is spec-pinned bit-identical to that
+    // definition (ExtSpec, incl. edge-whitespace corners), so stores
+    // stamped v1 remain valid across the Column-form → native swap.
     try out.write(
       s"winnow_index:w=$w:ws=$windowSize:maxdf=$maxDf:b=$buckets:h=$h:v1".getBytes("UTF-8"))
     finally out.close()

@@ -341,9 +341,10 @@ case class WinnowedFingerprints(child: Expression, w: Int, windowSize: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
+    // boundaries returns >= 1 token always (split(trim("")) = [""]:
+    // one empty word, one empty shingle)
     val (starts, ends, nWords0) = WordBytes.boundaries(bytes)
-    // split(trim("")) = [""]: one empty word, one empty shingle
-    val nWords = if (nWords0 == 0) 1 else nWords0
+    val nWords = nWords0
     val nSh = math.max(nWords - w, 0) + 1
     val hs = new Array[Long](nSh)
     val bufLen = {
@@ -397,36 +398,61 @@ case class WinnowedFingerprints(child: Expression, w: Int, windowSize: Int)
 }
 
 /** Byte-level word-boundary scan shared by [[WordGramHashes]] and
-  * [[WinnowedFingerprints]]: the [[WordSplit]] whitespace class applied
-  * to raw UTF-8 (ASCII whitespace bytes cannot occur inside a multibyte
-  * sequence, so byte positions equal char-rule word boundaries).
+  * [[WinnowedFingerprints]]: the exact token sequence of
+  * `split(trim(text), "\\s+", -1)` applied to raw UTF-8 (ASCII
+  * whitespace bytes cannot occur inside a multibyte sequence, so byte
+  * positions equal char-rule word boundaries). That contract has two
+  * non-obvious corners the scan reproduces bit for bit, because every
+  * persisted fingerprint store and every DuckDB oracle is derived from
+  * it: `trim` strips SPACES (0x20) only, so a leading/trailing
+  * non-space whitespace run (`\t`, `\n`, …) yields an empty EDGE token
+  * (regex split keeps the empty field before a match at position 0 and,
+  * at limit -1, after a match at the end); and empty / all-space input
+  * yields one empty token (`split("") == [""]`). Token count is
+  * therefore always >= 1.
   */
 private[functions] object WordBytes {
   @inline private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
-  /** (starts, ends, count) of the words in `bytes`. */
+  /** (starts, ends, count) of the `split(trim(bytes))` tokens; an empty
+    * token has starts(i) == ends(i).
+    */
   def boundaries(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
     val n = bytes.length
+    var lo = 0
+    var hi = n
+    while (lo < hi && bytes(lo) == ' ') lo += 1
+    while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
     var cap = 16
     var starts = new Array[Int](cap)
     var ends = new Array[Int](cap)
     var cnt = 0
-    var i = 0
-    while (i < n) {
-      while (i < n && isWs(bytes(i))) i += 1
-      if (i < n) {
-        if (cnt == cap) {
-          cap *= 2
-          starts = java.util.Arrays.copyOf(starts, cap)
-          ends = java.util.Arrays.copyOf(ends, cap)
-        }
-        starts(cnt) = i
-        while (i < n && !isWs(bytes(i))) i += 1
-        ends(cnt) = i
-        cnt += 1
+    def push(s: Int, e: Int): Unit = {
+      if (cnt == cap) {
+        cap *= 2
+        starts = java.util.Arrays.copyOf(starts, cap)
+        ends = java.util.Arrays.copyOf(ends, cap)
+      }
+      starts(cnt) = s
+      ends(cnt) = e
+      cnt += 1
+    }
+    if (lo == hi) { // empty after space-trim: split("") == [""]
+      push(lo, lo)
+      return (starts, ends, cnt)
+    }
+    if (isWs(bytes(lo))) push(lo, lo) // leading non-space ws: empty edge token
+    var i = lo
+    while (i < hi) {
+      while (i < hi && isWs(bytes(i))) i += 1
+      if (i < hi) {
+        val s = i
+        while (i < hi && !isWs(bytes(i))) i += 1
+        push(s, i)
       }
     }
+    if (isWs(bytes(hi - 1))) push(hi, hi) // trailing non-space ws: empty edge token
     (starts, ends, cnt)
   }
 }

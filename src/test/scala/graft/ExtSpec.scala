@@ -852,6 +852,16 @@ class ExtSpec extends SparkSpec {
       "single",
       "",
       "   ",
+      // edge NON-SPACE whitespace: trim strips spaces only, so split
+      // emits empty edge tokens — the byte scan must reproduce them
+      "alpha bravo charlie delta\n",
+      "\talpha bravo charlie delta",
+      "\talpha bravo charlie delta echo\n",
+      "a b\n",
+      "\ta b",
+      "\n",
+      "\n\t\n",
+      " \r\nalpha bravo \r\n",
       docs.select("text").head().getString(0)
     ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     // word_gram_hashes ≡ xxhash64(concat_ws(slice(split)))) per position
