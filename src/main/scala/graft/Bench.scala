@@ -154,10 +154,15 @@ object Bench {
     // goes to stderr and BENCH_FULL.json.
     val budget = 1920
     def line(prec: Int, keep: Seq[(String, Double)], omitted: Int): String = {
+      // the artifact's own arithmetic must close: every timed query is
+      // either listed or counted omitted, and q_total states the sum so
+      // a reader never has to reconcile the line against the gate count
+      require(keep.size + omitted == results.size,
+        s"bench line arithmetic broken: ${keep.size} listed + $omitted omitted != ${results.size} timed")
       def fmt(v: Double): String = String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
       val qs = keep.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""""q_omitted":$omitted,""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"calibration_sec":${fmt(calSec)},$om"queries":$qs,$cadence"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"q_total":${results.size},"calibration_sec":${fmt(calSec)},$om"queries":$qs,$cadence"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     System.err.println(s"[bench] full precision: " +
       results.map { case (k, v) => s"$k=$v" }.mkString(" "))

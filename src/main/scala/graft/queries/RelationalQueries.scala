@@ -541,7 +541,7 @@ object RelationalQueries {
 
     // bounded-interval range join: pairs of same-user events within one
     // hour of each other — graft.operators.RangeJoin's bucketed layout
-    // (epoch-bucket equi-join + residual filter, fixed 2× probe fan-out),
+    // (same-bucket + next-bucket equi-joins unioned, residual filter),
     // NEVER the nested-loop plan a raw range predicate degenerates to.
     "q_range_join" -> { (s, dir) =>
       val ev = t(s, dir, "events").select("user_id", "ts", "event_id")
