@@ -54,10 +54,12 @@ object Dedup {
   private def widenScan(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // queryExecution.toRdd plans the query but skips df.rdd's extra
-    // row-deserializer RDD layer; tolerate up to 2× under-parallel —
-    // a scan at half the session's cores is near-full throughput and
-    // not worth a corpus shuffle (the r17 catch was 8× under: 4/32)
-    if (df.queryExecution.toRdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    // row-deserializer RDD layer. The threshold stays EXACT (< target):
+    // an r18 experiment with 2× tolerance slowed the CPU-bound sketch
+    // scans ~10% at 10× replicas — these stages are hash-bound, so
+    // missing cores is missing throughput, and the round-robin shuffle
+    // of (id, payload) is cheap next to running the scan under-parallel
+    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   // ---- exact ---------------------------------------------------------------
@@ -1034,11 +1036,18 @@ object Dedup {
       probeBits: Int = 2
   ): DataFrame = {
     requireHammingLayout(radius, blocks, probeBits)
+    // same single-long combined key as the stored-probe form: the
+    // self-join shuffles both sides on ONE long column instead of a
+    // generic (int, long) pair — cheaper hashing, narrower sort keys
+    val width = 64 / blocks
+    def ck(blk: Column, key: Column): Column =
+      shiftleft(blk.cast("long"), width).bitwiseOR(key)
     val base = hammingIndexBanded(df, idCol, hashCol, blocks)
     hammingProbes(base, blocks, probeBits)
+      .select(ck(col("blk"), col("key")).as("ck"), col("id"), col("hh"))
       .join(
-        base.select(col("blk"), col("key"), col("id").as("id2"), col("hh").as("hh2")),
-        Seq("blk", "key"))
+        base.select(ck(col("blk"), col("key")).as("ck"), col("id").as("id2"), col("hh").as("hh2")),
+        Seq("ck"))
       .where(col("id") < col("id2"))
       .select(
         col("id").as("id_a"),
@@ -1531,9 +1540,24 @@ object Dedup {
       blocks: Int,
       probeBits: Int
   ): DataFrame = {
+    // probe-join layout (r18): the batch's multiprobe fan-out is
+    // BROADCAST (pinned — the store side must never shuffle per
+    // trigger; a micro-batch's fan-out is bounded by the trigger size)
+    // and the join key is ONE long (blk folded into the key's high
+    // bits) so the broadcast builds a primitive LongHashedRelation
+    // instead of hashing generic two-column rows — the store-linear
+    // matching term is per-streamed-row lookup cost, and the long-map
+    // lookup is the cheap form of it. The store side is projected to
+    // (ck, hh) before the join: 16 bytes per streamed row.
+    val width = 64 / blocks
+    def ck(blk: Column, key: Column): Column =
+      shiftleft(blk.cast("long"), width).bitwiseOR(key)
     val bBase = hammingIndexBanded(batch, idCol, hashCol, blocks)
-    hammingProbes(bBase, blocks, probeBits)
-      .join(bandedIndex.select(col("blk"), col("key"), col("hh").as("hh2")), Seq("blk", "key"))
+    val probes = hammingProbes(bBase, blocks, probeBits)
+      .select(ck(col("blk"), col("key")).as("ck"), col("id"), col("hh"))
+    bandedIndex
+      .select(ck(col("blk"), col("key")).as("ck"), col("hh").as("hh2"))
+      .join(broadcast(probes), Seq("ck"))
       .where(bit_count(col("hh").bitwiseXOR(col("hh2"))) <= radius)
       .select(col("id"))
       .distinct()
@@ -1598,9 +1622,27 @@ object Dedup {
       .agg(
         count(lit(1)).as("cnt"),
         min(struct(col("doc_id"), col("pos"))).as("first"))
+    // store-side contact is ONE broadcast-semi pass (r18): joining the
+    // batch grams left_outer against the raw index would SHUFFLE the
+    // whole index per trigger (the index is the big side of that join,
+    // so the planner sort-merges both sides — measured ~0.5 s of pure
+    // index exchange+sort per probe at a 21M-gram store). Instead the
+    // index is semi-joined map-only against the broadcast batch gram
+    // set (output ≤ batch grams — the store stays unshuffled and only
+    // its touched-bucket bytes are scanned), and that small hit set is
+    // broadcast back into the flag join. Bit-identical: the store is a
+    // gram SET (builders are distinct; appends are left_anti), so
+    // left_outer against it never duplicated rows.
+    // no .distinct() on the broadcast side: the semi-join's hash build
+    // collapses duplicate keys itself, and an explicit distinct would
+    // add a 1M-row shuffle to the trigger's critical path
+    val snapG = index
+      .select(col("g"))
+      .join(broadcast(grams.select("g")), Seq("g"), "left_semi")
+      .withColumn("__snap", lit(1))
     val flagged = grams
       .join(occB, Seq("g"))
-      .join(index.select(col("g")).withColumn("__snap", lit(1)), Seq("g"), "left_outer")
+      .join(broadcast(snapG), Seq("g"), "left_outer")
       .where(
         col("__snap").isNotNull ||
           (col("cnt") >= 2 &&

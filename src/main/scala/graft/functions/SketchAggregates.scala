@@ -181,8 +181,7 @@ case class SimHashAgg(
   * .minhashSignatures]] does.
   */
 case class MinHashShingles(child: Expression, numHashes: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(numHashes >= 1, "need numHashes >= 1")
 
@@ -195,8 +194,63 @@ case class MinHashShingles(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.minhashShingles(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+
+  // stay inside whole-stage codegen: one static kernel call per row,
+  // primitive long-array result — no interpreted eval, no boxed slots
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.minhashShingles($c, $numHashes)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** SimHash of a shingle ARRAY as one scalar map pass — bit-identical to
+  * [[SimHashAgg]] over the exploded array (same element hash, seed 42;
+  * same ±1 bit counting; same `count > 0` sign rule), for the same
+  * reason as [[MinHashShingles]]: the aggregate form's cost was row
+  * machinery, not hashing. Same empty-array note.
+  */
+case class SimHashShingles(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt =>
+      TypeCheckResult.TypeCheckFailure(s"simhash_shingles requires array<string>, got $dt")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.simhashShingles(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  // see MinHashShingles.doGenCode — primitive long result, fully unboxed
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.simhashShingles($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Static kernels behind [[MinHashShingles]] and [[SimHashShingles]]:
+  * public because whole-stage-codegen'd plans call them directly. The
+  * minhash kernel returns [[org.apache.spark.sql.catalyst.expressions
+  * .UnsafeArrayData]] over a primitive long array — no slot boxing.
+  */
+object SketchKernels {
+
+  def minhashShingles(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      numHashes: Int): org.apache.spark.sql.catalyst.expressions.UnsafeArrayData = {
     val buf = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
     val n = arr.numElements()
@@ -213,33 +267,10 @@ case class MinHashShingles(child: Expression, numHashes: Int)
       }
       j += 1
     }
-    new GenericArrayData(buf.map(x => x: Any))
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(buf)
   }
 
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-/** SimHash of a shingle ARRAY as one scalar map pass — bit-identical to
-  * [[SimHashAgg]] over the exploded array (same element hash, seed 42;
-  * same ±1 bit counting; same `count > 0` sign rule), for the same
-  * reason as [[MinHashShingles]]: the aggregate form's cost was row
-  * machinery, not hashing. Same empty-array note.
-  */
-case class SimHashShingles(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case dt =>
-      TypeCheckResult.TypeCheckFailure(s"simhash_shingles requires array<string>, got $dt")
-  }
-
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash_shingles"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  def simhashShingles(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val counts = new Array[Int](64)
     var j = 0
     val n = arr.numElements()
@@ -260,8 +291,6 @@ case class SimHashShingles(child: Expression)
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Space-saving heavy hitters (Metwally, Agrawal & El Abbadi, ICDT 2005) —

@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -43,12 +43,11 @@ private[functions] object WordSplit {
   * single pass over the string instead of one interpreted lambda frame +
   * array slice copy per position — the shingle stage feeds every text-dedup
   * operator, so at corpus scale this constant factor is the scan cost.
-  * CodegenFallback: one virtual call per row; the O(len) inner loop is
-  * plain Java.
+  * Whole-stage codegen'd via a static kernel call (it feeds every sketch
+  * scan — a CodegenFallback here voids the enclosing projection's span).
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "shingle width must be >= 1")
 
@@ -60,37 +59,11 @@ case class WordShingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    // split on whitespace runs, matching split(trim(text), "\s+")
-    val words = WordSplit.split(text)
-    val w = words.size()
-    val out = new java.util.LinkedHashSet[String]()
-    if (w == 0) {
-      out.add("") // split("") yields [""] → one empty shingle, as built-ins do
-    } else if (w <= n) {
-      out.add(String.join(" ", words))
-    } else {
-      val sb = new java.lang.StringBuilder(64)
-      var s = 0
-      while (s <= w - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(words.get(s + j))
-          j += 1
-        }
-        out.add(sb.toString)
-        s += 1
-      }
-    }
-    val arr = new Array[Any](out.size())
-    val it = out.iterator()
-    var k = 0
-    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
-    new GenericArrayData(arr)
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordShingles($c, $n)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -102,12 +75,11 @@ case class WordShingles(child: Expression, n: Int)
   * `n_words ≥ n` and none below that (0 returned). One tokenize + one
   * hash-count pass per row, replacing the O(shingles²) interpreted
   * `transform(distinct, x → size(filter(…)))` composition whose lambda
-  * frames dominate the quality scan at corpus scale. CodegenFallback:
-  * one virtual call per row; the inner loop is plain Java.
+  * frames dominate the quality scan at corpus scale. Whole-stage
+  * codegen'd via a static kernel call.
   */
 case class TopShingleCount(child: Expression, n: Int)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "shingle width must be >= 1")
 
@@ -119,30 +91,11 @@ case class TopShingleCount(child: Expression, n: Int)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "top_shingle_count"
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    // same tokenization as WordShingles and the regex-split metrics
-    val words = WordSplit.split(text)
-    val w = words.size()
-    if (w < n) return 0
-    val counts = new java.util.HashMap[String, Integer]((w - n + 1) * 2)
-    val sb = new java.lang.StringBuilder(64)
-    var best = 0
-    var s = 0
-    while (s <= w - n) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(words.get(s + j))
-        j += 1
-      }
-      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
-      if (c > best) best = c
-      s += 1
-    }
-    best
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.topShingleCount(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.topShingleCount($c, $n)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -217,8 +170,7 @@ case class CountInSet(child: Expression, set: Seq[String])
   * results are interchangeable with `transform(shingles, s => xxhash64(s))`.
   */
 case class HashedArray(child: Expression, seed: Long = 42L)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -228,19 +180,11 @@ case class HashedArray(child: Expression, seed: Long = 42L)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hashed_array"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val m = arr.numElements()
-    val out = new Array[Any](m)
-    var i = 0
-    while (i < m) {
-      val s = arr.getUTF8String(i)
-      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.hashedArray(input.asInstanceOf[ArrayData], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.hashedArray($c, ${seed}L)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -263,8 +207,7 @@ case class HashedArray(child: Expression, seed: Long = 42L)
   * batch probing a 10x store).
   */
 case class WordGramHashes(child: Expression, k: Int)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1, "gram width must be >= 1")
 
@@ -276,12 +219,146 @@ case class WordGramHashes(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_gram_hashes"
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.wordGramHashes(input.asInstanceOf[UTF8String], k)
+
+  // stay inside whole-stage codegen: one static kernel call, primitive
+  // long-array result (UnsafeArrayData), no virtual eval and no boxing —
+  // the r17 CodegenFallback paid one interpreted eval per row and boxed
+  // every output long in the engine's hottest scans
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordGramHashes($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Winnowing-selected fingerprints of a text column in ONE pass —
+  * bit-identical to the staged production layout in
+  * Dedup.winnowingPostings (portable = false): w-word shingle hashes
+  * (the builtin xxhash64 of each shingle string — [[WordGramHashes]]'
+  * byte assembly, with the `< w` fallback hashing the whole text, the
+  * `split("")` = [""] empty-word convention included), then the
+  * distinct mins of every `windowSize`-wide window (windows truncate
+  * at the tail exactly as `slice` does). Output: array<long>, distinct,
+  * first-occurrence order — always non-empty (a short text selects the
+  * min of its single-window shingles, as the Column form does).
+  */
+case class WinnowedFingerprints(child: Expression, w: Int, windowSize: Int)
+    extends UnaryExpression {
+
+  require(w >= 1, "shingle width must be >= 1")
+  require(windowSize >= 1, "window size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"winnowed_fingerprints requires string input, got $dt")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnowed_fingerprints"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.winnowedFingerprints(input.asInstanceOf[UTF8String], w, windowSize)
+
+  // see WordGramHashes.doGenCode — same kernel-call pattern
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.winnowedFingerprints($c, $w, $windowSize)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Static kernels behind [[WordGramHashes]] and [[WinnowedFingerprints]]:
+  * public because whole-stage-codegen'd plans call them directly (one
+  * static call per row from the generated projection). Both return
+  * [[UnsafeArrayData]] backed by a primitive long array — no element
+  * boxing on the way out.
+  */
+object TextKernels {
+
+  /** Distinct word n-gram shingles, first-occurrence order; see
+    * [[WordShingles]].
+    */
+  def wordShingles(input: UTF8String, n: Int): ArrayData = {
+    val text = input.toString
+    // split on whitespace runs, matching split(trim(text), "\s+")
+    val words = WordSplit.split(text)
+    val w = words.size()
+    val out = new java.util.LinkedHashSet[String]()
+    if (w == 0) {
+      out.add("") // split("") yields [""] → one empty shingle, as built-ins do
+    } else if (w <= n) {
+      out.add(String.join(" ", words))
+    } else {
+      val sb = new java.lang.StringBuilder(64)
+      var s = 0
+      while (s <= w - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words.get(s + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        s += 1
+      }
+    }
+    val arr = new Array[Any](out.size())
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Max multiplicity among word n-shingles (0 when fewer than n words);
+    * see [[TopShingleCount]].
+    */
+  def topShingleCount(input: UTF8String, n: Int): Int = {
+    val text = input.toString
+    // same tokenization as WordShingles and the regex-split metrics
+    val words = WordSplit.split(text)
+    val w = words.size()
+    if (w < n) return 0
+    val counts = new java.util.HashMap[String, Integer]((w - n + 1) * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var best = 0
+    var s = 0
+    while (s <= w - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.get(s + j))
+        j += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > best) best = c
+      s += 1
+    }
+    best
+  }
+
+  /** xxhash64 of every element of a string array; see [[HashedArray]]. */
+  def hashedArray(arr: ArrayData, seed: Long): UnsafeArrayData = {
+    val m = arr.numElements()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      out(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Positional k-gram xxhash64 hashes; EMPTY when fewer than k tokens. */
+  def wordGramHashes(input: UTF8String, k: Int): UnsafeArrayData = {
+    val bytes = input.getBytes
     val (starts, ends, nWords) = WordBytes.boundaries(bytes)
-    if (nWords < k) return new GenericArrayData(Array.empty[Any])
+    if (nWords < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val n = nWords - k + 1
-    val out = new Array[Any](n)
+    val out = new Array[Long](n)
     // reusable gram buffer sized to the widest gram
     var maxLen = 0
     var i = 0
@@ -307,51 +384,23 @@ case class WordGramHashes(child: Expression, k: Int)
       out(i) = XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, p, 42L)
       i += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-/** Winnowing-selected fingerprints of a text column in ONE pass —
-  * bit-identical to the staged production layout in
-  * Dedup.winnowingPostings (portable = false): w-word shingle hashes
-  * (the builtin xxhash64 of each shingle string — [[WordGramHashes]]'
-  * byte assembly, with the `< w` fallback hashing the whole text, the
-  * `split("")` = [""] empty-word convention included), then the
-  * distinct mins of every `windowSize`-wide window (windows truncate
-  * at the tail exactly as `slice` does). Output: array<long>, distinct,
-  * first-occurrence order — always non-empty (a short text selects the
-  * min of its single-window shingles, as the Column form does).
-  */
-case class WinnowedFingerprints(child: Expression, w: Int, windowSize: Int)
-    extends UnaryExpression
-    with CodegenFallback {
-
-  require(w >= 1, "shingle width must be >= 1")
-  require(windowSize >= 1, "window size must be >= 1")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case dt => TypeCheckResult.TypeCheckFailure(s"winnowed_fingerprints requires string input, got $dt")
-  }
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "winnowed_fingerprints"
-
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    // boundaries returns >= 1 token always (split(trim("")) = [""]:
-    // one empty word, one empty shingle)
-    val (starts, ends, nWords0) = WordBytes.boundaries(bytes)
-    val nWords = nWords0
+  /** Winnowing-selected shingle hashes, distinct, first-occurrence order;
+    * always non-empty (boundaries returns >= 1 token: split(trim("")) =
+    * [""] — one empty word, one empty shingle).
+    */
+  def winnowedFingerprints(input: UTF8String, w: Int, windowSize: Int): UnsafeArrayData = {
+    val bytes = input.getBytes
+    val (starts, ends, nWords) = WordBytes.boundaries(bytes)
     val nSh = math.max(nWords - w, 0) + 1
     val hs = new Array[Long](nSh)
     val bufLen = {
       var maxLen = 0
       var i = 0
       while (i < nSh) {
-        val hi = math.min(i + w, nWords0)
+        val hi = math.min(i + w, nWords)
         var len = math.max(hi - i - 1, 0)
         var j = i
         while (j < hi) { len += ends(j) - starts(j); j += 1 }
@@ -364,7 +413,7 @@ case class WinnowedFingerprints(child: Expression, w: Int, windowSize: Int)
     var i = 0
     while (i < nSh) {
       var p = 0
-      val hi = math.min(i + w, nWords0)
+      val hi = math.min(i + w, nWords)
       var j = i
       while (j < hi) {
         if (j > i) { buf(p) = ' '; p += 1 }
@@ -387,14 +436,12 @@ case class WinnowedFingerprints(child: Expression, w: Int, windowSize: Int)
       seen.add(m)
       i += 1
     }
-    val out = new Array[Any](seen.size())
+    val out = new Array[Long](seen.size())
     val it = seen.iterator()
     var z = 0
     while (it.hasNext) { out(z) = it.next().longValue(); z += 1 }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Byte-level word-boundary scan shared by [[WordGramHashes]] and

@@ -911,6 +911,37 @@ class ExtSpec extends SparkSpec {
     assert(two(0) === two(1))
   }
 
+  test("sketch/gram/winnow kernels run inside whole-stage codegen, not as fallback") {
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.execution.debug._
+    // these four sit in the engine's hottest scans (every sketch pass,
+    // every per-trigger probe): a CodegenFallback would pay a virtual
+    // interpreted eval per row and break the enclosing projection's
+    // whole-stage span, so pin that the generated code calls the static
+    // kernels directly
+    // no limit() here — CollectLimit hoists the projection out of the
+    // whole-stage span, which would void the assertion
+    val df = docs.select(
+      GraftFunctions.word_gram_hashes($"text", 10).as("g"),
+      GraftFunctions.winnowed_fingerprints($"text", 5, 4).as("f"),
+      GraftFunctions.minhash_shingles(GraftFunctions.word_shingles($"text", 5), 16).as("m"),
+      GraftFunctions.simhash_shingles(GraftFunctions.word_shingles($"text", 5)).as("s"),
+      GraftFunctions.top_shingle_count($"text", 3).as("t"),
+      GraftFunctions.hashed_array(GraftFunctions.word_shingles($"text", 5)).as("h"))
+    val planStr = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(planStr).isDefined,
+      s"the kernel projection is not whole-stage-codegen'd:\n$planStr")
+    val gen = df.queryExecution.debug.codegenToSeq().map(_._2).mkString("\n")
+    assert(gen.contains("TextKernels.wordGramHashes"), "word_gram_hashes fell out of codegen")
+    assert(gen.contains("TextKernels.winnowedFingerprints"), "winnowed_fingerprints fell out of codegen")
+    assert(gen.contains("SketchKernels.minhashShingles"), "minhash_shingles fell out of codegen")
+    assert(gen.contains("SketchKernels.simhashShingles"), "simhash_shingles fell out of codegen")
+    assert(gen.contains("TextKernels.wordShingles"), "word_shingles fell out of codegen")
+    assert(gen.contains("TextKernels.topShingleCount"), "top_shingle_count fell out of codegen")
+    assert(gen.contains("TextKernels.hashedArray"), "hashed_array fell out of codegen")
+    assert(df.where(size($"f") > 0).count() > 0) // and the generated code actually executes
+  }
+
   test("winnowing fingerprints are stable and shrink with window size") {
     val text = lit("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi")
     val row = spark.range(1).select(
