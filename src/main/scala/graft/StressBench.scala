@@ -274,6 +274,14 @@ object StressBench {
     }),
     "winnow_probe_frag" -> (() => winnowDirProbe(docs, batchDocs, compact = false)),
     "winnow_probe_compacted" -> (() => winnowDirProbe(docs, batchDocs, compact = true)),
+    // the fragmentation-GATED maintenance loop's worst between-folds
+    // state: FragmentationFoldBound - 1 batch dirs accumulated, next
+    // trigger probes before the gate trips. The deployment claim is
+    // that a maintained store's probe never exceeds ~2x the compacted
+    // floor — this leg measures exactly that state (the _frag leg is
+    // the unmaintained cliff the gate exists to prevent)
+    "winnow_probe_maintained" -> (() => winnowDirProbe(docs, batchDocs, compact = false,
+      dirCap = Some(graft.streaming.CdcStream.FragmentationFoldBound - 1))),
     "substring_stream" -> (() => {
       // the STREAMING ingest form's per-trigger cost against a gram
       // store holding the whole corpus: one substringStripApplyBatch of
@@ -566,11 +574,15 @@ object StressBench {
     * past that a deep-replica probe times parquet-writer file churn at
     * build, not listing at probe.
     */
-  private def winnowDirProbe(docs: DataFrame, batchDocs: DataFrame, compact: Boolean): Long = {
+  private def winnowDirProbe(
+      docs: DataFrame,
+      batchDocs: DataFrame,
+      compact: Boolean,
+      dirCap: Option[Int] = None): Long = {
     val spark = docs.sparkSession
     val ratio = math.max(1L, docs.count() / math.max(1L, batchDocs.count()))
-    val nDirs = math.min(100L * ratio, 2000L).toInt
-    val tag = if (compact) "winfrag_c" else "winfrag"
+    val nDirs = dirCap.getOrElse(math.min(100L * ratio, 2000L).toInt)
+    val tag = (if (compact) "winfrag_c" else "winfrag") + dirCap.map(c => s"_$c").getOrElse("")
     val dir = memoIndex(docs.inputFiles.toSet, tag) { d =>
       val idx = s"$d/store"
       graft.streaming.CdcStream.stampWinnowLayout(
@@ -1248,6 +1260,20 @@ object StressBench {
 
     val allExtras = extras ++ extrasSem ++ extrasWin ++ extrasNgramFam ++
       extrasMinhash ++ extrasSimhash ++ extrasBm
+    // HARNESS-ASSERTED maintenance contract (the cell_pairs_vs_contract
+    // discipline): the gated maintenance loop's worst between-folds
+    // state must stay within ~2x of the compacted probe floor — a
+    // regression in the fragmentation gate or the fold fails the run
+    // instead of shipping an artifact that quietly walks toward the
+    // measured cliff (winnow_probe_frag). The +0.5 s absolute slack
+    // keeps sub-2-second legs from failing on host noise.
+    for {
+      (_, _, cSec) <- big.find(_._1 == "winnow_probe_compacted")
+      (_, _, mSec) <- big.find(_._1 == "winnow_probe_maintained")
+    } require(mSec <= 2.0 * cSec + 0.5,
+      f"winnow_probe_maintained = $mSec%.2f s exceeds 2x the compacted floor " +
+        f"($cSec%.2f s) — the fragmentation gate is not holding the maintained store " +
+        "near the compacted probe cost")
     val per = base.zip(big).map { case ((n, c1, s1), (_, c10, s10)) =>
       val ratio = s10 / math.max(s1, 1e-9)
       f"""\"$n\":{\"rows_1x\":$c1,\"sec_1x\":${s1}%.2f,\"rows_$k\":$c10,\"sec_$k\":${s10}%.2f,\"x_vs_linear\":${ratio / Replicas}%.2f${allExtras.getOrElse(n, "")}}"""

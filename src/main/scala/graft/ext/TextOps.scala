@@ -1109,6 +1109,17 @@ object TextOps {
     ()
   }
 
+  /** [[readBm25NumBuckets]] as an Option — None when no index marker
+    * exists yet (a maintainer seeding a fresh index).
+    */
+  private[graft] def bm25StampedBuckets(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[Int] = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(s"$path/$Bm25Marker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) Some(readBm25NumBuckets(spark, path)) else None
+  }
+
   /** Read the bucket count a BM25 index directory was stamped with. */
   private[graft] def readBm25NumBuckets(
       spark: org.apache.spark.sql.SparkSession, path: String): Int = {

@@ -188,6 +188,35 @@ object CdcStream {
     }
   }
 
+  /** Bucket count stamped in a store's `.keyfmt` marker (`buckets=N` or
+    * `b=N`), when the marker exists. The hash-bucketed stores treat the
+    * bucket count as a STORE property, not a caller parameter: the
+    * maintainers adopt the marker's count when the store exists (the
+    * `numBuckets` argument only seeds a NEW store), which is what lets
+    * [[maintainStores]] re-bucket a store at compaction — scaling
+    * buckets with corpus size so touched-bucket bytes stay bounded —
+    * without coordinating a parameter change across every deployment
+    * call site. The other layout parameters (k, w, radius, …) are still
+    * verified exactly: they change the stored VALUES, not just their
+    * arrangement.
+    */
+  private[graft] def markerBucketCount(
+      spark: SparkSession, statePath: String): Option[Int] = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(s"$statePath.keyfmt")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val got =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      // lookbehind keeps `blocks=`/`probe=` (the hamming marker, which
+      // has no hash-bucket axis) from ever matching
+      "(?<![a-zA-Z])(?:buckets|b)=(\\d+)".r.findFirstMatchIn(got).map(_.group(1).toInt)
+    }
+  }
+
   private def readState(spark: SparkSession, statePath: String): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
     val live = new Path(statePath)
@@ -685,8 +714,12 @@ object CdcStream {
     import graft.ext.Dedup
     require(numBuckets >= 1, "need numBuckets >= 1")
     val spark = batch.sparkSession
+    // bucket count is a store property — adopt the marker's when the
+    // store exists (maintainStores may have re-bucketed at compaction);
+    // the numBuckets argument seeds new stores only
+    val buckets = markerBucketCount(spark, indexPath).getOrElse(numBuckets)
     verifyStateKeyFormat(
-      spark, indexPath, s"substring_gram:k=$k:hash=$hashKey:buckets=$numBuckets:v2")
+      spark, indexPath, s"substring_gram:k=$k:hash=$hashKey:buckets=$buckets:v2")
     val gramType = if (hashKey) LongType else StringType
     val storeSchema = StructType(Seq(
       StructField("g", gramType),
@@ -694,7 +727,7 @@ object CdcStream {
       StructField("ingest_batch", LongType)))
     val b = batch.cache()
     val batchGrams = Dedup.substringGramIndex(b, "doc_id", "text", k, hashKey)
-      .withColumn("gb", pmod(xxhash64(col("g")), lit(numBuckets)).cast("int"))
+      .withColumn("gb", pmod(xxhash64(col("g")), lit(buckets)).cast("int"))
       .cache()
     def cleanup(): Unit = { batchGrams.unpersist(); b.unpersist(); () }
     try {
@@ -714,7 +747,7 @@ object CdcStream {
       // touched anyway and the collect is a pure critical-path job —
       // see [[PruneCollectMinBuckets]].
       val touched: Option[Seq[Int]] =
-        if (numBuckets < PruneCollectMinBuckets) None
+        if (buckets < PruneCollectMinBuckets) None
         else Some(batchGrams.select("gb").distinct().collect().map(_.getInt(0)).toSeq)
       val index = touched match {
         case Some(t) if t.isEmpty => store.select("g").limit(0)
@@ -736,7 +769,7 @@ object CdcStream {
           batchGrams
             .join(index, Seq("g"), "left_anti")
             .select("g", "gb")
-            .repartition(numBuckets, col("gb"))
+            .repartition(buckets, col("gb"))
             .write.mode("overwrite").partitionBy("gb")
             .parquet(s"$indexPath/ingest_batch=$batchId")
         } finally cleanup()
@@ -952,8 +985,9 @@ object CdcStream {
       numBuckets: Int,
       portable: Boolean): Unit = {
     val h = if (portable) "md5" else "xx"
+    val buckets = markerBucketCount(spark, indexPath).getOrElse(numBuckets)
     verifyStateKeyFormat(spark, indexPath,
-      s"winnow_admit:w=$w:ws=$windowSize:maxdf=$maxDf:b=$numBuckets:h=$h:v1")
+      s"winnow_admit:w=$w:ws=$windowSize:maxdf=$maxDf:b=$buckets:h=$h:v1")
   }
 
   /** One micro-batch of [[winnowAdmitMaintain]] — package-visible for
@@ -1006,8 +1040,11 @@ object CdcStream {
     require(numBuckets >= 1, "need numBuckets >= 1")
     val spark = batch.sparkSession
     val h = if (portable) "md5" else "xx"
+    // bucket count is a store property — adopt the marker's (see
+    // markerBucketCount); the numBuckets argument seeds new stores only
+    val buckets = markerBucketCount(spark, indexPath).getOrElse(numBuckets)
     verifyStateKeyFormat(spark, indexPath,
-      s"winnow_admit:w=$w:ws=$windowSize:maxdf=$maxDf:b=$numBuckets:h=$h:v1")
+      s"winnow_admit:w=$w:ws=$windowSize:maxdf=$maxDf:b=$buckets:h=$h:v1")
     val fpType: DataType = if (portable) StringType else LongType
     val storeSchema = StructType(Seq(
       StructField("id", LongType),
@@ -1015,7 +1052,7 @@ object CdcStream {
       StructField("ingest_batch", LongType),
       StructField("fb", IntegerType)))
     val posts = Dedup.winnowingPostings(batch, idCol, textCol, w, windowSize, portable)
-      .withColumn("fb", pmod(xxhash64(col("fp")), lit(numBuckets)).cast("int"))
+      .withColumn("fb", pmod(xxhash64(col("fp")), lit(buckets)).cast("int"))
       .cache()
     def cleanup(): Unit = { posts.unpersist(); () }
     try {
@@ -1023,7 +1060,7 @@ object CdcStream {
       // hash into can hold a probe hit (bounded collect — ≤ numBuckets;
       // skipped at small bucket counts, [[PruneCollectMinBuckets]])
       val touched: Option[Seq[Int]] =
-        if (numBuckets < PruneCollectMinBuckets) None
+        if (buckets < PruneCollectMinBuckets) None
         else Some(posts.select("fb").distinct().collect().map(_.getInt(0)).toSeq)
       val live = new Path(indexPath)
       val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1076,7 +1113,7 @@ object CdcStream {
         try {
           kept.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
           posts.select("id", "fp", "fb")
-            .repartition(numBuckets, col("fb"))
+            .repartition(buckets, col("fb"))
             .write.mode("overwrite").partitionBy("fb")
             .parquet(s"$indexPath/ingest_batch=$batchId")
         } finally cleanup()
@@ -1146,7 +1183,10 @@ object CdcStream {
     import org.apache.hadoop.fs.Path
     import graft.ext.TextOps
     val spark = batch.sparkSession
-    TextOps.ensureBm25Marker(spark, indexPath, numBuckets)
+    // bucket count is a store property — adopt the stamped count (see
+    // markerBucketCount's note); numBuckets seeds new indexes only
+    val buckets = TextOps.bm25StampedBuckets(spark, indexPath).getOrElse(numBuckets)
+    TextOps.ensureBm25Marker(spark, indexPath, buckets)
     // layout guard: a one-shot materializeBm25Index table (top-level tb=
     // dirs) cannot absorb streamed ingest_batch= appends — the probe's
     // direct-dir read would silently never see them, and mixed children
@@ -1169,15 +1209,15 @@ object CdcStream {
     val b = batch.cache()
     try {
       val tf = TextOps.bm25Postings(b, idCol, textCol)
-        .withColumn("tb", pmod(xxhash64(col("term")), lit(numBuckets)).cast("int"))
+        .withColumn("tb", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
         .cache()
       try {
         // one file per bucket dir (the substringStripMaintain fan-out rule)
-        tf.repartition(numBuckets, col("tb"))
+        tf.repartition(buckets, col("tb"))
           .write.mode("overwrite").partitionBy("tb")
           .parquet(s"$indexPath/postings/ingest_batch=$batchId")
         tf.groupBy("term", "tb").agg(count(lit(1)).as("df"))
-          .repartition(numBuckets, col("tb"))
+          .repartition(buckets, col("tb"))
           .write.mode("overwrite").partitionBy("tb")
           .parquet(s"$indexPath/dict/ingest_batch=$batchId")
         TextOps.bm25StatsPartial(b, textCol)
@@ -1291,15 +1331,18 @@ object CdcStream {
     require(minDocs >= 2, "need minDocs >= 2 — minDocs=1 would strip everything")
     require(numBuckets >= 1, "need numBuckets >= 1")
     val spark = batch.sparkSession
+    // bucket count is a store property — adopt the marker's (see
+    // markerBucketCount); the numBuckets argument seeds new stores only
+    val buckets = markerBucketCount(spark, countsPath).getOrElse(numBuckets)
     verifyStateKeyFormat(spark, countsPath,
-      s"boilerplate:minDocs=$minDocs:sep=${sep.##}:buckets=$numBuckets:v1")
+      s"boilerplate:minDocs=$minDocs:sep=${sep.##}:buckets=$buckets:v1")
     val storeSchema = StructType(Seq(
       StructField("ph", StringType),
       StructField("n_docs", LongType),
       StructField("ingest_batch", LongType),
       StructField("pb", IntegerType)))
     val paras = TextOps.paragraphs(batch, idCol, textCol, sep)
-      .withColumn("pb", pmod(xxhash64(col("ph")), lit(numBuckets)).cast("int"))
+      .withColumn("pb", pmod(xxhash64(col("ph")), lit(buckets)).cast("int"))
       .cache()
     def cleanup(): Unit = { paras.unpersist(); () }
     try {
@@ -1308,7 +1351,7 @@ object CdcStream {
       // hash into can hold a prior count (bounded collect — ≤ numBuckets;
       // skipped at small bucket counts, [[PruneCollectMinBuckets]])
       val touched: Option[Seq[Int]] =
-        if (numBuckets < PruneCollectMinBuckets) None
+        if (buckets < PruneCollectMinBuckets) None
         else Some(paras.select("pb").distinct().collect().map(_.getInt(0)).toSeq)
       val live = new Path(countsPath)
       val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1339,7 +1382,7 @@ object CdcStream {
         try {
           kept.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
           own
-            .repartition(numBuckets, col("pb"))
+            .repartition(buckets, col("pb"))
             .write.mode("overwrite").partitionBy("pb")
             .parquet(s"$countsPath/ingest_batch=$batchId")
         } finally cleanup()
@@ -1793,10 +1836,23 @@ object CdcStream {
   def compactSubstringStore(
       spark: SparkSession,
       indexPath: String,
-      upToBatch: Long
-  ): Unit =
+      upToBatch: Long,
+      newBuckets: Option[Int] = None
+  ): Unit = {
+    val rb = newBuckets.filter(_ >= 1)
     compactBatchedTable(spark, indexPath, upToBatch, Seq("gb"),
-      _.select("g", "gb").repartition(col("gb")))
+      df => {
+        // optional re-bucket (buckets ∝ corpus — see maintainStores) +
+        // sort-within-bucket on the probe key so parquet row-group
+        // min/max stats can skip inside a bucket
+        val re = rb.map(n => df.select(col("g"),
+            pmod(xxhash64(col("g")), lit(n)).cast("int").as("gb")))
+          .getOrElse(df.select("g", "gb"))
+        re.repartition(col("gb")).sortWithinPartitions("g")
+      },
+      metaTag = rb.map(n => s":rb=$n").getOrElse(""),
+      afterCommit = () => rb.foreach(n => restampMarkerBuckets(spark, indexPath, n)))
+  }
 
   /** The staged, crash-resumable fold shared by every streaming store's
     * compactor: read all `ingest_batch ≤ upToBatch` rows, apply the
@@ -1843,7 +1899,9 @@ object CdcStream {
       upToBatch: Long,
       partitionCols: Seq[String],
       fold: DataFrame => DataFrame,
-      batchCol: String = "ingest_batch"
+      batchCol: String = "ingest_batch",
+      metaTag: String = "",
+      afterCommit: () => Unit = () => ()
   ): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(tablePath)
@@ -1851,7 +1909,10 @@ object CdcStream {
     require(fs.exists(live), s"no batched store at $tablePath")
     val staged = new Path(s"$tablePath.compact")
     val meta = new Path(staged, "_GRAFT_COMPACT_META")
-    val metaBody = s"compact:upTo=$upToBatch:v1"
+    // metaTag rides in the staged META so a crash-resumed RE-BUCKETING
+    // compaction refuses to resume under a different target bucket
+    // count, exactly like a different upToBatch
+    val metaBody = s"compact:upTo=$upToBatch$metaTag:v1"
     // a committed stage is _SUCCESS (parquet fold intact) + META (we
     // know which upToBatch it was staged for); _SUCCESS without META is
     // a crash BETWEEN the fold and the stamp — no deletes have run yet
@@ -1888,7 +1949,34 @@ object CdcStream {
       throw new java.io.IOException(
         s"store compaction: could not move $staged into place at $target " +
           "(staged fold is intact — re-run to resume)")
-    ()
+    // post-commit hook (marker re-stamp after a re-bucketing fold). The
+    // [rename done, marker not yet re-stamped] crash window is covered
+    // by the standing contract: finish a crashed compaction (re-run it)
+    // BEFORE restarting the stream — the re-run re-derives the fold
+    // from the already-folded store (idempotent) and re-stamps.
+    afterCommit()
+  }
+
+  /** Re-stamp the bucket count in a store's `.keyfmt` marker after a
+    * re-bucketing compaction fold commits (the probes and maintainers
+    * adopt the marker's count — [[markerBucketCount]]).
+    */
+  private def restampMarkerBuckets(
+      spark: SparkSession, statePath: String, newBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(s"$statePath.keyfmt")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker), s"no .keyfmt marker at $statePath to re-stamp")
+    val in = fs.open(marker)
+    val got =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    val updated = "(?<![a-zA-Z])((?:buckets|b)=)\\d+".r
+      .replaceFirstIn(got, "$1" + newBuckets)
+    require(updated != got || got.contains(s"=$newBuckets"),
+      s"marker '$got' at $statePath carries no bucket field to re-stamp")
+    val out = fs.create(marker, true)
+    try out.write(updated.getBytes("UTF-8")) finally out.close()
   }
 
   /** Offline compaction for the [[hammingAdmitMaintain]] banded store:
@@ -1902,8 +1990,12 @@ object CdcStream {
       indexPath: String,
       upToBatch: Long
   ): Unit =
+    // no bucket axis to scale (blk is the structural band index) —
+    // the fold sorts each band by key so row-group stats order the
+    // stream side of the broadcast probe join
     compactBatchedTable(spark, indexPath, upToBatch, Seq("blk"),
-      _.select("key", "id", "hh", "blk").repartition(col("blk")))
+      _.select("key", "id", "hh", "blk").repartition(col("blk"))
+        .sortWithinPartitions("key"))
 
   /** Offline compaction for the [[winnowAdmitMaintain]] fingerprint
     * store: postings are per-id facts, so the fold is concatenation
@@ -1914,10 +2006,20 @@ object CdcStream {
   def compactWinnowStore(
       spark: SparkSession,
       indexPath: String,
-      upToBatch: Long
-  ): Unit =
+      upToBatch: Long,
+      newBuckets: Option[Int] = None
+  ): Unit = {
+    val rb = newBuckets.filter(_ >= 1)
     compactBatchedTable(spark, indexPath, upToBatch, Seq("fb"),
-      _.select("id", "fp", "fb").repartition(col("fb")))
+      df => {
+        val re = rb.map(n => df.select(col("id"), col("fp"),
+            pmod(xxhash64(col("fp")), lit(n)).cast("int").as("fb")))
+          .getOrElse(df.select("id", "fp", "fb"))
+        re.repartition(col("fb")).sortWithinPartitions("fp")
+      },
+      metaTag = rb.map(n => s":rb=$n").getOrElse(""),
+      afterCommit = () => rb.foreach(n => restampMarkerBuckets(spark, indexPath, n)))
+  }
 
   /** Offline compaction for the BATCH-pipeline winnowing artifact's
     * append table ([[graft.ext.Dedup.appendWinnowIndex]] with a stable
@@ -1941,8 +2043,12 @@ object CdcStream {
       indexPath: String,
       upToSeq: Long
   ): Unit =
+    // no re-bucketing here: apost must share the posts table's bucket
+    // count (ONE touched set prunes both), and posts is only rewritten
+    // by a writeWinnowIndex rebuild — which is the batch artifact's
+    // documented heavy reclaim
     compactBatchedTable(spark, s"$indexPath/apost", upToSeq, Seq("fb"),
-      _.select("id", "fp", "fb").repartition(col("fb")),
+      _.select("id", "fp", "fb").repartition(col("fb")).sortWithinPartitions("fp"),
       batchCol = "aseq")
 
   /** Offline compaction for the [[boilerplateMaintain]] count store:
@@ -1954,11 +2060,24 @@ object CdcStream {
   def compactBoilerplateStore(
       spark: SparkSession,
       countsPath: String,
-      upToBatch: Long
-  ): Unit =
+      upToBatch: Long,
+      newBuckets: Option[Int] = None
+  ): Unit = {
+    val rb = newBuckets.filter(_ >= 1)
     compactBatchedTable(spark, countsPath, upToBatch, Seq("pb"),
-      _.groupBy("ph", "pb").agg(sum(col("n_docs")).as("n_docs"))
-        .select("ph", "n_docs", "pb").repartition(col("pb")))
+      df => {
+        // pb is a pure function of ph, so grouping by (ph, pb) and
+        // re-deriving pb under a new count agree row-for-row
+        val re = rb
+          .map(n => df.groupBy("ph").agg(sum(col("n_docs")).as("n_docs"))
+            .withColumn("pb", pmod(xxhash64(col("ph")), lit(n)).cast("int")))
+          .getOrElse(df.groupBy("ph", "pb").agg(sum(col("n_docs")).as("n_docs")))
+        re.select("ph", "n_docs", "pb").repartition(col("pb"))
+          .sortWithinPartitions("ph")
+      },
+      metaTag = rb.map(n => s":rb=$n").getOrElse(""),
+      afterCommit = () => rb.foreach(n => restampMarkerBuckets(spark, countsPath, n)))
+  }
 
   /** Offline compaction for the [[bm25IndexMaintain]] index — all three
     * sub-tables, each with its own staged fold (sequential and
@@ -2069,26 +2188,72 @@ object CdcStream {
     * retention is the consumer's policy ([[graft.log.CdcLog]]-style
     * expiry), not a probe-cost concern.
     */
+  /** Batch-directory count past which [[maintainStores]] (at
+    * `minBatchDirs = FragmentationFoldBound`) folds a store: the
+    * measured fragmentation cliff (`winnow_probe_frag`: 2.98 → 30.66 s
+    * at ~100 → ~1000 dirs) sets in well past this, so a maintenance
+    * loop gating on it keeps probe cost within ~2× of the compacted
+    * floor between folds while skipping folds that would only rewrite
+    * an already-compact store. */
+  val FragmentationFoldBound: Int = 64
+
+  /** Rows per hash bucket past which a fold re-buckets the store to the
+    * next power of two (buckets ∝ corpus — [[markerBucketCount]]'s
+    * adoption note): touched-bucket BYTES per probe stay bounded as the
+    * corpus grows instead of growing ∝ N under a build-time-frozen
+    * bucket count. */
+  val RebucketRowsPerBucket: Long = 512L * 1024L
+
   def maintainStores(
       spark: SparkSession,
       storeRoot: String,
       upToBatch: Long,
-      bm25IndexPath: Option[String]): Seq[String] = {
+      bm25IndexPath: Option[String],
+      minBatchDirs: Int = 1): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(storeRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def has(sub: String) = fs.exists(new Path(s"$storeRoot/$sub"))
+    // fragmentation gate: fold only the stores whose batch-dir count
+    // reached minBatchDirs (default 1 = always, the original
+    // unconditional behavior). A deployment calls this at every
+    // maintenance window with FragmentationFoldBound — the check is one
+    // file listing, so the windows where nothing needs folding cost
+    // nothing and a long-running ingest never walks off the measured
+    // fragmentation cliff.
+    def fragmented(path: String): Boolean =
+      fs.listStatus(new Path(path))
+        .count(_.getPath.getName.startsWith("ingest_batch=")) >= minBatchDirs
+    // buckets ∝ corpus: when the mean bucket's row count crosses
+    // RebucketRowsPerBucket, the fold re-buckets to the next power of
+    // two and re-stamps the marker (probes and maintainers adopt it)
+    def rebucketTarget(path: String): Option[Int] =
+      markerBucketCount(spark, path).flatMap { cur =>
+        val rows = spark.read.parquet(path).count()
+        if (rows <= cur.toLong * RebucketRowsPerBucket) None
+        else {
+          var n = math.max(cur, 1)
+          while (n.toLong * RebucketRowsPerBucket < rows && n < (1 << 20)) n *= 2
+          Some(n).filter(_ > cur)
+        }
+      }
     val ran = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (has("counts")) {
-      compactBoilerplateStore(spark, s"$storeRoot/counts", upToBatch); ran += "counts"
+    if (has("counts") && fragmented(s"$storeRoot/counts")) {
+      compactBoilerplateStore(spark, s"$storeRoot/counts", upToBatch,
+        rebucketTarget(s"$storeRoot/counts"))
+      ran += "counts"
     }
-    if (has("gram")) {
-      compactSubstringStore(spark, s"$storeRoot/gram", upToBatch); ran += "gram"
+    if (has("gram") && fragmented(s"$storeRoot/gram")) {
+      compactSubstringStore(spark, s"$storeRoot/gram", upToBatch,
+        rebucketTarget(s"$storeRoot/gram"))
+      ran += "gram"
     }
-    if (has("win")) {
-      compactWinnowStore(spark, s"$storeRoot/win", upToBatch); ran += "win"
+    if (has("win") && fragmented(s"$storeRoot/win")) {
+      compactWinnowStore(spark, s"$storeRoot/win", upToBatch,
+        rebucketTarget(s"$storeRoot/win"))
+      ran += "win"
     }
-    if (has("ham")) {
+    if (has("ham") && fragmented(s"$storeRoot/ham")) {
       compactHammingStore(spark, s"$storeRoot/ham", upToBatch); ran += "ham"
     }
     bm25IndexPath.foreach { p => compactBm25Index(spark, p, upToBatch); ran += "bm25" }
@@ -2102,11 +2267,31 @@ object CdcStream {
   def maintainStores(
       spark: SparkSession,
       storeRoot: String,
+      checkpoint: String): Seq[String] =
+    maintainStores(spark, storeRoot, checkpoint, None)
+
+  def maintainStores(
+      spark: SparkSession,
+      storeRoot: String,
       checkpoint: String,
-      bm25IndexPath: Option[String] = None): Seq[String] =
+      bm25IndexPath: Option[String]): Seq[String] =
+    maintainStores(spark, storeRoot, checkpoint, bm25IndexPath, 1)
+
+  /** Checkpoint-derived, fragmentation-gated [[maintainStores]]: the
+    * maintenance-loop form — call at every window with `minBatchDirs =
+    * FragmentationFoldBound`; only stores whose batch-dir count reached
+    * the bound are folded.
+    */
+  def maintainStores(
+      spark: SparkSession,
+      storeRoot: String,
+      checkpoint: String,
+      bm25IndexPath: Option[String],
+      minBatchDirs: Int): Seq[String] =
     lastCommittedBatch(spark, checkpoint) match {
-      case Some(upTo) => maintainStores(spark, storeRoot, upTo, bm25IndexPath)
-      case None       => Seq.empty
+      case Some(upTo) =>
+        maintainStores(spark, storeRoot, upTo, bm25IndexPath, minBatchDirs)
+      case None => Seq.empty
     }
 
   /** Newest batch id with a commit marker in a streaming checkpoint —

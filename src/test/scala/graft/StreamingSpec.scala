@@ -1217,6 +1217,74 @@ class StreamingSpec extends SparkSpec {
     assert(wCompacted.values.exists(_ == "dup_snapshot"), "fixture lost its planted dups")
   }
 
+  test("re-bucketing fold: marker re-stamps, maintainers adopt the new count, probes unchanged") {
+    import graft.ext.Dedup
+    val d = Tables.load(spark, sf0001, "documents")
+    def slice(lo: Int, hi: Int) = d.where($"doc_id" >= lo && $"doc_id" < hi)
+    def wdoc(df: org.apache.spark.sql.DataFrame, off: Long, pre: String) = df.select(
+      ($"doc_id" + off).cast("long").as("doc_id"),
+      concat(lit(pre), $"text").as("text"))
+    val w1 = wdoc(slice(0, 100), 0L, "")
+    val w2 = wdoc(slice(100, 200), 0L, "")
+    val w3 = wdoc(slice(0, 200).where($"doc_id" % 10 === 0), 500000L, "xdupsalt ")
+    val base = tempDir("winrebucket")
+    // note every apply call passes numBuckets = 16: after the
+    // re-bucketing fold the maintainer must ADOPT the marker's 64, not
+    // mix layouts or demand a coordinated parameter change
+    def wApply(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CdcStream.winnowAdmitApplyBatch(b, id, s"$base/idx", s"$base/out",
+        "doc_id", "text", w = 5, windowSize = 4, minShared = 3, maxDf = 8L,
+        numBuckets = 16, portable = false)
+    wApply(w1, 0L); wApply(w2, 1L)
+    val postingsBefore = spark.read.parquet(s"$base/idx")
+      .select("id", "fp").as[(Long, Long)].collect().toSet
+    CdcStream.compactWinnowStore(spark, s"$base/idx", upToBatch = 1L, newBuckets = Some(64))
+    assert(CdcStream.markerBucketCount(spark, s"$base/idx") === Some(64),
+      "re-bucketing fold did not re-stamp the marker")
+    val folded = spark.read.parquet(s"$base/idx")
+    assert(folded.select("id", "fp").as[(Long, Long)].collect().toSet === postingsBefore,
+      "re-bucketing fold lost or duplicated postings")
+    // every row's bucket matches the NEW layout rule
+    assert(folded.where(pmod(xxhash64($"fp"), lit(64)).cast("int") =!= $"fb").count() === 0L,
+      "folded rows carry stale bucket assignments")
+    assert(folded.agg(max($"fb")).head().getInt(0) > 15,
+      "re-bucket produced no bucket above the old range — fold likely kept old fb")
+    // twin store never compacted, never re-bucketed — batch 3 must agree
+    val twin = tempDir("winrebucket_twin")
+    def wApplyTwin(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CdcStream.winnowAdmitApplyBatch(b, id, s"$twin/idx", s"$twin/out",
+        "doc_id", "text", w = 5, windowSize = 4, minShared = 3, maxDf = 8L,
+        numBuckets = 16, portable = false)
+    wApplyTwin(w1, 0L); wApplyTwin(w2, 1L); wApplyTwin(w3, 2L)
+    wApply(w3, 2L)
+    val got = spark.read.parquet(s"$base/out/ingest_batch=2")
+      .as[(Long, String)].collect().toMap
+    val want = spark.read.parquet(s"$twin/out/ingest_batch=2")
+      .as[(Long, String)].collect().toMap
+    assert(got === want, "admission diverged after the re-bucketing fold")
+    // and the post-fold append landed under the NEW bucket layout
+    val appended = spark.read.parquet(s"$base/idx").where($"ingest_batch" === 2L)
+    assert(appended.where(pmod(xxhash64($"fp"), lit(64)).cast("int") =!= $"fb").count() === 0L,
+      "post-fold append did not adopt the re-stamped bucket count")
+
+    // maintainStores fragmentation gate: a store with fewer batch dirs
+    // than the bound is left untouched
+    val mroot = tempDir("maintgate")
+    def mApply(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CdcStream.winnowAdmitApplyBatch(b, id, s"$mroot/win", s"$mroot/wstat",
+        "doc_id", "text", w = 5, windowSize = 4, minShared = 3, maxDf = 8L,
+        numBuckets = 16, portable = false)
+    mApply(w1, 0L); mApply(w2, 1L)
+    val gated = CdcStream.maintainStores(spark, mroot, 1L, None, minBatchDirs = 10)
+    assert(gated.isEmpty, "fragmentation gate folded an unfragmented store")
+    assert(new java.io.File(s"$mroot/win").listFiles
+      .count(_.getName.startsWith("ingest_batch=")) === 2)
+    val folded2 = CdcStream.maintainStores(spark, mroot, 1L, None, minBatchDirs = 2)
+    assert(folded2 === Seq("win"), "gate at the bound did not fold")
+    assert(new java.io.File(s"$mroot/win").listFiles
+      .count(_.getName.startsWith("ingest_batch=")) === 1)
+  }
+
   test("compactBoilerplateStore: partial-sum fold preserves cumulative counts and shrinks rows") {
     def doc(id: Long, paras: String*) = Seq((id, paras.mkString("\n"))).toDF("doc_id", "text")
     val base = tempDir("bpcompact")
