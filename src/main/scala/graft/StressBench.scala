@@ -825,9 +825,20 @@ object StressBench {
       cur: => DataFrame,
       log0: => DataFrame,
       log: => DataFrame,
-      schema: org.apache.spark.sql.types.StructType): Seq[(String, () => Long)] = Seq(
+      schema: org.apache.spark.sql.types.StructType,
+      bucketTag: String): Seq[(String, () => Long)] = Seq(
     "cdc_capture" -> (() =>
       graft.capture.CdcCapture.capture(prev, cur, Seq("event_id"), "stress", "events").count()),
+    // the same diff over PK-bucketed snapshot tables (buildCdc registers
+    // them beside the parquet fixtures): co-partitioned scans, zero
+    // exchange — the layout a 100 TB deployment persists its snapshots
+    // in, where successive captures must not re-shuffle the table
+    "cdc_capture_bucketed" -> (() => {
+      val spark = prev.sparkSession
+      graft.capture.CdcCapture.captureBucketed(
+        spark, s"cdcb_prev_$bucketTag", s"cdcb_cur_$bucketTag",
+        Seq("event_id"), "stress", "events").count()
+    }),
     "cdc_assign_ids" -> (() =>
       graft.capture.CdcCapture
         .assignIdsDistributed(log0, 0L, Seq("ts", "operation", "after", "before"))
@@ -979,9 +990,15 @@ object StressBench {
 
     // CDC corpora: mutated next-snapshot + captured change log per scale,
     // materialized so the timed ops read parquet, not the mutation lineage
-    def buildCdc(ev: DataFrame, path: String): (DataFrame, DataFrame, DataFrame) = {
+    def buildCdc(ev: DataFrame, path: String, tag: String): (DataFrame, DataFrame, DataFrame) = {
       mutateSnapshot(ev, idStride * Replicas).write.mode("overwrite").parquet(s"$path/cur")
       val cur = spark.read.parquet(s"$path/cur")
+      // PK-bucketed snapshot twins for the exchange-free capture probe
+      // (fixture, untimed — a deployment persists snapshots this way)
+      graft.capture.CdcCapture.writeSnapshotBucketed(
+        ev, s"cdcb_prev_$tag", s"$path/bprev", Seq("event_id"), 32)
+      graft.capture.CdcCapture.writeSnapshotBucketed(
+        cur, s"cdcb_cur_$tag", s"$path/bcur", Seq("event_id"), 32)
       graft.capture.CdcCapture.capture(ev, cur, Seq("event_id"), "stress", "events")
         .write.mode("overwrite").parquet(s"$path/log0")
       val log0 = spark.read.parquet(s"$path/log0")
@@ -990,8 +1007,8 @@ object StressBench {
         .write.mode("overwrite").parquet(s"$path/log")
       (cur, log0, spark.read.parquet(s"$path/log"))
     }
-    lazy val (cur1, log01, logA1) = buildCdc(ev1, s"$work/cdc1")
-    lazy val (cur10, log010, logA10) = buildCdc(ev10, s"$work/cdc10")
+    lazy val (cur1, log01, logA1) = buildCdc(ev1, s"$work/cdc1", "c1")
+    lazy val (cur10, log010, logA10) = buildCdc(ev10, s"$work/cdc10", s"c$Replicas")
     val evSchema = ev1.schema
 
     // min of `Runs` timings per op (the graft.Bench convention): the
@@ -1014,14 +1031,15 @@ object StressBench {
 
     def opsAt(
         d: => DataFrame, e: => DataFrame, idx: => DataFrame, cen: => DataFrame,
-        evs: => DataFrame, cur: => DataFrame, log0: => DataFrame, log: => DataFrame) =
+        evs: => DataFrame, cur: => DataFrame, log0: => DataFrame, log: => DataFrame,
+        cdcTag: String) =
       (ops(d, e) ++ admitOps(d, e, docs1, embs1) ++
         simOps(queries, e, idx, cen) ++ timeOps(evs) ++
-        cdcOps(evs, cur, log0, log, evSchema))
+        cdcOps(evs, cur, log0, log, evSchema, cdcTag))
         .filter { case (n, _) => OnlyOps.forall(_.contains(n)) }
 
     // warm (JIT, codegen, file index) once with the small corpus, untimed
-    opsAt(docs1, embs1, ivfIdx1, ivfCen1, ev1, cur1, log01, logA1)
+    opsAt(docs1, embs1, ivfIdx1, ivfCen1, ev1, cur1, log01, logA1, "c1")
       .foreach { case (_, f) => f(); () }
 
     // 1× legs get one extra run: they seed EVERY ratio denominator, and
@@ -1030,8 +1048,11 @@ object StressBench {
     // sec_1x 6.26 vs 2.0/2.72 in the sibling artifacts while the op
     // itself was flat at scale). The 1× ops are cheap; the Kx legs keep
     // min-of-Runs.
-    val base = runAll(opsAt(docs1, embs1, ivfIdx1, ivfCen1, ev1, cur1, log01, logA1), Runs + 1)
-    val big = runAll(opsAt(docs10, embs10, ivfIdx10, ivfCen10, ev10, cur10, log010, logA10), Runs)
+    val base = runAll(
+      opsAt(docs1, embs1, ivfIdx1, ivfCen1, ev1, cur1, log01, logA1, "c1"), Runs + 1)
+    val big = runAll(
+      opsAt(docs10, embs10, ivfIdx10, ivfCen10, ev10, cur10, log010, logA10, s"c$Replicas"),
+      Runs)
     // rows_k = rows_1 · Replicas exactly (expandDocs emits one row per
     // (doc, k)) — computed, not counted, so a docs-free subset probe
     // never forces the docs expansion

@@ -83,6 +83,61 @@ object CdcCapture {
       )
   }
 
+  /** Persist a snapshot BUCKETED + sorted by its primary key — the layout
+    * that makes successive [[capture]] diffs shuffle-free: two snapshots
+    * bucketed on the same PK with the same bucket count co-partition, so
+    * the full-outer diff plans as a sort-merge join over matching buckets
+    * with NO Exchange on either side (the capture projection is
+    * alias-only on the PK, which Spark's partitioning propagation sees
+    * through). At 100 TB the diff becomes a zip of sorted buckets; the
+    * per-capture cost is one scan of each snapshot, not two full-table
+    * shuffles.
+    *
+    * The table is registered in the session catalog with an explicit
+    * `path` (bucket metadata lives in the catalog — plain
+    * `parquet(path)` reads cannot carry it); a production deployment
+    * points the session at a persistent metastore so the registration
+    * outlives the session, exactly as it would for any bucketed table.
+    * `buckets` must match across the snapshots being diffed.
+    */
+  def writeSnapshotBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      pk: Seq[String],
+      buckets: Int
+  ): Unit = {
+    require(pk.nonEmpty, "primary key columns required")
+    require(buckets >= 1, "need buckets >= 1")
+    val spark = df.sparkSession
+    // overwrite-by-drop: saveAsTable(Overwrite) on an existing EXTERNAL
+    // table validates schema/bucket compatibility; dropping first gives
+    // snapshot-replacement semantics (the store holds ONE snapshot)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, pk.head, pk.tail: _*)
+      .sortBy(pk.head, pk.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** [[capture]] over two [[writeSnapshotBucketed]] tables — reads both
+    * through the catalog so the bucketed layout reaches the planner and
+    * the PK diff join runs exchange-free (asserted in PlanSpec).
+    */
+  def captureBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      prevTable: String,
+      curTable: String,
+      pk: Seq[String],
+      schemaName: String,
+      tableName: String,
+      captureTs: Column = current_timestamp()
+  ): DataFrame =
+    capture(spark.table(prevTable), spark.table(curTable), pk, schemaName, tableName, captureTs)
+
   /** Assign monotonic event ids above a checkpointed base — the engine's
     * replacement for the reference's global sequence
     * (`cdc.event_log_event_id_seq`, reference init.sql:51-59).

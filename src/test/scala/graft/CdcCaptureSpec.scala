@@ -87,4 +87,38 @@ class CdcCaptureSpec extends SparkSpec {
       .select($"orig", $"event_id").as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("bucketed snapshot capture: exchange-free diff, identical events") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    // mutate: drop every 7th row (DELETEs), bump values on every 5th
+    // (UPDATEs), and add fresh ids (INSERTs)
+    val cur = ev.where($"event_id" % 7 =!= 0)
+      .withColumn("value",
+        when($"event_id" % 5 === 0, $"value" * 2).otherwise($"value"))
+      .unionByName(ev.limit(10).withColumn("event_id", $"event_id" + 1000000L))
+    val base = tempDir("capbucket")
+    CdcCapture.writeSnapshotBucketed(ev, "capb_prev", s"$base/prev", Seq("event_id"), 8)
+    CdcCapture.writeSnapshotBucketed(cur, "capb_cur", s"$base/cur", Seq("event_id"), 8)
+    val bucketed = CdcCapture.captureBucketed(
+      spark, "capb_prev", "capb_cur", Seq("event_id"), "s", "t", lit(t0))
+    // the whole point: both snapshots co-partition on the PK buckets, so
+    // the full-outer diff runs with NO Exchange on either side
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed capture diff still shuffles:\n$plan")
+    assert(plan.contains("SortMergeJoin"), "expected a bucket-merge diff join")
+    val got = bucketed
+      .select("operation", "before", "after").as[(String, String, String)]
+      .collect().toSet
+    val want = CdcCapture.capture(ev, cur, Seq("event_id"), "s", "t", lit(t0))
+      .select("operation", "before", "after").as[(String, String, String)]
+      .collect().toSet
+    assert(got === want, "bucketed capture diverged from the plain diff")
+    assert(got.nonEmpty && got.exists(_._1 == "DELETE") && got.exists(_._1 == "INSERT"))
+    // snapshot-replacement semantics: re-writing the table swaps content
+    CdcCapture.writeSnapshotBucketed(cur, "capb_prev", s"$base/prev2", Seq("event_id"), 8)
+    assert(CdcCapture.captureBucketed(
+      spark, "capb_prev", "capb_cur", Seq("event_id"), "s", "t", lit(t0)).count() === 0L)
+  }
 }
