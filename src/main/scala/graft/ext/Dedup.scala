@@ -62,6 +62,30 @@ object Dedup {
     if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Batch-row bound under which the stored-index admission probes PIN
+    * the batch-side broadcast (the per-trigger shape: the store must
+    * never shuffle per admission). Every 5 s-cadence micro-batch sits
+    * orders of magnitude below this; a corpus-sized batch — seeding a
+    * store by ingesting a whole snapshot as batch 0 — sits far above it
+    * and would blow Spark's 8 GiB broadcast wall, so the probes fall
+    * back to the plain shuffle join there (one-time seeding cost).
+    */
+  private[graft] val ProbeBroadcastMaxBatchRows: Long = 50000L
+
+  /** Store-size estimate (bytes, from file statistics — no job) under
+    * which the admission probes keep the PLAIN join shape and let the
+    * planner broadcast the STORE side: at small stores that plan is
+    * fully fused into the enclosing stage (zero extra broadcast
+    * stages), while pinning a batch-side broadcast there pays 1-2
+    * serialized query stages for data the planner would have shipped
+    * for free. Past this bound the store must never be broadcast or
+    * shuffled, so the batch side is pinned instead.
+    */
+  private[graft] val ProbeSmallStoreBytes: Long = 64L << 20
+
+  private[graft] def estimatedBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
   // ---- exact ---------------------------------------------------------------
 
   /** Exact dedup on key columns (hash-shuffle on the keys; map-side partial
@@ -1540,24 +1564,37 @@ object Dedup {
       blocks: Int,
       probeBits: Int
   ): DataFrame = {
-    // probe-join layout (r18): the batch's multiprobe fan-out is
-    // BROADCAST (pinned — the store side must never shuffle per
-    // trigger; a micro-batch's fan-out is bounded by the trigger size)
-    // and the join key is ONE long (blk folded into the key's high
-    // bits) so the broadcast builds a primitive LongHashedRelation
-    // instead of hashing generic two-column rows — the store-linear
-    // matching term is per-streamed-row lookup cost, and the long-map
-    // lookup is the cheap form of it. The store side is projected to
-    // (ck, hh) before the join: 16 bytes per streamed row.
+    // probe-join layout (r18): for a TRIGGER-sized batch the multiprobe
+    // fan-out is BROADCAST (pinned — the store side must never shuffle
+    // per trigger) and the join key is ONE long (blk folded into the
+    // key's high bits) so the broadcast builds a primitive
+    // LongHashedRelation instead of hashing generic two-column rows —
+    // the store-linear matching term is per-streamed-row lookup cost,
+    // and the long-map lookup is the cheap form of it. The store side
+    // is projected to (ck, hh) before the join: 16 bytes per streamed
+    // row. A CORPUS-sized batch (store seeding, batch-0 ingest of a
+    // whole snapshot) would blow the 8 GiB broadcast wall, so past
+    // [[ProbeBroadcastMaxBatchRows]] the probe falls back to the plain
+    // shuffle join — one batch.count() (cheap: callers cache the batch)
+    // picks the shape.
     val width = 64 / blocks
     def ck(blk: Column, key: Column): Column =
       shiftleft(blk.cast("long"), width).bitwiseOR(key)
     val bBase = hammingIndexBanded(batch, idCol, hashCol, blocks)
     val probes = hammingProbes(bBase, blocks, probeBits)
       .select(ck(col("blk"), col("key")).as("ck"), col("id"), col("hh"))
-    bandedIndex
+    val storeSide = bandedIndex
       .select(ck(col("blk"), col("key")).as("ck"), col("hh").as("hh2"))
-      .join(broadcast(probes), Seq("ck"))
+    val joined =
+      if (estimatedBytes(bandedIndex) <= ProbeSmallStoreBytes)
+        // small store: plain join — the planner broadcasts the STORE
+        // side and the probe fuses into the enclosing stage (no extra
+        // broadcast stage, no probe collect)
+        probes.join(storeSide, Seq("ck"))
+      else if (batch.count() <= ProbeBroadcastMaxBatchRows)
+        storeSide.join(broadcast(probes), Seq("ck"))
+      else probes.join(storeSide, Seq("ck"))
+    joined
       .where(bit_count(col("hh").bitwiseXOR(col("hh2"))) <= radius)
       .select(col("id"))
       .distinct()
@@ -1608,7 +1645,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       k: Int,
-      hashKey: Boolean = false
+      hashKey: Boolean = false,
+      broadcastProbe: Option[Boolean] = None
   ): DataFrame = {
     require(k > 0, "need k > 0")
     // no forced gram exchange here, unlike [[exactSubstringSpans]]: this
@@ -1632,22 +1670,40 @@ object Dedup {
     // its touched-bucket bytes are scanned), and that small hit set is
     // broadcast back into the flag join. Bit-identical: the store is a
     // gram SET (builders are distinct; appends are left_anti), so
-    // left_outer against it never duplicated rows.
-    // no .distinct() on the broadcast side: the semi-join's hash build
-    // collapses duplicate keys itself, and an explicit distinct would
-    // add a 1M-row shuffle to the trigger's critical path
-    val snapG = index
-      .select(col("g"))
-      .join(broadcast(grams.select("g")), Seq("g"), "left_semi")
-      .withColumn("__snap", lit(1))
-    val flagged = grams
-      .join(occB, Seq("g"))
-      .join(broadcast(snapG), Seq("g"), "left_outer")
+    // left_outer against it never duplicated rows. A CORPUS-sized batch
+    // (store seeding — batch 0 of a whole snapshot) would blow the
+    // 8 GiB broadcast wall, so past [[ProbeBroadcastMaxBatchRows]] docs
+    // the probe keeps the plain left_outer shuffle shape — correct
+    // either way. broadcastProbe = Some(x) lets a caller that already
+    // knows the batch size pick the shape WITHOUT an extra count (the
+    // composed pipeline hands this stage a LAZY fused frame — counting
+    // it here would force the upstream stage early and break the
+    // fusion); None counts the batch (cheap: callers cache it).
+    def flagWhere(df: DataFrame): DataFrame = df
       .where(
         col("__snap").isNotNull ||
           (col("cnt") >= 2 &&
             !(col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos"))))
       .select("doc_id", "pos")
+    val flagged =
+      if (estimatedBytes(index) <= ProbeSmallStoreBytes)
+        // small store: the planner broadcasts the INDEX side of the
+        // left_outer (BuildRight), fully fused — zero extra stages
+        flagWhere(grams.join(occB, Seq("g"))
+          .join(index.select(col("g")).withColumn("__snap", lit(1)), Seq("g"), "left_outer"))
+      else if (broadcastProbe.getOrElse(batch.count() <= ProbeBroadcastMaxBatchRows)) {
+        // no .distinct() on the broadcast side: the semi-join's hash
+        // build collapses duplicate keys itself, and an explicit
+        // distinct would add a 1M-row shuffle to the trigger's critical
+        // path
+        val snapG = index
+          .select(col("g"))
+          .join(broadcast(grams.select("g")), Seq("g"), "left_semi")
+          .withColumn("__snap", lit(1))
+        flagWhere(grams.join(occB, Seq("g")).join(broadcast(snapG), Seq("g"), "left_outer"))
+      } else
+        flagWhere(grams.join(occB, Seq("g"))
+          .join(index.select(col("g")).withColumn("__snap", lit(1)), Seq("g"), "left_outer"))
     spansFromFlagged(base, flagged, k)
   }
 

@@ -708,7 +708,8 @@ object CdcStream {
       k: Int,
       hashKey: Boolean,
       numBuckets: Int,
-      keepOutput: Boolean): (DataFrame, () => Unit) = {
+      keepOutput: Boolean,
+      broadcastProbe: Option[Boolean] = None): (DataFrame, () => Unit) = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
     import graft.ext.Dedup
@@ -754,8 +755,15 @@ object CdcStream {
         case Some(t)              => store.where(col("gb").isin(t: _*)).select("g")
         case None                 => store.select("g")
       }
+      // broadcastProbe: the batch gram SET is already cached and counted
+      // into `touched` at large bucket counts; when the caller gave no
+      // size hint, gate the probe broadcast on the batch gram count
+      // (batchGrams is cached — the count re-reads the cache, it does
+      // not force upstream stages)
+      val probeHint = broadcastProbe.orElse(
+        Some(batchGrams.count() <= graft.ext.Dedup.ProbeBroadcastMaxBatchRows * 256))
       val spans = Dedup
-        .exactSubstringSpansIncremental(index, b, "doc_id", "text", k, hashKey)
+        .exactSubstringSpansIncremental(index, b, "doc_id", "text", k, hashKey, probeHint)
       val out = Dedup.stripSpans(b, "doc_id", "text", spans.select("doc_id", "spans"))
       // eager under keepOutput — the boilerplateApplyBatchStaged note
       val kept = if (keepOutput) out.localCheckpoint(eager = true) else out
@@ -1653,7 +1661,8 @@ object CdcStream {
       // (the cached batch's first materialization) overlaps their probe
       // jobs instead of preceding everything. Only the doc-flow stages
       // planned from here on see a raised width.
-      val effectiveWidth = pipelineWidthFor(b.count(), shuffleWidth, sessionWidth)
+      val bCount = b.count()
+      val effectiveWidth = pipelineWidthFor(bCount, shuffleWidth, sessionWidth)
       if (effectiveWidth != shuffleWidth)
         spark.conf.set("spark.sql.shuffle.partitions", effectiveWidth.toString)
       lap("width")
@@ -1672,9 +1681,13 @@ object CdcStream {
       lap("boiler")
       val clean1 = clean1Raw.select(col("doc_id"), col("stripped_text").as("text"))
       // 2. exact-substring dedup + strip (gram store)
+      // probe-broadcast hint from the count the width step already ran:
+      // counting inside the stage would force the LAZY fused clean1
+      // early and break the boiler+gram single-job fusion
       val (clean2Raw, gramAppend) = substringStripApplyBatchStaged(
         clean1, batchId, s"$storeRoot/gram", s"$storeRoot/clean2",
-        k, hashKey, numBuckets, keepOutput = true)
+        k, hashKey, numBuckets, keepOutput = true,
+        broadcastProbe = Some(bCount <= graft.ext.Dedup.ProbeBroadcastMaxBatchRows))
       // the boiler append is deferred only HERE — after stage 2's eager
       // checkpoint has consumed the lazy boiler output — because its
       // finally releases the paragraph cache that checkpoint scans
