@@ -87,6 +87,29 @@ object CdcQueries {
         .orderBy("pk")
     },
 
+    // C1b: the SAME diff through the PK-bucketed snapshot store
+    // (writeSnapshotBucketed + captureBucketed — the exchange-free
+    // layout a deployment persists snapshots in; CdcCaptureSpec pins
+    // the plan has no Exchange). Shares C1's oracle: the bucketed path
+    // must be bit-identical to the plain diff.
+    "c1b_capture_bucketed" -> { (s, dir) =>
+      val (prev, cur) = snapshots(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_capb").toString
+      CdcCapture.writeSnapshotBucketed(prev, "c1b_prev", s"$base/prev", Seq("event_id"), 8)
+      CdcCapture.writeSnapshotBucketed(cur, "c1b_cur", s"$base/cur", Seq("event_id"), 8)
+      CdcCapture
+        .captureBucketed(s, "c1b_prev", "c1b_cur", Seq("event_id"), "dataschema", "events",
+          to_timestamp(lit("2025-06-14 00:00:00")))
+        .select(
+          get_json_object(coalesce(col("after"), col("before")), "$.event_id")
+            .cast("long").as("pk"),
+          col("operation"),
+          col("before"),
+          col("after")
+        )
+        .orderBy("pk")
+    },
+
     // C3: operation classification histogram over the same diff
     "c3_classify_counts" -> { (s, dir) =>
       val (prev, cur) = snapshots(s, dir)
@@ -710,6 +733,11 @@ object CdcQueries {
 
   val oracles: Map[String, String] = Map(
     "c1_capture_diff" ->
+      s"""$snapshotSql
+         |SELECT pk, operation, before, after FROM diff ORDER BY pk""".stripMargin,
+    // the bucketed-store path must be bit-identical to the plain diff,
+    // so it shares the full re-derivation verbatim
+    "c1b_capture_bucketed" ->
       s"""$snapshotSql
          |SELECT pk, operation, before, after FROM diff ORDER BY pk""".stripMargin,
     "c3_classify_counts" ->
