@@ -940,28 +940,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("bm25IndexMaintain: batched partials probe exactly like the one-shot build; replay is a no-op; bucket mismatch refused") {
+  test("bm25IndexMaintain: batched partials probe exactly like the one-shot build; replay is a no-op; bucket count is a store property") {
     import graft.ext.TextOps
     val d = Tables.load(spark, sf0001, "documents")
     val corpus = d.select($"doc_id".cast("long").as("doc_id"), $"text")
-    val batch1 = corpus.where($"doc_id" % 2 === 0)
-    val batch2 = corpus.where($"doc_id" % 2 === 1)
+    val batch1 = corpus.where($"doc_id" % 3 === 0)
+    val batch2 = corpus.where($"doc_id" % 3 === 1)
+    val batch3 = corpus.where($"doc_id" % 3 === 2)
     val queries = corpus.where($"doc_id" % 25 === 3)
       .select($"doc_id".as("q_id"),
         array_join(slice(split(trim($"text"), "\\s+"), 3, 5), " ").as("qtext"))
     val base = tempDir("bm25maint")
-    def applyBatch(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
-      CdcStream.bm25IndexApplyBatch(b, id, s"$base/idx", "doc_id", "text", numBuckets = 8)
+    def applyBatch(b: org.apache.spark.sql.DataFrame, id: Long, buckets: Int = 8): Unit =
+      CdcStream.bm25IndexApplyBatch(b, id, s"$base/idx", "doc_id", "text", numBuckets = buckets)
     applyBatch(batch1, 0L)
     applyBatch(batch2, 1L) // the crashed attempt
     applyBatch(batch2, 1L) // the replay — must overwrite, never double-count
+    // bucket count is a STORE property (re-bucketing folds re-stamp the
+    // marker): a caller passing a different numBuckets ADOPTS the
+    // stamped count — the store stays 8-bucketed and consistent instead
+    // of mixing layouts or demanding callers track fold history
+    applyBatch(batch3, 2L, buckets = 32)
+    assert(TextOps.bm25StampedBuckets(spark, s"$base/idx").contains(8),
+      "mismatched caller numBuckets must adopt the stamped store count, not re-stamp it")
     def probe(path: String) =
       TextOps.bm25TopKStored(spark, path, queries, "q_id", "qtext", k = 3)
         .as[(Long, Long, Int, Long, Long, Long)].collect().toSet
     val streamed = probe(s"$base/idx")
     // one-shot batch build over the union — the merged partials must
     // reproduce it EXACTLY (scores included): df partials sum to the
-    // global df, (n, sum_dl) partials merge to the global stats
+    // global df, (n, sum_dl) partials merge to the global stats; the
+    // adopted-count batch 2 lands in the same 8-bucket layout, so the
+    // equality also proves the adoption wrote no stray tb= dirs
     val oneShot = tempDir("bm25oneshot")
     TextOps.materializeBm25Index(corpus, "doc_id", "text", oneShot, numBuckets = 8)
     assert(streamed === probe(oneShot),
@@ -973,13 +983,13 @@ class StreamingSpec extends SparkSpec {
       .groupBy("term").agg(sum($"df").as("df"))
       .agg(max($"df")).head().getLong(0)
     assert(maxDf <= n, s"df $maxDf exceeds corpus size $n — replay double-counted")
-    // a later batch banding with a DIFFERENT bucket count is refused —
-    // the marker stamp makes the mismatch a hard error, not wrong reads
+    // what IS still refused: streamed appends into a one-shot (tb=)
+    // layout — the probe's direct-dir read would silently never see them
     val ex = intercept[IllegalArgumentException] {
       CdcStream.bm25IndexApplyBatch(
-        batch2, 2L, s"$base/idx", "doc_id", "text", numBuckets = 32)
+        batch3, 3L, oneShot, "doc_id", "text", numBuckets = 8)
     }
-    assert(ex.getMessage.contains("numBuckets=8"))
+    assert(ex.getMessage.contains("one-shot"))
   }
 
   test("boilerplateMaintain: cumulative threshold crossing, straggler retention, replay never double-counts") {
