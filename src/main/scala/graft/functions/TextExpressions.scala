@@ -43,11 +43,24 @@ private[functions] object WordSplit {
   * single pass over the string instead of one interpreted lambda frame +
   * array slice copy per position — the shingle stage feeds every text-dedup
   * operator, so at corpus scale this constant factor is the scan cost.
-  * Whole-stage codegen'd via a static kernel call (it feeds every sketch
-  * scan — a CodegenFallback here voids the enclosing projection's span).
+  * Deliberately CodegenFallback — the measured-faster shape for this
+  * expression's consumers, all of which EXPLODE the array (ngram postings,
+  * decontam shingle probes, chunk fingerprints). Inlining the kernel call
+  * via doGenCode fuses the scan, this projection, the Generate loop and
+  * the downstream partial aggregate into one whole-stage span, and that
+  * fused form measured consistently SLOWER than letting the projection
+  * fall out of codegen (interleaved 30x stress A/B: 7.9-8.2 s fused vs
+  * 5.5-6.6 s fallback on ngram_jaccard; same kernel, same results) — the
+  * split keeps the explode+aggregate span small and feeds it a
+  * materialized array through a BoundReference instead of re-entering the
+  * kernel call inside the generate loop. The map-only sketch kernels
+  * (MinHashShingles/SimHashShingles/WordGramHashes/WinnowedFingerprints,
+  * HashedArray, TopShingleCount) keep their doGenCode: their consumers
+  * are scalar projections where fusion measured faster.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with CodegenFallback {
 
   require(n >= 1, "shingle width must be >= 1")
 
@@ -61,9 +74,6 @@ case class WordShingles(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any =
     TextKernels.wordShingles(input.asInstanceOf[UTF8String], n)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordShingles($c, $n)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
