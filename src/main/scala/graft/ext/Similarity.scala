@@ -20,6 +20,20 @@ import graft.functions.GraftFunctions
   */
 object Similarity {
 
+  /** Daemon pool for overlapping independent sub-quantizer fits
+    * ([[pqCodebooks]]) — each submitted thunk drives its own chain of
+    * Spark jobs; the scheduler interleaves their tasks like any
+    * multi-session workload (the [[graft.streaming.CdcStream]]
+    * appendPool discipline). Daemon threads so an exiting application
+    * never hangs on an idle pool. */
+  private lazy val fitPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-sim-fit")
+        t.setDaemon(true)
+        t
+      }))
+
   /** Exact cosine top-k neighbors for each query vector.
     *
     * Plan: broadcast the query set, scan the corpus once, and aggregate
@@ -385,7 +399,17 @@ object Similarity {
       val trainN = train.count()
       require(trainN >= 1, "empty training set — corpus has no vectors")
       val kEff = math.min(ksub.toLong, trainN).toInt
-      val perSub = (0 until m).flatMap { s =>
+      // the m sub-quantizer fits are INDEPENDENT (each reads the cached
+      // sample, each is deterministic in its own seed) but a KMeans fit
+      // is a long chain of tiny driver-sequential jobs — run the fits
+      // concurrently so one fit's scheduling gaps back-fill with
+      // another's tasks (guide: overlap independent jobs). Results are
+      // awaited and assembled in subspace order, so the codebook table
+      // is bit-identical to the sequential build's.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = fitPool
+      val perSub = (0 until m).map { s => Future {
         val sub = train.select(
           array_to_vector(slice(col("__v"), s * dsub + 1, dsub)).as("features"))
         val km = new KMeans().setK(kEff).setSeed(seed + s).setMaxIter(10)
@@ -400,8 +424,9 @@ object Similarity {
         padded.zipWithIndex.map { case (v, c) =>
           (s, c, v.toArray.map(_.toFloat).toSeq)
         }
-      }
-      perSub.toDF("sub", "code", "c_vec")
+      } }
+      Await.result(Future.sequence(perSub), Duration.Inf)
+        .flatten.toDF("sub", "code", "c_vec")
     } finally { train.unpersist(); () }
   }
 

@@ -1053,13 +1053,20 @@ object TextOps {
     * asc on both paths). */
   private def bm25TopKTail(perDoc: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKAggregator(k))
-    perDoc
+    // the tail evaluates its input twice (the partial-top-k aggregate
+    // AND the tf_sum/n_terms re-attach join) — cache it here, at the
+    // one place every scorer path funnels through, so the scored
+    // postings are computed once per probe instead of twice. The cache
+    // backs the returned lazy frame until the caller's action (or a
+    // clearCache) drops it.
+    val pd = perDoc.cache()
+    pd
       .groupBy("q_id")
       .agg(topk(col("score_e6").cast("double"), col("doc_id")).as("nn"))
       .select(col("q_id"), posexplode(col("nn")))
       .select(col("q_id"), col("col.id").as("doc_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.score").cast("long").as("score_e6"))
-      .join(perDoc.select("q_id", "doc_id", "tf_sum", "n_terms"), Seq("q_id", "doc_id"))
+      .join(pd.select("q_id", "doc_id", "tf_sum", "n_terms"), Seq("q_id", "doc_id"))
       .select("q_id", "doc_id", "rank", "score_e6", "tf_sum", "n_terms")
   }
 
@@ -1077,6 +1084,10 @@ object TextOps {
     require(k >= 1, "need k >= 1")
     require(n > 0, "empty corpus")
     val perTerm = tf
+      // dfreq is NOT broadcast-hinted here: the inline [[bm25TopK]]
+      // passes the corpus-wide dictionary (the stored probe's literal
+      // query-term frame auto-broadcasts from its exact LocalRelation
+      // size) — the planner must stay free to shuffle it at scale
       .join(dfreq, Seq("term"))
       .join(broadcast(qterms), Seq("term"))
       .withColumn("score_e6", bm25ScoreE6(n, avgdl, k1, b))
@@ -1208,7 +1219,11 @@ object TextOps {
       .repartition(numBuckets, col("tb"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/dict")
-    bm25StatsPartial(docs, textCol)
+    // the (n, sum_dl) partial was already computed for avgdl above —
+    // write THAT row instead of re-scanning the whole corpus through
+    // tokenCount a second time (one full pass saved per build)
+    import spark.implicits._
+    Seq((buildN, statsRow.getLong(1))).toDF("n", "sum_dl")
       .write.mode("overwrite").parquet(s"$path/stats")
     // marker LAST: a crashed build must not advertise a sidecar whose
     // tables may be missing
@@ -1286,6 +1301,27 @@ object TextOps {
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker)
   }
 
+  /** The blockSize an armed index's sidecar was built with (from the
+    * marker [[writeBm25BlockMaxMarker]] stamps) — the probe's first-
+    * admission sizing reads it. Only meaningful when [[hasBm25BlockMax]]
+    * holds; falls back to 1 (first admission = ceil(k) postings ≈ the
+    * minimum any top-k can certify on) on an unparseable stamp. */
+  private[graft] def bm25BlockMaxSize(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(s"$path/$Bm25BlockMaxMarker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) 1
+    else {
+      val in = fs.open(marker)
+      val got =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      "bm25bm:block=([0-9]+):v1".r.findFirstMatchIn(got)
+        .map(_.group(1).toInt).filter(_ >= 1).getOrElse(1)
+    }
+  }
+
   /** The mergeable (n, sum_dl) corpus-stats partial of a document set —
     * dl summed as a LONG, so partials merge exactly and avgdl =
     * sum(sum_dl) / sum(n) is bit-identical however the corpus was
@@ -1352,26 +1388,37 @@ object TextOps {
     val avgdl = statsRow.getLong(1).toDouble / n.toDouble
     val qterms = bm25QueryTerms(queries, queryIdCol, queryTextCol)
       .withColumn("tb", pmod(xxhash64(col("term")), lit(numBuckets)).cast("int"))
-    // bounded collect: one row per distinct query term at most (queries
-    // are broadcast-small by contract)
-    val qTerm = qterms.select("term", "tb").distinct().collect()
-      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    // bounded collect: one row per (query, distinct term) at most
+    // (queries are broadcast-small by contract) — collected ONCE and
+    // re-issued below as a LITERAL frame. Joining the lazy `qterms`
+    // instead would re-evaluate the query table's full lineage in every
+    // scoring join and every block-max certification round (in the
+    // gates that lineage is a corpus scan per round).
+    val qRows = qterms.select("q_id", "term", "tb").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    val qTerm = qRows.map(r => (r._2, r._3)).distinct
     // df partials (one per contributing batch) merge to the global df —
-    // read from the term-bucketed dictionary, never the postings
-    val dfreq = bm25PrunedRead(spark, path, "dict", qTerm)
-      .groupBy("term").agg(sum(col("df")).as("df"))
+    // read from the term-bucketed dictionary, never the postings. One
+    // bounded collect (≤ one row per distinct query term); the stopword
+    // guard and every scoring join reuse the local rows, so the dict is
+    // scanned exactly once per probe.
+    val dfRows = bm25PrunedRead(spark, path, "dict", qTerm)
+      .groupBy("term").agg(sum(col("df")).as("df")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
     val dropped: Set[String] = maxQueryTermDfFrac match {
       case Some(frac) =>
         require(frac > 0.0 && frac <= 1.0, "need 0 < maxQueryTermDfFrac <= 1")
-        // bounded collect: at most one row per distinct query term
-        dfreq.where(col("df") > lit(frac) * lit(n.toDouble))
-          .select("term").collect().map(_.getString(0)).toSet
+        dfRows.filter(_._2 > frac * n.toDouble).map(_._1).toSet
       case None => Set.empty
     }
     val keep = qTerm.filterNot(t => dropped(t._1))
-    val qtermsKept =
-      if (dropped.isEmpty) qterms.select("q_id", "term")
-      else qterms.where(!col("term").isin(dropped.toSeq: _*)).select("q_id", "term")
+    import spark.implicits._
+    // dropped terms never reach a join anyway (both paths join through
+    // the kept term set); filtering the literal df frame up front just
+    // keeps the broadcast minimal
+    val dfreq = dfRows.filterNot(t => dropped(t._1)).toDF("term", "df")
+    val qtermsKept = qRows.collect { case (q, t, _) if !dropped(t) => (q, t) }
+      .toDF("q_id", "term")
     lastBlockMaxStats = None
     if (keep.nonEmpty && hasBm25BlockMax(spark, path))
       bm25TopKStoredBlockMax(spark, path, keep, qtermsKept, dfreq, n, avgdl, k, k1, b)
@@ -1474,12 +1521,14 @@ object TextOps {
     *         in unadmitted blocks, so its score is ≤ totR),
     *       - no PARTIALLY-seen document can cross θ
     *         (`acc(d) + totR − seenR(d) < θ` for every rank > k);
-    *  3. on failure doubles each uncertified query's admitted blocks
+    *  3. on failure quadruples each uncertified query's admitted blocks
     *     (per term, highest-ub first; a term whose tail outgrows the
     *     bounded driver list escalates to whole-term) and rescans —
-    *     geometric growth, so total scanned postings ≤ 2× the certified
-    *     prefix, and ≤ log₂(blocks) rounds degrade to the full scan in
-    *     the worst case.
+    *     geometric growth, so the final admitted set ≤ 4× the minimal
+    *     certifiable prefix, total postings scanned across rounds
+    *     ≤ 4/3 × the final set (each round rescans cumulatively), and
+    *     ≤ log₄(blocks) rounds degrade to the full scan in the worst
+    *     case (see `escalate` for the factor-4 rationale).
     *
     * Strict `<` comparisons make ties conservative: an exactly-θ
     * potential keeps scanning until the tie is resolved by real scores,
@@ -1500,40 +1549,63 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "need k >= 1")
     val ranked = bm25PrunedRead(spark, path, "blockmax", keep)
-      .join(dfreq, Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
       .select(col("term"), col("blk"), col("max_tf").as("tf"),
         col("min_dl").as("dl"), col("df"))
       .withColumn("ub_e6", bm25ScoreE6(n, avgdl, k1, b) + lit(UbSlackE6))
       .withColumn("rn", row_number().over(
         Window.partitionBy("term").orderBy(col("ub_e6").desc, col("blk").asc)))
-    // bounded collects: ≤ MaxDriverBlocks rows per query term + one
-    // tail row per term + one row per (query, term)
-    val top: Map[String, Vector[(Int, Long)]] = ranked
-      .where(col("rn") <= MaxDriverBlocks)
-      .select("term", "blk", "ub_e6").collect()
-      .map(r => (r.getString(0), (r.getInt(1), r.getLong(2))))
+    // ONE bounded collect (≤ MaxDriverBlocks+1 rows per query term): rn
+    // is ordered by ub_e6 desc within a term, so the max upper bound
+    // over the beyond-the-list tail (rn > MaxDriverBlocks) is exactly
+    // the ub at rn = MaxDriverBlocks+1 — collecting that one extra rung
+    // replaces a second evaluation of the whole ranked frame
+    val rankedRows = ranked
+      .where(col("rn") <= MaxDriverBlocks + 1)
+      .select("term", "blk", "ub_e6", "rn").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val top: Map[String, Vector[(Int, Long)]] = rankedRows
+      .filter(_._4 <= MaxDriverBlocks)
+      .map(r => (r._1, (r._2, r._3)))
       .groupBy(_._1).map { case (t, xs) =>
         t -> xs.map(_._2).sortBy(x => (-x._2, x._1)).toVector
       }
-    val restMax: Map[String, Long] = ranked.where(col("rn") > MaxDriverBlocks)
-      .groupBy("term").agg(max(col("ub_e6")).as("m")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val restMax: Map[String, Long] = rankedRows
+      .filter(_._4 == MaxDriverBlocks + 1)
+      .map(r => r._1 -> r._3).toMap
     val termsOf: Map[Long, Seq[String]] = qtermsKept
       .select("q_id", "term").distinct().collect()
       .map(r => (r.getLong(0), r.getString(1)))
       .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSeq }
     // admission state per block-bearing term: Some(c) = its top-c
-    // blocks; None = the whole term (blk filter dropped)
+    // blocks; None = the whole term (blk filter dropped). First
+    // admission is ceil(k/blockSize) blocks, not 1: a top-k cannot
+    // certify on fewer than k admitted postings from its dominant term,
+    // so starting below that only buys guaranteed-failing certification
+    // rounds — each a full driver round-trip. Validity never depends on
+    // the admitted set (the certificate does), so this is purely a
+    // round-count lever; at the default 4096-posting blocks c0 stays 1.
+    val bs = bm25BlockMaxSize(spark, path)
+    val c0 = math.max(1, math.min((k + bs - 1) / bs, MaxDriverBlocks))
     val admit = scala.collection.mutable.Map[String, Option[Int]]()
-    top.keys.foreach(t => admit(t) = Some(1))
+    top.keys.foreach(t => admit(t) = Some(math.min(c0, math.max(1, top(t).size))))
     def rT(t: String): Long = admit.get(t) match {
       case None | Some(None) => 0L
       case Some(Some(c)) =>
         if (c < top(t).size) top(t)(c)._2 else restMax.getOrElse(t, 0L)
     }
+    // escalation factor 4, not 2. Every certification round RESCANS the
+    // cumulative admitted set from scratch, so with factor g the total
+    // postings scanned across rounds is a geometric sum ≈ g/(g−1) × the
+    // final admitted set, while the final set overshoots the minimal
+    // certifiable prefix by ≤ g. Worst-case TOTAL scan is therefore
+    // ≈ 4·C_min at g=2 (2× sum-overhead × 2× overshoot) vs ≈ 5.3·C_min
+    // at g=4 — comparable I/O — but g=4 HALVES the round count, and a
+    // round is a full driver→cluster round trip (measured: the dominant
+    // cost of every multi-round probe, local or distributed).
     def escalate(t: String): Unit = {
       admit(t) = admit(t) match {
-        case Some(c) if 2 * c < top(t).size => Some(2 * c)
+        case Some(c) if 4 * c < top(t).size => Some(4 * c)
         case Some(_) if restMax.contains(t) => None
         case Some(_)                        => Some(top(t).size)
         case None                           => None
@@ -1575,7 +1647,7 @@ object TextOps {
       val perTerm = bm25PrunedRead(spark, path, "postings", keep)
         .where(filt)
         .select("doc_id", "dl", "term", "tf")
-        .join(dfreq, Seq("term"))
+        .join(broadcast(dfreq), Seq("term"))
         .join(broadcast(qtermsKept), Seq("term"))
         .withColumn("score_e6", bm25ScoreE6(n, avgdl, k1, b))
         .join(broadcast(rDf), Seq("term"))

@@ -1247,8 +1247,12 @@ object ExtensionQueries {
       val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k)
         .select("q_id", "n_id").cache()
       val total = exact.count().toDouble
-      val (indexed, centroids) =
+      // cache the assigned index once — four of the eight operating
+      // points scan it, and without the cache each re-runs the KMeans
+      // model transform over the corpus
+      val (indexed0, centroids) =
         Similarity.ivfIndex(e, "vec_id", "embedding", nCentroids = 16)
+      val indexed = indexed0.cache()
       val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", m = 4, ksub = 16)
       // cache the encode once — three of the eight operating points scan
       // the codes table, and without the cache each re-runs the encode
@@ -1273,17 +1277,37 @@ object ExtensionQueries {
       // clear ≥80% floors (the realistic regime); LSH at 8 planes is
       // structurally limited on 64 dims and carries its honest 15/40
       // floors plus the family-monotone boolean
-      val points: Seq[(String, Int, Double)] = Seq(
-        ("ivf_np1", 80, recall(ivf(1))),
-        ("ivf_np2", 84, recall(ivf(2))),
-        ("ivf_np4", 87, recall(ivf(4))),
-        ("ivfpq_np4_c32", 80, recall(ivfpq(4, 32))),
-        ("lsh_p8_mp0", 15, recall(lsh(0))),
-        ("lsh_p8_mp1", 40, recall(lsh(1))),
-        ("pq_c16", 45, recall(pq(16))),
-        ("pq_c64", 85, recall(pq(64))))
+      // materialize the shared cached inputs BEFORE the operating points
+      // fan out, then evaluate all eight points CONCURRENTLY: each point
+      // is one independent probe+recall count over the cached corpus /
+      // index / codes, and running them sequentially leaves the cluster
+      // idle through eight job tails (guide: overlap independent jobs).
+      // Values and output order are unchanged — the futures are awaited
+      // into the same fixed point list.
+      indexed.count()
+      codes.count()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+        val t = new Thread(r, "graft-recall-point"); t.setDaemon(true); t
+      })
+      val points: Seq[(String, Int, Double)] = try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        Await.result(Future.sequence(Seq(
+          ("ivf_np1", 80, () => recall(ivf(1))),
+          ("ivf_np2", 84, () => recall(ivf(2))),
+          ("ivf_np4", 87, () => recall(ivf(4))),
+          ("ivfpq_np4_c32", 80, () => recall(ivfpq(4, 32))),
+          ("lsh_p8_mp0", 15, () => recall(lsh(0))),
+          ("lsh_p8_mp1", 40, () => recall(lsh(1))),
+          ("pq_c16", 45, () => recall(pq(16))),
+          ("pq_c64", 85, () => recall(pq(64)))
+        ).map { case (mth, floor, f) => Future((mth, floor, f())) }), Duration.Inf)
+      } finally pool.shutdown()
       exact.unpersist()
       codes.unpersist()
+      indexed.unpersist()
       e.unpersist()
       val byName = points.map(p => p._1 -> p._3).toMap
       val prevInFamily = Map(
