@@ -2850,35 +2850,41 @@ object Dedup {
     require(buckets >= 1, "need buckets >= 1")
     require(maxDf >= 2, "need maxDf >= 2 — pairs need fingerprints in at least 2 docs")
     val spark = docs.sparkSession
-    // corpus-sized build — scan-widened ([[widenScan]])
+    // corpus-sized build — scan-widened ([[widenScan]]). Cached: the
+    // fingerprint kernel is the build's expensive pass and the plan
+    // below consumes it three times (df aggregate, the keep semi-join's
+    // scan side, and the hot-set aggregate) — uncached, the kernel runs
+    // three times per build (the internal-cache discipline of the other
+    // multi-scan dedup builds; MEMORY_AND_DISK spills gracefully on a
+    // corpus-sized build)
     val posts = winnowingPostings(
       widenScan(docs.select(col(idCol), col(textCol))), idCol, textCol, w, windowSize, portable)
-    val keep = posts
-      .groupBy("fp")
-      .agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf)
-      .select("fp")
-    // one file per bucket dir: clustered by fb so a write task owns whole
-    // buckets instead of fanning small files across every partition
-    posts
-      .join(keep, Seq("fp"), "left_semi")
-      .withColumn("fb", pmod(xxhash64(col("fp")), lit(buckets)).cast("int"))
-      .repartition(buckets, col("fb"))
-      .write.mode("overwrite").partitionBy("fb").parquet(s"$path/posts")
-    // the fingerprints the build DROPPED as boilerplate (df > maxDf),
-    // persisted beside the postings: [[appendWinnowIndex]] filters new
-    // postings against this set and [[winnowAdmitStored]] excludes it at
-    // probe, so a fingerprint hot at build time can never re-admit
-    // through appended postings (whose store-side count alone would look
-    // cold). Bucketed like the postings so probes prune identically;
-    // boilerplate-fp-sized, usually tiny.
-    posts
-      .groupBy("fp")
-      .agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf)
-      .select(col("fp"), pmod(xxhash64(col("fp")), lit(buckets)).cast("int").as("fb"))
-      .repartition(buckets, col("fb"))
-      .write.mode("overwrite").partitionBy("fb").parquet(s"$path/hot")
+      .cache()
+    try {
+      // ONE df aggregate feeds both the keep filter and the hot set
+      // (previously computed twice)
+      val dfAgg = posts.groupBy("fp").agg(count(lit(1)).as("df"))
+      val keep = dfAgg.where(col("df") <= maxDf).select("fp")
+      // one file per bucket dir: clustered by fb so a write task owns whole
+      // buckets instead of fanning small files across every partition
+      posts
+        .join(keep, Seq("fp"), "left_semi")
+        .withColumn("fb", pmod(xxhash64(col("fp")), lit(buckets)).cast("int"))
+        .repartition(buckets, col("fb"))
+        .write.mode("overwrite").partitionBy("fb").parquet(s"$path/posts")
+      // the fingerprints the build DROPPED as boilerplate (df > maxDf),
+      // persisted beside the postings: [[appendWinnowIndex]] filters new
+      // postings against this set and [[winnowAdmitStored]] excludes it at
+      // probe, so a fingerprint hot at build time can never re-admit
+      // through appended postings (whose store-side count alone would look
+      // cold). Bucketed like the postings so probes prune identically;
+      // boilerplate-fp-sized, usually tiny.
+      dfAgg
+        .where(col("df") > maxDf)
+        .select(col("fp"), pmod(xxhash64(col("fp")), lit(buckets)).cast("int").as("fb"))
+        .repartition(buckets, col("fb"))
+        .write.mode("overwrite").partitionBy("fb").parquet(s"$path/hot")
+    } finally { posts.unpersist(); () }
     val marker = new Path(s"$path/$WinnowIndexMarker")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(marker, true)

@@ -1398,13 +1398,21 @@ object TextOps {
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
     val qTerm = qRows.map(r => (r._2, r._3)).distinct
     // df partials (one per contributing batch) merge to the global df —
-    // read from the term-bucketed dictionary, never the postings. One
-    // bounded collect (≤ one row per distinct query term); the stopword
-    // guard and every scoring join reuse the local rows, so the dict is
-    // scanned exactly once per probe.
-    val dfRows = bm25PrunedRead(spark, path, "dict", qTerm)
-      .groupBy("term").agg(sum(col("df")).as("df")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // read from the term-bucketed dictionary, never the postings. The
+    // lazy aggregate is COLLECTED here (≤ one row per distinct query
+    // term) only when something needs driver-side df values before the
+    // first scan: the stopword guard, or the full-scan path (whose
+    // scoring joins would otherwise re-run the dict read per use). The
+    // armed block-max path skips the collect — its df values ride the
+    // sidecar ranking collect, one fewer sequential driver round-trip.
+    val dfreqLazy = bm25PrunedRead(spark, path, "dict", qTerm)
+      .groupBy("term").agg(sum(col("df")).as("df"))
+    val armed = hasBm25BlockMax(spark, path)
+    val needDfCollect = maxQueryTermDfFrac.isDefined || !armed
+    val dfRows: Seq[(String, Long)] =
+      if (needDfCollect)
+        dfreqLazy.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      else Seq.empty
     val dropped: Set[String] = maxQueryTermDfFrac match {
       case Some(frac) =>
         require(frac > 0.0 && frac <= 1.0, "need 0 < maxQueryTermDfFrac <= 1")
@@ -1416,16 +1424,15 @@ object TextOps {
     // dropped terms never reach a join anyway (both paths join through
     // the kept term set); filtering the literal df frame up front just
     // keeps the broadcast minimal
-    val dfreq = dfRows.filterNot(t => dropped(t._1)).toDF("term", "df")
     val qtermsKept = qRows.collect { case (q, t, _) if !dropped(t) => (q, t) }
       .toDF("q_id", "term")
     lastBlockMaxStats = None
-    if (keep.nonEmpty && hasBm25BlockMax(spark, path))
-      bm25TopKStoredBlockMax(spark, path, keep, qtermsKept, dfreq, n, avgdl, k, k1, b)
+    if (keep.nonEmpty && armed)
+      bm25TopKStoredBlockMax(spark, path, keep, qtermsKept, dfreqLazy, n, avgdl, k, k1, b)
     else
       bm25ScoreCore(
         bm25PrunedRead(spark, path, "postings", keep).select("doc_id", "dl", "term", "tf"),
-        dfreq,
+        dfRows.filterNot(t => dropped(t._1)).toDF("term", "df"),
         qtermsKept,
         n, avgdl, k, k1, b)
   }
@@ -1559,11 +1566,14 @@ object TextOps {
     // is ordered by ub_e6 desc within a term, so the max upper bound
     // over the beyond-the-list tail (rn > MaxDriverBlocks) is exactly
     // the ub at rn = MaxDriverBlocks+1 — collecting that one extra rung
-    // replaces a second evaluation of the whole ranked frame
+    // replaces a second evaluation of the whole ranked frame. The dict
+    // df rides along (constant within a term), so the armed path never
+    // needs a separate dictionary collect — the per-round scoring joins
+    // below re-issue it as a literal frame.
     val rankedRows = ranked
       .where(col("rn") <= MaxDriverBlocks + 1)
-      .select("term", "blk", "ub_e6", "rn").collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      .select("term", "blk", "ub_e6", "rn", "df").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
     val top: Map[String, Vector[(Int, Long)]] = rankedRows
       .filter(_._4 <= MaxDriverBlocks)
       .map(r => (r._1, (r._2, r._3)))
@@ -1573,6 +1583,8 @@ object TextOps {
     val restMax: Map[String, Long] = rankedRows
       .filter(_._4 == MaxDriverBlocks + 1)
       .map(r => r._1 -> r._3).toMap
+    import spark.implicits._
+    val dfLit = rankedRows.map(r => (r._1, r._5)).distinct.toSeq.toDF("term", "df")
     val termsOf: Map[Long, Seq[String]] = qtermsKept
       .select("q_id", "term").distinct().collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -1623,7 +1635,7 @@ object TextOps {
       return bm25ScoreCore(
         bm25PrunedRead(spark, path, "postings", keep)
           .select("doc_id", "dl", "term", "tf"),
-        dfreq, qtermsKept, n, avgdl, k, k1, b)
+        dfLit, qtermsKept, n, avgdl, k, k1, b)
     }
     def admittedBlocks: Long = keepTerms.map { t =>
       admit(t) match {
@@ -1647,7 +1659,7 @@ object TextOps {
       val perTerm = bm25PrunedRead(spark, path, "postings", keep)
         .where(filt)
         .select("doc_id", "dl", "term", "tf")
-        .join(broadcast(dfreq), Seq("term"))
+        .join(broadcast(dfLit), Seq("term"))
         .join(broadcast(qtermsKept), Seq("term"))
         .withColumn("score_e6", bm25ScoreE6(n, avgdl, k1, b))
         .join(broadcast(rDf), Seq("term"))
@@ -1657,28 +1669,30 @@ object TextOps {
         lastBlockMaxStats = Some((rounds, admittedBlocks))
         return bm25TopKTail(perDoc.drop("seen_r"), k)
       }
-      val totDf = spark.createDataFrame(totR.toSeq).toDF("q_id", "tot_r")
-      val cert = perDoc.join(broadcast(totDf), Seq("q_id"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("doc_id").asc)))
+      // per-query certificate facts in ONE partial-aggregated pass
+      // ([[graft.functions.Bm25CertAggregator]]): the previous
+      // row_number-window + re-aggregate form shuffled every accumulated
+      // candidate row twice per round; the aggregate ships k rows + two
+      // longs per (query × partition), and tot_r (constant per query) is
+      // closed over here on the driver instead of broadcast-joined.
+      val certAgg = udaf(new graft.functions.Bm25CertAggregator(k))
+      val cert = perDoc
         .groupBy("q_id")
-        .agg(
-          count(lit(1)).as("m"),
-          min(when(col("rn") <= k, col("score_e6"))).as("theta"),
-          max(when(col("rn") <= k, col("tot_r") - col("seen_r"))).as("top_gap"),
-          max(when(col("rn") > k, col("score_e6") + col("tot_r") - col("seen_r")))
-            .as("rest_pot"))
+        .agg(certAgg(col("score_e6"), col("doc_id"), col("seen_r")).as("c"))
+        .select(col("q_id"), col("c.m"), col("c.theta"),
+          col("c.minSeenTop"), col("c.restMax"))
         .collect()
-        .map(r => r.getLong(0) -> r).toMap
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
       val uncertified = termsOf.keys.filter { q =>
         val tot = totR(q)
         cert.get(q) match {
           case None => tot > 0L // no doc surfaced yet; unseen mass remains
-          case Some(r) =>
-            val m = r.getLong(1)
-            val theta = if (r.isNullAt(2)) Long.MinValue else r.getLong(2)
-            val topGap = if (r.isNullAt(3)) 0L else r.getLong(3)
-            val restPot = if (r.isNullAt(4)) Long.MinValue else r.getLong(4)
+          case Some((m, theta, minSeenTop, restMax)) =>
+            // max over top-k of (tot − seen) = tot − min(seen);
+            // max over rank>k of (score + tot − seen) = tot + restMax
+            val topGap = tot - minSeenTop
+            val restPot = if (m > k) restMax + tot else Long.MinValue
             !(tot == 0L ||
               (m >= k && topGap == 0L && tot < theta && restPot < theta))
         }

@@ -1220,17 +1220,33 @@ object CdcStream {
         .withColumn("tb", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
         .cache()
       try {
-        // one file per bucket dir (the substringStripMaintain fan-out rule)
-        tf.repartition(buckets, col("tb"))
-          .write.mode("overwrite").partitionBy("tb")
-          .parquet(s"$indexPath/postings/ingest_batch=$batchId")
-        tf.groupBy("term", "tb").agg(count(lit(1)).as("df"))
-          .repartition(buckets, col("tb"))
-          .write.mode("overwrite").partitionBy("tb")
-          .parquet(s"$indexPath/dict/ingest_batch=$batchId")
-        TextOps.bm25StatsPartial(b, textCol)
-          .write.mode("overwrite")
-          .parquet(s"$indexPath/stats/ingest_batch=$batchId")
+        // the three partial writes are independent (disjoint tables,
+        // each overwriting its own batch partition — replay-idempotent
+        // in any order) and all read the cached tf/batch frames: run
+        // them concurrently so the trigger pays the slowest write, not
+        // the sum (the ingestPipelineApplyBatch deferred-append rule)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext = appendPool
+        Await.result(Future.sequence(Seq(
+          Future {
+            // one file per bucket dir (the substringStripMaintain
+            // fan-out rule)
+            tf.repartition(buckets, col("tb"))
+              .write.mode("overwrite").partitionBy("tb")
+              .parquet(s"$indexPath/postings/ingest_batch=$batchId")
+          },
+          Future {
+            tf.groupBy("term", "tb").agg(count(lit(1)).as("df"))
+              .repartition(buckets, col("tb"))
+              .write.mode("overwrite").partitionBy("tb")
+              .parquet(s"$indexPath/dict/ingest_batch=$batchId")
+          },
+          Future {
+            TextOps.bm25StatsPartial(b, textCol)
+              .write.mode("overwrite")
+              .parquet(s"$indexPath/stats/ingest_batch=$batchId")
+          })), Duration.Inf)
       } finally { tf.unpersist(); () }
     } finally { b.unpersist(); () }
     ()
@@ -2147,18 +2163,29 @@ object CdcStream {
     val foldAvgdl =
       if (statsRow.getLong(0) == 0L) 1.0
       else statsRow.getLong(1).toDouble / statsRow.getLong(0).toDouble
+    // the three table folds are INDEPENDENT (each stages in its own
+    // `.compact` dir with its own META/resume protocol, deletes only its
+    // own partitions) — run dict and stats concurrently with the
+    // postings fold + sidecar chain; a crash mid-parallel leaves each
+    // table in a state its own re-run resolves, exactly as a crash
+    // between sequential folds did. The marker stays LAST, after every
+    // fold has committed.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = appendPool
+    val sideFolds = Seq(
+      Future(compactBatchedTable(spark, s"$indexPath/dict", upToBatch, Seq("tb"),
+        _.groupBy("term", "tb").agg(sum(col("df")).as("df"))
+          .select("term", "df", "tb").repartition(col("tb")))),
+      Future(compactBatchedTable(spark, s"$indexPath/stats", upToBatch, Seq.empty,
+        _.agg(
+          coalesce(sum(col("n")), lit(0L)).as("n"),
+          coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl")).coalesce(1))))
     compactBatchedTable(spark, s"$indexPath/postings", upToBatch, Seq("tb"),
       df => TextOps.bm25AssignBlocks(
           df.select("doc_id", "dl", "term", "tf", "tb"), foldAvgdl, blockSize)
         .repartition(col("tb"))
         .sortWithinPartitions("term", "blk"))
-    compactBatchedTable(spark, s"$indexPath/dict", upToBatch, Seq("tb"),
-      _.groupBy("term", "tb").agg(sum(col("df")).as("df"))
-        .select("term", "df", "tb").repartition(col("tb")))
-    compactBatchedTable(spark, s"$indexPath/stats", upToBatch, Seq.empty,
-      _.agg(
-        coalesce(sum(col("n")), lit(0L)).as("n"),
-        coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl")).coalesce(1))
     val postingsBase = new Path(s"$indexPath/postings")
     val fs = postingsBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val leftover = fs.listStatus(postingsBase)
@@ -2166,14 +2193,15 @@ object CdcStream {
       .filter(_.startsWith("ingest_batch="))
       .map(_.stripPrefix("ingest_batch=").toLong)
       .exists(_ > upToBatch)
-    if (!leftover) {
+    if (!leftover)
       TextOps.bm25BlockSidecar(spark.read.parquet(s"$indexPath/postings"))
         .select("term", "blk", "max_tf", "min_dl", "n_rows", "tb")
         .repartition(col("tb"))
         .sortWithinPartitions("term", "blk")
         .write.mode("overwrite").partitionBy("tb").parquet(s"$indexPath/blockmax")
+    Await.result(Future.sequence(sideFolds), Duration.Inf)
+    if (!leftover)
       TextOps.writeBm25BlockMaxMarker(spark, indexPath, blockSize)
-    }
   }
 
   /** The maintenance entry point the per-store compactors plug into —

@@ -230,4 +230,37 @@ class RandomParitySpec extends SparkSpec {
     h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
     h
   }
+
+  test("Bm25CertAggregator == sorted-rank reference under random reduce/merge splits") {
+    import graft.functions.{Bm25CertAggregator, CertBuf, CertIn}
+    for (seed <- Seq(31, 32, 33); k <- Seq(1, 3, 10)) {
+      val rnd = new scala.util.Random(seed)
+      val n = rnd.nextInt(40) // includes m < k and m = 0-adjacent sizes
+      // score ties ON PURPOSE (small score range) so the doc_id asc
+      // boundary tie-break is exercised; distinct ids per group
+      val rows = (0 until n).map(i =>
+        CertIn(rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(100).toLong))
+      if (rows.nonEmpty) {
+        // reference: the window form's facts from a full sort
+        val ranked = rows.sortBy(r => (-r.score, r.id))
+        val top = ranked.take(k)
+        val rest = ranked.drop(k)
+        val agg = new Bm25CertAggregator(k)
+        // random split into partial buffers, random-order reduce, merge
+        val buffers = rows.groupBy(_ => rnd.nextInt(4)).values.toSeq
+          .map(part => rnd.shuffle(part).foldLeft(agg.zero)(agg.reduce))
+        val merged = rnd.shuffle(buffers).foldLeft(agg.zero)(agg.merge)
+        val out = agg.finish(merged)
+        assert(out.m === rows.size.toLong, s"seed $seed k=$k: m")
+        assert(out.theta === top.map(_.score).min, s"seed $seed k=$k: theta")
+        assert(out.minSeenTop === top.map(_.seen).min, s"seed $seed k=$k: minSeenTop")
+        val restRef =
+          if (rest.isEmpty) Long.MinValue else rest.map(r => r.score - r.seen).max
+        assert(out.restMax === restRef, s"seed $seed k=$k: restMax")
+        // the kept set itself is the rank-order top-k (boundary ties
+        // resolved by id asc), not just its aggregates
+        assert(merged.items === top, s"seed $seed k=$k: kept set")
+      }
+    }
+  }
 }
